@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Dev-only parity checker (mimics the driver's correctness gate).
+
+NOT part of the engine. Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+loads each <outDir>/<name> parquet result, runs the matching oracle SQL from
+<outDir>/oracle_sql.json in DuckDB over the same sf tables, canonicalizes
+(sort columns by name, stringify values), and diffs.
+
+Usage: python3 dev/check_parity.py <sfDir> <outDir>
+"""
+import json, os, sys, decimal, datetime
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    return str(v)
+
+
+def canon_table(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(canon_val(r[i]) for i in order) for r in rows]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        t = pq.read_table(d)
+        spark_cols = t.column_names
+        spark_rows = [tuple(r[c] for c in spark_cols) for r in t.to_pylist()]
+        if name not in oracle:
+            print(f"  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            continue
+        res = con.execute(oracle[name])
+        duck_cols = [c[0] for c in res.description]
+        duck_rows = res.fetchall()
+        a = canon_table(spark_cols, spark_rows)
+        b = canon_table(duck_cols, duck_rows)
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"✗ {name}: COLUMN MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_bad += 1
+            continue
+        if a == b:
+            print(f"✓ {name}: {len(a)} rows match")
+            n_ok += 1
+        else:
+            n_bad += 1
+            print(f"✗ {name}: MISMATCH spark={len(a)} duck={len(b)} rows")
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x != y:
+                    print(f"    first diff row {i}:\n      spark={x}\n      duck ={y}")
+                    break
+            if len(a) != len(b):
+                only_a = set(a) - set(b)
+                only_b = set(b) - set(a)
+                if only_a: print(f"    spark-only sample: {list(only_a)[:2]}")
+                if only_b: print(f"    duck-only sample:  {list(only_b)[:2]}")
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,61 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Changelog, Versioned}
+import graft.queries.Relational
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** As-of timestamp for q18 (mid-range of orders' o_orderdate span). */
+  private val AsOfTs = "1998-01-01 00:00:00"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q04_multijoin")(spark, "/root/testdata/sf0.001")
+
+  private def cdcSnapshot(s: SparkSession, d: String): DataFrame =
+    Versioned.latestSnapshot(Changelog.fromOrders(s, d), Seq("pk"))
+      .select("pk", "action", "update_date", "totalprice", "status")
+      .orderBy("pk")
+
+  private def cdcAsOf(s: SparkSession, d: String): DataFrame =
+    Versioned.asOf(Changelog.fromOrders(s, d), lit(AsOfTs).cast("timestamp"), Seq("pk"))
+      .select("pk", "action", "update_date", "totalprice", "status")
+      .orderBy("pk")
+
+  private val cdcDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q17_cdc_snapshot", cdcSnapshot _,
+      Some(Changelog.oracleCte +
+        """, ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY pk
+          |            ORDER BY update_date DESC, action DESC) AS rn
+          |  FROM changelog)
+          |SELECT pk, action, update_date, totalprice, status
+          |FROM ranked WHERE rn = 1 AND action <> 'delete'
+          |ORDER BY pk""".stripMargin)),
+    ("q18_cdc_asof", cdcAsOf _,
+      Some(Changelog.oracleCte +
+        s""", ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY pk
+          |            ORDER BY update_date DESC, action DESC) AS rn
+          |  FROM changelog WHERE update_date <= TIMESTAMP '$AsOfTs')
+          |SELECT pk, action, update_date, totalprice, status
+          |FROM ranked WHERE rn = 1 AND action <> 'delete'
+          |ORDER BY pk""".stripMargin))
+  )
+
+  private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Relational.defs ++ cdcDefs
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map { case (n, fn, _) => n -> fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,69 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Point-in-time query layer over append-only versioned CDC tables.
+  *
+  * The reference stores every insert/update/delete as an appended row and
+  * delegates "current state" / "as-of" to query time (reference
+  * `README.md:57,65`: a delete appends a tombstone row; a record's
+  * presence depends on the moment queried). These are the first-class
+  * operators that realize those semantics (SURVEY.md §2.3).
+  *
+  * Scale posture: every op is one window pass partitioned by the primary
+  * key — a single hash shuffle on pk, no self-joins, no driver
+  * collection. On a cluster, versioned tables should additionally be
+  * date-partitioned on `versionCol` so `asOf`/`changesBetween` prune
+  * partitions before the shuffle.
+  */
+object Versioned {
+
+  val DeleteAction = "delete"
+
+  private def keyWindow(pk: Seq[String], versionCol: String, actionCol: String) =
+    Window.partitionBy(pk.map(col): _*)
+      // action desc-tiebreak makes the result deterministic if one key has
+      // two events on the same version timestamp ("update" > "insert").
+      .orderBy(col(versionCol).desc, col(actionCol).desc)
+
+  /** Newest non-delete version per key; keys whose latest event is a
+    * delete are absent (tombstone semantics, reference README.md:57). */
+  def latestSnapshot(changelog: DataFrame, pk: Seq[String],
+                     versionCol: String = "update_date",
+                     actionCol: String = "action"): DataFrame =
+    changelog
+      .withColumn("__rn", row_number().over(keyWindow(pk, versionCol, actionCol)))
+      .filter(col("__rn") === 1 && col(actionCol) =!= DeleteAction)
+      .drop("__rn")
+
+  /** Table state as of timestamp `t` (events after `t` invisible). */
+  def asOf(changelog: DataFrame, t: Column, pk: Seq[String],
+           versionCol: String = "update_date",
+           actionCol: String = "action"): DataFrame =
+    latestSnapshot(changelog.filter(col(versionCol) <= t), pk, versionCol, actionCol)
+
+  /** Full ordered version chain of one key. */
+  def history(changelog: DataFrame, keyPredicate: Column,
+              versionCol: String = "update_date"): DataFrame =
+    changelog.filter(keyPredicate).orderBy(col(versionCol))
+
+  /** Audit slice: all events with t1 < version <= t2. */
+  def changesBetween(changelog: DataFrame, t1: Column, t2: Column,
+                     versionCol: String = "update_date"): DataFrame =
+    changelog.filter(col(versionCol) > t1 && col(versionCol) <= t2)
+
+  /** SCD2 view: each version gains a validity interval
+    * [valid_from, valid_to); the current version has valid_to = null. */
+  def scd2(changelog: DataFrame, pk: Seq[String],
+           versionCol: String = "update_date",
+           actionCol: String = "action"): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(versionCol), col(actionCol))
+    changelog
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull && col(actionCol) =!= DeleteAction)
+  }
+}

@@ -1,0 +1,382 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Declared relational query set Q1–Q16, Q19, Q20 (SURVEY.md §2.4).
+  *
+  * Each query has (a) an idiomatic DataFrame implementation — declarative,
+  * so Catalyst does pushdown/pruning/join-selection — and (b) an ANSI-SQL
+  * oracle string that DuckDB runs over the same parquet tables.
+  *
+  * Hash-stability conventions (SURVEY.md §2.4):
+  *  - total ORDER BY over a unique key set at the end of every query;
+  *  - double aggregates go through CAST(.. AS DECIMAL(18,2)) so sums are
+  *    addition-order independent (Spark partial aggregation reorders);
+  *  - averages = decimal-exact SUM cast to double, then ONE double divide
+  *    (a single IEEE op is bit-identical across engines, unlike a
+  *    reduction over doubles);
+  *  - integer-ish derived outputs cast to BIGINT (DuckDB SUM(int) is
+  *    HUGEINT, Spark row_number is int — both normalized to long).
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** (name, spark impl, oracle sql) triples. */
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ------------------------------------------------------------------
+    ("q01_scan_filter",
+      (s: SparkSession, d: String) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                  col("l_discount").between(0.02, 0.06))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.02 AND 0.06
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q02_hash_agg",
+      (s: SparkSession, d: String) => {
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec2(col("l_quantity"))).as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).as("sum_price"),
+            (sum(col("l_discount").cast(DecimalType(18, 4))).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+             |  COUNT(*) AS cnt
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q03_join_agg",
+      (s: SparkSession, d: String) => {
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q04_multijoin",
+      (s: SparkSession, d: String) => {
+        // nation/region are tiny: explicit broadcast keeps the 100 TB plan
+        // shuffle-free on those edges; customer/orders joins are left to
+        // AQE (broadcast at small SF, shuffle-hash/sort-merge at scale).
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          // decimal-exact revenue: never cast a *computed* double to decimal
+          // (Spark rounds the double's shortest repr, DuckDB its exact
+          // binary value — they disagree on .xx5 boundaries).
+          .agg(count(lit(1)).as("n_items"),
+               round(sum(dec2(col("l_extendedprice")) *
+                     (lit(1) - col("l_discount").cast(DecimalType(18, 4)))), 2)
+                 .cast(DecimalType(18, 2)).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_items,
+             |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |             (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey  = o_orderkey
+             |JOIN customer ON o_custkey   = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q05_left_join",
+      (s: SparkSession, d: String) => {
+        val perCust = Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"))
+        perCust.groupBy("n_orders")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("n_orders")
+      },
+      Some("""WITH per_cust AS (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |  GROUP BY c_custkey)
+             |SELECT n_orders, COUNT(*) AS n_customers
+             |FROM per_cust GROUP BY n_orders ORDER BY n_orders""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q06_semi_join",
+      (s: SparkSession, d: String) => {
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+                col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q07_anti_join",
+      (s: SparkSession, d: String) => {
+        Tables.part(s, d)
+          .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+          .select("p_partkey", "p_name")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q08_set_ops",
+      (s: SparkSession, d: String) => {
+        val o = Tables.orders(s, d)
+        def keys(status: String): DataFrame =
+          o.filter(col("o_orderstatus") === status).select(col("o_custkey").as("k")).distinct()
+        val ok = keys("O"); val fk = keys("F")
+        ok.except(fk).withColumn("op", lit("except"))
+          .unionAll(ok.intersect(fk).withColumn("op", lit("intersect")))
+          .unionAll(ok.union(fk).distinct().withColumn("op", lit("union")))
+          .select("op", "k")
+          .orderBy("op", "k")
+      },
+      Some("""WITH o_keys AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+             |     f_keys AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+             |SELECT 'except' AS op, k FROM (SELECT k FROM o_keys EXCEPT SELECT k FROM f_keys) t1
+             |UNION ALL
+             |SELECT 'intersect', k FROM (SELECT k FROM o_keys INTERSECT SELECT k FROM f_keys) t2
+             |UNION ALL
+             |SELECT 'union', k FROM (SELECT k FROM o_keys UNION SELECT k FROM f_keys) t3
+             |ORDER BY op, k""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q09_window_rank",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         CAST(row_number() OVER (PARTITION BY o_custkey
+             |                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q10_window_analytic",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables.orders(s, d)
+          .withColumn("running_total",
+            sum(dec2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "running_total", "prev_date", "next_date")
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+             |  lag(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
+             |FROM orders
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q11_topk",
+      (s: SparkSession, d: String) => {
+        // orderBy+limit → TakeOrderedAndProject: per-partition heaps, no
+        // global sort — the shape that survives 100 TB.
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q12_rollup",
+      (s: SparkSession, d: String) => {
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q13_scalar_funcs",
+      (s: SparkSession, d: String) => {
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(
+            col("o_orderkey"),
+            upper(col("o_orderstatus")).as("status_u"),
+            substring(col("o_orderpriority"), 1, 3).as("prio3"),
+            concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+            col("o_orderpriority").like("%HIGH%").as("is_high"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mon"),
+            dec2(col("o_totalprice")).as("price_dec"),
+            abs((col("o_orderkey") % 7) - 3).as("m7"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  upper(o_orderstatus) AS status_u,
+             |  substr(o_orderpriority, 1, 3) AS prio3,
+             |  concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+             |  (o_orderpriority LIKE '%HIGH%') AS is_high,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+             |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS mon,
+             |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+             |  abs((o_orderkey % 7) - 3) AS m7
+             |FROM orders
+             |WHERE o_orderkey % 10 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q14_json_extract",
+      (s: SparkSession, d: String) => {
+        Tables.events(s, d)
+          .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("cnt"), sum(dec2(col("value"))).as("sum_value"))
+          .orderBy("k")
+      },
+      Some("""SELECT k, COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+             |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+             |      FROM events) t
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q15_tumbling_window",
+      (s: SparkSession, d: String) => {
+        // Batch semantics of the streaming tumbling window: the same
+        // window() operator Structured Streaming uses (graft.streaming).
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(dec2(col("value"))).as("sum_value"))
+          .select(col("window.start").as("hour_ts"), col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy("hour_ts", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+             |  COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+             |FROM events
+             |GROUP BY hour_ts, event_type
+             |ORDER BY hour_ts, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q16_sessionize",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+                 (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > lit(1800L * 1000000L), 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum(col("new_session")).cast("long").as("n_sessions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, ts,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events)
+             |SELECT user_id,
+             |  CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q19_dedup_exact",
+      (s: SparkSession, d: String) => {
+        Tables.events(s, d)
+          .distinct()
+          .orderBy("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("""SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+             |FROM events
+             |ORDER BY event_id, ts, user_id, event_type, value, props""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q19b_dedup_keyed",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "ts", "event_type")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, ts, event_type FROM (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q20_top_tokens",
+      (s: SparkSession, d: String) => {
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(20)
+      },
+      Some("""SELECT token, COUNT(*) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+             |GROUP BY token
+             |ORDER BY cnt DESC, token
+             |LIMIT 20""".stripMargin))
+  )
+}
