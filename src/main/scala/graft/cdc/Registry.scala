@@ -1,0 +1,77 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** One logical CDC table: registry key, physical destination, schema. */
+final case class TableSpec(logicalName: String, physicalName: String, schema: StructType) {
+  /** Columns that come from the change-event payload (everything except
+    * the two synthetic columns the pipeline appends). */
+  def payloadSchema: StructType =
+    StructType(schema.filterNot(f => Registry.SyntheticCols.contains(f.name)))
+
+  def updateDateType: DataType =
+    schema.find(_.name == "update_date").map(_.dataType).getOrElse(StringType)
+}
+
+/** Loader for the external JSON schema registry.
+  *
+  * File shape is compatible with the reference's `src/data-stream.json:1-36`:
+  * `{ "<logical>": { "table_name": "...", "schema": { "fields": [
+  * {"name": ..., "type": <BigQuery legacy type>} ] } } }`. Types are mapped
+  * per SURVEY.md §1.2. The registry is loaded ONCE per pipeline and shipped
+  * to executors as a broadcast/closure constant — never fetched per record
+  * (the reference's per-record GCS fetch at `dataflow-cdc-stream.py:71-74`
+  * is its throughput ceiling; see SURVEY.md §4.2).
+  */
+object Registry {
+
+  /** Synthetic columns appended to every payload
+    * (reference `dataflow-cdc-stream.py:66-67`). */
+  val SyntheticCols: Set[String] = Set("action", "update_date")
+
+  /** BigQuery legacy SQL type names → Spark types (SURVEY.md §1.2). */
+  def sparkType(bqType: String): DataType = bqType.toUpperCase match {
+    case "STRING"             => StringType
+    case "FLOAT" | "FLOAT64"  => DoubleType
+    case "INT64" | "INTEGER"  => LongType
+    case "TIMESTAMP"          => TimestampType
+    case "DATE"               => DateType
+    case "BOOL" | "BOOLEAN"   => BooleanType
+    case "NUMERIC"            => DecimalType(38, 9)
+    case "BYTES"              => BinaryType
+    case other => throw new IllegalArgumentException(s"unsupported registry type: $other")
+  }
+
+  def fromJson(text: String): Map[String, TableSpec] =
+    JsonMethods.parse(text) match {
+      case JObject(tables) =>
+        tables.map { case (logical, spec) =>
+          val physical = spec \ "table_name" match {
+            case JString(s) => s
+            case _          => logical
+          }
+          val fields = spec \ "schema" \ "fields" match {
+            case JArray(fs) => fs.map { f =>
+              val name = f \ "name" match {
+                case JString(s) => s
+                case _ => throw new IllegalArgumentException(s"registry field without name in $logical")
+              }
+              val tpe = f \ "type" match {
+                case JString(s) => s
+                case _ => throw new IllegalArgumentException(s"registry field $name without type in $logical")
+              }
+              StructField(name, sparkType(tpe), nullable = true)
+            }
+            case _ => throw new IllegalArgumentException(s"registry entry $logical has no schema.fields")
+          }
+          logical -> TableSpec(logical, physical, StructType(fields))
+        }.toMap
+      case _ => throw new IllegalArgumentException("registry root must be a JSON object")
+    }
+
+  def load(path: String): Map[String, TableSpec] =
+    fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+}

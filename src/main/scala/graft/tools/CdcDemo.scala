@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Ingest, Registry, Versioned}
+import graft.streaming.{CdcStream, CdcStreamConfig}
+
+/** CLI usage example: stream a directory of Datastream-style JSONL change
+  * logs into versioned parquet tables, then print each table's latest
+  * snapshot.
+  *
+  * usage: CdcDemo <registry.json> <inputDir> <warehouseDir> <checkpointDir> [pkCol]
+  */
+object CdcDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(registryPath, inputDir, warehouseDir, checkpointDir, rest @ _*) = args: @unchecked
+    val pkCol = rest.headOption
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-cdc-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val registry = Registry.load(registryPath)
+    CdcStream.runOnce(spark, CdcStreamConfig(inputDir, warehouseDir, checkpointDir, registry))
+
+    registry.keys.toSeq.sorted.foreach { table =>
+      val df = Ingest.readTable(spark, warehouseDir, table)
+      println(s"== $table: ${df.count()} versioned rows ==")
+      pkCol.filter(df.columns.contains) match {
+        case Some(pk) =>
+          val versioned = df.withColumn("_v", col("update_date").cast("timestamp"))
+          val snap = Versioned.latestSnapshot(versioned, Seq(pk), versionCol = "_v").drop("_v")
+          println(s"-- latest snapshot (${snap.count()} live rows) --")
+          snap.show(20, truncate = false)
+        case None => df.show(20, truncate = false)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.cdc
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkTestBase
+
+case class Ev(pk: Long, action: String, update_date: Timestamp, v: Option[Long])
+
+class VersionedSpec extends SparkTestBase {
+
+  /** Raw scalacheck runner (no scalatest-plus bridge in the offline cache). */
+  private def check(prop: Prop, minTests: Int = 25): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(minute * 60L))
+
+  private val handmade = Seq(
+    Ev(1, "insert", ts(0), Some(10)),
+    Ev(1, "update", ts(1), Some(11)),
+    Ev(2, "insert", ts(0), Some(20)),
+    Ev(2, "delete", ts(2), None),
+    Ev(3, "insert", ts(5), Some(30)))
+
+  test("latestSnapshot: newest non-delete per key, tombstoned keys absent") {
+    val snap = Versioned.latestSnapshot(handmade.toDF(), Seq("pk"))
+      .select("pk", "v").as[(Long, Option[Long])].collect().toMap
+    assert(snap == Map(1L -> Some(11L), 3L -> Some(30L)))
+  }
+
+  test("asOf: state at a past timestamp includes later-deleted keys") {
+    val at = Versioned.asOf(handmade.toDF(), lit(ts(1)), Seq("pk"))
+      .select("pk", "v").as[(Long, Option[Long])].collect().toMap
+    assert(at == Map(1L -> Some(11L), 2L -> Some(20L))) // pk3 not yet born, pk2 not yet dead
+  }
+
+  test("history: full ordered chain for one key") {
+    val h = Versioned.history(handmade.toDF(), col("pk") === 1)
+      .select("action").as[String].collect().toSeq
+    assert(h == Seq("insert", "update"))
+  }
+
+  test("changesBetween: half-open audit slice (t1, t2]") {
+    val c = Versioned.changesBetween(handmade.toDF(), lit(ts(0)), lit(ts(2)))
+      .select("pk", "action").as[(Long, String)].collect().toSet
+    assert(c == Set((1L, "update"), (2L, "delete")))
+  }
+
+  test("scd2: validity intervals chain and current flag") {
+    val s = Versioned.scd2(handmade.toDF(), Seq("pk"))
+    val pk1 = s.filter($"pk" === 1).orderBy("valid_from")
+      .select("v", "is_current").as[(Option[Long], Boolean)].collect().toSeq
+    assert(pk1 == Seq((Some(10L), false), (Some(11L), true)))
+    // deleted key: no current version
+    assert(s.filter($"pk" === 2 && $"is_current").count() == 0)
+  }
+
+  // --- property: snapshot == last-writer-wins fold, regardless of event order
+  private val evGen: Gen[List[Ev]] = for {
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(n, for {
+      pk <- Gen.choose(1L, 6L)
+      minute <- Gen.choose(0, 500)
+      action <- Gen.oneOf("insert", "update", "delete")
+      v <- Gen.choose(0L, 99L)
+    } yield Ev(pk, action, ts(minute), if (action == "delete") None else Some(v)))
+  } yield evs.groupBy(e => (e.pk, e.update_date)).map(_._2.head).toList // unique (pk, ts)
+
+  test("property: latestSnapshot == last-writer-wins fold; arrival order irrelevant") {
+    check(Prop.forAll(evGen) { evs =>
+      val expected = evs.groupBy(_.pk).flatMap { case (pk, es) =>
+        val last = es.maxBy(e => (e.update_date.getTime, e.action)) // same tiebreak as engine
+        if (last.action == "delete") None else Some(pk -> last.v)
+      }
+      val got = Versioned.latestSnapshot(scala.util.Random.shuffle(evs).toDF(), Seq("pk"))
+        .select("pk", "v").as[(Long, Option[Long])].collect().toMap
+      got == expected
+    })
+  }
+
+  test("property: asOf is monotone — moving t forward never loses unmodified keys") {
+    check(Prop.forAll(evGen) { evs =>
+      val df = evs.toDF()
+      val t1 = ts(200); val t2 = ts(500)
+      val at1 = Versioned.asOf(df, lit(t1), Seq("pk")).select("pk").as[Long].collect().toSet
+      val at2 = Versioned.asOf(df, lit(t2), Seq("pk")).select("pk").as[Long].collect().toSet
+      val touchedAfterT1 = evs.filter(e => e.update_date.after(t1)).map(_.pk).toSet
+      (at1 -- touchedAfterT1).subsetOf(at2)
+    })
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.cdc.{Fixtures, Ingest, Versioned}
+
+class CdcStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDirs() = (tmpDir("cdc-in"), tmpDir("cdc-wh"), tmpDir("cdc-ck"))
+
+  test("streaming ingest == batch ingest over the same gzipped JSONL files") {
+    val (in, whStream, ck) = freshDirs()
+    val whBatch = tmpDir("cdc-whb")
+    Fixtures.writeLines(in, "log-000.jsonl.gz", Fixtures.lines.take(4), gzip = true)
+    Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(4), gzip = false)
+
+    CdcStream.runOnce(spark, CdcStreamConfig(in, whStream, ck, Fixtures.registry))
+    Ingest.ingestDir(spark, in, Fixtures.registry, whBatch)
+
+    for (t <- Seq("products", "users")) {
+      val a = Ingest.readTable(spark, whStream, t)
+      val b = Ingest.readTable(spark, whBatch, t)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"table $t streaming/batch mismatch")
+    }
+  }
+
+  test("unknown table dead-lettered, not dropped and not fatal") {
+    val (in, wh, ck) = freshDirs()
+    Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
+    CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry))
+    val dead = spark.read.parquet(s"$wh/${Ingest.UnknownTableDir}")
+    assert(dead.filter($"object" === "mystery").count() == 1)
+  }
+
+  test("restart with checkpoint: already-processed files are not re-appended") {
+    val (in, wh, ck) = freshDirs()
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(4), gzip = false)
+    CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry))
+    val n1 = Ingest.readTable(spark, wh, "products").count()
+
+    // restart with the same checkpoint: no new files -> no growth
+    CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry))
+    assert(Ingest.readTable(spark, wh, "products").count() == n1)
+
+    // add one new file -> only its rows appear
+    Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(4), gzip = false)
+    CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry))
+    assert(Ingest.readTable(spark, wh, "products").count() == n1)
+    assert(Ingest.readTable(spark, wh, "users").count() == 2)
+  }
+
+  test("duplicate records across files: dedup-within-watermark drops them") {
+    val (in, wh, ck) = freshDirs()
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(2), gzip = false)
+    Fixtures.writeLines(in, "log-dup.jsonl", Fixtures.lines.take(2), gzip = false) // same content again
+    CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry,
+      dedupWithinWatermark = Some("1 hour")))
+    assert(Ingest.readTable(spark, wh, "products").count() == 2)
+  }
+
+  test("end-to-end: streamed versioned table answers latestSnapshot correctly") {
+    val (in, wh, ck) = freshDirs()
+    Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
+    CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry))
+
+    val products = Ingest.readTable(spark, wh, "products")
+      .withColumn("update_ts", col("update_date").cast("timestamp"))
+    val snap = Versioned.latestSnapshot(products, Seq("product_id"), versionCol = "update_ts")
+    // p1 was deleted at 13:00 -> absent; p2 alive
+    assert(snap.select("product_id").as[String].collect().toSet == Set("p2"))
+
+    val asOf = Versioned.asOf(products, lit("2026-01-01 11:30:00").cast("timestamp"),
+      Seq("product_id"), versionCol = "update_ts")
+    assert(asOf.filter($"product_id" === "p1").select("category").as[String].head() == "health")
+  }
+}
