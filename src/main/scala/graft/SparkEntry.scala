@@ -48,7 +48,7 @@ object SparkEntry {
   )
 
   private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.defs ++ cdcDefs
+    Relational.defs ++ cdcDefs ++ graft.queries.Extended.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions.simhash64
+
+/** Document deduplication family for large-scale corpus curation:
+  * exact, MinHash+LSH (Jaccard), SimHash (Hamming), exact n-gram Jaccard
+  * verification. All shapes are shuffle-lean: candidate generation goes
+  * through band/chunk bucket joins (equi-join on a hash — never an O(N²)
+  * cross join), and verification only touches candidate pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate elimination over the given key columns (all columns
+    * if none given): plain distinct — one hash shuffle. */
+  def exact(df: DataFrame, keys: Seq[String] = Nil): DataFrame =
+    if (keys.isEmpty) df.distinct() else df.dropDuplicates(keys)
+
+  /** Keyed dedup keep-first: earliest row per key by orderCols. */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of a text column (built-ins only, codegen'd). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val ngrams = transform(sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    when(size(toks) < n, array(array_join(toks, " "))).otherwise(ngrams)
+  }
+
+  /** MinHash signature as `numHashes` columns min-folded over shingle
+    * hashes h_j(s) = (a_j·h(s) + b_j) mod p — one pass over the shingle
+    * array per hash function via built-in higher-order functions.
+    * Everything stays in the 31-bit prime field so a·h+b ≤ 2^62 never
+    * overflows a long (Spark 4 runs ANSI: overflow throws, not wraps). */
+  private val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+
+  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+                                      rnd.nextInt(Int.MaxValue).toLong))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(shingleCol,
+        s => pmod(pmod(hash(s).cast("long"), lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs, verified with exact
+    * shingle-set Jaccard. Output: (id1, id2, jaccard) with jaccard ≥
+    * threshold. bands×rowsPerBand must equal the signature length. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                          threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), shingleSize))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+
+    // band hash: one bucket per (band, hash of the band's slice)
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))")).as(Seq("band", "bucket")))
+
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sh").as("sh1"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sh").as("sh2"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sh1", "sh2")
+      .dropDuplicates("id1", "id2")
+
+    // exact verification on candidates only
+    candidates
+      .withColumn("s1", array_distinct(col("sh1")))
+      .withColumn("s2", array_distinct(col("sh2")))
+      .withColumn("jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates share
+    * one of four 16-bit chunks (pigeonhole: any pair within Hamming
+    * distance 3 shares ≥1 chunk), verified with bit_count(xor). */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only up to distance 3")
+    val fp = docs.select(col(idCol).as("id"),
+      simhash64(split(col(textCol), " ")).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)"))
+        .as(Seq("chunk_idx", "chunk")))
+    val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id1"), col("fp").as("fp1"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id2"), col("fp").as("fp2"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "fp1", "fp2")
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", expr("bit_count(fp1 ^ fp2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Exact n-gram Jaccard for an explicit pair set (verification oracle). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   pairs: DataFrame): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+      array_distinct(shingles(col(textCol), n)).as("_sh"))
+    pairs
+      .join(sh.withColumnRenamed("_id", "id1").withColumnRenamed("_sh", "sh1"), Seq("id1"))
+      .join(sh.withColumnRenamed("_id", "id2").withColumnRenamed("_sh", "sh2"), Seq("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .select("id1", "id2", "jaccard")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with a typed metadata struct, processed partition-wise.
+  *
+  * The Spark side — schema, encoders, partition-wise batched execution,
+  * feature-vector output shape — is real and tested. The DECODE step is a
+  * clearly-marked deterministic STUB (this container has no image/audio
+  * codecs): it derives pseudo-features from the bytes. A deployment swaps
+  * `decodeStub` for a real codec without touching any plumbing.
+  */
+object Multimodal {
+
+  case class MediaMeta(mime: String, width: Int, height: Int,
+                       sampleRate: Int, durationMs: Long)
+  case class MediaRecord(media_id: Long, kind: String, meta: MediaMeta, content: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           feature: Array[Float])
+
+  /** ==== STUB ==== deterministic fake "decode + featurize": splitmix64
+    * stream seeded by the content bytes' hash → unit-norm float vector.
+    * Real implementation: decode image/audio, run the real extractor. */
+  def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
+    var h = -3750763034362895579L
+    var i = 0
+    while (i < content.length) { h = (h ^ content(i)) * 1099511628211L; i += 1 }
+    val out = new Array[Float](dim)
+    var z = h
+    var norm = 0.0
+    i = 0
+    while (i < dim) {
+      z += 0x9e3779b97f4a7c15L
+      var m = z
+      m = (m ^ (m >>> 30)) * 0xbf58476d1ce4e5b9L
+      m = (m ^ (m >>> 27)) * 0x94d049bb133111ebL
+      m = m ^ (m >>> 31)
+      out(i) = ((m >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+      norm += out(i).toDouble * out(i)
+      i += 1
+    }
+    val n = math.sqrt(norm).toFloat
+    if (n > 0) { i = 0; while (i < dim) { out(i) /= n; i += 1 } }
+    out
+  }
+
+  /** Partition-wise feature extraction. `mapPartitions` (not per-row map)
+    * so a real decoder can amortize codec/model initialization per
+    * partition — the same batching contract as a vectorized UDF. */
+  def extractFeatures(records: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition init would go here (codec handles, model weights)
+      it.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+          decodeStub(r.content, dim))
+      }
+    }
+  }
+
+  /** Deterministic synthetic media corpus derived from `documents`:
+    * text bytes stand in for encoded payloads; metadata is derived from
+    * doc stats. Exercises binary columns + struct metadata end-to-end. */
+  def synthesizeFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        struct(
+          when(col("doc_id") % 3 === 0, "image/png")
+            .when(col("doc_id") % 3 === 1, "audio/wav")
+            .otherwise("video/mp4").as("mime"),
+          (pmod(col("doc_id"), lit(4)) * 256 + 256).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(3)) * 256 + 256).cast("int").as("height"),
+          lit(16000).as("sampleRate"),
+          (length(col("text")) * 10).cast("long").as("durationMs")).as("meta"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRecord]
+  }
+
+  /** End-to-end demo pipeline over `documents`: synthesize → extract →
+    * aggregate per kind (row counts + mean feature norm sanity stat). */
+  def featurePipeline(spark: SparkSession, docs: DataFrame, dim: Int = 64): DataFrame = {
+    val feats = extractFeatures(synthesizeFromDocuments(docs), dim)
+    feats.toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        avg(aggregate(col("feature"), lit(0.0d), (a, x) => a + x * x)).as("mean_sq_norm"))
+      .orderBy("kind")
+  }
+}

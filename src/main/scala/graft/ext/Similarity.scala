@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions.{broadcast, col, explode, row_number}
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `topKBruteForce`: exact cosine top-k — the correctness baseline.
+  *    Query side is broadcast (queries ≪ corpus), so the corpus is
+  *    scanned ONCE with no shuffle of corpus rows; only (Q × k)-ish
+  *    candidates shuffle for the final per-query ranking.
+  *  - `topKLsh`: sign-random-projection LSH — the 100 TB path. Corpus
+  *    rows shuffle only by bucket id; each query probes its own buckets,
+  *    exact cosine re-ranks the candidates. Recall is tunable via
+  *    (numTables, bitsPerTable).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query vector.
+    * Output: (query_id, neighbor_id, sim, rank) — rank 1 = best.
+    * Excludes the trivial self-match when query ids came from the corpus. */
+  def topKBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine_similarity(col("_cv"), col("_qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share ≥1 bucket in ≥1
+    * hash table with the query, then exact cosine re-ranks. */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
+
+    val cb = bucketed(corpus, "neighbor_id", "_cv")
+    val qb = broadcast(bucketed(queries, "query_id", "_qv"))
+
+    val candidates = cb.join(qb, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "_cv", "_qv")
+      .dropDuplicates("query_id", "neighbor_id") // same pair from several tables
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .withColumn("sim", cosine_similarity(col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, found via shared
+    * LSH buckets (corpus self-join on bucket, id1 < id2, exact verify). */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id1"), col("vec").as("v1"))
+    val r = b.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "v1", "v2")
+      .dropDuplicates("id1", "id2")
+      .withColumn("sim", cosine_similarity(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+
+  /** Plain-Scala exact top-k oracle for tests (drives nothing at scale). */
+  def bruteForceOracle(corpus: Seq[(Long, Array[Float])], queries: Seq[(Long, Array[Float])],
+                       k: Int): Map[Long, Seq[Long]] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0) 0.0 else dot / d
+    }
+    queries.map { case (qid, qv) =>
+      qid -> corpus.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(cv, qv)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(k).map(_._1)
+    }.toMap
+  }
+}

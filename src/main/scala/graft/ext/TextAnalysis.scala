@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis for training-data pipelines: token accounting,
+  * quality scoring, language identification, document fingerprinting.
+  * Everything is built-in-function composition (whole-stage codegen'd);
+  * the only custom kernel is simhash (see Dedup).
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+")).cast("long")
+
+  /** BPE-ish subword-ish count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap, deterministic
+    * stand-in for a real BPE vocab). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"""), lit(0))).cast("long")
+
+  // ---------------------------------------------------------------- quality
+
+  /** Component quality signals + a composite score in [0, 1].
+    * Fixed expression tree per row ⇒ bit-deterministic. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val nToks = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val punct = length(text) - length(regexp_replace(text, lit("""[.!?,;:]"""), lit("")))
+    val avgTokLen = (nChars - (nToks - 1)).cast("double") / nToks
+    val distinctRatio = nDistinct.cast("double") / nToks
+    val punctRatio = punct.cast("double") / nChars
+    val lengthScore = least(nToks.cast("double") / 64.0, lit(1.0))
+    Seq(
+      "n_tokens" -> nToks,
+      "n_chars" -> nChars,
+      "n_distinct_tokens" -> nDistinct,
+      "avg_token_len" -> avgTokLen,
+      "distinct_ratio" -> distinctRatio,
+      "punct_ratio" -> punctRatio,
+      "quality_score" ->
+        (lit(0.5) * lengthScore + lit(0.4) * distinctRatio +
+          lit(0.1) * (lit(1.0) - least(punctRatio * 4.0, lit(1.0)))))
+  }
+
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
+    qualityColumns(col(textCol)).foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
+
+  // ---------------------------------------------------------------- lang id
+
+  /** Tiny per-language stopword lists (public common words). Real
+    * deployments would swap in a trained n-gram profile; the *shape* —
+    * score per language via array_intersect, argmax via greatest+CASE —
+    * is the scalable part. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "como", "pero"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这"))
+
+  /** Predicted language + per-language hit counts. Deterministic argmax
+    * (ties broken by language code order). */
+  def langIdColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(lower(text), "\\s+")
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l =>
+      s"hits_$l" -> size(array_intersect(toks, array(stopwords(l).map(lit): _*))).cast("long"))
+    val best = langs.foldLeft((lit("und"), lit(0L))) { case ((bl, bs), l) =>
+      val s = scores.toMap.apply(s"hits_$l")
+      (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    scores :+ ("lang_pred" -> when(best._2 > 0, best._1).otherwise(lit("und")))
+  }
+
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    langIdColumns(col(textCol)).foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
+
+  // ---------------------------------------------------------------- fingerprint
+
+  /** Order-sensitive rolling document fingerprint: FNV-1a-style fold over
+    * token hashes in a native kernel expression (wrapping 64-bit
+    * arithmetic — Spark's ANSI mode would throw on the intended overflow
+    * if written with built-in `aggregate`). */
+  def fingerprint(text: Column): Column =
+    graft.functions.VectorFunctions.token_fingerprint64(split(text, " "))
+
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", fingerprint(col(textCol)))
+}

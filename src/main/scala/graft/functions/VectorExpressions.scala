@@ -1,0 +1,281 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math over ArrayType(FloatType).
+  *
+  * These are (b)-tier per the extension preference order (compose built-ins
+  * > custom Expression > custom plan): scalar vector kernels with
+  * `doGenCode`, so they stay inside whole-stage codegen — no UDF
+  * serialization, no boxing of 64-float arrays per row.
+  */
+abstract class BinaryVectorExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float> arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+}
+
+/** cosine(a, b) ∈ [-1, 1]; 0 when either norm is 0. Length mismatch uses
+  * the common prefix (embeddings are fixed-dim; no exception in the hot
+  * loop). */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val den = ctx.freshName("den")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final float $x = $a.getFloat($i); final float $y = $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot(a, b) over float vectors. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getFloat(i) * b.getFloat(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $dot += $a.getFloat($i) * $b.getFloat($i); }
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sign-random-projection LSH buckets for cosine similarity.
+  *
+  * Emits one bucket id per hash table: bucket(t) = (t << bits) | signbits,
+  * where bit j of `signbits` is sign(⟨v, h_{t,j}⟩) and the hyperplane
+  * components are deterministic ±1 draws seeded by (seed, t, j, dim-index)
+  * — a valid LSH family for angular distance, with nothing to broadcast.
+  */
+case class HyperplaneLshBuckets(child: Expression, seed: Long, numTables: Int, bitsPerTable: Int)
+  extends UnaryExpression {
+
+  require(bitsPerTable > 0 && bitsPerTable <= 24, "bitsPerTable in (0, 24]")
+  require(numTables > 0 && numTables <= 64, "numTables in (0, 64]")
+
+  override def prettyName: String = "hyperplane_lsh_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    ArrayData.toArrayData(LshKernel.buckets(a, seed, numTables, bitsPerTable))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.LshKernel.buckets($v, ${seed}L, $numTables, $bitsPerTable));")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static kernel shared by interpreted eval and generated code. */
+object LshKernel {
+  /** splitmix64 — deterministic pseudo-random stream from a key. */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def buckets(vec: ArrayData, seed: Long, numTables: Int, bitsPerTable: Int): Array[Long] = {
+    val dim = vec.numElements()
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bits = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        var acc = 0.0
+        val planeKey = seed ^ (t.toLong << 32) ^ j.toLong
+        var i = 0
+        while (i < dim) {
+          // ±1 component from one splitmix draw per (plane, dim)
+          val sgn = if ((mix(planeKey * 0x100000001b3L + i) & 1L) == 0L) 1.0f else -1.0f
+          acc += vec.getFloat(i) * sgn
+          i += 1
+        }
+        if (acc >= 0.0) bits |= (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << bitsPerTable) | bits
+      t += 1
+    }
+    out
+  }
+}
+
+/** SimHash64 over an array of string tokens: per-token 64-bit hash votes
+  * ±1 on each bit; the sign of each bit's tally is the fingerprint bit.
+  * Near-duplicate docs land within small Hamming distance.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernel.simhash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.functions.SimHashKernel.simhash($v);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Order-sensitive FNV-1a-style document fingerprint over string tokens:
+  * acc = (acc ^ h(token)) * FNV_PRIME with wrapping 64-bit arithmetic. */
+case class TokenFingerprint64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "token_fingerprint64"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernel.fingerprint(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.functions.SimHashKernel.fingerprint($v);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHashKernel {
+
+  /** 64-bit per-token hash: murmur3_32 widened through splitmix64. */
+  @inline def tokenHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+    var z = h.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def fingerprint(tokens: ArrayData): Long = {
+    var acc = -3750763034362895579L // FNV-1a 64 offset basis
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        acc = (acc ^ tokenHash(tokens.getUTF8String(i))) * 1099511628211L
+      }
+      i += 1
+    }
+    acc
+  }
+
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val z = tokenHash(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((z >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** Column wrappers + SQL registration. */
+object VectorFunctions {
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def lsh_buckets(v: Column, seed: Long, numTables: Int, bitsPerTable: Int): Column =
+    c(HyperplaneLshBuckets(e(v), seed, numTables, bitsPerTable))
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def token_fingerprint64(tokens: Column): Column = c(TokenFingerprint64(e(tokens)))
+
+  /** Register for `spark.sql` use: cosine_similarity(a, b), etc. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("token_fingerprint64",
+      exprs => TokenFingerprint64(exprs.head), "scala_udf")
+  }
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Extended operator queries: training-data-pipeline ops beyond the
+  * reference's own surface (dedup family, ANN similarity, text analysis,
+  * multimodal). Oracle SQL is provided where DuckDB can express identical
+  * semantics; float-heavy / hash-heavy ops are rows-only here and get
+  * brute-force oracles in the ScalaTest suite instead (SURVEY.md §5.2).
+  */
+object Extended {
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---------------------------------------------------------- text stats
+    ("q21_token_stats",
+      (s: SparkSession, d: String) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"),
+            length(col("text")).cast("long").as("n_chars2"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars2
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("q22_text_quality",
+      (s: SparkSession, d: String) => {
+        val cols = TextAnalysis.qualityColumns(col("text")).toMap
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            cols("n_tokens").as("n_tokens"),
+            cols("avg_token_len").as("avg_token_len"),
+            cols("distinct_ratio").as("distinct_ratio"),
+            cols("punct_ratio").as("punct_ratio"),
+            cols("quality_score").as("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+             |  FROM documents)
+             |SELECT doc_id, n_tokens,
+             |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+             |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+             |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+             |  0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+             |    + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             |    + 0.1 * (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) AS quality_score
+             |FROM q ORDER BY doc_id""".stripMargin)),
+
+    ("q23_lang_id",
+      (s: SparkSession, d: String) => {
+        TextAnalysis.withLangId(Tables.documents(s, d))
+          .select(col("doc_id"), col("lang"), col("lang_pred"), col("hits_en"))
+          .orderBy("doc_id")
+      },
+      None), // heuristic scoring: verified against hand-labeled snippets in TextAnalysisSpec
+
+    ("q24_fingerprint",
+      (s: SparkSession, d: String) => {
+        TextAnalysis.withFingerprint(Tables.documents(s, d))
+          .select("doc_id", "fingerprint")
+          .orderBy("doc_id")
+      },
+      None), // xxhash64-based; determinism + collision behavior tested in TextAnalysisSpec
+
+    ("q25_count_distinct",
+      (s: SparkSession, d: String) => {
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+               count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---------------------------------------------------------- dedup family
+    ("q26_dedup_minhash",
+      (s: SparkSession, d: String) => {
+        Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+            shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+          .orderBy("id1", "id2")
+      },
+      None), // recall/precision vs planted near-dups + exact Jaccard in DedupSpec
+
+    ("q27_dedup_simhash",
+      (s: SparkSession, d: String) => {
+        Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    ("q28_unigram_jaccard",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        Dedup.ngramJaccard(docs, "doc_id", "text", n = 1, pairs = pairs)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+             |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.toks AS t1, b.toks AS t2
+             |      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+             |SELECT id1, id2,
+             |  CAST(len(list_filter(t1, x -> list_contains(t2, x))) AS DOUBLE) /
+             |  len(list_distinct(list_concat(t1, t2))) AS jaccard
+             |FROM p ORDER BY id1, id2""".stripMargin)),
+
+    // ---------------------------------------------------------- similarity
+    ("q29_cosine_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.topKBruteForce(emb, queries, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      None), // exact-oracle comparison in SimilaritySpec
+
+    ("q30_cosine_topk_lsh",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.topKLsh(emb, queries, k = 10, numTables = 16, bitsPerTable = 8)
+          .orderBy("query_id", "rank")
+      },
+      None), // recall vs brute force in SimilaritySpec
+
+    ("q31_embed_neardup",
+      (s: SparkSession, d: String) => {
+        // corpus is near-random (max pairwise cosine ≈ 0.51), so the
+        // "near-dup" threshold is data-appropriate 0.4; low-similarity
+        // targets need shallow buckets + many tables for recall
+        // (p_collision/bit ≈ 0.63 at cos 0.4 ⇒ 4 bits × 24 tables ≈ 98%)
+        Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.4,
+            numTables = 24, bitsPerTable = 4)
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    // ---------------------------------------------------------- multimodal
+    ("q32_media_features",
+      (s: SparkSession, d: String) => {
+        Multimodal.featurePipeline(s, Tables.documents(s, d))
+      },
+      None) // schema/determinism/batching tested in MultimodalSpec
+  )
+}

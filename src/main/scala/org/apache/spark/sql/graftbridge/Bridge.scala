@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Spark API needed by custom Catalyst
+  * expressions: Expression ⇄ Column conversion. Living under
+  * `org.apache.spark.sql` is the established pattern for Spark-native
+  * extensions (the alternative — string-building `expr(...)` — loses type
+  * safety and composability).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions.simhash64
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  /** doc 1 = base; doc 2 = one token changed (near-dup); doc 3 = unrelated. */
+  private val docs = Seq(
+    (1L, base),
+    (2L, base.replace("theta", "THETA2")),
+    (3L, "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+    (4L, base)) // exact duplicate of 1
+    .toDF("doc_id", "text")
+
+  test("shingles: n-grams, short-text fallback") {
+    val sh = Seq(Tuple1("a b c d")).toDF("text")
+      .select(Dedup.shingles($"text", 3).as("sh")).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq(Tuple1("a b")).toDF("text")
+      .select(Dedup.shingles($"text", 3).as("sh")).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash near-dup: finds planted near-dup and exact dup, skips unrelated") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0) // exact dup
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5)  // near dup
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L }) // unrelated absent
+  }
+
+  test("minhash jaccard matches hand-computed shingle-set jaccard") {
+    // 20 tokens, 3-shingles: 18 shingles each; one token change breaks 3
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.1)
+      .filter($"id1" === 1 && $"id2" === 2).select("jaccard").as[Double].head()
+    val expected = 15.0 / 21.0 // |A∩B| = 18-3, |A∪B| = 18+3
+    assert(math.abs(pairs - expected) < 1e-12)
+  }
+
+  test("ngramJaccard oracle on explicit pairs") {
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", n = 1,
+        pairs = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: deterministic, exact dups at hamming 0, pair set self-consistent") {
+    val fps = docs.select($"doc_id", simhash64(split($"text", " ")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(4L)) // identical text -> identical fingerprint
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // expected = every pair whose true hamming distance <= 3 (recall is
+    // guaranteed by the 4-chunk pigeonhole; precision by the exact filter)
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= 3
+    } yield (i, j)).toSet
+    assert(got == expected)
+    assert(got.contains((1L, 4L)))
+  }
+
+  test("exact + keepFirst dedup") {
+    val df = Seq((1L, "a", 3L), (1L, "a", 1L), (2L, "b", 2L)).toDF("k", "v", "ts")
+    assert(Dedup.exact(df).count() == 3)
+    assert(Dedup.exact(df.select("k", "v")).count() == 2)
+    val first = Dedup.keepFirst(df, Seq("k"), Seq("ts"))
+      .select("k", "ts").as[(Long, Long)].collect().toMap
+    assert(first == Map(1L -> 1L, 2L -> 2L))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic planted corpus: `nClusters` random centers, each with
+    * `perCluster` small perturbations — near-dups within a cluster, noise
+    * across clusters. */
+  private def planted(nClusters: Int, perCluster: Int, dim: Int = 16, seed: Int = 7)
+      : Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nClusters).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until perCluster).map { j =>
+        val v = center.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+        ((c * perCluster + j).toLong, v)
+      }
+    }
+  }
+
+  test("cosine_similarity expression matches plain-Scala math (codegen path)") {
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f, 3.0f), Array(-1.0f, -2.0f, -3.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))) // zero norm -> 0.0
+    val got = data.toDF("id", "a", "b")
+      .select($"id", cosine_similarity($"a", $"b").as("sim"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L)) < 1e-12)
+    assert(math.abs(got(3L) + 1.0) < 1e-12)
+    assert(got(4L) == 0.0)
+  }
+
+  test("cosine_similarity null handling and SQL registration") {
+    registerAll(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT)), CAST(NULL AS ARRAY<FLOAT>))").head()
+    assert(r.isNullAt(0))
+    val d = spark.sql(
+      "SELECT dot_product(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT)))").head().getDouble(0)
+    assert(d == 23.0)
+  }
+
+  test("topKBruteForce equals the plain-Scala exact oracle") {
+    val corpus = planted(10, 5)
+    val queries = corpus.filter(_._1 % 5 == 0)
+    val df = corpus.toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+    val got = Similarity.topKBruteForce(df, qdf, k = 4)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val expected = Similarity.bruteForceOracle(corpus, queries, k = 4)
+    assert(got == expected)
+  }
+
+  test("topKLsh: planted cluster members recalled") {
+    val corpus = planted(10, 5)
+    val queries = corpus.filter(_._1 % 5 == 0) // first member of each cluster
+    val got = Similarity.topKLsh(corpus.toDF("vec_id", "embedding"),
+        queries.toDF("vec_id", "embedding"), k = 4,
+        seed = 42L, numTables = 8, bitsPerTable = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // top-4 true neighbors of cluster member 0 are members 1..4 of the same cluster
+    val exact = Similarity.bruteForceOracle(corpus, queries, k = 4)
+    val recalls = exact.map { case (q, exp) =>
+      val g = got.getOrElse(q, Set.empty)
+      exp.count(g.contains).toDouble / exp.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.9, s"LSH mean recall too low: $meanRecall")
+  }
+
+  test("nearDupPairs finds all planted intra-cluster pairs at 0.99") {
+    val corpus = planted(6, 3)
+    val pairs = Similarity.nearDupPairs(corpus.toDF("vec_id", "embedding"),
+        threshold = 0.99, numTables = 8, bitsPerTable = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      c <- 0 until 6; i <- 0 until 3; j <- (i + 1) until 3
+    } yield ((c * 3 + i).toLong, (c * 3 + j).toLong)).toSet
+    assert(expected.subsetOf(pairs), s"missing pairs: ${expected -- pairs}")
+    // precision is exact by construction (threshold filter is exact cosine)
+  }
+
+  test("real embeddings table: brute-force and LSH queries run and rank") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val bf = Similarity.topKBruteForce(emb, q, 5)
+    assert(bf.groupBy("query_id").count().select(min("count")).head().getLong(0) == 5L)
+  }
+}
