@@ -25,30 +25,24 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of a text column (built-ins only, codegen'd). */
+  /** Word n-gram shingles of a text column (built-ins only, codegen'd).
+    * n=1 short-circuits to the token array itself (the general path would
+    * allocate a 1-element slice + rejoined string per token). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    val ngrams = transform(sequence(lit(0), size(toks) - n),
-      i => array_join(slice(toks, i + lit(1), lit(n)), " "))
-    when(size(toks) < n, array(array_join(toks, " "))).otherwise(ngrams)
+    if (n == 1) toks
+    else {
+      val ngrams = transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+      when(size(toks) < n, array(array_join(toks, " "))).otherwise(ngrams)
+    }
   }
 
-  /** MinHash signature as `numHashes` columns min-folded over shingle
-    * hashes h_j(s) = (a_j·h(s) + b_j) mod p — one pass over the shingle
-    * array per hash function via built-in higher-order functions.
-    * Everything stays in the 31-bit prime field so a·h+b ≤ 2^62 never
-    * overflows a long (Spark 4 runs ANSI: overflow throws, not wraps). */
-  private val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne)
-
-  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val coeffs = Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
-                                      rnd.nextInt(Int.MaxValue).toLong))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(shingleCol,
-        s => pmod(pmod(hash(s).cast("long"), lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
-    }: _*)
-  }
+  /** MinHash signature: native one-pass kernel (each shingle hashed once,
+    * all `numHashes` minima updated together — see
+    * [[graft.functions.MinHashSignature]]). */
+  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long): Column =
+    graft.functions.VectorFunctions.minhash_signature(shingleCol, numHashes, seed)
 
   /** MinHash+LSH near-duplicate candidate pairs, verified with exact
     * shingle-set Jaccard. Output: (id1, id2, jaccard) with jaccard ≥
@@ -59,25 +53,28 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val withSig = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleSize))
+      .withColumn("sh", array_distinct(shingles(col("text"), shingleSize)))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
 
-    // band hash: one bucket per (band, hash of the band's slice)
-    val banded = withSig.select(col("id"), col("sh"),
+    // band hash: one bucket per (band, hash of the band's slice).
+    // Candidate generation and pair-dedup move BARE ID PAIRS only —
+    // shingle arrays join back per candidate afterwards (dragging them
+    // through the bucket shuffle is the scale killer, not the hashing).
+    val banded = withSig.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))")).as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sh").as("sh1"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sh").as("sh2"))
-    val candidates = l.join(r, Seq("band", "bucket"))
+    val candidates = banded.toDF("id1", "band", "bucket")
+      .join(banded.toDF("id2", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "sh1", "sh2")
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
 
     // exact verification on candidates only
+    val sets = withSig.select(col("id"), col("sh"))
     candidates
-      .withColumn("s1", array_distinct(col("sh1")))
-      .withColumn("s2", array_distinct(col("sh2")))
+      .join(sets.select(col("id").as("id1"), col("sh").as("s1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("sh").as("s2")), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))))

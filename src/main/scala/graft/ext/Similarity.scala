@@ -38,24 +38,32 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates share ≥1 bucket in ≥1
-    * hash table with the query, then exact cosine re-ranks. */
+    * hash table with the query, then exact cosine re-ranks.
+    *
+    * Shuffle discipline: the bucket join and the pair-dedup move BARE ID
+    * PAIRS only; vectors are attached afterwards (query side broadcast,
+    * corpus side one hash join). Dragging 64-float payloads through the
+    * candidate-pair shuffle is what turns LSH from cheap into O(candidates
+    * × vector width) network — the dominant cost at 100 TB. */
   def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
+    def bucketed(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
 
-    val cb = bucketed(corpus, "neighbor_id", "_cv")
-    val qb = broadcast(bucketed(queries, "query_id", "_qv"))
-
-    val candidates = cb.join(qb, "bucket")
+    val candidates = bucketed(corpus, "neighbor_id")
+      .join(broadcast(bucketed(queries, "query_id")), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "_cv", "_qv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id") // same pair from several tables
 
+    val withVecs = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))), "query_id")
+
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    candidates
+    withVecs
       .withColumn("sim", cosine_similarity(col("_cv"), col("_qv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -63,18 +71,22 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, found via shared
-    * LSH buckets (corpus self-join on bucket, id1 < id2, exact verify). */
+    * LSH buckets (corpus self-join on bucket, id1 < id2, exact verify).
+    * Same shuffle discipline as topKLsh: the self-join and dedup move
+    * (bucket, id) rows only; vectors join back per verified candidate. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val b = corpus.select(col(idCol).as("id"),
       explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id1"), col("vec").as("v1"))
-    val r = b.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
-    l.join(r, Seq("bucket"))
+    val pairs = b.toDF("id1", "bucket").join(b.toDF("id2", "bucket"), Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "v1", "v2")
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    pairs
+      .join(vecs.select(col("_vid").as("id1"), col("_v").as("v1")), "id1")
+      .join(vecs.select(col("_vid").as("id2"), col("_v").as("v2")), "id2")
       .withColumn("sim", cosine_similarity(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")

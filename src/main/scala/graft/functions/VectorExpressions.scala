@@ -187,6 +187,81 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass MinHash signature over an array of string shingles.
+  *
+  * Output: array<long> of `numHashes` minima of h_j(s) = (a_j·h(s) + b_j)
+  * mod (2³¹−1), coefficients drawn deterministically from `seed`.
+  * A single traversal of the shingle array updates all `numHashes` minima
+  * at once — the composed-builtin alternative (`numHashes` separate
+  * `transform` calls) materializes `numHashes` intermediate arrays per row
+  * and re-hashes every shingle per function; this kernel hashes each
+  * shingle once.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+  extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 1024)
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val coeffs: Array[Long] = MinHashKernel.coefficients(numHashes, seed)
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(MinHashKernel.signature(v.asInstanceOf[ArrayData], coeffs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coeffsRef = ctx.addReferenceObj("minhashCoeffs", coeffs, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.MinHashKernel.signature($v, $coeffsRef));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashKernel {
+  val Prime: Long = 2147483647L // 2^31 - 1
+
+  /** Interleaved (a_0, b_0, a_1, b_1, ...) with a in [1, p), b in [0, p). */
+  def coefficients(numHashes: Int, seed: Long): Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    val out = new Array[Long](numHashes * 2)
+    var j = 0
+    while (j < numHashes) {
+      out(2 * j) = rnd.nextInt(Int.MaxValue - 1).toLong + 1
+      out(2 * j + 1) = rnd.nextInt(Int.MaxValue).toLong
+      j += 1
+    }
+    out
+  }
+
+  def signature(shingles: ArrayData, coeffs: Array[Long]): Array[Long] = {
+    val k = coeffs.length / 2
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = java.lang.Long.remainderUnsigned(
+          SimHashKernel.tokenHash(shingles.getUTF8String(i)), Prime)
+        var j = 0
+        while (j < k) {
+          val v = (coeffs(2 * j) * h + coeffs(2 * j + 1)) % Prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
 /** Order-sensitive FNV-1a-style document fingerprint over string tokens:
   * acc = (acc ^ h(token)) * FNV_PRIME with wrapping 64-bit arithmetic. */
 case class TokenFingerprint64(child: Expression) extends UnaryExpression {
@@ -265,6 +340,8 @@ object VectorFunctions {
     c(HyperplaneLshBuckets(e(v), seed, numTables, bitsPerTable))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def token_fingerprint64(tokens: Column): Column = c(TokenFingerprint64(e(tokens)))
+  def minhash_signature(shingles: Column, numHashes: Int, seed: Long): Column =
+    c(MinHashSignature(e(shingles), numHashes, seed))
 
   /** Register for `spark.sql` use: cosine_similarity(a, b), etc. */
   def registerAll(spark: SparkSession): Unit = {

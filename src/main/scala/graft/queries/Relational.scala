@@ -152,8 +152,11 @@ object Relational {
     // ------------------------------------------------------------------
     ("q07_anti_join",
       (s: SparkSession, d: String) => {
+        // distinct the probe keys first: the anti join then broadcasts a
+        // small key set instead of sort-merging the full fact table
         Tables.part(s, d)
-          .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+          .join(Tables.lineitem(s, d).select("l_partkey").distinct(),
+                col("p_partkey") === col("l_partkey"), "left_anti")
           .select("p_partkey", "p_name")
           .orderBy("p_partkey")
       },
@@ -164,14 +167,18 @@ object Relational {
     // ------------------------------------------------------------------
     ("q08_set_ops",
       (s: SparkSession, d: String) => {
-        val o = Tables.orders(s, d)
-        def keys(status: String): DataFrame =
-          o.filter(col("o_orderstatus") === status).select(col("o_custkey").as("k")).distinct()
-        val ok = keys("O"); val fk = keys("F")
-        ok.except(fk).withColumn("op", lit("except"))
-          .unionAll(ok.intersect(fk).withColumn("op", lit("intersect")))
-          .unionAll(ok.union(fk).distinct().withColumn("op", lit("union")))
-          .select("op", "k")
+        // UNION/INTERSECT/EXCEPT computed in ONE aggregation pass: per-key
+        // membership flags, then each set-op is a filter over the flags.
+        // Naive except/intersect/union would be 3 independent
+        // distinct+join shuffles over the same scan; this is 1 shuffle.
+        val flags = Tables.orders(s, d)
+          .filter(col("o_orderstatus").isin("O", "F"))
+          .groupBy(col("o_custkey").as("k"))
+          .agg(max(col("o_orderstatus") === "O").as("in_o"),
+               max(col("o_orderstatus") === "F").as("in_f"))
+        flags.filter(col("in_o") && !col("in_f")).select(lit("except").as("op"), col("k"))
+          .unionAll(flags.filter(col("in_o") && col("in_f")).select(lit("intersect").as("op"), col("k")))
+          .unionAll(flags.select(lit("union").as("op"), col("k")))
           .orderBy("op", "k")
       },
       Some("""WITH o_keys AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
