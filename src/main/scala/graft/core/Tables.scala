@@ -17,6 +17,10 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Name-dispatched accessor (events needs ns-timestamp handling). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else load(spark, dir, name)
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
@@ -44,5 +48,5 @@ object Tables {
 
   /** Register every table as a temp view (for spark.sql surfaces/tests). */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Ingest, Registry}
+
+/** CDC ingest throughput bench (BASELINE.md §2: ≥50k envelopes/s batch).
+  *
+  * Generates envelope JSONL from the `orders` table (insert per order,
+  * update for every 3rd key — same derivation as the Q17 changelog),
+  * gzip-partitioned like the Datastream contract, then times parse +
+  * route + append end-to-end.
+  *
+  * usage: IngestBench [sfDir] — prints one JSON line.
+  */
+object IngestBench {
+
+  val registryJson: String =
+    """{
+      |  "orders_cdc": {
+      |    "table_name": "warehouse.orders_cdc",
+      |    "schema": { "fields": [
+      |      {"name": "o_orderkey", "type": "INT64"},
+      |      {"name": "o_custkey", "type": "INT64"},
+      |      {"name": "o_orderstatus", "type": "STRING"},
+      |      {"name": "o_totalprice", "type": "FLOAT"},
+      |      {"name": "action", "type": "STRING"},
+      |      {"name": "update_date", "type": "TIMESTAMP"}
+      |    ]}
+      |  }
+      |}""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("ingest-bench").toString
+    val inDir = s"$work/in"; val whDir = s"$work/wh"
+
+    // ---- generate envelopes (not timed): one JSON line per change event
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def env(action: String, df: org.apache.spark.sql.DataFrame) =
+      df.select(to_json(struct(
+        lit("orders_cdc").as("object"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("source_timestamp"),
+        struct(lit(action).as("change_type")).as("source_metadata"),
+        struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+               col("o_totalprice")).as("payload"))).as("value"))
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_INGEST_REPLICATE", "4").toInt
+    val one = env("insert", orders)
+      .unionAll(env("update", orders.filter(col("o_orderkey") % 3 === 0)))
+    val envelopes = Iterator.fill(replicate)(one).reduce(_ unionAll _)
+    val n = envelopes.count()
+    envelopes.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").text(inDir)
+
+    // ---- warm-up (untimed): tiny ingest so codegen/writer init and gz
+    // codec loading aren't billed to the steady-state number
+    val registry = Registry.fromJson(registryJson)
+    val warm = s"$work/warm"
+    env("insert", orders.limit(100)).write.option("compression", "gzip").text(s"$warm/in")
+    Ingest.ingestDir(spark, s"$warm/in", registry, s"$warm/wh")
+    System.gc()
+
+    // ---- timed: read gz JSONL -> parse envelope -> route -> append parquet
+    val t0 = System.nanoTime()
+    Ingest.ingestDir(spark, inDir, registry, whDir)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val written = spark.read.parquet(s"$whDir/orders_cdc").count()
+    require(written == n, s"row loss: wrote $written of $n")
+    println(f"""{"metric":"cdc_ingest_throughput","value":${n / secs}%.0f,"unit":"records_per_sec","records":$n,"secs":$secs%.2f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
