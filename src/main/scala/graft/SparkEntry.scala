@@ -26,7 +26,46 @@ object SparkEntry {
       .select("pk", "action", "update_date", "totalprice", "status")
       .orderBy("pk")
 
+  private def cdcScd2(s: SparkSession, d: String): DataFrame =
+    Versioned.scd2(Changelog.fromOrders(s, d), Seq("pk"))
+      .select("pk", "action", "valid_from", "valid_to", "is_current")
+      .orderBy("pk", "valid_from", "action")
+
+  private def cdcChanges(s: SparkSession, d: String): DataFrame =
+    Versioned.changesBetween(Changelog.fromOrders(s, d),
+        lit("1997-01-01 00:00:00").cast("timestamp"),
+        lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("pk", "action", "update_date", "totalprice", "status")
+      .orderBy("pk", "update_date", "action")
+
+  private def cdcHistory(s: SparkSession, d: String): DataFrame =
+    Versioned.history(Changelog.fromOrders(s, d), col("pk") % 500 === 0)
+      .select("pk", "action", "update_date", "totalprice", "status")
+      .orderBy("pk", "update_date", "action")
+
   private val cdcDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q34_cdc_scd2", cdcScd2 _,
+      Some(Changelog.oracleCte +
+        """
+          |SELECT pk, action, update_date AS valid_from,
+          |  lead(update_date) OVER (PARTITION BY pk ORDER BY update_date, action) AS valid_to,
+          |  (lead(update_date) OVER (PARTITION BY pk ORDER BY update_date, action) IS NULL
+          |   AND action <> 'delete') AS is_current
+          |FROM changelog
+          |ORDER BY pk, valid_from, action""".stripMargin)),
+    ("q35_cdc_changes", cdcChanges _,
+      Some(Changelog.oracleCte +
+        """
+          |SELECT pk, action, update_date, totalprice, status FROM changelog
+          |WHERE update_date > TIMESTAMP '1997-01-01 00:00:00'
+          |  AND update_date <= TIMESTAMP '1998-01-01 00:00:00'
+          |ORDER BY pk, update_date, action""".stripMargin)),
+    ("q36_cdc_history", cdcHistory _,
+      Some(Changelog.oracleCte +
+        """
+          |SELECT pk, action, update_date, totalprice, status FROM changelog
+          |WHERE pk % 500 = 0
+          |ORDER BY pk, update_date, action""".stripMargin)),
     ("q17_cdc_snapshot", cdcSnapshot _,
       Some(Changelog.oracleCte +
         """, ranked AS (

@@ -51,10 +51,14 @@ object Dedup {
                           shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                           threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // persist: the signature table feeds the self-join (both sides) AND
+    // the verification join — without it the shingle+signature subtree
+    // executes three times (real LSH dedup materializes signatures once)
     val withSig = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", array_distinct(shingles(col("text"), shingleSize)))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .persist()
 
     // band hash: one bucket per (band, hash of the band's slice).
     // Candidate generation and pair-dedup move BARE ID PAIRS only —
@@ -90,6 +94,7 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only up to distance 3")
     val fp = docs.select(col(idCol).as("id"),
       simhash64(split(col(textCol), " ")).as("fp"))
+      .persist() // feeds both sides of the chunk self-join
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)"))
         .as(Seq("chunk_idx", "chunk")))

@@ -1,9 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.functions.{broadcast, col, explode, row_number}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col, explode, posexplode}
 
+import graft.functions.TopK
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -20,9 +20,21 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Rank scored candidates: bounded top-k aggregation (map-side
+    * combinable — shuffles O(queries × k), not O(candidates); see
+    * [[graft.functions.TopK]]), exploded back to one row per neighbor. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopK.top_k(k)(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+              col("col.score").as("sim"), (col("pos") + 1).cast("long").as("rank"))
+
   /** Exact top-k neighbors per query vector.
     * Output: (query_id, neighbor_id, sim, rank) — rank 1 = best.
-    * Excludes the trivial self-match when query ids came from the corpus. */
+    * Excludes the trivial self-match when query ids came from the corpus.
+    * The corpus is scanned once (query side broadcast); only per-partition
+    * top-k heaps shuffle. */
   def topKBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
@@ -30,11 +42,7 @@ object Similarity {
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine_similarity(col("_cv"), col("_qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: candidates share ≥1 bucket in ≥1
@@ -62,12 +70,44 @@ object Similarity {
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "neighbor_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))), "query_id")
 
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    withVecs
+    rankTopK(withVecs.withColumn("sim", cosine_similarity(col("_cv"), col("_qv"))), k)
+  }
+
+  /** IVF (inverted-file) approximate top-k: a spherical-k-means coarse
+    * quantizer is trained on a driver-side SAMPLE (bounded: `sampleCap`
+    * vectors — never a full collect), the corpus partitions into centroid
+    * cells, and each query probes only its `nProbe` nearest cells.
+    *
+    * Scale shape: corpus is scanned once to tag `cell` (a codegen'd
+    * expression over broadcast-referenced centroids), the candidate join
+    * is an equi-join on `cell`, and ranking is the bounded top-k
+    * aggregation. Versus LSH: IVF adapts to the data's density (cells
+    * follow clusters), costs one small training pass, and `nProbe` gives
+    * a smooth recall/latency dial. */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              numCentroids: Int = 64, nProbe: Int = 8, iterations: Int = 5,
+              sampleCap: Int = 20000, seed: Long = 42L): DataFrame = {
+    import graft.functions.{IvfKernel, VectorFunctions}
+
+    val sample: Array[Array[Float]] = corpus
+      .select(col(vecCol))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val centroids = IvfKernel.trainCentroids(sample, numCentroids, dim, iterations, seed)
+
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      VectorFunctions.nearest_centroids(col(vecCol), centroids, dim, 1)(0).as("cell"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      explode(VectorFunctions.nearest_centroids(col(vecCol), centroids, dim, nProbe)).as("cell")))
+
+    val scored = cb.join(qb, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine_similarity(col("_cv"), col("_qv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, found via shared
@@ -79,6 +119,7 @@ object Similarity {
                    seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame = {
     val b = corpus.select(col(idCol).as("id"),
       explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
+      .persist() // feeds both sides of the bucket self-join
     val pairs = b.toDF("id1", "bucket").join(b.toDF("id2", "bucket"), Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")

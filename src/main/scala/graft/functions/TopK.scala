@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k-by-score aggregation (SURVEY.md §7.3).
+  *
+  * `groupBy(q).agg(top_k(k)(id, score))` keeps at most ~2k candidates per
+  * partial buffer, so partial aggregation (map-side combine) shrinks the
+  * shuffle to O(groups × k) instead of O(rows) — the window-function
+  * alternative (`row_number over (partition by q order by score desc)`)
+  * shuffles EVERY scored row to its group's partition before discarding
+  * all but k. At 100 TB that difference is the whole game.
+  *
+  * Determinism: ties broken by ascending id, identical to the window
+  * formulation `orderBy(score.desc, id)`.
+  */
+object TopK {
+
+  case class Scored(id: Long, score: Double)
+
+  class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k > 0)
+    private val cap = math.max(2 * k, 64) // amortize trims
+
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    private def trim(buf: Seq[Scored], to: Int): Seq[Scored] =
+      if (buf.length <= to) buf else buf.sortWith(better).take(to)
+
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
+      val appended = buf :+ in
+      if (appended.length > cap) trim(appended, k) else appended
+    }
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = trim(a ++ b, k)
+    override def finish(buf: Seq[Scored]): Seq[Scored] = trim(buf, k).sortWith(better)
+    override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** top_k(k)(id, score): array<struct<id,score>> sorted best-first. */
+  def top_k(k: Int)(id: Column, score: Column): Column =
+    udaf(new TopKAggregator(k), ExpressionEncoder[Scored]()).apply(id, score)
+}

@@ -165,6 +165,107 @@ object LshKernel {
   }
 }
 
+/** Indices of the `take` nearest centroids (by dot product against
+  * unit-norm centroids ≙ cosine order) for a float vector — the IVF
+  * assignment/probe kernel. Centroids ride along as a codegen reference
+  * object, flattened row-major. */
+case class NearestCentroids(child: Expression, centroidsFlat: Array[Float], dim: Int, take: Int)
+  extends UnaryExpression {
+  require(dim > 0 && take > 0 && centroidsFlat.length % dim == 0)
+
+  override def prettyName: String = "nearest_centroids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(IvfKernel.nearest(v.asInstanceOf[ArrayData], centroidsFlat, dim, take))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroidsFlat, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.IvfKernel.nearest($v, $cRef, $dim, $take));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object IvfKernel {
+  /** Top-`take` centroid indices by dot product, ties to lower index. */
+  def nearest(vec: ArrayData, centroidsFlat: Array[Float], dim: Int, take: Int): Array[Int] = {
+    val nC = centroidsFlat.length / dim
+    val n = math.min(vec.numElements(), dim)
+    val scores = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      var dot = 0.0; var i = 0; val base = c * dim
+      while (i < n) { dot += vec.getFloat(i) * centroidsFlat(base + i); i += 1 }
+      scores(c) = dot
+      c += 1
+    }
+    val k = math.min(take, nC)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nC)
+    var j = 0
+    while (j < k) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < nC) {
+        if (!used(i) && scores(i) > bestScore) { best = i; bestScore = scores(i) }
+        i += 1
+      }
+      used(best) = true; out(j) = best; j += 1
+    }
+    out
+  }
+
+  /** Spherical k-means on a driver-side sample: unit-norm centroids,
+    * cosine assignment, deterministic seeded init. Returns row-major
+    * flattened centroids. */
+  def trainCentroids(sample: Array[Array[Float]], numCentroids: Int, dim: Int,
+                     iterations: Int, seed: Long): Array[Float] = {
+    require(sample.nonEmpty)
+    val rnd = new scala.util.Random(seed)
+    val k = math.min(numCentroids, sample.length)
+
+    def normalize(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v.map(_.toFloat) else v.map(x => (x / n).toFloat)
+    }
+    var centroids: Array[Array[Float]] =
+      rnd.shuffle(sample.indices.toVector).take(k)
+        .map(i => normalize(sample(i).map(_.toDouble))).toArray
+
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var i = 0
+          while (i < math.min(v.length, dim)) { dot += v(i) * centroids(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < math.min(v.length, dim)) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+      }
+      iter += 1
+    }
+    centroids.flatten
+  }
+}
+
 /** SimHash64 over an array of string tokens: per-token 64-bit hash votes
   * ±1 on each bit; the sign of each bit's tally is the fingerprint bit.
   * Near-duplicate docs land within small Hamming distance.
@@ -342,6 +443,8 @@ object VectorFunctions {
   def token_fingerprint64(tokens: Column): Column = c(TokenFingerprint64(e(tokens)))
   def minhash_signature(shingles: Column, numHashes: Int, seed: Long): Column =
     c(MinHashSignature(e(shingles), numHashes, seed))
+  def nearest_centroids(v: Column, centroidsFlat: Array[Float], dim: Int, take: Int): Column =
+    c(NearestCentroids(e(v), centroidsFlat, dim, take))
 
   /** Register for `spark.sql` use: cosine_similarity(a, b), etc. */
   def registerAll(spark: SparkSession): Unit = {

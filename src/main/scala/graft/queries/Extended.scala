@@ -137,6 +137,15 @@ object Extended {
       },
       None), // recall vs brute force in SimilaritySpec
 
+    ("q33_cosine_topk_ivf",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.topKIvf(emb, queries, k = 10, numCentroids = 32, nProbe = 8)
+          .orderBy("query_id", "rank")
+      },
+      None), // recall vs brute force in SimilaritySpec
+
     ("q31_embed_neardup",
       (s: SparkSession, d: String) => {
         // corpus is near-random (max pairwise cosine ≈ 0.51), so the

@@ -80,6 +80,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(meanRecall >= 0.9, s"LSH mean recall too low: $meanRecall")
   }
 
+  test("topKIvf: planted cluster members recalled") {
+    val corpus = planted(10, 5)
+    val queries = corpus.filter(_._1 % 5 == 0)
+    val got = Similarity.topKIvf(corpus.toDF("vec_id", "embedding"),
+        queries.toDF("vec_id", "embedding"), k = 4,
+        numCentroids = 10, nProbe = 3, sampleCap = 1000)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceOracle(corpus, queries, k = 4)
+    val recalls = exact.map { case (q, exp) =>
+      exp.count(got.getOrElse(q, Set.empty).contains).toDouble / exp.size
+    }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"IVF mean recall too low: ${recalls.sum / recalls.size}")
+  }
+
+  test("top_k aggregator ranking identical to window-function ranking") {
+    val corpus = planted(6, 4)
+    val queries = corpus.filter(_._1 % 4 == 0)
+    val bf = Similarity.topKBruteForce(corpus.toDF("vec_id", "embedding"),
+        queries.toDF("vec_id", "embedding"), k = 3)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSeq
+    val oracle = Similarity.bruteForceOracle(corpus, queries, k = 3)
+    val expected = oracle.toSeq.sortBy(_._1).flatMap { case (q, ns) =>
+      ns.zipWithIndex.map { case (n, i) => (q, n, (i + 1).toLong) }
+    }
+    assert(bf == expected)
+  }
+
   test("nearDupPairs finds all planted intra-cluster pairs at 0.99") {
     val corpus = planted(6, 3)
     val pairs = Similarity.nearDupPairs(corpus.toDF("vec_id", "embedding"),
