@@ -60,6 +60,45 @@ object Multimodal {
     }
   }
 
+  /** ==== STUB ==== "resize": a real implementation decodes, resamples,
+    * re-encodes. The stub rewrites the metadata and derives deterministic
+    * replacement bytes so downstream schema/size accounting is exercised
+    * for real. Partition-wise for codec-handle amortization. */
+  def resize(records: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val scale = math.max(1, r.content.length * (r.meta.width.max(1)) /
+          (width.max(1) * math.max(1, r.meta.height.max(1))))
+        val newLen = math.max(1, math.min(r.content.length, scale))
+        r.copy(
+          meta = r.meta.copy(width = width, height = height),
+          content = java.util.Arrays.copyOf(r.content, newLen))
+      }
+    }
+  }
+
+  case class FrameSample(media_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
+
+  /** ==== STUB ==== frame sampling: one output row per `everyMs` of
+    * duration (real impl: seek + decode the frame). The 1→N generator
+    * shape (flatMap over partitions) and output schema are the real
+    * contract; frame bytes are a deterministic slice. */
+  def sampleFrames(records: Dataset[MediaRecord], everyMs: Long = 1000L): Dataset[FrameSample] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = math.max(1, (r.meta.durationMs / everyMs).toInt)
+        (0 until n).iterator.map { i =>
+          val start = if (r.content.isEmpty) 0 else (i * r.content.length / n)
+          val end = if (r.content.isEmpty) 0 else ((i + 1) * r.content.length / n)
+          FrameSample(r.media_id, i, i * everyMs,
+            java.util.Arrays.copyOfRange(r.content, start, end))
+        }
+      }
+    }
+  }
+
   /** Deterministic synthetic media corpus derived from `documents`:
     * text bytes stand in for encoded payloads; metadata is derived from
     * doc stats. Exercises binary columns + struct metadata end-to-end. */

@@ -163,6 +163,29 @@ object Extended {
       (s: SparkSession, d: String) => {
         Multimodal.featurePipeline(s, Tables.documents(s, d))
       },
-      None) // schema/determinism/batching tested in MultimodalSpec
+      None), // schema/determinism/batching tested in MultimodalSpec
+
+    ("q37_frame_sample",
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.synthesizeFromDocuments(
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+        Multimodal.sampleFrames(media, everyMs = 2000L).toDF()
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("total_frame_bytes"))
+          .orderBy("media_id")
+      },
+      None), // generator shape + byte accounting tested in MultimodalSpec
+
+    ("q38_approx_distinct",
+      (s: SparkSession, d: String) => {
+        // HLL++ sketch: not oracle-hashable (approximate by design);
+        // tolerance vs exact COUNT(DISTINCT) pinned in ExtendedQuerySpec
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+               count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      None)
   )
 }
