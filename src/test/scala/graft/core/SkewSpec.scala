@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedCountDistinct is exact under heavy key skew") {
+    // one hot key with 10k rows over 1k distinct values + long tail
+    val hot = (1 to 10000).map(i => ("hot", (i % 1000).toLong))
+    val tail = (1 to 500).map(i => (s"k$i", i.toLong))
+    val df = (hot ++ tail).toDF("k", "v")
+
+    val salted = Skew.saltedCountDistinct(df, Seq("k"), "v", buckets = 8)
+      .select("k", "n_distinct").as[(String, Long)].collect().toMap
+    val exact = df.groupBy("k").agg(countDistinct($"v").as("n"))
+      .select("k", "n").as[(String, Long)].collect().toMap
+    assert(salted == exact)
+    assert(salted("hot") == 1000L)
+  }
+
+  test("saltedCountDistinct on the real corpus matches q25 semantics") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val salted = Skew.saltedCountDistinct(ev, Seq("event_type"), "user_id")
+      .select("event_type", "n_distinct").as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct($"user_id").as("n"))
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    assert(salted == exact)
+  }
+}
