@@ -51,7 +51,10 @@ object Envelope {
     * (the reference registry declares STRING for one table and TIMESTAMP
     * for another — `data-stream.json:17,31`).
     */
-  def project(parsed: DataFrame, spec: TableSpec): DataFrame = {
+  /** Event-time date partition column name for versioned tables. */
+  val DtCol = "_dt"
+
+  def project(parsed: DataFrame, spec: TableSpec, withDatePartition: Boolean = false): DataFrame = {
     val updateDate: Column = spec.updateDateType match {
       case TimestampType => col("source_timestamp").cast(TimestampType)
       case StringType    => col("source_timestamp")
@@ -59,9 +62,15 @@ object Envelope {
     }
     val payloadCols =
       spec.payloadSchema.fields.map(f => col(s"_p.${f.name}").as(f.name)).toSeq
+    val base = payloadCols :+ col("action").as("action") :+ updateDate.as("update_date")
+    // _dt always derives from the envelope timestamp (update_date may be
+    // STRING per registry — the partition column must stay a real date)
+    val cols = if (withDatePartition)
+      base :+ to_date(col("source_timestamp").cast(TimestampType)).as(DtCol)
+    else base
     parsed
       .filter(col("object") === spec.logicalName)
       .withColumn("_p", from_json(col("payload"), spec.payloadSchema))
-      .select(payloadCols :+ col("action").as("action") :+ updateDate.as("update_date"): _*)
+      .select(cols: _*)
   }
 }

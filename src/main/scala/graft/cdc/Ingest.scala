@@ -38,12 +38,16 @@ object Ingest {
     * `dataflow-cdc-stream.py:96-97`; we keep the data instead of stdout).
     */
   def appendBatch(parsed: DataFrame, registry: Map[String, TableSpec],
-                  warehouseDir: String, batchId: Long): Unit = {
+                  warehouseDir: String, batchId: Long,
+                  partitionByDate: Boolean = false): Unit = {
     val cached = parsed.cache()
     try {
       registry.values.foreach { spec =>
-        Envelope.project(cached, spec)
-          .write.mode("overwrite")
+        val projected = Envelope.project(cached, spec, withDatePartition = partitionByDate)
+        val writer = projected.write.mode("overwrite")
+        // event-time date partitioning: asOf/changesBetween prune whole
+        // directories before any shuffle at cluster scale
+        (if (partitionByDate) writer.partitionBy(Envelope.DtCol) else writer)
           .parquet(s"$warehouseDir/${spec.logicalName}/batch=$batchId")
       }
       val known = registry.keySet.toSeq
@@ -58,10 +62,43 @@ object Ingest {
 
   /** One-shot batch ingest of a directory. */
   def ingestDir(spark: SparkSession, inputDir: String,
-                registry: Map[String, TableSpec], warehouseDir: String): Unit =
-    appendBatch(parse(spark, inputDir), registry, warehouseDir, batchId = 0L)
+                registry: Map[String, TableSpec], warehouseDir: String,
+                partitionByDate: Boolean = false): Unit =
+    appendBatch(parse(spark, inputDir), registry, warehouseDir, batchId = 0L,
+      partitionByDate = partitionByDate)
 
-  /** Read back a versioned table written by `appendBatch`. */
-  def readTable(spark: SparkSession, warehouseDir: String, logicalName: String): DataFrame =
-    spark.read.parquet(s"$warehouseDir/$logicalName").drop("batch")
+  /** Read back a versioned table written by `appendBatch`. Partition
+    * columns (`batch`, `_dt`) are dropped unless the caller wants them
+    * for pruning (see Versioned.asOfPruned). */
+  def readTable(spark: SparkSession, warehouseDir: String, logicalName: String,
+                keepPartitionCols: Boolean = false): DataFrame = {
+    val df = spark.read.parquet(s"$warehouseDir/$logicalName")
+    if (keepPartitionCols) df else df.drop("batch").drop(Envelope.DtCol)
+  }
+
+  /** Compact a versioned table's accumulated `batch=<id>` micro-batch
+    * directories into a single batch=0 layout (small-file mitigation for
+    * long-running streams; preserves the `_dt` partitioning if present).
+    * Not concurrency-safe with an active writer — run between stream
+    * restarts, like any storage maintenance job. */
+  def compact(spark: SparkSession, warehouseDir: String, logicalName: String): Long = {
+    val dir = s"$warehouseDir/$logicalName"
+    val df = spark.read.parquet(dir)
+    val hasDt = df.columns.contains(Envelope.DtCol)
+    val tmp = s"$dir.__compact_tmp"
+    val out = df.drop("batch")
+      .withColumn("batch", org.apache.spark.sql.functions.lit(0L))
+    val writer = out.write.mode("overwrite")
+    (if (hasDt) writer.partitionBy("batch", Envelope.DtCol)
+     else writer.partitionBy("batch")).parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    val fs = new java.io.File(dir)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(fs)
+    require(new java.io.File(tmp).renameTo(fs), s"compact rename failed for $dir")
+    n
+  }
 }

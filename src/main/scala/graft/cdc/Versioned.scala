@@ -44,6 +44,19 @@ object Versioned {
            actionCol: String = "action"): DataFrame =
     latestSnapshot(changelog.filter(col(versionCol) <= t), pk, versionCol, actionCol)
 
+  /** `asOf` over a date-partitioned versioned table (Ingest with
+    * partitionByDate): the extra `dtCol <= date(t)` predicate is a
+    * PARTITION filter — whole directories prune before any read or
+    * shuffle, which is what makes point-in-time queries tractable when
+    * the changelog is years long. */
+  def asOfPruned(changelog: DataFrame, t: Column, pk: Seq[String],
+                 versionCol: String = "update_date",
+                 actionCol: String = "action",
+                 dtCol: String = "_dt"): DataFrame =
+    latestSnapshot(
+      changelog.filter(col(dtCol) <= to_date(t) && col(versionCol) <= t),
+      pk, versionCol, actionCol).drop(dtCol)
+
   /** Full ordered version chain of one key. */
   def history(changelog: DataFrame, keyPredicate: Column,
               versionCol: String = "update_date"): DataFrame =

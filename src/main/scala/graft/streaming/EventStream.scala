@@ -68,4 +68,51 @@ object EventStream {
   def dedupedStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------------ custom state
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`: per-user
+    * state carries the open session; a session CLOSES (and emits) when a
+    * later event of the same user arrives more than `gapMs` after it —
+    * i.e. gap detection is event-driven, so the operator's output is
+    * deterministic under ordered arrival. The final open session per user
+    * stays in state (a production deployment adds an EventTimeTimeout so
+    * idle sessions also close at the watermark; the built-in
+    * `session_window` path in [[sessionAgg]] is the fully-managed
+    * alternative — this operator exists for session shapes the built-in
+    * can't express, e.g. carrying custom per-session accumulators). */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[UserEvent],
+                       gapMs: Long = 30L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(uid: Long, it: Iterator[UserEvent],
+           state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val sorted = it.toIndexedSeq.sortBy(_.ts.getTime)
+      var open = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open = open match {
+          case Some(s) if t - s.lastMs > gapMs =>
+            out += ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n)
+            Some(OpenSession(t, t, 1))
+          case Some(s) => Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+          case None => Some(OpenSession(t, t, 1))
+        }
+      }
+      open.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

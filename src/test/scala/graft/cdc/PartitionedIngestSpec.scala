@@ -1,0 +1,59 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PartitionedIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ingested(partition: Boolean): String = {
+    val in = tmpDir("pin-in"); val wh = tmpDir("pin-wh")
+    Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
+    Ingest.ingestDir(spark, in, Fixtures.registry, wh, partitionByDate = partition)
+    wh
+  }
+
+  test("date-partitioned layout: _dt=<date> directories exist") {
+    val wh = ingested(partition = true)
+    val dirs = new java.io.File(s"$wh/products/batch=0").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("_dt=2026-01-01")), dirs.mkString(","))
+    // partition column round-trips; rows identical to unpartitioned ingest
+    val a = Ingest.readTable(spark, wh, "products")
+    val b = Ingest.readTable(spark, ingested(partition = false), "products")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("asOfPruned answers correctly and plans a partition filter") {
+    val wh = ingested(partition = true)
+    val products = Ingest.readTable(spark, wh, "products", keepPartitionCols = true)
+      .withColumn("update_ts", col("update_date").cast("timestamp"))
+    val t = lit("2026-01-01 11:30:00").cast("timestamp")
+    val pruned = Versioned.asOfPruned(products, t, Seq("product_id"), versionCol = "update_ts")
+    // same answer as unpruned asOf
+    val plain = Versioned.asOf(products.drop("_dt"), t, Seq("product_id"), versionCol = "update_ts")
+    assert(pruned.drop("update_ts").exceptAll(plain.drop("update_ts")).isEmpty)
+    assert(pruned.filter($"product_id" === "p1").select("category").as[String].head() == "health")
+    // the _dt predicate must reach the scan as a partition filter
+    val physical = pruned.queryExecution.executedPlan.toString()
+    assert(physical.contains("PartitionFilters") && physical.contains("_dt"),
+      "expected _dt partition filter in scan")
+  }
+
+  test("compact collapses batch dirs and preserves rows + partitioning") {
+    val in = tmpDir("cmp-in"); val wh = tmpDir("cmp-wh"); val ck = tmpDir("cmp-ck")
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(4), gzip = false)
+    graft.streaming.CdcStream.runOnce(spark,
+      graft.streaming.CdcStreamConfig(in, wh, ck, Fixtures.registry))
+    Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(4), gzip = false)
+    graft.streaming.CdcStream.runOnce(spark,
+      graft.streaming.CdcStreamConfig(in, wh, ck, Fixtures.registry))
+
+    val before = Ingest.readTable(spark, wh, "products").collect().toSet
+    assert(new java.io.File(s"$wh/products").listFiles().count(_.getName.startsWith("batch=")) == 2)
+    val n = Ingest.compact(spark, wh, "products")
+    assert(n == before.size)
+    assert(new java.io.File(s"$wh/products").listFiles().count(_.getName.startsWith("batch=")) == 1)
+    assert(Ingest.readTable(spark, wh, "products").collect().toSet == before)
+  }
+}

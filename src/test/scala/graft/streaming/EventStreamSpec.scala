@@ -72,6 +72,48 @@ class EventStreamSpec extends SparkTestBase {
       "session-vs-lag")
   }
 
+  test("flatMapGroupsWithState sessionization: closed sessions == batch sessions minus open tail") {
+    // split events into 3 time-ordered files so state must survive batches
+    val tmp = tmpDir("stateful-sessions")
+    val ev = Tables.events(spark, dir).select($"user_id", $"ts").cache()
+    val bounds = ev.selectExpr("percentile(unix_micros(ts), array(0.33, 0.66)) AS p")
+      .head().getSeq[Double](0).map(_.toLong)
+    ev.filter(unix_micros($"ts") <= bounds(0)).write.parquet(s"$tmp/f=1")
+    ev.filter(unix_micros($"ts") > bounds(0) && unix_micros($"ts") <= bounds(1))
+      .write.parquet(s"$tmp/f=2")
+    ev.filter(unix_micros($"ts") > bounds(1)).write.parquet(s"$tmp/f=3")
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .as[EventStream.UserEvent]
+    val q = EventStream.statefulSessions(stream).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stateful_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table("stateful_sessions")
+      .select("user_id", "n_events").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+
+    // batch truth: all sessions per user, minus each user's final session
+    // (still open in state at stream end — event-driven close semantics)
+    val batchSessions = EventStream.sessionAgg(Tables.events(spark, dir))
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    val expected = batchSessions.collect {
+      case (u, ns) if ns.length > 1 => u -> ns.dropRight(1).sorted
+    }.toMap
+    // sessionAgg orders by session_start already via orderBy above
+    assert(emitted == expected,
+      s"diff keys: ${(emitted.keySet ++ expected.keySet).filter(k => emitted.get(k) != expected.get(k)).take(5)}")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events") {
     // duplicate the batch by writing the same 200 events twice into a
     // watched dir (Spark-written parquet: use the written schema, not the
