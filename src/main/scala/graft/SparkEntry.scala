@@ -43,7 +43,30 @@ object SparkEntry {
       .select("pk", "action", "update_date", "totalprice", "status")
       .orderBy("pk", "update_date", "action")
 
+  private def cdcAsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val facts = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("pk"), col("l_shipdate"),
+              col("l_linenumber"), col("l_quantity"))
+    // tombstones = false: DuckDB's ASOF JOIN pushes the action<>'delete'
+    // predicate into the version side, so the oracle's semantics are
+    // "match the newest surviving version"; the tombstone-aware variant
+    // is unit-tested in VersionedSpec
+    Versioned.asOfJoin(facts, Changelog.fromOrders(s, d), Seq("pk"), "l_shipdate",
+        tombstones = false)
+      .orderBy("pk", "l_linenumber")
+  }
+
   private val cdcDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q39_asof_join", cdcAsOfJoin _,
+      Some(Changelog.oracleCte +
+        """, li AS (
+          |  SELECT l_orderkey AS pk, l_shipdate, l_linenumber, l_quantity FROM lineitem)
+          |SELECT li.pk, li.l_shipdate, li.l_linenumber, li.l_quantity,
+          |       v.totalprice, v.status
+          |FROM li ASOF JOIN changelog v
+          |  ON li.pk = v.pk AND li.l_shipdate >= v.update_date
+          |WHERE v.action <> 'delete'
+          |ORDER BY li.pk, li.l_linenumber""".stripMargin)),
     ("q34_cdc_scd2", cdcScd2 _,
       Some(Changelog.oracleCte +
         """

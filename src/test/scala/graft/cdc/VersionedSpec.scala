@@ -60,6 +60,35 @@ class VersionedSpec extends SparkTestBase {
     assert(s.filter($"pk" === 2 && $"is_current").count() == 0)
   }
 
+  test("asOfJoin: version visibility, ties, tombstones, null payload values") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val verSchema = StructType(Seq(
+      StructField("pk", LongType), StructField("action", StringType),
+      StructField("update_date", TimestampType), StructField("v", StringType)))
+    val versions = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "insert", ts(0), "a"),
+        Row(1L, "update", ts(10), null),      // legit NULL payload value
+        Row(1L, "update", ts(20), "c"),
+        Row(2L, "insert", ts(0), "x"),
+        Row(2L, "delete", ts(10), null))),
+      verSchema)
+    val facts = Seq(
+      (1L, ts(0), 100L),   // tie: version at same instant IS visible -> "a"
+      (1L, ts(15), 101L),  // between null-update and c -> NULL (not "a"!)
+      (1L, ts(25), 102L),  // after c -> "c"
+      (2L, ts(5), 200L),   // before delete -> "x"
+      (2L, ts(11), 201L),  // after tombstone -> dropped
+      (3L, ts(1), 300L))   // no versions at all -> dropped
+      .toDF("pk", "t", "fact_id")
+
+    val got = Versioned.asOfJoin(facts, versions, Seq("pk"), "t")
+      .select("fact_id", "v").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      100L -> Some("a"), 101L -> None, 102L -> Some("c"), 200L -> Some("x")))
+  }
+
   // --- property: snapshot == last-writer-wins fold, regardless of event order
   private val evGen: Gen[List[Ev]] = for {
     n <- Gen.choose(1, 40)
