@@ -76,6 +76,24 @@ object Ingest {
     if (keepPartitionCols) df else df.drop("batch").drop(Envelope.DtCol)
   }
 
+  /** Replay dead-lettered records after the registry learned new tables:
+    * re-parse the raw lines and append every record whose `object` is now
+    * registered (the reference loses these records forever — it only
+    * `print`s them, `dataflow-cdc-stream.py:96-97`; keeping the raw line
+    * makes "add table to registry, then backfill" a one-call operation).
+    * Appends into `batch=<replayBatchId>`; pick an id disjoint from the
+    * stream's (e.g. negative) so replays stay idempotent too. */
+  def replayDeadLetter(spark: SparkSession, warehouseDir: String,
+                       registry: Map[String, TableSpec],
+                       replayBatchId: Long = -1L): Unit = {
+    val dead = spark.read.parquet(s"$warehouseDir/$UnknownTableDir")
+      .select(col("_raw").as("value"))
+    val parsed = Envelope.parse(dead)
+    val nowKnown = registry.keySet.toSeq
+    appendBatch(parsed.filter(col("object").isin(nowKnown: _*)),
+      registry, warehouseDir, replayBatchId)
+  }
+
   /** Compact a versioned table's accumulated `batch=<id>` micro-batch
     * directories into a single batch=0 layout (small-file mitigation for
     * long-running streams; preserves the `_dt` partitioning if present).

@@ -80,6 +80,15 @@ object IngestBench {
     val written = spark.read.parquet(s"$whDir/orders_cdc").count()
     require(written == n, s"row loss: wrote $written of $n")
     println(f"""{"metric":"cdc_ingest_throughput","value":${n / secs}%.0f,"unit":"records_per_sec","records":$n,"secs":$secs%.2f,"sf":"$sfDir"}""")
+
+    // ---- timed: same volume through the checkpointed streaming path
+    val t1 = System.nanoTime()
+    graft.streaming.CdcStream.runOnce(spark, graft.streaming.CdcStreamConfig(
+      inDir, s"$work/wh-stream", s"$work/ck", registry, maxFilesPerTrigger = 64))
+    val streamSecs = (System.nanoTime() - t1) / 1e9
+    val streamed = spark.read.parquet(s"$work/wh-stream/orders_cdc").count()
+    require(streamed == n, s"stream row loss: $streamed of $n")
+    println(f"""{"metric":"cdc_stream_throughput","value":${n / streamSecs}%.0f,"unit":"records_per_sec","records":$n,"secs":$streamSecs%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,6 +60,24 @@ class CdcStreamSpec extends SparkTestBase {
     assert(Ingest.readTable(spark, wh, "products").count() == 2)
   }
 
+  test("dead-letter replay: registry learns a table, records backfill from _raw") {
+    val (in, wh, ck) = freshDirs()
+    Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
+    val partial = Fixtures.registry.view.filterKeys(_ == "products").toMap
+    CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, partial))
+    // users records (2) + mystery (1) are dead-lettered, users table absent
+    assert(spark.read.parquet(s"$wh/${Ingest.UnknownTableDir}").count() == 3)
+    assert(!new java.io.File(s"$wh/users").exists())
+
+    Ingest.replayDeadLetter(spark, wh, Fixtures.registry)
+    val users = Ingest.readTable(spark, wh, "users")
+    assert(users.count() == 2)
+    assert(users.filter($"action" === "update").select("email").as[String].head() == "b@x.io")
+    // idempotent: replaying again overwrites the same replay batch
+    Ingest.replayDeadLetter(spark, wh, Fixtures.registry)
+    assert(Ingest.readTable(spark, wh, "users").count() == 2)
+  }
+
   test("end-to-end: streamed versioned table answers latestSnapshot correctly") {
     val (in, wh, ck) = freshDirs()
     Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
