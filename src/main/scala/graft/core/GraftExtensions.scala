@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * functions available to ANY session created with
+  * `--conf spark.sql.extensions=graft.core.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), no code required — the
+  * standard deployment path for Catalyst-level extensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"), info("cosine_similarity"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("token_fingerprint64"), info("token_fingerprint64"),
+      (es: Seq[Expression]) => TokenFingerprint64(es.head)))
+  }
+}

@@ -34,6 +34,11 @@ object TextAnalysis {
     val avgTokLen = (nChars - (nToks - 1)).cast("double") / nToks
     val distinctRatio = nDistinct.cast("double") / nToks
     val punctRatio = punct.cast("double") / nChars
+    // occurrence count (not set-intersect: repeated stopwords all count)
+    val enStops = array(stopwords("en").map(lit): _*)
+    val stopwordRatio =
+      size(filter(split(lower(text), " "), t => array_contains(enStops, t)))
+        .cast("double") / nToks
     val lengthScore = least(nToks.cast("double") / 64.0, lit(1.0))
     Seq(
       "n_tokens" -> nToks,
@@ -42,6 +47,7 @@ object TextAnalysis {
       "avg_token_len" -> avgTokLen,
       "distinct_ratio" -> distinctRatio,
       "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopwordRatio,
       "quality_score" ->
         (lit(0.5) * lengthScore + lit(0.4) * distinctRatio +
           lit(0.1) * (lit(1.0) - least(punctRatio * 4.0, lit(1.0)))))

@@ -41,6 +41,7 @@ object Extended {
             cols("avg_token_len").as("avg_token_len"),
             cols("distinct_ratio").as("distinct_ratio"),
             cols("punct_ratio").as("punct_ratio"),
+            cols("stopword_ratio").as("stopword_ratio"),
             cols("quality_score").as("quality_score"))
           .orderBy("doc_id")
       },
@@ -49,12 +50,16 @@ object Extended {
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
              |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(len(list_filter(string_split(lower(text), ' '),
+             |         t -> list_contains(['the','and','of','to','is','in','that','with'], t)))
+             |         AS BIGINT) AS n_stop,
              |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
              |  FROM documents)
              |SELECT doc_id, n_tokens,
              |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
              |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
              |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+             |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
              |  0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
              |    + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
              |    + 0.1 * (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) AS quality_score
