@@ -109,6 +109,59 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Connected components over a near-duplicate pair list: every doc gets
+    * the MINIMUM doc id of its duplicate cluster as `cluster_id` (the
+    * canonical representative). Iterative min-label propagation over the
+    * edge list — converges in O(cluster diameter) rounds, and near-dup
+    * clusters are shallow in practice; `maxIterations` bounds the loop
+    * and the final round asserts a fixpoint. Each round is two hash
+    * joins + one aggregation; no graph library, no driver-side edges. */
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist()
+    var labels = edges.select(col("id1").as("id"))
+      .unionAll(edges.select(col("id2").as("id")))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "id2"), Seq("id2"))
+        .groupBy(col("id1").as("id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    require(converged, s"clusterPairs did not converge in $maxIterations rounds")
+    labels
+  }
+
+  /** Near-dedup a corpus end-to-end: MinHash+LSH candidate pairs, exact
+    * Jaccard verify, cluster, keep each cluster's minimum-id
+    * representative. Docs in no cluster survive untouched. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                  threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, idCol, textCol, shingleSize, bands, rowsPerBand,
+      threshold, seed)
+    val clusters = clusterPairs(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for an explicit pair set (verification oracle). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    pairs: DataFrame): DataFrame = {

@@ -181,6 +181,16 @@ object Extended {
       },
       None), // generator shape + byte accounting tested in MultimodalSpec
 
+    ("q40_neardup_corpus",
+      (s: SparkSession, d: String) => {
+        // end-to-end corpus dedup: LSH pairs -> exact verify -> connected
+        // components -> keep min-id representative
+        Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      None), // cluster/representative semantics pinned in DedupSpec
+
     ("q38_approx_distinct",
       (s: SparkSession, d: String) => {
         // HLL++ sketch: not oracle-hashable (approximate by design);

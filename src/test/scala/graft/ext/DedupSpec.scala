@@ -74,6 +74,22 @@ class DedupSpec extends SparkTestBase {
     assert(got.contains((1L, 4L)))
   }
 
+  test("clusterPairs: min-label propagation over chains and separate clusters") {
+    // chain 1-2, 2-3, 3-4 (diameter 3) + separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.clusterPairs(pairs)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupCorpus keeps one representative per near-dup cluster") {
+    // docs 1, 2 (near-dup of 1), 4 (exact dup of 1) collapse to doc 1;
+    // doc 3 unrelated survives
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
   test("exact + keepFirst dedup") {
     val df = Seq((1L, "a", 3L), (1L, "a", 1L), (2L, "b", 2L)).toDF("k", "v", "ts")
     assert(Dedup.exact(df).count() == 3)
