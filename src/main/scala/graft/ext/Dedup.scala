@@ -44,6 +44,27 @@ object Dedup {
   def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long): Column =
     graft.functions.VectorFunctions.minhash_signature(shingleCol, numHashes, seed)
 
+  /** Choose (bands, rowsPerBand) for a signature length so the LSH
+    * S-curve threshold t* = (1/bands)^(1/rowsPerBand) sits closest to the
+    * requested Jaccard threshold — the standard bias picker (small r ⇒
+    * high recall / more false candidates; large r ⇒ the opposite). */
+  def optimalBands(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1)
+    val options = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+      .filter(_._1 >= 1)
+    options.minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - threshold) }
+  }
+
+  /** minhashNearDupPairs with (bands, rows) auto-tuned to the threshold. */
+  def minhashNearDupPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, numHashes: Int = 64,
+                              shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    val (b, r) = optimalBands(numHashes, threshold)
+    minhashNearDupPairs(docs, idCol, textCol, shingleSize, b, r, threshold, seed)
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs, verified with exact
     * shingle-set Jaccard. Output: (id1, id2, jaccard) with jaccard ≥
     * threshold. bands×rowsPerBand must equal the signature length. */

@@ -112,6 +112,29 @@ class VersionedSpec extends SparkTestBase {
     })
   }
 
+  test("property: asOfJoin(tombstones) == per-fact fold over the version chain") {
+    val factGen = Gen.listOf(for {
+      pk <- Gen.choose(1L, 6L); minute <- Gen.choose(-5, 505)
+      fid <- Gen.choose(1000L, 9999L)
+    } yield (pk, ts(minute), fid))
+    check(Prop.forAll(evGen, factGen) { (evs, factsRaw) =>
+      val facts = factsRaw.distinctBy(_._3)
+      val got = Versioned.asOfJoin(
+        facts.toDF("pk", "t", "fact_id"),
+        evs.toDF(), Seq("pk"), "t")
+        .select("fact_id", "v").as[(Long, Option[Long])].collect().toMap
+      val expected = facts.flatMap { case (pk, t, fid) =>
+        val visible = evs.filter(e => e.pk == pk && !e.update_date.after(t))
+        if (visible.isEmpty) None
+        else {
+          val cur = visible.maxBy(e => (e.update_date.getTime, e.action))
+          if (cur.action == "delete") None else Some(fid -> cur.v)
+        }
+      }.toMap
+      got == expected
+    }, minTests = 15)
+  }
+
   test("property: asOf is monotone — moving t forward never loses unmodified keys") {
     check(Prop.forAll(evGen) { evs =>
       val df = evs.toDF()

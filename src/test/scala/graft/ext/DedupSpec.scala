@@ -74,6 +74,17 @@ class DedupSpec extends SparkTestBase {
     assert(got.contains((1L, 4L)))
   }
 
+  test("optimalBands: S-curve threshold lands on the requested jaccard") {
+    assert(Dedup.optimalBands(64, 0.5) == (16, 4)) // (1/16)^(1/4) == 0.5 exactly
+    val (b, r) = Dedup.optimalBands(128, 0.8)
+    assert(b * r == 128)
+    assert(math.abs(math.pow(1.0 / b, 1.0 / r) - 0.8) < 0.15)
+    // auto variant finds the same planted dups as the manual parameters
+    val auto = Dedup.minhashNearDupPairsAuto(docs, "doc_id", "text", threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(auto.contains((1L, 4L)) && auto.contains((1L, 2L)))
+  }
+
   test("clusterPairs: min-label propagation over chains and separate clusters") {
     // chain 1-2, 2-3, 3-4 (diameter 3) + separate pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
