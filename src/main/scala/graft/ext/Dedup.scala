@@ -183,17 +183,21 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Exact n-gram Jaccard for an explicit pair set (verification oracle). */
+  /** Exact n-gram overlap scores for an explicit pair set: Jaccard plus
+    * both containment directions (containment catches a short document
+    * fully embedded in a long one, where Jaccard stays low — the
+    * asymmetric near-dup case in training corpora). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    pairs: DataFrame): DataFrame = {
     val sh = docs.select(col(idCol).as("_id"),
       array_distinct(shingles(col(textCol), n)).as("_sh"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     pairs
       .join(sh.withColumnRenamed("_id", "id1").withColumnRenamed("_sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("_id", "id2").withColumnRenamed("_sh", "sh2"), Seq("id2"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
-      .select("id1", "id2", "jaccard")
+      .withColumn("jaccard", inter / size(array_union(col("sh1"), col("sh2"))))
+      .withColumn("containment1", inter / size(col("sh1")))
+      .withColumn("containment2", inter / size(col("sh2")))
+      .select("id1", "id2", "jaccard", "containment1", "containment2")
   }
 }

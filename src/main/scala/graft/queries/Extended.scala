@@ -120,7 +120,9 @@ object Extended {
              |      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
              |SELECT id1, id2,
              |  CAST(len(list_filter(t1, x -> list_contains(t2, x))) AS DOUBLE) /
-             |  len(list_distinct(list_concat(t1, t2))) AS jaccard
+             |  len(list_distinct(list_concat(t1, t2))) AS jaccard,
+             |  CAST(len(list_filter(t1, x -> list_contains(t2, x))) AS DOUBLE) / len(t1) AS containment1,
+             |  CAST(len(list_filter(t1, x -> list_contains(t2, x))) AS DOUBLE) / len(t2) AS containment2
              |FROM p ORDER BY id1, id2""".stripMargin)),
 
     // ---------------------------------------------------------- similarity

@@ -60,6 +60,24 @@ class VersionedSpec extends SparkTestBase {
     assert(s.filter($"pk" === 2 && $"is_current").count() == 0)
   }
 
+  test("composite primary keys: snapshot and asOfJoin partition on all key columns") {
+    val log = Seq(
+      ("t1", 1L, "insert", ts(0), Some(10L)),
+      ("t1", 1L, "update", ts(5), Some(11L)),
+      ("t2", 1L, "insert", ts(0), Some(99L)), // same numeric id, other tenant
+      ("t2", 1L, "delete", ts(9), None))
+      .toDF("tenant", "id", "action", "update_date", "v")
+    val snap = Versioned.latestSnapshot(log, Seq("tenant", "id"))
+      .select("tenant", "v").as[(String, Option[Long])].collect().toMap
+    assert(snap == Map("t1" -> Some(11L)))
+
+    val facts = Seq(("t1", 1L, ts(7), 500L), ("t2", 1L, ts(7), 501L))
+      .toDF("tenant", "id", "t", "fact_id")
+    val joined = Versioned.asOfJoin(facts, log, Seq("tenant", "id"), "t")
+      .select("fact_id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(joined == Map(500L -> Some(11L), 501L -> Some(99L)))
+  }
+
   test("asOfJoin: version visibility, ties, tombstones, null payload values") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

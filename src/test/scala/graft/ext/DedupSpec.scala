@@ -49,12 +49,22 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(pairs - expected) < 1e-12)
   }
 
-  test("ngramJaccard oracle on explicit pairs") {
-    val j = Dedup.ngramJaccard(docs, "doc_id", "text", n = 1,
+  test("ngramJaccard + containment on explicit pairs") {
+    val rows = Dedup.ngramJaccard(docs, "doc_id", "text", n = 1,
         pairs = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2"))
-      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
-    assert(j((1L, 4L)) == 1.0)
-    assert(j((1L, 3L)) == 0.0)
+      .select("id1", "id2", "jaccard", "containment1", "containment2")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    assert(rows((1L, 4L)) == ((1.0, 1.0, 1.0)))
+    assert(rows((1L, 3L)) == ((0.0, 0.0, 0.0)))
+    // asymmetric case: doc fully contained in a longer doc
+    val contained = Seq((100L, "alpha beta gamma"), (200L, base)).toDF("doc_id", "text")
+    val c = Dedup.ngramJaccard(contained, "doc_id", "text", n = 1,
+        pairs = Seq((100L, 200L)).toDF("id1", "id2"))
+      .select("jaccard", "containment1", "containment2")
+      .as[(Double, Double, Double)].head()
+    assert(c._2 == 1.0)           // all of the short doc is in the long one
+    assert(c._1 == 3.0 / 20.0)    // jaccard stays low
   }
 
   test("simhash: deterministic, exact dups at hamming 0, pair set self-consistent") {
