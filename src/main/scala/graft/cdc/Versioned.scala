@@ -28,15 +28,24 @@ object Versioned {
       // two events on the same version timestamp ("update" > "insert").
       .orderBy(col(versionCol).desc, col(actionCol).desc)
 
+  /** Newest version per key INCLUDING tombstone rows — the state kept by
+    * incremental snapshot maintenance (a delete must stay materialized so
+    * replayed older versions can't resurrect the key). */
+  def latestSnapshotWithTombstones(changelog: DataFrame, pk: Seq[String],
+                                   versionCol: String = "update_date",
+                                   actionCol: String = "action"): DataFrame =
+    changelog
+      .withColumn("__rn", row_number().over(keyWindow(pk, versionCol, actionCol)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
   /** Newest non-delete version per key; keys whose latest event is a
     * delete are absent (tombstone semantics, reference README.md:57). */
   def latestSnapshot(changelog: DataFrame, pk: Seq[String],
                      versionCol: String = "update_date",
                      actionCol: String = "action"): DataFrame =
-    changelog
-      .withColumn("__rn", row_number().over(keyWindow(pk, versionCol, actionCol)))
-      .filter(col("__rn") === 1 && col(actionCol) =!= DeleteAction)
-      .drop("__rn")
+    latestSnapshotWithTombstones(changelog, pk, versionCol, actionCol)
+      .filter(col(actionCol) =!= DeleteAction)
 
   /** Table state as of timestamp `t` (events after `t` invisible). */
   def asOf(changelog: DataFrame, t: Column, pk: Seq[String],

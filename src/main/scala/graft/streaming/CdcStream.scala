@@ -30,7 +30,11 @@ final case class CdcStreamConfig(
     /** e.g. Some("1 hour"): drop duplicate (object, payload, event-time)
       * records within the watermark — protects against duplicate file
       * delivery from an at-least-once upstream. */
-    dedupWithinWatermark: Option[String] = None)
+    dedupWithinWatermark: Option[String] = None,
+    /** table → primary key columns: tables listed here get an
+      * incrementally-maintained current-state snapshot
+      * (SnapshotMaintainer) folded per micro-batch. */
+    snapshotKeys: Map[String, Seq[String]] = Map.empty)
 
 object CdcStream {
 
@@ -58,7 +62,14 @@ object CdcStream {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        Ingest.appendBatch(batch.toDF(), registry, cfg.warehouseDir, batchId)
+        val df = batch.toDF()
+        Ingest.appendBatch(df, registry, cfg.warehouseDir, batchId)
+        cfg.snapshotKeys.foreach { case (table, pk) =>
+          registry.get(table).foreach { spec =>
+            graft.cdc.SnapshotMaintainer.update(df.sparkSession, cfg.warehouseDir,
+              table, graft.cdc.Envelope.project(df, spec), pk)
+          }
+        }
       }
       .start()
   }

@@ -27,7 +27,14 @@ object CdcDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val registry = Registry.load(registryPath)
-    CdcStream.runOnce(spark, CdcStreamConfig(inputDir, warehouseDir, checkpointDir, registry))
+    // tables carrying the pk column get an incrementally-maintained
+    // current-state snapshot alongside the versioned history
+    val snapshotKeys = pkCol.map(pk =>
+      registry.collect { case (t, spec) if spec.schema.fieldNames.contains(pk) =>
+        t -> Seq(pk)
+      }).getOrElse(Map.empty)
+    CdcStream.runOnce(spark, CdcStreamConfig(inputDir, warehouseDir, checkpointDir, registry,
+      snapshotKeys = snapshotKeys))
 
     registry.keys.toSeq.sorted.foreach { table =>
       val df = Ingest.readTable(spark, warehouseDir, table)
@@ -39,6 +46,10 @@ object CdcDemo {
           println(s"-- latest snapshot (${snap.count()} live rows) --")
           snap.show(20, truncate = false)
         case None => df.show(20, truncate = false)
+      }
+      if (snapshotKeys.contains(table)) {
+        println(s"-- maintained snapshot (incremental fold) --")
+        graft.cdc.SnapshotMaintainer.read(spark, warehouseDir, table).show(20, truncate = false)
       }
     }
     spark.stop()

@@ -60,6 +60,35 @@ class CdcStreamSpec extends SparkTestBase {
     assert(Ingest.readTable(spark, wh, "products").count() == 2)
   }
 
+  test("maintained snapshot: incremental fold across micro-batches == full-history window") {
+    val (in, wh, ck) = freshDirs()
+    val cfg = CdcStreamConfig(in, wh, ck, Fixtures.registry,
+      snapshotKeys = Map("products" -> Seq("product_id")))
+    // two separate runs = two micro-batches folding into the snapshot
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(3), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(3), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+
+    val maintained = graft.cdc.SnapshotMaintainer.read(spark, wh, "products")
+      .select("product_id", "category")
+    val recomputed = Versioned.latestSnapshot(
+        Ingest.readTable(spark, wh, "products")
+          .withColumn("__v", col("update_date").cast("timestamp")),
+        Seq("product_id"), versionCol = "__v")
+      .select("product_id", "category")
+    val expectedRows = recomputed.collect().toSet // materialize BEFORE replay rewrites files
+    assert(maintained.collect().toSet == expectedRows)
+    // p1 deleted -> absent from the read view, p2 alive
+    assert(maintained.select("product_id").as[String].collect().toSet == Set("p2"))
+
+    // replaying the same files (fresh checkpoint) must not corrupt the fold
+    CdcStream.runOnce(spark, cfg.copy(checkpointDir = tmpDir("ck2")))
+    val replayed = graft.cdc.SnapshotMaintainer.read(spark, wh, "products")
+      .select("product_id", "category")
+    assert(replayed.collect().toSet == expectedRows)
+  }
+
   test("dead-letter replay: registry learns a table, records backfill from _raw") {
     val (in, wh, ck) = freshDirs()
     Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
