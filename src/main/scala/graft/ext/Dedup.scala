@@ -137,7 +137,39 @@ object Dedup {
     * clusters are shallow in practice; `maxIterations` bounds the loop
     * and the final round asserts a fixpoint. Each round is two hash
     * joins + one aggregation; no graph library, no driver-side edges. */
-  def clusterPairs(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 10,
+                   driverThreshold: Long = 1000000L): DataFrame = {
+    // near-dup EDGE lists are tiny relative to the corpus (bounded by the
+    // verified-pair count, not the doc count): below the threshold a
+    // driver-side union-find replaces several join rounds — the corpus
+    // itself never leaves the cluster, only the candidate edges
+    val spark = pairs.sparkSession
+    val edges0 = pairs.persist() // count() then collect()/joins: one compute
+    val edgeCount = edges0.count()
+    if (edgeCount <= driverThreshold) {
+      import spark.implicits._
+      val es = edges0.select(col("id1").cast("long"), col("id2").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
+    }
+    distributedClusterPairs(edges0, maxIterations)
+  }
+
+  /** Distributed min-label propagation (the > driverThreshold path). */
+  private[ext] def distributedClusterPairs(pairs: DataFrame, maxIterations: Int): DataFrame = {
     val edges = pairs.select(col("id1"), col("id2"))
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist()
@@ -154,14 +186,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "id2"), Seq("id2"))
         .groupBy(col("id1").as("id"))
         .agg(min(col("cluster_id")).as("n_min"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+      // carry the previous label through so convergence detection is a
+      // filter on the SAME frame, not a second join per round
+      val step = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).limit(1).count() > 0
+      val changed = step.filter(col("cluster_id") =!= col("__old")).limit(1).count() > 0
       labels.unpersist()
-      labels = next
+      labels = step.drop("__old")
       converged = !changed
       iter += 1
     }

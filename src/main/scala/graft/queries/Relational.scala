@@ -344,6 +344,47 @@ object Relational {
              |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    ("q41_pivot",
+      (s: SparkSession, d: String) => {
+        // pivot with an explicit value list: no extra distinct-scan, and
+        // the output schema is stable for the oracle compare
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q42_percentiles",
+      (s: SparkSession, d: String) => {
+        // exact interpolated percentiles (both engines: linear interpolation
+        // over the sorted set; single double ops -> bit-stable)
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.95)").as("p95"),
+            min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  quantile_cont(o_totalprice, 0.5) AS p50,
+             |  quantile_cont(o_totalprice, 0.95) AS p95,
+             |  min(o_totalprice) AS mn,
+             |  max(o_totalprice) AS mx
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
     ("q19_dedup_exact",
       (s: SparkSession, d: String) => {
         Tables.events(s, d)

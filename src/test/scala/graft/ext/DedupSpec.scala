@@ -98,9 +98,15 @@ class DedupSpec extends SparkTestBase {
   test("clusterPairs: min-label propagation over chains and separate clusters") {
     // chain 1-2, 2-3, 3-4 (diameter 3) + separate pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
-    val got = Dedup.clusterPairs(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver union-find path
+    val fast = Dedup.clusterPairs(pairs)
       .select("id", "cluster_id").as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(fast == expected)
+    // distributed propagation path must agree
+    val dist = Dedup.distributedClusterPairs(pairs, maxIterations = 10)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(dist == expected)
   }
 
   test("dedupCorpus keeps one representative per near-dup cluster") {
