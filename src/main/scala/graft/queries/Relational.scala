@@ -385,6 +385,65 @@ object Relational {
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // ------------------------------------------------------------------
+    ("q43_window_misc",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            dense_rank().over(w).cast("long").as("drank"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("prank"),
+            cume_dist().over(w).as("cdist"))
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS prank,
+             |  cume_dist() OVER w AS cdist
+             |FROM orders
+             |WHERE o_orderkey % 20 = 0
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q44_scalar_subquery",
+      (s: SparkSession, d: String) => {
+        // customers above the global average balance; the average is
+        // decimal-exact sum / count (one double division — parity-safe)
+        val c = Tables.customer(s, d)
+        val avgBal = c.agg(
+          (sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+            .as("g")).select("g")
+        c.join(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("g"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("g").as("global_avg"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+             |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             |   FROM customer) AS global_avg
+             |FROM customer
+             |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             |                   FROM customer)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q45_string_agg",
+      (s: SparkSession, d: String) => {
+        Tables.nation(s, d)
+          .groupBy("n_regionkey")
+          .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+               count(lit(1)).as("n"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  COUNT(*) AS n
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     ("q19_dedup_exact",
       (s: SparkSession, d: String) => {
         Tables.events(s, d)
