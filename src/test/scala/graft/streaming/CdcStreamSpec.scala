@@ -107,6 +107,25 @@ class CdcStreamSpec extends SparkTestBase {
     assert(Ingest.readTable(spark, wh, "users").count() == 2)
   }
 
+  test("StreamMetrics listener captures per-batch rows and durations") {
+    val (in, wh, ck) = freshDirs()
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(4), gzip = false)
+    Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(4), gzip = false)
+    val m = StreamMetrics.attach(spark)
+    try {
+      CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry,
+        maxFilesPerTrigger = 1)) // force >= 2 micro-batches
+      // listener delivery is async; wait briefly for the progress events
+      val deadline = System.currentTimeMillis() + 15000
+      while (m.summary._2 < Fixtures.lines.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val (nBatches, rows, rate, p95) = m.summary
+      assert(rows == Fixtures.lines.length, s"expected all rows metered, got $rows")
+      assert(nBatches >= 2, s"expected >=2 row-carrying batches, got $nBatches")
+      assert(rate > 0 && p95 > 0)
+    } finally StreamMetrics.detach(spark, m)
+  }
+
   test("end-to-end: streamed versioned table answers latestSnapshot correctly") {
     val (in, wh, ck) = freshDirs()
     Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
