@@ -430,6 +430,33 @@ object SimHashKernel {
   }
 }
 
+/** ==== STUB codec ==== media feature extraction as a scalar expression:
+  * binary content → unit-norm float vector. The kernel delegates to the
+  * same deterministic stand-in as Multimodal.decodeStub (this container
+  * has no codecs); the expression contract — binary in, array<float> out,
+  * codegen'd, null-safe — is what a real decoder plugs into. */
+case class MediaFeatures(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0 && dim <= 4096)
+
+  override def prettyName: String = "media_features"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(graft.ext.Multimodal.decodeStub(v.asInstanceOf[Array[Byte]], dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.ext.Multimodal.decodeStub($v, $dim));")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column wrappers + SQL registration. */
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -445,6 +472,7 @@ object VectorFunctions {
     c(MinHashSignature(e(shingles), numHashes, seed))
   def nearest_centroids(v: Column, centroidsFlat: Array[Float], dim: Int, take: Int): Column =
     c(NearestCentroids(e(v), centroidsFlat, dim, take))
+  def media_features(content: Column, dim: Int): Column = c(MediaFeatures(e(content), dim))
 
   /** Register for `spark.sql` use: cosine_similarity(a, b), etc. */
   def registerAll(spark: SparkSession): Unit = {

@@ -193,6 +193,24 @@ object Extended {
       },
       None), // cluster/representative semantics pinned in DedupSpec
 
+    ("q46_media_neardup",
+      (s: SparkSession, d: String) => {
+        // media near-dup via the expression path: binary -> feature vector
+        // (codegen'd media_features) -> LSH-bucketed cosine pairs. The
+        // corpus has no byte-identical payloads at small SF, so every
+        // 100th doc is replayed under a shifted id: each planted copy MUST
+        // surface as a sim==1.0 pair (self-validating output).
+        val docs = Tables.documents(s, d)
+        val replayed = docs.filter(col("doc_id") % 100 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val media = Multimodal.synthesizeFromDocuments(docs.unionByName(replayed)).toDF()
+          .select(col("media_id").as("vec_id"),
+            graft.functions.VectorFunctions.media_features(col("content"), 64).as("embedding"))
+        Similarity.nearDupPairs(media, threshold = 0.999, numTables = 8, bitsPerTable = 12)
+          .orderBy("id1", "id2")
+      },
+      None), // exact-dup payloads => sim 1.0; determinism pinned in MultimodalSpec
+
     ("q38_approx_distinct",
       (s: SparkSession, d: String) => {
         // HLL++ sketch: not oracle-hashable (approximate by design);

@@ -45,6 +45,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats == bytes)
   }
 
+  test("media_features expression == mapPartitions decode path") {
+    import org.apache.spark.sql.functions.col
+    val media = Multimodal.synthesizeFromDocuments(docs)
+    val viaExpr = media.toDF()
+      .select(col("media_id"),
+        graft.functions.VectorFunctions.media_features(col("content"), 32).as("f"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val viaMap = Multimodal.extractFeatures(media, dim = 32).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(viaExpr == viaMap)
+    // null-safe
+    val n = spark.sql("SELECT CAST(NULL AS BINARY) AS b").select(
+      graft.functions.VectorFunctions.media_features(col("b"), 8)).head()
+    assert(n.isNullAt(0))
+  }
+
   test("featurePipeline aggregates per kind") {
     val agg = Multimodal.featurePipeline(spark, docs)
     val rows = agg.collect()
