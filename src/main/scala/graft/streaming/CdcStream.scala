@@ -34,7 +34,10 @@ final case class CdcStreamConfig(
     /** table → primary key columns: tables listed here get an
       * incrementally-maintained current-state snapshot
       * (SnapshotMaintainer) folded per micro-batch. */
-    snapshotKeys: Map[String, Seq[String]] = Map.empty)
+    snapshotKeys: Map[String, Seq[String]] = Map.empty,
+    /** partition versioned tables by event-time date (`_dt`) so
+      * asOf/changesBetween prune directories (Versioned.asOfPruned). */
+    partitionByDate: Boolean = false)
 
 object CdcStream {
 
@@ -63,7 +66,8 @@ object CdcStream {
       .trigger(cfg.trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val df = batch.toDF()
-        Ingest.appendBatch(df, registry, cfg.warehouseDir, batchId)
+        Ingest.appendBatch(df, registry, cfg.warehouseDir, batchId,
+          partitionByDate = cfg.partitionByDate)
         cfg.snapshotKeys.foreach { case (table, pk) =>
           registry.get(table).foreach { spec =>
             graft.cdc.SnapshotMaintainer.update(df.sparkSession, cfg.warehouseDir,

@@ -40,6 +40,16 @@ class PartitionedIngestSpec extends SparkTestBase {
       "expected _dt partition filter in scan")
   }
 
+  test("streaming path honors partitionByDate") {
+    val in = tmpDir("spd-in"); val wh = tmpDir("spd-wh"); val ck = tmpDir("spd-ck")
+    Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
+    graft.streaming.CdcStream.runOnce(spark,
+      graft.streaming.CdcStreamConfig(in, wh, ck, Fixtures.registry, partitionByDate = true))
+    val dirs = new java.io.File(s"$wh/products/batch=0").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("_dt=")), dirs.mkString(","))
+    assert(Ingest.readTable(spark, wh, "products").count() == 4)
+  }
+
   test("compact collapses batch dirs and preserves rows + partitioning") {
     val in = tmpDir("cmp-in"); val wh = tmpDir("cmp-wh"); val ck = tmpDir("cmp-ck")
     Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(4), gzip = false)
