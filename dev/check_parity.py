@@ -54,13 +54,23 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             print(f"  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
             continue
-        res = con.execute(oracle[name])
-        duck_cols = [c[0] for c in res.description]
-        duck_rows = res.fetchall()
+        duck_t = con.execute(oracle[name]).arrow()
+        duck_cols = duck_t.column_names
+        duck_rows = [tuple(r[c] for c in duck_cols) for r in duck_t.to_pylist()]
         a = canon_table(spark_cols, spark_rows)
         b = canon_table(duck_cols, duck_rows)
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"✗ {name}: COLUMN MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_bad += 1
+            continue
+        # Strict physical-type parity: the driver's hash is type-sensitive
+        # (round-1 lesson) — flag ANY arrow-level type difference.
+        s_types = {f.name: str(f.type) for f in t.schema}
+        d_types = {f.name: str(f.type) for f in duck_t.schema}
+        type_diffs = {c: (s_types[c], d_types[c]) for c in s_types
+                      if s_types[c] != d_types[c]}
+        if type_diffs:
+            print(f"✗ {name}: TYPE MISMATCH {type_diffs}")
             n_bad += 1
             continue
         if a == b:

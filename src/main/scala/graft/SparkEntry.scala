@@ -61,8 +61,9 @@ object SparkEntry {
       Some(Changelog.oracleCte +
         """, li AS (
           |  SELECT l_orderkey AS pk, l_shipdate, l_linenumber, l_quantity FROM lineitem)
-          |SELECT li.pk, li.l_shipdate, li.l_linenumber, li.l_quantity,
-          |       v.totalprice, v.status
+          |SELECT li.pk, strftime(li.l_shipdate, '%Y-%m-%dT%H:%M:%S.%f') AS l_shipdate,
+          |       li.l_linenumber, li.l_quantity,
+          |       CAST(v.totalprice AS VARCHAR) AS totalprice, v.status
           |FROM li ASOF JOIN changelog v
           |  ON li.pk = v.pk AND li.l_shipdate >= v.update_date
           |WHERE v.action <> 'delete'
@@ -70,8 +71,10 @@ object SparkEntry {
     ("q34_cdc_scd2", cdcScd2 _,
       Some(Changelog.oracleCte +
         """
-          |SELECT pk, action, update_date AS valid_from,
-          |  lead(update_date) OVER (PARTITION BY pk ORDER BY update_date, action) AS valid_to,
+          |SELECT pk, action,
+          |  strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS valid_from,
+          |  strftime(lead(update_date) OVER (PARTITION BY pk ORDER BY update_date, action),
+          |           '%Y-%m-%dT%H:%M:%S.%f') AS valid_to,
           |  (lead(update_date) OVER (PARTITION BY pk ORDER BY update_date, action) IS NULL
           |   AND action <> 'delete') AS is_current
           |FROM changelog
@@ -79,14 +82,16 @@ object SparkEntry {
     ("q35_cdc_changes", cdcChanges _,
       Some(Changelog.oracleCte +
         """
-          |SELECT pk, action, update_date, totalprice, status FROM changelog
+          |SELECT pk, action, strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS update_date,
+          |  CAST(totalprice AS VARCHAR) AS totalprice, status FROM changelog
           |WHERE update_date > TIMESTAMP '1997-01-01 00:00:00'
           |  AND update_date <= TIMESTAMP '1998-01-01 00:00:00'
           |ORDER BY pk, update_date, action""".stripMargin)),
     ("q36_cdc_history", cdcHistory _,
       Some(Changelog.oracleCte +
         """
-          |SELECT pk, action, update_date, totalprice, status FROM changelog
+          |SELECT pk, action, strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS update_date,
+          |  CAST(totalprice AS VARCHAR) AS totalprice, status FROM changelog
           |WHERE pk % 500 = 0
           |ORDER BY pk, update_date, action""".stripMargin)),
     ("q17_cdc_snapshot", cdcSnapshot _,
@@ -95,7 +100,8 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY pk
           |            ORDER BY update_date DESC, action DESC) AS rn
           |  FROM changelog)
-          |SELECT pk, action, update_date, totalprice, status
+          |SELECT pk, action, strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS update_date,
+          |  CAST(totalprice AS VARCHAR) AS totalprice, status
           |FROM ranked WHERE rn = 1 AND action <> 'delete'
           |ORDER BY pk""".stripMargin)),
     ("q18_cdc_asof", cdcAsOf _,
@@ -104,7 +110,8 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY pk
           |            ORDER BY update_date DESC, action DESC) AS rn
           |  FROM changelog WHERE update_date <= TIMESTAMP '$AsOfTs')
-          |SELECT pk, action, update_date, totalprice, status
+          |SELECT pk, action, strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS update_date,
+          |  CAST(totalprice AS VARCHAR) AS totalprice, status
           |FROM ranked WHERE rn = 1 AND action <> 'delete'
           |ORDER BY pk""".stripMargin))
   )
@@ -112,9 +119,17 @@ object SparkEntry {
   private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ cdcDefs ++ graft.queries.Extended.defs
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every query ends in [[graft.core.Canon.canonical]]: timestamps and
+    * decimals render as engine-neutral strings so the driver's typed
+    * hash compare sees identical physical columns from Spark and the
+    * DuckDB oracle (whose SQL carries the matching strftime/CAST).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map { case (n, fn, _) => n -> fn }.toMap
+    allDefs.map { case (n, fn, _) =>
+      n -> ((s: SparkSession, d: String) => graft.core.Canon.canonical(fn(s, d)))
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonical output rendering for oracle-compared queries (SURVEY.md §2.4c).
+  *
+  * The driver's correctness gate hashes the *typed* values of the Spark
+  * result (parquet) against the DuckDB oracle result. Types the two
+  * engines render identically everywhere — utf8, int32/64, float64,
+  * bool — hash stably; types with engine-specific physical variants do
+  * not: Spark aggregates widen `DECIMAL(18,2)` to `decimal(28,2)` where
+  * DuckDB widens to `DECIMAL(38,2)`, and Spark writes session-zoned
+  * timestamps as INT96 (read back as ns) where DuckDB emits µs.
+  *
+  * So the LAST step of every oracled query projects ambiguous columns to
+  * unambiguous ones, identically on both engines:
+  *   - timestamp / timestamp_ntz → UTC ISO-8601 string, 6-digit µs;
+  *   - date                      → `yyyy-MM-dd` string;
+  *   - decimal(p,s)              → fixed-scale decimal string (exact —
+  *     unlike a double cast, which would round `o_totalprice`'s
+  *     full-precision values).
+  * [[wrapOracle]] generates the matching DuckDB projection *from the
+  * Spark schema*, so the two renderings cannot drift.
+  */
+object Canon {
+
+  /** Spark side: `date_format` pattern for ISO-8601 with microseconds. */
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+  private def needsRender(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | DateType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def render(f: StructField): Column = f.dataType match {
+    case TimestampType | TimestampNTZType => date_format(col(f.name), TsFmt).as(f.name)
+    case DateType                         => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
+    case _: DecimalType                   => col(f.name).cast(StringType).as(f.name)
+    case _                                => col(f.name)
+  }
+
+  /** Final projection: identity unless the frame has ambiguous columns.
+    * A pure column-wise projection, so it preserves the query's ORDER BY.
+    */
+  def canonical(df: DataFrame): DataFrame =
+    if (df.schema.fields.exists(f => needsRender(f.dataType))) {
+      df.select(df.schema.fields.map(render).toIndexedSeq: _*)
+    } else df
+
+  /** DuckDB side: wrap an oracle query in the projection matching
+    * [[canonical]], derived from the PRE-canonical Spark schema (parity
+    * holds only when both engines agree on the logical column type,
+    * which the type-checked parity harness asserts).
+    */
+  def wrapOracle(sql: String, schema: StructType): String = {
+    if (!schema.fields.exists(f => needsRender(f.dataType))) return sql
+    val cols = schema.fields.map { f =>
+      val q = "\"" + f.name + "\""
+      f.dataType match {
+        case TimestampType | TimestampNTZType =>
+          s"strftime($q, '%Y-%m-%dT%H:%M:%S.%f') AS $q"
+        case DateType       => s"strftime($q, '%Y-%m-%d') AS $q"
+        case _: DecimalType => s"CAST($q AS VARCHAR) AS $q"
+        case _              => q
+      }
+    }.mkString(", ")
+    s"SELECT $cols FROM (\n$sql\n) __canon"
+  }
+}

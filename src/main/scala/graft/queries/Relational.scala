@@ -40,7 +40,8 @@ object Relational {
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
           .orderBy("l_orderkey", "l_linenumber")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |  strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S.%f') AS l_shipdate
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -60,8 +61,8 @@ object Relational {
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
              |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
              |  COUNT(*) AS cnt
              |FROM lineitem
@@ -78,7 +79,7 @@ object Relational {
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
-             |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)),
@@ -106,8 +107,8 @@ object Relational {
           .orderBy("n_name")
       },
       Some("""SELECT n_name, COUNT(*) AS n_items,
-             |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |             (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS revenue
+             |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |             (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS VARCHAR) AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey  = o_orderkey
              |JOIN customer ON o_custkey   = c_custkey
@@ -220,12 +221,15 @@ object Relational {
           .select("o_custkey", "o_orderkey", "o_orderdate", "running_total", "prev_date", "next_date")
           .orderBy("o_custkey", "o_orderdate", "o_orderkey")
       },
-      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-             |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      Some("""SELECT o_custkey, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
-             |  lag(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
-             |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS running_total,
+             |  strftime(lag(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |           '%Y-%m-%dT%H:%M:%S.%f') AS prev_date,
+             |  strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |           '%Y-%m-%dT%H:%M:%S.%f') AS next_date
              |FROM orders
              |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
 
@@ -280,10 +284,11 @@ object Relational {
              |  substr(o_orderpriority, 1, 3) AS prio3,
              |  concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
              |  (o_orderpriority LIKE '%HIGH%') AS is_high,
-             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |  strftime(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),
+             |           '%Y-%m-%dT%H:%M:%S.%f') AS month_start,
              |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
              |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS mon,
-             |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
              |  abs((o_orderkey % 7) - 3) AS m7
              |FROM orders
              |WHERE o_orderkey % 10 = 0
@@ -298,7 +303,8 @@ object Relational {
           .agg(count(lit(1)).as("cnt"), sum(dec2(col("value"))).as("sum_value"))
           .orderBy("k")
       },
-      Some("""SELECT k, COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+      Some("""SELECT k, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
              |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
              |      FROM events) t
              |GROUP BY k ORDER BY k""".stripMargin)),
@@ -314,8 +320,9 @@ object Relational {
           .select(col("window.start").as("hour_ts"), col("event_type"), col("cnt"), col("sum_value"))
           .orderBy("hour_ts", "event_type")
       },
-      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
-             |  COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+      Some("""SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+             |         '%Y-%m-%dT%H:%M:%S.%f') AS hour_ts, event_type,
+             |  COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
              |FROM events
              |GROUP BY hour_ts, event_type
              |ORDER BY hour_ts, event_type""".stripMargin)),
@@ -450,7 +457,8 @@ object Relational {
           .distinct()
           .orderBy("event_id", "ts", "user_id", "event_type", "value", "props")
       },
-      Some("""SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+      Some("""SELECT DISTINCT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts,
+             |  user_id, event_type, value, props
              |FROM events
              |ORDER BY event_id, ts, user_id, event_type, value, props""".stripMargin)),
 
@@ -464,7 +472,7 @@ object Relational {
           .select("user_id", "event_id", "ts", "event_type")
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, event_id, ts, event_type FROM (
+      Some("""SELECT user_id, event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts, event_type FROM (
              |  SELECT user_id, event_id, ts, event_type,
              |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
              |  FROM events) t
