@@ -43,7 +43,14 @@ object Bench {
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout goes through sbt's logger (the driver saw "[info] {...}" and
+    // parsed null in round 1) — also write the line to a well-known file
+    val out = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
   }
 }

@@ -47,8 +47,11 @@ object Ingest {
         val writer = projected.write.mode("overwrite")
         // event-time date partitioning: asOf/changesBetween prune whole
         // directories before any shuffle at cluster scale
+        // physical destination: the registry's `table_name` mapping
+        // (reference data-stream.json:3, routed at dataflow-cdc-stream
+        // .py:86-88) — logical name is the envelope key, physical the dir
         (if (partitionByDate) writer.partitionBy(Envelope.DtCol) else writer)
-          .parquet(s"$warehouseDir/${spec.logicalName}/batch=$batchId")
+          .parquet(s"$warehouseDir/${spec.physicalName}/batch=$batchId")
       }
       val known = registry.keySet.toSeq
       val dead = cached.filter(col("object").isNull || !col("object").isin(known: _*))
@@ -67,14 +70,22 @@ object Ingest {
     appendBatch(parse(spark, inputDir), registry, warehouseDir, batchId = 0L,
       partitionByDate = partitionByDate)
 
-  /** Read back a versioned table written by `appendBatch`. Partition
-    * columns (`batch`, `_dt`) are dropped unless the caller wants them
-    * for pruning (see Versioned.asOfPruned). */
-  def readTable(spark: SparkSession, warehouseDir: String, logicalName: String,
+  /** Read back a versioned table written by `appendBatch` by its PHYSICAL
+    * (directory) name. Partition columns (`batch`, `_dt`) are dropped
+    * unless the caller wants them for pruning (see Versioned.asOfPruned). */
+  def readTable(spark: SparkSession, warehouseDir: String, physicalName: String,
                 keepPartitionCols: Boolean = false): DataFrame = {
-    val df = spark.read.parquet(s"$warehouseDir/$logicalName")
+    val df = spark.read.parquet(s"$warehouseDir/$physicalName")
     if (keepPartitionCols) df else df.drop("batch").drop(Envelope.DtCol)
   }
+
+  /** Spec-aware read: resolves the registry's logical→physical mapping. */
+  def readTable(spark: SparkSession, warehouseDir: String, spec: TableSpec,
+                keepPartitionCols: Boolean): DataFrame =
+    readTable(spark, warehouseDir, spec.physicalName, keepPartitionCols)
+
+  def readTable(spark: SparkSession, warehouseDir: String, spec: TableSpec): DataFrame =
+    readTable(spark, warehouseDir, spec.physicalName)
 
   /** Replay dead-lettered records after the registry learned new tables:
     * re-parse the raw lines and append every record whose `object` is now

@@ -97,7 +97,7 @@ object Dedup {
 
     // exact verification on candidates only
     val sets = withSig.select(col("id"), col("sh"))
-    candidates
+    val verified = candidates
       .join(sets.select(col("id").as("id1"), col("sh").as("s1")), "id1")
       .join(sets.select(col("id").as("id2"), col("sh").as("s2")), "id2")
       .withColumn("jaccard",
@@ -105,6 +105,12 @@ object Dedup {
           size(array_union(col("s1"), col("s2"))))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+    // materialize the (small) verified pair list eagerly, then release the
+    // signature cache — the returned frame must own no cached state
+    // (VERDICT r1: leaked caches accumulate across bench queries)
+    val out = verified.localCheckpoint(true)
+    withSig.unpersist(false)
+    out
   }
 
   /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates share
@@ -121,13 +127,16 @@ object Dedup {
         .as(Seq("chunk_idx", "chunk")))
     val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id1"), col("fp").as("fp1"))
     val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id2"), col("fp").as("fp2"))
-    l.join(r, Seq("chunk_idx", "chunk"))
+    val verified = l.join(r, Seq("chunk_idx", "chunk"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2", "fp1", "fp2")
       .dropDuplicates("id1", "id2")
       .withColumn("hamming", expr("bit_count(fp1 ^ fp2)"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+    val out = verified.localCheckpoint(true) // then release the fp cache
+    fp.unpersist(false)
+    out
   }
 
   /** Connected components over a near-duplicate pair list: every doc gets
@@ -163,9 +172,12 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
       }
+      edges0.unpersist(false)
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
     }
-    distributedClusterPairs(edges0, maxIterations)
+    val clustered = distributedClusterPairs(edges0, maxIterations)
+    edges0.unpersist(false)
+    clustered
   }
 
   /** Distributed min-label propagation (the > driverThreshold path). */
@@ -177,7 +189,10 @@ object Dedup {
       .unionAll(edges.select(col("id2").as("id")))
       .distinct()
       .withColumn("cluster_id", col("id"))
-      .persist()
+    // `cached` tracks the frame persist() was CALLED on: unpersist must
+    // target that exact plan (a derived .drop() view would silently no-op
+    // and leak one cache entry per propagation round)
+    var cached = labels.persist()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -193,13 +208,17 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
         .persist()
       val changed = step.filter(col("cluster_id") =!= col("__old")).limit(1).count() > 0
-      labels.unpersist()
+      cached.unpersist()
+      cached = step
       labels = step.drop("__old")
       converged = !changed
       iter += 1
     }
     require(converged, s"clusterPairs did not converge in $maxIterations rounds")
-    labels
+    val out = labels.localCheckpoint(true) // release loop caches before returning
+    cached.unpersist(false)
+    edges.unpersist(false)
+    out
   }
 
   /** Near-dedup a corpus end-to-end: MinHash+LSH candidate pairs, exact

@@ -125,12 +125,15 @@ object Similarity {
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
     val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
-    pairs
+    val verified = pairs
       .join(vecs.select(col("_vid").as("id1"), col("_v").as("v1")), "id1")
       .join(vecs.select(col("_vid").as("id2"), col("_v").as("v2")), "id2")
       .withColumn("sim", cosine_similarity(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
+    val out = verified.localCheckpoint(true) // then release the bucket cache
+    b.unpersist(false)
+    out
   }
 
   /** Plain-Scala exact top-k oracle for tests (drives nothing at scale). */

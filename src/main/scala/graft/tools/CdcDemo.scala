@@ -37,7 +37,7 @@ object CdcDemo {
       snapshotKeys = snapshotKeys))
 
     registry.keys.toSeq.sorted.foreach { table =>
-      val df = Ingest.readTable(spark, warehouseDir, table)
+      val df = Ingest.readTable(spark, warehouseDir, registry(table))
       println(s"== $table: ${df.count()} versioned rows ==")
       pkCol.filter(df.columns.contains) match {
         case Some(pk) =>

@@ -14,19 +14,28 @@ class PartitionedIngestSpec extends SparkTestBase {
     wh
   }
 
+  test("registry table_name routing: physical dir written, logical absent") {
+    val wh = ingested(partition = false)
+    // Fixtures' registry maps products -> warehouse.products_cdc
+    assert(new java.io.File(s"$wh/warehouse.products_cdc").isDirectory)
+    assert(!new java.io.File(s"$wh/products").exists(),
+      "append must route to TableSpec.physicalName, not the logical key")
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 4)
+  }
+
   test("date-partitioned layout: _dt=<date> directories exist") {
     val wh = ingested(partition = true)
-    val dirs = new java.io.File(s"$wh/products/batch=0").listFiles().map(_.getName)
+    val dirs = new java.io.File(s"$wh/${Fixtures.registry("products").physicalName}/batch=0").listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("_dt=2026-01-01")), dirs.mkString(","))
     // partition column round-trips; rows identical to unpartitioned ingest
-    val a = Ingest.readTable(spark, wh, "products")
-    val b = Ingest.readTable(spark, ingested(partition = false), "products")
+    val a = Ingest.readTable(spark, wh, Fixtures.registry("products"))
+    val b = Ingest.readTable(spark, ingested(partition = false), Fixtures.registry("products"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
   test("asOfPruned answers correctly and plans a partition filter") {
     val wh = ingested(partition = true)
-    val products = Ingest.readTable(spark, wh, "products", keepPartitionCols = true)
+    val products = Ingest.readTable(spark, wh, Fixtures.registry("products"), keepPartitionCols = true)
       .withColumn("update_ts", col("update_date").cast("timestamp"))
     val t = lit("2026-01-01 11:30:00").cast("timestamp")
     val pruned = Versioned.asOfPruned(products, t, Seq("product_id"), versionCol = "update_ts")
@@ -45,9 +54,9 @@ class PartitionedIngestSpec extends SparkTestBase {
     Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
     graft.streaming.CdcStream.runOnce(spark,
       graft.streaming.CdcStreamConfig(in, wh, ck, Fixtures.registry, partitionByDate = true))
-    val dirs = new java.io.File(s"$wh/products/batch=0").listFiles().map(_.getName)
+    val dirs = new java.io.File(s"$wh/${Fixtures.registry("products").physicalName}/batch=0").listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("_dt=")), dirs.mkString(","))
-    assert(Ingest.readTable(spark, wh, "products").count() == 4)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 4)
   }
 
   test("compact collapses batch dirs and preserves rows + partitioning") {
@@ -59,11 +68,11 @@ class PartitionedIngestSpec extends SparkTestBase {
     graft.streaming.CdcStream.runOnce(spark,
       graft.streaming.CdcStreamConfig(in, wh, ck, Fixtures.registry))
 
-    val before = Ingest.readTable(spark, wh, "products").collect().toSet
-    assert(new java.io.File(s"$wh/products").listFiles().count(_.getName.startsWith("batch=")) == 2)
-    val n = Ingest.compact(spark, wh, "products")
+    val before = Ingest.readTable(spark, wh, Fixtures.registry("products")).collect().toSet
+    assert(new java.io.File(s"$wh/${Fixtures.registry("products").physicalName}").listFiles().count(_.getName.startsWith("batch=")) == 2)
+    val n = Ingest.compact(spark, wh, Fixtures.registry("products").physicalName)
     assert(n == before.size)
-    assert(new java.io.File(s"$wh/products").listFiles().count(_.getName.startsWith("batch=")) == 1)
-    assert(Ingest.readTable(spark, wh, "products").collect().toSet == before)
+    assert(new java.io.File(s"$wh/${Fixtures.registry("products").physicalName}").listFiles().count(_.getName.startsWith("batch=")) == 1)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).collect().toSet == before)
   }
 }

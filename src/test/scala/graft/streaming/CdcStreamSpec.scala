@@ -20,8 +20,8 @@ class CdcStreamSpec extends SparkTestBase {
     Ingest.ingestDir(spark, in, Fixtures.registry, whBatch)
 
     for (t <- Seq("products", "users")) {
-      val a = Ingest.readTable(spark, whStream, t)
-      val b = Ingest.readTable(spark, whBatch, t)
+      val a = Ingest.readTable(spark, whStream, Fixtures.registry(t))
+      val b = Ingest.readTable(spark, whBatch, Fixtures.registry(t))
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"table $t streaming/batch mismatch")
     }
   }
@@ -38,17 +38,17 @@ class CdcStreamSpec extends SparkTestBase {
     val (in, wh, ck) = freshDirs()
     Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(4), gzip = false)
     CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry))
-    val n1 = Ingest.readTable(spark, wh, "products").count()
+    val n1 = Ingest.readTable(spark, wh, Fixtures.registry("products")).count()
 
     // restart with the same checkpoint: no new files -> no growth
     CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry))
-    assert(Ingest.readTable(spark, wh, "products").count() == n1)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == n1)
 
     // add one new file -> only its rows appear
     Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(4), gzip = false)
     CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry))
-    assert(Ingest.readTable(spark, wh, "products").count() == n1)
-    assert(Ingest.readTable(spark, wh, "users").count() == 2)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == n1)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("users")).count() == 2)
   }
 
   test("duplicate records across files: dedup-within-watermark drops them") {
@@ -57,7 +57,7 @@ class CdcStreamSpec extends SparkTestBase {
     Fixtures.writeLines(in, "log-dup.jsonl", Fixtures.lines.take(2), gzip = false) // same content again
     CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry,
       dedupWithinWatermark = Some("1 hour")))
-    assert(Ingest.readTable(spark, wh, "products").count() == 2)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 2)
   }
 
   test("maintained snapshot: incremental fold across micro-batches == full-history window") {
@@ -73,7 +73,7 @@ class CdcStreamSpec extends SparkTestBase {
     val maintained = graft.cdc.SnapshotMaintainer.read(spark, wh, "products")
       .select("product_id", "category")
     val recomputed = Versioned.latestSnapshot(
-        Ingest.readTable(spark, wh, "products")
+        Ingest.readTable(spark, wh, Fixtures.registry("products"))
           .withColumn("__v", col("update_date").cast("timestamp")),
         Seq("product_id"), versionCol = "__v")
       .select("product_id", "category")
@@ -99,12 +99,12 @@ class CdcStreamSpec extends SparkTestBase {
     assert(!new java.io.File(s"$wh/users").exists())
 
     Ingest.replayDeadLetter(spark, wh, Fixtures.registry)
-    val users = Ingest.readTable(spark, wh, "users")
+    val users = Ingest.readTable(spark, wh, Fixtures.registry("users"))
     assert(users.count() == 2)
     assert(users.filter($"action" === "update").select("email").as[String].head() == "b@x.io")
     // idempotent: replaying again overwrites the same replay batch
     Ingest.replayDeadLetter(spark, wh, Fixtures.registry)
-    assert(Ingest.readTable(spark, wh, "users").count() == 2)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("users")).count() == 2)
   }
 
   test("StreamMetrics listener captures per-batch rows and durations") {
@@ -131,7 +131,7 @@ class CdcStreamSpec extends SparkTestBase {
     Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
     CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry))
 
-    val products = Ingest.readTable(spark, wh, "products")
+    val products = Ingest.readTable(spark, wh, Fixtures.registry("products"))
       .withColumn("update_ts", col("update_date").cast("timestamp"))
     val snap = Versioned.latestSnapshot(products, Seq("product_id"), versionCol = "update_ts")
     // p1 was deleted at 13:00 -> absent; p2 alive
