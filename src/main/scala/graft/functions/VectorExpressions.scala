@@ -39,7 +39,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = a.getFloat(i); val y = b.getFloat(i)
+      // promote BEFORE multiplying: a float-precision product loses ~1e-7
+      // relative accuracy and (worse) diverges from every engine that does
+      // vector math in double — double products make the result
+      // bit-identical to DuckDB's list_cosine_similarity on DOUBLE[]
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
@@ -55,7 +59,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final float $x = $a.getFloat($i); final float $y = $b.getFloat($i);
+         |  final double $x = $a.getFloat($i); final double $y = $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
@@ -75,7 +79,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVectorE
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += a.getFloat(i) * b.getFloat(i); i += 1 }
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
     dot
   }
 
@@ -85,7 +89,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVectorE
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $dot += $a.getFloat($i) * $b.getFloat($i); }
+         |for (int $i = 0; $i < $n; $i++) { $dot += (double) $a.getFloat($i) * $b.getFloat($i); }
          |${ev.value} = $dot;
        """.stripMargin
     })

@@ -71,7 +71,26 @@ object Extended {
           .select(col("doc_id"), col("lang"), col("lang_pred"), col("hits_en"))
           .orderBy("doc_id")
       },
-      None), // heuristic scoring: verified against hand-labeled snippets in TextAnalysisSpec
+      // replicates the stopword-profile argmax: distinct-hit counts per
+      // language, first-in-sorted-order wins ties, 'und' when no hits
+      // (hand-labeled snippets additionally covered in TextAnalysisSpec)
+      Some("""WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+             |h AS (SELECT doc_id, lang,
+             |  CAST(len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit'])) AS BIGINT) AS h_de,
+             |  CAST(len(list_intersect(toks, ['the','and','of','to','is','in','that','with'])) AS BIGINT) AS h_en,
+             |  CAST(len(list_intersect(toks, ['el','los','las','es','una','para','como','pero'])) AS BIGINT) AS h_es,
+             |  CAST(len(list_intersect(toks, ['le','la','les','et','est','une','dans','pour'])) AS BIGINT) AS h_fr,
+             |  CAST(len(list_intersect(toks, ['的','是','了','在','我','有','他','这'])) AS BIGINT) AS h_zh
+             | FROM t)
+             |SELECT doc_id, lang,
+             |  CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+             |       WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+             |       WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+             |       WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+             |       WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+             |       ELSE 'zh' END AS lang_pred,
+             |  h_en AS hits_en
+             |FROM h ORDER BY doc_id""".stripMargin)),
 
     ("q24_fingerprint",
       (s: SparkSession, d: String) => {
@@ -99,7 +118,25 @@ object Extended {
             shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
           .orderBy("id1", "id2")
       },
-      None), // recall/precision vs planted near-dups + exact Jaccard in DedupSpec
+      // GROUND-TRUTH oracle: all-pairs exact 3-shingle Jaccard ≥ threshold.
+      // Matching it asserts both the exact-verify arithmetic AND full LSH
+      // candidate recall on this corpus (recall is additionally pinned on
+      // planted clusters in DedupSpec). Shingle semantics mirror
+      // Dedup.shingles: space-split tokens, word 3-grams, short docs
+      // collapse to one whole-text shingle.
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok)
+             |SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+             |ORDER BY id1, id2""".stripMargin)),
 
     ("q27_dedup_simhash",
       (s: SparkSession, d: String) => {
@@ -133,7 +170,21 @@ object Extended {
         Similarity.topKBruteForce(emb, queries, k = 10)
           .orderBy("query_id", "rank")
       },
-      None), // exact-oracle comparison in SimilaritySpec
+      // exact oracle: the double-product cosine kernel is bit-identical to
+      // DuckDB's list_cosine_similarity over DOUBLE[] (sequential double
+      // accumulation, sqrt(na)*sqrt(nb) denominator) — raw doubles compare
+      // without rounding; ties break on neighbor_id in both engines
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |          FROM embeddings WHERE vec_id % 50 = 0),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+             |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |             ORDER BY sim DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
 
     ("q30_cosine_topk_lsh",
       (s: SparkSession, d: String) => {
@@ -163,7 +214,16 @@ object Extended {
             numTables = 24, bitsPerTable = 4)
           .orderBy("id1", "id2")
       },
-      None),
+      // GROUND-TRUTH oracle: all-pairs double-precision cosine ≥ threshold.
+      // Matching asserts full LSH recall at these (tables, bits) on this
+      // corpus plus bit-exact cosine (double products, see q29).
+      Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                         CAST(b.embedding AS DOUBLE[])) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+             |ORDER BY id1, id2""".stripMargin)),
 
     // ---------------------------------------------------------- multimodal
     ("q32_media_features",
@@ -181,7 +241,14 @@ object Extended {
           .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("total_frame_bytes"))
           .orderBy("media_id")
       },
-      None), // generator shape + byte accounting tested in MultimodalSpec
+      // the synthetic media metadata is a pure function of the doc row
+      // (durationMs = chars×10; frame slices telescope to the full payload)
+      // so the frame accounting is exactly SQL-expressible
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(greatest(1, length(text) * 10 // 2000) AS BIGINT) AS n_frames,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS total_frame_bytes
+             |FROM documents WHERE doc_id % 10 = 0
+             |ORDER BY media_id""".stripMargin)),
 
     ("q40_neardup_corpus",
       (s: SparkSession, d: String) => {
@@ -191,7 +258,30 @@ object Extended {
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
-      None), // cluster/representative semantics pinned in DedupSpec
+      // GROUND-TRUTH oracle: exact-Jaccard pairs (same CTE as q26) →
+      // transitive closure via recursive CTE → keep each component's
+      // min-id representative. Matches the engine's LSH + connected-
+      // components + keep-min semantics end to end.
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |pairs AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM lbl WHERE cluster_id < id)
+             |ORDER BY doc_id""".stripMargin)),
 
     ("q46_media_neardup",
       (s: SparkSession, d: String) => {
