@@ -110,8 +110,8 @@ object Ingest {
     * long-running streams; preserves the `_dt` partitioning if present).
     * Not concurrency-safe with an active writer — run between stream
     * restarts, like any storage maintenance job. */
-  def compact(spark: SparkSession, warehouseDir: String, logicalName: String): Long = {
-    val dir = s"$warehouseDir/$logicalName"
+  def compact(spark: SparkSession, warehouseDir: String, physicalName: String): Long = {
+    val dir = s"$warehouseDir/$physicalName"
     val df = spark.read.parquet(dir)
     val hasDt = df.columns.contains(Envelope.DtCol)
     val tmp = s"$dir.__compact_tmp"
@@ -121,13 +121,15 @@ object Ingest {
     (if (hasDt) writer.partitionBy("batch", Envelope.DtCol)
      else writer.partitionBy("batch")).parquet(tmp)
     val n = spark.read.parquet(tmp).count()
-    val fs = new java.io.File(dir)
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
-    rmrf(fs)
-    require(new java.io.File(tmp).renameTo(fs), s"compact rename failed for $dir")
+    // Hadoop FileSystem, not java.io.File: identical code path on
+    // file:/, HDFS, and object stores (rename is the storage layer's
+    // contract; a local-only rename breaks exactly on the cluster
+    // this table layout is designed for)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(target, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
+      s"compact rename failed for $dir")
     n
   }
 }

@@ -1,5 +1,6 @@
 package graft.cdc
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,51 +9,90 @@ import org.apache.spark.sql.functions._
   * The append-only versioned table answers `latestSnapshot` by windowing
   * the FULL history — correct, but O(history) per query. For tables whose
   * primary key is known, this maintainer folds each micro-batch into a
-  * materialized snapshot: read current snapshot ∪ new batch rows → one
-  * window pass over (|snapshot| + |batch|) rows → atomic directory swap.
-  * Point-in-time (`asOf`) queries still go to the versioned history; the
-  * snapshot serves the hot "current state" path.
+  * materialized snapshot. Point-in-time (`asOf`) queries still go to the
+  * versioned history; the snapshot serves the hot "current state" path.
+  *
+  * Scale design (the round-1 version was the named scale-killer):
+  *  - the snapshot is partitioned by `__bucket = pmod(hash(pk), buckets)`;
+  *    a micro-batch folds ONLY the buckets its keys hash into, so the
+  *    per-trigger cost is O(|touched buckets| + |batch|), not O(|snapshot|).
+  *    A 10⁹-key table with a 10⁴-row trigger rewrites ≤10⁴ buckets of
+  *    ~10⁵ keys each — bounded regardless of total snapshot size.
+  *  - all directory manipulation goes through the Hadoop FileSystem API,
+  *    so the same code runs on file:/, HDFS, and object stores —
+  *    `java.io.File` + `renameTo` silently break anywhere but a local
+  *    POSIX disk.
   *
   * Idempotent under batch replay: re-folding rows the snapshot already
-  * reflects reproduces the identical snapshot (last-writer-wins is a
-  * fold; duplicates collapse in the rank-1 window).
+  * reflects reproduces the identical bucket contents (last-writer-wins is
+  * a fold; duplicates collapse in the rank-1 window). Tombstones stay IN
+  * the stored state so a replayed old batch cannot resurrect deleted keys;
+  * readers filter them via [[read]].
   */
 object SnapshotMaintainer {
+
+  /** Default pk-hash bucket count. Sized so test/demo tables get a few
+    * rows per bucket; a large deployment picks buckets ≈ |keys| / 10⁵. */
+  val DefaultBuckets = 64
+
+  private val BucketCol = "__bucket"
 
   def snapshotDir(warehouseDir: String, table: String): String =
     s"$warehouseDir/_snapshot/$table"
 
   /** Fold one projected table batch into the maintained snapshot.
-    * `batch` must carry pk ++ (versionCol) ++ payload columns —
-    * exactly what `Envelope.project` emits. */
+    * `batch` must carry pk ++ versionCol ++ payload columns — exactly
+    * what `Envelope.project` emits. Only the pk-hash buckets present in
+    * the batch are read, re-folded, and swapped. */
   def update(spark: SparkSession, warehouseDir: String, table: String,
              batch: DataFrame, pk: Seq[String],
              versionCol: String = "update_date",
-             actionCol: String = "action"): Unit = {
+             actionCol: String = "action",
+             buckets: Int = DefaultBuckets): Unit = {
+    require(buckets > 0)
     val dir = snapshotDir(warehouseDir, table)
-    val tsBatch = batch.withColumn("__v", col(versionCol).cast("timestamp"))
-    val current =
-      if (new java.io.File(dir).exists())
-        Some(spark.read.parquet(dir).withColumn("__v", col(versionCol).cast("timestamp")))
-      else None
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
-    // keep tombstones IN the snapshot state (a delete must shadow older
-    // versions that a later batch replay could otherwise resurrect);
-    // readers filter them out via read()
-    val folded = Versioned.latestSnapshotWithTombstones(
-      current.map(_.unionByName(tsBatch)).getOrElse(tsBatch),
-      pk, "__v", actionCol).drop("__v")
+    val tsBatch = batch
+      .withColumn("__v", col(versionCol).cast("timestamp"))
+      .withColumn(BucketCol, pmod(hash(pk.map(col): _*), lit(buckets)))
+      .persist()
+    try {
+      // ≤ `buckets` values by construction — a driver-bounded collect
+      val touched = tsBatch.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
 
-    val tmp = s"$dir.__tmp"
-    folded.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(dir)
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
-    if (target.exists()) rmrf(target)
-    target.getParentFile.mkdirs()
-    require(new java.io.File(tmp).renameTo(target), s"snapshot swap failed for $dir")
+      val currentTouched =
+        if (fs.exists(root)) {
+          val dirs = touched.map(b => s"$dir/$BucketCol=$b")
+            .filter(p => fs.exists(new Path(p)))
+          if (dirs.isEmpty) None
+          else Some(spark.read.option("basePath", dir).parquet(dirs.toIndexedSeq: _*)
+            .withColumn("__v", col(versionCol).cast("timestamp")))
+        } else None
+
+      val folded = Versioned.latestSnapshotWithTombstones(
+          currentTouched.map(_.unionByName(tsBatch)).getOrElse(tsBatch),
+          pk, "__v", actionCol)
+        .drop("__v")
+
+      // stage the re-folded buckets, then swap each one individually —
+      // untouched buckets' files are never listed, read, or rewritten
+      val tmp = new Path(s"$dir/.__fold_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      folded.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+      touched.foreach { b =>
+        val src = new Path(tmp, s"$BucketCol=$b")
+        val dst = new Path(root, s"$BucketCol=$b")
+        if (fs.exists(src)) {
+          if (fs.exists(dst)) fs.delete(dst, true)
+          require(fs.rename(src, dst), s"snapshot bucket swap failed: $dst")
+        }
+      }
+      fs.delete(tmp, true)
+    } finally tsBatch.unpersist(false)
   }
 
   /** Read the maintained current-state table (tombstones filtered). */
@@ -60,4 +100,5 @@ object SnapshotMaintainer {
            actionCol: String = "action"): DataFrame =
     spark.read.parquet(snapshotDir(warehouseDir, table))
       .filter(col(actionCol) =!= Versioned.DeleteAction)
+      .drop(BucketCol)
 }

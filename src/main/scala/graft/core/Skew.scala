@@ -39,4 +39,29 @@ object Skew {
     * sum/count Spark's map-side partial aggregation already does this. */
   def withSalt(df: DataFrame, saltBuckets: Int, on: Column): DataFrame =
     df.withColumn("_salt", pmod(hash(on), lit(saltBuckets)))
+  /** LSH self-join skew guard: drop bucket groups larger than `cap`.
+    *
+    * A degenerate bucket (e.g. thousands of byte-identical or empty-
+    * shingle documents hashing to one (band, bucket)) makes the bucket
+    * self-join quadratic IN THAT BUCKET — the one shape that can sink an
+    * otherwise-linear LSH pass at 100× skew. An over-cap bucket carries
+    * almost no discriminative signal for NEAR-duplicate detection (true
+    * near-dup pairs co-occur in several independent buckets; exact
+    * duplicates belong in the cheap hash-dedup pass that precedes LSH),
+    * so dropping it bounds the worst case at cap² per bucket while
+    * leaving normal buckets untouched. cap <= 0 disables the guard. */
+  def capGroupSize(df: DataFrame, groupCols: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) df
+    else {
+      val counts = df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("__group_n"))
+        .filter(col("__group_n") <= cap)
+        .drop("__group_n")
+      // partial counts collapse map-side; the filter join shares the
+      // self-join's key partitioning, so no extra exchange of `df`.
+      // Re-select in the caller's column ORDER: a using-join moves key
+      // columns first, which would silently break positional toDF renames
+      df.join(counts, groupCols).select(df.columns.map(col).toIndexedSeq: _*)
+    }
+
 }

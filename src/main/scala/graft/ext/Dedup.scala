@@ -70,7 +70,8 @@ object Dedup {
     * threshold. bands×rowsPerBand must equal the signature length. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                          threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+                          threshold: Double = 0.7, seed: Long = 42L,
+                          maxBucketSize: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // persist: the signature table feeds the self-join (both sides) AND
     // the verification join — without it the shingle+signature subtree
@@ -85,9 +86,11 @@ object Dedup {
     // Candidate generation and pair-dedup move BARE ID PAIRS only —
     // shingle arrays join back per candidate afterwards (dragging them
     // through the bucket shuffle is the scale killer, not the hashing).
-    val banded = withSig.select(col("id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))")).as(Seq("band", "bucket")))
+    val banded = graft.core.Skew.capGroupSize(
+      withSig.select(col("id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
 
     val candidates = banded.toDF("id1", "band", "bucket")
       .join(banded.toDF("id2", "band", "bucket"), Seq("band", "bucket"))
@@ -117,14 +120,16 @@ object Dedup {
     * one of four 16-bit chunks (pigeonhole: any pair within Hamming
     * distance 3 shares ≥1 chunk), verified with bit_count(xor). */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only up to distance 3")
     val fp = docs.select(col(idCol).as("id"),
       simhash64(split(col(textCol), " ")).as("fp"))
       .persist() // feeds both sides of the chunk self-join
-    val chunked = fp.select(col("id"), col("fp"),
-      posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)"))
-        .as(Seq("chunk_idx", "chunk")))
+    val chunked = graft.core.Skew.capGroupSize(
+      fp.select(col("id"), col("fp"),
+        posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)"))
+          .as(Seq("chunk_idx", "chunk"))),
+      Seq("chunk_idx", "chunk"), maxBucketSize)
     val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id1"), col("fp").as("fp1"))
     val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id2"), col("fp").as("fp2"))
     val verified = l.join(r, Seq("chunk_idx", "chunk"))

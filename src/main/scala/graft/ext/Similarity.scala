@@ -116,9 +116,12 @@ object Similarity {
     * (bucket, id) rows only; vectors join back per verified candidate. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"),
-      explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
+                   seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    val b = graft.core.Skew.capGroupSize(
+        corpus.select(col(idCol).as("id"),
+          explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket")),
+        Seq("bucket"), maxBucketSize)
       .persist() // feeds both sides of the bucket self-join
     val pairs = b.toDF("id1", "bucket").join(b.toDF("id2", "bucket"), Seq("bucket"))
       .filter(col("id1") < col("id2"))

@@ -20,6 +20,21 @@ import graft.cdc.{Envelope, Ingest, TableSpec}
   * reference, whose per-record side pipelines double-write on retry
   * (SURVEY.md §2.2 "streaming stateful ops").
   */
+/** Where envelope lines come from (reference stage S1). */
+sealed trait CdcSource
+/** Directory of (gzipped) JSONL log files — the Datastream→bucket layout;
+  * the file source's own new-file discovery subsumes the reference's
+  * Pub/Sub notification hop (`dataflow-cdc-stream.py:138`). */
+final case class FileSource(inputDir: String) extends CdcSource
+/** Kafka topic(s) whose record VALUE is one envelope line — the queue-
+  * shaped S1 the reference actually consumes. Requires the
+  * `spark-sql-kafka-0-10` connector on the runtime classpath (not bundled
+  * here); everything downstream of the source is identical to the file
+  * path and is tested from file-backed Kafka-schema frames. */
+final case class KafkaSource(bootstrapServers: String, topics: String,
+                             startingOffsets: String = "earliest",
+                             maxOffsetsPerTrigger: Long = 1000000L) extends CdcSource
+
 final case class CdcStreamConfig(
     inputDir: String,
     warehouseDir: String,
@@ -27,6 +42,17 @@ final case class CdcStreamConfig(
     registry: Map[String, TableSpec],
     maxFilesPerTrigger: Int = 1000,
     trigger: Trigger = Trigger.AvailableNow(),
+    /** Overrides `inputDir` when set (inputDir remains the common case). */
+    source: Option[CdcSource] = None,
+    /** Registry JSON path to re-read every `registryRefreshEveryBatches`
+      * micro-batches: a table added to the registry file starts routing
+      * WITHOUT a stream restart (the reference's per-record fetch applies
+      * edits immediately but at catastrophic per-record cost — a per-batch
+      * driver-side reload is the same operational knob for free).
+      * Earlier dead-lettered records are recovered via
+      * `Ingest.replayDeadLetter` once the table is registered. */
+    registryPath: Option[String] = None,
+    registryRefreshEveryBatches: Int = 1,
     /** e.g. Some("1 hour"): drop duplicate (object, payload, event-time)
       * records within the watermark — protects against duplicate file
       * delivery from an at-least-once upstream. */
@@ -41,10 +67,28 @@ final case class CdcStreamConfig(
 
 object CdcStream {
 
+  /** Kafka wire frame → envelope lines: the record value IS the line.
+    * Pure projection, so the whole downstream pipeline is testable from
+    * any frame with the Kafka schema (key/value binary, topic, partition,
+    * offset, timestamp) without a broker. */
+  def kafkaLines(kafkaFrame: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    kafkaFrame.selectExpr("CAST(value AS STRING) AS value")
+
   def start(spark: SparkSession, cfg: CdcStreamConfig): StreamingQuery = {
-    val lines = spark.readStream
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .text(cfg.inputDir)
+    val lines = cfg.source.getOrElse(FileSource(cfg.inputDir)) match {
+      case FileSource(dir) =>
+        spark.readStream
+          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+          .text(dir)
+      case KafkaSource(servers, topics, offsets, maxPerTrigger) =>
+        kafkaLines(spark.readStream
+          .format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("subscribe", topics)
+          .option("startingOffsets", offsets)
+          .option("maxOffsetsPerTrigger", maxPerTrigger)
+          .load())
+    }
 
     val parsed = Envelope.parse(lines)
 
@@ -58,13 +102,27 @@ object CdcStream {
       case None => parsed
     }
 
-    val registry = cfg.registry // stable closure constant, serialized once
+    // The registry is a driver-side value captured by the foreachBatch
+    // closure and shipped to executors once per batch — never fetched per
+    // record. With `registryPath` set it refreshes from the file every N
+    // batches (a cheap driver-side read), so registry edits apply to a
+    // RUNNING stream: new tables start routing, everything else already
+    // in flight is untouched.
+    var registry =
+      if (cfg.registry.nonEmpty || cfg.registryPath.isEmpty) cfg.registry
+      else graft.cdc.Registry.load(cfg.registryPath.get)
 
     deduped.writeStream
       .queryName("graft-cdc-stream")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cfg.registryPath.foreach { p =>
+          if (cfg.registryRefreshEveryBatches > 0 &&
+              batchId % cfg.registryRefreshEveryBatches == 0) {
+            registry = graft.cdc.Registry.load(p)
+          }
+        }
         val df = batch.toDF()
         Ingest.appendBatch(df, registry, cfg.warehouseDir, batchId,
           partitionByDate = cfg.partitionByDate)

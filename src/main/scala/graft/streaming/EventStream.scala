@@ -115,4 +115,53 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** [[statefulSessions]] with an event-time timeout: an idle session also
+    * closes (and emits) once the watermark passes `last event + gapMs`, so
+    * a user's FINAL session isn't stuck in state forever — the semantics a
+    * production sessionizer actually wants. Input must carry a watermark
+    * on `ts` (`withWatermark`), which is what makes the timeout fire. */
+  def statefulSessionsWithTimeout(events: org.apache.spark.sql.Dataset[UserEvent],
+                                  gapMs: Long = 30L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(uid: Long, it: Iterator[UserEvent],
+           state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        // watermark passed lastMs + gapMs with no newer event: the open
+        // session is definitively over (no on-time event can extend it)
+        val s = state.get
+        state.remove()
+        return Iterator.single(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+          new java.sql.Timestamp(s.lastMs), s.n))
+      }
+      val sorted = it.toIndexedSeq.sortBy(_.ts.getTime)
+      var open = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open = open match {
+          case Some(s) if t - s.lastMs > gapMs =>
+            out += ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n)
+            Some(OpenSession(t, t, 1))
+          case Some(s) => Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+          case None => Some(OpenSession(t, t, 1))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // timeout must sit strictly beyond the current watermark or Spark
+        // rejects it (a late event can't re-open an already-closed gap)
+        state.setTimeoutTimestamp(
+          math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

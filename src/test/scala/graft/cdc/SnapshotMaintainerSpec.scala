@@ -1,0 +1,98 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Bucketed incremental snapshot maintenance (VERDICT r1 #5): folds go
+  * through the Hadoop FileSystem API against an explicit `file:/` URI,
+  * and a micro-batch must rewrite ONLY the pk-hash buckets it touches.
+  */
+class SnapshotMaintainerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val pk = Seq("id")
+
+  private def batchDf(rows: (Long, String, String, String)*): DataFrame =
+    rows.toDF("id", "action", "update_date", "payload")
+
+  /** Recursive (path → (size, mtime)) listing of every data file. */
+  private def fileState(dir: String): Map[String, (Long, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Map.empty
+    val it = fs.listFiles(root, true)
+    val b = Map.newBuilder[String, (Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      b += f.getPath.toString -> ((f.getLen, f.getModificationTime))
+    }
+    b.result()
+  }
+
+  test("three micro-batches fold correctly over a file:/ Hadoop path") {
+    val wh = "file:" + tmpDir("snapfs-wh")
+    SnapshotMaintainer.update(spark, wh, "t", batchDf(
+      (1L, "insert", "2026-01-01T10:00:00", "a1"),
+      (2L, "insert", "2026-01-01T10:00:00", "b1"),
+      (3L, "insert", "2026-01-01T10:00:00", "c1")), pk)
+    SnapshotMaintainer.update(spark, wh, "t", batchDf(
+      (1L, "update", "2026-01-01T11:00:00", "a2"),
+      (4L, "insert", "2026-01-01T11:00:00", "d1")), pk)
+    SnapshotMaintainer.update(spark, wh, "t", batchDf(
+      (2L, "delete", "2026-01-01T12:00:00", null)), pk)
+
+    val state = SnapshotMaintainer.read(spark, wh, "t")
+      .select($"id", $"payload").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a2", 3L -> "c1", 4L -> "d1"))
+
+    // tombstone is stored (replay protection), just filtered on read
+    val raw = spark.read.parquet(SnapshotMaintainer.snapshotDir(wh, "t"))
+    assert(raw.filter($"action" === "delete" && $"id" === 2L).count() == 1)
+  }
+
+  test("a batch rewrites only the buckets its keys hash into") {
+    val wh = "file:" + tmpDir("snapinc-wh")
+    val dir = SnapshotMaintainer.snapshotDir(wh, "t")
+    // seed: enough keys that >1 bucket is populated
+    SnapshotMaintainer.update(spark, wh, "t",
+      batchDf((1L to 40L).map(i => (i, "insert", "2026-01-01T10:00:00", s"v$i")): _*), pk)
+    val before = fileState(dir)
+    val buckets = before.keys.flatMap(p =>
+      "__bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt)).toSet
+    assert(buckets.size > 1, s"expected multiple populated buckets, got $buckets")
+
+    // single-key batch → exactly the buckets of that one key may change
+    val touched = spark.range(1).select(
+      pmod(hash(lit(1L)), lit(SnapshotMaintainer.DefaultBuckets))).head().getInt(0)
+    SnapshotMaintainer.update(spark, wh, "t",
+      batchDf((1L, "update", "2026-01-01T11:00:00", "v1b")), pk)
+    val after = fileState(dir)
+
+    val changed = (before.toSet diff after.toSet).map(_._1) ++
+      (after.toSet diff before.toSet).map(_._1)
+    assert(changed.nonEmpty, "the touched bucket must be rewritten")
+    changed.foreach(p => assert(p.contains(s"__bucket=$touched"),
+      s"file outside touched bucket changed: $p"))
+
+    // correctness after the partial rewrite
+    val state = SnapshotMaintainer.read(spark, wh, "t")
+      .select($"id", $"payload").as[(Long, String)].collect().toMap
+    assert(state(1L) == "v1b" && state.size == 40)
+  }
+
+  test("replayed batch is a no-op on state (idempotent fold)") {
+    val wh = "file:" + tmpDir("snapidem-wh")
+    val b1 = batchDf((1L, "insert", "2026-01-01T10:00:00", "a1"),
+                     (2L, "delete", "2026-01-01T11:00:00", null))
+    SnapshotMaintainer.update(spark, wh, "t", b1, pk)
+    val first = SnapshotMaintainer.read(spark, wh, "t").collect().toSeq
+    SnapshotMaintainer.update(spark, wh, "t", b1, pk) // replay
+    val second = SnapshotMaintainer.read(spark, wh, "t").collect().toSeq
+    assert(first.toSet == second.toSet)
+    // the delete may not resurrect key 2
+    assert(!second.exists(_.getLong(0) == 2L))
+  }
+}

@@ -125,4 +125,25 @@ class DedupSpec extends SparkTestBase {
       .select("k", "ts").as[(Long, Long)].collect().toMap
     assert(first == Map(1L -> 1L, 2L -> 2L))
   }
+  test("hot-bucket cap bounds the LSH self-join; normal pairs survive") {
+    // 40 byte-identical docs all hash into the same buckets in EVERY band
+    // (the degenerate case that makes the self-join quadratic); two near-
+    // dup docs elsewhere must still pair up when the hot bucket is capped
+    val hot = (100L until 140L).map(i => (i, "same same same same same same same same"))
+    val corpus = (Seq((1L, base), (2L, base.replace("theta", "THETA2"))) ++ hot)
+      .toDF("doc_id", "text")
+
+    val capped = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      s"capped run must keep the genuine near-dup pair and drop the hot bucket, got $capped")
+
+    val uncapped = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains(1L -> 2L) && uncapped.size == 1 + 40 * 39 / 2,
+      s"uncapped run emits the full quadratic hot-bucket pair set, got ${uncapped.size}")
+  }
+
 }

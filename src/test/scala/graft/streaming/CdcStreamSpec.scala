@@ -141,4 +141,63 @@ class CdcStreamSpec extends SparkTestBase {
       Seq("product_id"), versionCol = "update_ts")
     assert(asOf.filter($"product_id" === "p1").select("category").as[String].head() == "health")
   }
+  test("kafka-shaped frames feed the identical envelope pipeline") {
+    // no broker in this environment: the wire-schema frame is file-backed,
+    // exercising everything downstream of the source exactly as a
+    // format("kafka") load would deliver it
+    val wh = tmpDir("kafka-wh"); val whText = tmpDir("kafka-wht")
+    val kafkaFrame = Fixtures.lines.zipWithIndex.map { case (line, i) =>
+      (Array.emptyByteArray, line.getBytes("UTF-8"), "cdc-log", 0, i.toLong,
+        new java.sql.Timestamp(1700000000000L + i), 0)
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+
+    val parsed = graft.cdc.Envelope.parse(CdcStream.kafkaLines(kafkaFrame))
+    Ingest.appendBatch(parsed, Fixtures.registry, wh, batchId = 0L)
+
+    val in = tmpDir("kafka-in")
+    Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
+    Ingest.ingestDir(spark, in, Fixtures.registry, whText)
+    for (t <- Seq("products", "users")) {
+      val a = Ingest.readTable(spark, wh, Fixtures.registry(t))
+      val b = Ingest.readTable(spark, whText, Fixtures.registry(t))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"table $t kafka/text mismatch")
+    }
+  }
+
+  test("registry refresh: a table added mid-stream routes without restart") {
+    val (in, wh, ck) = freshDirs()
+    val regPath = tmpDir("cdc-reg") + "/data-stream.json"
+    def usersOnly: String = {
+      // users entry only: products is UNKNOWN in phase 1
+      val j = org.json4s.jackson.JsonMethods.parse(Fixtures.registryJson)
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.JObject(j.asInstanceOf[org.json4s.JObject].obj.filter(_._1 == "users")))
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(regPath), usersOnly)
+    val cfg = CdcStreamConfig(in, wh, ck, registry = Map.empty,
+      registryPath = Some(regPath))
+
+    // phase 1: products records dead-letter (not registered yet)
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines, gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("users")).count() == 2)
+    assert(!new java.io.File(
+      s"$wh/${Fixtures.registry("products").physicalName}").exists())
+
+    // phase 2: registry file gains products; the SAME config (no restart
+    // of anything config-side) now routes new products records
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(regPath), Fixtures.registryJson)
+    Fixtures.writeLines(in, "log-001.jsonl", Seq(Fixtures.envelope(
+      "products", "2026-01-02T10:00:00.000Z", "insert",
+      """{"product_id":"p9","category":"toys","weight_g":10.0,"photos_qty":3}""")),
+      gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    val products = Ingest.readTable(spark, wh, Fixtures.registry("products"))
+    assert(products.count() == 1)
+
+    // phase 3: the phase-1 dead letters replay into the now-known table
+    Ingest.replayDeadLetter(spark, wh, graft.cdc.Registry.load(regPath))
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 5)
+  }
+
 }

@@ -114,6 +114,49 @@ class EventStreamSpec extends SparkTestBase {
       s"diff keys: ${(emitted.keySet ++ expected.keySet).filter(k => emitted.get(k) != expected.get(k)).take(5)}")
   }
 
+  test("event-time timeout closes a user's final session without a successor event") {
+    val tmp = tmpDir("timeout-sessions")
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "s")
+        .select($"user_id", $"s".cast("timestamp").as("ts"))
+        .write.parquet(s"$tmp/$name")
+    // user 1's only session ends at 10:10; user 2's far-future event
+    // advances the watermark well past 10:10 + gap
+    write("f=1", Seq(1L -> "2026-01-01 10:00:00", 1L -> "2026-01-01 10:10:00"))
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .withWatermark("ts", "0 seconds")
+      .as[EventStream.UserEvent]
+    val q = EventStream.statefulSessionsWithTimeout(stream).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("timeout_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: u1 session opens, timeout armed
+      write("f=2", Seq(2L -> "2026-01-01 20:00:00"))
+      q.processAllAvailable() // batch 2: watermark -> 20:00 after this
+      // the timeout fires in a subsequent (possibly no-data) micro-batch
+      val deadline = System.currentTimeMillis() + 30000
+      def emitted() = spark.table("timeout_sessions")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      while (emitted().isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      // user 1 emits VIA TIMEOUT (no successor u1 event exists); user 2's
+      // open session is within gap of the watermark and must NOT emit
+      val diag = q.recentProgress.map(pr =>
+        s"batch=${pr.batchId} rows=${pr.numInputRows} wm=${Option(pr.eventTime.get("watermark")).getOrElse("-")} " +
+        s"state=${pr.stateOperators.map(so => s"rows=${so.numRowsTotal},updated=${so.numRowsUpdated},removed=${so.numRowsRemoved}").mkString}").mkString("\n")
+      assert(emitted() == Set((1L, 2L)), s"got ${emitted()}\n$diag")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events") {
     // duplicate the batch by writing the same 200 events twice into a
     // watched dir (Spark-written parquet: use the written schema, not the
