@@ -301,6 +301,22 @@ object Extended {
       },
       None), // exact-dup payloads => sim 1.0; determinism pinned in MultimodalSpec
 
+    ("q47_bpe_tokens",
+      (s: SparkSession, d: String) => {
+        // BPE-ish subword accounting vs whitespace tokens: the ratio is a
+        // standard "tokenizer pressure" signal in corpus curation
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+          .orderBy("doc_id")
+      },
+      // \p{L}/\p{N} classes agree between Java regex and RE2 on this corpus
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpeish_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     ("q38_approx_distinct",
       (s: SparkSession, d: String) => {
         // HLL++ sketch: not oracle-hashable (approximate by design);

@@ -61,6 +61,9 @@ final case class CdcStreamConfig(
       * incrementally-maintained current-state snapshot
       * (SnapshotMaintainer) folded per micro-batch. */
     snapshotKeys: Map[String, Seq[String]] = Map.empty,
+    /** pk-hash bucket count for maintained snapshots — size so one
+      * bucket ≈ 10⁵ keys at the deployment's table size. */
+    snapshotBuckets: Int = graft.cdc.SnapshotMaintainer.DefaultBuckets,
     /** partition versioned tables by event-time date (`_dt`) so
       * asOf/changesBetween prune directories (Versioned.asOfPruned). */
     partitionByDate: Boolean = false)
@@ -129,7 +132,8 @@ object CdcStream {
         cfg.snapshotKeys.foreach { case (table, pk) =>
           registry.get(table).foreach { spec =>
             graft.cdc.SnapshotMaintainer.update(df.sparkSession, cfg.warehouseDir,
-              table, graft.cdc.Envelope.project(df, spec), pk)
+              table, graft.cdc.Envelope.project(df, spec), pk,
+              buckets = cfg.snapshotBuckets)
           }
         }
       }
