@@ -207,7 +207,7 @@ object IvfKernel {
     var c = 0
     while (c < nC) {
       var dot = 0.0; var i = 0; val base = c * dim
-      while (i < n) { dot += vec.getFloat(i) * centroidsFlat(base + i); i += 1 }
+      while (i < n) { dot += vec.getFloat(i).toDouble * centroidsFlat(base + i); i += 1 }
       scores(c) = dot
       c += 1
     }

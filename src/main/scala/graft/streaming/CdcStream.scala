@@ -123,7 +123,15 @@ object CdcStream {
         cfg.registryPath.foreach { p =>
           if (cfg.registryRefreshEveryBatches > 0 &&
               batchId % cfg.registryRefreshEveryBatches == 0) {
-            registry = graft.cdc.Registry.load(p)
+            // a refresh failure (mid-write truncated JSON, transient read
+            // error) must not kill the stream: keep routing with the last
+            // good registry and retry next interval
+            try registry = graft.cdc.Registry.load(p)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[graft-cdc] registry refresh failed (keeping previous): $e")
+            }
           }
         }
         val df = batch.toDF()

@@ -79,7 +79,8 @@ object IngestBench {
     Ingest.ingestDir(spark, inDir, registry, whDir)
     val secs = (System.nanoTime() - t0) / 1e9
 
-    val written = spark.read.parquet(s"$whDir/orders_cdc").count()
+    val physical = registry("orders_cdc").physicalName
+    val written = spark.read.parquet(s"$whDir/$physical").count()
     require(written == n, s"row loss: wrote $written of $n")
     println(f"""{"metric":"cdc_ingest_throughput","value":${n / secs}%.0f,"unit":"records_per_sec","records":$n,"secs":$secs%.2f,"sf":"$sfDir"}""")
 
@@ -90,7 +91,7 @@ object IngestBench {
     graft.streaming.CdcStream.runOnce(spark, graft.streaming.CdcStreamConfig(
       inDir, s"$work/wh-stream", s"$work/ck", registry, maxFilesPerTrigger = 32))
     val streamSecs = (System.nanoTime() - t1) / 1e9
-    val streamed = spark.read.parquet(s"$work/wh-stream/orders_cdc").count()
+    val streamed = spark.read.parquet(s"$work/wh-stream/$physical").count()
     require(streamed == n, s"stream row loss: $streamed of $n")
     Thread.sleep(2000) // async listener drain
     val (nBatches, _, _, p95Ms) = metrics.summary

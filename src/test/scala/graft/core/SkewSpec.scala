@@ -29,4 +29,18 @@ class SkewSpec extends SparkTestBase {
       .select("event_type", "n").as[(String, Long)].collect().toMap
     assert(salted == exact)
   }
+  test("capGroupSize drops over-cap groups, keeps others, preserves column ORDER") {
+    val df = (Seq.tabulate(20)(i => (i.toLong, 7, 1)) ++ Seq((100L, 8, 2), (101L, 8, 2)))
+      .toDF("id", "band", "bucket")
+    val out = Skew.capGroupSize(df, Seq("band", "bucket"), cap = 5)
+    // column order must be the CALLER's: a using-join reorders keys first,
+    // which silently breaks positional toDF renames downstream (regression
+    // caught in round 2)
+    assert(out.columns.toSeq == Seq("id", "band", "bucket"))
+    val rows = out.as[(Long, Int, Int)].collect().toSet
+    assert(rows == Set((100L, 8, 2), (101L, 8, 2)), s"got $rows")
+    // cap <= 0 disables
+    assert(Skew.capGroupSize(df, Seq("band", "bucket"), 0).count() == 22)
+  }
+
 }
