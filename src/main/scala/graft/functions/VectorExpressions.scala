@@ -310,20 +310,29 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got ${t.simpleString}")
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> or array<long> (pre-hashed shingles), got ${t.simpleString}")
+  }
+
+  private def longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   @transient private lazy val coeffs: Array[Long] = MinHashKernel.coefficients(numHashes, seed)
 
   override def nullSafeEval(v: Any): Any =
-    ArrayData.toArrayData(MinHashKernel.signature(v.asInstanceOf[ArrayData], coeffs))
+    ArrayData.toArrayData(
+      if (longInput) MinHashKernel.signatureLongs(v.asInstanceOf[ArrayData], coeffs)
+      else MinHashKernel.signature(v.asInstanceOf[ArrayData], coeffs))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val coeffsRef = ctx.addReferenceObj("minhashCoeffs", coeffs, "long[]")
+    val method = if (longInput) "signatureLongs" else "signature"
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
-        s"graft.functions.MinHashKernel.signature($v, $coeffsRef));")
+        s"graft.functions.MinHashKernel.$method($v, $coeffsRef));")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -364,6 +373,190 @@ object MinHashKernel {
       i += 1
     }
     mins
+  }
+
+  /** Same signature over PRE-HASHED shingles (array<long> from xxhash64 of
+    * token-hash windows): skips per-shingle string construction entirely —
+    * the string path's dominant cost at corpus scale. */
+  def signatureLongs(shingles: ArrayData, coeffs: Array[Long]): Array[Long] = {
+    val k = coeffs.length / 2
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = java.lang.Long.remainderUnsigned(shingles.getLong(i), Prime)
+      var j = 0
+      while (j < k) {
+        val v = (coeffs(2 * j) * h + coeffs(2 * j + 1)) % Prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
+/** 64-bit hashed word n-gram shingles straight from the raw text.
+  *
+  * One pass over the UTF-8 bytes: tokenize on single 0x20 bytes (the
+  * same token boundaries as `split(text, " ")` / DuckDB `string_split`,
+  * empty tokens included — UTF-8 multibyte sequences can't contain
+  * 0x20), hash each token in place (no substring allocation), then emit
+  * one combined hash per n-token window. Docs with fewer than n tokens
+  * collapse to a single whole-doc shingle, mirroring
+  * `Dedup.shingles`' fallback. Output is SET-equivalent (whp) to
+  * hashing the string n-grams, at a fraction of the cost: the string
+  * path materializes ~|tokens| short strings per row and profiles as
+  * the dominant cost of the minhash pipeline.
+  */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 16)
+
+  override def prettyName: String = "hashed_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(ShingleKernel.hashedShingles(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.ShingleKernel.hashedShingles($v, $n));")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleKernel {
+
+  @inline private def mix(acc: Long, h: Long): Long = {
+    var z = (acc ^ h) * 0xff51afd7ed558ccdL
+    z ^= z >>> 33
+    z * 0xc4ceb9fe1a85ec53L
+  }
+
+  /** Hash of the byte range [start, end) of `base` via murmur+splitmix —
+    * identical family to [[SimHashKernel.tokenHash]] without allocating
+    * the token substring. */
+  @inline private def rangeHash(base: AnyRef, offset: Long, len: Int): Long = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(base, offset, len, 42)
+    var z = h.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hashedShingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    // pass 1: count tokens (spaces + 1)
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    val tokH = new Array[Long](nTok)
+    // pass 2: hash each token byte range in place
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        tokH(t) = rangeHash(base, off + start, i - start)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    if (nTok < n) {
+      // whole-doc fallback: one order-sensitive combined shingle
+      var acc = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < nTok) { acc = mix(acc, tokH(j)); j += 1 }
+      return Array(acc)
+    }
+    val out = new Array[Long](nTok - n + 1)
+    var w = 0
+    while (w < out.length) {
+      var acc = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { acc = mix(acc, tokH(w + j)); j += 1 }
+      out(w) = acc
+      w += 1
+    }
+    out
+  }
+}
+
+/** Fast ISO-8601 rendering of a (UTC) timestamp: micros-since-epoch →
+  * `yyyy-MM-dd'T'HH:mm:ss.SSSSSS`, written digit-by-digit with the civil-
+  * from-days calendar algorithm — no `DateTimeFormatter`, no per-row
+  * java.time allocation. Byte-identical to
+  * `date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")` under a UTC session
+  * (and to DuckDB `strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')`), which makes it
+  * the cheap canonical rendering for oracle-compared outputs
+  * (`graft.core.Canon`). */
+case class IsoMicros(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "iso_micros"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case TimestampType | TimestampNTZType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects a timestamp, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = IsoKernel.format(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.functions.IsoKernel.format($v);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object IsoKernel {
+  private val MicrosPerDay = 86400000000L
+
+  @inline private def put2(b: Array[Byte], at: Int, v: Int): Unit = {
+    b(at) = ('0' + v / 10).toByte; b(at + 1) = ('0' + v % 10).toByte
+  }
+
+  /** micros since epoch (UTC) → `yyyy-MM-ddTHH:mm:ss.SSSSSS` (26 bytes). */
+  def format(us: Long): org.apache.spark.unsafe.types.UTF8String = {
+    val days = Math.floorDiv(us, MicrosPerDay)
+    val rem = Math.floorMod(us, MicrosPerDay)
+    val secOfDay = (rem / 1000000L).toInt
+    val micro = (rem % 1000000L).toInt
+    // civil-from-days (Hinnant): proleptic Gregorian, exact for ±int range
+    val z = days + 719468L
+    val era = Math.floorDiv(z, 146097L)
+    val doe = (z - era * 146097L).toInt
+    val yoe = (doe - doe / 1460 + doe / 36524 - doe / 146096) / 365
+    val doy = doe - (365 * yoe + yoe / 4 - yoe / 100)
+    val mp = (5 * doy + 2) / 153
+    val d = doy - (153 * mp + 2) / 5 + 1
+    val m = if (mp < 10) mp + 3 else mp - 9
+    val y = (yoe + era * 400 + (if (m <= 2) 1 else 0)).toInt
+
+    val b = new Array[Byte](26)
+    put2(b, 0, y / 100); put2(b, 2, y % 100)
+    b(4) = '-'; put2(b, 5, m)
+    b(7) = '-'; put2(b, 8, d)
+    b(10) = 'T'
+    put2(b, 11, secOfDay / 3600)
+    b(13) = ':'; put2(b, 14, (secOfDay / 60) % 60)
+    b(16) = ':'; put2(b, 17, secOfDay % 60)
+    b(19) = '.'
+    put2(b, 20, micro / 10000); put2(b, 22, (micro / 100) % 100); put2(b, 24, micro % 100)
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
   }
 }
 
@@ -474,6 +667,8 @@ object VectorFunctions {
   def token_fingerprint64(tokens: Column): Column = c(TokenFingerprint64(e(tokens)))
   def minhash_signature(shingles: Column, numHashes: Int, seed: Long): Column =
     c(MinHashSignature(e(shingles), numHashes, seed))
+  def hashed_shingles(text: Column, n: Int): Column = c(HashedShingles(e(text), n))
+  def iso_micros(ts: Column): Column = c(IsoMicros(e(ts)))
   def nearest_centroids(v: Column, centroidsFlat: Array[Float], dim: Int, take: Int): Column =
     c(NearestCentroids(e(v), centroidsFlat, dim, take))
   def media_features(content: Column, dim: Int): Column = c(MediaFeatures(e(content), dim))

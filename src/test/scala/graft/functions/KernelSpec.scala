@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class KernelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("iso_micros is byte-identical to date_format across random micros") {
+    val rnd = new scala.util.Random(7)
+    // span ±200 years around the epoch plus exact boundary cases
+    val micros = Seq(0L, -1L, 1L, 86399999999L, -86400000000L) ++
+      Seq.fill(2000)((rnd.nextDouble() * 2 - 1) * 200L * 365 * 86400000000L)
+        .map(_.toLong)
+    val df = micros.toDF("us").select(timestamp_micros($"us").as("ts"))
+    val bad = df.select(
+        VectorFunctions.iso_micros($"ts").as("fast"),
+        date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(bad.count() == 0, bad.take(3).mkString(","))
+  }
+
+  test("hashed shingles: set sizes and pair intersections match the string path") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    // cardinality equivalence per doc (no 64-bit collisions on this corpus)
+    val sizes = docs.select(
+        size(array_distinct(graft.ext.Dedup.shingles($"text", 3))).as("s_str"),
+        size(array_distinct(graft.ext.Dedup.hashedShingles($"text", 3))).as("s_hash"))
+      .filter($"s_str" =!= $"s_hash")
+    assert(sizes.count() == 0)
+    // pairwise intersection sizes identical => identical jaccard downstream
+    val sh = docs.select($"doc_id",
+      array_distinct(graft.ext.Dedup.shingles($"text", 3)).as("str"),
+      array_distinct(graft.ext.Dedup.hashedShingles($"text", 3)).as("hsh"))
+    val pairs = sh.as("a").join(sh.as("b"), expr("a.doc_id + 1 = b.doc_id"))
+      .select(
+        size(array_intersect($"a.str", $"b.str")).as("i_str"),
+        size(array_intersect($"a.hsh", $"b.hsh")).as("i_hsh"))
+      .filter($"i_str" =!= $"i_hsh")
+    assert(pairs.count() == 0)
+  }
+
+  test("hashed shingles short-doc fallback yields one shingle") {
+    val one = Seq("a b").toDF("text")
+      .select(graft.ext.Dedup.hashedShingles($"text", 3).as("sh"))
+      .head().getSeq[Long](0)
+    assert(one.length == 1)
+    // and equal texts give equal shingle hashes
+    val two = Seq(("x y z w", "x y z w")).toDF("t1", "t2")
+      .select(graft.ext.Dedup.hashedShingles($"t1", 3).as("a"),
+              graft.ext.Dedup.hashedShingles($"t2", 3).as("b"))
+      .head()
+    assert(two.getSeq[Long](0) == two.getSeq[Long](1))
+  }
+}
