@@ -99,6 +99,50 @@ object Versioned {
     * when a `WHERE action <> 'delete'` predicate is pushed into the ASOF
     * join's version side.
     */
+  /** As-of join for a SMALL version table (dimension-style CDC): per-key
+    * version chains collapse into one time-sorted array, the chain table
+    * broadcasts, and every fact row resolves its version map-side —
+    * **zero shuffle of the fact table**, the shape that matters when
+    * facts are 100 TB and the slowly-changing dimension is megabytes.
+    * [[asOfJoin]] (union + pk-window) is the peer-scale variant for when
+    * BOTH sides are large.
+    *
+    * Ties on the version timestamp resolve by struct order (action, then
+    * dim values) — the corpus changelog has unique (pk, ts), so the two
+    * variants agree everywhere they're compared (VersionedSpec pins it).
+    */
+  def asOfJoinBroadcast(facts: DataFrame, changelog: DataFrame,
+                        pk: Seq[String], factTimeCol: String,
+                        versionCol: String = "update_date",
+                        actionCol: String = "action",
+                        tombstones: Boolean = true): DataFrame = {
+    val versions =
+      if (tombstones) changelog
+      else changelog.filter(col(actionCol) =!= DeleteAction)
+    val dimCols = changelog.columns.filterNot(c =>
+      pk.contains(c) || c == versionCol || c == actionCol).toSeq
+    val factCols = facts.columns.filterNot(c => pk.contains(c) || c == factTimeCol).toSeq
+
+    val verStruct = struct(
+      (col(versionCol).as("__t") +: col(actionCol).as("__action") +:
+        dimCols.map(col)): _*)
+    val chains = versions.groupBy(pk.map(col): _*)
+      .agg(sort_array(collect_list(verStruct)).as("__chain"))
+
+    val probed = facts
+      .join(broadcast(chains), pk, "inner")
+      .withColumn("__hits",
+        filter(col("__chain"), v => v.getField("__t") <= col(factTimeCol)))
+      // guarded element_at: ANSI mode throws on out-of-bounds, and a fact
+      // older than every version has an empty hit list
+      .withColumn("__cv",
+        when(size(col("__hits")) > 0, element_at(col("__hits"), size(col("__hits")))))
+      .filter(col("__cv").isNotNull && col("__cv.__action") =!= DeleteAction)
+
+    probed.select((pk.map(col) :+ col(factTimeCol)) ++
+      factCols.map(col) ++ dimCols.map(c => col(s"__cv.$c").as(c)): _*)
+  }
+
   def asOfJoin(facts: DataFrame, changelog: DataFrame,
                pk: Seq[String], factTimeCol: String,
                versionCol: String = "update_date",

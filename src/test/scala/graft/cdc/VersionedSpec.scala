@@ -168,4 +168,18 @@ class VersionedSpec extends SparkTestBase {
       (at1 -- touchedAfterT1).subsetOf(at2)
     })
   }
+  test("asOfJoinBroadcast == asOfJoin on the corpus changelog (both tombstone modes)") {
+    val d = "/root/testdata/sf0.001"
+    val facts = graft.core.Tables.lineitem(spark, d)
+      .select($"l_orderkey".as("pk"), $"l_shipdate", $"l_linenumber", $"l_quantity")
+    val log = Changelog.fromOrders(spark, d)
+    for (tomb <- Seq(true, false)) {
+      val a = Versioned.asOfJoin(facts, log, Seq("pk"), "l_shipdate", tombstones = tomb)
+      val b = Versioned.asOfJoinBroadcast(facts, log, Seq("pk"), "l_shipdate", tombstones = tomb)
+      assert(a.columns.toSeq == b.columns.toSeq)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"tombstones=$tomb: broadcast variant disagrees with window variant")
+    }
+  }
+
 }

@@ -62,4 +62,12 @@ class PlanShapeSpec extends SparkTestBase {
     // WholeStageCodegenExec renders as "*(n) Project ..." in the tree string
     assert(p.contains("*("), "cosine_similarity must stay inside a codegen span")
   }
+  test("q48: broadcast as-of join never shuffles the fact side") {
+    val p = plan("q48_asof_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "version chains must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "fact side must not shuffle for the join")
+    assert(!p.contains("Window"), "no window pass in the broadcast variant")
+  }
+
 }
