@@ -26,5 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SimHash64(es.head)))
     ext.injectFunction((FunctionIdentifier("token_fingerprint64"), info("token_fingerprint64"),
       (es: Seq[Expression]) => TokenFingerprint64(es.head)))
+    ext.injectFunction((FunctionIdentifier("iso_micros"), info("iso_micros"),
+      (es: Seq[Expression]) => IsoMicros(es.head)))
+    // hashed_shingles(text, n) / minhash_signature(shingles, k, seed):
+    // int args arrive as foldable literals
+    ext.injectFunction((FunctionIdentifier("hashed_shingles"), info("hashed_shingles"),
+      (es: Seq[Expression]) => HashedShingles(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"), info("minhash_signature"),
+      (es: Seq[Expression]) => MinHashSignature(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].longValue())))
   }
 }

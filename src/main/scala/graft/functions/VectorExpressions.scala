@@ -684,5 +684,10 @@ object VectorFunctions {
       exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("token_fingerprint64",
       exprs => TokenFingerprint64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("iso_micros",
+      exprs => IsoMicros(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hashed_shingles",
+      exprs => HashedShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

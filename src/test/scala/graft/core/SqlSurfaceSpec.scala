@@ -32,4 +32,14 @@ class SqlSurfaceSpec extends SparkTestBase {
       "SELECT simhash64(split(text, ' ')) AS h FROM documents LIMIT 3")
     assert(sh.collect().length == 3)
   }
+  test("round-2 kernels callable from SQL") {
+    GraftSession.enableSqlSurface(spark, dir)
+    val iso = spark.sql(
+      """SELECT iso_micros(TIMESTAMP '2026-01-02 03:04:05.123456') AS s""").head().getString(0)
+    assert(iso == "2026-01-02T03:04:05.123456")
+    val sh = spark.sql(
+      "SELECT size(hashed_shingles(text, 3)) AS n FROM documents LIMIT 3").collect()
+    assert(sh.forall(_.getInt(0) > 0))
+  }
+
 }
