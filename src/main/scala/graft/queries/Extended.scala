@@ -293,11 +293,18 @@ object Extended {
         val docs = Tables.documents(s, d)
         val replayed = docs.filter(col("doc_id") % 100 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L)
+        // persist the featurized corpus for the call: nearDupPairs scans
+        // it twice (bucket pass + vector join-back) and the media_features
+        // kernel is the expensive part of this frame
         val media = Multimodal.synthesizeFromDocuments(docs.unionByName(replayed)).toDF()
           .select(col("media_id").as("vec_id"),
             graft.functions.VectorFunctions.media_features(col("content"), 64).as("embedding"))
-        Similarity.nearDupPairs(media, threshold = 0.999, numTables = 8, bitsPerTable = 12)
+          .persist()
+        val pairs = Similarity.nearDupPairs(media, threshold = 0.999,
+            numTables = 8, bitsPerTable = 12) // eager: safe to unpersist after
           .orderBy("id1", "id2")
+        media.unpersist(false)
+        pairs
       },
       None), // exact-dup payloads => sim 1.0; determinism pinned in MultimodalSpec
 
