@@ -262,6 +262,48 @@ object Relational {
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
     // ------------------------------------------------------------------
+    ("q49_cube",
+      (s: SparkSession, d: String) => {
+        // full CUBE lattice (rollup's sibling — all 2^n grouping sets)
+        Tables.lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+               sum(dec2(col("l_quantity"))).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q50_range_window",
+      (s: SparkSession, d: String) => {
+        // event-TIME range frame: per customer, revenue in the trailing 30
+        // days of each order — a RANGE BETWEEN INTERVAL frame, not a row
+        // count (the frame ops q10's ROWS frame can't express)
+        // NTZ → (session-UTC) timestamp → epoch seconds: ANSI forbids a
+        // direct NTZ→long cast
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-30L * 86400, 0)
+        Tables.orders(s, d)
+          .withColumn("trailing_30d",
+            sum(dec2(col("o_totalprice"))).over(w))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "trailing_30d")
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate
+             |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS VARCHAR)
+             |    AS trailing_30d
+             |FROM orders
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     ("q13_scalar_funcs",
       (s: SparkSession, d: String) => {
         Tables.orders(s, d)
