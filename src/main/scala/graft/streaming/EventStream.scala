@@ -164,4 +164,30 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class UserTotals(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
+
+  /** Running per-user totals via `mapGroupsWithState` — the 1-output-per-
+    * key-per-batch state shape (vs flatMap's 0..n): each micro-batch
+    * emits every touched user's updated lifetime counters. Update mode
+    * downstream sees the latest totals; state is one small struct per
+    * user. */
+  def runningTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+    def fn(uid: Long, it: Iterator[UserEvent],
+           state: GroupState[UserTotals]): UserTotals = {
+      var n = state.getOption.map(_.n_events).getOrElse(0L)
+      var last = state.getOption.map(_.last_ts.getTime).getOrElse(Long.MinValue)
+      it.foreach { e => n += 1; last = math.max(last, e.ts.getTime) }
+      val updated = UserTotals(uid, n, new java.sql.Timestamp(last))
+      state.update(updated)
+      updated
+    }
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 }

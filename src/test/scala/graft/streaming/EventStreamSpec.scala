@@ -175,4 +175,37 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.count() == 200, s"expected 200 unique events, got ${got.count()}")
     assert(got.select("event_id").distinct().count() == 200)
   }
+  test("mapGroupsWithState running totals converge to batch counts across batches") {
+    val tmp = tmpDir("running-totals")
+    val ev = Tables.events(spark, dir).select($"user_id", $"ts").cache()
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS p").head().getDouble(0).toLong
+    ev.filter(unix_micros($"ts") <= mid).write.parquet(s"$tmp/f=1")
+    ev.filter(unix_micros($"ts") > mid).write.parquet(s"$tmp/f=2")
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .as[EventStream.UserEvent]
+    val q = EventStream.runningTotals(stream).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("running_totals")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // LAST emission per user (update stream) == batch lifetime counts
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val finalTotals = spark.table("running_totals")
+      .withColumn("__max_n", max($"n_events").over(w))
+      .filter($"n_events" === $"__max_n")
+      .select($"user_id", $"n_events").distinct()
+      .as[(Long, Long)].collect().toMap
+    val batch = ev.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(finalTotals == batch)
+    ev.unpersist()
+  }
+
 }
