@@ -97,4 +97,24 @@ object TextAnalysis {
 
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", fingerprint(col(textCol)))
+
+  // ---------------------------------------------------------------- curation
+
+  /** End-to-end corpus curation — the pipeline a training-data job
+    * actually runs, composed from the verified pieces: quality scoring
+    * (keep ≥ minQuality), language filtering (keep predicted ∈ langs),
+    * then near-duplicate removal over the SURVIVORS (LSH + exact-Jaccard
+    * + connected components, keep each cluster's min-id doc).
+    * Filter-then-dedup order matters: clusters form among documents that
+    * passed the gates, so a high-quality doc is never dropped as the
+    * near-dup of an already-rejected low-quality one. */
+  def curateCorpus(docs: DataFrame, minQuality: Double, langs: Seq[String],
+                   dedupThreshold: Double = 0.5, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val scored = withLangId(withQuality(docs, textCol), textCol)
+    val kept = scored
+      .filter(col("quality_score") >= minQuality &&
+              col("lang_pred").isin(langs: _*))
+    graft.ext.Dedup.dedupCorpus(kept, idCol, textCol, threshold = dedupThreshold)
+  }
 }

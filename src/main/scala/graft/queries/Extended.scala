@@ -324,6 +324,69 @@ object Extended {
              |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpeish_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    ("q51_curate_corpus",
+      (s: SparkSession, d: String) => {
+        // flagship LLM-data pipeline: quality gate -> language gate ->
+        // near-dedup over survivors; composed entirely from oracled pieces
+        TextAnalysis.curateCorpus(Tables.documents(s, d),
+            minQuality = 0.6, langs = Seq("en"), dedupThreshold = 0.5)
+          .select(col("doc_id"), col("lang_pred"), col("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE qual AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+             |  FROM documents),
+             |score AS (
+             |  SELECT doc_id, text,
+             |    0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+             |      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             |      + 0.1 * (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) AS quality_score
+             |  FROM qual),
+             |hits AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+             |h AS (SELECT doc_id,
+             |  CAST(len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit'])) AS BIGINT) AS h_de,
+             |  CAST(len(list_intersect(toks, ['the','and','of','to','is','in','that','with'])) AS BIGINT) AS h_en,
+             |  CAST(len(list_intersect(toks, ['el','los','las','es','una','para','como','pero'])) AS BIGINT) AS h_es,
+             |  CAST(len(list_intersect(toks, ['le','la','les','et','est','une','dans','pour'])) AS BIGINT) AS h_fr,
+             |  CAST(len(list_intersect(toks, ['的','是','了','在','我','有','他','这'])) AS BIGINT) AS h_zh
+             | FROM hits),
+             |lang AS (
+             |  SELECT doc_id,
+             |    CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+             |         WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+             |         WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+             |         WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+             |         WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+             |         ELSE 'zh' END AS lang_pred FROM h),
+             |kept AS (
+             |  SELECT s.doc_id, s.text, l.lang_pred, s.quality_score
+             |  FROM score s JOIN lang l USING (doc_id)
+             |  WHERE s.quality_score >= 0.6 AND l.lang_pred IN ('en')),
+             |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |pairs AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+             |SELECT doc_id, lang_pred, quality_score FROM kept
+             |WHERE doc_id NOT IN (SELECT id FROM lbl WHERE cluster_id < id)
+             |ORDER BY doc_id""".stripMargin)),
+
     ("q38_approx_distinct",
       (s: SparkSession, d: String) => {
         // HLL++ sketch: not oracle-hashable (approximate by design);
