@@ -21,6 +21,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // JIT refuses methods > 8KB bytecode (DontCompileHugeMethods), so a
+      // giant generated stage runs as INTERPRETED BYTECODE — measurably
+      // slower than Spark's interpreted expressions. Fall back to
+      // expression interpretation beyond that size instead.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

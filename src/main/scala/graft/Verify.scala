@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // JIT refuses methods > 8KB bytecode (DontCompileHugeMethods), so a
+      // giant generated stage runs as INTERPRETED BYTECODE — measurably
+      // slower than Spark's interpreted expressions. Fall back to
+      // expression interpretation beyond that size instead.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // µs, not INT96: pyarrow reads INT96 as ns, breaking typed compares
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")

@@ -26,9 +26,6 @@ import org.apache.spark.sql.types._
   */
 object Canon {
 
-  /** Spark side: `date_format` pattern for ISO-8601 with microseconds. */
-  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-
   private def needsRender(dt: DataType): Boolean = dt match {
     case TimestampType | TimestampNTZType | DateType | _: DecimalType => true
     case _ => false

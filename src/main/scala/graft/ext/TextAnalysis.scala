@@ -53,8 +53,40 @@ object TextAnalysis {
           lit(0.1) * (lit(1.0) - least(punctRatio * 4.0, lit(1.0)))))
   }
 
-  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
-    qualityColumns(col(textCol)).foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
+  /** [[qualityColumns]] over a staged token column: the split/lower
+    * subtrees materialize ONCE per row instead of once per derived
+    * column (CollapseProject keeps non-cheap multi-referenced aliases in
+    * their own projection, so the staging survives optimization — the
+    * naive per-column fold re-tokenized the text ~10× per row and
+    * dominated the corpus-curation pipeline's cost). Values are
+    * bit-identical to the expression-level forms. */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val enStops = array(stopwords("en").map(lit): _*)
+    val staged = docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__nstop",
+        size(filter(split(lower(col(textCol)), " "), t => array_contains(enStops, t))))
+    val toks = col("__toks")
+    val nToks = size(toks).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val punct = length(col(textCol)) -
+      length(regexp_replace(col(textCol), lit("""[.!?,;:]"""), lit("")))
+    val out = staged
+      .withColumn("n_tokens", nToks)
+      .withColumn("n_chars", nChars)
+      .withColumn("n_distinct_tokens", nDistinct)
+      .withColumn("avg_token_len", (nChars - (nToks - 1)).cast("double") / nToks)
+      .withColumn("distinct_ratio", nDistinct.cast("double") / nToks)
+      .withColumn("punct_ratio", punct.cast("double") / nChars)
+      .withColumn("stopword_ratio", col("__nstop").cast("double") / nToks)
+    out
+      .withColumn("quality_score",
+        lit(0.5) * least(col("n_tokens").cast("double") / 64.0, lit(1.0)) +
+          lit(0.4) * col("distinct_ratio") +
+          lit(0.1) * (lit(1.0) - least(col("punct_ratio") * 4.0, lit(1.0))))
+      .drop("__toks", "__nstop")
+  }
 
   // ---------------------------------------------------------------- lang id
 
@@ -83,8 +115,25 @@ object TextAnalysis {
     scores :+ ("lang_pred" -> when(best._2 > 0, best._1).otherwise(lit("und")))
   }
 
-  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame =
-    langIdColumns(col(textCol)).foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
+  /** [[langIdColumns]] with the token array and hit counts staged as real
+    * columns: one lower+split per row, each hits_<l> intersect computed
+    * once, and lang_pred reduced to a cheap CASE over the hit columns
+    * (the expression-level fold embedded every intersect ~twice). */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val staged = docs.withColumn("__lid_toks", split(lower(col(textCol)), "\\s+"))
+    val withHits = langs.foldLeft(staged) { (df, l) =>
+      df.withColumn(s"hits_$l",
+        size(array_intersect(col("__lid_toks"), array(stopwords(l).map(lit): _*))).cast("long"))
+    }
+    val best = langs.foldLeft((lit("und"), lit(0L))) { case ((bl, bs), l) =>
+      val s = col(s"hits_$l")
+      (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    withHits
+      .withColumn("lang_pred", when(best._2 > 0, best._1).otherwise(lit("und")))
+      .drop("__lid_toks")
+  }
 
   // ---------------------------------------------------------------- fingerprint
 
@@ -112,9 +161,16 @@ object TextAnalysis {
                    dedupThreshold: Double = 0.5, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val scored = withLangId(withQuality(docs, textCol), textCol)
+    // materialize the gated corpus ONCE: the dedup stage scans it several
+    // times (signatures, verification, final anti-join), and re-deriving
+    // the scoring projection per scan re-pays both the evaluation and the
+    // (large) codegen of the pushed-down score/lang predicates. A real
+    // pipeline persists this curated intermediate to storage at scale —
+    // localCheckpoint is the in-session equivalent.
     val kept = scored
       .filter(col("quality_score") >= minQuality &&
               col("lang_pred").isin(langs: _*))
+      .localCheckpoint(true)
     graft.ext.Dedup.dedupCorpus(kept, idCol, textCol, threshold = dedupThreshold)
   }
 }

@@ -34,15 +34,9 @@ object Extended {
 
     ("q22_text_quality",
       (s: SparkSession, d: String) => {
-        val cols = TextAnalysis.qualityColumns(col("text")).toMap
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            cols("n_tokens").as("n_tokens"),
-            cols("avg_token_len").as("avg_token_len"),
-            cols("distinct_ratio").as("distinct_ratio"),
-            cols("punct_ratio").as("punct_ratio"),
-            cols("stopword_ratio").as("stopword_ratio"),
-            cols("quality_score").as("quality_score"))
+        TextAnalysis.withQuality(Tables.documents(s, d))
+          .select("doc_id", "n_tokens", "avg_token_len", "distinct_ratio",
+            "punct_ratio", "stopword_ratio", "quality_score")
           .orderBy("doc_id")
       },
       Some("""WITH q AS (
