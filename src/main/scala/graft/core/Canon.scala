@@ -21,8 +21,9 @@ import org.apache.spark.sql.types._
   *   - decimal(p,s)              → fixed-scale decimal string (exact —
   *     unlike a double cast, which would round `o_totalprice`'s
   *     full-precision values).
-  * [[wrapOracle]] generates the matching DuckDB projection *from the
-  * Spark schema*, so the two renderings cannot drift.
+  * Each oracle SQL carries the matching strftime/CAST rendering; the
+  * strict parity harness (`dev/check_parity.py`, arrow-type equality)
+  * catches any drift between the two.
   */
 object Canon {
 
@@ -50,23 +51,4 @@ object Canon {
       df.select(df.schema.fields.map(render).toIndexedSeq: _*)
     } else df
 
-  /** DuckDB side: wrap an oracle query in the projection matching
-    * [[canonical]], derived from the PRE-canonical Spark schema (parity
-    * holds only when both engines agree on the logical column type,
-    * which the type-checked parity harness asserts).
-    */
-  def wrapOracle(sql: String, schema: StructType): String = {
-    if (!schema.fields.exists(f => needsRender(f.dataType))) return sql
-    val cols = schema.fields.map { f =>
-      val q = "\"" + f.name + "\""
-      f.dataType match {
-        case TimestampType | TimestampNTZType =>
-          s"strftime($q, '%Y-%m-%dT%H:%M:%S.%f') AS $q"
-        case DateType       => s"strftime($q, '%Y-%m-%d') AS $q"
-        case _: DecimalType => s"CAST($q AS VARCHAR) AS $q"
-        case _              => q
-      }
-    }.mkString(", ")
-    s"SELECT $cols FROM (\n$sql\n) __canon"
-  }
 }
