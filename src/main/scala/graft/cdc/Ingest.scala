@@ -72,10 +72,18 @@ object Ingest {
 
   /** Read back a versioned table written by `appendBatch` by its PHYSICAL
     * (directory) name. Partition columns (`batch`, `_dt`) are dropped
-    * unless the caller wants them for pruning (see Versioned.asOfPruned). */
+    * unless the caller wants them for pruning (see Versioned.asOfPruned).
+    *
+    * `mergeSchema` defaults ON: batch dirs written BEFORE a registry
+    * schema change carry the narrower schema; the union schema (old rows
+    * NULL in new columns) is the CDC warehouse contract. Cost is one
+    * footer read per file at planning — acceptable for versioned tables;
+    * pass false for hot paths on schema-stable tables. */
   def readTable(spark: SparkSession, warehouseDir: String, physicalName: String,
-                keepPartitionCols: Boolean = false): DataFrame = {
-    val df = spark.read.parquet(s"$warehouseDir/$physicalName")
+                keepPartitionCols: Boolean = false,
+                mergeSchema: Boolean = true): DataFrame = {
+    val df = spark.read.option("mergeSchema", mergeSchema)
+      .parquet(s"$warehouseDir/$physicalName")
     if (keepPartitionCols) df else df.drop("batch").drop(Envelope.DtCol)
   }
 

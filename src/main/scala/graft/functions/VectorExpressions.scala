@@ -529,7 +529,9 @@ object IsoKernel {
     b(at) = ('0' + v / 10).toByte; b(at + 1) = ('0' + v % 10).toByte
   }
 
-  /** micros since epoch (UTC) → `yyyy-MM-ddTHH:mm:ss.SSSSSS` (26 bytes). */
+  /** micros since epoch (UTC) → `yyyy-MM-ddTHH:mm:ss.SSSSSS` (26 bytes).
+    * Intended domain: years 0001–9999 (4 rendered digits — the corpus
+    * and any sane event time); outside it, use `date_format`. */
   def format(us: Long): org.apache.spark.unsafe.types.UTF8String = {
     val days = Math.floorDiv(us, MicrosPerDay)
     val rem = Math.floorMod(us, MicrosPerDay)

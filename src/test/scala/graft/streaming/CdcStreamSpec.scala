@@ -200,4 +200,40 @@ class CdcStreamSpec extends SparkTestBase {
     assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 5)
   }
 
+  test("registry schema evolution: added column appears; old rows read as NULL") {
+    val (in, wh, ck) = freshDirs()
+    val regPath = tmpDir("cdc-sevo") + "/data-stream.json"
+    val v1 = """{"items": {"table_name": "items_cdc", "schema": {"fields": [
+      {"name": "item_id", "type": "INT64"},
+      {"name": "price", "type": "FLOAT"},
+      {"name": "action", "type": "STRING"},
+      {"name": "update_date", "type": "TIMESTAMP"}]}}}"""
+    val v2 = """{"items": {"table_name": "items_cdc", "schema": {"fields": [
+      {"name": "item_id", "type": "INT64"},
+      {"name": "price", "type": "FLOAT"},
+      {"name": "currency", "type": "STRING"},
+      {"name": "action", "type": "STRING"},
+      {"name": "update_date", "type": "TIMESTAMP"}]}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(regPath), v1)
+    val cfg = CdcStreamConfig(in, wh, ck, registry = Map.empty, registryPath = Some(regPath))
+
+    Fixtures.writeLines(in, "log-000.jsonl", Seq(Fixtures.envelope(
+      "items", "2026-01-01T10:00:00.000Z", "insert",
+      """{"item_id":1,"price":9.99}""")), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+
+    // registry gains `currency`; running stream picks it up (refresh hook)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(regPath), v2)
+    Fixtures.writeLines(in, "log-001.jsonl", Seq(Fixtures.envelope(
+      "items", "2026-01-02T10:00:00.000Z", "insert",
+      """{"item_id":2,"price":5.00,"currency":"EUR"}""")), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+
+    val t = Ingest.readTable(spark, wh, "items_cdc")
+    assert(t.columns.contains("currency"), s"union schema expected, got ${t.columns.toSeq}")
+    val rows = t.select("item_id", "currency").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some("EUR")))
+  }
+
 }
