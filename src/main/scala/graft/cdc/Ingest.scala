@@ -87,6 +87,16 @@ object Ingest {
     if (keepPartitionCols) df else df.drop("batch").drop(Envelope.DtCol)
   }
 
+  /** Table contents as written up to (and including) micro-batch
+    * `maxBatchId` — batch-level time travel for replay debugging and
+    * incremental consumers. `batch` is a partition column, so the cutoff
+    * prunes whole directories at planning time. */
+  def readTableAsOfBatch(spark: SparkSession, warehouseDir: String, physicalName: String,
+                         maxBatchId: Long): DataFrame =
+    readTable(spark, warehouseDir, physicalName, keepPartitionCols = true)
+      .filter(col("batch") <= maxBatchId)
+      .drop("batch").drop(Envelope.DtCol)
+
   /** Spec-aware read: resolves the registry's logical→physical mapping. */
   def readTable(spark: SparkSession, warehouseDir: String, spec: TableSpec,
                 keepPartitionCols: Boolean): DataFrame =

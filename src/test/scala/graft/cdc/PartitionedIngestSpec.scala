@@ -75,4 +75,26 @@ class PartitionedIngestSpec extends SparkTestBase {
     assert(new java.io.File(s"$wh/${Fixtures.registry("products").physicalName}").listFiles().count(_.getName.startsWith("batch=")) == 1)
     assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).collect().toSet == before)
   }
+  test("readTableAsOfBatch prunes batch partitions and replays history") {
+    val in = tmpDir("aob-in"); val wh = tmpDir("aob-wh"); val ck = tmpDir("aob-ck")
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(4), gzip = false)
+    graft.streaming.CdcStream.runOnce(spark,
+      graft.streaming.CdcStreamConfig(in, wh, ck, Fixtures.registry))
+    Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(4), gzip = false)
+    graft.streaming.CdcStream.runOnce(spark,
+      graft.streaming.CdcStreamConfig(in, wh, ck, Fixtures.registry))
+
+    val phys = Fixtures.registry("products").physicalName
+    val afterB0 = Ingest.readTableAsOfBatch(spark, wh, phys, 0L)
+    val full = Ingest.readTable(spark, wh, Fixtures.registry("products"))
+    assert(afterB0.count() == 4 && full.count() == 4) // products all in batch 0
+    val users = Fixtures.registry("users").physicalName
+    assert(Ingest.readTableAsOfBatch(spark, wh, users, 0L).count() == 0 ||
+      Ingest.readTableAsOfBatch(spark, wh, users, 1L).count() == 2)
+    // the cutoff must reach the scan as a partition filter
+    val plan = afterB0.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("batch"),
+      "expected batch partition pruning")
+  }
+
 }
