@@ -95,4 +95,34 @@ class SnapshotMaintainerSpec extends SparkTestBase {
     // the delete may not resurrect key 2
     assert(!second.exists(_.getLong(0) == 2L))
   }
+  test("incremental fold at 200k keys: second batch touches few buckets and stays fast") {
+    import org.apache.spark.sql.functions._
+    val wh = "file:" + tmpDir("snapbig-wh")
+    val seed = spark.range(200000).select(
+      $"id", lit("insert").as("action"),
+      lit("2026-01-01T10:00:00").as("update_date"),
+      concat(lit("v"), $"id").as("payload"))
+    SnapshotMaintainer.update(spark, wh, "big", seed, pk, buckets = 256)
+
+    // small batch: 100 keys -> at most 100 of 256 buckets re-folded
+    val before = fileState(SnapshotMaintainer.snapshotDir(wh, "big"))
+    val batch = spark.range(100).select(
+      ($"id" * 2000).as("id"), lit("update").as("action"),
+      lit("2026-01-01T11:00:00").as("update_date"),
+      concat(lit("u"), $"id").as("payload"))
+    val t0 = System.nanoTime()
+    SnapshotMaintainer.update(spark, wh, "big", batch, pk, buckets = 256)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val after = fileState(SnapshotMaintainer.snapshotDir(wh, "big"))
+
+    val changed = ((before.toSet diff after.toSet) ++ (after.toSet diff before.toSet))
+      .map(_._1).flatMap(p => "__bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+    assert(changed.size <= 100, s"batch of 100 keys rewrote ${changed.size} buckets")
+    assert(changed.size < 256 / 2, "most buckets must remain untouched")
+    info(f"incremental fold of 100 keys into 200k-key snapshot: $secs%.2f s, ${changed.size} buckets")
+
+    val n = SnapshotMaintainer.read(spark, wh, "big").count()
+    assert(n == 200000)
+  }
+
 }

@@ -70,4 +70,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), "no window pass in the broadcast variant")
   }
 
+  test("q49: cube goes through Expand with map-side partial aggregation") {
+    val p = plan("q49_cube")
+    assert(p.contains("Expand"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("q51: curation never degrades to a cartesian or nested-loop join") {
+    val p = plan("q51_curate_corpus")
+    assert(!p.contains("CartesianProduct"), "all-pairs joins belong to the oracle only")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate generation must stay equi-join LSH")
+  }
+
 }
