@@ -250,6 +250,27 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with a CHOSEN representative: instead of each
+    * cluster's minimum id, keep its best row by `scoreCol` (ties → lower
+    * id). The curation knob a training-data pipeline wants: when near-dups
+    * collide, survive the highest-quality copy. Same plan shape — the
+    * cluster table is tiny relative to the corpus, so the ranking is a
+    * window over clusters only, never over the full corpus. */
+  def dedupCorpusKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                          scoreCol: String,
+                          shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                          threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, idCol, textCol, shingleSize, bands, rowsPerBand,
+      threshold, seed)
+    val clusters = clusterPairs(pairs) // (id, cluster_id) — clustered docs only
+    val ranked = clusters
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("__score").desc, col("id"))))
+    val losers = ranked.filter(col("__rn") =!= 1).select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram overlap scores for an explicit pair set: Jaccard plus
     * both containment directions (containment catches a short document
     * fully embedded in a long one, where Jaccard stays low — the

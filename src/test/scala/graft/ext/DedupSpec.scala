@@ -146,4 +146,19 @@ class DedupSpec extends SparkTestBase {
       s"uncapped run emits the full quadratic hot-bucket pair set, got ${uncapped.size}")
   }
 
+  test("dedupCorpusKeepBest survives the highest-scored doc per cluster") {
+    // docs 1, 2, 4 form one near-dup cluster (2 is a one-token variant of
+    // the identical pair 1/4); doc 3 is unrelated. Scores favor doc 2.
+    val scored = docs.withColumn("score",
+      when($"doc_id" === 2L, 10.0).otherwise($"doc_id".cast("double")))
+    val kept = Dedup.dedupCorpusKeepBest(scored, "doc_id", "text", "score",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+    // min-id semantics for contrast: keeps doc 1
+    val keptMin = Dedup.dedupCorpus(scored, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptMin == Set(1L, 3L), s"got $keptMin")
+  }
+
 }

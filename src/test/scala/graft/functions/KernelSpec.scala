@@ -53,4 +53,23 @@ class KernelSpec extends SparkTestBase {
       .head()
     assert(two.getSeq[Long](0) == two.getSeq[Long](1))
   }
+  test("hashed shingles: byte-level tokenizer edge cases match the string path") {
+    // consecutive spaces (empty tokens), leading/trailing space, multi-byte
+    // UTF-8 (no 0x20 inside a codepoint), and the empty string
+    val cases = Seq("a  b c", " a b", "a b ", "中文 文本 测试 again mixed",
+      "", " ", "一 二 三", "tab\tis one token")
+    val df = cases.toDF("text")
+    val bad = df.select(
+        size(array_distinct(graft.ext.Dedup.shingles($"text", 3))).as("s"),
+        size(array_distinct(graft.ext.Dedup.hashedShingles($"text", 3))).as("h"))
+      .filter($"s" =!= $"h")
+    assert(bad.count() == 0)
+    // 2-gram windows on a mixed doc: same count too
+    val bad2 = df.select(
+        size(array_distinct(graft.ext.Dedup.shingles($"text", 2))).as("s"),
+        size(array_distinct(graft.ext.Dedup.hashedShingles($"text", 2))).as("h"))
+      .filter($"s" =!= $"h")
+    assert(bad2.count() == 0)
+  }
+
 }
