@@ -271,6 +271,36 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: find corpus documents whose n-gram set
+    * CONTAINS a large fraction of some benchmark document's n-grams —
+    * the asymmetric overlap that matters for eval leakage (a 50-token
+    * benchmark item embedded in a 5k-token web page has tiny Jaccard but
+    * containment ≈ 1).
+    *
+    * Scale shape: benchmarks are small by definition, so their exploded
+    * (shingle → bench doc) table BROADCASTS; the corpus explodes its
+    * shingles once and the match is a map-side hash join + count —
+    * the corpus never shuffles by shingle. Output: one row per
+    * (corpus doc, benchmark doc) with containment ≥ threshold.
+    */
+  def decontaminate(corpus: DataFrame, benchmarks: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 3, containment: Double = 0.5): DataFrame = {
+    val benchSh = benchmarks.select(col(idCol).as("bench_id"),
+        array_distinct(hashedShingles(col(textCol), n)).as("__sh"))
+      .withColumn("__bench_n", size(col("__sh")))
+      .select(col("bench_id"), col("__bench_n"), explode(col("__sh")).as("__h"))
+    val corpusSh = corpus.select(col(idCol).as("doc_id"),
+        explode(array_distinct(hashedShingles(col(textCol), n))).as("__h"))
+    corpusSh
+      .join(broadcast(benchSh), Seq("__h"))
+      .groupBy("doc_id", "bench_id", "__bench_n")
+      .agg(count(lit(1)).as("__matched"))
+      .withColumn("containment", col("__matched").cast("double") / col("__bench_n"))
+      .filter(col("containment") >= containment)
+      .select("doc_id", "bench_id", "containment")
+  }
+
   /** Exact n-gram overlap scores for an explicit pair set: Jaccard plus
     * both containment directions (containment catches a short document
     * fully embedded in a long one, where Jaccard stays low — the

@@ -381,6 +381,39 @@ object Extended {
              |WHERE doc_id NOT IN (SELECT id FROM lbl WHERE cluster_id < id)
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q52_decontaminate",
+      (s: SparkSession, d: String) => {
+        // eval-leakage check: "benchmark" items are the first 15 tokens of
+        // every 97th doc; flag corpus docs whose 3-gram set contains ≥80%
+        // of a benchmark item's 3-grams. Each item's source doc must flag
+        // (containment 1.0) — self-validating — plus its near-dup copies.
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 15), " ").as("text"))
+        Dedup.decontaminate(docs, bench, "doc_id", "text",
+            n = 3, containment = 0.8)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |mk AS (SELECT doc_id, toks,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |btok AS (SELECT doc_id AS bench_id, list_slice(toks, 1, 15) AS toks
+             |         FROM tok WHERE doc_id % 97 = 0),
+             |bsh AS (SELECT bench_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM btok)
+             |SELECT c.doc_id, b.bench_id,
+             |  CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(b.sh) AS containment
+             |FROM mk c CROSS JOIN bsh b
+             |WHERE CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.8
+             |ORDER BY doc_id, bench_id""".stripMargin)),
+
     ("q38_approx_distinct",
       (s: SparkSession, d: String) => {
         // HLL++ sketch: not oracle-hashable (approximate by design);

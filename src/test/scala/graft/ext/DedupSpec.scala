@@ -161,4 +161,18 @@ class DedupSpec extends SparkTestBase {
     assert(keptMin == Set(1L, 3L), s"got $keptMin")
   }
 
+  test("decontaminate flags embedded benchmark items, ignores unrelated docs") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // benchmark embedded verbatim inside filler -> containment 1.0
+      (1L, "xx yy alpha beta gamma delta epsilon zz ww"),
+      // partial overlap (3 of 5 tokens) -> below threshold
+      (2L, "alpha beta gamma nope nope"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 3, containment = 0.8)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 100L)), s"got $hits")
+  }
+
 }
