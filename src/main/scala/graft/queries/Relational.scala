@@ -370,6 +370,27 @@ object Relational {
              |ORDER BY hour_ts, event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    ("q53_sliding_window",
+      (s: SparkSession, d: String) => {
+        // batch semantics of the streaming SLIDING window: 1h length, 30m
+        // slide — every event lands in exactly two epoch-aligned windows
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+          .orderBy("win_start", "event_type")
+      },
+      Some("""SELECT strftime(ws, '%Y-%m-%dT%H:%M:%S.%f') AS win_start, event_type,
+             |  COUNT(*) AS cnt
+             |FROM (SELECT unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+             |                    time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+             |                      - INTERVAL 30 MINUTE]) AS ws,
+             |             event_type
+             |      FROM events) t
+             |GROUP BY ws, event_type
+             |ORDER BY win_start, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
     ("q16_sessionize",
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

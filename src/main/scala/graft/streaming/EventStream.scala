@@ -50,6 +50,18 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("cnt"), col("sum_value"))
 
+  /** Sliding event-time windows (length > slide ⇒ overlapping): each
+    * event contributes to length/slide windows. Same operator the batch
+    * q53 verifies against DuckDB. */
+  def slidingAgg(events: DataFrame, windowLen: String = "1 hour",
+                 slide: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+
   /** Session windows per user: events within `gap` of each other merge
     * into one session (native session_window operator — the streaming
     * form of the q16 lag-based batch sessionization). */

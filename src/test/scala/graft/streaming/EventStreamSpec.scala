@@ -51,6 +51,17 @@ class EventStreamSpec extends SparkTestBase {
     assert(streaming.count() > 0)
   }
 
+  test("streaming sliding windows == batch window(len, slide) over the same parquet") {
+    val streaming = runComplete(
+      EventStream.slidingAgg(EventStream.readStream(spark, eventsDir)),
+      "sliding_out")
+    val batch = EventStream.slidingAgg(Tables.events(spark, dir))
+    assertSameRows(streaming, batch, "sliding")
+    // every event lands in exactly 2 windows: total count doubles
+    val total = streaming.agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    assert(total == 2 * Tables.events(spark, dir).count())
+  }
+
   test("streaming session windows == batch session_window over same data") {
     val streaming = runComplete(
       EventStream.sessionAgg(EventStream.readStream(spark, eventsDir)),
