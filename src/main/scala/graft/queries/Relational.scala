@@ -434,6 +434,35 @@ object Relational {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    ("q54_unpivot",
+      (s: SparkSession, d: String) => {
+        // pivot's inverse: melt per-user event-type counts (the q41 shape)
+        // back to (user_id, event_type, cnt) long form
+        val wide = Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+        wide.unpivot(Array(col("user_id")),
+            Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+            "event_type", "cnt")
+          .filter(col("cnt") > 0)
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH wide AS (
+             |  SELECT user_id,
+             |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             |    COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, event_type, cnt FROM wide
+             |UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view))
+             |WHERE cnt > 0
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
     ("q42_percentiles",
       (s: SparkSession, d: String) => {
         // exact interpolated percentiles (both engines: linear interpolation
