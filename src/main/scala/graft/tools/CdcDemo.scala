@@ -14,6 +14,11 @@ import graft.streaming.{CdcStream, CdcStreamConfig}
   */
 object CdcDemo {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: CdcDemo <registry.json> <inputDir> <warehouseDir> <checkpointDir> [pkCol]")
+      sys.exit(2)
+    }
     val Array(registryPath, inputDir, warehouseDir, checkpointDir, rest @ _*) = args: @unchecked
     val pkCol = rest.headOption
 
