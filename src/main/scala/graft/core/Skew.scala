@@ -47,21 +47,47 @@ object Skew {
     * otherwise-linear LSH pass at 100× skew. An over-cap bucket carries
     * almost no discriminative signal for NEAR-duplicate detection (true
     * near-dup pairs co-occur in several independent buckets; exact
-    * duplicates belong in the cheap hash-dedup pass that precedes LSH),
-    * so dropping it bounds the worst case at cap² per bucket while
-    * leaving normal buckets untouched. cap <= 0 disables the guard. */
+    * duplicates belong in the cheap hash-dedup pass that precedes LSH —
+    * [[graft.ext.Dedup.dedupCorpus]] runs that pass), so dropping it
+    * bounds the worst case at cap² per bucket while leaving normal
+    * buckets untouched. cap <= 0 disables the guard.
+    *
+    * Dropping is never silent: use [[capGroupSizeAccounted]] to get the
+    * dropped groups as a side-channel frame; this overload logs them. */
   def capGroupSize(df: DataFrame, groupCols: Seq[String], cap: Int): DataFrame =
-    if (cap <= 0) df
+    capGroupSizeAccounted(df, groupCols, cap)._1
+
+  /** [[capGroupSize]] returning (kept rows, dropped groups).
+    *
+    * The dropped-groups frame `(groupCols*, __group_n)` is MATERIALIZED
+    * (eager localCheckpoint of the over-cap aggregate — tiny: one row per
+    * hot bucket, and hot buckets are the anomaly the cap exists for), so
+    * accounting costs one count pass over `df` and the keep-filter
+    * becomes a BROADCAST anti join — no shuffle of `df` at all, where a
+    * kept-groups inner join would shuffle the full frame. Callers that
+    * persisted `df`'s parent pay ~nothing for the pass. */
+  def capGroupSizeAccounted(df: DataFrame, groupCols: Seq[String],
+                            cap: Int): (DataFrame, DataFrame) =
+    if (cap <= 0) (df, df.limit(0).groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__group_n")))
     else {
-      val counts = df.groupBy(groupCols.map(col): _*)
+      val over = df.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("__group_n"))
-        .filter(col("__group_n") <= cap)
-        .drop("__group_n")
-      // partial counts collapse map-side; the filter join shares the
-      // self-join's key partitioning, so no extra exchange of `df`.
-      // Re-select in the caller's column ORDER: a using-join moves key
-      // columns first, which would silently break positional toDF renames
-      df.join(counts, groupCols).select(df.columns.map(col).toIndexedSeq: _*)
+        .filter(col("__group_n") > cap)
+        .localCheckpoint(true)
+      val dropped = over.agg(coalesce(sum("__group_n"), lit(0L))).first.getLong(0)
+      if (dropped > 0)
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"capGroupSize: dropping $dropped rows in ${over.count()} " +
+            s"over-cap group(s) on (${groupCols.mkString(", ")}), cap=$cap")
+      // Re-select the CALLER's column order: even a left_anti using-join
+      // moves key columns first, which silently breaks positional toDF
+      // renames downstream (regression caught in round 2)
+      val kept =
+        if (dropped == 0) df
+        else df.join(broadcast(over.select(groupCols.map(col): _*)),
+          groupCols, "left_anti").select(df.columns.map(col).toIndexedSeq: _*)
+      (kept, over)
     }
 
 }

@@ -236,39 +236,84 @@ object Dedup {
     out
   }
 
-  /** Near-dedup a corpus end-to-end: MinHash+LSH candidate pairs, exact
-    * Jaccard verify, cluster, keep each cluster's minimum-id
-    * representative. Docs in no cluster survive untouched. */
+  /** Exact-duplicate losers: ids whose text is byte-identical to another
+    * doc's but which are NOT the group's representative. Grouping key is
+    * xxhash64(text) — collision odds are ~n²·2⁻⁶⁵ (immaterial below
+    * trillions of docs) and the full text never shuffles. The aggregation
+    * is min-combinable, so a 10M-copy boilerplate group collapses
+    * map-side instead of landing on one reducer (the window-rank
+    * formulation would sort the whole hot group in one partition).
+    * `best` picks the representative; it must be a min-combinable
+    * expression over the group (min id, or min (-score, id)). */
+  private def exactDupLosers(docs: DataFrame, idCol: String, textCol: String,
+                             extraCols: Seq[Column], best: Column): DataFrame = {
+    val ids = docs.select((col(idCol).as("id") +: xxhash64(col(textCol)).as("__th") +:
+      extraCols).toIndexedSeq: _*)
+    val reps = ids.groupBy("__th")
+      .agg(best.as("__rep"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("__th", "__rep")
+    ids.join(reps, "__th").filter(col("id") =!= col("__rep"))
+      .select(col("id").as(idCol))
+  }
+
+  /** Near-dedup a corpus end-to-end: exact-duplicate pre-pass (collapse
+    * byte-identical texts to their minimum-id copy), then MinHash+LSH
+    * candidate pairs, exact Jaccard verify, cluster, keep each cluster's
+    * minimum-id representative. Docs in no cluster survive untouched.
+    *
+    * The pre-pass is a correctness requirement at scale, not an
+    * optimization: a mass-duplicate group larger than `maxBucketSize`
+    * (boilerplate pages, the #1 dedup target in web corpora) lands
+    * whole in one LSH bucket, which [[graft.core.Skew.capGroupSize]]
+    * drops — without the pre-pass every copy would silently survive.
+    * Survivor set is unchanged where both paths apply: exact duplicates
+    * have Jaccard 1 ≥ threshold, so they join their group-min rep's
+    * cluster either way, and min-per-group then min-per-cluster composes
+    * to the same global minimum. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                  threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
-    val pairs = minhashNearDupPairs(docs, idCol, textCol, shingleSize, bands, rowsPerBand,
-      threshold, seed)
+                  threshold: Double = 0.7, seed: Long = 42L,
+                  maxBucketSize: Int = 10000): DataFrame = {
+    val exactLosers = exactDupLosers(docs, idCol, textCol, Nil, min(col("id")))
+    val uniq = docs.join(exactLosers, Seq(idCol), "left_anti")
+    val pairs = minhashNearDupPairs(uniq, idCol, textCol, shingleSize, bands, rowsPerBand,
+      threshold, seed, maxBucketSize)
     val clusters = clusterPairs(pairs)
     val losers = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+    uniq.join(losers, Seq(idCol), "left_anti")
   }
 
   /** [[dedupCorpus]] with a CHOSEN representative: instead of each
     * cluster's minimum id, keep its best row by `scoreCol` (ties → lower
-    * id). The curation knob a training-data pipeline wants: when near-dups
-    * collide, survive the highest-quality copy. Same plan shape — the
-    * cluster table is tiny relative to the corpus, so the ranking is a
-    * window over clusters only, never over the full corpus. */
+    * id; scores must be non-null). The curation knob a training-data
+    * pipeline wants: when near-dups collide, survive the highest-quality
+    * copy. Same plan shape — the cluster table is tiny relative to the
+    * corpus, so the ranking is a window over clusters only, never over
+    * the full corpus. The exact-dup pre-pass keeps each identical-text
+    * group's best (score desc, id asc) copy via a min-combinable
+    * min(struct(-score, id)) — the group best dominates its dropped
+    * members under the same ordering the cluster window uses, so the
+    * cluster-global best always survives both passes. */
   def dedupCorpusKeepBest(docs: DataFrame, idCol: String, textCol: String,
                           scoreCol: String,
                           shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                          threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
-    val pairs = minhashNearDupPairs(docs, idCol, textCol, shingleSize, bands, rowsPerBand,
-      threshold, seed)
+                          threshold: Double = 0.7, seed: Long = 42L,
+                          maxBucketSize: Int = 10000): DataFrame = {
+    val exactLosers = exactDupLosers(docs, idCol, textCol,
+      Seq(col(scoreCol).as("__score")),
+      min(struct((-col("__score")).as("s"), col("id").as("i"))).getField("i"))
+    val uniq = docs.join(exactLosers, Seq(idCol), "left_anti")
+    val pairs = minhashNearDupPairs(uniq, idCol, textCol, shingleSize, bands, rowsPerBand,
+      threshold, seed, maxBucketSize)
     val clusters = clusterPairs(pairs) // (id, cluster_id) — clustered docs only
     val ranked = clusters
-      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      .join(uniq.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("cluster_id").orderBy(col("__score").desc, col("id"))))
     val losers = ranked.filter(col("__rn") =!= 1).select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+    uniq.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination: find corpus documents whose n-gram set

@@ -43,4 +43,21 @@ class SkewSpec extends SparkTestBase {
     assert(Skew.capGroupSize(df, Seq("band", "bucket"), 0).count() == 22)
   }
 
+  test("capGroupSizeAccounted reports exactly what it dropped") {
+    val df = (Seq.tabulate(20)(i => (i.toLong, 7, 1)) ++ Seq((100L, 8, 2), (101L, 8, 2)))
+      .toDF("id", "band", "bucket")
+    val (kept, dropped) = Skew.capGroupSizeAccounted(df, Seq("band", "bucket"), cap = 5)
+    assert(kept.count() == 2)
+    val d = dropped.select("band", "bucket", "__group_n")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(d == Seq((7, 1, 20L)), s"got $d")
+    // nothing over cap -> no dropped groups, kept frame untouched
+    val (kept2, dropped2) = Skew.capGroupSizeAccounted(df, Seq("band", "bucket"), cap = 50)
+    assert(kept2.count() == 22 && dropped2.count() == 0)
+    // disabled -> empty dropped frame with the accounting schema intact
+    val (_, dropped3) = Skew.capGroupSizeAccounted(df, Seq("band", "bucket"), 0)
+    assert(dropped3.columns.toSeq == Seq("band", "bucket", "__group_n"))
+    assert(dropped3.count() == 0)
+  }
+
 }

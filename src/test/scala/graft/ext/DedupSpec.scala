@@ -161,6 +161,25 @@ class DedupSpec extends SparkTestBase {
     assert(keptMin == Set(1L, 3L), s"got $keptMin")
   }
 
+  test("mass-duplicate groups over the LSH bucket cap collapse to one survivor") {
+    // 3× the bucket cap byte-identical copies: LSH alone drops the hot
+    // bucket (capGroupSize) and would keep EVERY copy — the exact-dup
+    // pre-pass must collapse them before LSH ever sees them
+    val cap = 10
+    val mass = (100L until 130L).map(i => (i, "same same same same same same same same"))
+    val corpus = (Seq((1L, base), (2L, base.replace("theta", "THETA2"))) ++ mass)
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupCorpus(corpus, "doc_id", "text", threshold = 0.5,
+      maxBucketSize = cap).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 100L), s"got $out")
+    // keep-best: the highest-scored copy of the mass group survives
+    val scored = corpus.withColumn("score",
+      when($"doc_id" === 115L, 999.0).otherwise($"doc_id".cast("double")))
+    val best = Dedup.dedupCorpusKeepBest(scored, "doc_id", "text", "score",
+      threshold = 0.5, maxBucketSize = cap).select("doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 115L), s"got $best")
+  }
+
   test("decontaminate flags embedded benchmark items, ignores unrelated docs") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
