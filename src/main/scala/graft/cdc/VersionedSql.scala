@@ -1,0 +1,86 @@
+package graft.cdc
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SQL surface for the point-in-time operators: the reference's consumer
+  * layer queries CDC state in SQL (reference `README.md:57` — "current
+  * state" and "as of" are query-time concepts), so the [[Versioned]]
+  * operators must be reachable without writing Scala. Registration binds
+  * a changelog frame to a session temp view plus the pk/version/action
+  * metadata the operators need; the table-valued functions injected by
+  * [[graft.core.GraftExtensions]] then make
+  *
+  * {{{
+  *   SELECT * FROM snapshot('orders_v')
+  *   SELECT * FROM as_of('orders_v', TIMESTAMP '1998-01-01 00:00:00')
+  *   SELECT * FROM changes_between('orders_v', TIMESTAMP '…', TIMESTAMP '…')
+  *   SELECT * FROM scd2('orders_v')
+  * }}}
+  *
+  * first-class queries. Each TVF expands at ANALYSIS time into the same
+  * logical plan the Scala API builds (one pk-window pass — see
+  * [[Versioned]]'s scale notes), so Catalyst optimizes the expanded plan
+  * together with the enclosing query: outer filters push into the
+  * changelog scan exactly as they would through a hand-written subquery.
+  */
+object VersionedSql {
+
+  /** pk/version/action metadata for one registered versioned table. */
+  final case class VersionedMeta(pk: Seq[String], versionCol: String,
+                                 actionCol: String)
+
+  // Keyed by lower-cased view name (SQL identifiers are case-insensitive
+  // by default). JVM-global like the temp-view catalog is session-global:
+  // local-mode sessions share the registry, which the specs rely on.
+  private val registry = new ConcurrentHashMap[String, VersionedMeta]()
+
+  /** Make `changelog` queryable as versioned table `name`: creates (or
+    * replaces) the session temp view and records the metadata the
+    * point-in-time TVFs resolve against. */
+  def register(name: String, changelog: DataFrame, pk: Seq[String],
+               versionCol: String = "update_date",
+               actionCol: String = "action"): Unit = {
+    changelog.createOrReplaceTempView(name)
+    registry.put(name.toLowerCase, VersionedMeta(pk, versionCol, actionCol))
+  }
+
+  private def tableArg(e: Expression): (DataFrame, VersionedMeta) = {
+    require(e.foldable, "versioned-table name must be a literal string")
+    val name = e.eval().toString
+    val m = registry.get(name.toLowerCase)
+    require(m != null, s"'$name' is not a registered versioned table — " +
+      "call graft.cdc.VersionedSql.register(name, changelog, pk, ...) first")
+    (SparkSession.active.table(name), m)
+  }
+
+  // The builders return the ANALYZED plan of the equivalent Scala-API
+  // frame: self-consistent attribute ids, safe to splice as a TVF
+  // relation into the enclosing (still-unresolved) query tree.
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  private[graft] def snapshotPlan(es: Seq[Expression]): LogicalPlan = {
+    val (df, m) = tableArg(es.head)
+    plan(Versioned.latestSnapshot(df, m.pk, m.versionCol, m.actionCol))
+  }
+
+  private[graft] def asOfPlan(es: Seq[Expression]): LogicalPlan = {
+    val (df, m) = tableArg(es.head)
+    plan(Versioned.asOf(df, Bridge.column(es(1)), m.pk, m.versionCol, m.actionCol))
+  }
+
+  private[graft] def changesBetweenPlan(es: Seq[Expression]): LogicalPlan = {
+    val (df, m) = tableArg(es.head)
+    plan(Versioned.changesBetween(df, Bridge.column(es(1)), Bridge.column(es(2)),
+      m.versionCol))
+  }
+
+  private[graft] def scd2Plan(es: Seq[Expression]): LogicalPlan = {
+    val (df, m) = tableArg(es.head)
+    plan(Versioned.scd2(df, m.pk, m.versionCol, m.actionCol))
+  }
+}

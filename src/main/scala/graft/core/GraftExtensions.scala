@@ -37,5 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => MinHashSignature(es(0),
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Number].longValue())))
+    // Point-in-time table-valued functions over versioned CDC tables
+    // registered through graft.cdc.VersionedSql.register — the SQL face
+    // of the Versioned operators (snapshot / as_of / changes_between /
+    // scd2), expanding at analysis time into the same pk-window plans.
+    ext.injectTableFunction((FunctionIdentifier("snapshot"), info("snapshot"),
+      (es: Seq[Expression]) => graft.cdc.VersionedSql.snapshotPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("as_of"), info("as_of"),
+      (es: Seq[Expression]) => graft.cdc.VersionedSql.asOfPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("changes_between"), info("changes_between"),
+      (es: Seq[Expression]) => graft.cdc.VersionedSql.changesBetweenPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("scd2"), info("scd2"),
+      (es: Seq[Expression]) => graft.cdc.VersionedSql.scd2Plan(es)))
   }
 }
