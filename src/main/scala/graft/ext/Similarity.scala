@@ -114,10 +114,16 @@ object Similarity {
     * LSH buckets (corpus self-join on bucket, id1 < id2, exact verify).
     * Same shuffle discipline as topKLsh: the self-join and dedup move
     * (bucket, id) rows only; vectors join back per verified candidate. */
+  /** `corpusPersisted = true`: the caller already persisted `corpus`
+    * (or a frame a rename-only projection of it resolves to) — skip the
+    * internal vector-side persist, whose plan is cache-equivalent to the
+    * caller's and would only emit CacheManager "already cached" noise
+    * while Spark reuses the outer entry anyway. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 10000,
+                   corpusPersisted: Boolean = false): DataFrame = {
     // persist the RAW bucket projection, not the capped frame: the skew
     // guard's count pass and both self-join sides then read the cached
     // rows instead of re-running the lsh_buckets kernel three times
@@ -131,7 +137,8 @@ object Similarity {
       .dropDuplicates("id1", "id2")
     // vectors join back once per pair SIDE — persist so a derived corpus
     // (e.g. q46's synthesized media features) computes its vectors once
-    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v")).persist()
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    if (!corpusPersisted) vecs.persist()
     val verified = pairs
       .join(vecs.select(col("_vid").as("id1"), col("_v").as("v1")), "id1")
       .join(vecs.select(col("_vid").as("id2"), col("_v").as("v2")), "id2")
@@ -140,7 +147,7 @@ object Similarity {
       .select("id1", "id2", "sim")
     val out = verified.localCheckpoint(true) // then release the caches
     b0.unpersist(false)
-    vecs.unpersist(false)
+    if (!corpusPersisted) vecs.unpersist(false)
     out
   }
 

@@ -295,7 +295,8 @@ object Extended {
             graft.functions.VectorFunctions.media_features(col("content"), 64).as("embedding"))
           .persist()
         val pairs = Similarity.nearDupPairs(media, threshold = 0.999,
-            numTables = 8, bitsPerTable = 12) // eager: safe to unpersist after
+            numTables = 8, bitsPerTable = 12, // eager: safe to unpersist after
+            corpusPersisted = true) // we hold the cache — no inner re-persist
           .orderBy("id1", "id2")
         media.unpersist(false)
         pairs
