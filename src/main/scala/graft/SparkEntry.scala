@@ -165,4 +165,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Deterministic candidate sets Verify materializes under
+    * [[graft.queries.Extended.OracleAuxDir]] so re-rank oracles (q30
+    * LSH / q33 IVF) can score EXACTLY the pairs the engine scored. */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Extended.auxDumps
 }

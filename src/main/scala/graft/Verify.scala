@@ -29,6 +29,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Candidate-set dumps for the re-rank oracles (q30/q33): written to
+    // the fixed scratch dir the oracle SQL reads, NOT outDir — the
+    // driver's comparator treats every outDir subdirectory as a query
+    // result and these are oracle inputs, not results.
+    SparkEntry.auxDumps.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"${graft.queries.Extended.OracleAuxDir}/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

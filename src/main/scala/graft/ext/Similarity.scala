@@ -45,33 +45,48 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** LSH-bucketed approximate top-k: candidates share ≥1 bucket in ≥1
-    * hash table with the query, then exact cosine re-ranks.
-    *
-    * Shuffle discipline: the bucket join and the pair-dedup move BARE ID
-    * PAIRS only; vectors are attached afterwards (query side broadcast,
-    * corpus side one hash join). Dragging 64-float payloads through the
-    * candidate-pair shuffle is what turns LSH from cheap into O(candidates
-    * × vector width) network — the dominant cost at 100 TB. */
-  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame = {
+  /** LSH candidate pairs: (query_id, neighbor_id) sharing ≥1 bucket in
+    * ≥1 hash table — deterministic for a fixed seed, which is what lets
+    * the driver oracle re-rank EXACTLY this set in DuckDB (approximate
+    * in recall, exact in ranking). Bare id pairs only; vectors attach in
+    * [[rankCandidates]]. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame = {
     def bucketed(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
         explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
 
-    val candidates = bucketed(corpus, "neighbor_id")
+    bucketed(corpus, "neighbor_id")
       .join(broadcast(bucketed(queries, "query_id")), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id") // same pair from several tables
+  }
 
+  /** Exact-cosine re-rank of a bare-id candidate pair set: vectors join
+    * back per side (query side broadcast, corpus side one hash join),
+    * bounded top-k aggregation ranks. Shared tail of the LSH and IVF
+    * paths — dragging 64-float payloads through the candidate-pair
+    * shuffle instead is what turns ANN from cheap into O(candidates ×
+    * vector width) network, the dominant cost at 100 TB. */
+  def rankCandidates(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
     val withVecs = candidates
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "neighbor_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))), "query_id")
-
     rankTopK(withVecs.withColumn("sim", cosine_similarity(col("_cv"), col("_qv"))), k)
   }
+
+  /** LSH-bucketed approximate top-k: candidates share ≥1 bucket in ≥1
+    * hash table with the query ([[lshCandidates]]), then exact cosine
+    * re-ranks ([[rankCandidates]]). */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame =
+    rankCandidates(lshCandidates(corpus, queries, idCol, vecCol, seed, numTables, bitsPerTable),
+      corpus, queries, k, idCol, vecCol)
 
   /** IVF (inverted-file) approximate top-k: a spherical-k-means coarse
     * quantizer is trained on a driver-side SAMPLE (bounded: `sampleCap`
@@ -87,7 +102,22 @@ object Similarity {
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               numCentroids: Int = 64, nProbe: Int = 8, iterations: Int = 5,
-              sampleCap: Int = 20000, seed: Long = 42L): DataFrame = {
+              sampleCap: Int = 20000, seed: Long = 42L): DataFrame =
+    rankCandidates(
+      ivfCandidates(corpus, queries, idCol, vecCol, numCentroids, nProbe,
+        iterations, sampleCap, seed),
+      corpus, queries, k, idCol, vecCol)
+
+  /** IVF candidate pairs: (query_id, neighbor_id) where the neighbor's
+    * cell is among the query's `nProbe` nearest cells. Deterministic for
+    * a fixed seed and corpus (the training sample is a bounded prefix
+    * scan), so the driver oracle can re-rank exactly this set. Bare id
+    * pairs; vectors attach in [[rankCandidates]] — same shuffle
+    * discipline as [[lshCandidates]]. */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    numCentroids: Int = 64, nProbe: Int = 8, iterations: Int = 5,
+                    sampleCap: Int = 20000, seed: Long = 42L): DataFrame = {
     import graft.functions.{IvfKernel, VectorFunctions}
 
     val sample: Array[Array[Float]] = corpus
@@ -99,15 +129,14 @@ object Similarity {
     val dim = sample.head.length
     val centroids = IvfKernel.trainCentroids(sample, numCentroids, dim, iterations, seed)
 
-    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
       VectorFunctions.nearest_centroids(col(vecCol), centroids, dim, 1)(0).as("cell"))
-    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
       explode(VectorFunctions.nearest_centroids(col(vecCol), centroids, dim, nProbe)).as("cell")))
 
-    val scored = cb.join(qb, "cell")
+    cb.join(qb, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine_similarity(col("_cv"), col("_qv")))
-    rankTopK(scored, k)
+      .select("query_id", "neighbor_id")
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, found via shared

@@ -14,6 +14,48 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object Extended {
 
+  /** Where Verify materializes deterministic candidate sets for oracles
+    * that RE-RANK them in DuckDB (LSH/IVF top-k: approximate in recall,
+    * exact in ranking — the candidate set is deterministic for a fixed
+    * seed, so the ranking over it is fully oracled). A fixed scratch
+    * path because `SparkEntry.oracleSql` is a static map: the SQL must
+    * name the location without runtime substitution. */
+  val OracleAuxDir = "/tmp/graft_oracle_aux"
+
+  /** Side frames Verify writes under [[OracleAuxDir]] — each one the
+    * EXACT candidate set its query re-ranks (same params, same seed;
+    * the generators are deterministic, so recomputation here equals the
+    * in-query computation). */
+  val auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_candidates" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
+        numTables = 16, bitsPerTable = 8)
+    }),
+    "q33_candidates" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
+        numCentroids = 32, nProbe = 8)
+    }))
+
+  /** Exact-cosine re-rank oracle over a materialized candidate dump:
+    * identical scoring (DuckDB's list_cosine_similarity over DOUBLE[] is
+    * bit-identical to the engine's kernel), identical (sim DESC,
+    * neighbor_id) tie-break, identical top-k cut. */
+  private def rerankOracle(candDump: String, k: Int): String =
+    s"""WITH cand AS (SELECT DISTINCT query_id, neighbor_id
+       |              FROM read_parquet('$OracleAuxDir/$candDump/*.parquet')),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(cn.dv, cq.dv) AS sim
+       |  FROM cand c JOIN v cq ON cq.vec_id = c.query_id
+       |              JOIN v cn ON cn.vec_id = c.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY sim DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---------------------------------------------------------- text stats
@@ -187,7 +229,9 @@ object Extended {
         Similarity.topKLsh(emb, queries, k = 10, numTables = 16, bitsPerTable = 8)
           .orderBy("query_id", "rank")
       },
-      None), // recall vs brute force in SimilaritySpec
+      // recall vs brute force stays pinned in SimilaritySpec; the driver
+      // oracle re-ranks the materialized candidate set exactly
+      Some(rerankOracle("q30_candidates", k = 10))),
 
     ("q33_cosine_topk_ivf",
       (s: SparkSession, d: String) => {
@@ -196,7 +240,7 @@ object Extended {
         Similarity.topKIvf(emb, queries, k = 10, numCentroids = 32, nProbe = 8)
           .orderBy("query_id", "rank")
       },
-      None), // recall vs brute force in SimilaritySpec
+      Some(rerankOracle("q33_candidates", k = 10))),
 
     ("q31_embed_neardup",
       (s: SparkSession, d: String) => {
