@@ -48,7 +48,21 @@ object Bench {
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // Streaming CDC hot path: sustained ingest throughput WITH the
+    // per-trigger incremental snapshot fold (append + current-state
+    // maintenance per micro-batch). Reported alongside the query times
+    // so every round's bench carries the end-to-end streaming number.
+    val fold =
+      try {
+        val r = graft.tools.IngestBench.streamWithFolds(spark, sfDir,
+          replicate = sys.env.getOrElse("SPARK_GRAFT_INGEST_REPLICATE", "4").toInt)
+        f""","cdc_ingest_fold_rps":${r.recordsPerSec}%.0f,"cdc_ingest_fold_records":${r.records},"cdc_ingest_fold_secs":${r.secs}%.2f"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest+fold failed: ${e.getMessage}"); ""
+      }
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$fold,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's logger (the driver saw "[info] {...}" and
     // parsed null in round 1) — also write the line to a well-known file

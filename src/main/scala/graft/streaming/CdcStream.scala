@@ -139,9 +139,19 @@ object CdcStream {
           partitionByDate = cfg.partitionByDate)
         cfg.snapshotKeys.foreach { case (table, pk) =>
           registry.get(table).foreach { spec =>
-            graft.cdc.SnapshotMaintainer.update(df.sparkSession, cfg.warehouseDir,
-              table, graft.cdc.Envelope.project(df, spec), pk,
-              buckets = cfg.snapshotBuckets)
+            // fold from the COLUMNAR rows appendBatch just wrote (the
+            // same projection) — re-projecting `df` here would re-scan
+            // and re-parse the gz JSON source a second time per trigger
+            // (appendBatch released its cache), which measurably caps
+            // end-to-end ingest+fold throughput
+            val batchDir = s"${cfg.warehouseDir}/${spec.physicalName}/batch=$batchId"
+            // a batch can carry zero rows for this table (empty dir =>
+            // schema inference throws): skip the fold, nothing to do
+            scala.util.Try(df.sparkSession.read.parquet(batchDir)).foreach { appended =>
+              graft.cdc.SnapshotMaintainer.update(df.sparkSession, cfg.warehouseDir,
+                table, appended.drop(graft.cdc.Envelope.DtCol), pk,
+                buckets = cfg.snapshotBuckets)
+            }
           }
         }
       }

@@ -31,6 +31,70 @@ object IngestBench {
       |  }
       |}""".stripMargin
 
+  /** Generate envelope JSONL (one line per change event: insert per
+    * order, update for every 3rd key — the Q17 changelog derivation)
+    * into `inDir` as 64 gzip files; returns the record count. 64 files:
+    * gz isn't splittable, so file count IS the scan parallelism, and it
+    * gives AvailableNow several micro-batches. */
+  def writeEnvelopes(spark: SparkSession, sfDir: String, inDir: String,
+                     replicate: Int): Long = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def env(action: String, df: org.apache.spark.sql.DataFrame) =
+      df.select(to_json(struct(
+        lit("orders_cdc").as("object"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("source_timestamp"),
+        struct(lit(action).as("change_type")).as("source_metadata"),
+        struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+               col("o_totalprice")).as("payload"))).as("value"))
+    val one = env("insert", orders)
+      .unionAll(env("update", orders.filter(col("o_orderkey") % 3 === 0)))
+    val envelopes = Iterator.fill(replicate)(one).reduce(_ unionAll _)
+    val n = envelopes.count()
+    envelopes.repartition(64).write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").text(inDir)
+    n
+  }
+
+  final case class FoldBenchResult(records: Long, secs: Double,
+                                   microBatches: Long, p95BatchMs: Long) {
+    def recordsPerSec: Double = records / secs
+  }
+
+  /** The production hot path end-to-end: checkpointed streaming ingest
+    * WITH the per-trigger incremental snapshot fold (SnapshotMaintainer
+    * on `o_orderkey`). Generates envelopes (untimed), streams them
+    * through `CdcStream.runOnce`, and cross-checks both the appended
+    * changelog row count and the maintained snapshot's key count before
+    * reporting sustained records/s. */
+  def streamWithFolds(spark: SparkSession, sfDir: String,
+                      replicate: Int): FoldBenchResult = {
+    val work = java.nio.file.Files.createTempDirectory("ingest-fold-bench").toString
+    val inDir = s"$work/in"; val whDir = s"$work/wh"
+    val n = writeEnvelopes(spark, sfDir, inDir, replicate)
+    val registry = Registry.fromJson(registryJson)
+    val physical = registry("orders_cdc").physicalName
+
+    val metrics = graft.streaming.StreamMetrics.attach(spark)
+    val t0 = System.nanoTime()
+    graft.streaming.CdcStream.runOnce(spark, graft.streaming.CdcStreamConfig(
+      inDir, whDir, s"$work/ck", registry, maxFilesPerTrigger = 32,
+      snapshotKeys = Map("orders_cdc" -> Seq("o_orderkey"))))
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val streamed = spark.read.parquet(s"$whDir/$physical").count()
+    require(streamed == n, s"stream row loss: $streamed of $n")
+    val snapKeys = graft.cdc.SnapshotMaintainer
+      .read(spark, whDir, "orders_cdc").count()
+    val expectKeys = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey").distinct().count()
+    require(snapKeys == expectKeys,
+      s"snapshot key loss: $snapKeys of $expectKeys")
+    Thread.sleep(2000) // async listener drain
+    val (nBatches, _, _, p95Ms) = metrics.summary
+    graft.streaming.StreamMetrics.detach(spark, metrics)
+    FoldBenchResult(n, secs, nBatches, p95Ms)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -57,14 +121,7 @@ object IngestBench {
         struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
                col("o_totalprice")).as("payload"))).as("value"))
     val replicate = sys.env.getOrElse("SPARK_GRAFT_INGEST_REPLICATE", "4").toInt
-    val one = env("insert", orders)
-      .unionAll(env("update", orders.filter(col("o_orderkey") % 3 === 0)))
-    val envelopes = Iterator.fill(replicate)(one).reduce(_ unionAll _)
-    val n = envelopes.count()
-    // 64 log files: gz isn't splittable, so file count IS the scan
-    // parallelism, and it gives AvailableNow several micro-batches
-    envelopes.repartition(64).write.mode(SaveMode.Overwrite)
-      .option("compression", "gzip").text(inDir)
+    val n = writeEnvelopes(spark, sfDir, inDir, replicate)
 
     // ---- warm-up (untimed): tiny ingest so codegen/writer init and gz
     // codec loading aren't billed to the steady-state number
@@ -97,6 +154,11 @@ object IngestBench {
     val (nBatches, _, _, p95Ms) = metrics.summary
     graft.streaming.StreamMetrics.detach(spark, metrics)
     println(f"""{"metric":"cdc_stream_throughput","value":${n / streamSecs}%.0f,"unit":"records_per_sec","records":$n,"secs":$streamSecs%.2f,"micro_batches":$nBatches,"p95_batch_ms":$p95Ms,"sf":"$sfDir"}""")
+
+    // ---- timed: streaming ingest + per-trigger snapshot folds (the
+    // production hot path: changelog append AND maintained current-state)
+    val fold = streamWithFolds(spark, sfDir, replicate)
+    println(f"""{"metric":"cdc_ingest_fold_throughput","value":${fold.recordsPerSec}%.0f,"unit":"records_per_sec","records":${fold.records},"secs":${fold.secs}%.2f,"micro_batches":${fold.microBatches},"p95_batch_ms":${fold.p95BatchMs},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
