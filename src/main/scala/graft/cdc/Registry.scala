@@ -74,4 +74,32 @@ object Registry {
   def load(path: String): Map[String, TableSpec] =
     fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Hot-refresh guard: a TYPE change on an existing column would make
+    * the next `batch=<id>` dir unreadable together with the previous
+    * ones (mergeSchema cannot reconcile e.g. DOUBLE vs STRING — the
+    * reference's own registry carries exactly this hazard, its
+    * `update_date` being STRING for one table and TIMESTAMP for another,
+    * `data-stream.json:17,31`), silently poisoning the physical table.
+    * Table specs with a type flip are REJECTED — the previous spec stays
+    * in force — and reported for loud logging. Added tables, added
+    * columns, and removed columns pass through: mergeSchema reads union
+    * those safely. Returns (effective registry, rejection diagnostics). */
+  def refreshCompatible(current: Map[String, TableSpec],
+                        fresh: Map[String, TableSpec]): (Map[String, TableSpec], Seq[String]) = {
+    val rejected = Seq.newBuilder[String]
+    val merged = fresh.map { case (name, spec) =>
+      current.get(name) match {
+        case Some(old) =>
+          val oldTypes = old.schema.map(f => f.name -> f.dataType).toMap
+          val flips = spec.schema.flatMap(f => oldTypes.get(f.name)
+            .filter(_ != f.dataType)
+            .map(was => s"${f.name}: $was -> ${f.dataType}"))
+          if (flips.nonEmpty) { rejected += s"$name [${flips.mkString(", ")}]"; name -> old }
+          else name -> spec
+        case None => name -> spec
+      }
+    }
+    (merged, rejected.result())
+  }
 }

@@ -325,20 +325,33 @@ object Dedup {
     * Scale shape: benchmarks are small by definition, so their exploded
     * (shingle → bench doc) table BROADCASTS; the corpus explodes its
     * shingles once and the match is a map-side hash join + count —
-    * the corpus never shuffles by shingle. Output: one row per
-    * (corpus doc, benchmark doc) with containment ≥ threshold.
+    * the corpus never shuffles by shingle. Benchmark sides too big for
+    * that (more than `broadcastMaxShingles` exploded shingles — an
+    * eagerly-materialized count, so the choice is made on the REAL size,
+    * not an estimate) fall back to a shuffle hash join on the shingle
+    * hash: the corpus then pays one shuffle by `__h`, unavoidable once
+    * the filter side exceeds executor memory, but still no sort and
+    * identical output. Output: one row per (corpus doc, benchmark doc)
+    * with containment ≥ threshold.
     */
   def decontaminate(corpus: DataFrame, benchmarks: DataFrame,
                     idCol: String, textCol: String,
-                    n: Int = 3, containment: Double = 0.5): DataFrame = {
+                    n: Int = 3, containment: Double = 0.5,
+                    broadcastMaxShingles: Long = 5000000L): DataFrame = {
     val benchSh = benchmarks.select(col(idCol).as("bench_id"),
         array_distinct(hashedShingles(col(textCol), n)).as("__sh"))
       .withColumn("__bench_n", size(col("__sh")))
       .select(col("bench_id"), col("__bench_n"), explode(col("__sh")).as("__h"))
+      // eager, cache-free materialization: both the size check and the
+      // join read the computed rows; no cache entry escapes this call
+      .localCheckpoint(true)
     val corpusSh = corpus.select(col(idCol).as("doc_id"),
         explode(array_distinct(hashedShingles(col(textCol), n))).as("__h"))
-    corpusSh
-      .join(broadcast(benchSh), Seq("__h"))
+    val joined =
+      if (benchSh.count() <= broadcastMaxShingles)
+        corpusSh.join(broadcast(benchSh), Seq("__h"))
+      else corpusSh.join(benchSh.hint("shuffle_hash"), Seq("__h"))
+    joined
       .groupBy("doc_id", "bench_id", "__bench_n")
       .agg(count(lit(1)).as("__matched"))
       .withColumn("containment", col("__matched").cast("double") / col("__bench_n"))

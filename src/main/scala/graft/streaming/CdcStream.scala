@@ -126,8 +126,19 @@ object CdcStream {
             // a refresh failure (mid-write truncated JSON, transient read
             // error) must not kill the stream: keep routing with the last
             // good registry and retry next interval
-            try registry = graft.cdc.Registry.load(p)
-            catch {
+            try {
+              val fresh = graft.cdc.Registry.load(p)
+              // type flips on existing columns would poison the physical
+              // table (mixed-type batch dirs): keep the old spec for the
+              // offending table, apply everything else
+              val (merged, rejected) =
+                graft.cdc.Registry.refreshCompatible(registry, fresh)
+              rejected.foreach(r => System.err.println(
+                s"[graft-cdc] registry refresh REJECTED type change for $r — " +
+                  "keeping the previous schema (a type flip would poison the " +
+                  "physical table with mixed-type batch dirs)"))
+              registry = merged
+            } catch {
               case scala.util.control.NonFatal(e) =>
                 System.err.println(
                   s"[graft-cdc] registry refresh failed (keeping previous): $e")

@@ -192,6 +192,16 @@ class DedupSpec extends SparkTestBase {
         n = 3, containment = 0.8)
       .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
     assert(hits == Set((1L, 100L)), s"got $hits")
+
+    // benchmark side too big to broadcast (forced via threshold 0): the
+    // shuffle-hash fallback must produce the identical result set
+    val fallback = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, containment = 0.8, broadcastMaxShingles = 0L)
+    val plan = fallback.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"fallback must not broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle hash join:\n$plan")
+    val fbHits = fallback.select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(fbHits == hits)
   }
 
 }

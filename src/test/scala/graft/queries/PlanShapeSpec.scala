@@ -82,4 +82,45 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "candidate generation must stay equi-join LSH")
   }
 
+  /** Every sort in the pre-AQE physical plan must order on TYPED keys:
+    * a string-typed sort key means Canon's rendering projection sank
+    * below an ORDER BY — decimal strings sort wrong ("9.5" > "10.2"),
+    * and the rendered frame would no longer match the oracle's typed
+    * ordering. */
+  private def assertTypedSorts(q: String): Unit = {
+    val df: DataFrame = graft.SparkEntry.queries(q)(spark, dir)
+    val sorts = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.nonEmpty, s"$q: expected at least one sort (query has ORDER BY)")
+    // both queries order exclusively on numeric/timestamp keys, so ANY
+    // string-typed sort key is a rendered column that sank below a sort
+    sorts.foreach { s =>
+      s.sortOrder.foreach { o =>
+        assert(o.child.dataType != org.apache.spark.sql.types.StringType,
+          s"$q: Canon rendering sank below a sort: ${o.child}")
+      }
+    }
+  }
+
+  test("q10: Canon rendering stays above the window and the final sort") {
+    assertTypedSorts("q10_window_analytic")
+    val p = plan("q10_window_analytic")
+    // column pruning must survive the canonical projection
+    assert(!p.contains("o_totalprice2") && !p.contains("o_comment"),
+      "ReadSchema should exclude unused orders columns under Canon")
+  }
+
+  test("q39: Canon keeps pushdown and typed ordering through the as-of join") {
+    assertTypedSorts("q39_asof_join")
+    val p = plan("q39_asof_join")
+    // the update/delete changelog branches filter orderkey % 3 / % 7 —
+    // those predicates must still reach the scans with Canon applied
+    assert(p.contains("PushedFilters:"))
+    assert(!p.contains("l_extendedprice") && !p.contains("l_tax"),
+      "ReadSchema must exclude unused lineitem columns under Canon")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join must stay the union + pk-window shape")
+  }
+
 }

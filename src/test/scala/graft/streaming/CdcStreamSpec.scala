@@ -200,6 +200,46 @@ class CdcStreamSpec extends SparkTestBase {
     assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 5)
   }
 
+  test("registry type flip mid-stream: rejected, stream keeps old schema, table stays readable") {
+    val (in, wh, ck) = freshDirs()
+    val regPath = tmpDir("cdc-tflip") + "/data-stream.json"
+    val v1 = """{"items": {"table_name": "items_cdc", "schema": {"fields": [
+      {"name": "item_id", "type": "INT64"},
+      {"name": "price", "type": "FLOAT"},
+      {"name": "action", "type": "STRING"},
+      {"name": "update_date", "type": "TIMESTAMP"}]}}}"""
+    // price FLOAT -> STRING: the incompatible edit (mergeSchema cannot
+    // reconcile a DOUBLE batch dir with a STRING one — poisoned table)
+    val v2 = v1.replace("""{"name": "price", "type": "FLOAT"}""",
+      """{"name": "price", "type": "STRING"}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(regPath), v1)
+    val cfg = CdcStreamConfig(in, wh, ck, registry = Map.empty, registryPath = Some(regPath),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+
+    Fixtures.writeLines(in, "log-000.jsonl", Seq(Fixtures.envelope(
+      "items", "2026-01-01T10:00:00.000Z", "insert",
+      """{"item_id":1,"price":9.99}""")), gzip = false)
+    val q = CdcStream.start(spark, cfg)
+    try {
+      q.processAllAvailable()
+      // live edit with the type flip, then more records: the refresh hook
+      // must reject the flip and keep routing with the previous schema
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(regPath), v2)
+      Fixtures.writeLines(in, "log-001.jsonl", Seq(Fixtures.envelope(
+        "items", "2026-01-02T10:00:00.000Z", "insert",
+        """{"item_id":2,"price":5.25}""")), gzip = false)
+      q.processAllAvailable()
+      assert(q.isActive, "stream must survive the rejected registry edit")
+    } finally q.stop()
+
+    val t = Ingest.readTable(spark, wh, "items_cdc")
+    assert(t.schema("price").dataType == org.apache.spark.sql.types.DoubleType,
+      s"price must keep the pre-flip type, got ${t.schema("price").dataType}")
+    val rows = t.select("item_id", "price").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 9.99, 2L -> 5.25), s"got $rows")
+  }
+
   test("registry schema evolution: added column appears; old rows read as NULL") {
     val (in, wh, ck) = freshDirs()
     val regPath = tmpDir("cdc-sevo") + "/data-stream.json"
