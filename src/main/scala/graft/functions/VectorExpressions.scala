@@ -47,7 +47,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
+    // clamp: float rounding can push dot/denom a few ulp past ±1 for
+    // (near-)identical vectors; cosine is mathematically in [-1, 1] and
+    // DuckDB's list_cosine_similarity clamps the same way
+    if (denom == 0.0) 0.0
+    else math.max(-1.0, math.min(1.0, dot / denom))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -63,7 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+         |${ev.value} = ($den == 0.0) ? 0.0
+         |  : java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $dot / $den));
        """.stripMargin
     })
 

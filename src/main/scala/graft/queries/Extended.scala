@@ -22,10 +22,27 @@ object Extended {
     * name the location without runtime substitution. */
   val OracleAuxDir = "/tmp/graft_oracle_aux"
 
-  /** Side frames Verify writes under [[OracleAuxDir]] — each one the
-    * EXACT candidate set its query re-ranks (same params, same seed;
-    * the generators are deterministic, so recomputation here equals the
-    * in-query computation). */
+  /** q46's featurized media corpus (documents + every-100th replayed
+    * under a shifted id, media_features over the synthesized payloads) —
+    * shared between the query and its vector dump so the oracle scores
+    * exactly the corpus the query searched. */
+  private def q46MediaVectors(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val replayed = docs.filter(col("doc_id") % 100 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Multimodal.synthesizeFromDocuments(docs.unionByName(replayed)).toDF()
+      .select(col("media_id").as("vec_id"),
+        graft.functions.VectorFunctions.media_features(col("content"), 64).as("embedding"))
+  }
+
+  /** Side frames Verify writes under [[OracleAuxDir]]:
+    *  - q30/q33: the EXACT candidate set the query re-ranks (same
+    *    params, same seed; generation is deterministic, so recomputation
+    *    here equals the in-query computation);
+    *  - q27/q46: the per-doc fingerprints / feature vectors, from which
+    *    DuckDB recomputes the ALL-PAIRS ground truth — an oracle of the
+    *    whole candidate-generation + verify pipeline downstream of the
+    *    (native-kernel) hash/feature computation. */
   val auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_candidates" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
@@ -36,7 +53,13 @@ object Extended {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
         numCentroids = 32, nProbe = 8)
-    }))
+    }),
+    "q27_fingerprints" -> ((s: SparkSession, d: String) => {
+      // identical expression to simhashNearDupPairs' fp projection
+      Tables.documents(s, d).select(col("doc_id").as("id"),
+        graft.functions.VectorFunctions.simhash64(split(col("text"), " ")).as("fp"))
+    }),
+    "q46_media_vectors" -> q46MediaVectors _)
 
   /** Exact-cosine re-rank oracle over a materialized candidate dump:
     * identical scoring (DuckDB's list_cosine_similarity over DOUBLE[] is
@@ -177,9 +200,19 @@ object Extended {
     ("q27_dedup_simhash",
       (s: SparkSession, d: String) => {
         Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
           .orderBy("id1", "id2")
       },
-      None),
+      // all-pairs Hamming ground truth over the dumped fingerprints:
+      // any pair the 4-chunk pigeonhole join missed (or extra pair the
+      // exact filter let through) hash-fails here
+      Some(s"""WITH fp AS (SELECT id, fp
+              |           FROM read_parquet('$OracleAuxDir/q27_fingerprints/*.parquet'))
+              |SELECT a.id AS id1, b.id AS id2,
+              |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+              |FROM fp a JOIN fp b ON a.id < b.id
+              |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+              |ORDER BY id1, id2""".stripMargin)),
 
     ("q28_unigram_jaccard",
       (s: SparkSession, d: String) => {
@@ -327,17 +360,12 @@ object Extended {
         // (codegen'd media_features) -> LSH-bucketed cosine pairs. The
         // corpus has no byte-identical payloads at small SF, so every
         // 100th doc is replayed under a shifted id: each planted copy MUST
-        // surface as a sim==1.0 pair (self-validating output).
-        val docs = Tables.documents(s, d)
-        val replayed = docs.filter(col("doc_id") % 100 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
+        // surface as a sim==1.0 pair (the all-pairs ground-truth oracle
+        // over the dumped vectors re-verifies the full pair set).
         // persist the featurized corpus for the call: nearDupPairs scans
         // it twice (bucket pass + vector join-back) and the media_features
         // kernel is the expensive part of this frame
-        val media = Multimodal.synthesizeFromDocuments(docs.unionByName(replayed)).toDF()
-          .select(col("media_id").as("vec_id"),
-            graft.functions.VectorFunctions.media_features(col("content"), 64).as("embedding"))
-          .persist()
+        val media = q46MediaVectors(s, d).persist()
         val pairs = Similarity.nearDupPairs(media, threshold = 0.999,
             numTables = 8, bitsPerTable = 12, // eager: safe to unpersist after
             corpusPersisted = true) // we hold the cache — no inner re-persist
@@ -345,7 +373,16 @@ object Extended {
         media.unpersist(false)
         pairs
       },
-      None), // exact-dup payloads => sim 1.0; determinism pinned in MultimodalSpec
+      // all-pairs cosine ground truth over the dumped feature vectors:
+      // verifies the LSH pair set exactly (recall 1.0 required) plus the
+      // bit-identical cosine values and threshold cut
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+              |          FROM read_parquet('$OracleAuxDir/q46_media_vectors/*.parquet'))
+              |SELECT a.vec_id AS id1, b.vec_id AS id2,
+              |       list_cosine_similarity(a.dv, b.dv) AS sim
+              |FROM v a JOIN v b ON a.vec_id < b.vec_id
+              |WHERE list_cosine_similarity(a.dv, b.dv) >= 0.999
+              |ORDER BY id1, id2""".stripMargin)),
 
     ("q47_bpe_tokens",
       (s: SparkSession, d: String) => {
