@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus → training-shard engineering: sequence packing under a token
+  * budget and deterministic train/val/test splits. Both are the ops a
+  * pipeline runs LAST, right before writing shards — so both are exact,
+  * reproducible, and cheap relative to the write they precede.
+  */
+object Sharding {
+
+  /** Greedy sequence packing: walking documents in `idCol` order, each
+    * doc's shard is `floor(tokens-before-it / budget)` — shards fill to
+    * the budget and may overflow by at most one document (the standard
+    * greedy semantic; a doc never splits).
+    *
+    * Scale shape — a DISTRIBUTED PREFIX SUM, not a global window (a
+    * single `Window.orderBy` with no partition pulls the corpus through
+    * one task): range-repartition on the order key (contiguous buckets),
+    * per-bucket token totals collect to the driver (≤ #buckets rows),
+    * the driver prefix-scans them into per-bucket offsets, and each
+    * bucket computes its own cumulative sum in parallel plus its offset.
+    * The bucketed frame is persisted so the offsets and the final pass
+    * see the SAME range boundaries, and released before returning (the
+    * result is eagerly checkpointed — this op immediately precedes a
+    * shard write, so materialization is the point). */
+  def packShards(docs: DataFrame, idCol: String, tokenCol: String,
+                 budget: Long, numBuckets: Int = 0): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val ranged = (if (numBuckets > 0) docs.repartitionByRange(numBuckets, col(idCol))
+                  else docs.repartitionByRange(col(idCol)))
+      .withColumn("__rb", spark_partition_id())
+      .persist()
+    try {
+      val totals = ranged.groupBy("__rb").agg(sum(col(tokenCol)).as("__s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (totals.isEmpty) return docs.withColumn("shard", lit(0L)).limit(0)
+      val ids = totals.keys.toArray.sorted
+      // exclusive prefix: tokens in all earlier buckets; attached via a
+      // tiny broadcast join (a folded CASE expression would grow one
+      // branch per bucket and fall out of codegen at high bucket counts)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val offsets = ids.zip(ids.scanLeft(0L)((acc, b) => acc + totals(b)))
+        .toSeq.toDF("__rb", "__off")
+      val w = Window.partitionBy("__rb").orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val out = ranged
+        .join(broadcast(offsets), "__rb")
+        .withColumn("__cum",
+          coalesce(sum(col(tokenCol)).over(w), lit(0L)) + col("__off"))
+        .withColumn("shard", floor(col("__cum") / budget))
+        .drop("__rb", "__off", "__cum")
+      out.localCheckpoint(true)
+    } finally ranged.unpersist(false)
+  }
+
+  /** Deterministic [0, 100) bucket from an integral id: Knuth
+    * multiplicative hashing over a prime residue. Plain 64-bit-safe
+    * arithmetic (no engine-specific hash function), so any SQL engine
+    * reproduces the assignment bit-for-bit — the property a train/test
+    * split must have to survive pipeline reruns and engine migrations.
+    * Collision structure (ids ≡ mod 1000003 share a bucket) is harmless
+    * for percentage splits. */
+  def splitBucket(id: Column): Column =
+    pmod((id % 1000003L) * 2654435761L, lit(100L))
+
+  /** Assign 'train' / 'val' / 'test' deterministically by id hash:
+    * val gets `valPct` buckets, test `testPct`, train the rest. */
+  def assignSplit(docs: DataFrame, idCol: String,
+                  valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
+    val b = splitBucket(col(idCol))
+    docs.withColumn("split",
+      when(b < lit(100L - valPct - testPct), "train")
+        .when(b < lit(100L - testPct.toLong), "val")
+        .otherwise("test"))
+  }
+}

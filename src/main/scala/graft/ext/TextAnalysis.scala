@@ -147,6 +147,27 @@ object TextAnalysis {
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", fingerprint(col(textCol)))
 
+  // ---------------------------------------------------------------- PII
+
+  /** Conservative PII patterns, written to the regex subset where Java's
+    * leftmost-first and RE2's leftmost-longest semantics agree (greedy
+    * character classes, no alternation) — so SQL engines on either regex
+    * family redact identically. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRe = """\b\d{3}-\d{4}\b"""
+
+  /** Redact emails and phone-shaped numbers; adds match counts (the
+    * audit signal a scrubbing pass must emit) and the scrubbed text.
+    * Pure expression tree — codegen'd, no UDF. */
+  def scrubPii(docs: DataFrame, textCol: String = "text",
+               replacement: String = "[REDACTED]"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, replacement),
+          PhoneRe, replacement))
+
   // ---------------------------------------------------------------- curation
 
   /** End-to-end corpus curation — the pipeline a training-data job

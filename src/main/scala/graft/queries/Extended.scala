@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sharding, Similarity, TextAnalysis}
 
 /** Extended operator queries: training-data-pipeline ops beyond the
   * reference's own surface (dedup family, ANN similarity, text analysis,
@@ -506,6 +506,66 @@ object Extended {
                count(lit(1)).as("n_events"))
           .orderBy("event_type")
       },
-      None)
+      None),
+
+    // ------------------------------------------------- shard engineering
+    ("q55_pack_shards",
+      (s: SparkSession, d: String) => {
+        // greedy sequence packing under a token budget — the distributed
+        // prefix sum (range buckets + driver prefix scan + per-bucket
+        // windows), never a partitionless global window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        Sharding.packShards(toks, "doc_id", "n_tokens", budget = 4096, numBuckets = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |cum AS (SELECT doc_id, n_tokens,
+             |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+             |  FROM toks)
+             |SELECT doc_id, n_tokens, CAST(c // 4096 AS BIGINT) AS shard
+             |FROM cum ORDER BY doc_id""".stripMargin)),
+
+    ("q56_pii_scrub",
+      (s: SparkSession, d: String) => {
+        // plant deterministic PII in every 10th doc (the corpus has
+        // none), then redact: counts are the audit trail, the scrubbed
+        // text the product — both must match DuckDB's RE2 byte-for-byte
+        val aug = Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com or 555-0100")))
+            .otherwise(col("text")))
+        TextAnalysis.scrubPii(aug)
+          .select("doc_id", "n_emails", "n_phones", "scrubbed")
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+             |  THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-0100'
+             |  ELSE text END AS text FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+             |  regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+             |    '\b\d{3}-\d{4}\b', '[REDACTED]', 'g') AS scrubbed
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    ("q57_split_assign",
+      (s: SparkSession, d: String) => {
+        // deterministic train/val/test assignment: plain multiplicative-
+        // hash arithmetic, so ANY engine reproduces the split bit-for-bit
+        Sharding.assignSplit(Tables.documents(s, d), "doc_id")
+          .select("doc_id", "split")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 90 THEN 'train'
+             |       WHEN ((doc_id % 1000003) * 2654435761) % 100 < 95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

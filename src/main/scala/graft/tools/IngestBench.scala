@@ -74,6 +74,17 @@ object IngestBench {
     val registry = Registry.fromJson(registryJson)
     val physical = registry("orders_cdc").physicalName
 
+    // warm-up (untimed): a tiny stream through the same path, so
+    // streaming-source/codegen/state init and gz codec loading aren't
+    // billed to the steady-state number — without it the metric swings
+    // 2× run-to-run depending on what already ran in the session
+    val warmRows = spark.read.option("compression", "gzip").text(inDir).limit(200)
+    warmRows.write.option("compression", "gzip").text(s"$work/warm-in")
+    graft.streaming.CdcStream.runOnce(spark, graft.streaming.CdcStreamConfig(
+      s"$work/warm-in", s"$work/warm-wh", s"$work/warm-ck", registry,
+      snapshotKeys = Map("orders_cdc" -> Seq("o_orderkey"))))
+    System.gc()
+
     val metrics = graft.streaming.StreamMetrics.attach(spark)
     val t0 = System.nanoTime()
     graft.streaming.CdcStream.runOnce(spark, graft.streaming.CdcStreamConfig(

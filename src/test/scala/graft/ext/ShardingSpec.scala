@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ShardingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("packShards equals the sequential greedy reference") {
+    // irregular token counts, several range buckets
+    val docs = (1L to 1000L).map(i => (i, 1L + (i * 37) % 400)).toDF("doc_id", "n_tokens")
+    val budget = 2048L
+    val got = Sharding.packShards(docs, "doc_id", "n_tokens", budget, numBuckets = 7)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+
+    var cum = 0L
+    val expected = (1L to 1000L).map { i =>
+      val shard = cum / budget
+      cum += 1L + (i * 37) % 400
+      i -> shard
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("packShards: shards are contiguous and overflow by at most one doc") {
+    val docs = (1L to 500L).map(i => (i, 100L + i % 50)).toDF("doc_id", "n_tokens")
+    val budget = 1000L
+    val out = Sharding.packShards(docs, "doc_id", "n_tokens", budget, numBuckets = 4)
+    val perShard = out.groupBy("shard")
+      .agg(sum("n_tokens").as("tok"), min("doc_id").as("lo"), max("doc_id").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // contiguity: shard k's id range ends right before shard k+1's starts
+    perShard.sliding(2).foreach {
+      case Array((_, _, _, hi, _), (_, _, lo, _, _)) => assert(lo == hi + 1)
+      case _ =>
+    }
+    // a full shard spans prev-cum range [k·B, (k+1)·B): its token total is
+    // within one max-doc of the budget on either side
+    val maxDoc = 100L + 49L
+    perShard.dropRight(1).foreach { case (s, tok, _, _, _) =>
+      assert(tok > budget - maxDoc && tok < budget + maxDoc, s"shard $s total $tok")
+    }
+  }
+
+  test("packShards: single bucket agrees with many buckets") {
+    val docs = (1L to 300L).map(i => (i, (i % 97) + 1)).toDF("doc_id", "n_tokens")
+    val one = Sharding.packShards(docs, "doc_id", "n_tokens", 512, numBuckets = 1)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val many = Sharding.packShards(docs, "doc_id", "n_tokens", 512, numBuckets = 13)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(one == many)
+  }
+
+  test("assignSplit: deterministic, all splits present, fractions sane") {
+    val docs = (0L until 10000L).toDF("doc_id")
+    val counts = Sharding.assignSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 8000 && counts("train") < 9700, s"got $counts")
+    assert(counts("val") > 100 && counts("test") > 100, s"got $counts")
+    // bit-for-bit reproducible across invocations
+    val again = Sharding.assignSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+    // matches the documented arithmetic
+    val row = Sharding.assignSplit(docs.filter($"doc_id" === 4242L), "doc_id")
+      .select("split").as[String].head()
+    val bucket = ((4242L % 1000003L) * 2654435761L) % 100L
+    val expected = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+    assert(row == expected)
+  }
+
+  test("scrubPii redacts planted emails and phones, counts them, leaves clean text") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+x@mail.example.org today"),
+      (2L, "call 555-0100 or 555-0199 now"),
+      (3L, "nothing sensitive here 12345 2026-01-01")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs)
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._4 == "reach me at [REDACTED] today")
+    assert(out(2L)._3 == 2 && out(2L)._4 == "call [REDACTED] or [REDACTED] now")
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0 && out(3L)._4.contains("12345"))
+    // date-like token must not be phone-matched
+    assert(out(3L)._4 == "nothing sensitive here 12345 2026-01-01")
+  }
+}
