@@ -554,6 +554,47 @@ object Extended {
              |    '\b\d{3}-\d{4}\b', '[REDACTED]', 'g') AS scrubbed
              |FROM aug ORDER BY doc_id""".stripMargin)),
 
+    ("q58_repetition",
+      (s: SparkSession, d: String) => {
+        // Gopher-style repetition signal: fraction of 3-gram occurrences
+        // that are duplicates — boilerplate/spam detection upstream of
+        // quality gating. Same shingle semantics as the dedup family.
+        val shingled = Tables.documents(s, d)
+          .withColumn("__sh", Dedup.shingles(col("text"), 3))
+        shingled.select(col("doc_id"),
+            size(col("__sh")).cast("long").as("n_3grams"),
+            size(array_distinct(col("__sh"))).cast("long").as("n_distinct_3grams"),
+            (lit(1.0) - size(array_distinct(col("__sh"))).cast("double") /
+              size(col("__sh"))).as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END AS sh FROM tok)
+             |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_3grams,
+             |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_3grams,
+             |  1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_ratio
+             |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    ("q59_source_stats",
+      (s: SparkSession, d: String) => {
+        // provenance accounting: doc/token/char volumes per source — the
+        // first dashboard a corpus owner asks for. Single-division
+        // average keeps the double bit-identical across engines.
+        Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     ("q57_split_assign",
       (s: SparkSession, d: String) => {
         // deterministic train/val/test assignment: plain multiplicative-
