@@ -558,9 +558,11 @@ object Extended {
       (s: SparkSession, d: String) => {
         // Gopher-style repetition signal: fraction of 3-gram occurrences
         // that are duplicates — boilerplate/spam detection upstream of
-        // quality gating. Same shingle semantics as the dedup family.
+        // quality gating. Hashed shingles (same kernel as the dedup
+        // family): count-equivalent to string 3-grams whp, ~2× cheaper
+        // than materializing the n-gram strings per row.
         val shingled = Tables.documents(s, d)
-          .withColumn("__sh", Dedup.shingles(col("text"), 3))
+          .withColumn("__sh", Dedup.hashedShingles(col("text"), 3))
         shingled.select(col("doc_id"),
             size(col("__sh")).cast("long").as("n_3grams"),
             size(array_distinct(col("__sh"))).cast("long").as("n_distinct_3grams"),
