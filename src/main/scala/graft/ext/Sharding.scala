@@ -78,4 +78,29 @@ object Sharding {
         .when(b < lit(100L - testPct.toLong), "val")
         .otherwise("test"))
   }
+
+  /** Cap each group's contribution at `cap` rows, chosen
+    * deterministically by ([[splitBucket]], id) — the per-domain
+    * downsample that stops boilerplate-heavy sources from dominating a
+    * corpus, reproducible with no RNG state.
+    *
+    * Scale shape: the selection runs through the bounded top-k
+    * aggregator (map-side-combining partial heaps, shuffle O(groups ×
+    * cap)), NOT a per-group window — a window would sort each hot
+    * domain in full, and hot domains are exactly what the cap is for.
+    * TopK's (score desc, id asc) order with score = -bucket reproduces
+    * the (bucket asc, id asc) ranking bit-for-bit, so any SQL engine's
+    * `row_number() OVER (PARTITION BY g ORDER BY bucket, id) <= cap`
+    * selects the identical rows. Ids must be unique and integral. */
+  def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+                  cap: Int): DataFrame = {
+    require(cap > 0)
+    val keep = docs
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"))
+      .withColumn("__score", -splitBucket(col("__id")).cast("double"))
+      .groupBy("__g")
+      .agg(graft.functions.TopK.top_k(cap)(col("__id"), col("__score")).as("__top"))
+      .select(explode(col("__top.id")).as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -17,10 +17,13 @@ object Extended {
   /** Where Verify materializes deterministic candidate sets for oracles
     * that RE-RANK them in DuckDB (LSH/IVF top-k: approximate in recall,
     * exact in ranking — the candidate set is deterministic for a fixed
-    * seed, so the ranking over it is fully oracled). A fixed scratch
-    * path because `SparkEntry.oracleSql` is a static map: the SQL must
-    * name the location without runtime substitution. */
-  val OracleAuxDir = "/tmp/graft_oracle_aux"
+    * seed, so the ranking over it is fully oracled). A fixed path
+    * because `SparkEntry.oracleSql` is a static map: the SQL must name
+    * the location without runtime substitution. Lives under the repo's
+    * (gitignored) build dir rather than /tmp: the process running the
+    * oracle SQL is guaranteed to share the repo filesystem with the
+    * process that ran Verify. */
+  val OracleAuxDir = "/root/repo/target/oracle_aux"
 
   /** q46's featurized media corpus (documents + every-100th replayed
     * under a shifted id, media_features over the synthesized payloads) —
@@ -596,6 +599,21 @@ object Extended {
              |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
              |  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    ("q60_source_cap",
+      (s: SparkSession, d: String) => {
+        // per-source contribution cap: deterministic downsample to ≤10
+        // docs per source via the bounded top-k aggregator
+        Sharding.capPerGroup(Tables.documents(s, d), "source", "doc_id", cap = 10)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH ranked AS (SELECT doc_id, source,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY ((doc_id % 1000003) * 2654435761) % 100, doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, source FROM ranked WHERE rn <= 10
+             |ORDER BY doc_id""".stripMargin)),
 
     ("q57_split_assign",
       (s: SparkSession, d: String) => {

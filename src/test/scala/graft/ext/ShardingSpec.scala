@@ -73,6 +73,26 @@ class ShardingSpec extends SparkTestBase {
     assert(row == expected)
   }
 
+  test("capPerGroup: deterministic, equals the window-rank reference") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 500L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
+    val cap = 20
+    val got = Sharding.capPerGroup(docs, "source", "doc_id", cap)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: per-group window rank over the same (bucket, id) order
+    val w = Window.partitionBy("source")
+      .orderBy(Sharding.splitBucket($"doc_id"), $"doc_id")
+    val expected = docs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= cap).select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    val sizes = docs.join(got.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= cap) && sizes.values.exists(_ == cap))
+    // column set/order preserved
+    assert(Sharding.capPerGroup(docs, "source", "doc_id", cap).columns.toSeq ==
+      Seq("doc_id", "source"))
+  }
+
   test("scrubPii redacts planted emails and phones, counts them, leaves clean text") {
     val docs = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org today"),
