@@ -30,9 +30,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object VersionedSql {
 
-  /** pk/version/action metadata for one registered versioned table. */
+  /** pk/version/action metadata for one registered versioned table.
+    * `dtCol`: the event-time date partition column, when the table was
+    * written with Ingest's partitionByDate — as_of then routes through
+    * asOfPruned, so whole date directories prune before any read. */
   final case class VersionedMeta(pk: Seq[String], versionCol: String,
-                                 actionCol: String)
+                                 actionCol: String, dtCol: Option[String] = None)
 
   // Keyed by lower-cased view name (SQL identifiers are case-insensitive
   // by default). JVM-global like the temp-view catalog is session-global:
@@ -44,9 +47,10 @@ object VersionedSql {
     * point-in-time TVFs resolve against. */
   def register(name: String, changelog: DataFrame, pk: Seq[String],
                versionCol: String = "update_date",
-               actionCol: String = "action"): Unit = {
+               actionCol: String = "action",
+               dtCol: Option[String] = None): Unit = {
     changelog.createOrReplaceTempView(name)
-    registry.put(name.toLowerCase, VersionedMeta(pk, versionCol, actionCol))
+    registry.put(name.toLowerCase, VersionedMeta(pk, versionCol, actionCol, dtCol))
   }
 
   private def tableArg(e: Expression): (DataFrame, VersionedMeta) = {
@@ -70,7 +74,11 @@ object VersionedSql {
 
   private[graft] def asOfPlan(es: Seq[Expression]): LogicalPlan = {
     val (df, m) = tableArg(es.head)
-    plan(Versioned.asOf(df, Bridge.column(es(1)), m.pk, m.versionCol, m.actionCol))
+    val t = Bridge.column(es(1))
+    plan(m.dtCol match {
+      case Some(dt) => Versioned.asOfPruned(df, t, m.pk, m.versionCol, m.actionCol, dt)
+      case None     => Versioned.asOf(df, t, m.pk, m.versionCol, m.actionCol)
+    })
   }
 
   private[graft] def changesBetweenPlan(es: Seq[Expression]): LogicalPlan = {

@@ -27,34 +27,46 @@ object Sharding {
     * result is eagerly checkpointed — this op immediately precedes a
     * shard write, so materialization is the point). */
   def packShards(docs: DataFrame, idCol: String, tokenCol: String,
-                 budget: Long, numBuckets: Int = 0): DataFrame = {
+                 budget: Long, numBuckets: Int = 0): DataFrame =
+    packShardsStaged(docs, idCol, tokenCol, budget, numBuckets) match {
+      case None => docs.withColumn("shard", lit(0L)).limit(0) // empty corpus
+      case Some((out, ranged)) =>
+        try out.localCheckpoint(true)
+        finally ranged.unpersist(false)
+    }
+
+  /** [[packShards]] before its eager checkpoint: (lazy result, the
+    * persisted bucketed frame the caller must unpersist). Exposed so
+    * plan-shape tests can assert the window is bucket-partitioned —
+    * the public method materializes, which collapses the plan. */
+  private[graft] def packShardsStaged(docs: DataFrame, idCol: String, tokenCol: String,
+                                      budget: Long, numBuckets: Int)
+      : Option[(DataFrame, DataFrame)] = {
     require(budget > 0, "token budget must be positive")
     val ranged = (if (numBuckets > 0) docs.repartitionByRange(numBuckets, col(idCol))
                   else docs.repartitionByRange(col(idCol)))
       .withColumn("__rb", spark_partition_id())
       .persist()
-    try {
-      val totals = ranged.groupBy("__rb").agg(sum(col(tokenCol)).as("__s"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      if (totals.isEmpty) return docs.withColumn("shard", lit(0L)).limit(0)
-      val ids = totals.keys.toArray.sorted
-      // exclusive prefix: tokens in all earlier buckets; attached via a
-      // tiny broadcast join (a folded CASE expression would grow one
-      // branch per bucket and fall out of codegen at high bucket counts)
-      val spark = docs.sparkSession
-      import spark.implicits._
-      val offsets = ids.zip(ids.scanLeft(0L)((acc, b) => acc + totals(b)))
-        .toSeq.toDF("__rb", "__off")
-      val w = Window.partitionBy("__rb").orderBy(col(idCol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val out = ranged
-        .join(broadcast(offsets), "__rb")
-        .withColumn("__cum",
-          coalesce(sum(col(tokenCol)).over(w), lit(0L)) + col("__off"))
-        .withColumn("shard", floor(col("__cum") / budget))
-        .drop("__rb", "__off", "__cum")
-      out.localCheckpoint(true)
-    } finally ranged.unpersist(false)
+    val totals = ranged.groupBy("__rb").agg(sum(col(tokenCol)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (totals.isEmpty) { ranged.unpersist(false); return None }
+    val ids = totals.keys.toArray.sorted
+    // exclusive prefix: tokens in all earlier buckets; attached via a
+    // tiny broadcast join (a folded CASE expression would grow one
+    // branch per bucket and fall out of codegen at high bucket counts)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsets = ids.zip(ids.scanLeft(0L)((acc, b) => acc + totals(b)))
+      .toSeq.toDF("__rb", "__off")
+    val w = Window.partitionBy("__rb").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = ranged
+      .join(broadcast(offsets), "__rb")
+      .withColumn("__cum",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)) + col("__off"))
+      .withColumn("shard", floor(col("__cum") / budget))
+      .drop("__rb", "__off", "__cum")
+    Some((out, ranged))
   }
 
   /** Deterministic [0, 100) bucket from an integral id: Knuth

@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -83,6 +83,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
         lit("1998-01-01 00:00:00").cast("timestamp"), Seq("pk"))
       .filter(col("pk") % 2 === 0).count()
     assert(n == expected && n > 0)
+  }
+
+  test("as_of on a date-partitioned registration routes through asOfPruned") {
+    changelog
+    val parted = changelog.withColumn("_dt", to_date(col("update_date")))
+    VersionedSql.register("orders_vp", parted, Seq("pk"), dtCol = Some("_dt"))
+    val ts = "1998-01-01 00:00:00"
+    val viaSql = spark.sql(s"SELECT * FROM as_of('orders_vp', TIMESTAMP '$ts')")
+    // pruned variant drops the partition column, so frames compare directly
+    val viaApi = Versioned.asOfPruned(parted, lit(ts).cast("timestamp"), Seq("pk"))
+    assert(rows(viaSql) == rows(viaApi) && rows(viaSql).nonEmpty)
+    // and equals the unpartitioned answer (pruning is a pure optimization)
+    assert(rows(viaSql) ==
+      rows(Versioned.asOf(changelog, lit(ts).cast("timestamp"), Seq("pk"))))
+    // the _dt <= date(t) predicate must be planted (visible pre-
+    // optimization; over a real file-partitioned table it becomes the
+    // directory-pruning filter — here the optimizer folds it into the
+    // derived-column source predicates, which is equally correct)
+    val planStr = viaSql.queryExecution.analyzed.toString
+    assert(planStr.contains("_dt"), s"expected a _dt partition predicate:\n$planStr")
   }
 
   test("unregistered table name fails with a pointed error") {

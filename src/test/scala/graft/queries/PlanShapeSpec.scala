@@ -111,6 +111,32 @@ class PlanShapeSpec extends SparkTestBase {
       "ReadSchema should exclude unused orders columns under Canon")
   }
 
+  test("q55: packing windows are bucket-partitioned — no partitionless global window") {
+    // the public packShards eagerly checkpoints (collapsing the plan), so
+    // inspect the staged pre-checkpoint frame
+    val toks = graft.core.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(
+          org.apache.spark.sql.functions.col("text")).as("n_tokens"))
+    val Some((staged, ranged)) =
+      graft.ext.Sharding.packShardsStaged(toks, "doc_id", "n_tokens", 4096, 8)
+    try {
+      val windows = staged.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the per-bucket cumulative-sum window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        "a window with no partition spec pulls the whole corpus through one task"))
+    } finally ranged.unpersist(false)
+  }
+
+  test("q60: per-group cap ranks via partial ObjectHashAggregate, not a window") {
+    val p = plan("q60_source_cap")
+    assert(p.contains("ObjectHashAggregate"), "cap selection must use the bounded top-k aggregator")
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+      "hot-domain capping must not sort groups in a window")
+  }
+
   test("q39: Canon keeps pushdown and typed ordering through the as-of join") {
     assertTypedSorts("q39_asof_join")
     val p = plan("q39_asof_join")
