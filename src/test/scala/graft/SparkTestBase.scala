@@ -18,6 +18,9 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // catalog tables (bucketed layouts) land in a scratch dir, not ./spark-warehouse
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
