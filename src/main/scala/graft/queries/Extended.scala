@@ -615,6 +615,40 @@ object Extended {
              |SELECT doc_id, source FROM ranked WHERE rn <= 10
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q61_quality_threshold",
+      (s: SparkSession, d: String) => {
+        // percentile-threshold curation: keep the top quartile by quality
+        // score. The threshold is ONE exact-percentile aggregation
+        // broadcast back over the corpus (never a global sort/rank —
+        // selecting "top X%" by rank would pull the corpus through a
+        // partitionless window at scale).
+        val scored = TextAnalysis.withQuality(Tables.documents(s, d))
+          .select(col("doc_id"), col("quality_score"))
+        val thr = scored.agg(expr("percentile(quality_score, 0.75)").as("__thr"))
+        scored.join(broadcast(thr))
+          .filter(col("quality_score") >= col("__thr"))
+          .select("doc_id", "quality_score")
+          .orderBy("doc_id")
+      },
+      // quality CTE verbatim from q22 (hash-proven); Spark `percentile`
+      // == DuckDB `quantile_cont` (hash-proven by q42)
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+             |  FROM documents),
+             |scored AS (
+             |  SELECT doc_id,
+             |    0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+             |      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             |      + 0.1 * (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) AS quality_score
+             |  FROM q)
+             |SELECT doc_id, quality_score FROM scored
+             |WHERE quality_score >= (SELECT quantile_cont(quality_score, 0.75) FROM scored)
+             |ORDER BY doc_id""".stripMargin)),
+
     ("q57_split_assign",
       (s: SparkSession, d: String) => {
         // deterministic train/val/test assignment: plain multiplicative-
