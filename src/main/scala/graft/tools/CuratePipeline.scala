@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Sharding, TextAnalysis}
+
+/** End-to-end training-corpus curation CLI — the pipeline a data team
+  * runs over raw documents, composed from the verified operators:
+  *
+  *   1. quality + language gates   (TextAnalysis.curateCorpus: score,
+  *      filter, LSH near-dedup of the survivors)
+  *   2. optional benchmark decontamination (Dedup.decontaminate)
+  *   3. per-source contribution cap (Sharding.capPerGroup)
+  *   4. deterministic train/val/test split (Sharding.assignSplit)
+  *   5. token-budget sequence packing per split (Sharding.packShards)
+  *   6. write parquet partitioned by (split, shard) — the layout a
+  *      trainer streams shard-by-shard
+  *
+  * Every stage is deterministic (no RNG state), so reruns produce
+  * byte-identical shards — the property that makes corpus builds
+  * reproducible and incremental.
+  *
+  * usage: CuratePipeline <docsParquet> <outDir> [minQuality] [langs,csv]
+  *                       [tokenBudget] [perSourceCap]
+  */
+object CuratePipeline {
+
+  /** The pipeline as a function (CLI-independent, spec-driven). Returns
+    * the curated, split, packed frame that `main` writes. */
+  def run(spark: SparkSession, docs: DataFrame,
+          minQuality: Double, langs: Seq[String],
+          tokenBudget: Long, perSourceCap: Int,
+          benchmarks: Option[DataFrame] = None): DataFrame = {
+    val curated = TextAnalysis.curateCorpus(docs, minQuality, langs)
+    val clean = benchmarks match {
+      case Some(b) =>
+        val hits = Dedup.decontaminate(curated, b, "doc_id", "text")
+          .select(col("doc_id")).distinct()
+        curated.join(hits, Seq("doc_id"), "left_anti")
+      case None => curated
+    }
+    val capped = Sharding.capPerGroup(clean, "source", "doc_id", perSourceCap)
+    val split = Sharding.assignSplit(capped, "doc_id")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    // pack WITHIN each split (a val doc must never share a shard with a
+    // train doc): three small packing passes, one per split value
+    Seq("train", "val", "test").map { sp =>
+      Sharding.packShards(split.filter(col("split") === sp),
+        "doc_id", "n_tokens", tokenBudget)
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: CuratePipeline <docsParquet> <outDir> " +
+        "[minQuality] [langs,csv] [tokenBudget] [perSourceCap]")
+      sys.exit(2)
+    }
+    val docsPath = args(0); val outDir = args(1)
+    val minQuality = if (args.length > 2) args(2).toDouble else 0.5
+    val langs = if (args.length > 3) args(3).split(",").toSeq else Seq("en")
+    val budget = if (args.length > 4) args(4).toLong else 1 << 20
+    val cap = if (args.length > 5) args(5).toInt else 1000000
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = run(spark, spark.read.parquet(docsPath), minQuality, langs, budget, cap)
+    out.write.mode("overwrite").partitionBy("split", "shard").parquet(outDir)
+    val stats = spark.read.parquet(outDir)
+      .groupBy("split").agg(count(lit(1)).as("docs"),
+        countDistinct(col("shard")).as("shards"), sum(col("n_tokens")).as("tokens"))
+      .orderBy("split").collect()
+    stats.foreach(r => println(s"[curate] ${r.mkString(" ")}"))
+    spark.stop()
+  }
+}

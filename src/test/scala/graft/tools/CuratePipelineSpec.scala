@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.Tables
+import graft.ext.Sharding
+
+class CuratePipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("end-to-end curation: gates, cap, split, packing invariants all hold") {
+    val docs = Tables.documents(spark, sf)
+    val out = CuratePipeline.run(spark, docs,
+      minQuality = 0.3, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 20)
+    val rows = out.select("doc_id", "source", "split", "shard", "n_tokens")
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+
+    // split assignment matches the deterministic hash everywhere
+    rows.foreach { case (id, _, split, _, _) =>
+      val b = ((id % 1000003L) * 2654435761L) % 100L
+      val expected = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(split == expected, s"doc $id: $split != $expected")
+    }
+
+    // per-source cap respected
+    val bySource = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(bySource.values.forall(_ <= 20), s"cap violated: $bySource")
+
+    // packing: within each split, shards partition the docs contiguously
+    // in id order and stay within budget + one doc
+    rows.groupBy(_._3).foreach { case (split, rs) =>
+      val byShard = rs.groupBy(_._4).toSeq.sortBy(_._1)
+      byShard.sliding(2).foreach {
+        case Seq((_, a), (_, b)) =>
+          assert(a.map(_._1).max < b.map(_._1).min, s"$split: shard id ranges overlap")
+        case _ =>
+      }
+      val maxDoc = rs.map(_._5).max
+      byShard.dropRight(1).foreach { case (sh, ss) =>
+        val tok = ss.map(_._5).sum
+        assert(tok < 2000 + maxDoc, s"$split shard $sh over budget: $tok")
+      }
+    }
+
+    // deterministic: a second run yields the identical frame
+    val again = CuratePipeline.run(spark, docs,
+      minQuality = 0.3, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 20)
+      .select("doc_id", "source", "split", "shard", "n_tokens")
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(again.toSet == rows.toSet)
+  }
+
+  test("decontamination stage removes benchmark-contaminated docs") {
+    val docs = Tables.documents(spark, sf)
+    // benchmark = a verbatim slice of one known doc -> that doc must drop
+    val bench = docs.orderBy("doc_id").limit(1)
+      .select(col("doc_id") + 900000L as "doc_id", col("text"))
+    val contaminatedId = docs.orderBy("doc_id").limit(1)
+      .select("doc_id").as[Long].head()
+    val without = CuratePipeline.run(spark, docs,
+      minQuality = 0.0, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 1000, benchmarks = Some(bench))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!without.contains(contaminatedId),
+      s"doc $contaminatedId verbatim-matches the benchmark and must be removed")
+  }
+}
