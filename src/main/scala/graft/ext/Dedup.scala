@@ -316,6 +316,80 @@ object Dedup {
     uniq.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus near-duplicate pairs: (corpus doc, incoming doc) with
+    * exact shingle Jaccard ≥ threshold, candidates via shared LSH band
+    * buckets. The two sides never self-join — the existing corpus only
+    * contributes signatures and is never rewritten, which is what makes
+    * the nightly-increment workflow O(|incoming| + touched buckets)
+    * instead of O(|corpus|²). Same shuffle discipline as
+    * [[minhashNearDupPairs]]: bare id pairs through the bucket join,
+    * shingle sets join back per candidate, both sides bucket-capped. */
+  def crossNearDupPairs(corpus: DataFrame, incoming: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                        threshold: Double = 0.7, seed: Long = 42L,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def withSig(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", array_distinct(hashedShingles(col("text"), shingleSize)))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .persist()
+    def banded(df: DataFrame) = graft.core.Skew.capGroupSize(
+      df.select(col("id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
+
+    val l = withSig(corpus); val r = withSig(incoming)
+    val candidates = banded(l).toDF("corpus_id", "band", "bucket")
+      .join(banded(r).toDF("incoming_id", "band", "bucket"), Seq("band", "bucket"))
+      .select("corpus_id", "incoming_id")
+      .dropDuplicates("corpus_id", "incoming_id")
+    val verified = candidates
+      .join(l.select(col("id").as("corpus_id"), col("sh").as("s1")), "corpus_id")
+      .join(r.select(col("id").as("incoming_id"), col("sh").as("s2")), "incoming_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "incoming_id", "jaccard")
+    val out = verified.localCheckpoint(true)
+    l.unpersist(false); r.unpersist(false)
+    out
+  }
+
+  /** Incremental corpus maintenance: from an incoming batch, keep only
+    * documents that duplicate NEITHER the existing corpus NOR each
+    * other — what a nightly crawl append runs. Three passes, cheapest
+    * first: (1) exact cross-dedup on the text hash (an equi-join on one
+    * 8-byte column — mass re-crawls die here before LSH sees them);
+    * (2) within-batch [[dedupCorpus]] (its own exact pre-pass + LSH);
+    * (3) [[crossNearDupPairs]] against the corpus, anti-joined. The
+    * existing corpus is only read (hashes + signatures), never
+    * modified or re-clustered. */
+  def dedupIncrement(existing: DataFrame, incoming: DataFrame,
+                     idCol: String, textCol: String,
+                     shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                     threshold: Double = 0.7, seed: Long = 42L,
+                     maxBucketSize: Int = 10000): DataFrame = {
+    val existingHashes = existing
+      .select(xxhash64(col(textCol)).as("__th")).distinct()
+    val fresh = incoming
+      .withColumn("__th", xxhash64(col(textCol)))
+      .join(existingHashes, Seq("__th"), "left_anti")
+      .drop("__th")
+    // materialize the within-batch survivors ONCE: both the cross pass
+    // (signature side) and the final anti join consume them, and the
+    // frame is otherwise a stack of anti joins over the whole batch
+    val within = dedupCorpus(fresh, idCol, textCol, shingleSize, bands, rowsPerBand,
+      threshold, seed, maxBucketSize).localCheckpoint(true)
+    val crossDups = crossNearDupPairs(existing, within, idCol, textCol,
+      shingleSize, bands, rowsPerBand, threshold, seed, maxBucketSize)
+      .select(col("incoming_id").as(idCol)).distinct()
+    within.join(crossDups, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: find corpus documents whose n-gram set
     * CONTAINS a large fraction of some benchmark document's n-grams —
     * the asymmetric overlap that matters for eval leakage (a 50-token

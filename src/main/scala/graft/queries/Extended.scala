@@ -615,6 +615,72 @@ object Extended {
              |SELECT doc_id, source FROM ranked WHERE rn <= 10
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q62_dedup_increment",
+      (s: SparkSession, d: String) => {
+        // incremental corpus maintenance: docs ending in 0/5 arrive as a
+        // new batch against the rest as the standing corpus, with
+        // planted cross-batch exact dups (replayed corpus docs) and an
+        // internal replay — survivors must duplicate nothing anywhere
+        val docs = Tables.documents(s, d)
+        val existing = docs.filter(col("doc_id") % 5 =!= 0)
+        val crossReplay = existing.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val internalReplay = docs.filter(col("doc_id") % 100 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+        val incoming = docs.filter(col("doc_id") % 5 === 0)
+          .unionByName(crossReplay).unionByName(internalReplay)
+        Dedup.dedupIncrement(existing, incoming, "doc_id", "text", threshold = 0.5)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      // GROUND-TRUTH oracle mirroring the three passes: exact cross-drop
+      // (text membership), within-batch transitive closure keep-min
+      // (q40's recursive CTE over the fresh set), then drop survivors
+      // with any jaccard >= t partner in the standing corpus
+      Some("""WITH RECURSIVE existing AS (
+             |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 5 <> 0),
+             |incoming AS (
+             |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, lang, source FROM documents
+             |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, text, lang, source FROM documents WHERE doc_id % 100 = 0),
+             |fresh AS (SELECT * FROM incoming WHERE text NOT IN (SELECT text FROM existing)),
+             |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM fresh),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |pairs AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+             |within AS (SELECT * FROM fresh
+             |  WHERE doc_id NOT IN (SELECT id FROM lbl WHERE cluster_id < id)),
+             |etok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM existing),
+             |esh AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM etok),
+             |crossdup AS (
+             |  SELECT DISTINCT w.doc_id FROM sh w JOIN esh e ON
+             |    CAST(len(list_intersect(w.sh, e.sh)) AS DOUBLE) /
+             |    len(list_distinct(list_concat(w.sh, e.sh))) >= 0.5
+             |  WHERE w.doc_id IN (SELECT doc_id FROM within))
+             |SELECT doc_id, lang, source FROM within
+             |WHERE doc_id NOT IN (SELECT doc_id FROM crossdup)
+             |ORDER BY doc_id""".stripMargin)),
+
     ("q61_quality_threshold",
       (s: SparkSession, d: String) => {
         // percentile-threshold curation: keep the top quartile by quality

@@ -180,6 +180,35 @@ class DedupSpec extends SparkTestBase {
     assert(best == Set(2L, 115L), s"got $best")
   }
 
+  test("dedupIncrement: incoming batch deduped against corpus and itself") {
+    // existing corpus: base doc + an unrelated doc
+    val existing = Seq((1L, base),
+      (3L, "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                               // exact dup of corpus doc 1 -> drop
+      (11L, base.replace("theta", "THETA2")),    // near-dup of corpus doc 1 -> drop
+      (12L, "completely fresh words about entirely different topics " +
+        "nothing shared with anything stored before in any way at all"),
+      (13L, "completely fresh words about entirely different topics " +
+        "nothing shared with anything stored before in any way at all"), // dup of 12 -> drop
+      (14L, "another genuinely new document with its own unique vocabulary " +
+        "covering topics absent from the corpus and the batch alike"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrement(existing, incoming, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 14L), s"got $kept")
+    // the pass is idempotent: appending survivors and re-running the same
+    // batch keeps nothing
+    val appended = existing.unionByName(incoming.filter($"doc_id".isin(12L, 14L)))
+    val rerun = Dedup.dedupIncrement(appended, incoming, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rerun.isEmpty, s"rerun must drop everything, got $rerun")
+  }
+
   test("decontaminate flags embedded benchmark items, ignores unrelated docs") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
