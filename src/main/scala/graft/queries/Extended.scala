@@ -615,6 +615,33 @@ object Extended {
              |SELECT doc_id, source FROM ranked WHERE rn <= 10
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q63_profile",
+      (s: SparkSession, d: String) => {
+        // one-pass multi-column profile (nulls, exact distinct, min/max)
+        // over integral + string columns (engine-identical rendering)
+        graft.core.Profile.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'o_orderkey' AS column_name,
+             |    CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+             |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             |    CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+             |    CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM orders
+             |  UNION ALL
+             |  SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+             |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+             |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+             |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+             |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+             |) ORDER BY column_name""".stripMargin)),
+
     ("q62_dedup_increment",
       (s: SparkSession, d: String) => {
         // incremental corpus maintenance: docs ending in 0/5 arrive as a
