@@ -615,6 +615,44 @@ object Extended {
              |SELECT doc_id, source FROM ranked WHERE rn <= 10
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q64_funnel",
+      (s: SparkSession, d: String) => {
+        // behavioral funnel: per user, purchases within 1 hour of the
+        // most recent view. ONE pk shuffle + running-max window — never
+        // a view×purchase inequality self-join (which degenerates to a
+        // per-user nested loop at scale); same union-stream discipline
+        // as the as-of join.
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_view",
+            max(when(col("event_type") === "view", col("ts"))).over(w))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+            sum(when(col("event_type") === "purchase" && col("last_view").isNotNull &&
+              col("ts") <= col("last_view") + expr("INTERVAL 1 HOUR"), 1L).otherwise(0L))
+              .as("n_conversions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts, event_id FROM events
+             |            WHERE event_type IN ('view', 'purchase')),
+             |f AS (SELECT user_id, event_type, ts,
+             |  max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+             |  FROM ev)
+             |SELECT user_id,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' AND last_view IS NOT NULL
+             |    AND ts <= last_view + INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions
+             |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     ("q63_profile",
       (s: SparkSession, d: String) => {
         // one-pass multi-column profile (nulls, exact distinct, min/max)
