@@ -25,16 +25,25 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scalar kernels AND the point-in-time TVFs (snapshot / as_of /
+      // changes_between / scd2) — withExtensions only binds at session
+      // construction, so it must happen here, not in enableSqlSurface
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     VectorFunctions.registerAll(spark)
     spark
   }
 
   /** Register the driver corpus as temp views + custom functions on an
-    * existing session, enabling the `spark.sql(...)` query surface. */
+    * existing session, enabling the `spark.sql(...)` query surface —
+    * including the versioned CDC table `orders_v` (the q17 changelog),
+    * so the point-in-time TVFs work out of the box:
+    * `SELECT * FROM as_of('orders_v', TIMESTAMP '1998-01-01')`. */
   def enableSqlSurface(spark: SparkSession, dir: String): SparkSession = {
     VectorFunctions.registerAll(spark)
     Tables.registerViews(spark, dir)
+    graft.cdc.VersionedSql.register("orders_v",
+      graft.cdc.Changelog.fromOrders(spark, dir), Seq("pk"))
     spark
   }
 }
