@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Sharding, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, RangeJoin, Sharding, Similarity, TextAnalysis}
 
 /** Extended operator queries: training-data-pipeline ops beyond the
   * reference's own surface (dedup family, ANN similarity, text analysis,
@@ -614,6 +614,32 @@ object Extended {
              |  FROM documents)
              |SELECT doc_id, source FROM ranked WHERE rn <= 10
              |ORDER BY doc_id""".stripMargin)),
+
+    ("q65_range_join",
+      (s: SparkSession, d: String) => {
+        // keyed range join: per user, non-purchase events inside the
+        // hour after each purchase — granule-bucketized equi-join, never
+        // the nested-loop plan a raw BETWEEN join produces
+        val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_start"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
+        RangeJoin.pointInInterval(ev.filter(col("event_type") =!= "purchase"),
+            purchases, "ts", "p_start", "p_end",
+            granuleSeconds = 3600L, keys = Seq("user_id"))
+          .select("user_id", "purchase_id", "event_id", "event_type")
+          .orderBy("user_id", "purchase_id", "event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, ts FROM events),
+             |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_start,
+             |             ts + INTERVAL 1 HOUR AS p_end
+             |      FROM ev WHERE event_type = 'purchase')
+             |SELECT e.user_id, p.purchase_id, e.event_id, e.event_type
+             |FROM ev e JOIN p ON e.user_id = p.user_id
+             |  AND e.ts >= p.p_start AND e.ts < p.p_end
+             |WHERE e.event_type <> 'purchase'
+             |ORDER BY e.user_id, p.purchase_id, e.event_id""".stripMargin)),
 
     ("q64_funnel",
       (s: SparkSession, d: String) => {
