@@ -615,6 +615,32 @@ object Extended {
              |SELECT doc_id, source FROM ranked WHERE rn <= 10
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q66_retention",
+      (s: SparkSession, d: String) => {
+        // weekly retention cohorts: users grouped by first-event week,
+        // counted per week-offset they return in. Two aggregations + one
+        // broadcast-able join on user — no window over the event log.
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        val cohort = ev.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+        ev.join(cohort, "user_id")
+          .withColumn("week_offset",
+            expr("CAST(datediff(w, cohort_week) div 7 AS BIGINT)"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      // both engines truncate weeks to Monday; datediff of the truncated
+      // dates is an exact multiple of 7
+      Some("""WITH ev AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+             |c AS (SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY user_id)
+             |SELECT strftime(c.cohort_week, '%Y-%m-%dT%H:%M:%S.%f') AS cohort_week,
+             |  CAST(date_diff('day', c.cohort_week, ev.w) // 7 AS BIGINT) AS week_offset,
+             |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+             |FROM ev JOIN c ON ev.user_id = c.user_id
+             |GROUP BY c.cohort_week, week_offset
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
     ("q65_range_join",
       (s: SparkSession, d: String) => {
         // keyed range join: per user, non-purchase events inside the

@@ -103,7 +103,13 @@ object IngestBench {
     Thread.sleep(2000) // async listener drain
     val (nBatches, _, _, p95Ms) = metrics.summary
     graft.streaming.StreamMetrics.detach(spark, metrics)
+    deleteRecursively(new java.io.File(work)) // ~100 MB of scratch per run
     FoldBenchResult(n, secs, nBatches, p95Ms)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   def main(args: Array[String]): Unit = {
