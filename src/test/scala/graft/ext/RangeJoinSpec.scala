@@ -41,6 +41,29 @@ class RangeJoinSpec extends SparkTestBase {
     assert(rows == 3)
   }
 
+  test("pointInInterval equals the naive join on seeded-random data, all granules") {
+    val rnd = new scala.util.Random(42)
+    val base = ts("2026-01-01 00:00:00").getTime
+    val points = (1L to 300L).map(i =>
+      (i, s"u${rnd.nextInt(5)}", new Timestamp(base + rnd.nextInt(7 * 86400) * 1000L)))
+      .toDF("pid", "user", "t")
+    val intervals = (1L to 80L).map { i =>
+      val s = base + rnd.nextInt(7 * 86400) * 1000L
+      (i, s"u${rnd.nextInt(5)}", new Timestamp(s),
+        new Timestamp(s + (60 + rnd.nextInt(12 * 3600)) * 1000L))
+    }.toDF("iid", "user", "s", "e")
+    val naive = points.join(intervals, Seq("user"))
+      .filter($"t" >= $"s" && $"t" < $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (g <- Seq(60L, 3600L, 86400L)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "t", "s", "e",
+          granuleSeconds = g, keys = Seq("user"))
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.toSet == naive, s"granule $g disagrees with the naive join")
+      assert(got.length == got.toSet.size, s"granule $g emitted duplicate pairs")
+    }
+  }
+
   test("intervalOverlap finds overlapping pairs once, across granules") {
     val a = Seq(
       (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 12:00:00")),
