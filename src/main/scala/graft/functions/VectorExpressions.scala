@@ -587,7 +587,42 @@ case class TokenFingerprint64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-token 64-bit hashes (the [[SimHashKernel.tokenHash]] each
+  * fingerprint/simhash fold consumes), exposed as a column so oracle
+  * harnesses can dump them and independently recompute the folds. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "token_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernel.tokenHashes(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.functions.SimHashKernel.tokenHashes($v);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SimHashKernel {
+
+  def tokenHashes(tokens: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = tokens.numElements()
+    // null tokens are SKIPPED, exactly as fingerprint's fold skips them,
+    // so folding this dump always reproduces fingerprint
+    val out = new Array[Long](n)
+    var i = 0; var k = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) { out(k) = tokenHash(tokens.getUTF8String(i)); k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (k == n) out else java.util.Arrays.copyOf(out, k))
+  }
 
   /** 64-bit per-token hash: murmur3_32 widened through splitmix64. */
   @inline def tokenHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
@@ -672,6 +707,7 @@ object VectorFunctions {
     c(HyperplaneLshBuckets(e(v), seed, numTables, bitsPerTable))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def token_fingerprint64(tokens: Column): Column = c(TokenFingerprint64(e(tokens)))
+  def token_hashes(tokens: Column): Column = c(TokenHashes(e(tokens)))
   def minhash_signature(shingles: Column, numHashes: Int, seed: Long): Column =
     c(MinHashSignature(e(shingles), numHashes, seed))
   def hashed_shingles(text: Column, n: Int): Column = c(HashedShingles(e(text), n))

@@ -62,6 +62,12 @@ object Extended {
       Tables.documents(s, d).select(col("doc_id").as("id"),
         graft.functions.VectorFunctions.simhash64(split(col("text"), " ")).as("fp"))
     }),
+    "q24_token_hashes" -> ((s: SparkSession, d: String) => {
+      // per-token hashes of the same tokenization fingerprint consumes;
+      // the oracle refolds them with independent HUGEINT wrap arithmetic
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.VectorFunctions.token_hashes(split(col("text"), " ")).as("hashes"))
+    }),
     "q46_media_vectors" -> q46MediaVectors _)
 
   /** Exact-cosine re-rank oracle over a materialized candidate dump:
@@ -160,7 +166,27 @@ object Extended {
           .select("doc_id", "fingerprint")
           .orderBy("doc_id")
       },
-      None), // xxhash64-based; determinism + collision behavior tested in TextAnalysisSpec
+      // DuckDB refolds the dumped per-token hashes with its own HUGEINT
+      // wrap-around arithmetic (xor, *FNV prime mod 2^64, sign fixup) —
+      // an independent implementation of the rolling fold; only the
+      // token hashing itself is trusted from the dump
+      Some(s"""SELECT doc_id, list_reduce(
+              |  list_prepend(CAST(-3750763034362895579 AS BIGINT), hashes),
+              |  (a, h) -> CAST(
+              |    CASE WHEN ((CAST(xor(a, h) AS HUGEINT) +
+              |           CASE WHEN xor(a, h) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END)
+              |         * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+              |         >= CAST(9223372036854775808 AS HUGEINT)
+              |    THEN ((CAST(xor(a, h) AS HUGEINT) +
+              |           CASE WHEN xor(a, h) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END)
+              |         * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+              |         - CAST(18446744073709551616 AS HUGEINT)
+              |    ELSE ((CAST(xor(a, h) AS HUGEINT) +
+              |           CASE WHEN xor(a, h) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END)
+              |         * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+              |    END AS BIGINT)) AS fingerprint
+              |FROM read_parquet('$OracleAuxDir/q24_token_hashes/*.parquet')
+              |ORDER BY doc_id""".stripMargin)),
 
     ("q25_count_distinct",
       (s: SparkSession, d: String) => {
