@@ -70,6 +70,18 @@ object Bench {
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // The driver keeps only the LAST ~2000 chars of stdout; the full line
+    // above is longer than that, so its head gets truncated and the parse
+    // fails (BENCH_r03 "parsed": null). Emit a compact line LAST — short
+    // query keys ("q01_scan_filter" -> "q01", as the contract's
+    // {"queries":{"q1":sec}} shape allows) and 3-decimal seconds — so a
+    // complete JSON line always sits inside the tail window.
+    val qsCompact = results.map { case (k, v) =>
+      val short = k.takeWhile(c => c != '_')
+      "\"" + short + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val foldCompact = fold.split(",\"cdc_ingest_fold_records\"").headOption.getOrElse("")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact$foldCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

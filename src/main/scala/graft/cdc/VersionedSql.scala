@@ -37,29 +37,57 @@ object VersionedSql {
   final case class VersionedMeta(pk: Seq[String], versionCol: String,
                                  actionCol: String, dtCol: Option[String] = None)
 
-  // Keyed by lower-cased view name (SQL identifiers are case-insensitive
-  // by default). JVM-global like the temp-view catalog is session-global:
-  // local-mode sessions share the registry, which the specs rely on.
-  private val registry = new ConcurrentHashMap[String, VersionedMeta]()
+  // Keyed per SESSION (weakly, so dropped sessions don't leak), then by
+  // lower-cased view name (SQL identifiers are case-insensitive by
+  // default). The temp views the TVFs resolve against are session-scoped,
+  // so the metadata must be too: a JVM-global name→meta map let two
+  // sessions registering different changelogs under one name cross-talk —
+  // the LAST register's pk/version/dt metadata silently applied to the
+  // OTHER session's view, producing wrong snapshots rather than an error.
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, VersionedMeta]]()
 
   /** Make `changelog` queryable as versioned table `name`: creates (or
-    * replaces) the session temp view and records the metadata the
-    * point-in-time TVFs resolve against. */
+    * replaces) the temp view in the changelog's own session and records
+    * the metadata the point-in-time TVFs resolve against there. */
   def register(name: String, changelog: DataFrame, pk: Seq[String],
                versionCol: String = "update_date",
                actionCol: String = "action",
                dtCol: Option[String] = None): Unit = {
     changelog.createOrReplaceTempView(name)
-    registry.put(name.toLowerCase, VersionedMeta(pk, versionCol, actionCol, dtCol))
+    registry.synchronized {
+      registry.computeIfAbsent(changelog.sparkSession,
+        _ => new ConcurrentHashMap[String, VersionedMeta]())
+    }.put(name.toLowerCase, VersionedMeta(pk, versionCol, actionCol, dtCol))
+  }
+
+  private def lookup(name: String): VersionedMeta = {
+    val active = SparkSession.active
+    val own = registry.synchronized(Option(registry.get(active)))
+      .flatMap(m => Option(m.get(name)))
+    own.getOrElse {
+      // explicit single-registrant fallback: a session that never called
+      // register itself (e.g. a spec helper's derived session) may still
+      // resolve a name that exactly ONE session registered; two sessions
+      // disagreeing on the name is the cross-talk case and must error.
+      val others = registry.synchronized {
+        import scala.jdk.CollectionConverters._
+        registry.values.asScala.flatMap(m => Option(m.get(name))).toSeq
+      }
+      require(others.nonEmpty, s"'$name' is not a registered versioned table — " +
+        "call graft.cdc.VersionedSql.register(name, changelog, pk, ...) first")
+      require(others.distinct.size == 1,
+        s"'$name' is registered with conflicting metadata by ${others.size} " +
+          "sessions — register it in the querying session to disambiguate")
+      others.head
+    }
   }
 
   private def tableArg(e: Expression): (DataFrame, VersionedMeta) = {
     require(e.foldable, "versioned-table name must be a literal string")
     val name = e.eval().toString
-    val m = registry.get(name.toLowerCase)
-    require(m != null, s"'$name' is not a registered versioned table — " +
-      "call graft.cdc.VersionedSql.register(name, changelog, pk, ...) first")
-    (SparkSession.active.table(name), m)
+    val m = lookup(name.toLowerCase) // metadata first: pointed error beats
+    (SparkSession.active.table(name), m) // TABLE_OR_VIEW_NOT_FOUND
   }
 
   // The builders return the ANALYZED plan of the equivalent Scala-API

@@ -59,13 +59,18 @@ object Skew {
 
   /** [[capGroupSize]] returning (kept rows, dropped groups).
     *
+    * EAGER: calling this runs Spark jobs at DataFrame-CONSTRUCTION time —
+    * one counting pass over `df` (the localCheckpoint below) plus one
+    * tiny aggregate over the checkpointed over-cap groups. An unpersisted
+    * `df` is therefore computed once for the accounting pass and again by
+    * whatever consumes the kept frame; all current call sites persist
+    * their input first, and new callers should too.
+    *
     * The dropped-groups frame `(groupCols*, __group_n)` is MATERIALIZED
     * (eager localCheckpoint of the over-cap aggregate — tiny: one row per
     * hot bucket, and hot buckets are the anomaly the cap exists for), so
-    * accounting costs one count pass over `df` and the keep-filter
-    * becomes a BROADCAST anti join — no shuffle of `df` at all, where a
-    * kept-groups inner join would shuffle the full frame. Callers that
-    * persisted `df`'s parent pay ~nothing for the pass. */
+    * the keep-filter becomes a BROADCAST anti join — no shuffle of `df`
+    * at all, where a kept-groups inner join would shuffle the full frame. */
   def capGroupSizeAccounted(df: DataFrame, groupCols: Seq[String],
                             cap: Int): (DataFrame, DataFrame) =
     if (cap <= 0) (df, df.limit(0).groupBy(groupCols.map(col): _*)
@@ -75,10 +80,12 @@ object Skew {
         .agg(count(lit(1)).as("__group_n"))
         .filter(col("__group_n") > cap)
         .localCheckpoint(true)
-      val dropped = over.agg(coalesce(sum("__group_n"), lit(0L))).first.getLong(0)
+      // one action for both accounting numbers (sum of rows, group count)
+      val acct = over.agg(coalesce(sum("__group_n"), lit(0L)), count(lit(1))).first
+      val (dropped, nGroups) = (acct.getLong(0), acct.getLong(1))
       if (dropped > 0)
         org.apache.log4j.Logger.getLogger(getClass)
-          .warn(s"capGroupSize: dropping $dropped rows in ${over.count()} " +
+          .warn(s"capGroupSize: dropping $dropped rows in $nGroups " +
             s"over-cap group(s) on (${groupCols.mkString(", ")}), cap=$cap")
       // Re-select the CALLER's column order: even a left_anti using-join
       // moves key columns first, which silently breaks positional toDF

@@ -67,6 +67,32 @@ object Dedup {
     options.minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - threshold) }
   }
 
+  /** Probability LSH with (bands, rowsPerBand) surfaces a pair whose true
+    * Jaccard is `j`: 1 - (1 - j^r)^b — the S-curve. */
+  def lshRecallAt(bands: Int, rowsPerBand: Int, j: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** Choose (bands, rowsPerBand) that GUARANTEES recall ≥ `minRecall` for
+    * any pair at Jaccard ≥ `threshold`, with the largest rowsPerBand that
+    * still meets it (larger r ⇒ fewer false candidates ⇒ cheaper bucket
+    * join). Use this instead of [[optimalBands]] when downstream is gated
+    * on ground truth at the threshold: optimalBands centers the S-curve
+    * AT the threshold, which by construction catches a threshold-grade
+    * pair only ~50–65% of the time — a gate that stays green only while
+    * the data has no borderline pairs. */
+  def bandsForRecall(numHashes: Int, threshold: Double,
+                     minRecall: Double = 0.99): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1)
+    val options = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+      .filter { case (b, r) => lshRecallAt(b, r, threshold) >= minRecall }
+    require(options.nonEmpty,
+      s"no (bands, rows) split of $numHashes hashes reaches recall " +
+        s"$minRecall at jaccard $threshold — use more hashes")
+    options.maxBy(_._2)
+  }
+
   /** minhashNearDupPairs with (bands, rows) auto-tuned to the threshold. */
   def minhashNearDupPairsAuto(docs: DataFrame, idCol: String, textCol: String,
                               threshold: Double, numHashes: Int = 64,

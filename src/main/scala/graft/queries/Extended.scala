@@ -772,7 +772,15 @@ object Extended {
           .withColumn("doc_id", col("doc_id") + 2000000L)
         val incoming = docs.filter(col("doc_id") % 5 === 0)
           .unionByName(crossReplay).unionByName(internalReplay)
-        Dedup.dedupIncrement(existing, incoming, "doc_id", "text", threshold = 0.5)
+        // the oracle below is ALL-PAIRS ground truth at jaccard >= 0.5,
+        // so the LSH parameters must guarantee near-1 recall AT the
+        // threshold: the default 16 bands x 4 rows centers the S-curve at
+        // 0.5 and misses a threshold-grade pair ~36% of the time (green
+        // only while the corpus has no borderline pairs); 32 bands x 2
+        // rows puts recall at 0.9999 for jaccard 0.5
+        val (b, r) = Dedup.bandsForRecall(64, 0.5, minRecall = 0.999)
+        Dedup.dedupIncrement(existing, incoming, "doc_id", "text",
+            bands = b, rowsPerBand = r, threshold = 0.5)
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },

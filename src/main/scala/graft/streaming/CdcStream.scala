@@ -156,12 +156,22 @@ object CdcStream {
             // (appendBatch released its cache), which measurably caps
             // end-to-end ingest+fold throughput
             val batchDir = s"${cfg.warehouseDir}/${spec.physicalName}/batch=$batchId"
-            // a batch can carry zero rows for this table (empty dir =>
-            // schema inference throws): skip the fold, nothing to do
-            scala.util.Try(df.sparkSession.read.parquet(batchDir)).foreach { appended =>
-              graft.cdc.SnapshotMaintainer.update(df.sparkSession, cfg.warehouseDir,
-                table, appended.drop(graft.cdc.Envelope.DtCol), pk,
+            // a batch can carry zero rows for this table (no dir written):
+            // skip the fold, nothing to do. The existence check is
+            // EXPLICIT — a blanket Try(read) would also swallow transient
+            // FS errors / corrupt part files and let the maintained
+            // snapshot silently diverge from the changelog; a real read
+            // failure must fail the micro-batch so the checkpoint retries.
+            val sess = df.sparkSession
+            val p = new org.apache.hadoop.fs.Path(batchDir)
+            val fs = p.getFileSystem(sess.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) {
+              graft.cdc.SnapshotMaintainer.update(sess, cfg.warehouseDir,
+                table, sess.read.parquet(batchDir).drop(graft.cdc.Envelope.DtCol), pk,
                 buckets = cfg.snapshotBuckets)
+            } else {
+              org.apache.log4j.Logger.getLogger(getClass).info(
+                s"[graft-cdc] no rows for '$table' in batch $batchId — fold skipped")
             }
           }
         }

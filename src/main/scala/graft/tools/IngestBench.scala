@@ -69,6 +69,15 @@ object IngestBench {
   def streamWithFolds(spark: SparkSession, sfDir: String,
                       replicate: Int): FoldBenchResult = {
     val work = java.nio.file.Files.createTempDirectory("ingest-fold-bench").toString
+    // the scratch dir (~100 MB) must go even when a require() or the
+    // stream itself fails — Bench calls this every run, so failure-path
+    // leaks would accumulate in the system temp dir
+    try streamWithFoldsIn(spark, sfDir, replicate, work)
+    finally deleteRecursively(new java.io.File(work))
+  }
+
+  private def streamWithFoldsIn(spark: SparkSession, sfDir: String,
+                                replicate: Int, work: String): FoldBenchResult = {
     val inDir = s"$work/in"; val whDir = s"$work/wh"
     val n = writeEnvelopes(spark, sfDir, inDir, replicate)
     val registry = Registry.fromJson(registryJson)
@@ -103,7 +112,6 @@ object IngestBench {
     Thread.sleep(2000) // async listener drain
     val (nBatches, _, _, p95Ms) = metrics.summary
     graft.streaming.StreamMetrics.detach(spark, metrics)
-    deleteRecursively(new java.io.File(work)) // ~100 MB of scratch per run
     FoldBenchResult(n, secs, nBatches, p95Ms)
   }
 

@@ -113,4 +113,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a registered versioned table"))
   }
 
+  test("two sessions registering one name do not cross-talk") {
+    changelog // orders_v registered in `spark` with pk=Seq("pk")
+    // a sibling session binds the SAME name to a differently-keyed
+    // changelog: each session must resolve its OWN registration — under
+    // the old JVM-global name->meta map the second register's metadata
+    // silently applied to the first session's view
+    val other = spark.newSession()
+    val otherLog = Changelog.fromOrders(other, sf) // built IN `other`
+      .withColumnRenamed("pk", "okey")
+    VersionedSql.register("orders_v", otherLog, Seq("okey"))
+
+    SparkSession.setActiveSession(spark)
+    val mine = spark.sql("SELECT * FROM snapshot('orders_v')")
+    assert(rows(mine) == rows(Versioned.latestSnapshot(changelog, Seq("pk"))))
+
+    SparkSession.setActiveSession(other)
+    val theirs = other.sql("SELECT * FROM snapshot('orders_v')")
+    assert(theirs.columns.contains("okey"))
+    assert(theirs.count() ==
+      Versioned.latestSnapshot(otherLog, Seq("okey")).count())
+    SparkSession.setActiveSession(spark)
+  }
+
 }

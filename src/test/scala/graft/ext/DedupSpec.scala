@@ -95,6 +95,19 @@ class DedupSpec extends SparkTestBase {
     assert(auto.contains((1L, 4L)) && auto.contains((1L, 2L)))
   }
 
+  test("bandsForRecall: guarantees recall at the threshold, maximizing rows per band") {
+    // at jaccard 0.5 the optimalBands split (16x4) recalls only ~64% — the
+    // recall-guaranteeing picker must refuse it and take 32x2 (~0.9999)
+    assert(Dedup.lshRecallAt(16, 4, 0.5) < 0.7)
+    assert(Dedup.bandsForRecall(64, 0.5, minRecall = 0.999) == (32, 2))
+    assert(Dedup.lshRecallAt(32, 2, 0.5) > 0.999)
+    // at threshold 0.7 with 64 hashes, r=4 (b=16) already recalls ~0.988:
+    // picker keeps the cheaper large-r split once the bar allows it
+    assert(Dedup.bandsForRecall(64, 0.7, minRecall = 0.98) == (16, 4))
+    // unreachable bar errors instead of silently under-delivering
+    assertThrows[IllegalArgumentException](Dedup.bandsForRecall(2, 0.1, 0.999))
+  }
+
   test("clusterPairs: min-label propagation over chains and separate clusters") {
     // chain 1-2, 2-3, 3-4 (diameter 3) + separate pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
