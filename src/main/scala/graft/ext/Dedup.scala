@@ -182,11 +182,16 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair list: every doc gets
     * the MINIMUM doc id of its duplicate cluster as `cluster_id` (the
-    * canonical representative). Iterative min-label propagation over the
-    * edge list — converges in O(cluster diameter) rounds, and near-dup
-    * clusters are shallow in practice; `maxIterations` bounds the loop
-    * and the final round asserts a fixpoint. Each round is two hash
-    * joins + one aggregation; no graph library, no driver-side edges. */
+    * canonical representative). Above `driverThreshold` edges the work is
+    * fully distributed: alternating large-star/small-star edge rewrites
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) converge in O(log n) rounds REGARDLESS of cluster diameter
+    * — a 10M-doc chain costs ~24 rounds where min-label propagation
+    * costs 10M. Each round is one map-side-combinable min aggregation
+    * plus one equi-join on bare ids; no graph library, no collect_list
+    * (hot hub nodes never materialize their neighbor list in one task),
+    * no driver-side edges. `maxIterations` bounds the loop and
+    * convergence is asserted, never assumed. */
   def clusterPairs(pairs: DataFrame, maxIterations: Int = 10,
                    driverThreshold: Long = 1000000L): DataFrame = {
     // near-dup EDGE lists are tiny relative to the corpus (bounded by the
@@ -221,45 +226,72 @@ object Dedup {
     clustered
   }
 
-  /** Distributed min-label propagation (the > driverThreshold path). */
+  /** Distributed connected components (the > driverThreshold path):
+    * alternating large-star/small-star over a canonically-oriented
+    * (u > v) deduped edge list. Per round, large-star hangs every
+    * neighbor LARGER than a node onto the minimum of its neighborhood
+    * (halving tall chains), then small-star re-parents every SMALLER
+    * neighbor onto that minimum (flattening partial stars); the fixpoint
+    * is a forest of stars rooted at each component's minimum id. The
+    * convergence check is a count+hash checksum of the canonical edge
+    * set — one tiny aggregate per round, no EXCEPT/join of two
+    * generations of edges. */
   private[ext] def distributedClusterPairs(pairs: DataFrame, maxIterations: Int): DataFrame = {
-    val edges = pairs.select(col("id1"), col("id2"))
-      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist()
-    var labels = edges.select(col("id1").as("id"))
-      .unionAll(edges.select(col("id2").as("id")))
+    // Every round's edge set is eagerly localCheckpoint'ed: each phase
+    // references its input TWICE (groupBy + join), so without lineage
+    // truncation the logical plan grows ~4^rounds — plan construction
+    // itself OOMs long before the data does. Checkpoint-per-round is the
+    // standard discipline for iterative plans (on a cluster this would be
+    // a reliable checkpoint); superseded round RDDs are GC-cleaned.
+    var edges = pairs
+      .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .withColumn("cluster_id", col("id"))
-    // `cached` tracks the frame persist() was CALLED on: unpersist must
-    // target that exact plan (a derived .drop() view would silently no-op
-    // and leak one cache entry per propagation round)
-    var cached = labels.persist()
+      .localCheckpoint(true)
+    def checksum(e: DataFrame): (Long, Long) = {
+      // xor-fold, not sum: order-independent AND overflow-free under ANSI
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // each node adopts min(own label, neighbors' labels)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "id2"), Seq("id2"))
-        .groupBy(col("id1").as("id"))
-        .agg(min(col("cluster_id")).as("n_min"))
-      // carry the previous label through so convergence detection is a
-      // filter on the SAME frame, not a second join per round
-      val step = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("cluster_id").as("__old"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
-        .persist()
-      val changed = step.filter(col("cluster_id") =!= col("__old")).limit(1).count() > 0
-      cached.unpersist()
-      cached = step
-      labels = step.drop("__old")
-      converged = !changed
+      // LARGE-STAR: for each node n of the symmetrized graph, every
+      // strictly-larger neighbor b re-attaches to m = min(N(n) ∪ {n}).
+      // Emitted edges keep b > m, so canonical orientation is preserved
+      // without a greatest/least pass.
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val nMin = sym.groupBy("u").agg(min("v").as("mv")) // map-side combinable
+      val ls = sym.join(nMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mv")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // feeds small-star AND its own checksum
+      val csLs = checksum(ls)
+      // SMALL-STAR: edges are (u > v); every node u re-parents its
+      // smaller neighbors AND itself onto m = min of those neighbors.
+      val sMin = ls.groupBy("u").agg(min("v").as("m"))
+      edges = ls.join(sMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionAll(sMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val csSs = checksum(edges)
+      // converged only when BOTH phases were no-ops — a round whose
+      // large-star change is undone by small-star must keep iterating
+      converged = csLs == prev && csSs == csLs
+      prev = csSs
       iter += 1
     }
     require(converged, s"clusterPairs did not converge in $maxIterations rounds")
-    val out = labels.localCheckpoint(true) // release loop caches before returning
-    cached.unpersist(false)
-    edges.unpersist(false)
-    out
+    // fixpoint edge set is node → component-min root; roots label themselves
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
   }
 
   /** Exact-duplicate losers: ids whose text is byte-identical to another

@@ -108,7 +108,7 @@ class DedupSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](Dedup.bandsForRecall(2, 0.1, 0.999))
   }
 
-  test("clusterPairs: min-label propagation over chains and separate clusters") {
+  test("clusterPairs: chains and separate clusters, both paths") {
     // chain 1-2, 2-3, 3-4 (diameter 3) + separate pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
     val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
@@ -116,10 +116,41 @@ class DedupSpec extends SparkTestBase {
     val fast = Dedup.clusterPairs(pairs)
       .select("id", "cluster_id").as[(Long, Long)].collect().toMap
     assert(fast == expected)
-    // distributed propagation path must agree
+    // distributed large-star/small-star path must agree
     val dist = Dedup.distributedClusterPairs(pairs, maxIterations = 10)
       .select("id", "cluster_id").as[(Long, Long)].collect().toMap
     assert(dist == expected)
+  }
+
+  test("distributedClusterPairs: 200-node chain converges in O(log n) rounds") {
+    // a path graph is the diameter worst case: min-label propagation
+    // needs ~200 rounds here; large-star/small-star must finish within
+    // the DEFAULT iteration budget (log-round convergence is the point)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = Dedup.distributedClusterPairs(chain, maxIterations = 10)
+      .select("id", "cluster_id").as[(Long, Long)].collect()
+    assert(out.length == 200)
+    assert(out.forall(_._2 == 0L))
+  }
+
+  test("distributedClusterPairs: equals union-find on random graphs") {
+    // property check across shapes: sparse, dense-ish, hub-heavy, and
+    // reversed/duplicated edges (input orientation must not matter)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 60 + trial * 30
+      val m = n * (trial % 2 + 1)
+      val raw = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val edges = (raw ++ raw.map(_.swap)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id1", "id2")
+        val fast = Dedup.clusterPairs(df)
+          .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+        val dist = Dedup.distributedClusterPairs(df, maxIterations = 15)
+          .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+        assert(dist == fast, s"trial $trial: star CC != union-find")
+      }
+    }
   }
 
   test("dedupCorpus keeps one representative per near-dup cluster") {
