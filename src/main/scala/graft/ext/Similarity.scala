@@ -88,46 +88,50 @@ object Similarity {
     rankCandidates(lshCandidates(corpus, queries, idCol, vecCol, seed, numTables, bitsPerTable),
       corpus, queries, k, idCol, vecCol)
 
-  /** IVF (inverted-file) approximate top-k: a spherical-k-means coarse
-    * quantizer is trained on a driver-side SAMPLE (bounded: `sampleCap`
-    * vectors — never a full collect), the corpus partitions into centroid
-    * cells, and each query probes only its `nProbe` nearest cells.
+  /** IVF (inverted-file) approximate top-k: a DISTRIBUTED spherical
+    * k-means coarse quantizer ([[KMeans.fit]] — deterministic decimal
+    * update arithmetic, seeded hash-minimal init, optional hash
+    * subsampling) partitions the corpus into centroid cells, and each
+    * query probes only its `nProbe` nearest cells.
     *
-    * Scale shape: corpus is scanned once to tag `cell` (a codegen'd
-    * expression over broadcast-referenced centroids), the candidate join
-    * is an equi-join on `cell`, and ranking is the bounded top-k
-    * aggregation. Versus LSH: IVF adapts to the data's density (cells
-    * follow clusters), costs one small training pass, and `nProbe` gives
-    * a smooth recall/latency dial. */
+    * Scale shape: training is `iterations` map-side-combinable
+    * aggregation passes over a (subsampled) corpus — vectors never
+    * collect to the driver; the corpus is scanned once to tag `cell`
+    * (a codegen'd expression over broadcast-referenced centroids), the
+    * candidate join is an equi-join on `cell`, and ranking is the
+    * bounded top-k aggregation. Versus LSH: IVF adapts to the data's
+    * density (cells follow clusters), and `nProbe` gives a smooth
+    * recall/latency dial. */
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               numCentroids: Int = 64, nProbe: Int = 8, iterations: Int = 5,
-              sampleCap: Int = 20000, seed: Long = 42L): DataFrame =
+              trainTarget: Int = 100000, seed: Long = 42L): DataFrame =
     rankCandidates(
       ivfCandidates(corpus, queries, idCol, vecCol, numCentroids, nProbe,
-        iterations, sampleCap, seed),
+        iterations, trainTarget, seed),
       corpus, queries, k, idCol, vecCol)
 
   /** IVF candidate pairs: (query_id, neighbor_id) where the neighbor's
     * cell is among the query's `nProbe` nearest cells. Deterministic for
-    * a fixed seed and corpus (the training sample is a bounded prefix
-    * scan), so the driver oracle can re-rank exactly this set. Bare id
-    * pairs; vectors attach in [[rankCandidates]] — same shuffle
-    * discipline as [[lshCandidates]]. */
+    * a fixed seed and corpus regardless of partitioning ([[KMeans.fit]]'s
+    * exact-arithmetic contract), so the driver oracle can re-rank exactly
+    * this set. Bare id pairs; vectors attach in [[rankCandidates]] —
+    * same shuffle discipline as [[lshCandidates]].
+    *
+    * `trainTarget` bounds the TRAINING COST, not a driver collect: above
+    * it, training runs on a deterministic hash subsample of ~that many
+    * rows (`<= 0` trains on the full corpus). */
   def ivfCandidates(corpus: DataFrame, queries: DataFrame,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     numCentroids: Int = 64, nProbe: Int = 8, iterations: Int = 5,
-                    sampleCap: Int = 20000, seed: Long = 42L): DataFrame = {
-    import graft.functions.{IvfKernel, VectorFunctions}
+                    trainTarget: Int = 100000, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions
 
-    val sample: Array[Array[Float]] = corpus
-      .select(col(vecCol))
-      .limit(sampleCap)
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "empty corpus")
-    val dim = sample.head.length
-    val centroids = IvfKernel.trainCentroids(sample, numCentroids, dim, iterations, seed)
+    val first = corpus.select(col(vecCol)).limit(1).collect()
+    require(first.nonEmpty, "empty corpus")
+    val dim = first.head.getSeq[Float](0).length
+    val centroids = KMeans.fit(corpus, idCol, vecCol, numCentroids, dim,
+      iterations, seed, trainTarget)
 
     val cb = corpus.select(col(idCol).as("neighbor_id"),
       VectorFunctions.nearest_centroids(col(vecCol), centroids, dim, 1)(0).as("cell"))

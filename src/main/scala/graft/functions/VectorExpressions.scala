@@ -232,47 +232,6 @@ object IvfKernel {
     out
   }
 
-  /** Spherical k-means on a driver-side sample: unit-norm centroids,
-    * cosine assignment, deterministic seeded init. Returns row-major
-    * flattened centroids. */
-  def trainCentroids(sample: Array[Array[Float]], numCentroids: Int, dim: Int,
-                     iterations: Int, seed: Long): Array[Float] = {
-    require(sample.nonEmpty)
-    val rnd = new scala.util.Random(seed)
-    val k = math.min(numCentroids, sample.length)
-
-    def normalize(v: Array[Double]): Array[Float] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v.map(_.toFloat) else v.map(x => (x / n).toFloat)
-    }
-    var centroids: Array[Array[Float]] =
-      rnd.shuffle(sample.indices.toVector).take(k)
-        .map(i => normalize(sample(i).map(_.toDouble))).toArray
-
-    var iter = 0
-    while (iter < iterations) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < k) {
-          var dot = 0.0; var i = 0
-          while (i < math.min(v.length, dim)) { dot += v(i) * centroids(c)(i); i += 1 }
-          if (dot > bestDot) { bestDot = dot; best = c }
-          c += 1
-        }
-        var i = 0
-        while (i < math.min(v.length, dim)) { sums(best)(i) += v(i); i += 1 }
-        counts(best) += 1
-      }
-      centroids = Array.tabulate(k) { c =>
-        if (counts(c) == 0) centroids(c) else normalize(sums(c))
-      }
-      iter += 1
-    }
-    centroids.flatten
-  }
 }
 
 /** SimHash64 over an array of string tokens: per-token 64-bit hash votes

@@ -85,7 +85,7 @@ class SimilaritySpec extends SparkTestBase {
     val queries = corpus.filter(_._1 % 5 == 0)
     val got = Similarity.topKIvf(corpus.toDF("vec_id", "embedding"),
         queries.toDF("vec_id", "embedding"), k = 4,
-        numCentroids = 10, nProbe = 3, sampleCap = 1000)
+        numCentroids = 10, nProbe = 3, trainTarget = 1000)
       .select("query_id", "neighbor_id").as[(Long, Long)]
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val exact = Similarity.bruteForceOracle(corpus, queries, k = 4)
