@@ -417,6 +417,72 @@ object Dedup {
     out
   }
 
+  /** [[crossNearDupPairs]] with the corpus side PRE-SIGNED: the standing
+    * corpus contributes a stored signature table (id, sig) — ~64 longs
+    * per doc, three orders of magnitude smaller than the text — so a
+    * per-trigger / per-night cross pass never re-shingles or re-hashes
+    * the corpus. Corpus shingle sets are recomputed ONLY for docs that
+    * actually became candidates, by joining the (small) candidate id set
+    * back to the doc table — at 100 TB that is a broadcast-filtered scan
+    * moving a few thousand texts, not a corpus-wide kernel pass.
+    * Signature parameters must match the ones the table was built with
+    * ([[signatures]]). */
+  def crossNearDupPairsPresigged(corpusSigs: DataFrame, corpusDocs: DataFrame,
+                                 incoming: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleSize: Int = 3, bands: Int = 16,
+                                 rowsPerBand: Int = 4, threshold: Double = 0.7,
+                                 seed: Long = 42L,
+                                 maxBucketSize: Int = 10000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(df: DataFrame) = graft.core.Skew.capGroupSize(
+      df.select(col("id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
+
+    val l = corpusSigs.select(col("id"), col("sig")).persist()
+    val r = incoming
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", array_distinct(hashedShingles(col("text"), shingleSize)))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .persist()
+    val candidates = banded(l).toDF("corpus_id", "band", "bucket")
+      .join(banded(r).toDF("incoming_id", "band", "bucket"), Seq("band", "bucket"))
+      .select("corpus_id", "incoming_id")
+      .dropDuplicates("corpus_id", "incoming_id")
+      .localCheckpoint(true) // two consumers: the shingle join-back + verify
+    // shingles only for corpus docs that became candidates
+    val candIds = candidates.select(col("corpus_id")).distinct()
+    val s1 = corpusDocs
+      .select(col(idCol).as("corpus_id"), col(textCol).as("__t"))
+      .join(candIds, Seq("corpus_id"))
+      .select(col("corpus_id"),
+        array_distinct(hashedShingles(col("__t"), shingleSize)).as("s1"))
+    val verified = candidates
+      .join(s1, "corpus_id")
+      .join(r.select(col("id").as("incoming_id"), col("sh").as("s2")), "incoming_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "incoming_id", "jaccard")
+    val out = verified.localCheckpoint(true)
+    l.unpersist(false); r.unpersist(false)
+    out
+  }
+
+  /** The (id, th, sig) signature rows for `docs` — what a maintained
+    * corpus stores alongside the documents so incremental dedup never
+    * recomputes corpus-side kernels ([[crossNearDupPairsPresigged]]). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3, numHashes: Int = 64,
+                 seed: Long = 42L): DataFrame =
+    docs.select(col(idCol).as("id"),
+      xxhash64(col(textCol)).as("th"),
+      minhashSignature(array_distinct(hashedShingles(col(textCol), shingleSize)),
+        numHashes, seed).as("sig"))
+
   /** Incremental corpus maintenance: from an incoming batch, keep only
     * documents that duplicate NEITHER the existing corpus NOR each
     * other — what a nightly crawl append runs. Three passes, cheapest

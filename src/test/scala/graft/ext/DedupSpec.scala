@@ -253,6 +253,27 @@ class DedupSpec extends SparkTestBase {
     assert(rerun.isEmpty, s"rerun must drop everything, got $rerun")
   }
 
+  test("presigged cross pass equals the recompute-everything cross pass") {
+    val existing = Seq((1L, base),
+      (3L, "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),
+      (11L, base.replace("theta", "THETA2")),
+      (12L, "completely fresh words about entirely different topics"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet
+    val full = pairs(Dedup.crossNearDupPairs(existing, incoming,
+      "doc_id", "text", threshold = 0.5))
+    val presigged = pairs(Dedup.crossNearDupPairsPresigged(
+      Dedup.signatures(existing, "doc_id", "text"), existing, incoming,
+      "doc_id", "text", threshold = 0.5))
+    assert(presigged == full)
+    assert(full.nonEmpty) // the equivalence must be over real pairs
+  }
+
   test("decontaminate flags embedded benchmark items, ignores unrelated docs") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
