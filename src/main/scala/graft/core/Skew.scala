@@ -39,6 +39,29 @@ object Skew {
     * sum/count Spark's map-side partial aggregation already does this. */
   def withSalt(df: DataFrame, saltBuckets: Int, on: Column): DataFrame =
     df.withColumn("_salt", pmod(hash(on), lit(saltBuckets)))
+
+  /** Skew-proof equi-join: salt the (skewed) left side with a
+    * deterministic row-derived bucket, replicate every right row across
+    * all `salt` buckets, and join on `keys :+ salt` — a hot key's rows
+    * spread over `salt` reducers instead of one. Results are identical
+    * to `left.join(right, keys, "inner")`: each left row meets each
+    * matching right row in exactly one bucket.
+    *
+    * Reach for this only where AQE's skew-join split can't: AQE splits
+    * oversized SORT-MERGE partitions at runtime, but a shuffled HASH
+    * join, a stream-static join, or a key so hot it skews the map side
+    * of a single stage still funnel into one task. Cost: the right side
+    * shuffles `salt`× (so keep it the small side), and `saltOn` must be
+    * non-null per row (any stable row-unique column works). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltOn: Column, salt: Int = 16): DataFrame = {
+    require(salt > 0)
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(saltOn), lit(salt.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
   /** LSH self-join skew guard: drop bucket groups larger than `cap`.
     *
     * A degenerate bucket (e.g. thousands of byte-identical or empty-

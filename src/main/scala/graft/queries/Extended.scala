@@ -641,6 +641,58 @@ object Extended {
              |SELECT doc_id, source FROM ranked WHERE rn <= 10
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q67_bloom_join",
+      (s: SparkSession, d: String) => {
+        // semi-join reduction: revenue of one nation's suppliers. The
+        // supplier subset aggregates into a bloom bitmap; lineitem
+        // filters on might_contain BEFORE its join shuffle, so at scale
+        // the join moves ~1/25 of the fact bytes. False positives pass
+        // the prefilter and die in the join — results are identical to
+        // the plain join (which is exactly what the oracle runs).
+        val supp = Tables.supplier(s, d).filter(col("s_nationkey") === 5)
+          .select("s_suppkey", "s_name")
+        val fact = graft.core.BloomPrune.semiJoinReduce(
+          Tables.lineitem(s, d), col("l_suppkey"), supp, col("s_suppkey"),
+          expectedItems = 100000L)
+        fact.join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE s_nationkey = 5
+             |GROUP BY s_suppkey, s_name
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    ("q68_salted_join",
+      (s: SparkSession, d: String) => {
+        // skew-proof salted equi-join: order totals for one market
+        // segment's customers. The left (fact) side salts on its own
+        // row key, the small side replicates across the salt buckets —
+        // a pathologically hot custkey spreads over `salt` reducers.
+        // Output is identical to the plain inner join the oracle runs.
+        val cust = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        graft.core.Skew.saltedJoin(
+            Tables.orders(s, d), cust, Seq("o_custkey"), col("o_orderkey"), salt = 8)
+          .groupBy("o_custkey", "c_name")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          .select(col("o_custkey").as("c_custkey"), col("c_name"),
+            col("n_orders"), col("total"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY c_custkey, c_name
+             |ORDER BY c_custkey""".stripMargin)),
+
     ("q66_retention",
       (s: SparkSession, d: String) => {
         // weekly retention cohorts: users grouped by first-event week,

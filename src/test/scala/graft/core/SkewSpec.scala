@@ -60,4 +60,30 @@ class SkewSpec extends SparkTestBase {
     assert(dropped3.count() == 0)
   }
 
+  test("saltedJoin equals the plain inner join, including duplicate keys") {
+    // hot key with many rows both sides (join multiplicity must survive
+    // salting exactly), plus tail keys and non-matching keys either side
+    val left = ((1 to 500).map(i => ("hot", i.toLong)) ++
+      Seq(("a", 1000L), ("a", 1001L), ("b", 2000L), ("only_left", 1L)))
+      .toDF("k", "lv")
+    val right = (Seq.tabulate(3)(j => ("hot", j * 10L)) ++
+      Seq(("a", 7L), ("only_right", 9L)))
+      .toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltOn = $"lv", salt = 7)
+      .select("k", "lv", "rv")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.size == 500 * 3 + 2) // the equivalence covers real rows
+  }
+
+  test("saltedJoin joins on (keys, salt): the hot key spreads across buckets") {
+    val left = (1 to 64).map(i => ("hot", i.toLong)).toDF("k", "lv")
+    val right = Seq(("hot", 1L)).toDF("k", "rv")
+    val plan = Skew.saltedJoin(left, right, Seq("k"), $"lv", salt = 4)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("__salt"), s"salt column missing from join plan:\n$plan")
+  }
+
 }
