@@ -64,6 +64,11 @@ final case class CdcStreamConfig(
     /** pk-hash bucket count for maintained snapshots — size so one
       * bucket ≈ 10⁵ keys at the deployment's table size. */
     snapshotBuckets: Int = graft.cdc.SnapshotMaintainer.DefaultBuckets,
+    /** table → maintained GROUP BY aggregates over that table's
+      * snapshot (requires the table in `snapshotKeys`): each micro-batch
+      * applies per-group deltas through [[graft.cdc.AggMaintainer]] —
+      * the CDC-native materialized view. */
+    aggSpecs: Map[String, Seq[graft.cdc.AggMaintainer.AggSpec]] = Map.empty,
     /** partition versioned tables by event-time date (`_dt`) so
       * asOf/changesBetween prune directories (Versioned.asOfPruned). */
     partitionByDate: Boolean = false)
@@ -166,9 +171,18 @@ object CdcStream {
             val p = new org.apache.hadoop.fs.Path(batchDir)
             val fs = p.getFileSystem(sess.sparkContext.hadoopConfiguration)
             if (fs.exists(p)) {
-              graft.cdc.SnapshotMaintainer.update(sess, cfg.warehouseDir,
-                table, sess.read.parquet(batchDir).drop(graft.cdc.Envelope.DtCol), pk,
-                buckets = cfg.snapshotBuckets)
+              val appended = sess.read.parquet(batchDir)
+                .drop(graft.cdc.Envelope.DtCol)
+              cfg.aggSpecs.get(table) match {
+                case Some(specs) if specs.nonEmpty =>
+                  // fold + per-group aggregate deltas in one coupled pass
+                  graft.cdc.AggMaintainer.foldAndMaintain(sess,
+                    cfg.warehouseDir, table, appended, pk, specs,
+                    snapshotBuckets = cfg.snapshotBuckets)
+                case _ =>
+                  graft.cdc.SnapshotMaintainer.update(sess, cfg.warehouseDir,
+                    table, appended, pk, buckets = cfg.snapshotBuckets)
+              }
             } else {
               org.apache.log4j.Logger.getLogger(getClass).info(
                 s"[graft-cdc] no rows for '$table' in batch $batchId — fold skipped")

@@ -81,6 +81,36 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked STREAM-STREAM interval join: purchases matched to the
+    * same user's views at most `horizon` before them. Both sides carry
+    * watermarks and the join condition bounds purchase time against view
+    * time from BOTH directions, so each side's state store evicts rows
+    * once the other stream's watermark passes the interval — without the
+    * two-sided bound, state grows without limit (Spark would accept the
+    * query and leak). Output columns: (user_id, view_id, purchase_id,
+    * view_ts, purchase_ts) — identical to the batch interval join the
+    * spec runs over the same data.
+    *
+    * Scale shape: the join keys on user_id, so both streams shuffle by
+    * user once and state is per-key in the store; the time-range
+    * residual evaluates post-equi-match, the same discipline as the
+    * batch [[graft.ext.RangeJoin]] granule join. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+                       horizon: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("user_id"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") < col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+  }
+
   // ------------------------------------------------------------ custom state
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)

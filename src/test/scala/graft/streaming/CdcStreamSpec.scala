@@ -89,6 +89,31 @@ class CdcStreamSpec extends SparkTestBase {
     assert(replayed.collect().toSet == expectedRows)
   }
 
+  test("maintained aggregate: per-batch deltas == GROUP BY over the final snapshot") {
+    val (in, wh, ck) = freshDirs()
+    val spec = graft.cdc.AggMaintainer.AggSpec(
+      "by_category", Seq("category"), Seq("weight_g"))
+    val cfg = CdcStreamConfig(in, wh, ck, Fixtures.registry,
+      snapshotKeys = Map("products" -> Seq("product_id")),
+      aggSpecs = Map("products" -> Seq(spec)))
+    // two runs = two micro-batches, spanning insert/update/delete
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(3), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(3), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+
+    val maintained = graft.cdc.AggMaintainer.read(spark, wh, "products", "by_category")
+      .select("category", "n_rows", "sum_weight_g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val recomputed = graft.cdc.SnapshotMaintainer.read(spark, wh, "products")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum(col("weight_g").cast("decimal(38,8)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(maintained == recomputed, s"maintained $maintained != $recomputed")
+    // p1 was deleted; only p2 (null category) remains
+    assert(maintained.map(_._1) == Set(null))
+  }
+
   test("dead-letter replay: registry learns a table, records backfill from _raw") {
     val (in, wh, ck) = freshDirs()
     Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)

@@ -219,4 +219,30 @@ class EventStreamSpec extends SparkTestBase {
     ev.unpersist()
   }
 
+  test("stream-stream interval join == batch interval join over the same parquet") {
+    val views = EventStream.readStream(spark, eventsDir)
+      .filter($"event_type" === "view")
+    val purchases = EventStream.readStream(spark, eventsDir)
+      .filter($"event_type" === "purchase")
+    val q = EventStream.viewPurchaseJoin(views, purchases)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vp_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streaming = spark.table("vp_join")
+
+    val ev = Tables.events(spark, dir)
+    val batch = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .join(ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+            $"ts".as("purchase_ts")),
+        $"user_id" === $"p_user_id" &&
+          $"purchase_ts" >= $"view_ts" &&
+          $"purchase_ts" < $"view_ts" + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    assertSameRows(streaming, batch, "stream-stream join")
+    assert(streaming.count() > 0, "join must produce real matches")
+  }
+
 }
