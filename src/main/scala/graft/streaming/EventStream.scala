@@ -111,6 +111,28 @@ object EventStream {
       .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
   }
 
+  /** Per-trigger stream-static enrichment against a MAINTAINED snapshot
+    * ([[graft.cdc.SnapshotMaintainer]]): each micro-batch re-reads the
+    * snapshot — a FRESH read inside foreachBatch, so pk-buckets swapped
+    * by a concurrent CDC fold between triggers are visible — left-joins
+    * the batch on `joinKeys`, and hands the enriched frame to `sink`.
+    *
+    * The fresh-read-per-trigger is the point: a static DataFrame built
+    * once outside the stream captures its file listing at plan time and
+    * would serve batch-0's dimension state forever. At scale the join is
+    * broadcast when the snapshot is small, shuffle otherwise — standard
+    * AQE choice per batch; the snapshot side can also be read bucketed
+    * for a co-located join. */
+  def enrichWithSnapshot(stream: DataFrame, warehouseDir: String,
+                         table: String, joinKeys: Seq[String],
+                         sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val snap = graft.cdc.SnapshotMaintainer
+        .read(batch.sparkSession, warehouseDir, table)
+      sink(batch.join(snap, joinKeys, "left"), id)
+    }
+
   // ------------------------------------------------------------ custom state
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -114,6 +114,48 @@ class CdcStreamSpec extends SparkTestBase {
     assert(maintained.map(_._1) == Set(null))
   }
 
+  test("stream-static enrichment sees snapshot state as of EACH trigger") {
+    val wh = tmpDir("enrich-wh")
+    val in = tmpDir("enrich-in")
+    val ck = tmpDir("enrich-ck")
+    def fold(rows: (String, String, String, String)*): Unit =
+      graft.cdc.SnapshotMaintainer.update(spark, wh, "dims",
+        rows.toSeq.toDF("k", "action", "update_date", "label"), Seq("k"))
+    fold(("a", "insert", "2026-01-01T10:00:00", "A1"))
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    def feed(n: Int, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("event_id", "k").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/feed$n")
+    feed(0, Seq((1L, "a")))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = EventStream.enrichWithSnapshot(stream, wh, "dims", Seq("k"),
+        (df, _) => collected.synchronized {
+          collected ++= df.select("event_id", "k", "label")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        })
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      // dimension changes BETWEEN triggers; the next batch must see it
+      fold(("a", "update", "2026-01-01T11:00:00", "A2"),
+           ("b", "insert", "2026-01-01T11:00:00", "B1"))
+      feed(1, Seq((2L, "a"), (3L, "b"), (4L, "missing")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = collected.synchronized(collected.toSet)
+    assert(got == Set((1L, "a", "A1"), // trigger-1 state
+      (2L, "a", "A2"), (3L, "b", "B1"), // trigger-2 state
+      (4L, "missing", null))) // left join keeps unmatched events
+  }
+
   test("dead-letter replay: registry learns a table, records backfill from _raw") {
     val (in, wh, ck) = freshDirs()
     Fixtures.writeLines(in, "log.jsonl", Fixtures.lines, gzip = false)
