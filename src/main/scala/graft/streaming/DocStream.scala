@@ -65,6 +65,50 @@ object DocStream {
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, cfg))
       .start()
 
+  /** Reserved partition id the compactor merges history into. Negative,
+    * so it can never collide with a streaming batch id: a REPLAYED batch
+    * overwrites its own `batch=<id>` dir, and merging history into a
+    * replayable id would let that overwrite destroy other batches'
+    * rows. */
+  val CompactedBatch: Long = -1L
+
+  /** Merge every `batch <= upToBatch` partition (and the compacted
+    * partition itself) into `batch=-1`, in BOTH the corpus and the
+    * signature store, then delete the merged dirs. A long-running stream
+    * otherwise accretes one directory per trigger and file listing —
+    * not data — becomes the per-trigger cost.
+    *
+    * Replay safety after compaction: a re-delivered old batch excludes
+    * only its own (now absent) partition, sees its documents already in
+    * `batch=-1`, drops everything as duplicates, and writes an empty
+    * dir — a no-op, exactly like a replay before compaction. */
+  def compact(spark: SparkSession, corpusDir: String, upToBatch: Long): Unit = {
+    require(upToBatch >= 0)
+    Seq(corpusDir, sigDir(corpusDir)).foreach { dir =>
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) {
+        val mergeDirs = fs.listStatus(root).map(_.getPath)
+          .filter { p =>
+            p.getName.startsWith("batch=") &&
+              p.getName.stripPrefix("batch=").toLong <= upToBatch
+          }
+        if (mergeDirs.nonEmpty) {
+          val merged = spark.read.option("basePath", dir)
+            .parquet(mergeDirs.map(_.toString).toIndexedSeq: _*)
+            .drop("batch")
+          val tmp = new Path(s"$dir/.__compact_tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          val dst = new Path(s"$dir/batch=$CompactedBatch")
+          if (fs.exists(dst)) fs.delete(dst, true)
+          require(fs.rename(tmp, dst), s"compact rename failed: $dst")
+          mergeDirs.foreach(p => fs.delete(p, true))
+        }
+      }
+    }
+  }
+
   /** One micro-batch: dedup within the batch, then against the corpus,
     * then append survivors + their signatures. Public so tests (and
     * batch backfills) can drive exact batch boundaries. */

@@ -88,6 +88,38 @@ class DocStreamSpec extends SparkTestBase {
     assert(sigIds == expected)
   }
 
+  test("compaction merges history into batch=-1; replay and new batches stay correct") {
+    val work = tmpDir("docstream-compact")
+    val c = cfg(work)
+    DocStream.processBatch(b0.toDF("doc_id", "text", "source"), 0L, c)
+    DocStream.processBatch(b1.toDF("doc_id", "text", "source"), 1L, c)
+    val before = DocStream.readCorpus(spark, c.corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    DocStream.compact(spark, c.corpusDir, upToBatch = 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(c.corpusDir))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=-1"), s"got $parts")
+    assert(DocStream.readCorpus(spark, c.corpusDir)
+      .select("doc_id").as[Long].collect().toSet == before)
+    assert(DocStream.readSigs(spark, c.corpusDir)
+      .select("id").as[Long].collect().toSet == before)
+
+    // a replayed old batch is a no-op against the compacted corpus
+    DocStream.processBatch(b1.toDF("doc_id", "text", "source"), 1L, c)
+    assert(DocStream.readCorpus(spark, c.corpusDir)
+      .select("doc_id").as[Long].collect().toSet == before)
+
+    // and a genuinely new batch still dedups against compacted history
+    val b2 = Seq(doc(20, base), // dup of compacted doc 1 -> drop
+      doc(21, "an entirely novel post-compaction document about gardens"))
+    DocStream.processBatch(b2.toDF("doc_id", "text", "source"), 2L, c)
+    assert(DocStream.readCorpus(spark, c.corpusDir)
+      .select("doc_id").as[Long].collect().toSet == before + 21L)
+  }
+
   test("replaying a micro-batch is idempotent (overwrite, not double-append)") {
     val work = tmpDir("docstream-replay")
     val c = cfg(work)
