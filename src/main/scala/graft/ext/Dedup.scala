@@ -497,6 +497,14 @@ object Dedup {
                      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                      threshold: Double = 0.7, seed: Long = 42L,
                      maxBucketSize: Int = 10000): DataFrame = {
+    // NOTE on the cross pass: this one-shot form recomputes corpus-side
+    // artifacts with [[crossNearDupPairs]], whose per-call corpus cache
+    // (shingles + signatures, one pass) measures FASTER here than the
+    // presigged shape — re-reading an arbitrary `existing` plan for the
+    // candidate join-back re-executes that plan. A MAINTAINED corpus
+    // inverts the trade: [[graft.streaming.DocStream]] stores the
+    // signature table and runs [[crossNearDupPairsPresigged]], where the
+    // join-back is a cheap keyed parquet read.
     val existingHashes = existing
       .select(xxhash64(col(textCol)).as("__th")).distinct()
     val fresh = incoming
