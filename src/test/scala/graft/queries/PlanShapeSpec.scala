@@ -149,4 +149,22 @@ class PlanShapeSpec extends SparkTestBase {
       "as-of join must stay the union + pk-window shape")
   }
 
+  test("q67: bloom probe filters the fact BELOW the join, inside the scan stage") {
+    val p = plan("q67_bloom_join")
+    assert(p.contains("might_contain"), "bloom probe missing")
+    val probeLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = p.linesIterator.indexWhere(_.contains("HashJoin"))
+    assert(joinLine >= 0 && probeLine > joinLine,
+      "probe must sit under the join's fact side, not above the join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q68: the salted join's condition carries the salt bucket") {
+    val p = plan("q68_salted_join")
+    assert(p.contains("__salt"), "join must key on (custkey, salt)")
+    assert(p.contains("Generate") || p.contains("explode"),
+      "small side must replicate via explode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
 }
