@@ -22,7 +22,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY=q69,q70 dumps just those queries
+    // (and any aux dumps they need). Unset = everything (the driver path).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean =
+      only.forall(names => names.exists(name.startsWith))
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -33,7 +39,7 @@ object Verify {
     // the fixed scratch dir the oracle SQL reads, NOT outDir — the
     // driver's comparator treats every outDir subdirectory as a query
     // result and these are oracle inputs, not results.
-    SparkEntry.auxDumps.foreach { case (name, fn) =>
+    SparkEntry.auxDumps.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"${graft.queries.Extended.OracleAuxDir}/$name")
       catch { case e: Throwable =>

@@ -584,6 +584,116 @@ object Relational {
              |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
              |GROUP BY token
              |ORDER BY cnt DESC, token
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q69_grouping_sets",
+      (s: SparkSession, d: String) => {
+        // explicit GROUPING SETS (finer control than ROLLUP/CUBE: exactly
+        // the requested lattice members, here both 1-D marginals + the
+        // 2-D cells + the grand total) with grouping() markers so a NULL
+        // group value is distinguishable from a rolled-up column. One
+        // Expand + one hash aggregate — same shuffle as a plain groupBy.
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+                Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+               grouping(col("l_linestatus")).cast("int").as("g_ls"),
+               count(lit(1)).as("cnt"),
+               sum(dec2(col("l_extendedprice"))).as("sum_price"))
+          .orderBy(col("g_rf"), col("g_ls"),
+            asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), (l_linestatus), ())
+             |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q70_gap_fill",
+      (s: SparkSession, d: String) => {
+        // time-series densification: hourly event counts with missing
+        // hours materialized as zero. The hour axis is GENERATED with
+        // sequence()+explode over ONE aggregated bounds row (never a
+        // driver-side loop), and the only cross join is dimension × axis
+        // — |event types| × |hours|, both tiny next to the fact table,
+        // which flows through a single hash aggregate + left join.
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+        val hours = ev.agg(min("h").as("h0"), max("h").as("h1"))
+          .select(explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+        val types = ev.select("event_type").distinct()
+        types.crossJoin(hours)
+          .join(counts, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |            CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h FROM events),
+             |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+             |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+             |t AS (SELECT DISTINCT event_type FROM e),
+             |c AS (SELECT event_type, h, COUNT(*) AS cnt FROM e GROUP BY 1, 2)
+             |SELECT t.event_type, strftime(hours.h, '%Y-%m-%dT%H:%M:%S.%f') AS h,
+             |  coalesce(c.cnt, 0) AS cnt
+             |FROM t CROSS JOIN hours
+             |LEFT JOIN c ON c.event_type = t.event_type AND c.h = hours.h
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q71_zscore_outliers",
+      (s: SparkSession, d: String) => {
+        // distributed outlier detection, EXACT across engines: the
+        // |z| > 2 test is evaluated without stddev/sqrt. Per-segment
+        // (n, S=Σx, Q=Σx²) are exact decimal sums over integer cents, and
+        //   (n·x − S)² · (n−1)  >  2.25 · (n²·Q − n·S²)
+        // is the |z| > 1.5 test multiplied through by n²(n−1) — evaluated
+        // (1.5σ, not 2σ: the synthetic near-uniform price column has
+        // max |z| = √3 ≈ 1.73, so a 2σ cut would select nothing) —
+        // in double on operands both engines derive identically, with the
+        // identical IEEE op sequence, so no Welford/stddev implementation
+        // drift can flip a borderline row. Stats broadcast back over the
+        // fact side: one shuffle for the agg, zero for the filter.
+        // (Q ≈ n·cents² caps the exact range near 1e38 — per-PARTITION
+        // sub-aggregation would extend it at warehouse scale.)
+        val o = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+            dec2(col("o_totalprice")).as("price"),
+            (dec2(col("o_totalprice")) * 100).cast(DecimalType(19, 0)).as("c"))
+        val stats = o.groupBy("seg").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("c")).cast("double").as("s"),
+          sum(col("c") * col("c")).cast("double").as("q"))
+        val x = col("c").cast("double")
+        o.join(broadcast(stats), "seg")
+          .filter(col("n") > 1 &&
+            (col("n") * x - col("s")) * (col("n") * x - col("s")) * (col("n") - 1) >
+              lit(2.25d) * (col("n") * col("n") * col("q") - col("n") * col("s") * col("s")))
+          .select("seg", "o_orderkey", "price")
+          .orderBy("seg", "o_orderkey")
+      },
+      Some("""WITH o AS (SELECT c_mktsegment AS seg, o_orderkey,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS c
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |st AS (SELECT seg, CAST(count(*) AS DOUBLE) AS n, CAST(sum(c) AS DOUBLE) AS s,
+             |       CAST(sum(c * c) AS DOUBLE) AS q FROM o GROUP BY seg)
+             |SELECT o.seg, o.o_orderkey, CAST(o.price AS VARCHAR) AS price
+             |FROM o JOIN st ON o.seg = st.seg
+             |WHERE st.n > 1 AND
+             |  (st.n * CAST(o.c AS DOUBLE) - st.s) * (st.n * CAST(o.c AS DOUBLE) - st.s) * (st.n - 1)
+             |  > 2.25 * (st.n * st.n * st.q - st.n * st.s * st.s)
+             |ORDER BY 1, 2""".stripMargin))
   )
 }
