@@ -71,6 +71,39 @@ object SparkEntry {
       .orderBy("pk", "l_linenumber", "l_shipdate", "l_quantity")
   }
 
+  private def cdcAsOfJoinWithin(s: SparkSession, d: String): DataFrame = {
+    val facts = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("pk"), col("l_shipdate"),
+              col("l_linenumber"), col("l_quantity"))
+    // as-of join with a 60-day max-staleness bound: facts whose newest
+    // at-or-before version is older than the tolerance drop (the
+    // pandas merge_asof `tolerance` semantics)
+    Versioned.asOfJoinWithin(facts, Changelog.fromOrders(s, d), Seq("pk"),
+        "l_shipdate", expr("INTERVAL 60 DAYS"), tombstones = false)
+      .orderBy("pk", "l_linenumber", "l_shipdate", "l_quantity")
+  }
+
+  private val asOfJoinWithinOracle: String =
+    Changelog.oracleCte +
+      """, li AS (
+        |  SELECT l_orderkey AS pk, l_shipdate, l_linenumber, l_quantity FROM lineitem),
+        |m AS MATERIALIZED (
+        |  -- MATERIALIZED: the tolerance filter must stay OUTSIDE the asof
+        |  -- join (DuckDB's binder otherwise reads it as a second asof
+        |  -- inequality) — match-newest-then-gate, same as the engine
+        |  SELECT li.pk, li.l_shipdate, li.l_linenumber, li.l_quantity,
+        |         v.update_date, v.totalprice, v.status
+        |  FROM li ASOF JOIN changelog v
+        |    ON li.pk = v.pk AND li.l_shipdate >= v.update_date
+        |  WHERE v.action <> 'delete')
+        |SELECT pk, strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S.%f') AS l_shipdate,
+        |       l_linenumber, l_quantity,
+        |       strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS version_ts,
+        |       CAST(totalprice AS VARCHAR) AS totalprice, status
+        |FROM m
+        |WHERE update_date >= l_shipdate - INTERVAL 60 DAY
+        |ORDER BY pk, l_linenumber, l_shipdate, l_quantity""".stripMargin
+
   private val asOfJoinOracle: String =
     Changelog.oracleCte +
       """, li AS (
@@ -98,6 +131,7 @@ object SparkEntry {
   private val cdcDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q48_asof_join_broadcast", cdcAsOfJoinBroadcast _, Some(asOfJoinBroadcastOracle)),
     ("q39_asof_join", cdcAsOfJoin _, Some(asOfJoinOracle)),
+    ("q76_asof_join_within", cdcAsOfJoinWithin _, Some(asOfJoinWithinOracle)),
     ("q34_cdc_scd2", cdcScd2 _,
       Some(Changelog.oracleCte +
         """

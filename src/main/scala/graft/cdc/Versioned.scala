@@ -180,6 +180,25 @@ object Versioned {
         factCols.map(col) ++ dimCols.map(c => col(s"__cv.$c").as(c)): _*)
   }
 
+  /** [[asOfJoin]] with a MAX-STALENESS bound (pandas merge_asof's
+    * `tolerance`): a fact matches the newest version at-or-before its
+    * timestamp ONLY if that version is within `tolerance` of the fact —
+    * staler matches drop (inner-join semantics). Implemented
+    * compositionally: the version timestamp rides the version struct as
+    * an extra dimension column (`versionTsOut`, kept in the output) and
+    * the bound is a post-filter — same single pk shuffle as [[asOfJoin]],
+    * because the as-of match is unchanged and only its result is gated. */
+  def asOfJoinWithin(facts: DataFrame, changelog: DataFrame,
+                     pk: Seq[String], factTimeCol: String,
+                     tolerance: Column,
+                     versionCol: String = "update_date",
+                     actionCol: String = "action",
+                     tombstones: Boolean = true,
+                     versionTsOut: String = "version_ts"): DataFrame =
+    asOfJoin(facts, changelog.withColumn(versionTsOut, col(versionCol)),
+        pk, factTimeCol, versionCol, actionCol, tombstones)
+      .filter(col(versionTsOut) >= col(factTimeCol) - tolerance)
+
   /** SCD2 view: each version gains a validity interval
     * [valid_from, valid_to); the current version has valid_to = null. */
   def scd2(changelog: DataFrame, pk: Seq[String],

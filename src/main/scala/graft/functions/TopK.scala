@@ -45,4 +45,35 @@ object TopK {
   /** top_k(k)(id, score): array<struct<id,score>> sorted best-first. */
   def top_k(k: Int)(id: Column, score: Column): Column =
     udaf(new TopKAggregator(k), ExpressionEncoder[Scored]()).apply(id, score)
+
+  case class StrScored(id: String, score: Double)
+
+  /** [[TopKAggregator]] keyed by a STRING id (token/term workloads —
+    * heavy hitters per group). Ties break by ascending id, identical to
+    * the window formulation `orderBy(score.desc, id)`. */
+  class TopKStrAggregator(k: Int)
+      extends Aggregator[StrScored, Seq[StrScored], Seq[StrScored]] {
+    require(k > 0)
+    private val cap = math.max(2 * k, 64)
+
+    private def better(a: StrScored, b: StrScored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    private def trim(buf: Seq[StrScored], to: Int): Seq[StrScored] =
+      if (buf.length <= to) buf else buf.sortWith(better).take(to)
+
+    override def zero: Seq[StrScored] = Vector.empty
+    override def reduce(buf: Seq[StrScored], in: StrScored): Seq[StrScored] = {
+      val appended = buf :+ in
+      if (appended.length > cap) trim(appended, k) else appended
+    }
+    override def merge(a: Seq[StrScored], b: Seq[StrScored]): Seq[StrScored] = trim(a ++ b, k)
+    override def finish(buf: Seq[StrScored]): Seq[StrScored] = trim(buf, k).sortWith(better)
+    override def bufferEncoder: Encoder[Seq[StrScored]] = ExpressionEncoder[Seq[StrScored]]()
+    override def outputEncoder: Encoder[Seq[StrScored]] = ExpressionEncoder[Seq[StrScored]]()
+  }
+
+  /** top_k_str(k)(id, score): array<struct<id,score>> sorted best-first. */
+  def top_k_str(k: Int)(id: Column, score: Column): Column =
+    udaf(new TopKStrAggregator(k), ExpressionEncoder[StrScored]()).apply(id, score)
 }

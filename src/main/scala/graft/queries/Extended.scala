@@ -918,6 +918,74 @@ object Extended {
              |WHERE quality_score >= (SELECT quantile_cont(quality_score, 0.75) FROM scored)
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q72_tfidf",
+      (s: SparkSession, d: String) => {
+        // TF-IDF keyword extraction: top-3 terms per document by
+        // tf·ln(N/df). Document frequencies aggregate over the FULL
+        // corpus (map-side-combinable counts; the (doc,term) tf frame is
+        // already distinct so df is a second cheap agg over it); the
+        // output-document filter lands before the ranking window. Scores
+        // round to 4 decimals BEFORE ranking so a 1-ulp ln() divergence
+        // between engines cannot flip a rank (ties then break on term).
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.filter(col("doc_id") % 20 === 0)
+          .join(dfreq, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "term", "tf", "df", "score", "rank")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+             |  FROM tf JOIN df USING (term) CROSS JOIN n
+             |  WHERE tf.doc_id % 20 = 0),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score DESC, term) AS rank FROM sc)
+             |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    ("q73_heavy_hitters",
+      (s: SparkSession, d: String) => {
+        // per-group heavy hitters: top-5 tokens per language through the
+        // bounded top-k aggregator — the per-(lang,token) counts partial-
+        // aggregate map-side, then the top-k stage shuffles O(langs × k)
+        // pre-trimmed heaps instead of pulling every token count through
+        // a per-lang window sort. Ties break (count desc, token asc),
+        // identical to the oracle's window formulation.
+        val counts = Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+        counts.groupBy("lang")
+          .agg(graft.functions.TopK.top_k_str(5)(
+            col("token"), col("cnt").cast("double")).as("top"))
+          .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("lang"), col("t.id").as("token"),
+            col("t.score").cast("long").as("cnt"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH c AS (SELECT lang, token, COUNT(*) AS cnt
+             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+             |        ORDER BY cnt DESC, token) AS rank FROM c)
+             |SELECT lang, token, cnt, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY lang, rank""".stripMargin)),
+
     ("q57_split_assign",
       (s: SparkSession, d: String) => {
         // deterministic train/val/test assignment: plain multiplicative-
