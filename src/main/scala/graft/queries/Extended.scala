@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.ext.{Dedup, Multimodal, RangeJoin, Sharding, Similarity, TextAnalysis}
@@ -68,7 +69,20 @@ object Extended {
       Tables.documents(s, d).select(col("doc_id"),
         graft.functions.VectorFunctions.token_hashes(split(col("text"), " ")).as("hashes"))
     }),
-    "q46_media_vectors" -> q46MediaVectors _)
+    "q46_media_vectors" -> q46MediaVectors _,
+    "q74_centroids" -> ((s: SparkSession, d: String) => {
+      // the q74 fit re-run verbatim: deterministic for (corpus, params),
+      // so this dump IS the centroid set the query assigned against
+      val cents = q74Fit(s, d)
+      val rows = cents.grouped(64).zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq
+      s.createDataFrame(rows).toDF("cell", "centroid")
+    }))
+
+  /** q74's shared k-means fit (seed-deterministic; SURVEY.md §2.7). */
+  private def q74Fit(s: SparkSession, d: String): Array[Float] =
+    graft.ext.KMeans.fit(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 8, dim = 64, iterations = 5, seed = 42L)
 
   /** Exact-cosine re-rank oracle over a materialized candidate dump:
     * identical scoring (DuckDB's list_cosine_similarity over DOUBLE[] is
@@ -985,6 +999,62 @@ object Extended {
              |SELECT lang, token, cnt, CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 5
              |ORDER BY lang, rank""".stripMargin)),
+
+    ("q74_kmeans_assign",
+      (s: SparkSession, d: String) => {
+        // document/embedding clustering: spherical k-means fit (adaptive
+        // driver/distributed Lloyd's, deterministic for the fixed seed)
+        // + codegen'd nearest-centroid assignment over the corpus. The
+        // oracle re-assigns EVERY vector in DuckDB against the dumped
+        // centroids (same double dot product, same ties-to-lower-cell),
+        // so the per-cell counts + id checksums pin the whole fit and
+        // assignment end to end. Assignment is one scan, no shuffle;
+        // the rollup shuffles k rows per partition.
+        val cents = q74Fit(s, d)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions
+              .nearest_centroids(col("embedding"), cents, 64, 1)(0).as("cell"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("vec_id")).cast("long").as("id_checksum"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+             |  FROM read_parquet('$OracleAuxDir/q74_centroids/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+             |scored AS (SELECT v.vec_id, c.cell, list_dot_product(v.dv, c.cv) AS dot
+             |  FROM v CROSS JOIN c),
+             |best AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY dot DESC, cell) AS rn FROM scored)
+             |SELECT cell, COUNT(*) AS n_vectors, CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+             |FROM best WHERE rn = 1
+             |GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    ("q75_dim_stats",
+      (s: SparkSession, d: String) => {
+        // per-(label, dimension) embedding statistics — the feature-drift
+        // dashboard over a vector column. posexplode melts vectors into
+        // (label, pos, x) rows that partial-aggregate map-side, so the
+        // shuffle carries O(partitions × labels × dim) pre-summed rows,
+        // not vectors. Values quantize to FLOOR(x·10⁶) microunits before
+        // summing: floor of an identical IEEE double is deterministic in
+        // both engines (a decimal CAST is not — floats that are odd
+        // multiples of 2⁻¹¹ sit exactly on scale-10 midpoints, where
+        // Spark rounds HALF_UP and DuckDB half-even), so the integer
+        // sums are exact, order-independent, and engine-identical.
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("x").cast("double") * lit(1e6)).cast("long")).as("sum_micro"))
+          .orderBy("label", "pos")
+      },
+      Some("""WITH m AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    unnest(embedding) AS x FROM embeddings)
+             |SELECT label, pos, COUNT(*) AS n,
+             |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     ("q57_split_assign",
       (s: SparkSession, d: String) => {
