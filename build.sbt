@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured BEST for the bench: 16g made the streaming ingest+fold
+  // ~30% slower (longer young-gen pauses inside latency-bound triggers)
+  // without a reproducible win on the query total. 512m code cache:
+  // ~70 queries × whole-stage-codegen classes approach the JVM's 240m
+  // default, and an exhausted code cache silently disables the JIT for
+  // everything that follows.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -485,41 +485,83 @@ object Dedup {
 
   /** Incremental corpus maintenance: from an incoming batch, keep only
     * documents that duplicate NEITHER the existing corpus NOR each
-    * other — what a nightly crawl append runs. Three passes, cheapest
-    * first: (1) exact cross-dedup on the text hash (an equi-join on one
-    * 8-byte column — mass re-crawls die here before LSH sees them);
-    * (2) within-batch [[dedupCorpus]] (its own exact pre-pass + LSH);
-    * (3) [[crossNearDupPairs]] against the corpus, anti-joined. The
-    * existing corpus is only read (hashes + signatures), never
-    * modified or re-clustered. */
+    * other — what a nightly crawl append runs. Passes, cheapest first:
+    * (1) exact cross-dedup on the text hash (an equi-join on one 8-byte
+    * column — mass re-crawls die here before LSH sees them); (2) the
+    * within-batch exact-dup pre-pass (mass-dup guard, as in
+    * [[dedupCorpus]]); (3) ONE FUSED LSH pass over corpus ∪ batch with a
+    * side tag: a single banded table, a single capped bucket join
+    * (corpus–corpus pairs masked out — the standing corpus is never
+    * re-clustered), and a single Jaccard verify, after which pairs split
+    * into within-batch edges (→ cluster, keep min) and cross edges
+    * (→ drop the batch doc). Fusing halves the kernel/cap/verify
+    * machinery versus running within-batch and cross passes separately,
+    * at identical output: survivors = fresh − cluster losers − {doc with
+    * a corpus partner}, and checking ALL batch docs (not just cluster
+    * winners) against the corpus cannot change that set. The bucket cap
+    * applies to the COMBINED (corpus + batch) bucket population — the
+    * hot-bucket guard a shared bucket table needs anyway. The existing
+    * corpus is only read (hashes + signatures), never modified. A
+    * MAINTAINED corpus should instead store its signature table and run
+    * [[crossNearDupPairsPresigged]] per trigger
+    * ([[graft.streaming.DocStream]]). */
   def dedupIncrement(existing: DataFrame, incoming: DataFrame,
                      idCol: String, textCol: String,
                      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                      threshold: Double = 0.7, seed: Long = 42L,
                      maxBucketSize: Int = 10000): DataFrame = {
-    // NOTE on the cross pass: this one-shot form recomputes corpus-side
-    // artifacts with [[crossNearDupPairs]], whose per-call corpus cache
-    // (shingles + signatures, one pass) measures FASTER here than the
-    // presigged shape — re-reading an arbitrary `existing` plan for the
-    // candidate join-back re-executes that plan. A MAINTAINED corpus
-    // inverts the trade: [[graft.streaming.DocStream]] stores the
-    // signature table and runs [[crossNearDupPairsPresigged]], where the
-    // join-back is a cheap keyed parquet read.
+    val numHashes = bands * rowsPerBand
     val existingHashes = existing
       .select(xxhash64(col(textCol)).as("__th")).distinct()
+    // materialize the exact-pass survivors ONCE: the pre-pass, the
+    // signature side, and the final anti joins all consume them
     val fresh = incoming
       .withColumn("__th", xxhash64(col(textCol)))
       .join(existingHashes, Seq("__th"), "left_anti")
       .drop("__th")
-    // materialize the within-batch survivors ONCE: both the cross pass
-    // (signature side) and the final anti join consume them, and the
-    // frame is otherwise a stack of anti joins over the whole batch
-    val within = dedupCorpus(fresh, idCol, textCol, shingleSize, bands, rowsPerBand,
-      threshold, seed, maxBucketSize).localCheckpoint(true)
-    val crossDups = crossNearDupPairs(existing, within, idCol, textCol,
-      shingleSize, bands, rowsPerBand, threshold, seed, maxBucketSize)
-      .select(col("incoming_id").as(idCol)).distinct()
-    within.join(crossDups, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val exactLosers = exactDupLosers(fresh, idCol, textCol, Nil, min(col("id")))
+    val uniq = fresh.join(exactLosers, Seq(idCol), "left_anti")
+
+    def sig(df: DataFrame, side: Int) = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", array_distinct(hashedShingles(col("text"), shingleSize)))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .select(lit(side).as("side"), col("id"), col("sh"), col("sig"))
+    // one signature table for both sides: feeds the banded explode AND
+    // the verify join-back (shingles never ride the bucket shuffle)
+    val all = sig(existing, 0).unionAll(sig(uniq, 1)).persist()
+    val banded = graft.core.Skew.capGroupSize(
+      all.select(col("side"), col("id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
+    val candidates = banded.toDF("side1", "id1", "band", "bucket")
+      .join(banded.toDF("side2", "id2", "band", "bucket"), Seq("band", "bucket"))
+      // cross pairs oriented corpus→batch, within pairs id1<id2 among the
+      // batch; corpus–corpus pairs never materialize
+      .filter((col("side1") === 0 && col("side2") === 1) ||
+        (col("side1") === 1 && col("side2") === 1 && col("id1") < col("id2")))
+      .select("side1", "id1", "side2", "id2")
+      .dropDuplicates("side1", "id1", "side2", "id2")
+    val verified = candidates
+      .join(all.select(col("side").as("side1"), col("id").as("id1"), col("sh").as("s1")),
+        Seq("side1", "id1"))
+      .join(all.select(col("side").as("side2"), col("id").as("id2"), col("sh").as("s2")),
+        Seq("side2", "id2"))
+      .filter(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+        size(array_union(col("s1"), col("s2"))) >= threshold)
+      .select("side1", "id1", "id2")
+      .localCheckpoint(true) // feeds the clustering AND the cross drop
+    all.unpersist(false)
+
+    val clusterLosers = clusterPairs(
+        verified.filter(col("side1") === 1).select("id1", "id2"))
+      .filter(col("id") =!= col("cluster_id")).select(col("id").as(idCol))
+    val crossDropped = verified.filter(col("side1") === 0)
+      .select(col("id2").as(idCol)).distinct()
+    uniq.join(clusterLosers, Seq(idCol), "left_anti")
+      .join(crossDropped, Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination: find corpus documents whose n-gram set
