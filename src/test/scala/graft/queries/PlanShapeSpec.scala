@@ -167,4 +167,57 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q69: grouping sets go through one Expand with map-side partial aggregation") {
+    val p = plan("q69_grouping_sets")
+    assert(p.contains("Expand"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("q70: the hour axis is generated (no driver loop) and counts pre-aggregate") {
+    val p = plan("q70_gap_fill")
+    assert(p.contains("Generate"), "sequence+explode must generate the hour axis")
+    assert(p.contains("partial_count"), "fact counts must partial-aggregate map-side")
+  }
+
+  test("q71: segment stats broadcast back over the fact side") {
+    val p = plan("q71_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), "the 5-row stats frame must broadcast")
+    assert(p.contains("partial_sum"), "the (n, S, Q) agg must partial-aggregate")
+  }
+
+  test("q72: the per-doc top-3 rank gets WindowGroupLimit pushdown") {
+    val p = plan("q72_tfidf")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q73: heavy hitters rank via partial ObjectHashAggregate, not a window") {
+    val p = plan("q73_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), "top tokens must use the bounded top-k aggregator")
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+      "per-lang token ranking must not sort in a window")
+  }
+
+  test("q74: centroid assignment is scan-side, rollup partial-aggregates") {
+    val p = plan("q74_kmeans_assign")
+    assert(p.contains("nearest_centroids"), "assignment must be the codegen'd kernel")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-cell rollup must combine map-side")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "assignment must not rank vectors in a window or cross join centroids")
+  }
+
+  test("q75: vector melt partial-aggregates map-side (the shuffle moves sums, not vectors)") {
+    val p = plan("q75_dim_stats")
+    assert(p.contains("Generate"), "posexplode must melt the vectors")
+    assert(p.contains("partial_sum"), "dimension sums must combine map-side")
+  }
+
+  test("q76: the tolerance gate keeps the as-of join's union + pk-window shape") {
+    val p = plan("q76_asof_join_within")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the staleness bound must stay a post-filter, never an inequality join")
+    assert(p.contains("Window"), "the as-of match is the pk window")
+  }
+
 }
