@@ -1056,6 +1056,35 @@ object Extended {
              |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
              |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    ("q77_mix_weights",
+      (s: SparkSession, d: String) => {
+        // weighted data mixing: the mixture spec (source → keep-permille)
+        // is a config-sized table that BROADCASTS against the corpus, and
+        // the keep decision is the same engine-reproducible Knuth
+        // multiplicative hash as q57's splits — so the mixed corpus is a
+        // pure function of (doc_id, spec), stable under re-runs, adding
+        // sources, or repartitioning. One scan, zero shuffles before the
+        // output sort.
+        val spec = Seq.tabulate(20) { i =>
+          (s"src$i", if (i % 3 == 0) 250L else if (i % 3 == 1) 600L else 900L)
+        }
+        val weights = s.createDataFrame(spec).toDF("source", "permille")
+        Tables.documents(s, d)
+          .join(broadcast(weights), Seq("source"))
+          .filter(pmod((col("doc_id") % 1000003L) * 2654435761L, lit(1000L)) <
+            col("permille"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some(("""WITH w(source, permille) AS (VALUES """ +
+        Seq.tabulate(20) { i =>
+          s"('src$i', ${if (i % 3 == 0) 250 else if (i % 3 == 1) 600 else 900})"
+        }.mkString(", ") + """)
+             |SELECT d.doc_id, d.source
+             |FROM documents d JOIN w ON d.source = w.source
+             |WHERE ((doc_id % 1000003) * 2654435761) % 1000 < permille
+             |ORDER BY doc_id""").stripMargin)),
+
     ("q57_split_assign",
       (s: SparkSession, d: String) => {
         // deterministic train/val/test assignment: plain multiplicative-

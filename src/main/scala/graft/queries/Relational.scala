@@ -694,6 +694,36 @@ object Relational {
              |WHERE st.n > 1 AND
              |  (st.n * CAST(o.c AS DOUBLE) - st.s) * (st.n * CAST(o.c AS DOUBLE) - st.s) * (st.n - 1)
              |  > 2.25 * (st.n * st.n * st.q - st.n * st.s * st.s)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q78_histogram",
+      (s: SparkSession, d: String) => {
+        // equal-width histogram per segment, EXACT across engines: the
+        // bucket index is pure integer arithmetic over cents —
+        // ((c − min)·10) div (span + 1) ∈ [0, 9] with no clamp, no float
+        // division, no width_bucket implementation drift. Global bounds
+        // are one aggregate broadcast over the fact side; the histogram
+        // itself is a single map-side-combinable count.
+        val o = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("c"))
+        val bounds = o.agg(min("c").as("cmin"), max("c").as("cmax"))
+        o.crossJoin(broadcast(bounds))
+          .withColumn("bucket", expr("((c - cmin) * 10) div (cmax - cmin + 1)"))
+          .groupBy("seg", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("seg", "bucket")
+      },
+      Some("""WITH o AS (SELECT c_mktsegment AS seg,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |b AS (SELECT min(c) AS cmin, max(c) AS cmax FROM o)
+             |SELECT o.seg, ((o.c - b.cmin) * 10) // (b.cmax - b.cmin + 1) AS bucket,
+             |  COUNT(*) AS cnt
+             |FROM o CROSS JOIN b
+             |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin))
   )
 }

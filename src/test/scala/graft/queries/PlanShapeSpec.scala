@@ -213,6 +213,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), "dimension sums must combine map-side")
   }
 
+  test("q77: the mixture spec broadcasts; the keep-filter is scan-side") {
+    val p = plan("q77_mix_weights")
+    assert(p.contains("BroadcastHashJoin"), "the 20-row mixture spec must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must not shuffle for the mixing join")
+  }
+
+  test("q78: histogram bounds broadcast; bucket counts partial-aggregate") {
+    val p = plan("q78_histogram")
+    assert(p.contains("partial_count"), "bucket counts must combine map-side")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row bounds frame must broadcast, not cartesian")
+  }
+
   test("q76: the tolerance gate keeps the as-of join's union + pk-window shape") {
     val p = plan("q76_asof_join_within")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
