@@ -44,6 +44,29 @@ class VersionedSpec extends SparkTestBase {
     assert(at == Map(1L -> Some(11L), 2L -> Some(20L))) // pk3 not yet born, pk2 not yet dead
   }
 
+  test("asOfJoinWithin: staleness bound gates matches; infinite bound equals asOfJoin") {
+    val facts = Seq((1L, ts(10)), (2L, ts(1)), (3L, ts(6))).toDF("pk", "t")
+    // fact 1 matches v@ts(1) but it's 9 min stale; fact 2 matches v@ts(0)
+    // 1 min stale; fact 3 matches pk3's insert at ts(5), 1 min stale
+    val bounded = Versioned.asOfJoinWithin(facts, handmade.toDF(), Seq("pk"), "t",
+        tolerance = expr("INTERVAL 5 MINUTES"), tombstones = false)
+      .select("pk", "v").as[(Long, Option[Long])].collect().toSet
+    assert(bounded == Set((2L, Some(20L)), (3L, Some(30L))), s"got $bounded")
+    val unbounded = Versioned.asOfJoinWithin(facts, handmade.toDF(), Seq("pk"), "t",
+        tolerance = expr("INTERVAL 9999 DAYS"), tombstones = false)
+      .drop("version_ts")
+    val plain = Versioned.asOfJoin(facts, handmade.toDF(), Seq("pk"), "t",
+        tombstones = false)
+    assert(unbounded.collect().toSet ==
+      plain.select(unbounded.columns.map(col).toIndexedSeq: _*).collect().toSet)
+    // exact-time version is within ANY non-negative tolerance (>= is inclusive)
+    val zero = Versioned.asOfJoinWithin(Seq((3L, ts(5))).toDF("pk", "t"),
+        handmade.toDF(), Seq("pk"), "t",
+        tolerance = expr("INTERVAL 0 SECONDS"), tombstones = false)
+      .select("pk").as[Long].collect().toSeq
+    assert(zero == Seq(3L))
+  }
+
   test("history: full ordered chain for one key") {
     val h = Versioned.history(handmade.toDF(), col("pk") === 1)
       .select("action").as[String].collect().toSeq

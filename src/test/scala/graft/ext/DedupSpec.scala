@@ -253,6 +253,50 @@ class DedupSpec extends SparkTestBase {
     assert(rerun.isEmpty, s"rerun must drop everything, got $rerun")
   }
 
+  test("fused dedupIncrement equals the sequential within-then-cross composition") {
+    // randomized corpus with planted exact/near dups in every direction:
+    // the fused single-LSH-pass rewrite must keep EXACTLY the survivor
+    // set of the three-pass composition it replaced
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    def doc() = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(t: String, tag: String) = {
+      val toks = t.split(" "); toks(rnd.nextInt(toks.length)) = tag; toks.mkString(" ")
+    }
+    val corpusRows = (1L to 40L).map(i => (i, doc()))
+    val freshRows = (101L to 110L).map(i => (i, doc()))
+    val batchRows = freshRows ++
+      corpusRows.take(4).map { case (i, t) => (200L + i, t) } ++            // exact cross dups
+      corpusRows.slice(4, 8).map { case (i, t) => (300L + i, mutate(t, s"m$i")) } ++ // near cross dups
+      freshRows.take(3).map { case (i, t) => (400L + i, t) } ++             // exact within dups
+      freshRows.slice(3, 6).map { case (i, t) => (500L + i, mutate(t, s"n$i")) } // near within dups
+    val existing = corpusRows.toDF("doc_id", "text")
+    val incoming = rnd.shuffle(batchRows).toDF("doc_id", "text")
+
+    val fused = Dedup.dedupIncrement(existing, incoming, "doc_id", "text",
+      threshold = 0.5).select("doc_id").as[Long].collect().toSet
+
+    // the pre-fusion reference: exact cross-drop, within-batch
+    // dedupCorpus, then crossNearDupPairs over the survivors
+    val existingHashes = existing.select(xxhash64($"text").as("__th")).distinct()
+    val fresh = incoming.withColumn("__th", xxhash64($"text"))
+      .join(existingHashes, Seq("__th"), "left_anti").drop("__th")
+    val within = Dedup.dedupCorpus(fresh, "doc_id", "text", threshold = 0.5)
+    val crossDups = Dedup.crossNearDupPairs(existing, within, "doc_id", "text",
+        threshold = 0.5)
+      .select($"incoming_id".as("doc_id")).distinct()
+    val sequential = within.join(crossDups, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+
+    assert(fused == sequential, s"fused $fused != sequential $sequential")
+    // the equivalence must be over a batch where every pass really fired:
+    // every planted duplicate (exact/near × cross/within) must be gone
+    val planted = Set(201L, 202L, 203L, 204L, 305L, 306L, 307L, 308L,
+      501L, 502L, 503L, 604L, 605L, 606L)
+    assert(planted.intersect(fused).isEmpty, s"planted dups survived: ${planted.intersect(fused)}")
+    assert(fused.nonEmpty && fused.size < batchRows.size)
+  }
+
   test("presigged cross pass equals the recompute-everything cross pass") {
     val existing = Seq((1L, base),
       (3L, "one two three four five six seven eight nine ten " +
