@@ -724,6 +724,46 @@ object Relational {
              |  COUNT(*) AS cnt
              |FROM o CROSS JOIN b
              |GROUP BY 1, 2
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    ("q79_full_outer",
+      (s: SparkSession, d: String) => {
+        // FULL OUTER join — the year-over-year churn report: customers
+        // active in 1996, 1997, or both, with NULL marking the absent
+        // side. Both inputs pre-aggregate to one row per key before the
+        // join (the join moves customer-grain rows, never order-grain),
+        // and the year filters push into the scans.
+        def yearAgg(y: Int, n: String, rev: String) = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as(n), sum(dec2(col("o_totalprice"))).as(rev))
+        yearAgg(1996, "n96", "rev96")
+          .join(yearAgg(1997, "n97", "rev97"), Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            coalesce(col("n96"), lit(0L)).as("n96"), col("rev96"),
+            coalesce(col("n97"), lit(0L)).as("n97"), col("rev97"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH y96 AS (
+             |  SELECT o_custkey, COUNT(*) AS n96,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev96
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  GROUP BY o_custkey),
+             |y97 AS (
+             |  SELECT o_custkey, COUNT(*) AS n97,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev97
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+             |  GROUP BY o_custkey)
+             |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+             |  COALESCE(a.n96, 0) AS n96, CAST(a.rev96 AS VARCHAR) AS rev96,
+             |  COALESCE(b.n97, 0) AS n97, CAST(b.rev97 AS VARCHAR) AS rev97
+             |FROM y96 a FULL OUTER JOIN y97 b ON a.o_custkey = b.o_custkey
+             |ORDER BY 1""".stripMargin))
   )
 }

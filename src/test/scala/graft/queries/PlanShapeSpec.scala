@@ -227,6 +227,14 @@ class PlanShapeSpec extends SparkTestBase {
       "the 1-row bounds frame must broadcast, not cartesian")
   }
 
+  test("q79: full outer joins key-grain aggregates, never order-grain rows") {
+    val p = plan("q79_full_outer")
+    assert(p.contains("FullOuter"), "join type must be full outer")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "both sides must pre-aggregate before the join")
+    assert(p.contains("PushedFilters:"), "year filters must reach the scans")
+  }
+
   test("q76: the tolerance gate keeps the as-of join's union + pk-window shape") {
     val p = plan("q76_asof_join_within")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
