@@ -168,6 +168,132 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col(textCol), EmailRe, replacement),
           PhoneRe, replacement))
 
+  // ---------------------------------------------------------------- chunking
+
+  /** Token-window chunking: each document becomes fixed-size windows of
+    * `chunkSize` tokens advancing by `stride` (overlap = chunkSize −
+    * stride) — the long-document → model-sized-sequence step of a
+    * training pipeline, with deterministic chunk ids and offsets.
+    *
+    * Chunk count is plain integer arithmetic (1 for docs ≤ chunkSize
+    * tokens, else 1 + ⌈(n − chunkSize)/stride⌉), so any engine
+    * reproduces the same chunk axis bit-for-bit. Chunking is a MAP
+    * operation: one projection + explode per row, no shuffle, fully
+    * inside whole-stage codegen — at 100 TB it scales with input bytes
+    * and the row multiplier n/stride, nothing else. */
+  def chunkByTokens(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", chunkSize: Int = 64,
+                    stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val n = size(col("__toks"))
+    // ⌈(n − chunkSize)/stride⌉ + 1 via floor((n − chunkSize + stride − 1)/stride):
+    // values are tiny ints, exact in the double division floor() implies
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(floor((n - chunkSize + stride - 1) / lit(stride)).cast("long") + 1L)
+    val start = col("chunk_id") * stride // 0-based token offset
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))
+      .withColumn("start_tok", start)
+      .withColumn("chunk_tokens", slice(col("__toks"), start + 1, lit(chunkSize)))
+      .withColumn("chunk_len", size(col("chunk_tokens")).cast("long"))
+      .withColumn("chunk_text", array_join(col("chunk_tokens"), " "))
+      .drop("__toks", "chunk_tokens")
+  }
+
+  // ---------------------------------------------------------------- indexing
+
+  /** Inverted-index posting lists: per token, its document frequency and
+    * the `postingCap` smallest doc ids, for tokens in a selectivity band
+    * (df ≥ minDf and df ≤ maxDfPermille‰ of the corpus — the hot-token
+    * cutoff is RELATIVE, so the same query means the same thing at any
+    * corpus size).
+    *
+    * ONE aggregation pass computes both df and the postings: the heap is
+    * the bounded top-k Aggregator (score = −id ⇒ keeps smallest ids), so
+    * partial buffers stay ≤ ~2·cap per token even for a stopword with a
+    * billion postings — the shuffle carries O(tokens × cap) trimmed
+    * heaps, never a posting list proportional to df. An unbounded
+    * collect_list would OOM exactly on the hot tokens the band then
+    * throws away. */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", minDf: Long = 2,
+                    maxDfPermille: Long = 800, postingCap: Int = 20): DataFrame = {
+    val dt = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .distinct()
+    val byTok = dt.groupBy("token").agg(
+      count(lit(1)).as("df"),
+      graft.functions.TopK.top_k(postingCap)(
+        col(idCol), -col(idCol).cast("double")).as("__top"))
+    val nd = broadcast(docs.select(col(idCol)).agg(count(lit(1)).as("__n_docs")))
+    byTok.crossJoin(nd)
+      .filter(col("df") >= minDf && col("df") * 1000 <= col("__n_docs") * maxDfPermille)
+      .select(col("token"), col("df"),
+        array_join(transform(col("__top"), x => x("id").cast("string")), ",")
+          .as("postings"))
+  }
+
+  /** Within-document co-occurrence counts over a bounded vocabulary: the
+    * top `vocabSize` tokens by document frequency (ties broken by token),
+    * paired when they appear in the same document.
+    *
+    * The vocabulary is the scale contract: it BROADCASTS, the corpus is
+    * filtered to vocab tokens before any pairing, and the per-document
+    * pair fan-out is ≤ vocabSize²/2 regardless of document or corpus
+    * size. The self-join is an equi-join on the document id (one
+    * shuffle, identical subplans share the exchange); output integers
+    * (pair count + each side's df) feed PMI-style ranking downstream
+    * without any cross-engine float drift. */
+  def cooccurrence(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", vocabSize: Int = 50,
+                   minPairDocs: Long = 5): DataFrame = {
+    val dt = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
+      .distinct()
+    val vocab = dt.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(vocabSize)
+    val inVocab = dt.join(broadcast(vocab), Seq("token"))
+    val pairs = inVocab.as("a")
+      .join(inVocab.as("b"),
+        col("a.doc") === col("b.doc") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("t1"), col("b.token").as("t2"))
+      .agg(count(lit(1)).as("pair_docs"))
+      .filter(col("pair_docs") >= minPairDocs)
+    pairs
+      .join(broadcast(vocab.select(col("token").as("t1"), col("df").as("df1"))), Seq("t1"))
+      .join(broadcast(vocab.select(col("token").as("t2"), col("df").as("df2"))), Seq("t2"))
+      .select("t1", "t2", "pair_docs", "df1", "df2")
+  }
+
+  /** Per-document n-gram novelty: of a document's distinct token
+    * n-grams, how many appear in NO other document. The inverse of the
+    * repetition signal — a high-novelty document contributes content the
+    * corpus doesn't already have, a low-novelty one is boilerplate even
+    * if no single near-duplicate exists. Documents shorter than n tokens
+    * have no n-grams and drop out.
+    *
+    * Shape: gram explode is a map op; one distinct + one gram-count
+    * aggregate + one equi-join back — all hash-partitioned by gram, the
+    * same discipline as the shingle machinery. Integer outputs only. */
+  def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3): DataFrame = {
+    require(n >= 1)
+    val grams = transform(sequence(lit(0), size(col("__toks")) - n),
+      i => concat_ws(" ", (1 to n).map(k => element_at(col("__toks"), i + k)): _*))
+    val dg = docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(grams).as("gram"))
+      .distinct()
+    val gcount = dg.groupBy("gram").agg(count(lit(1)).as("gdocs"))
+    dg.join(gcount, "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdocs") === 1, 1L).otherwise(0L)).as("n_unique"))
+  }
+
   // ---------------------------------------------------------------- curation
 
   /** End-to-end corpus curation — the pipeline a training-data job

@@ -1097,6 +1097,87 @@ object Extended {
              |  CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 90 THEN 'train'
              |       WHEN ((doc_id % 1000003) * 2654435761) % 100 < 95 THEN 'val'
              |       ELSE 'test' END AS split
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("q80_chunking",
+      (s: SparkSession, d: String) => {
+        // long-document chunking into model-sized token windows (size 64,
+        // stride 48 → 16-token overlap): map-only, no shuffle before the
+        // output sort; the chunk axis is integer arithmetic both engines
+        // reproduce exactly (see TextAnalysis.chunkByTokens)
+        TextAnalysis.chunkByTokens(Tables.documents(s, d),
+            chunkSize = 64, stride = 48)
+          .select("doc_id", "chunk_id", "start_tok", "chunk_len", "chunk_text")
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (SELECT doc_id, toks,
+             |        CASE WHEN len(toks) <= 64 THEN 1
+             |             ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks
+             |      FROM t),
+             |e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM c)
+             |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+             |  CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS chunk_len,
+             |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+             |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    ("q81_inverted_index",
+      (s: SparkSession, d: String) => {
+        // posting lists via ONE bounded-top-k aggregation (df + 20
+        // smallest ids per token in the same pass); hot tokens — df over
+        // 800‰ of the corpus — drop after aggregation, and their heaps
+        // never exceeded the cap either (see TextAnalysis.invertedIndex)
+        TextAnalysis.invertedIndex(Tables.documents(s, d),
+            minDf = 2, maxDfPermille = 800, postingCap = 20)
+          .orderBy("token")
+      },
+      Some("""WITH dt AS (SELECT DISTINCT doc_id,
+             |              unnest(string_split(text, ' ')) AS token FROM documents),
+             |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |f AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY token)
+             |SELECT t.token, f.df,
+             |  array_to_string(list_slice(list(t.doc_id ORDER BY t.doc_id), 1, 20), ',') AS postings
+             |FROM dt t JOIN f USING (token), nd
+             |WHERE f.df >= 2 AND f.df * 1000 <= nd.n_docs * 800
+             |GROUP BY t.token, f.df
+             |ORDER BY t.token""".stripMargin)),
+
+    ("q82_cooccurrence",
+      (s: SparkSession, d: String) => {
+        // top-50-vocabulary co-occurrence: vocab broadcasts, corpus is
+        // vocab-filtered before pairing, per-doc fan-out ≤ |V|²/2
+        TextAnalysis.cooccurrence(Tables.documents(s, d),
+            vocabSize = 50, minPairDocs = 5)
+          .orderBy("t1", "t2")
+      },
+      Some("""WITH dt AS (SELECT DISTINCT doc_id AS doc,
+             |              unnest(string_split(text, ' ')) AS token FROM documents),
+             |v AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY token
+             |      ORDER BY df DESC, token LIMIT 50),
+             |f AS (SELECT dt.doc, dt.token FROM dt JOIN v USING (token)),
+             |p AS (SELECT a.token AS t1, b.token AS t2, COUNT(*) AS pair_docs
+             |      FROM f a JOIN f b ON a.doc = b.doc AND a.token < b.token
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT p.t1, p.t2, p.pair_docs, v1.df AS df1, v2.df AS df2
+             |FROM p JOIN v v1 ON p.t1 = v1.token JOIN v v2 ON p.t2 = v2.token
+             |ORDER BY p.t1, p.t2""".stripMargin)),
+
+    ("q83_ngram_novelty",
+      (s: SparkSession, d: String) => {
+        // distinct-3-gram novelty per document: grams seen in no other
+        // doc / total grams — integer outputs only, no float drift
+        TextAnalysis.ngramNovelty(Tables.documents(s, d), n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+             |       FROM t WHERE len(toks) >= 3),
+             |g AS (SELECT DISTINCT doc_id,
+             |        array_to_string(list_slice(toks, i, i + 2), ' ') AS gram FROM g0),
+             |c AS (SELECT gram, COUNT(*) AS gdocs FROM g GROUP BY gram)
+             |SELECT g.doc_id, COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN c.gdocs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+             |FROM g JOIN c USING (gram)
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))
   )
 }

@@ -50,6 +50,71 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(1L) != fps(4L))   // content matters
   }
 
+  test("chunking: boundary arithmetic and overlap") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks(64)),   // exactly one chunk
+                 (2L, toks(65)),   // spills into a 2nd (17-token) chunk
+                 (3L, toks(112)),  // start 48 covers 48..111 -> 2 chunks
+                 (4L, toks(113)),  // 3rd chunk of 17
+                 (5L, toks(3)))    // short doc: still 1 chunk
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, chunkSize = 64, stride = 48)
+      .select("doc_id", "chunk_id", "start_tok", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 64L),
+      (2L, 0L, 0L, 64L), (2L, 1L, 48L, 17L),
+      (3L, 0L, 0L, 64L), (3L, 1L, 48L, 64L),
+      (4L, 0L, 0L, 64L), (4L, 1L, 48L, 64L), (4L, 2L, 96L, 17L),
+      (5L, 0L, 0L, 3L)))
+    // consecutive chunks overlap by chunkSize - stride tokens
+    val texts = TextAnalysis.chunkByTokens(df.filter($"doc_id" === 3L))
+      .orderBy("chunk_id").select("chunk_text").as[String].collect()
+    assert(texts(0).split(" ").drop(48).toSeq == texts(1).split(" ").take(16).toSeq)
+  }
+
+  test("inverted index: df band, heap keeps the smallest ids") {
+    // 10 docs; "hot" in 9/10 (900‰ > the 800‰ cutoff), singletons under
+    // minDf, "alpha"/"mid" in 4 docs each (postings capped at 3)
+    val corpus = Seq(
+      (1L, "hot alpha"), (2L, "hot alpha"), (3L, "hot mid"), (4L, "hot alpha"),
+      (5L, "hot rare"), (6L, "hot mid"), (7L, "hot alpha"), (8L, "hot mid"),
+      (9L, "hot beta"), (10L, "x mid")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(corpus, minDf = 2, maxDfPermille = 800,
+        postingCap = 3)
+      .select("token", "df", "postings").as[(String, Long, String)]
+      .collect().sortBy(_._1)
+    // hot: df 9/10 = 900 permille -> excluded; rare/x/beta: df 1 -> excluded
+    assert(got.toSeq == Seq(
+      ("alpha", 4L, "1,2,4"),       // capped at the 3 smallest of 1,2,4,7
+      ("mid", 4L, "3,6,8")))        // capped at the 3 smallest of 3,6,8,10
+  }
+
+  test("co-occurrence: counts match a naive recomputation") {
+    val corpus = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a c"), (4L, "b c a"), (5L, "a q"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrence(corpus, vocabSize = 3, minPairDocs = 2)
+      .select("t1", "t2", "pair_docs", "df1", "df2")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // vocab by df desc, token asc: a(5), b(3), c(3); q excluded
+    // pairs: (a,b) docs 1,2,4; (a,c) docs 1,3,4; (b,c) docs 1,4
+    assert(got == Set(
+      ("a", "b", 3L, 5L, 3L), ("a", "c", 3L, 5L, 3L), ("b", "c", 2L, 3L, 3L)))
+  }
+
+  test("ngram novelty: unique vs shared 3-grams, short docs drop") {
+    val corpus = Seq(
+      (1L, "a b c d"),   // grams: "a b c", "b c d"
+      (2L, "a b c"),     // gram "a b c" shared with doc 1
+      (3L, "x y"))       // < 3 tokens -> no grams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(corpus, n = 3)
+      .select("doc_id", "n_grams", "n_unique")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 0L)))
+  }
+
   test("stopword lists are disjoint enough for a deterministic argmax") {
     val all = TextAnalysis.stopwords.values.flatten.toSeq
     assert(all.size == all.toSet.size, "stopword appearing in two languages breaks scoring")
