@@ -242,4 +242,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Window"), "the as-of match is the pk window")
   }
 
+  test("q80: chunking is map-only — no exchange before the output sort") {
+    val p = plan("q80_chunking")
+    assert(p.contains("Generate"), "the chunk axis must explode")
+    // exactly the one exchange the total ORDER BY requires (rangepartitioning)
+    assert(!p.contains("hashpartitioning"),
+      "chunking itself must not shuffle — only the output sort repartitions")
+    assert(!p.contains("Window"))
+  }
+
+  test("q81: postings aggregate through the bounded heap, map-side combined") {
+    val p = plan("q81_inverted_index")
+    assert(p.contains("ObjectHashAggregate"), "top-k heap must aggregate, not sort")
+    assert(p.contains("partial_topkaggregator") || p.contains("partial_"),
+      "heaps must combine map-side so the shuffle is O(tokens × cap)")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row corpus count must broadcast")
+    assert(!p.contains("Window"))
+  }
+
+  test("q82: vocabulary broadcasts; pairing is an equi-join on the doc key") {
+    val p = plan("q82_cooccurrence")
+    assert(p.contains("BroadcastHashJoin"), "the top-V vocabulary must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "token pairing must stay a doc-keyed equi-join with a residual, not a cross join")
+  }
+
+  test("q83: novelty joins gram counts back as an equi-join, no window") {
+    val p = plan("q83_ngram_novelty")
+    assert(p.contains("Generate"), "grams must explode map-side")
+    assert(!p.contains("Window"), "gram doc-counts come from an aggregate, not a window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
 }
