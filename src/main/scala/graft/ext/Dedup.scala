@@ -180,6 +180,85 @@ object Dedup {
     out
   }
 
+  /** All (i, start) probe slots for [[editDistanceNearDupPairs]]: segment
+    * i's exact image in the other string can start anywhere within ±
+    * maxDist of its home position (one shift per net indel before it),
+    * clamped to positions where a full segment fits. Shared with the
+    * query's oracle-SQL builder so both engines enumerate identical
+    * candidate windows. */
+  def editDistanceSlots(prefixLen: Int, maxDist: Int): Seq[(Int, Int)] = {
+    val segLen = prefixLen / (maxDist + 1)
+    for {
+      i <- 0 to maxDist
+      shift <- -maxDist to maxDist
+      start = i * segLen + 1 + shift
+      if start >= 1 && start + segLen - 1 <= prefixLen
+    } yield (i, start)
+  }
+
+  /** Edit-distance near-duplicate pairs over a fixed-length text prefix:
+    * pairs whose first `prefixLen` chars are within levenshtein distance
+    * `maxDist` (short-field dedup: titles, headers, template boilerplate).
+    *
+    * Candidate generation is the segment pigeonhole with SHIFTED probes
+    * (the Pass-Join discipline, Li et al., ICDE'11): split each prefix
+    * into maxDist+1 contiguous segments — an alignment with ≤ maxDist
+    * edits leaves at least one segment untouched, and that segment
+    * appears EXACTLY in the other string shifted by at most the indels
+    * before it (≤ maxDist). So an equi-join of positional segments
+    * against ±maxDist-shifted substrings has FULL recall at the
+    * threshold — positional-only blocking would miss every indel-shifted
+    * pair — and the all-pairs ground-truth oracle is therefore exact,
+    * not best-effort. Candidates are (segment index, content) equi-join
+    * buckets — never a cross join — with the same skew cap as the LSH
+    * joins; exact levenshtein verifies each distinct candidate once.
+    * Docs shorter than `prefixLen` chars don't participate (distance on
+    * a partial window is not comparable; gate them separately). */
+  def editDistanceNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                               prefixLen: Int = 48, maxDist: Int = 2,
+                               maxBucketSize: Int = 10000): DataFrame = {
+    require(maxDist >= 1 && prefixLen % (maxDist + 1) == 0,
+      s"prefixLen=$prefixLen must divide into maxDist+1=${maxDist + 1} segments")
+    val segLen = prefixLen / (maxDist + 1)
+    val p = docs.filter(length(col(textCol)) >= prefixLen)
+      .select(col(idCol).as("id"), substring(col(textCol), 1, prefixLen).as("prefix"))
+      .persist() // feeds the index side, the probe side, and nothing else
+    val index = graft.core.Skew.capGroupSize(
+      p.select(col("id"), col("prefix"),
+        posexplode(expr(
+          s"transform(sequence(0, $maxDist), i -> substring(prefix, i * $segLen + 1, $segLen))"))
+          .as(Seq("seg_idx", "seg"))),
+      Seq("seg_idx", "seg"), maxBucketSize)
+    val probeSlots = array(editDistanceSlots(prefixLen, maxDist).map { case (i, st) =>
+      struct(lit(i).as("seg_idx"),
+        expr(s"substring(prefix, $st, $segLen)").as("seg"))
+    }: _*)
+    val probe = graft.core.Skew.capGroupSize(
+      p.select(col("id"), col("prefix"), explode(probeSlots).as("slot"))
+        .select(col("id"), col("prefix"),
+          col("slot.seg_idx").as("seg_idx"), col("slot.seg").as("seg"))
+        .dropDuplicates("id", "seg_idx", "seg"),
+      Seq("seg_idx", "seg"), maxBucketSize)
+    val l = index.select(col("seg_idx"), col("seg"),
+      col("id").as("ida"), col("prefix").as("pa"))
+    val r = probe.select(col("seg_idx"), col("seg"),
+      col("id").as("idb"), col("prefix").as("pb"))
+    val verified = l.join(r, Seq("seg_idx", "seg"))
+      .filter(col("ida") =!= col("idb"))
+      // unordered pair: candidates arrive in either orientation
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"),
+        when(col("ida") < col("idb"), col("pa")).otherwise(col("pb")).as("p1"),
+        when(col("ida") < col("idb"), col("pb")).otherwise(col("pa")).as("p2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("dist", levenshtein(col("p1"), col("p2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+    val out = verified.localCheckpoint(true) // then release the prefix cache
+    p.unpersist(false)
+    out
+  }
+
   /** Connected components over a near-duplicate pair list: every doc gets
     * the MINIMUM doc id of its duplicate cluster as `cluster_id` (the
     * canonical representative). Above `driverThreshold` edges the work is

@@ -1162,6 +1162,24 @@ object Extended {
              |FROM p JOIN v v1 ON p.t1 = v1.token JOIN v v2 ON p.t2 = v2.token
              |ORDER BY p.t1, p.t2""".stripMargin)),
 
+    ("q84_editdist_neardup",
+      (s: SparkSession, d: String) => {
+        // edit-distance near-dup on 48-char prefixes: Pass-Join shifted-
+        // segment blocking has FULL recall at maxDist, so the oracle is
+        // the all-pairs ground truth — it independently verifies the
+        // whole candidate-generation scheme, like q26/q31
+        Dedup.editDistanceNearDupPairs(Tables.documents(s, d),
+            "doc_id", "text", prefixLen = 48, maxDist = 2)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH p AS (SELECT doc_id, substr(text, 1, 48) AS prefix
+             |           FROM documents WHERE length(text) >= 48)
+             |SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+             |FROM p a JOIN p b ON a.doc_id < b.doc_id
+             |WHERE levenshtein(a.prefix, b.prefix) <= 2
+             |ORDER BY id1, id2""".stripMargin)),
+
     ("q83_ngram_novelty",
       (s: SparkSession, d: String) => {
         // distinct-3-gram novelty per document: grams seen in no other

@@ -342,4 +342,44 @@ class DedupSpec extends SparkTestBase {
     assert(fbHits == hits)
   }
 
+  test("edit-distance near-dup: indel-shifted pairs are found (Pass-Join recall)") {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL" // 48 chars
+    require(base.length == 48)
+    val corpus = Seq(
+      (1L, base + " tail"),
+      (2L, base.substring(1) + "XY tail"),          // DELETE 1st char: every positional segment shifts
+      (3L, "Z" + base + " tail"),                   // INSERT at front: same, other direction
+      (4L, base.replace('m', '#') + " tail"),       // 1 substitution
+      (5L, "completely different content that is long enough xx"),
+      (6L, "short"))                                 // under prefixLen: excluded
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDupPairs(corpus, "doc_id", "text",
+        prefixLen = 48, maxDist = 2)
+      .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+    // ground truth by brute force over the same prefixes
+    val prefixes = Seq(1L, 2L, 3L, 4L, 5L).map { id =>
+      id -> corpus.filter($"doc_id" === id).as[(Long, String)].head()._2.substring(0, 48)
+    }
+    val naive = (for {
+      (i, pi) <- prefixes; (j, pj) <- prefixes if i < j
+      d = levenshteinRef(pi, pj) if d <= 2
+    } yield (i, j, d.toLong)).toSet
+    assert(got == naive, s"engine=$got truth=$naive")
+    // the indel pairs are the ones positional-only blocking would miss
+    // (dist 2: the shift plus the char the 48-char window gains/loses)
+    assert(got.contains((1L, 2L, 2L)) && got.contains((1L, 3L, 2L)))
+    assert(got.contains((1L, 4L, 1L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L), "short docs must not participate")
+  }
+
+  /** Reference Levenshtein (classic DP) for the spec's ground truth. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+      if (i == 0) j else if (j == 0) i else 0))
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
 }
