@@ -1162,6 +1162,59 @@ object Extended {
              |FROM p JOIN v v1 ON p.t1 = v1.token JOIN v v2 ON p.t2 = v2.token
              |ORDER BY p.t1, p.t2""".stripMargin)),
 
+    ("q85_cluster_sizes",
+      (s: SparkSession, d: String) => {
+        // dedup-audit metric: the cluster-size distribution (how much of
+        // the corpus sits in duplicate clusters of which size). Composes
+        // the verified minhash pairs + connected components; singletons
+        // come from one scalar subtraction (two 1-row aggregates cross-
+        // joined — broadcast, no driver action). All-integer output.
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        val clusters = Dedup.clusterPairs(pairs.select("id1", "id2"))
+        val multi = clusters.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        val singleton = docs.agg(count(lit(1)).as("__n_docs"))
+          .crossJoin(clusters.agg(count(lit(1)).as("__n_clustered")))
+          .select(lit(1L).as("cluster_size"),
+            (col("__n_docs") - col("__n_clustered")).as("n_clusters"))
+        multi.unionByName(singleton)
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      // GROUND-TRUTH oracle: q40's exact-Jaccard recursive-CTE closure,
+      // aggregated to (size, count); singletons = docs − clustered
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |pairs AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+             |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id),
+             |hist AS (
+             |  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+             |  FROM sizes GROUP BY cluster_size
+             |  UNION ALL
+             |  SELECT CAST(1 AS BIGINT),
+             |         (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lbl))
+             |SELECT cluster_size, n_clusters,
+             |       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+             |FROM hist ORDER BY cluster_size""".stripMargin)),
+
     ("q84_editdist_neardup",
       (s: SparkSession, d: String) => {
         // edit-distance near-dup on 48-char prefixes: Pass-Join shifted-
