@@ -703,4 +703,35 @@ object Dedup {
       .withColumn("containment2", inter / size(col("sh2")))
       .select("id1", "id2", "jaccard", "containment1", "containment2")
   }
+
+  /** Substring-level duplication signal: k-token spans occurring in at
+    * least `minDocs` distinct documents, with occurrence accounting and
+    * a deterministic first-occurrence anchor. Exact repeated substrings
+    * are the boilerplate cross-document dedup can't see (a shared footer
+    * makes no document pair near-duplicate, yet pollutes every document)
+    * — the signal behind suffix-array substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al., ACL'22),
+    * here as the Spark-friendly rolling k-gram formulation.
+    *
+    * Two-stage aggregation so nothing unbounded rides the shuffle:
+    * (gram, doc) partials collapse occurrences per document map-side,
+    * then the gram rollup counts docs/occurrences and takes min_by for
+    * the anchor — each stage a plain hash aggregate keyed by gram. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(k >= 1)
+    val grams = transform(sequence(lit(0), size(col("__toks")) - k),
+      i => concat_ws(" ", (1 to k).map(j => element_at(col("__toks"), i + j)): _*))
+    val perDoc = docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol).as("doc"), posexplode(grams).as(Seq("pos", "gram")))
+      .groupBy("gram", "doc")
+      .agg(count(lit(1)).as("occ"), min(col("pos")).cast("long").as("first_pos"))
+    perDoc.groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"),
+        min(col("doc")).as("first_doc"),
+        min_by(col("first_pos"), col("doc")).as("first_pos"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

@@ -1162,6 +1162,28 @@ object Extended {
              |FROM p JOIN v v1 ON p.t1 = v1.token JOIN v v2 ON p.t2 = v2.token
              |ORDER BY p.t1, p.t2""".stripMargin)),
 
+    ("q86_repeated_spans",
+      (s: SparkSession, d: String) => {
+        // substring-level duplication: 8-token spans in ≥2 docs with a
+        // deterministic first-occurrence anchor (Dedup.repeatedSpans)
+        Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+            k = 8, minDocs = 2)
+          .orderBy("gram")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g0 AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
+             |       FROM t WHERE len(toks) >= 8),
+             |g AS (SELECT doc_id AS doc, i - 1 AS pos,
+             |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram FROM g0),
+             |pd AS (SELECT gram, doc, COUNT(*) AS occ, MIN(pos) AS first_pos
+             |       FROM g GROUP BY 1, 2)
+             |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+             |       MIN(doc) AS first_doc,
+             |       CAST(arg_min(first_pos, doc) AS BIGINT) AS first_pos
+             |FROM pd GROUP BY gram HAVING COUNT(*) >= 2
+             |ORDER BY gram""".stripMargin)),
+
     ("q85_cluster_sizes",
       (s: SparkSession, d: String) => {
         // dedup-audit metric: the cluster-size distribution (how much of

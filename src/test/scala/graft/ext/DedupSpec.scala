@@ -372,6 +372,20 @@ class DedupSpec extends SparkTestBase {
     assert(!got.exists(p => p._1 == 6L || p._2 == 6L), "short docs must not participate")
   }
 
+  test("repeatedSpans: cross-doc k-gram accounting with deterministic anchor") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h X"),
+      (2L, "Z a b c d e f g h"),
+      (3L, "a b c d e f g h a b c d e f g h"),
+      (4L, "totally unrelated short text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 8, minDocs = 2)
+      .select("gram", "n_docs", "n_occurrences", "first_doc", "first_pos")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // the shared span: docs 1 (pos 0), 2 (pos 1), 3 (pos 0 and 8)
+    assert(got.toSeq == Seq(("a b c d e f g h", 3L, 4L, 1L, 0L)))
+  }
+
   /** Reference Levenshtein (classic DP) for the spec's ground truth. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
