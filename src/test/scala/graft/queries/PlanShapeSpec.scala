@@ -275,4 +275,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  // q84's pair frame is localCheckpoint-materialized inside
+  // editDistanceNearDupPairs (like q26/q27), so its executed plan is an
+  // RDD scan and there is nothing to pin here; the blocking join is an
+  // equi-join by construction (`join(r, Seq("seg_idx", "seg"))`) and its
+  // recall/correctness contract is pinned in DedupSpec.
+
+  test("q86: span accounting is two hash aggregates with map-side partials") {
+    val p = plan("q86_repeated_spans")
+    assert(p.contains("Generate"), "k-grams must explode map-side")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc occurrence partials must combine map-side")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
 }
