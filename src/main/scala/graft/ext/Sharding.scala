@@ -115,4 +115,30 @@ object Sharding {
       .select(explode(col("__top.id")).as(idCol))
     docs.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Weighted UPSAMPLING for mixture weights above 1: a document with
+    * weight w (in permille, e.g. 2750 = 2.75 epochs) is replicated
+    * ⌊w/1000⌋ times, plus once more for the deterministic hash fraction
+    * of docs selected at probability (w mod 1000)/1000 — the epoch-
+    * repetition half of data mixing ([[graft.queries.Extended]] q77 is
+    * the ≤1 downsampling half, same multiplicative-hash keep rule, so a
+    * mixture spec can mix both regimes). Output carries `copy_id`
+    * (1-based) so downstream shuffling/packing can tell copies apart.
+    *
+    * Scale shape: the spec broadcasts, the copy fan-out is a map-side
+    * explode of an integer sequence — no shuffle, no RNG state, and the
+    * result is a pure function of (id, spec) under any partitioning. */
+  def upsampleByWeight(docs: DataFrame, weights: DataFrame,
+                       groupCol: String = "source",
+                       idCol: String = "doc_id",
+                       permilleCol: String = "permille"): DataFrame = {
+    val nCopies = expr(s"$permilleCol div 1000") +
+      when(pmod((col(idCol) % 1000003L) * 2654435761L, lit(1000L)) <
+        pmod(col(permilleCol), lit(1000L)), 1L).otherwise(0L)
+    docs.join(broadcast(weights), Seq(groupCol))
+      .withColumn("__n_copies", nCopies)
+      .filter(col("__n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("__n_copies"))))
+      .drop("__n_copies", permilleCol)
+  }
 }

@@ -1162,6 +1162,30 @@ object Extended {
              |FROM p JOIN v v1 ON p.t1 = v1.token JOIN v v2 ON p.t2 = v2.token
              |ORDER BY p.t1, p.t2""".stripMargin)),
 
+    ("q87_upsample_mix",
+      (s: SparkSession, d: String) => {
+        // epoch-repetition mixing (weights > 1): ⌊w⌋ copies + a hash-
+        // selected fractional copy, map-side explode only — the
+        // complement of q77's ≤1 downsampling (Sharding.upsampleByWeight)
+        val spec = Seq.tabulate(20)(i => (s"src$i", 500L + (i % 4) * 750L))
+        val weights = s.createDataFrame(spec).toDF("source", "permille")
+        Sharding.upsampleByWeight(Tables.documents(s, d), weights)
+          .select("doc_id", "source", "copy_id")
+          .orderBy("doc_id", "copy_id")
+      },
+      Some(("""WITH w(source, permille) AS (VALUES """ +
+        Seq.tabulate(20)(i => s"('src$i', ${500 + (i % 4) * 750})").mkString(", ") +
+        """),
+             |j AS (SELECT d.doc_id, d.source,
+             |        permille // 1000 +
+             |        CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000
+             |                  < permille % 1000 THEN 1 ELSE 0 END AS n_copies
+             |      FROM documents d JOIN w USING (source))
+             |SELECT doc_id, source,
+             |       unnest(range(1, n_copies + 1)) AS copy_id
+             |FROM j WHERE n_copies > 0
+             |ORDER BY doc_id, copy_id""").stripMargin)),
+
     ("q86_repeated_spans",
       (s: SparkSession, d: String) => {
         // substring-level duplication: 8-token spans in ≥2 docs with a

@@ -93,6 +93,31 @@ class ShardingSpec extends SparkTestBase {
       Seq("doc_id", "source"))
   }
 
+  test("upsampleByWeight: floor copies + deterministic fractional copy") {
+    val docs = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b"))
+      .toDF("doc_id", "source")
+    val weights = Seq(("a", 2000L), ("b", 500L)).toDF("source", "permille")
+    val got = Sharding.upsampleByWeight(docs, weights)
+      .select("doc_id", "copy_id").as[(Long, Long)].collect()
+    val bySrc = got.groupBy { case (id, _) => if (id <= 100) "a" else "b" }
+    // weight 2.0: exactly 2 copies of every doc, copy_ids 1 and 2
+    assert(bySrc("a").length == 200)
+    assert(bySrc("a").groupBy(_._1).forall { case (_, cs) =>
+      cs.map(_._2).sorted.toSeq == Seq(1L, 2L) })
+    // weight 0.5: the same hash rule as assignSplit/q77 — a strict subset,
+    // one copy each, deterministic across runs
+    val b1 = bySrc("b").map(_._1).toSet
+    assert(bySrc("b").forall(_._2 == 1L))
+    assert(b1.size > 20 && b1.size < 80, s"~half expected, got ${b1.size}")
+    val again = Sharding.upsampleByWeight(docs, weights)
+      .filter($"source" === "b").select("doc_id").as[Long].collect().toSet
+    assert(again == b1)
+    // pure function of (id, spec): repartitioning does not change the set
+    val shuffled = Sharding.upsampleByWeight(docs.repartition(7), weights)
+      .filter($"source" === "b").select("doc_id").as[Long].collect().toSet
+    assert(shuffled == b1)
+  }
+
   test("scrubPii redacts planted emails and phones, counts them, leaves clean text") {
     val docs = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org today"),
