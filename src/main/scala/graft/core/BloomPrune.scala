@@ -32,7 +32,7 @@ object BloomPrune {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(Bridge.expression(dimKey))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val row = dim.select(Bridge.column(agg)).head
+    val row = dim.select(Bridge.column(agg)).head()
     if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
   }
 

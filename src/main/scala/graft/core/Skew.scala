@@ -104,7 +104,7 @@ object Skew {
         .filter(col("__group_n") > cap)
         .localCheckpoint(true)
       // one action for both accounting numbers (sum of rows, group count)
-      val acct = over.agg(coalesce(sum("__group_n"), lit(0L)), count(lit(1))).first
+      val acct = over.agg(coalesce(sum("__group_n"), lit(0L)), count(lit(1))).first()
       val (dropped, nGroups) = (acct.getLong(0), acct.getLong(1))
       if (dropped > 0)
         org.apache.log4j.Logger.getLogger(getClass)

@@ -331,7 +331,7 @@ object Dedup {
     def checksum(e: DataFrame): (Long, Long) = {
       // xor-fold, not sum: order-independent AND overflow-free under ANSI
       val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
       (r.getLong(0), r.getLong(1))
     }
     var prev = checksum(edges)
