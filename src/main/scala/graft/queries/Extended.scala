@@ -1162,6 +1162,48 @@ object Extended {
              |FROM p JOIN v v1 ON p.t1 = v1.token JOIN v v2 ON p.t2 = v2.token
              |ORDER BY p.t1, p.t2""".stripMargin)),
 
+    ("q89_split_leakage",
+      (s: SparkSession, d: String) => {
+        // eval-integrity audit: near-duplicate pairs that CROSS
+        // train/val/test splits (a test doc with a train near-dup
+        // invalidates the holdout) — composes the verified minhash pair
+        // machinery with the deterministic split rule; the split frame
+        // joins pairs by bare id
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        val splits = Sharding.assignSplit(docs, "doc_id")
+          .select(col("doc_id"), col("split"))
+        pairs
+          .join(splits.select(col("doc_id").as("id1"), col("split").as("split1")), "id1")
+          .join(splits.select(col("doc_id").as("id2"), col("split").as("split2")), "id2")
+          .filter(col("split1") =!= col("split2"))
+          .select("id1", "id2", "split1", "split2")
+          .orderBy("id1", "id2")
+      },
+      // GROUND-TRUTH oracle: q26's all-pairs exact-Jaccard CTE × q57's
+      // split arithmetic, cross-split filter
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |pairs AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |sp AS (SELECT doc_id,
+             |  CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 90 THEN 'train'
+             |       WHEN ((doc_id % 1000003) * 2654435761) % 100 < 95 THEN 'val'
+             |       ELSE 'test' END AS split FROM documents)
+             |SELECT p.id1, p.id2, s1.split AS split1, s2.split AS split2
+             |FROM pairs p JOIN sp s1 ON p.id1 = s1.doc_id
+             |             JOIN sp s2 ON p.id2 = s2.doc_id
+             |WHERE s1.split <> s2.split
+             |ORDER BY p.id1, p.id2""".stripMargin)),
+
     ("q88_ann_recall",
       (s: SparkSession, d: String) => {
         // ANN index-quality monitor: per-query recall@10 of the LSH path
