@@ -281,6 +281,20 @@ class PlanShapeSpec extends SparkTestBase {
   // equi-join by construction (`join(r, Seq("seg_idx", "seg"))`) and its
   // recall/correctness contract is pinned in DedupSpec.
 
+  test("q87: the weight spec broadcasts; copy fan-out never shuffles the corpus") {
+    val p = plan("q87_upsample_mix")
+    assert(p.contains("BroadcastHashJoin"), "the 20-row weight spec must broadcast")
+    assert(p.contains("Generate"), "copies fan out as a map-side explode")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must not shuffle for the mixing join")
+  }
+
+  test("q88: recall overlap ranks via bounded heaps, never a window sort") {
+    val p = plan("q88_ann_recall")
+    assert(p.contains("ObjectHashAggregate"), "both top-k sides use the bounded heap")
+    assert(!p.contains("Window "), "no window sort anywhere in the recall pipeline")
+  }
+
   test("q86: span accounting is two hash aggregates with map-side partials") {
     val p = plan("q86_repeated_spans")
     assert(p.contains("Generate"), "k-grams must explode map-side")
