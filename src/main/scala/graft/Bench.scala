@@ -60,6 +60,24 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Streaming CDC hot path: sustained ingest throughput WITH the
+    // per-trigger incremental snapshot fold (append + current-state
+    // maintenance per micro-batch). Runs FIRST — before the 90-query
+    // loop — because the measurement protocol demands a quiet JVM:
+    // round 4's final driver run put this stage after the full query
+    // sweep and read 24.7k rec/s for code that measures 50k in a fresh
+    // serial JVM (heap churn + lingering listener/shuffle state from 90
+    // materialized queries, not fold cost). Protocol note: BASELINE.md §2.
+    val fold =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_FOLD")) ""
+      else try {
+        val r = graft.tools.IngestBench.streamWithFolds(spark, sfDir,
+          replicate = sys.env.getOrElse("SPARK_GRAFT_INGEST_REPLICATE", "4").toInt)
+        f""","cdc_ingest_fold_rps":${r.recordsPerSec}%.0f,"cdc_ingest_fold_records":${r.records},"cdc_ingest_fold_secs":${r.secs}%.2f"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest+fold failed: ${e.getMessage}"); ""
+      }
+
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q49,q62 times just those
     // queries; SPARK_GRAFT_SKIP_FOLD=1 skips the ingest+fold stage.
     // Unset (the driver path) = everything.
@@ -70,20 +88,6 @@ object Bench {
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-
-    // Streaming CDC hot path: sustained ingest throughput WITH the
-    // per-trigger incremental snapshot fold (append + current-state
-    // maintenance per micro-batch). Reported alongside the query times
-    // so every round's bench carries the end-to-end streaming number.
-    val fold =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_FOLD")) ""
-      else try {
-        val r = graft.tools.IngestBench.streamWithFolds(spark, sfDir,
-          replicate = sys.env.getOrElse("SPARK_GRAFT_INGEST_REPLICATE", "4").toInt)
-        f""","cdc_ingest_fold_rps":${r.recordsPerSec}%.0f,"cdc_ingest_fold_records":${r.records},"cdc_ingest_fold_secs":${r.secs}%.2f"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] ingest+fold failed: ${e.getMessage}"); ""
-      }
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$fold,"sf":"$sfDir"}"""
     println(json)
