@@ -122,14 +122,24 @@ object Multimodal {
   }
 
   /** End-to-end demo pipeline over `documents`: synthesize → extract →
-    * aggregate per kind (row counts + mean feature norm sanity stat). */
+    * aggregate per kind (row counts + mean feature norm sanity stat).
+    *
+    * The norm statistic is quantized per row to integer 1e-12 units
+    * BEFORE the group aggregate: a floating-point `avg` across rows sums
+    * in partition order and is not bit-stable under repartitioning, while
+    * the per-row fold (sequential over one array, double arithmetic) is
+    * deterministic — so quantize the deterministic scalar, then sum
+    * exactly. `mean_sq_norm_e12 DIV 1e12` ≈ 1 for unit-norm features. */
   def featurePipeline(spark: SparkSession, docs: DataFrame, dim: Int = 64): DataFrame = {
     val feats = extractFeatures(synthesizeFromDocuments(docs), dim)
     feats.toDF()
+      .withColumn("__sq", aggregate(col("feature"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+      .withColumn("__sq_e12", floor(col("__sq") * lit(1.0e12)).cast("long"))
       .groupBy("kind")
       .agg(count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
-        avg(aggregate(col("feature"), lit(0.0d), (a, x) => a + x * x)).as("mean_sq_norm"))
+        expr("sum(__sq_e12) div count(1)").as("mean_sq_norm_e12"))
       .orderBy("kind")
   }
 }

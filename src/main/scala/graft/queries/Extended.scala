@@ -70,6 +70,14 @@ object Extended {
         graft.functions.VectorFunctions.token_hashes(split(col("text"), " ")).as("hashes"))
     }),
     "q46_media_vectors" -> q46MediaVectors _,
+    "q32_features" -> ((s: SparkSession, d: String) => {
+      // the exact per-media vectors q32's pipeline aggregates, via the
+      // same mapPartitions kernel (extractFeatures), media_id + feature
+      // only — kind/bytes are recomputed from `documents` by the oracle
+      Multimodal.extractFeatures(
+          Multimodal.synthesizeFromDocuments(Tables.documents(s, d)))
+        .toDF().select(col("media_id"), col("feature"))
+    }),
     "q74_centroids" -> ((s: SparkSession, d: String) => {
       // the q74 fit re-run verbatim: deterministic for (corpus, params),
       // so this dump IS the centroid set the query assigned against
@@ -344,7 +352,30 @@ object Extended {
       (s: SparkSession, d: String) => {
         Multimodal.featurePipeline(s, Tables.documents(s, d))
       },
-      None), // schema/determinism/batching tested in MultimodalSpec
+      // The stub features are deterministic, so the dump of per-media
+      // vectors (q32_features) lets DuckDB recompute EVERYTHING else
+      // independently: kind routing + byte accounting from the source
+      // `documents` table (not the dump), the sequential double fold of
+      // each vector's squared norm, the 1e-12 quantization, and the
+      // grouped exact-integer aggregation. Only the splitmix64 stub
+      // itself is trusted from the dump (same split as q24/q27/q46).
+      Some(s"""SELECT
+              |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+              |       WHEN d.doc_id % 3 = 1 THEN 'audio'
+              |       ELSE 'video' END AS kind,
+              |  COUNT(*) AS n_media,
+              |  CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS total_bytes,
+              |  CAST(SUM(f.sq_e12) // COUNT(*) AS BIGINT) AS mean_sq_norm_e12
+              |FROM (SELECT media_id,
+              |        CAST(floor(list_reduce(
+              |          list_prepend(CAST(0.0 AS DOUBLE),
+              |            list_transform(feature,
+              |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              |          (a, b) -> a + b) * 1e12) AS BIGINT) AS sq_e12
+              |      FROM read_parquet('$OracleAuxDir/q32_features/*.parquet')) f
+              |JOIN documents d ON d.doc_id = f.media_id
+              |GROUP BY 1
+              |ORDER BY kind""".stripMargin)),
 
     ("q37_frame_sample",
       (s: SparkSession, d: String) => {

@@ -65,8 +65,9 @@ class MultimodalSpec extends SparkTestBase {
     val agg = Multimodal.featurePipeline(spark, docs)
     val rows = agg.collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
-    // mean squared norm of unit vectors ≈ 1
-    rows.foreach(r => assert(math.abs(r.getAs[Double]("mean_sq_norm") - 1.0) < 1e-5))
+    // mean squared norm of unit vectors ≈ 1 (reported in 1e-12 units)
+    rows.foreach(r =>
+      assert(math.abs(r.getAs[Long]("mean_sq_norm_e12") - 1.0e12) < 1e7))
   }
 
   private def length(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.length(c)
