@@ -128,6 +128,49 @@ object Ingest {
     * long-running streams; preserves the `_dt` partitioning if present).
     * Not concurrency-safe with an active writer — run between stream
     * restarts, like any storage maintenance job. */
+  /** Reserved batch partition the IN-STREAM compactor merges history
+    * into. Negative so it can never collide with a streaming batch id:
+    * a replayed batch overwrites its own `batch=<id>` dir, and merging
+    * history into a replayable id would let that overwrite destroy
+    * other batches' rows (same invariant as DocStream.CompactedBatch). */
+  val CompactedBatchId: Long = -1L
+
+  /** Merge every `batch <= upToBatch` directory (including a previous
+    * `batch=-1`) into `batch=-1` and delete the merged dirs — the
+    * small-file mitigation a long-running stream needs WITHOUT a
+    * restart. Safe to call from inside the stream's own foreachBatch
+    * (the stream is the only writer, and the checkpoint contract only
+    * ever replays the last uncommitted batch, so merging ids strictly
+    * below the in-flight one can never race a replay overwrite).
+    * Preserves the `_dt` partitioning and the union schema across batch
+    * dirs (mergeSchema, the CDC warehouse contract). */
+  def compactBatches(spark: SparkSession, warehouseDir: String,
+                     physicalName: String, upToBatch: Long): Unit = {
+    val dir = s"$warehouseDir/$physicalName"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val mergeDirs = fs.listStatus(root).map(_.getPath).filter { p =>
+      p.getName.startsWith("batch=") &&
+        scala.util.Try(p.getName.stripPrefix("batch=").toLong)
+          .toOption.exists(_ <= upToBatch)
+    }
+    if (mergeDirs.length <= 1) return // already compact
+    val merged = spark.read.option("basePath", dir).option("mergeSchema", true)
+      .parquet(mergeDirs.map(_.toString).toIndexedSeq: _*)
+    val hasDt = merged.columns.contains(Envelope.DtCol)
+    val out = merged.drop("batch")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val writer = out.write.mode("overwrite")
+    (if (hasDt) writer.partitionBy(Envelope.DtCol) else writer).parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/batch=$CompactedBatchId")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"compact rename failed: $dst")
+    mergeDirs.filterNot(_.getName == s"batch=$CompactedBatchId")
+      .foreach(p => fs.delete(p, true))
+  }
+
   def compact(spark: SparkSession, warehouseDir: String, physicalName: String): Long = {
     val dir = s"$warehouseDir/$physicalName"
     val df = spark.read.parquet(dir)

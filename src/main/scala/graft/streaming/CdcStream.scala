@@ -71,7 +71,15 @@ final case class CdcStreamConfig(
     aggSpecs: Map[String, Seq[graft.cdc.AggMaintainer.AggSpec]] = Map.empty,
     /** partition versioned tables by event-time date (`_dt`) so
       * asOf/changesBetween prune directories (Versioned.asOfPruned). */
-    partitionByDate: Boolean = false)
+    partitionByDate: Boolean = false,
+    /** > 0: every N micro-batches, merge all committed `batch=<id>` dirs
+      * (ids < the in-flight batch) into the reserved `batch=-1` dir for
+      * every registry table + the dead letter — bounds the one-dir-per-
+      * trigger accumulation that otherwise makes file LISTING (not data)
+      * the dominant per-trigger cost of a long-running stream. Replay-
+      * safe: only ids the checkpoint can no longer replay are merged
+      * (see Ingest.compactBatches). 0 = off. */
+    compactEveryNBatches: Int = 0)
 
 object CdcStream {
 
@@ -188,6 +196,14 @@ object CdcStream {
                 s"[graft-cdc] no rows for '$table' in batch $batchId — fold skipped")
             }
           }
+        }
+        if (cfg.compactEveryNBatches > 0 && batchId > 0 &&
+            batchId % cfg.compactEveryNBatches == 0) {
+          val sess = df.sparkSession
+          (registry.values.map(_.physicalName).toSeq :+ Ingest.UnknownTableDir)
+            .foreach { phys =>
+              Ingest.compactBatches(sess, cfg.warehouseDir, phys, batchId - 1)
+            }
         }
       }
       .start()
