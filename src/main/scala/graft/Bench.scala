@@ -78,6 +78,22 @@ object Bench {
         System.err.println(s"[bench] ingest+fold failed: ${e.getMessage}"); ""
       }
 
+    // Production-shape profile variant: same stats surface as q63 but
+    // HLL distincts (no Expand ×(N+1) row replication). Timed here so
+    // every round's bench carries the exact-vs-approx pair on the same
+    // table at the same SF.
+    val approxProf = try {
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.core.Profile.approxProfile(
+          graft.core.Tables.orders(spark, sfDir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .write.format("noop").mode("overwrite").save()
+      f""","approx_profile_secs":${(System.nanoTime() - t0) / 1e9}%.3f"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] approxProfile failed: ${e.getMessage}"); ""
+    }
+
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q49,q62 times just those
     // queries; SPARK_GRAFT_SKIP_FOLD=1 skips the ingest+fold stage.
     // Unset (the driver path) = everything.
@@ -89,7 +105,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$fold,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$fold$approxProf,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's logger (the driver saw "[info] {...}" and
     // parsed null in round 1) — also write the line to a well-known file
@@ -108,7 +124,7 @@ object Bench {
       "\"" + short + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
     val foldCompact = fold.split(",\"cdc_ingest_fold_records\"").headOption.getOrElse("")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact$foldCompact,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact$foldCompact$approxProf,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

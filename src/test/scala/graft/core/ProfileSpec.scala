@@ -22,4 +22,28 @@ class ProfileSpec extends SparkTestBase {
       .select("column_name").as[String].collect().toSeq
     assert(names == Seq("id", "s", "v"))
   }
+
+  test("approxProfile: same schema, exact nulls/min/max, HLL distinct, no Expand") {
+    val df = (1 to 5000).map(i => (i.toLong, s"s${i % 97}", i % 13)).toDF("id", "s", "v")
+    val exact = Profile.profile(df, Seq("id", "s", "v"))
+    val approx = Profile.approxProfile(df, Seq("id", "s", "v"))
+    assert(approx.schema == exact.schema)
+
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    val a = approx.collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("id", "s", "v")) {
+      assert(a(c).getLong(1) == e(c).getLong(1), s"$c nulls")       // exact
+      assert(a(c).getString(3) == e(c).getString(3), s"$c min")     // exact
+      assert(a(c).getString(4) == e(c).getString(4), s"$c max")     // exact
+      val (est, act) = (a(c).getLong(2).toDouble, e(c).getLong(2).toDouble)
+      assert(math.abs(est - act) / act < 0.15, s"$c distinct: $est vs $act")
+    }
+
+    // the scale property: HLL sketches accumulate per row — no Expand
+    // row replication in the plan (the exact form NEEDS one)
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    val exactPlan = exact.queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), "approxProfile must not Expand")
+    assert(exactPlan.contains("Expand"), "exact multi-distinct plans via Expand")
+  }
 }
