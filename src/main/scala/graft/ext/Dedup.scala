@@ -108,6 +108,26 @@ object Dedup {
                           shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                           threshold: Double = 0.7, seed: Long = 42L,
                           maxBucketSize: Int = 10000): DataFrame = {
+    val (withSig, verified) = minhashVerifiedLazy(docs, idCol, textCol,
+      shingleSize, bands, rowsPerBand, threshold, seed, maxBucketSize)
+    // materialize the (small) verified pair list eagerly, then release the
+    // signature cache — the returned frame must own no cached state
+    // (VERDICT r1: leaked caches accumulate across bench queries)
+    val out = verified.localCheckpoint(true)
+    withSig.unpersist(false)
+    out
+  }
+
+  /** The un-materialized [[minhashNearDupPairs]] pipeline:
+    * (signature cache handle, lazy verified-pairs frame). Package-private
+    * so PlanShapeSpec can pin the banded-join physical shape — the public
+    * method's localCheckpoint erases the plan into an RDD scan. Callers
+    * must unpersist the returned handle. */
+  private[graft] def minhashVerifiedLazy(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, seed: Long,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     // persist: the signature table feeds the self-join (both sides) AND
     // the verification join — without it the shingle+signature subtree
@@ -144,12 +164,7 @@ object Dedup {
           size(array_union(col("s1"), col("s2"))))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
-    // materialize the (small) verified pair list eagerly, then release the
-    // signature cache — the returned frame must own no cached state
-    // (VERDICT r1: leaked caches accumulate across bench queries)
-    val out = verified.localCheckpoint(true)
-    withSig.unpersist(false)
-    out
+    (withSig, verified)
   }
 
   /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates share
@@ -157,6 +172,17 @@ object Dedup {
     * distance 3 shares ≥1 chunk), verified with bit_count(xor). */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val (fp, verified) = simhashVerifiedLazy(docs, idCol, textCol, maxHamming, maxBucketSize)
+    val out = verified.localCheckpoint(true) // then release the fp cache
+    fp.unpersist(false)
+    out
+  }
+
+  /** Un-materialized [[simhashNearDupPairs]]: (fp cache handle, lazy
+    * verified frame) — see [[minhashVerifiedLazy]] for why. */
+  private[graft] def simhashVerifiedLazy(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only up to distance 3")
     val fp = docs.select(col(idCol).as("id"),
       simhash64(split(col(textCol), " ")).as("fp"))
@@ -175,9 +201,7 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(fp1 ^ fp2)"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
-    val out = verified.localCheckpoint(true) // then release the fp cache
-    fp.unpersist(false)
-    out
+    (fp, verified)
   }
 
   /** All (i, start) probe slots for [[editDistanceNearDupPairs]]: segment
@@ -217,6 +241,19 @@ object Dedup {
   def editDistanceNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                                prefixLen: Int = 48, maxDist: Int = 2,
                                maxBucketSize: Int = 10000): DataFrame = {
+    val (p, verified) = editDistanceVerifiedLazy(docs, idCol, textCol,
+      prefixLen, maxDist, maxBucketSize)
+    val out = verified.localCheckpoint(true) // then release the prefix cache
+    p.unpersist(false)
+    out
+  }
+
+  /** Un-materialized [[editDistanceNearDupPairs]]: (prefix cache handle,
+    * lazy verified frame) — see [[minhashVerifiedLazy]] for why. */
+  private[graft] def editDistanceVerifiedLazy(
+      docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int, maxDist: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(maxDist >= 1 && prefixLen % (maxDist + 1) == 0,
       s"prefixLen=$prefixLen must divide into maxDist+1=${maxDist + 1} segments")
     val segLen = prefixLen / (maxDist + 1)
@@ -254,9 +291,7 @@ object Dedup {
       .withColumn("dist", levenshtein(col("p1"), col("p2")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select("id1", "id2", "dist")
-    val out = verified.localCheckpoint(true) // then release the prefix cache
-    p.unpersist(false)
-    out
+    (p, verified)
   }
 
   /** Connected components over a near-duplicate pair list: every doc gets

@@ -254,7 +254,7 @@ class PlanShapeSpec extends SparkTestBase {
   test("q81: postings aggregate through the bounded heap, map-side combined") {
     val p = plan("q81_inverted_index")
     assert(p.contains("ObjectHashAggregate"), "top-k heap must aggregate, not sort")
-    assert(p.contains("partial_topkaggregator") || p.contains("partial_"),
+    assert(p.contains("partial_topkaggregator"),
       "heaps must combine map-side so the shuffle is O(tokens × cap)")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "the 1-row corpus count must broadcast")
@@ -275,11 +275,52 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
-  // q84's pair frame is localCheckpoint-materialized inside
-  // editDistanceNearDupPairs (like q26/q27), so its executed plan is an
-  // RDD scan and there is nothing to pin here; the blocking join is an
-  // equi-join by construction (`join(r, Seq("seg_idx", "seg"))`) and its
-  // recall/correctness contract is pinned in DedupSpec.
+  // q26/q27/q84's public entry points localCheckpoint their pair frame,
+  // which erases the executed plan into an RDD scan — so these pins go
+  // through the package-private *VerifiedLazy builders, the exact same
+  // pipeline one step before materialization.
+
+  private def lazyPlan(build: => (DataFrame, DataFrame)): String = {
+    val (cache, verified) = build
+    try verified.queryExecution.executedPlan.toString()
+    finally cache.unpersist(false)
+  }
+
+  test("q26 (pre-checkpoint): banded LSH is an equi-join on (band, bucket), no cross join") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val p = lazyPlan(graft.ext.Dedup.minhashVerifiedLazy(docs, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+      seed = 42L, maxBucketSize = 10000))
+    assert(p.contains("Generate"), "band axis must explode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be the banded equi-join, never all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "bucket join must be an equi-join")
+    assert(p.contains("InMemoryTableScan"),
+      "the signature table must come from the shared cache, not recompute")
+  }
+
+  test("q27 (pre-checkpoint): pigeonhole chunks equi-join, fingerprints cached once") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val p = lazyPlan(graft.ext.Dedup.simhashVerifiedLazy(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 10000))
+    assert(p.contains("Generate"), "the 4-chunk axis must explode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the chunk equi-join, never all-pairs")
+    assert(p.contains("InMemoryTableScan"),
+      "both join sides must read the one cached fingerprint table")
+  }
+
+  test("q84 (pre-checkpoint): shifted-segment blocking is an equi-join on (seg_idx, seg)") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val p = lazyPlan(graft.ext.Dedup.editDistanceVerifiedLazy(docs, "doc_id", "text",
+      prefixLen = 48, maxDist = 2, maxBucketSize = 10000))
+    assert(p.contains("Generate"), "segment/probe axes must explode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "Pass-Join blocking must stay a positional-segment equi-join")
+    assert(p.contains("InMemoryTableScan"),
+      "index and probe sides must read the one cached prefix table")
+  }
 
   test("q87: the weight spec broadcasts; copy fan-out never shuffles the corpus") {
     val p = plan("q87_upsample_mix")
