@@ -94,6 +94,60 @@ class AggMaintainerSpec extends SparkTestBase {
     assert(maintained(wh) == incremental)
   }
 
+  test("late data: an older-timestamped batch after a newer one applies no stale delta") {
+    val wh = "file:" + tmpDir("aggm-late")
+    // the NEWER event arrives first: pk 1 moves to done at t=12:00
+    AggMaintainer.foldAndMaintain(spark, wh, "t", batchDf(
+      (1L, "insert", "2026-01-01T10:00:00", "open", 10.0),
+      (2L, "insert", "2026-01-01T10:00:00", "open", 20.0)), pk, Seq(spec))
+    AggMaintainer.foldAndMaintain(spark, wh, "t", batchDf(
+      (1L, "update", "2026-01-01T12:00:00", "done", 99.0)), pk, Seq(spec))
+    val settled = maintained(wh)
+
+    // the LATE batch (t=11:00 < 12:00) tries to move pk 1 back and
+    // change its amount: the fold keeps the newer version, so pre == post
+    // and the aggregate must not move — neither group counts nor sums
+    AggMaintainer.foldAndMaintain(spark, wh, "t", batchDf(
+      (1L, "update", "2026-01-01T11:00:00", "open", 1000.0)), pk, Seq(spec))
+    assert(maintained(wh) == settled, "stale event must apply a zero delta")
+    check(wh, "after late event")
+
+    // a late DELETE below the settled version must not remove the key
+    AggMaintainer.foldAndMaintain(spark, wh, "t", batchDf(
+      (1L, "delete", "2026-01-01T11:30:00", null, 0.0)), pk, Seq(spec))
+    assert(maintained(wh) == settled, "stale delete must apply a zero delta")
+    check(wh, "after late delete")
+  }
+
+  test("shuffled batch order converges: store equals rebuild and in-order delivery") {
+    val batches = Seq(
+      batchDf(
+        (1L, "insert", "2026-01-01T10:00:00", "open", 10.0),
+        (2L, "insert", "2026-01-01T10:00:00", "done", 20.0),
+        (3L, "insert", "2026-01-01T10:00:00", "open", 30.0)),
+      batchDf(
+        (1L, "update", "2026-01-01T11:00:00", "done", 11.0),
+        (3L, "delete", "2026-01-01T11:00:00", null, 0.0)),
+      batchDf(
+        (2L, "update", "2026-01-01T12:00:00", "open", 22.0),
+        (4L, "insert", "2026-01-01T12:00:00", "done", 40.0)))
+
+    def deliver(order: Seq[Int]): Map[String, (Long, java.math.BigDecimal)] = {
+      val wh = "file:" + tmpDir(s"aggm-order-${order.mkString}")
+      order.foreach(i =>
+        AggMaintainer.foldAndMaintain(spark, wh, "t", batches(i), pk, Seq(spec)))
+      check(wh, s"delivery order $order")                 // == recompute
+      val incremental = maintained(wh)
+      AggMaintainer.rebuild(spark, wh, "t", spec)
+      assert(maintained(wh) == incremental, s"rebuild diverged for order $order")
+      incremental
+    }
+
+    val inOrder = deliver(Seq(0, 1, 2))
+    assert(deliver(Seq(2, 0, 1)) == inOrder)
+    assert(deliver(Seq(1, 2, 0)) == inOrder)
+  }
+
   test("NULL group keys match themselves across batches (null-safe delta/merge)") {
     val wh = "file:" + tmpDir("aggm-null")
     // batch 1 creates a NULL-category group; batch 2 touches it again
