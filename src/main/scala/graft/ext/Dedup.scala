@@ -233,9 +233,16 @@ object Dedup {
     * against ±maxDist-shifted substrings has FULL recall at the
     * threshold — positional-only blocking would miss every indel-shifted
     * pair — and the all-pairs ground-truth oracle is therefore exact,
-    * not best-effort. Candidates are (segment index, content) equi-join
-    * buckets — never a cross join — with the same skew cap as the LSH
-    * joins; exact levenshtein verifies each distinct candidate once.
+    * not best-effort. RECALL CAVEAT: the guarantee holds only while no
+    * (segment index, content) bucket exceeds `maxBucketSize` — the same
+    * skew cap as the LSH joins DROPS overflow rows in hot buckets, and
+    * template boilerplate prefixes are exactly what creates them. Size
+    * `maxBucketSize` above the corpus's largest boilerplate family (the
+    * cap exists to bound the join, not to sample it), and watch
+    * [[graft.core.Skew]]'s dropped-row accounting when tuning.
+    * Candidates are (segment index, content) equi-join
+    * buckets — never a cross join; exact levenshtein verifies each
+    * distinct candidate once.
     * Docs shorter than `prefixLen` chars don't participate (distance on
     * a partial window is not comparable; gate them separately). */
   def editDistanceNearDupPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -225,13 +225,15 @@ object TextAnalysis {
       .distinct()
     val byTok = dt.groupBy("token").agg(
       count(lit(1)).as("df"),
-      graft.functions.TopK.top_k(postingCap)(
-        col(idCol), -col(idCol).cast("double")).as("__top"))
+      // long-ordered heap: "postingCap smallest ids" stays exact for
+      // full-range 64-bit (e.g. hash-derived) doc ids — a double score
+      // of -id would lose integer ordering above 2^53
+      graft.functions.TopK.min_k_ids(postingCap)(col(idCol)).as("__top"))
     val nd = broadcast(docs.select(col(idCol)).agg(count(lit(1)).as("__n_docs")))
     byTok.crossJoin(nd)
       .filter(col("df") >= minDf && col("df") * 1000 <= col("__n_docs") * maxDfPermille)
       .select(col("token"), col("df"),
-        array_join(transform(col("__top"), x => x("id").cast("string")), ",")
+        array_join(transform(col("__top"), x => x.cast("string")), ",")
           .as("postings"))
   }
 

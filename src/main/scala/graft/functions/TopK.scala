@@ -76,4 +76,32 @@ object TopK {
   /** top_k_str(k)(id, score): array<struct<id,score>> sorted best-first. */
   def top_k_str(k: Int)(id: Column, score: Column): Column =
     udaf(new TopKStrAggregator(k), ExpressionEncoder[StrScored]()).apply(id, score)
+
+  /** Bounded smallest-k over LONG ids, exact across the full 64-bit
+    * range. The double-scored [[top_k]] with `score = -id` loses integer
+    * exactness above 2^53 — hash-derived 64-bit ids would silently
+    * collapse ties and reorder — so workloads selecting "the k smallest
+    * ids" (bounded postings lists) get a dedicated long-ordered heap
+    * with the same O(groups × k) map-side-combine shape. */
+  class MinKIdAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0)
+    private val cap = math.max(2 * k, 64) // amortize trims
+
+    private def trim(buf: Seq[Long], to: Int): Seq[Long] =
+      if (buf.length <= to) buf else buf.sorted.take(to)
+
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(buf: Seq[Long], in: Long): Seq[Long] = {
+      val appended = buf :+ in
+      if (appended.length > cap) trim(appended, k) else appended
+    }
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = trim(a ++ b, k)
+    override def finish(buf: Seq[Long]): Seq[Long] = trim(buf, k).sorted
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** min_k_ids(k)(id): the k smallest ids, ascending, 64-bit exact. */
+  def min_k_ids(k: Int)(id: Column): Column =
+    udaf(new MinKIdAggregator(k), org.apache.spark.sql.Encoders.scalaLong).apply(id)
 }

@@ -72,4 +72,19 @@ class KernelSpec extends SparkTestBase {
     assert(bad2.count() == 0)
   }
 
+  test("min_k_ids: exact above 2^53 where a double-scored heap collapses ties") {
+    val big = 1L << 53
+    // big+1 and big+2 are the SAME double (2^53 precision cliff): a
+    // -id.toDouble score cannot order them; the long heap must
+    val ids = Seq(big + 4, big + 1, big + 3, big + 2, 7L)
+    val out = ids.toDF("id").agg(TopK.min_k_ids(3)($"id").as("top"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(7L, big + 1, big + 2))
+    // grouped, map-side-combinable path: per-group smallest ascending
+    val grouped = Seq((1, big + 2), (1, big + 1), (1, 5L), (2, big + 9), (2, big + 8))
+      .toDF("g", "id").groupBy("g").agg(TopK.min_k_ids(2)($"id").as("top"))
+      .orderBy("g").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    assert(grouped == Seq(Seq(5L, big + 1), Seq(big + 8, big + 9)))
+  }
+
 }

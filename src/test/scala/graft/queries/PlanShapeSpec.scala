@@ -254,7 +254,7 @@ class PlanShapeSpec extends SparkTestBase {
   test("q81: postings aggregate through the bounded heap, map-side combined") {
     val p = plan("q81_inverted_index")
     assert(p.contains("ObjectHashAggregate"), "top-k heap must aggregate, not sort")
-    assert(p.contains("partial_topkaggregator"),
+    assert(p.contains("partial_minkidaggregator"),
       "heaps must combine map-side so the shuffle is O(tokens × cap)")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "the 1-row corpus count must broadcast")
