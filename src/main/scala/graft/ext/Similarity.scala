@@ -152,6 +152,60 @@ object Similarity {
     * internal vector-side persist, whose plan is cache-equivalent to the
     * caller's and would only emit CacheManager "already cached" noise
     * while Spark reuses the outer entry anyway. */
+  /** [[nearDupPairs]] with (bitsPerTable, numTables) sized from the
+    * corpus instead of fixed: FIXED bits mean bucket occupancy grows
+    * linearly with corpus size, so the bucket self-join grows
+    * QUADRATICALLY — the ×10 scale bench measured q31's fixed 4-bit
+    * tables at 2.1× per-row cost, and at 100× they'd be the job.
+    *
+    *  - bits = log2(n / targetOccupancy): expected bucket depth stays
+    *    `targetOccupancy` at any corpus size (candidate volume ~
+    *    tables · n · occupancy — linear in n);
+    *  - tables solved from the hyperplane collision probability
+    *    p = 1 − acos(threshold)/π so that threshold-level pairs are
+    *    caught with probability ≥ targetRecall: the n^ρ cost LSH
+    *    theory prescribes — MORE tables at larger n, never deeper
+    *    buckets.
+    *
+    * When `maxTables` caps the solved table count the recall target is
+    * not met; that is LOUD (stderr + the returned frame is still
+    * exact-verified, just lower recall) — low thresholds (≤ ~0.5) on
+    * random embeddings have ρ → 1 and genuinely approach brute-force
+    * cost; raise the threshold or use exact top-k for that regime. */
+  def nearDupPairsAuto(corpus: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       seed: Long = 42L, targetRecall: Double = 0.98,
+                       targetOccupancy: Int = 64, maxTables: Int = 64,
+                       maxBucketSize: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold < 1 && targetRecall > 0 && targetRecall < 1)
+    require(maxTables >= 1 && maxTables <= 64, "the LSH kernel packs ≤ 64 tables")
+    val n = math.max(1L, corpus.count())
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    def solvedTables(b: Int): Int = math.max(1, math.ceil(
+      math.log1p(-targetRecall) / math.log1p(-math.pow(p, b))).toInt)
+    val bits0 = math.max(2,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt)
+    // recall is the CONTRACT: if the occupancy-ideal bits need more
+    // tables than the kernel allows, walk bits DOWN (deeper buckets,
+    // more candidates — a loud cost, never a silent recall loss) until
+    // the recall target fits in maxTables.
+    val bits = (bits0 to 2 by -1).find(b => solvedTables(b) <= maxTables).getOrElse(2)
+    val tables = math.min(maxTables, solvedTables(bits))
+    if (solvedTables(bits) > maxTables)
+      System.err.println(f"[graft-similarity] nearDupPairsAuto: recall target " +
+        f"$targetRecall%.3f unreachable within $maxTables tables even at 2 " +
+        f"bits (threshold $threshold%.2f, n=$n) — achieved recall " +
+        f"${1 - math.pow(1 - p * p, maxTables)}%.3f. This regime is " +
+        "near-brute-force; raise the threshold or go exact.")
+    else if (bits < bits0)
+      System.err.println(f"[graft-similarity] nearDupPairsAuto: holding recall " +
+        f"$targetRecall%.3f within $maxTables tables cost ${bits0 - bits} bits " +
+        f"of bucket depth (expected occupancy ${n.toDouble / (1L << bits)}%.0f " +
+        f"instead of $targetOccupancy; threshold $threshold%.2f has " +
+        "near-brute-force LSH cost — production near-dup runs ≥ ~0.8).")
+    nearDupPairs(corpus, threshold, idCol, vecCol, seed, tables, bits, maxBucketSize)
+  }
+
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10,

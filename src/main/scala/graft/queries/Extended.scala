@@ -347,6 +347,27 @@ object Extended {
              |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
              |ORDER BY id1, id2""".stripMargin)),
 
+    ("q90_embed_neardup_auto",
+      (s: SparkSession, d: String) => {
+        // the SCALE path for q31's operator: bits sized from the corpus
+        // (constant expected bucket occupancy — candidate volume linear
+        // in n) and tables solved for the recall target; q31's fixed
+        // 4-bit tables grow bucket depth linearly with n and measured
+        // 2.1x per-row at the x10 scale bench. Same ground-truth oracle:
+        // hash-matching asserts the auto-sizer still reaches full recall
+        // on this corpus.
+        Similarity.nearDupPairsAuto(Tables.embeddings(s, d), threshold = 0.4,
+            targetRecall = 0.999)
+          .orderBy("id1", "id2")
+      },
+      Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                         CAST(b.embedding AS DOUBLE[])) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+             |ORDER BY id1, id2""".stripMargin)),
+
     // ---------------------------------------------------------- multimodal
     ("q32_media_features",
       (s: SparkSession, d: String) => {

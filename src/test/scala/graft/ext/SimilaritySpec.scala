@@ -122,6 +122,19 @@ class SimilaritySpec extends SparkTestBase {
     // precision is exact by construction (threshold filter is exact cosine)
   }
 
+  test("nearDupPairsAuto: planted pairs recalled at the production threshold") {
+    val corpus = planted(6, 3)
+    // auto-sized (bits from corpus size, tables from the recall target):
+    // same exact-verified output contract as the fixed-parameter form
+    val pairs = Similarity.nearDupPairsAuto(corpus.toDF("vec_id", "embedding"),
+        threshold = 0.85, targetRecall = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      c <- 0 until 6; i <- 0 until 3; j <- (i + 1) until 3
+    } yield ((c * 3 + i).toLong, (c * 3 + j).toLong)).toSet
+    assert(expected.subsetOf(pairs), s"missing pairs: ${expected -- pairs}")
+  }
+
   test("real embeddings table: brute-force and LSH queries run and rank") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter($"vec_id" % 100 === 0)
