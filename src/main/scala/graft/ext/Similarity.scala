@@ -211,6 +211,22 @@ object Similarity {
                    seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10,
                    maxBucketSize: Int = 10000,
                    corpusPersisted: Boolean = false): DataFrame = {
+    val (b0, vecs, verified) = nearDupVerifiedLazy(corpus, threshold, idCol,
+      vecCol, seed, numTables, bitsPerTable, maxBucketSize, corpusPersisted)
+    val out = verified.localCheckpoint(true) // then release the caches
+    b0.unpersist(false)
+    if (!corpusPersisted) vecs.unpersist(false)
+    out
+  }
+
+  /** Un-materialized [[nearDupPairs]]: (bucket cache, vector cache, lazy
+    * verified frame) — package-private so PlanShapeSpec can pin the
+    * banded-join shape the public method's localCheckpoint erases.
+    * Callers must unpersist both handles. */
+  private[graft] def nearDupVerifiedLazy(
+      corpus: DataFrame, threshold: Double, idCol: String, vecCol: String,
+      seed: Long, numTables: Int, bitsPerTable: Int, maxBucketSize: Int,
+      corpusPersisted: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     // persist the RAW bucket projection, not the capped frame: the skew
     // guard's count pass and both self-join sides then read the cached
     // rows instead of re-running the lsh_buckets kernel three times
@@ -232,10 +248,7 @@ object Similarity {
       .withColumn("sim", cosine_similarity(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
-    val out = verified.localCheckpoint(true) // then release the caches
-    b0.unpersist(false)
-    if (!corpusPersisted) vecs.unpersist(false)
-    out
+    (b0, vecs, verified)
   }
 
   /** Plain-Scala exact top-k oracle for tests (drives nothing at scale). */

@@ -322,6 +322,22 @@ class PlanShapeSpec extends SparkTestBase {
       "index and probe sides must read the one cached prefix table")
   }
 
+  test("q31/q90 (pre-checkpoint): LSH buckets equi-join, vectors join back per side") {
+    // the auto-sizer (q90) only picks (bits, tables); the plan shape is
+    // nearDupPairs', pinned here one step before the checkpoint
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val (b0, vecs, verified) = graft.ext.Similarity.nearDupVerifiedLazy(
+      emb, threshold = 0.4, idCol = "vec_id", vecCol = "embedding",
+      seed = 42L, numTables = 8, bitsPerTable = 2, maxBucketSize = 10000)
+    val p = try verified.queryExecution.executedPlan.toString()
+    finally { b0.unpersist(false); vecs.unpersist(false) }
+    assert(p.contains("Generate"), "the (table, bucket) axis must explode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the bucket equi-join, never all-pairs")
+    assert(p.contains("InMemoryTableScan"),
+      "both self-join sides must read the one cached bucket projection")
+  }
+
   test("q87: the weight spec broadcasts; copy fan-out never shuffles the corpus") {
     val p = plan("q87_upsample_mix")
     assert(p.contains("BroadcastHashJoin"), "the 20-row weight spec must broadcast")
