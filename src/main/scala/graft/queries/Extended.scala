@@ -70,6 +70,11 @@ object Extended {
         graft.functions.VectorFunctions.token_hashes(split(col("text"), " ")).as("hashes"))
     }),
     "q46_media_vectors" -> q46MediaVectors _,
+    "q91_candidates" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ext.PQ.pqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
+        q91Fit(s, d), nCandidates = 40)
+    }),
     "q32_features" -> ((s: SparkSession, d: String) => {
       // the exact per-media vectors q32's pipeline aggregates, via the
       // same mapPartitions kernel (extractFeatures), media_id + feature
@@ -91,6 +96,13 @@ object Extended {
   private def q74Fit(s: SparkSession, d: String): Array[Float] =
     graft.ext.KMeans.fit(Tables.embeddings(s, d), "vec_id", "embedding",
       k = 8, dim = 64, iterations = 5, seed = 42L)
+
+  /** q91's shared PQ codebook fit (8 subspaces × 16 centroids;
+    * deterministic per KMeans.fit's exact-arithmetic contract, so the
+    * candidate dump reproduces the in-query candidate set). */
+  private def q91Fit(s: SparkSession, d: String): graft.ext.PQ.Codebooks =
+    graft.ext.PQ.fit(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iterations = 3, seed = 42L)
 
   /** Exact-cosine re-rank oracle over a materialized candidate dump:
     * identical scoring (DuckDB's list_cosine_similarity over DOUBLE[] is
@@ -316,6 +328,19 @@ object Extended {
       // recall vs brute force stays pinned in SimilaritySpec; the driver
       // oracle re-ranks the materialized candidate set exactly
       Some(rerankOracle("q30_candidates", k = 10))),
+
+    ("q91_cosine_topk_pq",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        // product quantization: the corpus-side ANN scan reads 8 codes
+        // per vector instead of 64 floats (memory-bounded index); ADC
+        // candidates exact-re-ranked. Same oracle contract as q30/q33:
+        // the deterministic candidate dump is re-ranked exactly.
+        graft.ext.PQ.topKPq(emb, queries, k = 10, q91Fit(s, d), refine = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(rerankOracle("q91_candidates", k = 10))),
 
     ("q33_cosine_topk_ivf",
       (s: SparkSession, d: String) => {
