@@ -346,6 +346,15 @@ class PlanShapeSpec extends SparkTestBase {
       "the corpus must not shuffle for the mixing join")
   }
 
+  test("q91: PQ scan ranks codes via bounded heaps; corpus never sort-merges") {
+    val p = plan("q91_cosine_topk_pq")
+    assert(p.contains("ObjectHashAggregate"),
+      "ADC candidates and the re-rank must go through the bounded top-k heap")
+    assert(!p.contains("Window "), "no window sort anywhere in the PQ pipeline")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus joins must stay broadcast/hash — queries are the small side")
+  }
+
   test("q88: recall overlap ranks via bounded heaps, never a window sort") {
     val p = plan("q88_ann_recall")
     assert(p.contains("ObjectHashAggregate"), "both top-k sides use the bounded heap")
