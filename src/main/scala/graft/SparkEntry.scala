@@ -128,7 +128,56 @@ object SparkEntry {
         |WHERE v.action <> 'delete'
         |ORDER BY li.pk, li.l_linenumber, li.l_shipdate, li.l_quantity""".stripMargin
 
+  private def cdcMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // one folded change batch against the orders base image: disjoint
+    // update / insert / delete slices (a real batch is folded to one row
+    // per key first — Merge.upsert requires it), applied eagerly
+    val base = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"))
+    val updates = base
+      .filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice", (col("o_totalprice") * 2).cast(DecimalType(18, 2)))
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("__deleted", lit(false))
+    val inserts = base
+      .filter(col("o_orderkey") % 499 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("__deleted", lit(false))
+    val deletes = base
+      .filter(col("o_orderkey") % 101 === 0)
+      .withColumn("__deleted", lit(true))
+    graft.cdc.Merge.upsert(base,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("o_orderkey"), deleteFlag = Some("__deleted"))
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeUpsertOracle: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |                     CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      |              FROM orders),
+      |upd AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |               CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS o_totalprice
+      |        FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0),
+      |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+      |               'N' AS o_orderstatus, o_totalprice
+      |        FROM base WHERE o_orderkey % 499 = 0),
+      |del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 101 = 0),
+      |skeys AS (SELECT o_orderkey FROM upd UNION ALL SELECT o_orderkey FROM ins
+      |          UNION ALL SELECT o_orderkey FROM del),
+      |merged AS (
+      |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM skeys)
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       CAST(o_totalprice AS VARCHAR) AS o_totalprice
+      |FROM merged ORDER BY o_orderkey""".stripMargin
+
   private val cdcDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q93_merge_upsert", cdcMergeUpsert _, Some(mergeUpsertOracle)),
     ("q48_asof_join_broadcast", cdcAsOfJoinBroadcast _, Some(asOfJoinBroadcastOracle)),
     ("q39_asof_join", cdcAsOfJoin _, Some(asOfJoinOracle)),
     ("q76_asof_join_within", cdcAsOfJoinWithin _, Some(asOfJoinWithinOracle)),

@@ -355,6 +355,14 @@ class PlanShapeSpec extends SparkTestBase {
       "corpus joins must stay broadcast/hash — queries are the small side")
   }
 
+  test("q93: merge is one anti-join + union — no full-outer, no per-column coalesce") {
+    val p = plan("q93_merge_upsert")
+    assert(p.contains("LeftAnti"), "superseded target rows drop via a left-anti equi-join")
+    assert(p.contains("Union"), "survivors union with the live source rows, shuffle-free")
+    assert(!p.contains("FullOuter"), "merge must not build full-outer wide rows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q88: recall overlap ranks via bounded heaps, never a window sort") {
     val p = plan("q88_ann_recall")
     assert(p.contains("ObjectHashAggregate"), "both top-k sides use the bounded heap")
