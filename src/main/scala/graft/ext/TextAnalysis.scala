@@ -269,6 +269,36 @@ object TextAnalysis {
       .select("t1", "t2", "pair_docs", "df1", "df2")
   }
 
+  /** Adjacent-token-pair merge scores — the counting pass of one
+    * BPE/WordPiece tokenizer-training iteration: for every pair of
+    * ADJACENT tokens in the corpus, how often it occurs; the top pair is
+    * the next merge a trainer would apply. (q82's `cooccurrence` counts
+    * document-level co-presence; this is strict adjacency, the signal
+    * BPE merges on.)
+    *
+    * Shape: the pair axis is built by zipping each token array with
+    * itself shifted by one — a pure projection, no self-join — then one
+    * explode + one hash aggregation with map-side partial counts, and a
+    * `TakeOrderedAndProject` top-k cut (count desc, pair asc: total
+    * order, deterministic at the boundary). At 100 TB this is one scan,
+    * one count-shuffle keyed by pair, and a k-row result; the trainer
+    * loop re-runs it per merge round on the re-tokenized corpus. */
+  def adjacentPairCounts(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", topK: Int = 200): DataFrame = {
+    require(topK > 0)
+    val toks = split(col(textCol), " ")
+    val pairs = arrays_zip(
+      slice(toks, lit(1), size(toks) - 1).as("t1"),
+      slice(toks, lit(2), size(toks) - 1).as("t2"))
+    docs
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
+
   /** Per-document n-gram novelty: of a document's distinct token
     * n-grams, how many appear in NO other document. The inverse of the
     * repetition signal — a high-novelty document contributes content the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, RangeJoin, Sharding, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, RangeJoin, RobustStats, Sharding, Similarity, TextAnalysis}
 
 /** Extended operator queries: training-data-pipeline ops beyond the
   * reference's own surface (dedup family, ANN similarity, text analysis,
@@ -123,6 +123,45 @@ object Extended {
        |ORDER BY query_id, rank""".stripMargin
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    ("q94_bpe_pairs",
+      (s: SparkSession, d: String) => {
+        // one BPE-trainer counting iteration: top adjacent token pairs
+        // (shift-zip projection, one count aggregate, TakeOrdered cut)
+        TextAnalysis.adjacentPairCounts(Tables.documents(s, d), topK = 200)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 2),
+             |p AS (SELECT unnest(range(1, len(toks))) AS i, toks FROM t),
+             |pr AS (SELECT toks[i] AS t1, toks[i + 1] AS t2 FROM p)
+             |SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS pair_count
+             |FROM pr GROUP BY t1, t2
+             |ORDER BY pair_count DESC, t1, t2 LIMIT 200""".stripMargin)),
+
+    ("q95_mad_outliers",
+      (s: SparkSession, d: String) => {
+        // robust per-flag price outliers: exact doubled-integer median /
+        // MAD arithmetic (RobustStats scaladoc) — no float compare
+        RobustStats.madOutlierStats(Tables.lineitem(s, d), "l_returnflag",
+            floor(col("l_extendedprice") * 100 + 0.5), k = 3)
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS g,
+             |             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+             |           FROM lineitem),
+             |med AS (SELECT g, CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2
+             |        FROM b GROUP BY g),
+             |dev AS (SELECT b.g, v, med2, abs(2 * v - med2) AS dev2
+             |        FROM b JOIN med USING (g)),
+             |mad AS (SELECT g, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+             |        FROM dev GROUP BY g)
+             |SELECT d.g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_outliers,
+             |       d.med2, m.mad4
+             |FROM dev d JOIN mad m USING (g)
+             |GROUP BY d.g, d.med2, m.mad4
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // ---------------------------------------------------------- text stats
     ("q21_token_stats",

@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class RobustStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("madOutlierStats: hand-computed median/MAD, one planted outlier") {
+    // g=A values 1..9 plus 1000: median = 5.5 (med2 = 11),
+    // deviations |v-5.5| = 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5
+    // -> sorted dev2 (=2dev) 1,1,3,3,5,5,7,7,9,1989; MAD = (5+5)/2/2...
+    // median(dev2) = (5+5)/2 = 5 -> mad4 = 10 (MAD = 2.5)
+    // outlier: |v-5.5| > 3*2.5 = 7.5 -> only 1000
+    val df = ((1L to 9L) :+ 1000L).map(v => ("A", v)).toDF("g", "v")
+    val r = RobustStats.madOutlierStats(df, "g", col("v")).head()
+    assert(r.getAs[Long]("med2") == 11L)
+    assert(r.getAs[Long]("mad4") == 10L)
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("madOutlierStats: groups are independent; constant group has MAD 0") {
+    val df = (Seq(("A", 10L), ("A", 10L), ("A", 10L), ("A", 99L)) ++
+      Seq(("B", 1L), ("B", 2L), ("B", 3L))).toDF("g", "v")
+    val got = RobustStats.madOutlierStats(df, "g", col("v"))
+      .select("g", "n_rows", "n_outliers", "med2", "mad4")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // A: median 10, MAD 0 -> any deviation is an outlier (99)
+    // B: median 2, MAD 1 -> no |v-2| > 3
+    assert(got == Seq(("A", 4L, 1L, 20L, 0L), ("B", 3L, 0L, 4L, 4L)))
+  }
+
+  test("madOutlierStats: robust to the outliers a z-score would absorb") {
+    // half-broken data: z-score's stddev explodes and flags nothing;
+    // MAD's breakdown point 0.5 still isolates the planted junk
+    val clean = (1L to 20L).map(v => ("A", 100L + v % 3))
+    val junk = (1L to 6L).map(i => ("A", 100000L + i))
+    val df = (clean ++ junk).toDF("g", "v")
+    val r = RobustStats.madOutlierStats(df, "g", col("v")).head()
+    assert(r.getAs[Long]("n_outliers") == 6L)
+  }
+}

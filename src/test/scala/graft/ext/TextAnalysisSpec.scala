@@ -115,6 +115,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 0L)))
   }
 
+  test("adjacent pair counts: hand-computed merges, single-token docs drop") {
+    val corpus = Seq(
+      (1L, "a b a b c"), // pairs: (a,b) (b,a) (a,b) (b,c)
+      (2L, "a b"),       // (a,b)
+      (3L, "z"))         // one token -> no pairs
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.adjacentPairCounts(corpus, topK = 10)
+      .as[(String, String, Long)].collect().toSeq
+    // count desc then pair asc — (a,b)=3 first, ties (b,a)/(b,c) in order
+    assert(got == Seq(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L)))
+  }
+
+  test("adjacent pair counts: topK cut is deterministic at the boundary") {
+    val corpus = Seq((1L, "p q"), (2L, "p r"), (3L, "p s")).toDF("doc_id", "text")
+    val got = TextAnalysis.adjacentPairCounts(corpus, topK = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("p", "q", 1L), ("p", "r", 1L))) // tie broken by (t1, t2)
+  }
+
   test("stopword lists are disjoint enough for a deterministic argmax") {
     val all = TextAnalysis.stopwords.values.flatten.toSeq
     assert(all.size == all.toSet.size, "stopword appearing in two languages breaks scoring")

@@ -363,6 +363,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q94: pair counting is explode + map-side partial agg + TakeOrdered cut") {
+    val p = plan("q94_bpe_pairs")
+    assert(p.contains("Generate"), "the pair axis fans out as a map-side explode")
+    assert(p.contains("partial_count"), "pair counts combine map-side before the shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k cut must be bounded, never a global sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no self-join anywhere — adjacency comes from the shift-zip projection")
+  }
+
+  test("q95: robust stats join tiny per-group frames back via broadcast") {
+    val p = plan("q95_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-group median/MAD frames must broadcast, not shuffle the fact")
+    assert(!p.contains("SortMergeJoin"),
+      "the fact side must never sort-merge against a 3-row statistic frame")
+  }
+
   test("q88: recall overlap ranks via bounded heaps, never a window sort") {
     val p = plan("q88_ann_recall")
     assert(p.contains("ObjectHashAggregate"), "both top-k sides use the bounded heap")
