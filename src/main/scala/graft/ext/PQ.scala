@@ -86,8 +86,20 @@ object PQ {
     * seed) — the driver oracle re-ranks exactly this set. */
   def pqCandidates(corpus: DataFrame, queries: DataFrame, cb: Codebooks,
                    nCandidates: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val codes = encode(corpus, cb, idCol, vecCol)
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqCandidatesFromCodes(encode(corpus, cb, idCol, vecCol), queries, cb,
+      nCandidates, idCol, vecCol)
+
+  /** [[pqCandidates]] over a PRE-ENCODED codes table (idCol, codes) —
+    * the path a materialized PQ index takes ([[graft.streaming.AnnStream]]
+    * stores codes once per micro-batch; queries then scan 8-byte code
+    * rows instead of re-encoding the corpus, and a parquet-backed codes
+    * store reads ONLY the codes column). Identical plan downstream of
+    * the encode, so `pqCandidates ≡ pqCandidatesFromCodes ∘ encode` by
+    * construction. */
+  def pqCandidatesFromCodes(codes: DataFrame, queries: DataFrame, cb: Codebooks,
+                            nCandidates: Int,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(q)
