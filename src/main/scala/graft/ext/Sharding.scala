@@ -116,6 +116,49 @@ object Sharding {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Cap each group's contribution at a TOKEN budget rather than a row
+    * count — the form mixture specs actually come in ("≤ 30B tokens of
+    * web text"), since document length varies by orders of magnitude
+    * within a source. Documents are walked in deterministic
+    * pseudo-random order ([[splitBucket]], id — no RNG state, any
+    * engine reproduces it) and a doc is kept iff the tokens BEFORE it
+    * are under the budget: the budget overflows by at most one document
+    * (the same greedy no-split semantic as [[packShards]]), so a budget
+    * smaller than the first doc still yields it.
+    *
+    * Scale shape — a PER-GROUP distributed prefix sum with no driver
+    * round-trip: the walk order's own leading key ([[splitBucket]] ∈
+    * [0,100)) doubles as the range bucket, so (group, bucket) token
+    * totals come from one map-side-combinable hash aggregate; the
+    * exclusive bucket offsets are a window over that TINY totals frame
+    * (groups × 100 rows); and each (group, bucket) computes its own
+    * in-bucket running sum in parallel — a hot source's window sort
+    * spreads over 100 buckets instead of one task (a bare
+    * `Window.partitionBy(group)` would sort each hot domain in full,
+    * and hot domains are exactly what a token cap is for). Ids must be
+    * unique and integral. */
+  def capTokensPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+                        tokenCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val base = docs
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"),
+        tokenCol.cast("long").as("__tok"))
+      .withColumn("__sb", splitBucket(col("__id")))
+    val wOff = Window.partitionBy("__g").orderBy("__sb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__g", "__sb").agg(sum("__tok").as("__s"))
+      .withColumn("__off", coalesce(sum(col("__s")).over(wOff), lit(0L)))
+      .drop("__s")
+    val wCum = Window.partitionBy("__g", "__sb").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keep = base.join(broadcast(offsets), Seq("__g", "__sb"))
+      .withColumn("__before",
+        coalesce(sum(col("__tok")).over(wCum), lit(0L)) + col("__off"))
+      .filter(col("__before") < budget)
+      .select(col("__id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Weighted UPSAMPLING for mixture weights above 1: a document with
     * weight w (in permille, e.g. 2750 = 2.75 epochs) is replicated
     * ⌊w/1000⌋ times, plus once more for the deterministic hash fraction

@@ -163,6 +163,31 @@ object Extended {
              |GROUP BY d.g, d.med2, m.mad4
              |ORDER BY l_returnflag""".stripMargin)),
 
+    ("q96_token_budget",
+      (s: SparkSession, d: String) => {
+        // per-source TOKEN budget (mixture specs are token counts, not
+        // row counts): deterministic hash-order walk, keep while tokens
+        // before the doc are under budget (≤1-doc overflow, greedy
+        // no-split — Sharding.capTokensPerGroup scaladoc)
+        val docs = Tables.documents(s, d)
+        Sharding.capTokensPerGroup(docs, "source", "doc_id",
+            TextAnalysis.tokenCount(col("text")), budget = 800L)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+             |            ((doc_id % 1000003) * 2654435761) % 100 AS sb
+             |          FROM documents),
+             |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+             |        PARTITION BY source ORDER BY sb, doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |      FROM t)
+             |SELECT doc_id, source, n_tokens
+             |FROM c WHERE before < 800
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---------------------------------------------------------- text stats
     ("q21_token_stats",
       (s: SparkSession, d: String) => {

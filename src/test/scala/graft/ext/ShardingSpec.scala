@@ -118,6 +118,40 @@ class ShardingSpec extends SparkTestBase {
     assert(shuffled == b1)
   }
 
+  test("capTokensPerGroup: greedy hash-order prefix per group, <=1-doc overflow") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L + i % 7))
+    val docs = rows.toDF("doc_id", "source", "toks")
+    val out = Sharding.capTokensPerGroup(docs, "source", "doc_id", col("toks"), budget = 60L)
+      .select("doc_id").as[Long].collect().toSet
+
+    // single-machine reference: walk each group by (splitBucket(id), id),
+    // keep while tokens-before < budget
+    def bucket(id: Long) = math.floorMod((id % 1000003L) * 2654435761L, 100L)
+    val expected = rows.groupBy(_._2).values.flatMap { g =>
+      val walk = g.sortBy(r => (bucket(r._1), r._1))
+      walk.scanLeft((0L, 0L)) { case ((_, acc), r) => (r._1, acc + r._3) }
+        .sliding(2).collect { case Seq((_, before), (id, _)) if before < 60L => id }
+    }.toSet
+    assert(out == expected && out.nonEmpty && out.size < 40)
+
+    // partitioning must not change the selection (pure function of data)
+    val shuffled = Sharding.capTokensPerGroup(docs.repartition(7), "source",
+      "doc_id", col("toks"), budget = 60L).select("doc_id").as[Long].collect().toSet
+    assert(shuffled == out)
+  }
+
+  test("capTokensPerGroup: budget below the first doc still yields one doc per group") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 10L).map(i => (i, s"s${i % 3}", 50L)).toDF("doc_id", "source", "toks")
+    val out = Sharding.capTokensPerGroup(docs, "source", "doc_id", col("toks"), budget = 1L)
+    val perGroup = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perGroup.values.toSet == Set(1L) && perGroup.size == 3)
+    // and a huge budget keeps everything
+    val all = Sharding.capTokensPerGroup(docs, "source", "doc_id", col("toks"), budget = 1000000L)
+    assert(all.count() == 10L)
+  }
+
   test("scrubPii redacts planted emails and phones, counts them, leaves clean text") {
     val docs = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org today"),

@@ -381,6 +381,17 @@ class PlanShapeSpec extends SparkTestBase {
       "the fact side must never sort-merge against a 3-row statistic frame")
   }
 
+  test("q96: token-budget prefix sum is bucket-partitioned, offsets broadcast") {
+    val p = plan("q96_token_budget")
+    val lines = p.split("\n")
+    assert(lines.exists(l => l.contains("Window") && l.contains("__sb")),
+      "the corpus-side running sum must partition by (group, hash bucket) — " +
+        "a group-only window would sort each hot source in one task")
+    assert(p.contains("BroadcastHashJoin"), "the tiny offsets frame must broadcast")
+    assert(p.contains("LeftSemi"), "kept ids rejoin the corpus via a semi join")
+    assert(p.contains("partial_sum"), "bucket totals must combine map-side")
+  }
+
   test("q88: recall overlap ranks via bounded heaps, never a window sort") {
     val p = plan("q88_ann_recall")
     assert(p.contains("ObjectHashAggregate"), "both top-k sides use the bounded heap")
