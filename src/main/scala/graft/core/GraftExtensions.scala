@@ -49,5 +49,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.cdc.VersionedSql.changesBetweenPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("scd2"), info("scd2"),
       (es: Seq[Expression]) => graft.cdc.VersionedSql.scd2Plan(es)))
+    // Document-pipeline TVFs over (doc_id, text) views — the SQL face of
+    // the training-data operators (graft.ext.DocSql scaladoc).
+    ext.injectTableFunction((FunctionIdentifier("doc_quality"), info("doc_quality"),
+      (es: Seq[Expression]) => graft.ext.DocSql.docQualityPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("near_dup_pairs"), info("near_dup_pairs"),
+      (es: Seq[Expression]) => graft.ext.DocSql.nearDupPairsPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("dedup_corpus"), info("dedup_corpus"),
+      (es: Seq[Expression]) => graft.ext.DocSql.dedupCorpusPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("token_chunks"), info("token_chunks"),
+      (es: Seq[Expression]) => graft.ext.DocSql.tokenChunksPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("pair_merge_scores"), info("pair_merge_scores"),
+      (es: Seq[Expression]) => graft.ext.DocSql.pairMergeScoresPlan(es)))
   }
 }

@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL surface for the document-pipeline operators — the sibling of
+  * [[graft.cdc.VersionedSql]]: the reference's consumers live in SQL, so
+  * the training-data ops must be reachable without Scala too. Injected
+  * by [[graft.core.GraftExtensions]] as table-valued functions over any
+  * temp view with `(doc_id BIGINT, text STRING)` columns:
+  *
+  * {{{
+  *   SELECT * FROM doc_quality('docs')
+  *   SELECT * FROM near_dup_pairs('docs', 0.5)     -- recall-sized LSH
+  *   SELECT * FROM dedup_corpus('docs', 0.5)       -- survivors
+  *   SELECT * FROM token_chunks('docs', 64, 48)    -- model-sized windows
+  *   SELECT * FROM pair_merge_scores('docs', 200)  -- BPE counting pass
+  * }}}
+  *
+  * Each TVF expands at analysis time into the same logical plan its
+  * Scala counterpart builds, so Catalyst optimizes it inside the
+  * enclosing query (outer filters/projections push into the expansion).
+  * The dedup TVFs' verified-pair stage materializes eagerly (their
+  * Scala counterparts checkpoint the small pair list by contract — see
+  * [[Dedup.minhashNearDupPairs]]); the scan/projection ops stay fully
+  * lazy. */
+object DocSql {
+
+  private def tableArg(e: Expression): DataFrame = {
+    require(e.foldable, "document-view name must be a literal string")
+    SparkSession.active.table(e.eval().toString)
+  }
+
+  private def numArg(e: Expression): Number = {
+    require(e.foldable, "TVF parameters must be literals")
+    e.eval() match {
+      // SQL decimal literals (`0.5`) arrive as Catalyst Decimal, not a
+      // java.lang.Number subclass
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case n: Number                             => n
+      case other => throw new IllegalArgumentException(
+        s"expected a numeric TVF parameter, got $other")
+    }
+  }
+
+  private def intArg(e: Expression): Int = numArg(e).intValue()
+  private def dblArg(e: Expression): Double = numArg(e).doubleValue()
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  private[graft] def docQualityPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.withQuality(tableArg(es.head)))
+
+  private[graft] def nearDupPairsPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.minhashNearDupPairsAuto(tableArg(es.head), "doc_id", "text",
+      threshold = dblArg(es(1))))
+
+  private[graft] def dedupCorpusPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.dedupCorpus(tableArg(es.head), "doc_id", "text",
+      threshold = dblArg(es(1))))
+
+  private[graft] def tokenChunksPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.chunkByTokens(tableArg(es.head), "doc_id", "text",
+      chunkSize = intArg(es(1)), stride = intArg(es(2))))
+
+  private[graft] def pairMergeScoresPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.adjacentPairCounts(tableArg(es.head), "doc_id", "text",
+      topK = intArg(es(1))))
+}

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftExtensions
+
+/** The SQL face of the document-pipeline operators: every TVF must
+  * produce exactly the frame its Scala-API counterpart builds, on a
+  * session that only loaded GraftExtensions. */
+class DocSqlSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-doc-sql-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("today", "tonight")), // near dup of 1
+      (3L, "completely different second document about spark and scala"),
+      (4L, base)) // exact dup of 1
+      .toDF("doc_id", "text")
+    d.createOrReplaceTempView("docs")
+    d
+  }
+
+  private def sorted(df: DataFrame) =
+    df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .collect().toSeq
+
+  test("doc_quality TVF equals TextAnalysis.withQuality") {
+    docs
+    val viaSql = spark.sql("SELECT * FROM doc_quality('docs')")
+    assert(sorted(viaSql) == sorted(TextAnalysis.withQuality(docs)))
+    assert(viaSql.count() == 4L)
+  }
+
+  test("near_dup_pairs TVF equals the auto-sized minhash path") {
+    docs
+    val viaSql = spark.sql("SELECT * FROM near_dup_pairs('docs', 0.5)")
+    val viaApi = Dedup.minhashNearDupPairsAuto(docs, "doc_id", "text", threshold = 0.5)
+    assert(sorted(viaSql) == sorted(viaApi))
+    assert(viaSql.count() >= 1L) // 1-2 and the exact pair 1-4 at least
+  }
+
+  test("dedup_corpus TVF yields the Scala survivor set, composable in SQL") {
+    docs
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM dedup_corpus('docs', 0.5) ORDER BY doc_id")
+    val viaApi = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").orderBy("doc_id")
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+    // the survivor set: 1 survives its cluster {1,2,4}, 3 is unique
+    assert(viaSql.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("token_chunks and pair_merge_scores TVFs equal their Scala forms") {
+    docs
+    val chunksSql = spark.sql("SELECT * FROM token_chunks('docs', 8, 6)")
+    assert(sorted(chunksSql) ==
+      sorted(TextAnalysis.chunkByTokens(docs, chunkSize = 8, stride = 6)))
+    val pairsSql = spark.sql("SELECT * FROM pair_merge_scores('docs', 5)")
+    assert(pairsSql.collect().toSeq ==
+      TextAnalysis.adjacentPairCounts(docs, topK = 5).collect().toSeq)
+    // outer SQL composes over the expansion
+    val filtered = spark.sql(
+      "SELECT COUNT(*) FROM token_chunks('docs', 8, 6) WHERE chunk_id = 0")
+    assert(filtered.head().getLong(0) == 4L)
+  }
+}
