@@ -77,6 +77,33 @@ object EventStream {
 
   /** Exactly-once-per-event stream: drop duplicate event_ids within the
     * watermark horizon (at-least-once upstream protection). */
+  /** Per-window trending items: the k most frequent event types in each
+    * tumbling window — CHAINED streaming aggregations (counts, then the
+    * bounded [[graft.functions.TopK]] heap per window), which Spark's
+    * multiple-stateful-operator support runs in append mode: each
+    * stage's state evicts at the shared watermark, and a window's top-k
+    * emits once, when the watermark passes window end.
+    *
+    * Scale shape: stage 1 shuffles (window, type) partial counts
+    * (map-side combined); stage 2 shuffles O(windows × types) count
+    * rows into O(windows) bounded heaps — the same O(groups × k)
+    * discipline as the batch heavy hitters (q73), never a per-window
+    * sort. Works identically on a batch frame (spec pins streaming ≡
+    * batch). */
+  def windowedTopK(events: DataFrame, k: Int = 3,
+                   windowLen: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("window"))
+      .agg(graft.functions.TopK.top_k_str(k)(col("event_type"),
+        col("cnt").cast("double")).as("top"))
+      .select(col("window.start").as("win_start"), explode(col("top")).as("t"))
+      .select(col("win_start"), col("t.id").as("event_type"),
+        col("t.score").cast("long").as("cnt"))
+
   def dedupedStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")

@@ -168,6 +168,46 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedTopK: chained streaming aggs emit the batch top-k per window") {
+    // append mode: a window's top-k emits once the watermark passes its
+    // end, so feed the real events as batch 0 and two far-future flush
+    // events as separate later batches — the first advances the
+    // watermark past every real window, the next gives append mode a
+    // batch in which to emit them. The flush windows themselves stay
+    // unemitted (watermark never passes them), so streaming output must
+    // equal the batch operator over the ORIGINAL events exactly.
+    val d2 = tmpDir("events-topk")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$d2/a_events.parquet"))
+    val maxTs = Tables.events(spark, dir).agg(max("ts")).head().getTimestamp(0)
+    // stage flushes as later-listed files (file source orders by path)
+    (0 until 2).foreach { i =>
+      val src = tmpDir(s"flush-stage$i")
+      // rawSchema shape: ts is raw parquet NANOS (LongType)
+      val flushNanos = (maxTs.getTime + (i + 10) * 3600 * 1000L) * 1000000L
+      Seq((999999L + i, flushNanos, 999999L + i, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$d2/z_flush$i.parquet"))
+    }
+
+    val streamed = {
+      val q = EventStream.windowedTopK(
+          EventStream.readStream(spark, d2, maxFilesPerTrigger = 1), k = 3)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("topk_out").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table("topk_out")
+    }
+    val batch = EventStream.windowedTopK(Tables.events(spark, dir), k = 3)
+    assertSameRows(streamed, batch, "windowedTopK")
+    assert(streamed.count() > 0)
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events") {
     // duplicate the batch by writing the same 200 events twice into a
     // watched dir (Spark-written parquet: use the written schema, not the
