@@ -40,6 +40,37 @@ class MergeSpec extends SparkTestBase {
     assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d", 5L -> "e"))
   }
 
+  test("property: upsert equals latestSnapshot for random folded batches") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions._
+    val genOp = for {
+      k <- Gen.choose(1L, 12L)
+      dead <- Gen.oneOf(true, false)
+      v <- Gen.alphaChar.map(_.toString)
+    } yield MSrc(k, v, dead)
+    // a folded batch has at most one row per key
+    val genBatch = Gen.listOf(genOp).map(_.groupBy(_.k).values.map(_.head).toSeq)
+    val prop = Prop.forAll(genBatch) { ops =>
+      val batch = ops.toDS.toDF
+      val eager = Merge.upsert(target, batch, Seq("k"), Some("dead"))
+        .as[MRow].collect().map(r => r.k -> r.v).toMap
+      val hist = target
+        .withColumn("update_date", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .withColumn("action", lit("insert"))
+      val asLog = batch
+        .withColumn("update_date", lit(java.sql.Timestamp.valueOf("2026-01-02 00:00:00")))
+        .withColumn("action", when(col("dead"), "delete").otherwise("update"))
+        .drop("dead")
+      val lazyRead = Versioned.latestSnapshot(hist.unionByName(asLog), Seq("k"))
+        .select("k", "v").as[(Long, String)].collect().toMap
+      eager == lazyRead
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(15)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("upsert equals latestSnapshot over history ∪ flagged batch") {
     // applying a folded batch eagerly must agree with the lazy versioned
     // read: history(v=0) + batch(v=1) resolved by latestSnapshot
