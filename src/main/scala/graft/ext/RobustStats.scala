@@ -35,13 +35,22 @@ object RobustStats {
                       k: Int = 3): DataFrame = {
     require(k > 0)
     val base = df.select(col(groupCol).as("g"), valueCol.cast("long").as("v"))
+    // the per-group statistic frames are O(groups) rows but their SUBTREES
+    // each scan the fact — materialize them eagerly or Spark re-evaluates
+    // the median subtree inside the MAD pass and both inside the final
+    // pass (~5 fact scans instead of 3; measured 1.9x on q95)
     val med = base.groupBy("g")
       .agg((expr("percentile(v, 0.5)") * 2).cast("long").as("med2"))
-    val dev = base.join(med, "g")
+      .localCheckpoint(true)
+    // explicit broadcast: the checkpointed frames are O(groups) rows by
+    // construction but Catalyst can no longer see their size (RDD scans
+    // report the default size, which would plan a sort-merge join)
+    val dev = base.join(broadcast(med), "g")
       .withColumn("dev2", abs(col("v") * 2 - col("med2")))
     val mad = dev.groupBy("g")
       .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
-    dev.join(mad, "g")
+      .localCheckpoint(true)
+    dev.join(broadcast(mad), "g")
       .groupBy(col("g").as(groupCol), col("med2"), col("mad4"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("dev2") * 2 > col("mad4") * k, 1L).otherwise(0L))
