@@ -176,7 +176,35 @@ object SparkEntry {
       |       CAST(o_totalprice AS VARCHAR) AS o_totalprice
       |FROM merged ORDER BY o_orderkey""".stripMargin
 
+  private val RetentionHorizon = "1997-06-01 00:00:00"
+
+  private def cdcExpireHistory(s: SparkSession, d: String): DataFrame =
+    // history <= horizon collapses to its as-of state (tombstones kept);
+    // point-in-time queries at/after the horizon provably unchanged
+    // (RetentionSpec, incl. a scalacheck sweep)
+    graft.cdc.Retention.expireHistory(Changelog.fromOrders(s, d),
+        lit(RetentionHorizon).cast("timestamp"), Seq("pk"))
+      .select("pk", "action", "update_date", "totalprice", "status")
+      .orderBy("pk", "update_date", "action")
+
+  private val expireHistoryOracle: String =
+    Changelog.oracleCte +
+      s""", old AS (
+        |  SELECT *, row_number() OVER (PARTITION BY pk
+        |            ORDER BY update_date DESC, action DESC) AS rn
+        |  FROM changelog WHERE update_date <= TIMESTAMP '$RetentionHorizon'),
+        |kept AS (
+        |  SELECT pk, action, update_date, totalprice, status FROM old WHERE rn = 1
+        |  UNION ALL
+        |  SELECT pk, action, update_date, totalprice, status FROM changelog
+        |  WHERE update_date > TIMESTAMP '$RetentionHorizon')
+        |SELECT pk, action, strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS update_date,
+        |  CAST(totalprice AS VARCHAR) AS totalprice, status
+        |FROM kept
+        |ORDER BY pk, update_date, action""".stripMargin
+
   private val cdcDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q97_expire_history", cdcExpireHistory _, Some(expireHistoryOracle)),
     ("q93_merge_upsert", cdcMergeUpsert _, Some(mergeUpsertOracle)),
     ("q48_asof_join_broadcast", cdcAsOfJoinBroadcast _, Some(asOfJoinBroadcastOracle)),
     ("q39_asof_join", cdcAsOfJoin _, Some(asOfJoinOracle)),

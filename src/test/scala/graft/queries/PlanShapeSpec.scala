@@ -392,6 +392,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), "bucket totals must combine map-side")
   }
 
+  test("q97: expiry is one pk-window over the old slice + shuffle-free union") {
+    val p = plan("q97_expire_history")
+    assert(p.contains("WindowGroupLimit"),
+      "the collapse must get rank-limit pushdown like the snapshot (q17)")
+    assert(p.contains("Union"), "post-horizon history unions back untouched")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "expiry is window + union only — no join anywhere")
+  }
+
   test("q88: recall overlap ranks via bounded heaps, never a window sort") {
     val p = plan("q88_ann_recall")
     assert(p.contains("ObjectHashAggregate"), "both top-k sides use the bounded heap")
