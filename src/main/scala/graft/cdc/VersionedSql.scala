@@ -119,4 +119,10 @@ object VersionedSql {
     val (df, m) = tableArg(es.head)
     plan(Versioned.scd2(df, m.pk, m.versionCol, m.actionCol))
   }
+
+  private[graft] def expireHistoryPlan(es: Seq[Expression]): LogicalPlan = {
+    val (df, m) = tableArg(es.head)
+    plan(Retention.expireHistory(df, Bridge.column(es(1)), m.pk,
+      m.versionCol, m.actionCol))
+  }
 }

@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.cdc.VersionedSql.changesBetweenPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("scd2"), info("scd2"),
       (es: Seq[Expression]) => graft.cdc.VersionedSql.scd2Plan(es)))
+    ext.injectTableFunction((FunctionIdentifier("expire_history"), info("expire_history"),
+      (es: Seq[Expression]) => graft.cdc.VersionedSql.expireHistoryPlan(es)))
     // Document-pipeline TVFs over (doc_id, text) views — the SQL face of
     // the training-data operators (graft.ext.DocSql scaladoc).
     ext.injectTableFunction((FunctionIdentifier("doc_quality"), info("doc_quality"),

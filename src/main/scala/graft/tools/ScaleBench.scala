@@ -44,11 +44,13 @@ object ScaleBench {
     "q90_embed_neardup_auto@0.85", "q86_repeated_spans", "q83_ngram_novelty",
     "q85_cluster_sizes", "q84_editdist_neardup", "q40_neardup_corpus",
     "q82_cooccurrence",
-    // round-5 addition: the BPE counting pass — explode-heaviest of the
+    // round-5 additions: the BPE counting pass — explode-heaviest of the
     // new queries (pair axis ∝ corpus tokens; replicas' _rN-suffixed
     // tokens make the pair key space content-disjoint, the worst case
-    // for the count shuffle)
-    "q94_bpe_pairs")
+    // for the count shuffle) — and the token-budget cap, whose per-group
+    // distributed prefix sum is exactly the shape that must not
+    // degenerate when each source grows 10x
+    "q94_bpe_pairs", "q96_token_budget")
 
   /** Rows not in SparkEntry.queries: the production-regime variants. */
   def customQuery(name: String): Option[(SparkSession, String) => DataFrame] =

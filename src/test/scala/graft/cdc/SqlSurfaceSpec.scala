@@ -74,6 +74,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql == viaApi && viaSql.nonEmpty)
   }
 
+  test("expire_history TVF equals Retention.expireHistory") {
+    changelog
+    val h = "1997-06-01 00:00:00"
+    val viaSql = spark.sql(s"SELECT * FROM expire_history('orders_v', TIMESTAMP '$h')")
+    val viaApi = Retention.expireHistory(changelog, lit(h).cast("timestamp"), Seq("pk"))
+    assert(rows(viaSql) == rows(viaApi) && rows(viaSql).nonEmpty)
+  }
+
   test("TVFs compose with the enclosing query (filters, aggregates, joins)") {
     changelog
     val n = spark.sql(
