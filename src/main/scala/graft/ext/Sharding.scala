@@ -116,6 +116,104 @@ object Sharding {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Stratified sampling with EXACT per-stratum counts: keep precisely
+    * `min(n_g, |stratum g|)` rows from each stratum, chosen
+    * deterministically by the ([[splitBucket]], id) walk order — the
+    * "exactly 10k docs per language / 1M per source" allocation step of
+    * corpus mixing, where [[capPerGroup]]'s single global cap is too
+    * coarse. No RNG state: the sample is a pure function of (id,
+    * targets), reproducible by any engine as `row_number() OVER
+    * (PARTITION BY g ORDER BY bucket, id) <= n_g`.
+    *
+    * Scale shape: identical to [[capPerGroup]] — the selection runs
+    * through the bounded top-k aggregator sized to max(n_g) (map-side-
+    * combining partial heaps, shuffle O(strata × max target)), NOT a
+    * per-stratum window that would sort hot strata in full; the
+    * per-stratum trim to its own n_g is a broadcast join + posexplode
+    * over the config-sized heap frame. `targets` must be config-sized
+    * ((group, n) rows — it is collected to size the heap) and ids unique
+    * and integral. Strata absent from `targets` contribute nothing. */
+  def sampleStratified(docs: DataFrame, groupCol: String, idCol: String,
+                       targets: DataFrame): DataFrame = {
+    val t = targets.toDF("__g", "__n")
+    // config-sized spec by contract; max target sizes the shared heap
+    val maxK = t.agg(max(col("__n").cast("long"))).head().getLong(0)
+    require(maxK > 0 && maxK <= Int.MaxValue, s"targets must be in [1, 2^31), got max $maxK")
+    val keep = docs
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"))
+      .join(broadcast(t.select("__g").distinct()), Seq("__g"), "left_semi")
+      .withColumn("__score", -splitBucket(col("__id")).cast("double"))
+      .groupBy("__g")
+      .agg(graft.functions.TopK.top_k(maxK.toInt)(col("__id"), col("__score")).as("__top"))
+      .join(broadcast(t), Seq("__g"))
+      .select(col("__n"), posexplode(col("__top.id")).as(Seq("__pos", idCol)))
+      .filter(col("__pos") < col("__n"))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact global NTILE(k) under the total order (`value`, `tieId`) —
+    * equi-frequency binning (length-bucketed batching, exact quantile
+    * bins for mixture analysis) with the standard SQL semantics: bucket
+    * sizes differ by at most one, earlier buckets take the remainder.
+    *
+    * Scale shape — a DISTRIBUTED GLOBAL RANK, not `ntile() OVER (ORDER
+    * BY ...)` (a partitionless window pulls the corpus through ONE
+    * task): range-repartition on the order key gives contiguous
+    * buckets, per-bucket row counts collect to the driver (≤ #buckets
+    * rows), the driver prefix-scans them into per-bucket rank offsets,
+    * and each bucket ranks its own rows in parallel; the ntile bucket
+    * is then pure integer arithmetic on (rank, n, k). Same machinery as
+    * [[packShards]]'s prefix sum, ranked by count instead of tokens. */
+  def ntileExact(df: DataFrame, value: Column, tieId: Column, k: Int,
+                 numBuckets: Int = 0): DataFrame =
+    ntileExactStaged(df, value, tieId, k, numBuckets) match {
+      case None => df.withColumn("bucket", lit(0L)).limit(0) // empty input
+      case Some((out, ranged)) =>
+        try out.localCheckpoint(true)
+        finally ranged.unpersist(false)
+    }
+
+  /** [[ntileExact]] before its eager checkpoint: (lazy result, the
+    * persisted range-bucketed frame the caller must unpersist). Exposed
+    * so plan-shape tests can assert the rank window is bucket-
+    * partitioned — the public method materializes, collapsing the plan. */
+  private[graft] def ntileExactStaged(df: DataFrame, value: Column, tieId: Column,
+                                      k: Int, numBuckets: Int)
+      : Option[(DataFrame, DataFrame)] = {
+    require(k > 0, "ntile bucket count must be positive")
+    val ranged = (if (numBuckets > 0) df.repartitionByRange(numBuckets, value, tieId)
+                  else df.repartitionByRange(value, tieId))
+      .withColumn("__rb", spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy("__rb").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) { ranged.unpersist(false); return None }
+    val ids = counts.keys.toArray.sorted
+    val n = counts.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = ids.zip(ids.scanLeft(0L)((acc, b) => acc + counts(b)))
+      .toSeq.toDF("__rb", "__off")
+    val w = Window.partitionBy("__rb").orderBy(value, tieId)
+    // standard ntile: q = n/k rows per bucket, the first n%k buckets
+    // take one extra (for n < k this degenerates to bucket = rank);
+    // `div` keeps the arithmetic in exact 64-bit integers (Column./ is
+    // double division — lossy above 2^53)
+    val (q, rem) = (n / k, n % k)
+    val cutoff = (q + 1) * rem
+    val bucket =
+      if (q == 0) col("__rank")
+      else when(col("__rank") <= cutoff, expr(s"(__rank - 1) div ${q + 1} + 1"))
+        .otherwise(expr(s"$rem + (__rank - 1 - $cutoff) div $q + 1"))
+    val out = ranged
+      .join(broadcast(offsets), "__rb")
+      .withColumn("__rank", row_number().over(w).cast("long") + col("__off"))
+      .withColumn("bucket", bucket)
+      .drop("__rb", "__off", "__rank")
+    Some((out, ranged))
+  }
+
   /** Cap each group's contribution at a TOKEN budget rather than a row
     * count — the form mixture specs actually come in ("≤ 30B tokens of
     * web text"), since document length varies by orders of magnitude

@@ -251,6 +251,47 @@ object Similarity {
     (b0, vecs, verified)
   }
 
+  /** Per-group centroid representative: for each group, the member
+    * vector closest (squared L2) to the group's mean embedding — the
+    * cluster-summary / prototype-selection step of embedding-based data
+    * curation (inspect one exemplar per source/topic; seed curricula
+    * from prototypes). Output: (group, rep id, member count, scaled
+    * squared distance).
+    *
+    * EXACT and engine-portable: values quantize to floor(x·10⁶)
+    * microunit longs (the [[graft.queries.Extended]] q75 discipline), and
+    * the centroid is never divided out — distances compare as
+    * Σ_d (x_d·n − S_d)², i.e. scaled by n², in DECIMAL(38,0) (microunit
+    * diffs reach ~1e15 at billions of rows per group; their squares
+    * overflow 64-bit). Argmin is a plain lexicographic struct-min,
+    * ties to the smaller id.
+    *
+    * Scale shape: two map-side-combinable hash aggregates over the
+    * posexploded (group, dim) melt with a BROADCAST of the tiny
+    * (groups × dims) centroid frame between them — no window, no join
+    * keyed on anything bigger than (group, dim), nothing unbounded. */
+  def groupRepresentatives(embeds: DataFrame, groupCol: String = "label",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val m = embeds
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .withColumn("__xm", floor(col("__x").cast("double") * lit(1e6)).cast("long"))
+    val cent = m.groupBy("__g", "__pos")
+      .agg(sum(col("__xm")).as("__s"), count(lit(1)).as("__n"))
+    val diff = (col("__xm") * col("__n") - col("__s")).cast(DecimalType(19, 0))
+    val dist = m.join(broadcast(cent), Seq("__g", "__pos"))
+      .groupBy("__g", "__id")
+      .agg(sum(diff * diff).as("__d2"), max(col("__n")).as("__n"))
+    dist.groupBy("__g")
+      .agg(min(struct(col("__d2"), col("__id"))).as("__best"),
+        max(col("__n")).as("n_members"))
+      .select(col("__g").as(groupCol), col("__best.__id").as("rep_id"),
+        col("n_members"), col("__best.__d2").as("dist2n2"))
+  }
+
   /** Plain-Scala exact top-k oracle for tests (drives nothing at scale). */
   def bruteForceOracle(corpus: Seq[(Long, Array[Float])], queries: Seq[(Long, Array[Float])],
                        k: Int): Map[Long, Seq[Long]] = {

@@ -188,6 +188,71 @@ object Extended {
              |FROM c WHERE before < 800
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q98_stratified_sample",
+      (s: SparkSession, d: String) => {
+        // exact per-stratum allocation (precisely n_g docs per source,
+        // deterministic hash-order pick): the bounded-heap selection of
+        // Sharding.sampleStratified — shuffle O(strata × max target),
+        // never a per-stratum window sort
+        val spec = Seq.tabulate(20) { i => (s"src$i", 5L + 3L * (i % 5)) }
+        val targets = s.createDataFrame(spec).toDF("source", "n")
+        Sharding.sampleStratified(Tables.documents(s, d), "source", "doc_id", targets)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some(("""WITH tgt(source, n) AS (VALUES """ +
+        Seq.tabulate(20) { i => s"('src$i', ${5 + 3 * (i % 5)})" }.mkString(", ") + """),
+             |r AS (SELECT d.doc_id, d.source, n,
+             |        row_number() OVER (PARTITION BY d.source
+             |          ORDER BY ((d.doc_id % 1000003) * 2654435761) % 100, d.doc_id) AS rn
+             |      FROM documents d JOIN tgt USING (source))
+             |SELECT doc_id, source FROM r WHERE rn <= n
+             |ORDER BY doc_id""").stripMargin)),
+
+    ("q99_length_buckets",
+      (s: SparkSession, d: String) => {
+        // exact global NTILE(16) by token count — length-bucketed
+        // batching via a distributed global rank (range buckets + driver
+        // prefix scan of per-bucket counts), never a partitionless window
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        Sharding.ntileExact(docs, col("n_tokens"), col("doc_id"), k = 16)
+          .select("doc_id", "n_tokens", "bucket")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+             |          FROM documents)
+             |SELECT doc_id, n_tokens,
+             |  CAST(ntile(16) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    ("q100_group_centroid",
+      (s: SparkSession, d: String) => {
+        // per-label centroid representative (prototype selection):
+        // exact microunit arithmetic, distances scaled by n² in
+        // DECIMAL(38,0) so no division and no float compare ever happens
+        // (Similarity.groupRepresentatives scaladoc)
+        Similarity.groupRepresentatives(Tables.embeddings(s, d),
+            "label", "vec_id", "embedding")
+          .orderBy("label")
+      },
+      Some("""WITH m AS (SELECT label, vec_id,
+             |            generate_subscripts(embedding, 1) - 1 AS pos,
+             |            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xm
+             |          FROM embeddings),
+             |c AS (SELECT label, pos, SUM(xm) AS s, COUNT(*) AS n FROM m GROUP BY 1, 2),
+             |d AS (SELECT m.label, m.vec_id,
+             |        SUM(CAST(m.xm * c.n - c.s AS HUGEINT)
+             |            * CAST(m.xm * c.n - c.s AS HUGEINT)) AS d2,
+             |        MAX(c.n) AS n
+             |      FROM m JOIN c USING (label, pos) GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY label
+             |        ORDER BY d2, vec_id) AS rn FROM d)
+             |SELECT label, vec_id AS rep_id, CAST(n AS BIGINT) AS n_members,
+             |  CAST(d2 AS VARCHAR) AS dist2n2
+             |FROM r WHERE rn = 1 ORDER BY label""".stripMargin)),
+
     // ---------------------------------------------------------- text stats
     ("q21_token_stats",
       (s: SparkSession, d: String) => {

@@ -152,6 +152,54 @@ class ShardingSpec extends SparkTestBase {
     assert(all.count() == 10L)
   }
 
+  test("sampleStratified: exact per-stratum counts, equals the window-rank reference") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 600L).map(i => (i, s"src${i % 6}")).toDF("doc_id", "source")
+    // varying targets; src5 absent (contributes nothing); src0 target
+    // above its stratum size (keeps all 100)
+    val targets = Seq(("src0", 500L), ("src1", 7L), ("src2", 30L), ("src3", 1L),
+      ("src4", 12L)).toDF("source", "n")
+    val got = Sharding.sampleStratified(docs, "source", "doc_id", targets)
+    val sizes = got.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("src0" -> 100L, "src1" -> 7L, "src2" -> 30L,
+      "src3" -> 1L, "src4" -> 12L))
+    // exact row set: per-stratum window rank over the same (bucket, id) order
+    val w = Window.partitionBy("source")
+      .orderBy(Sharding.splitBucket($"doc_id"), $"doc_id")
+    val expected = docs.join(targets, "source")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"n").select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet == expected)
+    // column set/order preserved; deterministic across invocations
+    assert(got.columns.toSeq == Seq("doc_id", "source"))
+    assert(Sharding.sampleStratified(docs, "source", "doc_id", targets)
+      .select("doc_id").as[Long].collect().toSet == expected)
+  }
+
+  test("ntileExact equals the window ntile reference across bucket counts") {
+    val docs = (1L to 457L).map(i => (i, (i * 131) % 37)).toDF("doc_id", "v")
+    for (k <- Seq(1, 4, 16, 100)) {
+      val got = Sharding.ntileExact(docs, col("v"), col("doc_id"), k, numBuckets = 5)
+        .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"doc_id")
+      val expected = docs.withColumn("bucket", ntile(k).over(w).cast("long"))
+        .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"k=$k")
+    }
+  }
+
+  test("ntileExact: n < k degenerates to one row per leading bucket; sizes differ by <= 1") {
+    val tiny = (1L to 5L).map(i => (i, i)).toDF("doc_id", "v")
+    val got = Sharding.ntileExact(tiny, col("v"), col("doc_id"), k = 9, numBuckets = 2)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+    val docs = (1L to 1000L).map(i => (i, (i * 17) % 101)).toDF("doc_id", "v")
+    val sizes = Sharding.ntileExact(docs, col("v"), col("doc_id"), k = 7, numBuckets = 4)
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    assert(sizes.keySet == (1L to 7L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+  }
+
   test("scrubPii redacts planted emails and phones, counts them, leaves clean text") {
     val docs = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org today"),

@@ -135,6 +135,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(expected.subsetOf(pairs), s"missing pairs: ${expected -- pairs}")
   }
 
+  test("groupRepresentatives equals the plain-Scala centroid argmin") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4).flatMap { g =>
+      (0 until 20 + g).map { j =>
+        (s"g$g", (g * 100 + j).toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+      }
+    }
+    val df = rows.toDF("label", "vec_id", "embedding")
+    val got = Similarity.groupRepresentatives(df)
+      .select($"label", $"rep_id", $"n_members", $"dist2n2".cast("string"))
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // reference: same integer microunit math, driver-side
+    rows.groupBy(_._1).foreach { case (label, members) =>
+      val n = members.size.toLong
+      val micro = members.map { case (_, id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      }
+      val sums = (0 until 8).map(d => micro.map(_._2(d)).sum)
+      val dists = micro.map { case (id, xm) =>
+        id -> (0 until 8).map { d =>
+          val diff = BigInt(xm(d) * n - sums(d)); diff * diff
+        }.sum
+      }
+      val (bestId, bestD) = dists.minBy { case (id, d2) => (d2, id) }
+      val (_, repId, gotN, gotD) = got(label)
+      assert(repId == bestId && gotN == n && gotD == bestD.toString, s"label $label")
+    }
+  }
+
   test("real embeddings table: brute-force and LSH queries run and rank") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter($"vec_id" % 100 === 0)

@@ -130,6 +130,45 @@ class PlanShapeSpec extends SparkTestBase {
     } finally ranged.unpersist(false)
   }
 
+  test("q98: stratified sampling ranks via partial ObjectHashAggregate, not a window") {
+    val p = plan("q98_stratified_sample")
+    assert(p.contains("ObjectHashAggregate"),
+      "per-stratum selection must use the bounded top-k aggregator")
+    assert(p.contains("partial_topkaggregator"),
+      "heaps must combine map-side so the shuffle is O(strata × max target)")
+    assert(!p.contains("Window "), "selection must not fall back to a per-stratum window sort")
+    assert(p.contains("BroadcastHashJoin"), "the config-sized targets frame must broadcast")
+  }
+
+  test("q99: ntile rank windows are bucket-partitioned — no partitionless global window") {
+    // the public ntileExact eagerly checkpoints (collapsing the plan), so
+    // inspect the staged pre-checkpoint frame
+    val fns = org.apache.spark.sql.functions
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(fns.col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(fns.col("text")).as("n_tokens"))
+    val Some((staged, ranged)) = graft.ext.Sharding.ntileExactStaged(
+      docs, fns.col("n_tokens"), fns.col("doc_id"), 16, 8)
+    try {
+      val windows = staged.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the per-bucket rank window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        "a window with no partition spec pulls the whole corpus through one task"))
+      val p = staged.queryExecution.executedPlan.toString()
+      assert(p.contains("BroadcastHashJoin"), "the per-bucket offsets frame must broadcast")
+    } finally ranged.unpersist(false)
+  }
+
+  test("q100: centroid joins broadcast the (groups × dims) frame; aggregates combine map-side") {
+    val p = plan("q100_group_centroid")
+    assert(p.contains("BroadcastHashJoin"), "the tiny centroid frame must broadcast")
+    assert(p.contains("partial_sum"), "distance partials must combine map-side")
+    assert(!p.contains("Window "), "argmin is a struct-min aggregate, never a window")
+    assert(!p.contains("SortMergeJoin"), "nothing here should sort-merge")
+  }
+
   test("q60: per-group cap ranks via partial ObjectHashAggregate, not a window") {
     val p = plan("q60_source_cap")
     assert(p.contains("ObjectHashAggregate"), "cap selection must use the bounded top-k aggregator")
