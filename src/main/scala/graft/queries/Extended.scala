@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, RangeJoin, RobustStats, Sharding, Similarity, TextAnalysis}
+import graft.ext.{CorpusDiff, Dedup, Multimodal, RangeJoin, RobustStats, Sharding, Similarity, TextAnalysis}
 
 /** Extended operator queries: training-data-pipeline ops beyond the
   * reference's own surface (dedup family, ANN similarity, text analysis,
@@ -252,6 +252,34 @@ object Extended {
              |SELECT label, vec_id AS rep_id, CAST(n AS BIGINT) AS n_members,
              |  CAST(d2 AS VARCHAR) AS dist2n2
              |FROM r WHERE rn = 1 ORDER BY label""".stripMargin)),
+
+    ("q101_corpus_diff",
+      (s: SparkSession, d: String) => {
+        // dataset-versioning audit between two snapshot states (both
+        // derived deterministically from the corpus): the full-outer
+        // join shuffles 16-byte md5 digests, never document bodies
+        // (CorpusDiff scaladoc)
+        val base = Tables.documents(s, d)
+        val oldSnap = base.filter(col("doc_id") % 31 =!= 0)
+        val newSnap = base.filter(col("doc_id") % 29 =!= 0)
+          .withColumn("text", when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        CorpusDiff.diff(oldSnap, newSnap)
+          .orderBy("doc_id")
+      },
+      Some("""WITH oldc AS (SELECT doc_id, md5(text) AS h FROM documents
+             |              WHERE doc_id % 31 <> 0),
+             |newc AS (SELECT doc_id,
+             |           md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+             |               ELSE text END) AS h
+             |         FROM documents WHERE doc_id % 29 <> 0)
+             |SELECT doc_id,
+             |  CASE WHEN o.h IS NULL THEN 'added'
+             |       WHEN n.h IS NULL THEN 'removed'
+             |       WHEN o.h = n.h THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM oldc o FULL OUTER JOIN newc n USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------- text stats
     ("q21_token_stats",

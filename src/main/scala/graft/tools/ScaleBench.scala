@@ -50,7 +50,12 @@ object ScaleBench {
     // for the count shuffle) — and the token-budget cap, whose per-group
     // distributed prefix sum is exactly the shape that must not
     // degenerate when each source grows 10x
-    "q94_bpe_pairs", "q96_token_budget")
+    "q94_bpe_pairs", "q96_token_budget",
+    // late round-5 additions: the distributed GLOBAL rank (q99's ntile —
+    // the range-bucketed prefix-sum machinery under a 10x-wider total
+    // order) and the centroid argmin (q100 — posexplode melt is the
+    // row-heaviest frame in the suite at 64 dims per vector)
+    "q99_length_buckets", "q100_group_centroid")
 
   /** Rows not in SparkEntry.queries: the production-regime variants. */
   def customQuery(name: String): Option[(SparkSession, String) => DataFrame] =
