@@ -63,5 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.tokenChunksPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("pair_merge_scores"), info("pair_merge_scores"),
       (es: Seq[Expression]) => graft.ext.DocSql.pairMergeScoresPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("corpus_diff"), info("corpus_diff"),
+      (es: Seq[Expression]) => graft.ext.DocSql.corpusDiffPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("length_buckets"), info("length_buckets"),
+      (es: Seq[Expression]) => graft.ext.DocSql.lengthBucketsPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("stratified_sample"), info("stratified_sample"),
+      (es: Seq[Expression]) => graft.ext.DocSql.stratifiedSamplePlan(es)))
   }
 }

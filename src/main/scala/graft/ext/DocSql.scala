@@ -16,6 +16,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM dedup_corpus('docs', 0.5)       -- survivors
   *   SELECT * FROM token_chunks('docs', 64, 48)    -- model-sized windows
   *   SELECT * FROM pair_merge_scores('docs', 200)  -- BPE counting pass
+  *   SELECT * FROM corpus_diff('old', 'new')       -- snapshot audit
+  *   SELECT * FROM length_buckets('docs', 16)      -- exact global ntile
+  *   SELECT * FROM stratified_sample('docs', 'targets')
   * }}}
   *
   * Each TVF expands at analysis time into the same logical plan its
@@ -67,4 +70,25 @@ object DocSql {
   private[graft] def pairMergeScoresPlan(es: Seq[Expression]): LogicalPlan =
     plan(TextAnalysis.adjacentPairCounts(tableArg(es.head), "doc_id", "text",
       topK = intArg(es(1))))
+
+  private[graft] def corpusDiffPlan(es: Seq[Expression]): LogicalPlan =
+    plan(CorpusDiff.diff(tableArg(es.head), tableArg(es(1))))
+
+  /** `length_buckets('docs', k)`: exact global NTILE(k) by token count.
+    * Like the dedup TVFs, the expansion materializes eagerly
+    * ([[Sharding.ntileExact]] checkpoints by contract — the distributed
+    * rank's range boundaries must be frozen before downstream reuse). */
+  private[graft] def lengthBucketsPlan(es: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions.col
+    val docs = tableArg(es.head)
+    plan(Sharding.ntileExact(docs, TextAnalysis.tokenCount(col("text")),
+      col("doc_id"), k = intArg(es(1))))
+  }
+
+  /** `stratified_sample('docs', 'targets')`: exact per-stratum counts;
+    * the docs view needs a `source` column, the targets view
+    * `(source, n)`. */
+  private[graft] def stratifiedSamplePlan(es: Seq[Expression]): LogicalPlan =
+    plan(Sharding.sampleStratified(tableArg(es.head), "source", "doc_id",
+      tableArg(es(1))))
 }

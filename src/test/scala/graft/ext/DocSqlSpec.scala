@@ -79,4 +79,35 @@ class DocSqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM token_chunks('docs', 8, 6) WHERE chunk_id = 0")
     assert(filtered.head().getLong(0) == 4L)
   }
+
+  test("corpus_diff, length_buckets, stratified_sample TVFs equal their Scala forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs
+    val newSnap = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "edited near dup text"),
+      (5L, "a brand new document")).toDF("doc_id", "text")
+    newSnap.createOrReplaceTempView("docs_new")
+    val diffSql = spark.sql("SELECT * FROM corpus_diff('docs', 'docs_new')")
+    assert(sorted(diffSql) == sorted(CorpusDiff.diff(docs, newSnap)))
+
+    val bucketsSql = spark.sql("SELECT * FROM length_buckets('docs', 2)")
+    assert(sorted(bucketsSql) == sorted(Sharding.ntileExact(docs,
+      TextAnalysis.tokenCount(col("text")), col("doc_id"), k = 2)))
+
+    val srcDocs = (1L to 40L).map(i => (i, s"s${i % 2}", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    srcDocs.createOrReplaceTempView("docs_src")
+    Seq(("s0", 3L), ("s1", 5L)).toDF("source", "n").createOrReplaceTempView("tgt")
+    val sampleSql = spark.sql("SELECT * FROM stratified_sample('docs_src', 'tgt')")
+    assert(sorted(sampleSql) ==
+      sorted(Sharding.sampleStratified(srcDocs, "source", "doc_id",
+        Seq(("s0", 3L), ("s1", 5L)).toDF("source", "n"))))
+    // outer SQL composes over the expansion
+    val counts = spark.sql(
+      "SELECT source, COUNT(*) AS c FROM stratified_sample('docs_src', 'tgt') GROUP BY source")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("s0" -> 3L, "s1" -> 5L))
+  }
 }
