@@ -135,6 +135,14 @@ object Ingest {
     * other batches' rows (same invariant as DocStream.CompactedBatch). */
   val CompactedBatchId: Long = -1L
 
+  /** Completion marker + recovery manifest for [[compactBatches]]: written
+    * INTO the tmp dir after the parquet write returns, listing the source
+    * `batch=` dir names the compacted copy replaces. Underscore-prefixed,
+    * so parquet scans ignore it wherever it travels. Its presence is the
+    * commit point: tmp-with-manifest holds a complete copy and names
+    * exactly what must be deleted before publish. */
+  private[graft] val CompactManifest = "_GRAFT_COMPACT_MANIFEST"
+
   /** Merge every `batch <= upToBatch` directory (including a previous
     * `batch=-1`) into `batch=-1` and delete the merged dirs — the
     * small-file mitigation a long-running stream needs WITHOUT a
@@ -143,13 +151,24 @@ object Ingest {
     * ever replays the last uncommitted batch, so merging ids strictly
     * below the in-flight one can never race a replay overwrite).
     * Preserves the `_dt` partitioning and the union schema across batch
-    * dirs (mergeSchema, the CDC warehouse contract). */
+    * dirs (mergeSchema, the CDC warehouse contract).
+    *
+    * Crash-safe: the write lands in `.__compact_tmp`, then a manifest of
+    * the merged source dirs is committed inside it (the commit point),
+    * then sources are deleted BEFORE the tmp→`batch=-1` rename
+    * (duplication-free order — no instant has a row in both copies). A
+    * crash in any window is healed on the next call by [[recoverCompaction]]:
+    * manifest present → the copy is complete, finish the (idempotent)
+    * delete+rename; manifest absent → the copy is partial and every
+    * source still exists, discard tmp. */
   def compactBatches(spark: SparkSession, warehouseDir: String,
                      physicalName: String, upToBatch: Long): Unit = {
     val dir = s"$warehouseDir/$physicalName"
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.__compact_tmp")
+    recoverCompaction(fs, dir, tmp)
     val mergeDirs = fs.listStatus(root).map(_.getPath).filter { p =>
       p.getName.startsWith("batch=") &&
         scala.util.Try(p.getName.stripPrefix("batch=").toLong)
@@ -160,15 +179,53 @@ object Ingest {
       .parquet(mergeDirs.map(_.toString).toIndexedSeq: _*)
     val hasDt = merged.columns.contains(Envelope.DtCol)
     val out = merged.drop("batch")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.__compact_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
     val writer = out.write.mode("overwrite")
     (if (hasDt) writer.partitionBy(Envelope.DtCol) else writer).parquet(tmp.toString)
+    // commit point: manifest names the dirs the tmp copy supersedes;
+    // written via create+rename so a torn write can never look committed
+    val mtmp = new org.apache.hadoop.fs.Path(tmp, CompactManifest + ".inprogress")
+    val os = fs.create(mtmp, true)
+    try os.write(mergeDirs.map(_.getName).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    require(fs.rename(mtmp, new org.apache.hadoop.fs.Path(tmp, CompactManifest)),
+      s"compact manifest commit failed under $tmp")
+    finishCompaction(fs, dir, tmp)
+  }
+
+  /** Publish step, idempotent: delete every source dir named in the tmp
+    * manifest (including any previous `batch=-1` — so the rename target is
+    * clear), rename tmp into `batch=-1`, drop the manifest. Re-runnable
+    * from any crash point: deletes of already-deleted dirs are no-ops and
+    * the rename happens last. */
+  private def finishCompaction(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                               tmp: org.apache.hadoop.fs.Path): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(tmp, CompactManifest)
+    val in = fs.open(manifest)
+    val names =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), true))
     val dst = new org.apache.hadoop.fs.Path(s"$dir/batch=$CompactedBatchId")
-    if (fs.exists(dst)) fs.delete(dst, true)
     require(fs.rename(tmp, dst), s"compact rename failed: $dst")
-    mergeDirs.filterNot(_.getName == s"batch=$CompactedBatchId")
-      .foreach(p => fs.delete(p, true))
+    // cosmetic: scans skip underscore files anyway; a crash before this
+    // delete leaves the manifest inside batch=-1, harmless
+    fs.delete(new org.apache.hadoop.fs.Path(dst, CompactManifest), false): Unit
+  }
+
+  /** Heal a compaction interrupted by a crash (called on entry, and safe
+    * to call any time the writer is quiescent). Manifest present → the
+    * previous run's copy was complete but unpublished: finish it.
+    * Manifest absent → the copy was partial and no source was touched:
+    * discard it. Either way the table is consistent afterwards. */
+  private[graft] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                       dir: String,
+                                       tmp: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(tmp)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, CompactManifest)))
+      finishCompaction(fs, dir, tmp)
+    else fs.delete(tmp, true): Unit
   }
 
   def compact(spark: SparkSession, warehouseDir: String, physicalName: String): Long = {

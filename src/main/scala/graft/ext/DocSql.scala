@@ -77,7 +77,16 @@ object DocSql {
   /** `length_buckets('docs', k)`: exact global NTILE(k) by token count.
     * Like the dedup TVFs, the expansion materializes eagerly
     * ([[Sharding.ntileExact]] checkpoints by contract — the distributed
-    * rank's range boundaries must be frozen before downstream reuse). */
+    * rank's range boundaries must be frozen before downstream reuse).
+    *
+    * Eager-TVF caveat (applies to `length_buckets`, `stratified_sample`,
+    * and the dedup TVFs): "eagerly" means AT ANALYSIS TIME — `EXPLAIN`
+    * or any re-analysis of the enclosing query runs the full job, and
+    * the checkpointed RDDs live until the session (not the statement)
+    * ends. The trade is deliberate: freezing the result is what makes
+    * the expansion a plain relation that outer filters/projects optimize
+    * into. Interactive EXPLAIN-heavy sessions should prefer the Scala
+    * API, which exposes the lazy variants. */
   private[graft] def lengthBucketsPlan(es: Seq[Expression]): LogicalPlan = {
     import org.apache.spark.sql.functions.col
     val docs = tableArg(es.head)

@@ -30,7 +30,14 @@ object RobustStats {
 
   /** Per-group robust outlier accounting over integer-unit `valueCol`:
     * (group, n_rows, n_outliers, med2, mad4) where an outlier is a row
-    * with |v − median| > k·MAD. */
+    * with |v − median| > k·MAD.
+    *
+    * Precision bound: `percentile()` computes in DOUBLE, so the
+    * "exact long" contract for med2/mad4 holds only while
+    * |2·median| < 2^53 (and |4·MAD| < 2^53) — ample for cents- or
+    * microunit-scale values, but callers scaling arbitrary integers to
+    * finer units must keep the doubled statistic under 2^53 or the
+    * low bits of med2/mad4 are rounding, not data. */
   def madOutlierStats(df: DataFrame, groupCol: String, valueCol: Column,
                       k: Int = 3): DataFrame = {
     require(k > 0)

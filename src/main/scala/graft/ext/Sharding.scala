@@ -136,8 +136,12 @@ object Sharding {
   def sampleStratified(docs: DataFrame, groupCol: String, idCol: String,
                        targets: DataFrame): DataFrame = {
     val t = targets.toDF("__g", "__n")
-    // config-sized spec by contract; max target sizes the shared heap
-    val maxK = t.agg(max(col("__n").cast("long"))).head().getLong(0)
+    // config-sized spec by contract; max target sizes the shared heap.
+    // Empty targets = every stratum absent = nothing selected (the
+    // documented contract), not an NPE out of the null max() cell.
+    val maxRow = t.agg(max(col("__n").cast("long"))).head()
+    if (maxRow.isNullAt(0)) return docs.limit(0)
+    val maxK = maxRow.getLong(0)
     require(maxK > 0 && maxK <= Int.MaxValue, s"targets must be in [1, 2^31), got max $maxK")
     val keep = docs
       .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"))

@@ -206,6 +206,14 @@ object Similarity {
     nearDupPairs(corpus, threshold, idCol, vecCol, seed, tables, bits, maxBucketSize)
   }
 
+  /** Fixed-parameter embedding near-dup (LSH bucket join + exact verify).
+    * PRODUCTION CALLERS: use [[nearDupPairsAuto]] — fixed `bitsPerTable`
+    * means bucket occupancy grows linearly with corpus size, and the
+    * bucket self-join quadratically (measured 2.1× per-row at ×10 rows,
+    * BASELINE.md §4). Auto-sizing bits to log2(n/occupancy) keeps bucket
+    * depth constant as n grows; this fixed variant exists as the
+    * pinned-parameter oracle surface (q31) and the kernel `auto` sizes
+    * into. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10,
@@ -281,7 +289,11 @@ object Similarity {
       .withColumn("__xm", floor(col("__x").cast("double") * lit(1e6)).cast("long"))
     val cent = m.groupBy("__g", "__pos")
       .agg(sum(col("__xm")).as("__s"), count(lit(1)).as("__n"))
-    val diff = (col("__xm") * col("__n") - col("__s")).cast(DecimalType(19, 0))
+    // decimal BEFORE the multiply: microunit × multi-billion-row counts
+    // exceed 2^63, and a 64-bit product would silently wrap where the
+    // scaladoc promises DECIMAL(38,0) exactness (the oracle's HUGEINT
+    // multiply agrees bit-for-bit in-range and errors, not wraps, beyond)
+    val diff = col("__xm").cast(DecimalType(20, 0)) * col("__n") - col("__s")
     val dist = m.join(broadcast(cent), Seq("__g", "__pos"))
       .groupBy("__g", "__id")
       .agg(sum(diff * diff).as("__d2"), max(col("__n")).as("__n"))

@@ -174,6 +174,10 @@ class ShardingSpec extends SparkTestBase {
     assert(got.columns.toSeq == Seq("doc_id", "source"))
     assert(Sharding.sampleStratified(docs, "source", "doc_id", targets)
       .select("doc_id").as[Long].collect().toSet == expected)
+    // empty targets = every stratum absent = empty selection (not an NPE
+    // out of the null max() cell)
+    assert(Sharding.sampleStratified(docs, "source", "doc_id",
+      targets.limit(0)).count() == 0L)
   }
 
   test("ntileExact equals the window ntile reference across bucket counts") {

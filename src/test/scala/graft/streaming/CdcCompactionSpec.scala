@@ -88,4 +88,75 @@ class CdcCompactionSpec extends SparkTestBase {
       .map(_.getName).filter(_.startsWith("batch="))
     assert(dirs.toSeq == Seq("batch=-1"))
   }
+
+  /** Crash-window recovery: a compaction that died AFTER its tmp copy
+    * completed (manifest committed) but BEFORE publish must be finished,
+    * not discarded, by the next run — and one that died mid-write
+    * (no manifest) must be discarded with every source intact. Windows
+    * are reconstructed byte-for-byte from the real protocol's on-disk
+    * states. */
+  test("crashed compaction: committed tmp is finished, partial tmp discarded") {
+    import org.apache.hadoop.fs.Path
+    val in = tmpDir("cc3-in"); val wh = tmpDir("cc3-wh"); val ck = tmpDir("cc3-ck")
+    (0 until 4).foreach(i =>
+      Fixtures.writeLines(in, f"log-$i%03d.jsonl", mkFile(i), gzip = false))
+    CdcStream.runOnce(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry,
+      maxFilesPerTrigger = 1))
+    val phys = Fixtures.registry("products").physicalName
+    val dir = s"$wh/$phys"
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val before = Ingest.readTable(spark, wh, Fixtures.registry("products")).collect().toSet
+
+    // --- window A: crash after the tmp write + manifest commit, before
+    // any source delete/rename. Build the exact state: copy all batch
+    // dirs' content into tmp (what the merged write produces here), then
+    // commit the manifest naming them.
+    val tmp = new Path(s"$dir/.__compact_tmp")
+    val srcs = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).toSeq
+    val mergedDf = spark.read.option("basePath", dir)
+      .option("mergeSchema", true).parquet(srcs.map(_.toString): _*)
+      .drop("batch")
+    mergedDf.write.mode("overwrite").parquet(tmp.toString)
+    val os = fs.create(new Path(tmp, Ingest.CompactManifest), true)
+    os.write(srcs.map(_.getName).mkString("\n").getBytes("UTF-8")); os.close()
+    // next compaction call heals it (recovery runs on entry)
+    Ingest.compactBatches(spark, wh, phys, upToBatch = 3)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products"))
+      .collect().toSet == before, "rows lost or duplicated by recovery")
+    val dirsA = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirsA == Seq("batch=-1"), s"unexpected layout after recovery: $dirsA")
+    assert(!fs.exists(tmp), "tmp not cleared after recovery")
+
+    // --- window B: crash mid-write — tmp exists WITHOUT a manifest.
+    // Sources (now just batch=-1) are untouched; recovery must discard.
+    fs.mkdirs(tmp)
+    val os2 = fs.create(new Path(tmp, "part-garbage.parquet"), true)
+    os2.write(Array[Byte](1, 2, 3)); os2.close()
+    Ingest.compactBatches(spark, wh, phys, upToBatch = 3) // heals, then no-op (1 dir)
+    assert(!fs.exists(tmp), "partial tmp not discarded")
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products"))
+      .collect().toSet == before)
+
+    // --- window C: crash mid-publish — manifest committed, SOME sources
+    // already deleted. Recovery must finish deletes + rename without
+    // resurrecting deleted rows or dropping surviving ones.
+    // Rebuild a two-batch layout from the compacted table first.
+    val cur = spark.read.parquet(s"$dir/batch=-1")
+    cur.write.mode("overwrite").parquet(s"$dir/batch=7")
+    fs.delete(new Path(s"$dir/batch=-1"), true)
+    val all2 = spark.read.option("basePath", dir).option("mergeSchema", true)
+      .parquet(s"$dir/batch=7").drop("batch")
+    all2.write.mode("overwrite").parquet(tmp.toString)
+    val os3 = fs.create(new Path(tmp, Ingest.CompactManifest), true)
+    os3.write("batch=7".getBytes("UTF-8")); os3.close()
+    fs.delete(new Path(s"$dir/batch=7"), true) // the "some deletes happened" point
+    Ingest.compactBatches(spark, wh, phys, upToBatch = 8)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products"))
+      .collect().toSet == before, "mid-publish recovery diverged")
+    val dirsC = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirsC == Seq("batch=-1"))
+  }
 }
