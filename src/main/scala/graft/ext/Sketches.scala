@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distinct-count sketching with an AUDITABLE register artifact.
+  *
+  * K-minimum-values (bottom-k): per group keep the k smallest hash values
+  * of the keys; the k-th smallest, as a fraction of hash space, estimates
+  * density, so `distinct ≈ (k-1) / U_k` (Bar-Yossef et al. 2002 — the
+  * same estimator family as Apache DataSketches' theta sketch). Chosen
+  * over HLL for the engine's gate surface because every step AFTER the
+  * hash is exact integer arithmetic — `(k-1)·2^64 div u_k` in
+  * DECIMAL(38,0)/HUGEINT — and groups with fewer than k distinct hashes
+  * are EXACT by construction. That makes the whole estimation path
+  * independently recomputable from a dumped register table (the q32/q24
+  * oracle pattern: the dump boundary is the non-SQL-expressible hash
+  * kernel; everything downstream is oracled), where an HLL estimate's
+  * bias-correction tables and ln() branches are not.
+  *
+  * Register semantics: xxhash64 values XOR Long.MinValue, so SIGNED
+  * order on the stored register equals UNSIGNED order on the raw hash;
+  * `u_k = register_k + 2^63` recovers the unsigned magnitude.
+  *
+  * Scale shape: one (group, hash) dedup hash-agg, then the bounded
+  * min-k heap aggregator (map-side-combining partials, O(k) state per
+  * group) — registers merge by union+recut, so the sketch is
+  * partitioning-independent and streaming-mergeable. Relative error
+  * ~1/√(k−2) above k distinct; exact below.
+  */
+object Sketches {
+
+  /** Per-group bottom-k register table: (group, mins) with `mins` the
+    * ascending k smallest transformed hashes of DISTINCT `valueCol`
+    * values. This frame IS the sketch artifact — dumpable, mergeable,
+    * and the sole input `estimate` needs besides k. */
+  def kmvRegisters(df: DataFrame, groupCol: String, valueCol: Column,
+                   k: Int = 128): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    df.select(col(groupCol).as("__g"),
+        xxhash64(valueCol).bitwiseXOR(lit(Long.MinValue)).as("__xh"))
+      .distinct()
+      .groupBy("__g")
+      .agg(graft.functions.TopK.min_k_ids(k)(col("__xh")).as("mins"))
+      .select(col("__g").as(groupCol), col("mins"))
+  }
+
+  /** (group, approx_distinct BIGINT) from a register table. Exact when
+    * the group held fewer than k distinct hashes; otherwise the KMV
+    * estimate `(k-1)·2^64 div u_k`, computed end-to-end in integer
+    * arithmetic (`div` = IntegralDivide over DECIMAL — truncating, like
+    * the oracle's HUGEINT division; no float anywhere, so the estimate
+    * hash-matches any engine that can divide integers). */
+  def estimate(registers: DataFrame, groupCol: String, k: Int = 128,
+               outCol: String = "approx_distinct"): DataFrame =
+    registers
+      .withColumn("__uk", element_at(col("mins"), k).cast(DecimalType(38, 0)) +
+        lit("9223372036854775808").cast(DecimalType(38, 0)))
+      .withColumn("__num", lit((k - 1).toLong).cast(DecimalType(38, 0)) *
+        lit("18446744073709551616").cast(DecimalType(38, 0)))
+      .withColumn(outCol,
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(expr("__num div __uk")))
+      .select(col(groupCol), col(outCol))
+
+  /** One-call convenience: per-group approximate distinct count of
+    * `valueCol`. */
+  def approxDistinct(df: DataFrame, groupCol: String, valueCol: Column,
+                     k: Int = 128, outCol: String = "approx_distinct"): DataFrame =
+    estimate(kmvRegisters(df, groupCol, valueCol, k), groupCol, k, outCol)
+}

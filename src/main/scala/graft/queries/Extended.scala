@@ -70,6 +70,13 @@ object Extended {
         graft.functions.VectorFunctions.token_hashes(split(col("text"), " ")).as("hashes"))
     }),
     "q46_media_vectors" -> q46MediaVectors _,
+    "q38_kmv" -> ((s: SparkSession, d: String) =>
+      // the exact register table q38's estimate reads — the dump boundary
+      // is the xxhash64 kernel; the oracle recomputes the estimate from
+      // these registers in HUGEINT arithmetic (and ExtendedQuerySpec
+      // SHA-pins the artifact itself for hash-kernel drift)
+      graft.ext.Sketches.kmvRegisters(Tables.events(s, d), "event_type",
+        col("user_id"), k = 128)),
     "q91_candidates" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       graft.ext.PQ.pqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
@@ -775,15 +782,34 @@ object Extended {
 
     ("q38_approx_distinct",
       (s: SparkSession, d: String) => {
-        // HLL++ sketch: not oracle-hashable (approximate by design);
-        // tolerance vs exact COUNT(DISTINCT) pinned in ExtendedQuerySpec
-        Tables.events(s, d)
-          .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-               count(lit(1)).as("n_events"))
+        // KMV bottom-k sketch (ext/Sketches): integer-exact estimation
+        // from the register table, so — unlike the previous HLL++ form —
+        // the estimate itself joins the hash gate: the oracle recomputes
+        // it from the dumped registers (q38_kmv aux) in HUGEINT
+        // arithmetic. Built-in approx_count_distinct stays tolerance-
+        // pinned in ExtendedQuerySpec; k=128 puts sf0.01 (150 distinct)
+        // in the ESTIMATE branch so the gate exercises the division.
+        val ev = Tables.events(s, d)
+        val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        val est = graft.ext.Sketches.approxDistinct(ev, "event_type",
+          col("user_id"), k = 128, outCol = "approx_users")
+        counts.join(est, "event_type")
+          .select("event_type", "approx_users", "n_events")
           .orderBy("event_type")
       },
-      None),
+      Some(s"""WITH s AS (SELECT event_type, mins
+             |           FROM read_parquet('$OracleAuxDir/q38_kmv/*.parquet')),
+             |e AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+             |      FROM events GROUP BY event_type),
+             |est AS (SELECT event_type,
+             |  CASE WHEN len(mins) < 128 THEN CAST(len(mins) AS BIGINT)
+             |       ELSE CAST((127 * 18446744073709551616::HUGEINT)
+             |            / (CAST(mins[128] AS HUGEINT) + 9223372036854775808)
+             |            AS BIGINT) END AS approx_users
+             |  FROM s)
+             |SELECT e.event_type, est.approx_users, e.n_events
+             |FROM e JOIN est USING (event_type)
+             |ORDER BY e.event_type""".stripMargin)),
 
     // ------------------------------------------------- shard engineering
     ("q55_pack_shards",
