@@ -58,23 +58,26 @@ object PQ {
     } finally { base.unpersist(false): Unit }
   }
 
-  /** Encode every vector as its `m` nearest-subspace-centroid codes.
-    * One map-side pass; the codegen'd nearest-centroid kernel runs per
-    * subspace over the sliced vector. */
-  def encode(corpus: DataFrame, cb: Codebooks,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val codeCols: Seq[Column] = (0 until cb.m).map { s =>
+  /** The `m` per-subspace code columns for `vecCol` — shared by [[encode]]
+    * and [[IvfPq.encode]] (which keeps its coarse `cell` column alongside). */
+  private[ext] def codeColumns(cb: Codebooks, vecCol: String): Seq[Column] =
+    (0 until cb.m).map { s =>
       VectorFunctions.nearest_centroids(
         expr(s"slice($vecCol, ${s * cb.subDim + 1}, ${cb.subDim})"),
         cb.books(s).flatten.toArray, cb.subDim, 1)(0)
     }
-    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
-  }
+
+  /** Encode every vector as its `m` nearest-subspace-centroid codes.
+    * One map-side pass; the codegen'd nearest-centroid kernel runs per
+    * subspace over the sliced vector. */
+  def encode(corpus: DataFrame, cb: Codebooks,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), array(codeColumns(cb, vecCol): _*).as("codes"))
 
   /** `reconstruct(codes)` as a Column: concatenation of each subspace's
     * coded centroid from the broadcast-literal codebook — array<float>,
     * feeding the same codegen'd cosine kernel the exact paths use. */
-  private def reconstruct(cb: Codebooks, codes: Column): Column = {
+  private[ext] def reconstruct(cb: Codebooks, codes: Column): Column = {
     // flat literal: entry s*k + j = centroid j of subspace s
     val flat = typedlit(cb.books.flatten)
     flatten(transform(sequence(lit(0), lit(cb.m - 1)),

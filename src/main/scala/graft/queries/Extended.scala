@@ -82,6 +82,11 @@ object Extended {
       graft.ext.PQ.pqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
         q91Fit(s, d), nCandidates = 40)
     }),
+    "q102_candidates" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ext.IvfPq.ivfPqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
+        q102Fit(s, d), nProbe = 8, nCandidates = 40)
+    }),
     "q32_features" -> ((s: SparkSession, d: String) => {
       // the exact per-media vectors q32's pipeline aggregates, via the
       // same mapPartitions kernel (extractFeatures), media_id + feature
@@ -110,6 +115,14 @@ object Extended {
   private def q91Fit(s: SparkSession, d: String): graft.ext.PQ.Codebooks =
     graft.ext.PQ.fit(Tables.embeddings(s, d), "vec_id", "embedding",
       dim = 64, m = 8, k = 16, iterations = 3, seed = 42L)
+
+  /** q102's shared IVF-PQ index fit (32 coarse cells, 8 subspaces × 16
+    * residual centroids; deterministic per KMeans.fit's exact-arithmetic
+    * contract — both the coarse and residual fits — so the candidate dump
+    * reproduces the in-query candidate set). */
+  private def q102Fit(s: SparkSession, d: String): graft.ext.IvfPq.Index =
+    graft.ext.IvfPq.fit(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, numCells = 32, m = 8, k = 16, iterations = 3, seed = 42L)
 
   /** Exact-cosine re-rank oracle over a materialized candidate dump:
     * identical scoring (DuckDB's list_cosine_similarity over DOUBLE[] is
@@ -514,6 +527,21 @@ object Extended {
           .orderBy("query_id", "rank")
       },
       Some(rerankOracle("q33_candidates", k = 10))),
+
+    ("q102_cosine_topk_ivfpq",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        // the composed 10⁹-vector architecture: IVF coarse cells prune
+        // the scan to nProbe/numCells, PQ residual codes shrink what's
+        // scanned ~32×; ADC candidates exact-re-ranked. Same oracle
+        // contract as q30/q33/q91: deterministic candidate dump,
+        // re-ranked exactly.
+        graft.ext.IvfPq.topKIvfPq(emb, queries, k = 10, q102Fit(s, d),
+            nProbe = 8, refine = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(rerankOracle("q102_candidates", k = 10))),
 
     ("q31_embed_neardup",
       (s: SparkSession, d: String) => {
