@@ -48,14 +48,22 @@ object Multimodal {
 
   /** Partition-wise feature extraction. `mapPartitions` (not per-row map)
     * so a real decoder can amortize codec/model initialization per
-    * partition — the same batching contract as a vectorized UDF. */
-  def extractFeatures(records: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
+    * partition — the same batching contract as a vectorized UDF.
+    *
+    * `decode` is the codec seam: defaults to the deterministic stub (the
+    * oracle path — q32's dump oracle pins it), and [[graft.ext.Codecs
+    * .decodeReal]] swaps in the REAL dependency-free BMP/WAV decoders
+    * with no other change (MultimodalSpec proves the swap on generated
+    * real-format fixtures). */
+  def extractFeatures(records: Dataset[MediaRecord], dim: Int = 64,
+                      decode: (Array[Byte], Int) => Array[Float] = decodeStub)
+      : Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       // per-partition init would go here (codec handles, model weights)
       it.map { r =>
         MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
-          decodeStub(r.content, dim))
+          decode(r.content, dim))
       }
     }
   }
