@@ -160,9 +160,18 @@ object Ingest {
     * crash in any window is healed on the next call by [[recoverCompaction]]:
     * manifest present → the copy is complete, finish the (idempotent)
     * delete+rename; manifest absent → the copy is partial and every
-    * source still exists, discard tmp. */
+    * source still exists, discard tmp.
+    *
+    * `transform` rewrites the merged frame inside the SAME crash-safe
+    * swap — the hook in-stream retention rides ([[Retention
+    * .expireHistory]] is "compaction that also collapses old history").
+    * With a transform the rewrite runs even when only one committed dir
+    * exists (a transform can change rows; plain compaction of one dir is
+    * a no-op). The transform must be deterministic for a given table
+    * state: a crash-replayed run re-derives the same output. */
   def compactBatches(spark: SparkSession, warehouseDir: String,
-                     physicalName: String, upToBatch: Long): Unit = {
+                     physicalName: String, upToBatch: Long,
+                     transform: Option[DataFrame => DataFrame] = None): Unit = {
     val dir = s"$warehouseDir/$physicalName"
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -174,11 +183,32 @@ object Ingest {
         scala.util.Try(p.getName.stripPrefix("batch=").toLong)
           .toOption.exists(_ <= upToBatch)
     }
-    if (mergeDirs.length <= 1) return // already compact
+    // a batch dir can hold ZERO data files (e.g. a dead-letter batch with
+    // no dead records: the overwrite still creates the dir + _SUCCESS) —
+    // schema-less dirs can't be read, but they still fold away: excluded
+    // from the merge read, included in the manifest's delete list
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    val (dataDirs, emptyDirs) = mergeDirs.partition(hasData)
+    if (dataDirs.isEmpty) {
+      // nothing readable to merge: just drop the empty husks (idempotent,
+      // no manifest needed — deleting an empty dir can lose nothing)
+      emptyDirs.foreach(p => fs.delete(p, true))
+      return
+    }
+    if (mergeDirs.length <= 1 && transform.isEmpty)
+      return // already compact (and no rewrite requested)
     val merged = spark.read.option("basePath", dir).option("mergeSchema", true)
-      .parquet(mergeDirs.map(_.toString).toIndexedSeq: _*)
+      .parquet(dataDirs.map(_.toString).toIndexedSeq: _*)
     val hasDt = merged.columns.contains(Envelope.DtCol)
-    val out = merged.drop("batch")
+    val out = transform.foldLeft(merged.drop("batch"))((df, t) => t(df))
     val writer = out.write.mode("overwrite")
     (if (hasDt) writer.partitionBy(Envelope.DtCol) else writer).parquet(tmp.toString)
     // commit point: manifest names the dirs the tmp copy supersedes;

@@ -35,6 +35,15 @@ final case class KafkaSource(bootstrapServers: String, topics: String,
                              startingOffsets: String = "earliest",
                              maxOffsetsPerTrigger: Long = 1000000L) extends CdcSource
 
+/** In-stream history-retention policy for one table: history older than
+  * `lag` behind the table's NEWEST event time collapses to its as-of
+  * state per `pk` (tombstones retained — [[graft.cdc.Retention
+  * .expireHistory]]'s contract: every asOf/changesBetween at or after the
+  * horizon is unchanged). The horizon derives from the data (max
+  * update_date − lag), never the wall clock, so a crash-replayed expiry
+  * recomputes identically. */
+final case class ExpirePolicy(lag: String, pk: Seq[String])
+
 final case class CdcStreamConfig(
     inputDir: String,
     warehouseDir: String,
@@ -79,7 +88,16 @@ final case class CdcStreamConfig(
       * the dominant per-trigger cost of a long-running stream. Replay-
       * safe: only ids the checkpoint can no longer replay are merged
       * (see Ingest.compactBatches). 0 = off. */
-    compactEveryNBatches: Int = 0)
+    compactEveryNBatches: Int = 0,
+    /** > 0: every N micro-batches, collapse each listed table's history
+      * older than its [[ExpirePolicy]] horizon to its as-of state —
+      * retention bound for a long-running stream WITHOUT a restart. Runs
+      * through the same crash-safe manifest swap as compaction (expiry
+      * IS a compacting rewrite), so it also merges batch dirs for its
+      * tables. 0 = off. */
+    expireEveryNBatches: Int = 0,
+    /** logical table name → in-stream retention policy. */
+    expire: Map[String, ExpirePolicy] = Map.empty)
 
 object CdcStream {
 
@@ -204,6 +222,30 @@ object CdcStream {
             .foreach { phys =>
               Ingest.compactBatches(sess, cfg.warehouseDir, phys, batchId - 1)
             }
+        }
+        if (cfg.expireEveryNBatches > 0 && batchId > 0 &&
+            batchId % cfg.expireEveryNBatches == 0) {
+          val sess = df.sparkSession
+          cfg.expire.foreach { case (table, pol) =>
+            registry.get(table) match {
+              case Some(spec) =>
+                Ingest.compactBatches(sess, cfg.warehouseDir, spec.physicalName,
+                  batchId - 1, transform = Some { merged =>
+                    // horizon from the DATA (newest event time − lag), not
+                    // the wall clock: deterministic under crash replay. A
+                    // timestamp-typed horizon compares correctly against
+                    // both registry update_date types (STRING is ISO-8601;
+                    // Spark casts the string side for the comparison).
+                    val mx = merged.agg(max(col("update_date").cast("timestamp"))).head()
+                    if (mx.isNullAt(0)) merged
+                    else graft.cdc.Retention.expireHistory(merged,
+                      lit(mx.getTimestamp(0)) - expr(s"INTERVAL ${pol.lag}"),
+                      pol.pk)
+                  })
+              case None => System.err.println(
+                s"[graft-cdc] expire policy for unregistered table '$table' ignored")
+            }
+          }
         }
       }
       .start()
