@@ -55,7 +55,34 @@ object ScaleBench {
     // the range-bucketed prefix-sum machinery under a 10x-wider total
     // order) and the centroid argmin (q100 — posexplode melt is the
     // row-heaviest frame in the suite at 64 dims per vector)
-    "q99_length_buckets", "q100_group_centroid")
+    "q99_length_buckets", "q100_group_centroid",
+    // round-6 coverage: every round-5 query over ~0.8 s at sf0.1 plus the
+    // cheap q98/q101 (their machinery — heap selection, digest diff — is
+    // the part that must stay linear)
+    "q93_merge_upsert", "q95_mad_outliers", "q97_expire_history",
+    "q98_stratified_sample", "q101_corpus_diff",
+    // ANN under the production workload model: probe COUNT held constant
+    // (queries/sec is a workload property — it does not grow because the
+    // corpus did), so the ratio measures the corpus-side scan. q102's
+    // cell-pruned ADC scan must beat q91's full-codes scan per row.
+    "q91_cosine_topk_pq@probes", "q92_pq_recall@probes",
+    "q102_cosine_topk_ivfpq@probes")
+
+  /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
+    * size — the fixed query batch the ANN scale rows run against. */
+  private def fixedProbes(emb: DataFrame, target: Long = 120L): DataFrame = {
+    val n = math.max(1L, emb.count())
+    val oneIn = math.max(1L, n / target)
+    emb.filter(pmod(xxhash64(col("vec_id"), lit(3L)), lit(oneIn)) === 0)
+  }
+
+  private def pqFit(s: SparkSession, d: String): graft.ext.PQ.Codebooks =
+    graft.ext.PQ.fit(graft.core.Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iterations = 3, seed = 42L)
+
+  private def ivfPqFit(s: SparkSession, d: String): graft.ext.IvfPq.Index =
+    graft.ext.IvfPq.fit(graft.core.Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, numCells = 32, m = 8, k = 16, iterations = 3, seed = 42L)
 
   /** Rows not in SparkEntry.queries: the production-regime variants. */
   def customQuery(name: String): Option[(SparkSession, String) => DataFrame] =
@@ -65,6 +92,35 @@ object ScaleBench {
             graft.core.Tables.embeddings(s, d), threshold = 0.85,
             targetRecall = 0.999)
           .orderBy("id1", "id2"))
+      case "q91_cosine_topk_pq@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        graft.ext.PQ.topKPq(emb, fixedProbes(emb), k = 10, pqFit(s, d),
+            refine = 4)
+          .orderBy("query_id", "rank")
+      })
+      case "q102_cosine_topk_ivfpq@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        graft.ext.IvfPq.topKIvfPq(emb, fixedProbes(emb), k = 10,
+            ivfPqFit(s, d), nProbe = 8, refine = 4)
+          .orderBy("query_id", "rank")
+      })
+      case "q92_pq_recall@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        val probes = fixedProbes(emb)
+        val exact = graft.ext.Similarity.topKBruteForce(emb, probes, k = 10)
+        val approx = graft.ext.PQ.topKPq(emb, probes, k = 10, pqFit(s, d),
+          refine = 4)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("recall_hits"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
+            lit(10L).as("k"))
+          .orderBy("query_id")
+      })
       case _ => None
     }
 
@@ -76,6 +132,7 @@ object ScaleBench {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
 
     def replicaDocs(i: Int): DataFrame =
       if (i == 0) docs
@@ -108,6 +165,15 @@ object ScaleBench {
     (0 until factor).map(replicaOrders).reduce(_ unionByName _)
       .repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/orders.parquet")
+    // lineitem: keys offset per replica, value/measure columns untouched —
+    // group cardinality (l_returnflag) stays constant while rows ×FACTOR,
+    // exactly the regime q95's per-group percentile passes must survive
+    def replicaLineitem(i: Int): DataFrame =
+      if (i == 0) lineitem
+      else lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdOffset))
+    (0 until factor).map(replicaLineitem).reduce(_ unionByName _)
+      .repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/lineitem.parquet")
   }
 
   def main(args: Array[String]): Unit = {
