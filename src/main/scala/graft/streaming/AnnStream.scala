@@ -95,7 +95,7 @@ object AnnStream {
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.inputDir)
       .writeStream
-      .queryName("graft-ann-index")
+      .queryName(s"graft-ann-index-${graft.streaming.CdcStream.streamId()}")
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, cb, cfg))
       .start()

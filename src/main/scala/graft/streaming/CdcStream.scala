@@ -34,6 +34,17 @@ final case class FileSource(inputDir: String) extends CdcSource
 final case class KafkaSource(bootstrapServers: String, topics: String,
                              startingOffsets: String = "earliest",
                              maxOffsetsPerTrigger: Long = 1000000L) extends CdcSource
+/** Directory-backed append-only record queue with Kafka's OFFSET
+  * semantics ([[graft.sources.QueueSourceProvider]]): global monotonic
+  * offsets, checkpointed (start, end] ranges, bounded admission via
+  * maxRecordsPerTrigger through the same SupportsAdmissionControl engine
+  * path Kafka's maxOffsetsPerTrigger uses. The in-repo proof of the
+  * queue-shaped S1 seam — this container has no broker and no Kafka
+  * connector jar, so [[KafkaSource]]'s E2E runs as QueueSource E2E
+  * (QueueSourceSpec: bounded batches, restart-resume, file-source
+  * parity); a deployment swaps the format string, nothing else. */
+final case class QueueSource(dir: String,
+                             maxRecordsPerTrigger: Long = 1000000L) extends CdcSource
 
 /** In-stream history-retention policy for one table: history older than
   * `lag` behind the table's NEWEST event time collapses to its as-of
@@ -101,6 +112,12 @@ final case class CdcStreamConfig(
 
 object CdcStream {
 
+  private val nextStreamId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Session-unique suffix for streaming query names (Spark rejects two
+    * ACTIVE queries sharing a name); also used by AnnStream/DocStream. */
+  private[streaming] def streamId(): Long = nextStreamId.getAndIncrement()
+
   /** Kafka wire frame → envelope lines: the record value IS the line.
     * Pure projection, so the whole downstream pipeline is testable from
     * any frame with the Kafka schema (key/value binary, topic, partition,
@@ -122,6 +139,12 @@ object CdcStream {
           .option("startingOffsets", offsets)
           .option("maxOffsetsPerTrigger", maxPerTrigger)
           .load())
+      case QueueSource(dir, maxPerTrigger) =>
+        spark.readStream
+          .format(classOf[graft.sources.QueueSourceProvider].getName)
+          .option("path", dir)
+          .option("maxRecordsPerTrigger", maxPerTrigger)
+          .load()
     }
 
     val parsed = Envelope.parse(lines)
@@ -146,8 +169,11 @@ object CdcStream {
       if (cfg.registry.nonEmpty || cfg.registryPath.isEmpty) cfg.registry
       else graft.cdc.Registry.load(cfg.registryPath.get)
 
+    // unique per start: Spark rejects two ACTIVE queries with one name,
+    // so a fixed name would forbid two concurrent CDC streams (different
+    // table groups, or test suites) in one session
     deduped.writeStream
-      .queryName("graft-cdc-stream")
+      .queryName(s"graft-cdc-stream-${CdcStream.streamId()}")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

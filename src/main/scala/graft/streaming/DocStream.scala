@@ -60,7 +60,7 @@ object DocStream {
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.inputDir)
       .writeStream
-      .queryName("graft-doc-dedup")
+      .queryName(s"graft-doc-dedup-${graft.streaming.CdcStream.streamId()}")
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, cfg))
       .start()
