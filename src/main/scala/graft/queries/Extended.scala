@@ -1591,6 +1591,56 @@ object Extended {
              |FROM q LEFT JOIN h USING (query_id)
              |ORDER BY query_id""".stripMargin)),
 
+    ("q103_ivfpq_recall",
+      (s: SparkSession, d: String) => {
+        // index-quality monitor for the COMPOSED index (q92's shape over
+        // q102's machinery): per-query recall@10 of cell-pruned ADC +
+        // exact re-rank against brute-force truth — the continuous check
+        // that coarse-cell pruning plus residual-code compression isn't
+        // silently eating recall
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val exact = Similarity.topKBruteForce(emb, queries, k = 10)
+        val approx = graft.ext.IvfPq.topKIvfPq(emb, queries, k = 10,
+          q102Fit(s, d), nProbe = 8, refine = 4)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("recall_hits"))
+        queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
+            lit(10L).as("k"))
+          .orderBy("query_id")
+      },
+      // exact side: q29's brute-force oracle; approx side: q102's
+      // candidate-dump re-rank — recall is their per-query overlap
+      Some(s"""WITH cand AS (SELECT DISTINCT query_id, neighbor_id
+             |              FROM read_parquet('$OracleAuxDir/q102_candidates/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id % 50 = 0),
+             |ex AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         row_number() OVER (PARTITION BY q.query_id
+             |           ORDER BY list_cosine_similarity(e.dv, q.qv) DESC, e.vec_id) AS rnk
+             |       FROM v e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |exk AS (SELECT query_id, neighbor_id FROM ex WHERE rnk <= 10),
+             |ap AS (SELECT c.query_id, c.neighbor_id,
+             |         row_number() OVER (PARTITION BY c.query_id
+             |           ORDER BY list_cosine_similarity(cn.dv, cq.dv) DESC, c.neighbor_id) AS rnk
+             |       FROM cand c JOIN v cq ON cq.vec_id = c.query_id
+             |                   JOIN v cn ON cn.vec_id = c.neighbor_id),
+             |apk AS (SELECT query_id, neighbor_id FROM ap WHERE rnk <= 10),
+             |h AS (SELECT e.query_id, COUNT(*) AS recall_hits
+             |      FROM exk e JOIN apk a
+             |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+             |      GROUP BY 1)
+             |SELECT q.query_id,
+             |       CAST(COALESCE(h.recall_hits, 0) AS BIGINT) AS recall_hits,
+             |       CAST(10 AS BIGINT) AS k
+             |FROM q LEFT JOIN h USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {
         // epoch-repetition mixing (weights > 1): ⌊w⌋ copies + a hash-
