@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, explode, posexplode}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, explode, posexplode}
 
 import graft.functions.TopK
 import graft.functions.VectorFunctions._
@@ -302,6 +302,86 @@ object Similarity {
         max(col("__n")).as("n_members"))
       .select(col("__g").as(groupCol), col("__best.__id").as("rep_id"),
         col("n_members"), col("__best.__d2").as("dist2n2"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): a k-means clustering partitions
+    * the corpus into semantic cells sized ~`targetCellSize`, exact
+    * cosine ≥ threshold pairs are verified WITHIN cells only (the
+    * SemDeDup approximation — semantic duplicates land in the same cell
+    * by construction), connected components group them, and the
+    * smallest id per component survives.
+    *
+    * Output: one row per corpus vector — (idCol, rep_id, kept); kept
+    * vectors are their own representative.
+    *
+    * Scale shape: numCells = n / targetCellSize, so total within-cell
+    * pair work is n × targetCellSize — LINEAR in n (the same
+    * occupancy-sizing argument as [[nearDupPairsAuto]]'s bits). The
+    * cell self-join moves (id, cell) rows only; vectors join back per
+    * candidate pair; components run on the verified EDGE list (bounded
+    * union-find below 1M edges, large-star/small-star above —
+    * [[Dedup.clusterPairs]]); `maxCellSize` caps degenerate cells
+    * LOUDLY ([[graft.core.Skew.capGroupSize]]). Deterministic for
+    * (corpus, params, seed) per [[KMeans.fit]]'s exact-arithmetic
+    * contract — the cell dump lets an oracle recompute the whole
+    * downstream exactly. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    targetCellSize: Int = 256, iterations: Int = 5,
+                    seed: Long = 42L, trainTarget: Int = 100000,
+                    maxCellSize: Int = 10000): DataFrame =
+    semanticDedupFromCells(corpus,
+      semanticCells(corpus, idCol, vecCol, targetCellSize, iterations, seed,
+        trainTarget),
+      threshold, idCol, vecCol, maxCellSize)
+
+  /** The (id, cell) semantic-cell assignment [[semanticDedup]] verifies
+    * within — split out so an oracle dump IS the assignment the query
+    * used (q74/q102's dumped-fit contract). */
+  def semanticCells(corpus: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    targetCellSize: Int = 256, iterations: Int = 5,
+                    seed: Long = 42L, trainTarget: Int = 100000): DataFrame = {
+    import graft.functions.VectorFunctions
+    val n = math.max(1L, corpus.count())
+    val k = math.max(4L, n / math.max(1, targetCellSize)).toInt
+    val first = corpus.select(col(vecCol)).limit(1).collect()
+    require(first.nonEmpty, "empty corpus")
+    val dim = first.head.getSeq[Float](0).length
+    val cents = KMeans.fit(corpus, idCol, vecCol, k, dim, iterations, seed,
+      trainTarget)
+    corpus.select(col(idCol).as("id"),
+      VectorFunctions.nearest_centroids(col(vecCol), cents, dim, 1)(0).as("cell"))
+  }
+
+  /** [[semanticDedup]] over a precomputed (id, cell) assignment. */
+  def semanticDedupFromCells(corpus: DataFrame, cells: DataFrame,
+                             threshold: Double,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             maxCellSize: Int = 10000): DataFrame = {
+    val c0 = cells.persist() // capGroupSize counts, then both join sides
+    val b = graft.core.Skew.capGroupSize(c0, Seq("cell"), maxCellSize)
+    val pairs = b.toDF("id1", "cell").join(b.toDF("id2", "cell"), Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v")).persist()
+    val verified = pairs
+      .join(vecs.select(col("_vid").as("id1"), col("_v").as("v1")), "id1")
+      .join(vecs.select(col("_vid").as("id2"), col("_v").as("v2")), "id2")
+      .filter(cosine_similarity(col("v1"), col("v2")) >= threshold)
+      .select("id1", "id2")
+      .localCheckpoint(true) // edge list materialized; release the caches
+    c0.unpersist(false)
+    vecs.unpersist(false)
+    val clusters = Dedup.clusterPairs(verified) // (id, cluster_id = min id)
+    corpus.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("rep_id"))
+      .withColumn("kept", col("rep_id") === col(idCol))
   }
 
   /** Plain-Scala exact top-k oracle for tests (drives nothing at scale). */

@@ -87,6 +87,11 @@ object Extended {
       graft.ext.IvfPq.ivfPqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
         q102Fit(s, d), nProbe = 8, nCandidates = 40)
     }),
+    "q104_cells" -> ((s: SparkSession, d: String) =>
+      // the exact semantic-cell assignment q104 dedups within — the
+      // oracle recomputes the whole downstream (within-cell cosine
+      // pairs, connected components, min-id representative) from it
+      q104Cells(s, d)),
     "q32_features" -> ((s: SparkSession, d: String) => {
       // the exact per-media vectors q32's pipeline aggregates, via the
       // same mapPartitions kernel (extractFeatures), media_id + feature
@@ -111,18 +116,39 @@ object Extended {
 
   /** q91's shared PQ codebook fit (8 subspaces × 16 centroids;
     * deterministic per KMeans.fit's exact-arithmetic contract, so the
-    * candidate dump reproduces the in-query candidate set). */
+    * candidate dump reproduces the in-query candidate set).
+    *
+    * Memoized per sf dir (as is [[q102Fit]]): the fit is a pure function
+    * of (corpus, params, seed) — q91, q92, and the dump would otherwise
+    * each refit identical codebooks, which models neither deployment
+    * (indexes are fit once, queried/monitored repeatedly) nor the
+    * oracle contract (which only needs determinism, not recomputation). */
+  private val q91FitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ext.PQ.Codebooks]()
   private def q91Fit(s: SparkSession, d: String): graft.ext.PQ.Codebooks =
-    graft.ext.PQ.fit(Tables.embeddings(s, d), "vec_id", "embedding",
-      dim = 64, m = 8, k = 16, iterations = 3, seed = 42L)
+    q91FitCache.computeIfAbsent(d, dir =>
+      graft.ext.PQ.fit(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iterations = 3, seed = 42L))
 
   /** q102's shared IVF-PQ index fit (32 coarse cells, 8 subspaces × 16
     * residual centroids; deterministic per KMeans.fit's exact-arithmetic
     * contract — both the coarse and residual fits — so the candidate dump
     * reproduces the in-query candidate set). */
+  /** q104's shared semantic-cell assignment (memoized like [[q102Fit]];
+    * deterministic per KMeans.fit — the dump IS the query's cells). */
+  private val q104CellsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def q104Cells(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    q104CellsCache.computeIfAbsent(d, dir =>
+      Similarity.semanticCells(Tables.embeddings(s, dir),
+        targetCellSize = 256, iterations = 5, seed = 42L).localCheckpoint(true))
+
+  private val q102FitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ext.IvfPq.Index]()
   private def q102Fit(s: SparkSession, d: String): graft.ext.IvfPq.Index =
-    graft.ext.IvfPq.fit(Tables.embeddings(s, d), "vec_id", "embedding",
-      dim = 64, numCells = 32, m = 8, k = 16, iterations = 3, seed = 42L)
+    q102FitCache.computeIfAbsent(d, dir =>
+      graft.ext.IvfPq.fit(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, numCells = 32, m = 8, k = 16, iterations = 3, seed = 42L))
 
   /** Exact-cosine re-rank oracle over a materialized candidate dump:
     * identical scoring (DuckDB's list_cosine_similarity over DOUBLE[] is
@@ -1640,6 +1666,43 @@ object Extended {
              |       CAST(10 AS BIGINT) AS k
              |FROM q LEFT JOIN h USING (query_id)
              |ORDER BY query_id""".stripMargin)),
+
+    ("q104_semantic_dedup",
+      (s: SparkSession, d: String) => {
+        // SemDeDup: k-means semantic cells (n/256 cells — within-cell
+        // pair work linear in n), exact cosine >= 0.4 within cells,
+        // connected components, min-id representative survives. The
+        // threshold matches q31/q90's data-appropriate 0.4 (corpus is
+        // near-random; see q31's note).
+        Similarity.semanticDedupFromCells(Tables.embeddings(s, d),
+            q104Cells(s, d), threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      // GROUND-TRUTH downstream oracle: DuckDB recomputes within-cell
+      // all-pairs cosine, the recursive-CTE closure (q85's pattern),
+      // and the min-id representative from the dumped cell assignment
+      Some(s"""WITH RECURSIVE c AS (SELECT id, cell
+             |           FROM read_parquet('$OracleAuxDir/q104_cells/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+             |pairs AS (
+             |  SELECT a.id AS id1, b.id AS id2
+             |  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+             |  JOIN v va ON va.vec_id = a.id
+             |  JOIN v vb ON vb.vec_id = b.id
+             |  WHERE list_cosine_similarity(va.dv, vb.dv) >= 0.4),
+             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+             |          UNION SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+             |SELECT e.vec_id,
+             |       COALESCE(l.rep, e.vec_id) AS rep_id,
+             |       COALESCE(l.rep, e.vec_id) = e.vec_id AS kept
+             |FROM (SELECT vec_id FROM embeddings) e
+             |LEFT JOIN lbl l ON l.id = e.vec_id
+             |ORDER BY e.vec_id""".stripMargin)),
 
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {

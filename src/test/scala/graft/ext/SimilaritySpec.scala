@@ -172,4 +172,28 @@ class SimilaritySpec extends SparkTestBase {
     val bf = Similarity.topKBruteForce(emb, q, 5)
     assert(bf.groupBy("query_id").count().select(min("count")).head().getLong(0) == 5L)
   }
+
+  test("semanticDedup: one representative per planted cluster, stable under repartition") {
+    // 8 planted clusters of 6 near-identical members: every member pair
+    // has cosine ~1, cross-cluster ~random — semantic dedup must keep
+    // exactly the min id of each cluster
+    val corpus = planted(8, 6).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, threshold = 0.95,
+        targetCellSize = 8, iterations = 4)
+      .orderBy("vec_id").collect()
+    assert(out.length == 48)
+    for (r <- out) {
+      val id = r.getLong(0); val rep = r.getLong(1); val kept = r.getBoolean(2)
+      val clusterMin = (id / 6) * 6
+      assert(rep == clusterMin, s"id $id: rep $rep != cluster min $clusterMin")
+      assert(kept == (id == clusterMin))
+    }
+    assert(out.count(_.getBoolean(2)) == 8, "exactly one survivor per cluster")
+    val again = Similarity.semanticDedup(corpus.repartition(7), threshold = 0.95,
+        targetCellSize = 8, iterations = 4)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "dedup verdict must not depend on partitioning")
+  }
 }
