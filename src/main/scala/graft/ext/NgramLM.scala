@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model scoring over a corpus — the two
+  * standard uses in a training-data pipeline:
+  *
+  *  - '''perplexity filtering''' (CCNet, Wenzek et al. 2020,
+  *    arXiv:1911.00359): score every document under an n-gram LM and
+  *    drop the worst tail — the cheap proxy for "is this fluent text".
+  *    The reference pipeline uses KenLM; the model here is a
+  *    Laplace-smoothed bigram LM trained on the corpus itself, which
+  *    keeps the whole thing exactly recomputable by an independent
+  *    engine (the real-KenLM swap is a scoring-UDF seam, not a plan
+  *    change).
+  *  - '''importance resampling''' (DSIR, Xie et al. 2023,
+  *    arXiv:2302.03169): weight every raw document by
+  *    log p_target(d) − log p_raw(d) under two unigram feature LMs and
+  *    keep the top of the reweighted distribution. The paper hashes
+  *    n-gram features into 10k buckets; with a closed test vocabulary
+  *    plain unigrams are the same estimator (the hash is a modular
+  *    `hash(term) % B` swap on the group key).
+  *
+  * Scale shape: every model is a pre-aggregated count frame (vocab- or
+  * bigram-vocab-sized, map-side combinable), documents reduce to
+  * per-doc (gram, n) frames before any join, and count frames join
+  * back by key — no per-row UDF, no driver-side model object, no
+  * window over the corpus. Threshold selection (the filter quantile)
+  * is one exact percentile over a doc-count-sized frame.
+  */
+object NgramLM {
+
+  /** Per-document (w1, w2, n) adjacent-bigram counts from a
+    * space-tokenized text column. Derived with one `transform` over the
+    * token array — no self-join, no posexplode matching. */
+  def docBigrams(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // size < 2 would make sequence(0, size-2) DESCEND ([0, -1]) and
+    // element_at(toks, 0) throw — single-token docs have no bigrams
+    docs.filter(size(toks) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+                      element_at(toks, i + 2).as("w2")))).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+  }
+
+  /** Average bigram log-likelihood per document under a
+    * Laplace-smoothed bigram LM trained on `train` (usually the corpus
+    * itself):
+    *
+    *   logP(w2|w1) = ln((c(w1,w2) + 1) / (c(w1·) + V))
+    *
+    * where c(w1·) is w1's count as a bigram CONTEXT (both counts derive
+    * from the same bigram frame, so the model is self-consistent and
+    * independently recomputable) and V is the distinct-unigram count of
+    * the training corpus. Unseen bigrams whose context was seen still
+    * score via smoothing; the left-join keeps c12 = 0 rows finite.
+    *
+    * Output: (doc_id, n_bigrams, avg_lp) with avg_lp rounded to
+    * `scale` decimals — the per-doc sum is ≤ doc-length ln() terms, so
+    * cross-engine libm 1-ulp drift is ~1e-13 relative, far inside a
+    * 4-decimal round. */
+  def bigramLogLik(docs: DataFrame, train: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   scale: Int = 4): DataFrame = {
+    val grams = docBigrams(docs, idCol, textCol)
+    val c12 = docBigrams(train, idCol, textCol)
+      .groupBy("w1", "w2").agg(sum("n").as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = train
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    grams
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        col("n") * log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        round(sum("lp") / sum("n"), scale).as("avg_lp"))
+  }
+
+  /** CCNet-style perplexity filter: score every document with
+    * [[bigramLogLik]] against the corpus-trained LM and flag the ones
+    * at or above the `keepQuantile` exact percentile of avg_lp (higher
+    * log-likelihood = more fluent under the model). The threshold is
+    * one exact interpolated percentile over the O(docs) scored frame,
+    * broadcast back — identical to q61's quantile-gate contract. */
+  def perplexityFilter(docs: DataFrame, keepQuantile: Double,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val scored = bigramLogLik(docs, docs, idCol, textCol)
+    val thr = scored.agg(
+      expr(s"percentile(avg_lp, ${keepQuantile})").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_lp"),
+        (col("avg_lp") >= col("thr")).as("kept"))
+  }
+
+  /** DSIR importance weight per raw document:
+    *
+    *   w(d) = Σ_tok n_tok(d) · ln(p_target(tok) / p_raw(tok))
+    *
+    * with both unigram LMs Laplace-smoothed over the UNION vocabulary,
+    * p(tok) = (c(tok) + 1) / (total + V). `target` is the
+    * distribution to steer toward (e.g. one language or source slice);
+    * weights are comparable across documents of similar length (the
+    * paper resamples proportionally to exp(w); the deterministic
+    * engine surface exposes the ranked weights and leaves the
+    * categorical draw to the caller's sampler, [[Sharding]]-style).
+    *
+    * Output: (doc_id, n_tokens, log_w) rounded to `scale`. */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  scale: Int = 4): DataFrame = {
+    def unigrams(d: DataFrame) =
+      d.select(col(idCol).as("doc_id"),
+          explode(split(col(textCol), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val rawU = unigrams(raw)
+    val cRaw = rawU.groupBy("w").agg(sum("n").as("c_raw"))
+    val cTgt = unigrams(target).groupBy("w").agg(sum("n").as("c_tgt"))
+    // union vocabulary + totals: one tiny frame each, broadcast
+    val model = cRaw.join(cTgt, Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("c_raw"), lit(0L)).as("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+    val totals = model.agg(sum("c_raw").as("t_raw"), sum("c_tgt").as("t_tgt"),
+      count(lit(1)).as("v"))
+    rawU
+      .join(model, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((coalesce(col("c_tgt"), lit(0L)) + lit(1.0)) / (col("t_tgt") + col("v"))) -
+        log((coalesce(col("c_raw"), lit(0L)) + lit(1.0)) / (col("t_raw") + col("v"))))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"), round(sum(col("n") * col("lr")), scale).as("log_w"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval (BM25) over a document corpus — the
+  * dual-encoder-free half of a RAG / dedup-by-retrieval stack, and the
+  * classic "find the training doc that answers this eval question"
+  * decontamination probe.
+  *
+  * Scale shape: the corpus side is reduced to a (doc_id, term, tf)
+  * posting frame (one hash agg, map-side combinable); the query side is
+  * tiny and BROADCAST onto the postings, so per-query work is
+  * proportional to the posting lists of its terms — never a corpus
+  * scan per query. Document-frequency and average-doc-length frames are
+  * O(vocab) / O(1) and broadcast. Top-k per query runs through the
+  * bounded-heap aggregator ([[graft.functions.TopK.top_k]]): partial
+  * heaps combine map-side, the shuffle moves O(queries × k) rows, and
+  * no global or per-query sort of the full scored frame ever happens.
+  */
+object Retrieval {
+
+  /** BM25 top-k retrieval: for each query (a bag of terms), the k
+    * highest-scoring documents.
+    *
+    * score(q, d) = Σ_{t ∈ q, tf(t,d) > 0}
+    *   ln(1 + (N − df + 0.5) / (df + 0.5))          ← Lucene/Robertson idf
+    *   · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scores round to 4 decimals BEFORE ranking (q72's contract: a 1-ulp
+    * ln()/division divergence between engines cannot flip a rank); ties
+    * break on doc_id asc. `queries` must be (query_id: Long, term:
+    * String) — duplicate (query_id, term) rows are collapsed (a query
+    * is a term SET here, the standard bag-of-words probe).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // two scalars (N, avgdl) — a 1-row broadcast crossJoin
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val q = queries.select(col("query_id"), col("term")).distinct()
+
+    val contrib = broadcast(q)
+      .join(tf, "term") // per-query work = posting lists of its terms
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfn",
+        col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("query_id"), col("doc_id"), (col("idf") * col("tfn")).as("c"))
+
+    contrib
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")), 4).as("score"))
+      .filter(col("query_id") =!= col("doc_id")) // self-retrieval is noise here
+      // bounded heap; the aggregator's tie order (score desc, id asc)
+      // is exactly the oracle's window ordering
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.top_k(k)(col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** The derived query set [[graft.queries.Extended]]'s q105 retrieves
+    * with: every `every`-th document contributes its distinct
+    * first-`width` tokens as one term-set query (query_id = doc_id).
+    * Derivable identically in SQL, so the oracle needs no dump. */
+  def probeQueries(docs: DataFrame, every: Int, width: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.filter(col(idCol) % every === 0)
+      .select(col(idCol).as("query_id"),
+        explode(array_distinct(slice(split(col(textCol), " "), 1, width))).as("term"))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{CorpusDiff, Dedup, Multimodal, RangeJoin, RobustStats, Sharding, Similarity, TextAnalysis}
+import graft.ext.{CorpusDiff, Dedup, Multimodal, NgramLM, RangeJoin, Retrieval, RobustStats, Sharding, Similarity, TextAnalysis}
 
 /** Extended operator queries: training-data-pipeline ops beyond the
   * reference's own surface (dedup family, ANN similarity, text analysis,
@@ -1703,6 +1703,99 @@ object Extended {
              |FROM (SELECT vec_id FROM embeddings) e
              |LEFT JOIN lbl l ON l.id = e.vec_id
              |ORDER BY e.vec_id""".stripMargin)),
+
+    ("q105_bm25_topk",
+      (s: SparkSession, d: String) => {
+        // BM25 sparse retrieval: every 100th doc's distinct first-8
+        // tokens form a term-set query; top-5 docs per query. Queries
+        // broadcast onto the (doc,term,tf) posting frame — per-query
+        // work ∝ its terms' posting lists; top-k via the bounded heap
+        // (O(queries × k) shuffle, no per-query sort of scored docs).
+        val docs = Tables.documents(s, d)
+        Retrieval.bm25TopK(docs,
+            Retrieval.probeQueries(docs, every = 100, width = 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      // full recomputation oracle: same idf/tf-norm algebra, same
+      // 4-decimal pre-rank rounding, same (score desc, doc_id) ties
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+             |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+             |q AS (SELECT DISTINCT doc_id AS query_id,
+             |        unnest(list_distinct(list_slice(toks, 1, 8))) AS term
+             |      FROM t WHERE doc_id % 100 = 0),
+             |sc AS (SELECT q.query_id, tf.doc_id,
+             |         round(SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |           * (tf.tf * (1.2 + 1.0) /
+             |              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))), 4) AS score
+             |       FROM q JOIN tf USING (term) JOIN df USING (term)
+             |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+             |       GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score DESC, doc_id) AS rank
+             |      FROM sc WHERE query_id <> doc_id)
+             |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    ("q106_perplexity_filter",
+      (s: SparkSession, d: String) => {
+        // CCNet-style LM quality filter: Laplace-smoothed bigram LM
+        // trained on the corpus, per-doc avg log-likelihood, keep docs
+        // at/above the exact 10th percentile. Counts are map-side-
+        // combinable aggs; the threshold is one percentile over the
+        // O(docs) scored frame, broadcast back.
+        NgramLM.perplexityFilter(Tables.documents(s, d), keepQuantile = 0.1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |       FROM t WHERE len(toks) >= 2),
+             |g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM g0),
+             |dg AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM dg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT w) AS v
+             |      FROM (SELECT unnest(toks) AS w FROM t)),
+             |lp AS (SELECT dg.doc_id, dg.n,
+             |         dg.n * ln((COALESCE(c12.c12, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v)) AS lp
+             |       FROM dg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+             |sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             |         round(SUM(lp) / SUM(n), 4) AS avg_lp FROM lp GROUP BY 1),
+             |thr AS (SELECT quantile_cont(avg_lp, 0.1) AS thr FROM sc)
+             |SELECT doc_id, n_bigrams, avg_lp, avg_lp >= thr AS kept
+             |FROM sc CROSS JOIN thr
+             |ORDER BY doc_id""".stripMargin)),
+
+    ("q107_dsir_weights",
+      (s: SparkSession, d: String) => {
+        // DSIR importance weights: unigram-LM log ratio toward the
+        // lang='en' slice, Laplace-smoothed over the union vocabulary.
+        // Model frames are O(vocab) pre-aggregations; docs reduce to
+        // (doc, term, n) before the join-back.
+        val docs = Tables.documents(s, d)
+        NgramLM.dsirWeights(docs, docs.filter(col("lang") === "en"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |du AS (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+             |craw AS (SELECT w, CAST(SUM(n) AS BIGINT) AS c_raw FROM du GROUP BY 1),
+             |ctgt AS (SELECT w, CAST(SUM(n) AS BIGINT) AS c_tgt
+             |         FROM du JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+             |m AS (SELECT COALESCE(craw.w, ctgt.w) AS w,
+             |        COALESCE(c_raw, 0) AS c_raw, COALESCE(c_tgt, 0) AS c_tgt
+             |      FROM craw FULL OUTER JOIN ctgt ON craw.w = ctgt.w),
+             |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+             |        CAST(SUM(c_tgt) AS BIGINT) AS t_tgt, COUNT(*) AS v FROM m),
+             |lw AS (SELECT du.doc_id, CAST(SUM(du.n) AS BIGINT) AS n_tokens,
+             |         round(SUM(du.n * (ln((COALESCE(m.c_tgt, 0) + 1.0) / (t_tgt + v))
+             |                         - ln((COALESCE(m.c_raw, 0) + 1.0) / (t_raw + v)))), 4) AS log_w
+             |       FROM du LEFT JOIN m USING (w) CROSS JOIN tot GROUP BY du.doc_id)
+             |SELECT doc_id, n_tokens, log_w FROM lw
+             |ORDER BY doc_id""".stripMargin)),
 
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class NgramLMSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("docBigrams: adjacent pairs with counts; <2-token docs contribute nothing") {
+    val docs = Seq((1L, "a b a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val got = NgramLM.docBigrams(docs)
+      .as[(Long, String, String, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+    // "a b a b" -> (a,b) x2, (b,a) x1; "x" and "" have no bigrams
+    assert(got == Seq((1L, "a", "b", 2L), (1L, "b", "a", 1L)))
+  }
+
+  test("bigramLogLik: hand-computed Laplace-smoothed bigram likelihood") {
+    // train = the doc itself: c12 = {(a,b)->2, (b,a)->1}, context counts
+    // c1 = {a->2, b->1}, V = 2 distinct unigrams.
+    //   logP(b|a) = ln((2+1)/(2+2)); logP(a|b) = ln((1+1)/(1+2))
+    // avg_lp = (2 ln(3/4) + 1 ln(2/3)) / 3
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = NgramLM.bigramLogLik(docs, docs).head()
+    val want = (2 * math.log(3.0 / 4) + math.log(2.0 / 3)) / 3
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Double]("avg_lp") ==
+      BigDecimal(want).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("bigramLogLik: unseen bigram with seen context stays finite via smoothing") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq((9L, "b b")).toDF("doc_id", "text") // (b,b) never trained
+    val r = NgramLM.bigramLogLik(docs, train).head()
+    // c12(b,b)=0, c1(b)=1, V=2 -> ln(1/3)
+    assert(r.getAs[Double]("avg_lp") ==
+      BigDecimal(math.log(1.0 / 3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("perplexityFilter: keeps exactly the docs at/above the quantile threshold") {
+    // 4 fluent clones + 1 scrambled doc: the clone grams dominate the LM,
+    // so the scrambled doc scores strictly lowest
+    val docs = (Seq.tabulate(4)(i => (i.toLong, "the cat sat on the mat")) :+
+      (9L, "mat the on cat the sat zz qq")).toDF("doc_id", "text")
+    val got = NgramLM.perplexityFilter(docs, keepQuantile = 0.25)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got(9L) == false)
+    assert((0L to 3L).forall(got(_)))
+  }
+
+  test("dsirWeights: target == raw gives log_w exactly 0 for every doc") {
+    val docs = Seq((1L, "a b c"), (2L, "c c d"), (3L, "e")).toDF("doc_id", "text")
+    val got = NgramLM.dsirWeights(docs, docs)
+      .select("doc_id", "log_w").as[(Long, Double)].collect().toSeq
+    assert(got.size == 3 && got.forall(_._2 == 0.0))
+  }
+
+  test("dsirWeights: steers toward the target slice's vocabulary") {
+    // target slice is French-ish; the French raw doc must outweigh the
+    // English one (its tokens are common under p_target, rare under p_raw)
+    val raw = Seq((1L, "le chat noir le chat"), (2L, "the dog runs the dog"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "le chat le noir chat le")).toDF("doc_id", "text")
+    val w = NgramLM.dsirWeights(raw, target)
+      .select("doc_id", "log_w").as[(Long, Double)].collect().toMap
+    assert(w(1L) > w(2L))
+    assert(w(1L) > 0.0 && w(2L) < 0.0)
+  }
+}
