@@ -82,10 +82,19 @@ object KMeans {
     val sample = hashed.orderBy("__h").collect()
       .map(_.getSeq[Float](0).toArray)
     val kk = math.min(k, sample.length)
-    var centroids: Array[Array[Float]] =
-      sample.take(kk).map(v => normalize(v.map(_.toDouble).padTo(dim, 0.0)))
+    val init = sample.take(kk).map(v => normalize(v.map(_.toDouble).padTo(dim, 0.0)))
+    lloyd(sample, init, dim, iterations).flatten
+  }
+
+  /** The deterministic in-memory Lloyd's loop both the driver path and
+    * the per-super child fits run: fixed sample order, ties to the lower
+    * centroid index, empty cells keep their centroid. */
+  private def lloyd(sample: Array[Array[Float]], init: Array[Array[Float]],
+                    dim: Int, iterations: Int): Array[Array[Float]] = {
+    var centroids = init
+    val kk = init.length
     var iter = 0
-    while (iter < iterations) {
+    while (iter < iterations && kk > 0) {
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Long](kk)
       sample.foreach { v =>
@@ -106,7 +115,74 @@ object KMeans {
       }
       iter += 1
     }
-    centroids.flatten
+    centroids
+  }
+
+  /** Two-level fit for hierarchical assignment
+    * ([[graft.functions.VectorFunctions.nearest_child_cell]]): `k1`
+    * super-centroids trained by [[fit]]'s usual path, then `k2` children
+    * PER super fitted in memory over that super's slice of the hash
+    * subsample. Returns (superFlat, childFlat) with every super owning
+    * exactly `k2` contiguous children (supers with fewer sample vectors
+    * than `k2` pad with their own super-centroid — duplicate children
+    * tie toward the lower cell id, so assignment stays deterministic).
+    *
+    * Scale shape: fit cost is O(sample·k1·iter) + O(sample·iter·k2)
+    * (each sample row trains against ONE super's k2 children), and the
+    * resulting assignment kernel is O(k1 + nProbe·k2) per row — with
+    * k1 ≈ k2 ≈ √k both stay O(√k) while flat fit/assign are O(k). */
+  def fitHier(corpus: DataFrame, idCol: String, vecCol: String,
+              k1: Int, k2: Int, dim: Int, iterations: Int = 5, seed: Long = 42L,
+              trainTarget: Int = 100000): (Array[Float], Array[Float]) = {
+    require(k1 > 0 && k2 > 0 && dim > 0 && iterations >= 0)
+    val superFlat = fit(corpus, idCol, vecCol, k1, dim, iterations, seed, trainTarget)
+    val nSup = superFlat.length / dim
+
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val n = base.count()
+    val sampleOneIn =
+      if (trainTarget <= 0) 1L else math.max(1L, n / trainTarget)
+    val train =
+      if (sampleOneIn > 1)
+        base.filter(pmod(xxhash64(col("__id"), lit(seed)), lit(sampleOneIn)) === 0)
+      else base
+    // hash-sorted collect: same bounded size and determinism as fitDriver
+    val sample = train
+      .select(col("__v"), xxhash64(col("__id"), lit(seed)).as("__h"))
+      .orderBy("__h").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    def superOf(v: Array[Float]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var s = 0
+      while (s < nSup) {
+        var dot = 0.0; var i = 0; val b = s * dim
+        while (i < math.min(v.length, dim)) { dot += v(i) * superFlat(b + i); i += 1 }
+        if (dot > bestDot) { bestDot = dot; best = s }
+        s += 1
+      }
+      best
+    }
+    val bySuper = Array.fill(nSup)(Vector.newBuilder[Array[Float]])
+    sample.foreach(v => bySuper(superOf(v)) += v) // sample order preserved
+    val childFlat = new Array[Float](nSup * k2 * dim)
+    var s = 0
+    while (s < nSup) {
+      val grp = bySuper(s).result().toArray
+      val kk = math.min(k2, grp.length)
+      val init = grp.take(kk).map(v => normalize(v.map(_.toDouble).padTo(dim, 0.0)))
+      val fitted = lloyd(grp, init, dim, iterations)
+      var c = 0
+      while (c < k2) {
+        val src =
+          if (c < fitted.length) fitted(c)
+          else superFlat.slice(s * dim, (s + 1) * dim) // pad: the super itself
+        System.arraycopy(src, 0, childFlat, (s * k2 + c) * dim, dim)
+        c += 1
+      }
+      s += 1
+    }
+    (superFlat, childFlat)
   }
 
   private def fitDistributed(hashed: DataFrame, k: Int, dim: Int,

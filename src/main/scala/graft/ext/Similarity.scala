@@ -343,17 +343,36 @@ object Similarity {
   def semanticCells(corpus: DataFrame,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     targetCellSize: Int = 256, iterations: Int = 5,
-                    seed: Long = 42L, trainTarget: Int = 100000): DataFrame = {
+                    seed: Long = 42L, trainTarget: Int = 100000,
+                    hierThreshold: Int = 64, nProbeSuper: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions
     val n = math.max(1L, corpus.count())
     val k = math.max(4L, n / math.max(1, targetCellSize)).toInt
     val first = corpus.select(col(vecCol)).limit(1).collect()
     require(first.nonEmpty, "empty corpus")
     val dim = first.head.getSeq[Float](0).length
-    val cents = KMeans.fit(corpus, idCol, vecCol, k, dim, iterations, seed,
-      trainTarget)
-    corpus.select(col(idCol).as("id"),
-      VectorFunctions.nearest_centroids(col(vecCol), cents, dim, 1)(0).as("cell"))
+    if (k <= hierThreshold) {
+      val cents = KMeans.fit(corpus, idCol, vecCol, k, dim, iterations, seed,
+        trainTarget)
+      corpus.select(col(idCol).as("id"),
+        VectorFunctions.nearest_centroids(col(vecCol), cents, dim, 1)(0).as("cell"))
+    } else {
+      // cell count grows with the corpus (k = n/cellSize), so the flat
+      // O(n·k) argmax is the scale-killer here — switch to the two-level
+      // assignment: √k supers × √k children, O(k1 + nProbe·k2) per row.
+      // Any deterministic vector→cell function is a valid SemDeDup
+      // partition (the dedup verifies exact cosine WITHIN cells, and the
+      // oracle recomputes downstream from the dumped assignment); the
+      // nProbe-super probe keeps boundary vectors from splitting off
+      // their neighborhood's cell.
+      val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val k2 = math.max(2, math.ceil(k.toDouble / k1).toInt)
+      val (superFlat, childFlat) = KMeans.fitHier(corpus, idCol, vecCol,
+        k1, k2, dim, iterations, seed, trainTarget)
+      corpus.select(col(idCol).as("id"),
+        VectorFunctions.nearest_child_cell(col(vecCol), superFlat, childFlat,
+          dim, k2, math.min(nProbeSuper, superFlat.length / dim)).as("cell"))
+    }
   }
 
   /** [[semanticDedup]] over a precomputed (id, cell) assignment. */

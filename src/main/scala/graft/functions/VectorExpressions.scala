@@ -203,7 +203,69 @@ case class NearestCentroids(child: Expression, centroidsFlat: Array[Float], dim:
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Two-level (hierarchical) cell assignment: nearest child centroid among
+  * the children of the `nProbe` nearest super-centroids — O(k1 + nProbe·k2)
+  * dot products per row instead of the flat argmax's O(k1·k2). The scale
+  * path for cell counts that grow with the corpus (SemDeDup's k = n/cell
+  * size): per-row assignment cost grows as √k, not k. Layout: `childFlat`
+  * holds each super's `k2` children contiguously; cell id = super·k2 +
+  * child index, so ids remain dense in [0, k1·k2). */
+case class NearestChildCell(child: Expression, superFlat: Array[Float],
+                            childFlat: Array[Float], dim: Int, k2: Int, nProbe: Int)
+  extends UnaryExpression {
+  require(dim > 0 && k2 > 0 && nProbe > 0 && superFlat.length % dim == 0 &&
+    childFlat.length == (superFlat.length / dim) * k2 * dim)
+
+  override def prettyName: String = "nearest_child_cell"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    IvfKernel.nearestChild(v.asInstanceOf[ArrayData], superFlat, childFlat, dim, k2, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("hierSupers", superFlat, "float[]")
+    val cRef = ctx.addReferenceObj("hierChildren", childFlat, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.IvfKernel.nearestChild($v, $sRef, $cRef, $dim, $k2, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object IvfKernel {
+  /** [[NearestChildCell]]'s kernel: argmax dot product over the children
+    * of the `nProbe` nearest supers; ties to the lower cell id on both
+    * levels (the [[nearest]] convention, so flat and hierarchical paths
+    * break ties identically). */
+  def nearestChild(vec: ArrayData, superFlat: Array[Float], childFlat: Array[Float],
+                   dim: Int, k2: Int, nProbe: Int): Int = {
+    val probes = nearest(vec, superFlat, dim, nProbe)
+    val n = math.min(vec.numElements(), dim)
+    var bestCell = -1
+    var bestDot = Double.NegativeInfinity
+    var p = 0
+    while (p < probes.length) {
+      val s = probes(p)
+      var c = 0
+      while (c < k2) {
+        var dot = 0.0; var i = 0; val base = (s * k2 + c) * dim
+        while (i < n) { dot += vec.getFloat(i).toDouble * childFlat(base + i); i += 1 }
+        val cell = s * k2 + c
+        if (dot > bestDot || (dot == bestDot && cell < bestCell)) {
+          bestDot = dot; bestCell = cell
+        }
+        c += 1
+      }
+      p += 1
+    }
+    bestCell
+  }
+
   /** Top-`take` centroid indices by dot product, ties to lower index. */
   def nearest(vec: ArrayData, centroidsFlat: Array[Float], dim: Int, take: Int): Array[Int] = {
     val nC = centroidsFlat.length / dim
@@ -673,6 +735,9 @@ object VectorFunctions {
   def iso_micros(ts: Column): Column = c(IsoMicros(e(ts)))
   def nearest_centroids(v: Column, centroidsFlat: Array[Float], dim: Int, take: Int): Column =
     c(NearestCentroids(e(v), centroidsFlat, dim, take))
+  def nearest_child_cell(v: Column, superFlat: Array[Float], childFlat: Array[Float],
+                         dim: Int, k2: Int, nProbe: Int): Column =
+    c(NearestChildCell(e(v), superFlat, childFlat, dim, k2, nProbe))
   def media_features(content: Column, dim: Int): Column = c(MediaFeatures(e(content), dim))
 
   /** Register for `spark.sql` use: cosine_similarity(a, b), etc. */

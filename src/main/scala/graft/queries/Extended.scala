@@ -92,6 +92,9 @@ object Extended {
       // oracle recomputes the whole downstream (within-cell cosine
       // pairs, connected components, min-id representative) from it
       q104Cells(s, d)),
+    "q108_cells" -> ((s: SparkSession, d: String) =>
+      // q108's forced-hierarchical assignment (same oracle contract)
+      q108Cells(s, d)),
     "q32_features" -> ((s: SparkSession, d: String) => {
       // the exact per-media vectors q32's pipeline aggregates, via the
       // same mapPartitions kernel (extractFeatures), media_id + feature
@@ -142,6 +145,16 @@ object Extended {
     q104CellsCache.computeIfAbsent(d, dir =>
       Similarity.semanticCells(Tables.embeddings(s, dir),
         targetCellSize = 256, iterations = 5, seed = 42L).localCheckpoint(true))
+
+  /** q108's forced-hierarchical assignment (hierThreshold=2 → the
+    * two-level kernel even at gate SF, where k = n/16 stays small). */
+  private val q108CellsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def q108Cells(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    q108CellsCache.computeIfAbsent(d, dir =>
+      Similarity.semanticCells(Tables.embeddings(s, dir),
+        targetCellSize = 16, iterations = 5, seed = 42L,
+        hierThreshold = 2, nProbeSuper = 4).localCheckpoint(true))
 
   private val q102FitCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ext.IvfPq.Index]()
@@ -1683,6 +1696,44 @@ object Extended {
       // and the min-id representative from the dumped cell assignment
       Some(s"""WITH RECURSIVE c AS (SELECT id, cell
              |           FROM read_parquet('$OracleAuxDir/q104_cells/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+             |pairs AS (
+             |  SELECT a.id AS id1, b.id AS id2
+             |  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+             |  JOIN v va ON va.vec_id = a.id
+             |  JOIN v vb ON vb.vec_id = b.id
+             |  WHERE list_cosine_similarity(va.dv, vb.dv) >= 0.4),
+             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+             |          UNION SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+             |SELECT e.vec_id,
+             |       COALESCE(l.rep, e.vec_id) AS rep_id,
+             |       COALESCE(l.rep, e.vec_id) = e.vec_id AS kept
+             |FROM (SELECT vec_id FROM embeddings) e
+             |LEFT JOIN lbl l ON l.id = e.vec_id
+             |ORDER BY e.vec_id""".stripMargin)),
+
+    ("q108_semantic_dedup_hier",
+      (s: SparkSession, d: String) => {
+        // q104's SCALE PATH pinned in the gate: the same SemDeDup
+        // downstream but over the two-level (hierarchical) cell
+        // assignment — √k supers × √k children, O(√k) per row where the
+        // flat argmax is O(k) with k = n/cellSize growing with the
+        // corpus. Forced on here (hierThreshold=2) so the kernel the
+        // 100 TB regime uses is the one the oracle recomputes against.
+        Similarity.semanticDedupFromCells(Tables.embeddings(s, d),
+            q108Cells(s, d), threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      // identical downstream oracle to q104, over the HIER assignment
+      // dump: within-cell all-pairs cosine, recursive-CTE closure,
+      // min-id representative
+      Some(s"""WITH RECURSIVE c AS (SELECT id, cell
+             |           FROM read_parquet('$OracleAuxDir/q108_cells/*.parquet')),
              |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
              |pairs AS (
              |  SELECT a.id AS id1, b.id AS id2

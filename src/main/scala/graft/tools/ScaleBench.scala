@@ -66,7 +66,16 @@ object ScaleBench {
     // corpus did), so the ratio measures the corpus-side scan. q102's
     // cell-pruned ADC scan must beat q91's full-codes scan per row.
     "q91_cosine_topk_pq@probes", "q92_pq_recall@probes",
-    "q102_cosine_topk_ivfpq@probes")
+    "q102_cosine_topk_ivfpq@probes",
+    // round-6 additions. q104 runs its own auto-sizing (cells = n/256 —
+    // the honest row for the operator as shipped); q105 holds the QUERY
+    // count fixed like the ANN rows (the retrieval workload does not
+    // grow because the corpus did) so the ratio measures the posting-
+    // frame side; q106/q107 are whole-corpus LM passes whose model
+    // frames (vocab, bigram types) grow linearly under the content-
+    // disjoint replicas — the worst case for the model join-back.
+    "q103_ivfpq_recall@probes", "q104_semantic_dedup",
+    "q105_bm25_topk@queries", "q106_perplexity_filter", "q107_dsir_weights")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -120,6 +129,33 @@ object ScaleBench {
             coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
             lit(10L).as("k"))
           .orderBy("query_id")
+      })
+      case "q103_ivfpq_recall@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        val probes = fixedProbes(emb)
+        val exact = graft.ext.Similarity.topKBruteForce(emb, probes, k = 10)
+        val approx = graft.ext.IvfPq.topKIvfPq(emb, probes, k = 10,
+          ivfPqFit(s, d), nProbe = 8, refine = 4)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("recall_hits"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
+            lit(10L).as("k"))
+          .orderBy("query_id")
+      })
+      case "q105_bm25_topk@queries" => Some((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        // ~50 queries at any corpus size (q105 declares every=100 over
+        // 5000 sf0.1 docs); doc_id % every keeps the sample deterministic
+        val every = math.max(1L, docs.count() / 50L).toInt
+        graft.ext.Retrieval.bm25TopK(docs,
+            graft.ext.Retrieval.probeQueries(docs, every = every, width = 8),
+            k = 5)
+          .orderBy("query_id", "rank")
       })
       case _ => None
     }

@@ -57,6 +57,16 @@ object Fixtures {
     // unknown table -> dead letter, not failure
     envelope("mystery", "2026-01-01T10:00:00.000Z", "insert", """{"x":1}"""))
 
+  /** Per-directory strictly increasing mtime counter. FileStreamSource
+    * orders files by MODIFICATION TIME, so fixture files written within
+    * the same millisecond (or with load-skewed timestamps) can land in a
+    * different batch order run-to-run — which moves every batch-derived
+    * quantity (compaction upTo, data-derived expiry horizons) and made
+    * the expiry specs flake under full-suite load. Distinct, monotonic
+    * mtimes pin file→batch composition deterministically. */
+  private val mtimeSeq =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
   def writeLines(dir: String, name: String, ls: Seq[String], gzip: Boolean): Unit = {
     val path = java.nio.file.Paths.get(dir, name)
     if (gzip) {
@@ -65,5 +75,9 @@ object Fixtures {
     } else {
       java.nio.file.Files.write(path, (ls.mkString("\n") + "\n").getBytes("UTF-8"))
     }
+    val seq = mtimeSeq.computeIfAbsent(dir,
+      _ => new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis()))
+    java.nio.file.Files.setLastModifiedTime(path,
+      java.nio.file.attribute.FileTime.fromMillis(seq.addAndGet(1000L)))
   }
 }

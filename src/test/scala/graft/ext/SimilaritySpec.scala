@@ -196,4 +196,68 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
       "dedup verdict must not depend on partitioning")
   }
+
+  test("nearest_child_cell: full-probe hierarchical argmax equals flat argmax over all children") {
+    // probing EVERY super makes the two-level kernel an exact argmax over
+    // the concatenated child centroids — must match nearest_centroids on
+    // the same flat array bit-for-bit (incl. the lower-cell-id tie rule)
+    val rnd = new scala.util.Random(11)
+    val dim = 8; val k1 = 4; val k2 = 3
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val supers = Array.fill(k1)(unit()).flatten
+    val children = Array.fill(k1 * k2)(unit()).flatten
+    val vecs = (0 until 40).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("id", "v")
+    val got = vecs.select($"id",
+        nearest_child_cell($"v", supers, children, dim, k2, nProbe = k1).as("cell"),
+        nearest_centroids($"v", children, dim, 1)(0).as("flat"))
+      .as[(Long, Int, Int)].collect()
+    got.foreach { case (id, cell, flat) =>
+      assert(cell == flat, s"id $id: hier(full-probe) $cell != flat $flat")
+    }
+  }
+
+  test("semanticCells hierarchical path: valid deterministic partition, exact dups co-assign") {
+    val corpus = planted(16, 8, dim = 8).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    // CELLS COARSER THAN CLUSTERS (k = 128/16 = 8 for 16 planted
+    // clusters — the flat test's construction: a tight cluster should
+    // land inside one coarse cell, and the within-cell exact cosine does
+    // the real separating). hierThreshold=2 forces the two-level path.
+    val cells = Similarity.semanticCells(corpus, targetCellSize = 16,
+        iterations = 4, hierThreshold = 2, nProbeSuper = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.size == 128, "every vector assigned exactly one cell")
+    assert(cells.values.forall(_ >= 0), "cell ids dense non-negative")
+    // planted near-dups should overwhelmingly co-assign under coarse cells
+    val byCluster = cells.groupBy { case (id, _) => id / 8 }
+    val coherent = byCluster.values.count(m => m.values.toSet.size == 1)
+    assert(coherent >= 14, s"only $coherent/16 planted clusters kept one cell")
+    val again = Similarity.semanticCells(corpus.repartition(5), targetCellSize = 16,
+        iterations = 4, hierThreshold = 2, nProbeSuper = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == again, "hier assignment must not depend on partitioning")
+  }
+
+  test("semanticDedup via hierarchical cells still keeps one representative per cluster") {
+    val corpus = planted(16, 6, dim = 8).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    // coarse cells (k = 96/24 = 4 for 16 clusters), two-level assignment
+    val cells = Similarity.semanticCells(corpus, targetCellSize = 24,
+      iterations = 4, hierThreshold = 2, nProbeSuper = 4)
+    val out = Similarity.semanticDedupFromCells(corpus, cells, threshold = 0.95)
+      .orderBy("vec_id").collect()
+    assert(out.length == 96)
+    // a planted cluster whose members co-assigned must collapse to its min
+    // id; survivors = one per (cluster ∩ cell) group at worst
+    val survivors = out.count(_.getBoolean(2))
+    assert(survivors >= 16 && survivors <= 20,
+      s"expected ~16 survivors (one per planted cluster), got $survivors")
+    for (r <- out; if !r.getBoolean(2))
+      assert(r.getLong(1) < r.getLong(0), "representative must be the min id")
+  }
 }

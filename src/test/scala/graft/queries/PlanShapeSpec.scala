@@ -454,4 +454,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
+  test("q105: BM25 queries broadcast onto postings; top-k via bounded heaps") {
+    val p = plan("q105_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the term-set query frame must broadcast — a shuffled postings join " +
+        "would move the whole posting frame per query batch")
+    assert(p.contains("ObjectHashAggregate"),
+      "per-query top-k must rank through the bounded heap")
+    assert(!p.contains("Window "), "no window sort over the scored frame")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q106/q107: LM count frames partial-aggregate map-side, no cartesian") {
+    for (q <- Seq("q106_perplexity_filter", "q107_dsir_weights")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q: gram counts must combine map-side before the shuffle")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: scalar frames must ride broadcast nested-loop, never cartesian")
+    }
+  }
+
 }
