@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   * usage: ScaleBench [outJsonPath] (env SPARK_GRAFT_SCALE_FACTOR, default
   * 10; SPARK_GRAFT_SCALE_QUERIES to override the query list). Prints one
   * JSON line and writes it to outJsonPath (default bench_scale10x.json).
+  *
+  * MEASUREMENT PROTOCOL (BASELINE.md §2 applies here too): the machine
+  * must be otherwise idle — a concurrent sbt/Spark job on the same cores
+  * inflates individual rows by >30× (a contaminated run once reported
+  * q106 at 3.18× per-row; the clean serial rerun measures 0.23×).
   */
 object ScaleBench {
 
