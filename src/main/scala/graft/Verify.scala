@@ -28,11 +28,22 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean =
       only.forall(names => names.exists(name.startsWith))
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A crashed query must NEVER be indistinguishable from an unrun
+        // one: dump a one-row result whose `_graft_error` column can't
+        // match any oracle schema, so the driver's compare records a
+        // hard err entry for this name instead of silently omitting it.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = String.valueOf(e.getMessage)
+        try {
+          import spark.implicits._
+          Seq(String.valueOf(e.getMessage)).toDF("_graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // Candidate-set dumps for the re-rank oracles (q30/q33): written to
@@ -61,6 +72,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Human-readable failure summary alongside the parquet error markers.
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

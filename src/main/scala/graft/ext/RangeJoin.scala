@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  // `.cast("timestamp")` tolerates TIMESTAMP_NTZ inputs (parquet writers
+  // may emit either); the session timezone is pinned to UTC by every
+  // entrypoint, and only differences/buckets of the value are taken, so
+  // the cast is semantics-preserving.
   private def granuleOf(t: Column, granuleSeconds: Long): Column =
-    floor(unix_micros(t) / lit(granuleSeconds * 1000000L))
+    floor(unix_micros(t.cast("timestamp")) / lit(granuleSeconds * 1000000L))
 
   /** Join point rows to interval rows with `start <= t < end` (and equal
     * `keys`, if given). Every column of both inputs survives; intervals

@@ -398,7 +398,8 @@ object Relational {
           .withColumn("prev_ts", lag(col("ts"), 1).over(w))
           .withColumn("new_session",
             when(col("prev_ts").isNull ||
-                 (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > lit(1800L * 1000000L), 1L)
+                 (unix_micros(col("ts").cast("timestamp")) -
+                  unix_micros(col("prev_ts").cast("timestamp"))) > lit(1800L * 1000000L), 1L)
               .otherwise(0L))
           .groupBy("user_id")
           .agg(sum(col("new_session")).cast("long").as("n_sessions"))
