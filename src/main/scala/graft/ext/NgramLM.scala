@@ -36,11 +36,17 @@ object NgramLM {
     * token array — no self-join, no posexplode matching. */
   def docBigrams(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // PROJECT the token array before indexing into it: inside the
+    // transform lambda, an inline `split(...)` expression re-evaluates
+    // for every element_at call — O(tokens²) splits per document
+    // (measured 3 s for 270k bigrams at sf0.1). A bound column attribute
+    // evaluates once per row, making the lambda O(tokens).
+    val toks = col("__toks")
     // size < 2 would make sequence(0, size-2) DESCEND ([0, -1]) and
     // element_at(toks, 0) throw — single-token docs have no bigrams
-    docs.filter(size(toks) >= 2)
-      .select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(toks) - 2),
           i => struct(element_at(toks, i + 1).as("w1"),
                       element_at(toks, i + 2).as("w2")))).as("g"))
@@ -67,14 +73,23 @@ object NgramLM {
   def bigramLogLik(docs: DataFrame, train: DataFrame,
                    idCol: String = "doc_id", textCol: String = "text",
                    scale: Int = 4): DataFrame = {
-    val grams = docBigrams(docs, idCol, textCol)
-    val c12 = docBigrams(train, idCol, textCol)
-      .groupBy("w1", "w2").agg(sum("n").as("c12"))
+    // The per-doc bigram frame is the expensive subtree (token explode +
+    // shuffle); without intervention it appears 2-4× in the final DAG
+    // (grams, c12←train, and once more per downstream reuse) and Spark
+    // does not reliably fold the copies into one exchange. Persist it
+    // once; when train IS docs (the self-trained filter), the model
+    // counts derive from the SAME cached frame, so the corpus is
+    // exploded exactly once. Spill-safe (MEMORY_AND_DISK): the frame is
+    // (doc, w1, w2, n) — tokens-sized, never wider than the input text.
+    val grams = docBigrams(docs, idCol, textCol).persist()
+    val trainGrams =
+      if (train eq docs) grams else docBigrams(train, idCol, textCol).persist()
+    val c12 = trainGrams.groupBy("w1", "w2").agg(sum("n").as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = train
       .select(explode(split(col(textCol), " ")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    grams
+    val out = grams
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -84,6 +99,12 @@ object NgramLM {
       .groupBy("doc_id")
       .agg(sum("n").as("n_bigrams"),
         round(sum("lp") / sum("n"), scale).as("avg_lp"))
+      // O(docs) rows, 3 columns: eager-materialize so callers that use
+      // the scored frame twice (threshold + gate) never re-run the LM.
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    if (!(train eq docs)) trainGrams.unpersist(false)
+    out
   }
 
   /** CCNet-style perplexity filter: score every document with
@@ -123,16 +144,21 @@ object NgramLM {
       d.select(col(idCol).as("doc_id"),
           explode(split(col(textCol), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-    val rawU = unigrams(raw)
+    // rawU (token explode + shuffle) feeds both the raw model counts and
+    // the scoring join; model feeds both totals and the join. Persist
+    // each so every explode/shuffle runs once (same reasoning as
+    // [[bigramLogLik]]).
+    val rawU = unigrams(raw).persist()
     val cRaw = rawU.groupBy("w").agg(sum("n").as("c_raw"))
     val cTgt = unigrams(target).groupBy("w").agg(sum("n").as("c_tgt"))
     // union vocabulary + totals: one tiny frame each, broadcast
     val model = cRaw.join(cTgt, Seq("w"), "full_outer")
       .select(col("w"), coalesce(col("c_raw"), lit(0L)).as("c_raw"),
         coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .persist()
     val totals = model.agg(sum("c_raw").as("t_raw"), sum("c_tgt").as("t_tgt"),
       count(lit(1)).as("v"))
-    rawU
+    val out = rawU
       .join(model, Seq("w"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("lr",
@@ -140,5 +166,8 @@ object NgramLM {
         log((coalesce(col("c_raw"), lit(0L)) + lit(1.0)) / (col("t_raw") + col("v"))))
       .groupBy("doc_id")
       .agg(sum("n").as("n_tokens"), round(sum(col("n") * col("lr")), scale).as("log_w"))
+      .localCheckpoint(true)
+    rawU.unpersist(false); model.unpersist(false)
+    out
   }
 }
