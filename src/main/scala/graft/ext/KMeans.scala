@@ -69,7 +69,7 @@ object KMeans {
     else fitDistributed(hashed, k, dim, iterations)
   }
 
-  private def normalize(v: Array[Double]): Array[Float] = {
+  private[ext] def normalize(v: Array[Double]): Array[Float] = {
     val nrm = math.sqrt(v.map(x => x * x).sum)
     if (nrm == 0) v.map(_.toFloat) else v.map(x => (x / nrm).toFloat)
   }
@@ -89,7 +89,7 @@ object KMeans {
   /** The deterministic in-memory Lloyd's loop both the driver path and
     * the per-super child fits run: fixed sample order, ties to the lower
     * centroid index, empty cells keep their centroid. */
-  private def lloyd(sample: Array[Array[Float]], init: Array[Array[Float]],
+  private[ext] def lloyd(sample: Array[Array[Float]], init: Array[Array[Float]],
                     dim: Int, iterations: Int): Array[Array[Float]] = {
     var centroids = init
     val kk = init.length

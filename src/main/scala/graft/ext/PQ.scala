@@ -37,10 +37,21 @@ object PQ {
   final case class Codebooks(m: Int, subDim: Int, k: Int,
                              books: Seq[Seq[Seq[Float]]])
 
-  /** Fit per-subspace codebooks. `dim` must split evenly into `m`. */
+  /** Fit per-subspace codebooks. `dim` must split evenly into `m`.
+    *
+    * Small-corpus fast path: when the whole training set fits the driver
+    * threshold (the regime [[KMeans.fit]] would run its in-memory
+    * Lloyd's for anyway), ONE collect carries the vector plus all `m`
+    * per-subspace sort hashes, and the m sub-fits run locally —
+    * 2 Spark jobs instead of m×(count + collect). Bit-exact with the
+    * per-subspace path: same hash sort keys (`xxhash64(id, seed + s)`),
+    * same slice, same [[KMeans.lloyd]] arithmetic. Above the threshold
+    * (or when subsampling would differ per subspace) each subspace runs
+    * [[KMeans.fit]]'s usual bounded-cost path — at deployment scale the
+    * fit is once-per-index and `trainTarget` bounds it regardless. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
           m: Int = 8, k: Int = 16, iterations: Int = 5, seed: Long = 42L,
-          trainTarget: Int = 100000): Codebooks = {
+          trainTarget: Int = 100000, driverThreshold: Long = 20000L): Codebooks = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subvectors")
     val subDim = dim / m
     // one cached projection feeds all m sub-fits — each KMeans.fit runs
@@ -48,12 +59,32 @@ object PQ {
     // every subspace would re-scan the source
     val base = corpus.select(col(idCol), col(vecCol)).persist()
     try {
-      val books = (0 until m).map { s =>
-        val sub = base.select(col(idCol),
-          expr(s"slice($vecCol, ${s * subDim + 1}, $subDim)").as("__sub"))
-        KMeans.fit(sub, idCol, "__sub", k, subDim, iterations, seed + s, trainTarget)
-          .grouped(subDim).map(_.toSeq).toSeq
-      }
+      val n = base.count()
+      require(n > 0, "empty training corpus")
+      val sampleOneIn =
+        if (trainTarget <= 0) 1L else math.max(1L, n / trainTarget)
+      val books =
+        if (n <= driverThreshold && sampleOneIn == 1) {
+          val rows = base.select(col(vecCol).cast("array<float>").as("__v"),
+              array((0 until m).map(s =>
+                xxhash64(col(idCol), lit(seed + s))): _*).as("__hs"))
+            .collect()
+            .map(r => (r.getSeq[Float](0), r.getSeq[Long](1)))
+          (0 until m).map { s =>
+            val sample = rows.sortBy(_._2(s))
+              .map(_._1.slice(s * subDim, (s + 1) * subDim).toArray)
+            val kk = math.min(k, sample.length)
+            val init = sample.take(kk)
+              .map(v => KMeans.normalize(v.map(_.toDouble).padTo(subDim, 0.0)))
+            KMeans.lloyd(sample, init, subDim, iterations)
+              .map(_.toSeq).toSeq
+          }
+        } else (0 until m).map { s =>
+          val sub = base.select(col(idCol),
+            expr(s"slice($vecCol, ${s * subDim + 1}, $subDim)").as("__sub"))
+          KMeans.fit(sub, idCol, "__sub", k, subDim, iterations, seed + s, trainTarget)
+            .grouped(subDim).map(_.toSeq).toSeq
+        }
       Codebooks(m, subDim, k, books)
     } finally { base.unpersist(false): Unit }
   }
