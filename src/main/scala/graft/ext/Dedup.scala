@@ -776,4 +776,50 @@ object Dedup {
         min_by(col("first_pos"), col("doc")).as("first_pos"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** C4-style span removal (Raffel et al., JMLR'20 §2.2 — "discard all
+    * but one of any three-sentence span occurring more than once"),
+    * re-expressed over fixed-width TOKEN TILES (this corpus has no
+    * sentence delimiters): each document splits into consecutive
+    * `width`-token tiles, the globally FIRST occurrence of each distinct
+    * tile (smallest (doc, tile index)) survives, every later duplicate
+    * is cut, and the cleaned text is the surviving tiles rejoined in
+    * order. Unlike [[repeatedSpans]] (a REPORT of duplicated spans)
+    * this EDITS the corpus — the actual C4 dedup step.
+    *
+    * Scale shape: tiles carry a 256-bit digest as their group key so
+    * the winner aggregation shuffles (digest, doc, idx) — never tile
+    * text — with map-side min-struct partials (a window over tile
+    * occurrences would hot-spot on boilerplate tiles repeated millions
+    * of times; the partial agg collapses those map-side). The join-back
+    * is digest-keyed; reconstruction groups each doc's own tiles —
+    * bounded by document length.
+    *
+    * Output: (doc_id, n_tiles, n_kept, text_clean), one row per input
+    * document (a fully-duplicated document keeps its row with
+    * `text_clean = ""`). */
+  def dedupTiles(docs: DataFrame, idCol: String, textCol: String,
+                 width: Int = 8): DataFrame = {
+    require(width >= 1)
+    val nTiles = ((size(col("__toks")) + lit(width - 1)) / lit(width)).cast("int")
+    val tiles = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), explode(transform(sequence(lit(0), nTiles - 1),
+        i => struct(i.cast("long").as("idx"),
+          concat_ws(" ", slice(col("__toks"), i * width + 1, lit(width))).as("tile")))).as("g"))
+      .select(col("doc_id"), col("g.idx").as("idx"), col("g.tile").as("tile"),
+        sha2(col("g.tile"), 256).as("__k"))
+    val first = tiles.groupBy("__k")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__first"))
+    tiles.join(first, "__k")
+      .withColumn("__keep", col("doc_id") === col("__first.doc_id") &&
+        col("idx") === col("__first.idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("idx"), col("tile"))))),
+          s => s.getField("tile")), " ").as("text_clean"))
+  }
 }

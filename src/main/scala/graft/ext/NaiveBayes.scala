@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes over unigram features — the closed-form
+  * stand-in for the fastText-style quality/domain classifiers every
+  * large-scale corpus pipeline runs (CCNet's LM filter has [[NgramLM]];
+  * this is the labeled-classification counterpart: train on a trusted
+  * labeled slice, score the whole corpus, keep/route by predicted
+  * class). NB is the one classic text classifier whose training IS
+  * aggregation — count frames, no gradient loop — so the fit is exactly
+  * recomputable by an independent engine and fully distributable:
+  *
+  *   score(d, l) = ln P(l) + Σ_w n_w(d) · ln((c(l,w) + 1) / (c(l) + V))
+  *
+  * with Laplace smoothing over the training vocabulary V.
+  *
+  * Scale shape: the model is two count frames — (label, w) conditional
+  * counts (vocab × labels rows, map-side combinable) and an O(labels)
+  * prior frame — documents reduce to per-doc (w, n) before any join,
+  * the per-label score is one hash aggregation over docs × labels
+  * partial rows, and the argmax runs per doc over `labels` rows (a
+  * bounded-width window — labels is a small constant, never a corpus
+  * axis). No per-row UDF, no driver-side model object.
+  *
+  * Determinism: scores are sums of ≤ doc-length ln() terms (1-ulp libm
+  * drift ~1e-13 relative), rounded to `scale` decimals BEFORE the
+  * argmax; ties after rounding break to the lexicographically smallest
+  * label. An independent engine reproduces the prediction exactly.
+  */
+object NaiveBayes {
+
+  /** Train on `train` (must carry `labelCol`), score every row of
+    * `score`. Output: (doc_id, label_pred, score_pred) — the argmax
+    * label and its rounded log-posterior. */
+  def trainScore(train: DataFrame, score: DataFrame, labelCol: String,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 scale: Int = 4): DataFrame = {
+    def unigrams(d: DataFrame) =
+      d.select(col(idCol).as("doc_id"),
+          explode(split(col(textCol), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    // model: conditional counts per (label, w) — vocab×labels-sized,
+    // built by one map-side-combinable aggregation over the train slice
+    val cw = train
+      .select(col(labelCol).as("label"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy("label", "w").agg(count(lit(1)).as("c"))
+    val cl = cw.groupBy("label").agg(sum("c").as("cl"))
+    // priors: docs per label over the train slice — O(labels)
+    val priors = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    val totals = cw.agg(countDistinct(col("w")).as("v"))
+      .crossJoin(train.agg(count(lit(1)).as("nt")))
+    // docs × labels scoring: each per-doc (w, n) row meets every label
+    // (labels is a broadcast constant), the conditional count joins by
+    // (label, w). At corpus scale the (label, w) join is the only real
+    // shuffle — and it carries pre-aggregated rows, never raw tokens.
+    val labelFrame = broadcast(priors.join(cl, Seq("label")))
+    val scored = unigrams(score)
+      .crossJoin(labelFrame)
+      .join(cw, Seq("label", "w"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id", "label")
+      .agg(round(
+        first(log(col("nd").cast("double") / col("nt"))) +
+          sum(col("n") * log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (col("cl") + col("v")))),
+        scale).as("score_pred"))
+    // argmax over `labels` rows per doc; rounded-tie → smallest label
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_pred").desc, col("label").asc)
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id"), col("label").as("label_pred"), col("score_pred"))
+  }
+}

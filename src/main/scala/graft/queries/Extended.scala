@@ -1848,6 +1848,66 @@ object Extended {
              |SELECT doc_id, n_tokens, log_w FROM lw
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q109_nb_classify",
+      (s: SparkSession, d: String) => {
+        // fastText-surrogate corpus classifier: multinomial NB trained
+        // on the 80% labeled slice (doc_id % 5 <> 0), scoring EVERY doc
+        // (so the held-out 20% is a real prediction). Model = two count
+        // frames; scores rounded before the argmax so an independent
+        // engine reproduces the prediction exactly.
+        val docs = Tables.documents(s, d)
+        graft.ext.NaiveBayes.trainScore(
+            docs.filter(col("doc_id") % 5 =!= 0), docs, "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+             |tw AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS w FROM tr),
+             |cw AS (SELECT label, w, COUNT(*) AS c FROM tw GROUP BY 1, 2),
+             |cl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS cl FROM cw GROUP BY 1),
+             |pr AS (SELECT lang AS label, COUNT(*) AS nd FROM tr GROUP BY 1),
+             |tot AS (SELECT (SELECT COUNT(DISTINCT w) FROM tw) AS v,
+             |               (SELECT COUNT(*) FROM tr) AS nt),
+             |dn AS (SELECT doc_id, w, COUNT(*) AS n
+             |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |       GROUP BY 1, 2),
+             |sc AS (SELECT dn.doc_id, pr.label,
+             |         round(ln(pr.nd * 1.0 / tot.nt)
+             |           + SUM(dn.n * ln((COALESCE(cw.c, 0) + 1.0) / (cl.cl + tot.v))), 4) AS score_pred
+             |       FROM dn CROSS JOIN pr
+             |       LEFT JOIN cw ON cw.label = pr.label AND cw.w = dn.w
+             |       JOIN cl ON cl.label = pr.label
+             |       CROSS JOIN tot
+             |       GROUP BY dn.doc_id, pr.label, pr.nd, tot.nt),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score_pred DESC, label) AS rk FROM sc)
+             |SELECT doc_id, label AS label_pred, score_pred FROM r WHERE rk = 1
+             |ORDER BY doc_id""".stripMargin)),
+
+    ("q110_span_dedup",
+      (s: SparkSession, d: String) => {
+        // C4's actual corpus EDIT: globally-first occurrence of each
+        // 8-token tile survives, later duplicates are cut, text
+        // reconstructed from the surviving tiles (~5% of tiles at sf0.1
+        // are corpus-level duplicates — the planted near-dup docs).
+        graft.ext.Dedup.dedupTiles(Tables.documents(s, d), "doc_id", "text",
+            width = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tile AS (SELECT doc_id, i AS idx,
+             |           array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS tile
+             |         FROM (SELECT doc_id, toks,
+             |                 unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+             |               FROM t)),
+             |k AS (SELECT doc_id, idx, tile,
+             |        row_number() OVER (PARTITION BY tile ORDER BY doc_id, idx) AS rk
+             |      FROM tile)
+             |SELECT doc_id, COUNT(*) AS n_tiles,
+             |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN rk = 1 THEN tile END, ' ' ORDER BY idx), '') AS text_clean
+             |FROM k GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {
         // epoch-repetition mixing (weights > 1): ⌊w⌋ copies + a hash-

@@ -386,6 +386,41 @@ class DedupSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("a b c d e f g h", 3L, 4L, 1L, 0L)))
   }
 
+  test("dedupTiles: first occurrence survives, later duplicates cut, text rebuilt in order") {
+    // width=2 tiles; "a b" appears in doc 1 (idx 0), doc 2 (idx 1), and
+    // AGAIN in doc 1 (idx 2) — only doc 1 idx 0 survives.
+    val corpus = Seq(
+      (1L, "a b x y a b"),   // tiles: [a b][x y][a b]
+      (2L, "q r a b"),       // tiles: [q r][a b]
+      (3L, "x y"),           // duplicate of doc 1's tile idx 1
+      (4L, "solo doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupTiles(corpus, "doc_id", "text", width = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "a b x y"),
+      (2L, 2L, 1L, "q r"),
+      (3L, 1L, 0L, ""),     // fully duplicated: row kept, text emptied
+      (4L, 1L, 1L, "solo doc")))
+  }
+
+  test("dedupTiles: ragged last tile dedups as its own span; idempotent on a clean corpus") {
+    val corpus = Seq((1L, "a b c"), (2L, "c"), (3L, "d e f g")).toDF("doc_id", "text")
+    val first = Dedup.dedupTiles(corpus, "doc_id", "text", width = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 tiles [a b][c]; doc 2 tile [c] duplicates doc 1's ragged tail
+    assert(first == Seq((1L, 2L, 2L, "a b c"), (2L, 1L, 0L, ""),
+      (3L, 2L, 2L, "d e f g")))
+    // re-running over the cleaned corpus changes nothing (no dups left)
+    val cleaned = first.map { case (id, _, _, t) => (id, t) }
+      .filter(_._2.nonEmpty).toDF("doc_id", "text")
+    val again = Dedup.dedupTiles(cleaned, "doc_id", "text", width = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(again.map(r => (r._1, r._4)) == cleaned.orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq)
+  }
+
   /** Reference Levenshtein (classic DP) for the spec's ground truth. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class NaiveBayesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "cat cat dog", "pets"),
+    (2L, "cat mouse", "pets"),
+    (3L, "stock bond stock", "finance"),
+  ).toDF("doc_id", "text", "lang")
+
+  test("trainScore: hand-computed posteriors pick the right class") {
+    // model: cw(pets) = {cat->3, dog->1, mouse->1} cl=5; cw(finance) =
+    // {stock->2, bond->1} cl=3; V=5; priors pets=2/3, finance=1/3
+    val score = Seq((10L, "cat dog"), (11L, "stock stock")).toDF("doc_id", "text")
+    val got = NaiveBayes.trainScore(train, score, "lang")
+      .orderBy("doc_id")
+      .as[(Long, String, Double)].collect().toSeq
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val petsCatDog = math.log(2.0 / 3) +
+      math.log(4.0 / 10) + math.log(2.0 / 10)      // (3+1)/(5+5), (1+1)/(5+5)
+    val finStock = math.log(1.0 / 3) + 2 * math.log(3.0 / 8) // (2+1)/(3+5) twice
+    assert(got.map(t => (t._1, t._2)) == Seq((10L, "pets"), (11L, "finance")))
+    assert(got(0)._3 == r4(petsCatDog))
+    assert(got(1)._3 == r4(finStock))
+  }
+
+  test("unseen words score via smoothing; rounded ties break to smallest label") {
+    // "zebra" appears in no class: every class scores it 1/(cl+V); the
+    // prior decides — pets (2 docs) beats finance (1 doc). Equal-prior
+    // engineered tie: train with one doc per class and a shared token →
+    // identical rounded scores, prediction must be the smaller label.
+    val score = Seq((20L, "zebra")).toDF("doc_id", "text")
+    val gotPrior = NaiveBayes.trainScore(train, score, "lang").head()
+    assert(gotPrior.getAs[String]("label_pred") == "pets")
+
+    val tied = Seq((1L, "tok", "b_class"), (2L, "tok", "a_class"))
+      .toDF("doc_id", "text", "lang")
+    val gotTie = NaiveBayes.trainScore(tied, Seq((30L, "tok")).toDF("doc_id", "text"), "lang").head()
+    assert(gotTie.getAs[String]("label_pred") == "a_class")
+  }
+
+  test("held-out slice of a planted corpus classifies by its token distribution") {
+    // 40 docs, two classes with disjoint dominant vocabularies plus
+    // shared noise tokens; train on 80%, every held-out doc must land
+    // in its own class.
+    val docs = (0 until 40).map { i =>
+      val cls = if (i % 2 == 0) "red" else "blue"
+      val dom = if (i % 2 == 0) "apple berry cherry" else "steel iron copper"
+      (i.toLong, s"$dom common$i shared filler", cls)
+    }.toDF("doc_id", "text", "lang")
+    val got = NaiveBayes.trainScore(
+        docs.filter(col("doc_id") % 5 =!= 0), docs, "lang")
+      .as[(Long, String, Double)].collect()
+    assert(got.length == 40)
+    got.foreach { case (id, pred, _) =>
+      assert(pred == (if (id % 2 == 0) "red" else "blue"), s"doc $id")
+    }
+  }
+}
