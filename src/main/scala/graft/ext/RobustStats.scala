@@ -64,4 +64,43 @@ object RobustStats {
           .as("n_outliers"))
       .select(groupCol, "n_rows", "n_outliers", "med2", "mad4")
   }
+
+  /** Deterministic sample quantiles — the 100 TB quantile path. An
+    * exact corpus-wide percentile needs every value in one agg buffer;
+    * the usual fix, `approx_percentile`, is merge-order-dependent (its
+    * GK summary depends on partitioning, so two runs can disagree —
+    * unacceptable under this engine's reproducibility contract). This
+    * operator instead takes the k rows with the SMALLEST value of a
+    * public multiplicative hash of the row key — a partitioning-
+    * independent pseudo-random sample any engine reproduces — and
+    * computes exact interpolated quantiles over it.
+    *
+    * Error bound: a k-row uniform sample puts the p-quantile estimate
+    * within O(sqrt(p(1-p)/k)) rank error with high probability
+    * (DKW inequality) — k = 1000 gives ~±1.6 rank points at p = 0.5.
+    *
+    * Scale shape: the bottom-k is a TakeOrdered (per-partition bounded
+    * heap, O(n) scan + O(k log k) merge — never a global sort); the
+    * quantile computation sees exactly k rows. The hash is the same
+    * Knuth multiplicative form as q57/q77 (`(key % 1000003) ·
+    * 2654435761 mod 1000000007`) so SQL engines reproduce the sample
+    * without xxhash; ties (hash collisions) break on the raw key,
+    * making the sample a total-order prefix in both engines.
+    *
+    * Output: one row per requested probability — (p, q), where q uses
+    * the same linear interpolation as `percentile`/`quantile_cont`
+    * (bit-stable across engines, hash-proven by q42). */
+  def sampleQuantiles(df: DataFrame, keyCol: Column, valueCol: Column,
+                      probs: Seq[Double], k: Int = 1000): DataFrame = {
+    require(k > 0 && probs.nonEmpty)
+    val sample = df
+      .select(valueCol.cast("double").as("v"), keyCol.cast("long").as("__key"))
+      .withColumn("__h",
+        pmod((col("__key") % 1000003L) * 2654435761L, lit(1000000007L)))
+      .orderBy("__h", "__key").limit(k)
+    sample
+      .agg(expr(s"percentile(v, array(${probs.mkString(", ")}))").as("__qs"))
+      .select(posexplode(col("__qs")).as(Seq("__i", "q")))
+      .select((element_at(typedlit(probs), col("__i") + 1)).as("p"), col("q"))
+  }
 }

@@ -286,4 +286,40 @@ object Sharding {
       .withColumn("copy_id", explode(sequence(lit(1L), col("__n_copies"))))
       .drop("__n_copies", permilleCol)
   }
+
+  /** Temperature-weighted mixture sampling (the multilingual-LM recipe,
+    * e.g. XLM-R, Conneau et al. 2020 §3.1: sample groups ∝ n^α with
+    * α < 1 so low-resource groups are upweighted relative to their
+    * share). This is [[sampleStratified]] with the targets COMPUTED
+    * from the observed group sizes at α = 1/2:
+    *
+    *   t_g = min(n_g, ⌊totalTarget · w_g / Σw⌋),  w_g = ⌊√(n_g · 10⁶)⌋
+    *
+    * α = 1/2 keeps the weight exactly recomputable by any engine: IEEE
+    * sqrt is correctly rounded (unlike pow(x, α), whose libm drift
+    * could flip a floor), so ⌊√(n·10⁶)⌋ is the integer isqrt for any
+    * n·10⁶ < 2⁵², and everything after it is exact integer arithmetic
+    * (`totalTarget · w_g` must stay under 2⁶³ — ample: 10⁹ target rows
+    * against 10¹²-row groups is ~10¹⁸).
+    *
+    * Scale shape: one count aggregation (O(groups) frame), integer
+    * target arithmetic, then [[sampleStratified]]'s bounded-heap
+    * selection — no per-group window, no RNG state; the mix is a pure
+    * function of (ids, group sizes, totalTarget). */
+  def temperatureMix(docs: DataFrame, groupCol: String, idCol: String,
+                     totalTarget: Long): DataFrame = {
+    require(totalTarget > 0)
+    val counts = docs.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val w = counts.withColumn("__w",
+      floor(sqrt(col("__n") * lit(1000000.0))).cast("long"))
+    // Σw is one O(groups) aggregate — a config-sized driver scalar (the
+    // same contract as sampleStratified's own targets collect)
+    val totW = w.agg(sum(col("__w"))).head().getLong(0)
+    val targets = w
+      .withColumn("__t", expr(s"least(__n, ($totalTarget * __w) div $totW)"))
+      .filter(col("__t") > 0)
+      .select(col("__g"), col("__t"))
+    sampleStratified(docs, groupCol, idCol, targets)
+  }
 }

@@ -1908,6 +1908,57 @@ object Extended {
              |FROM k GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    ("q111_sample_quantiles",
+      (s: SparkSession, d: String) => {
+        // the 100 TB quantile path: deterministic bottom-k-by-hash
+        // sample (TakeOrdered, never a global sort) + exact interpolated
+        // quantiles over the k sample rows. The hash is the same public
+        // Knuth form as q57/q77, so the oracle reproduces the SAMPLE,
+        // not just the estimate.
+        val li = Tables.lineitem(s, d)
+        graft.ext.RobustStats.sampleQuantiles(li,
+            col("l_orderkey") * 10 + col("l_linenumber"),
+            col("l_extendedprice"),
+            probs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99), k = 1000)
+          .orderBy("p")
+      },
+      Some("""WITH s AS (SELECT l_extendedprice AS v
+             |           FROM lineitem
+             |           ORDER BY ((l_orderkey * 10 + l_linenumber) % 1000003) * 2654435761 % 1000000007,
+             |                    l_orderkey * 10 + l_linenumber
+             |           LIMIT 1000),
+             |sel AS (SELECT quantile_cont(v, [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS qs
+             |        FROM s)
+             |SELECT CAST(p AS DOUBLE) AS p, q
+             |FROM (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS p,
+             |             unnest(qs) AS q FROM sel)
+             |ORDER BY p""".stripMargin)),
+
+    ("q112_temperature_mix",
+      (s: SparkSession, d: String) => {
+        // temperature-weighted mixture (α = 1/2): targets ∝ √n_g, so
+        // the dominant language is downsampled hard while low-resource
+        // ones keep most of their docs — the multilingual-LM sampling
+        // recipe with the targets computed IN-ENGINE from observed
+        // group sizes (integer isqrt ⇒ exactly recomputable), then the
+        // bounded-heap stratified pick.
+        graft.ext.Sharding.temperatureMix(Tables.documents(s, d), "lang",
+            "doc_id", totalTarget = 300L)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+             |w AS (SELECT lang, n, CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS w FROM c),
+             |t AS (SELECT lang, n,
+             |        least(n, (300 * w) // (SELECT SUM(w) FROM w)) AS t_g
+             |      FROM w),
+             |r AS (SELECT d.doc_id, d.lang, t.t_g,
+             |        row_number() OVER (PARTITION BY d.lang
+             |          ORDER BY ((d.doc_id % 1000003) * 2654435761) % 100, d.doc_id) AS rn
+             |      FROM documents d JOIN t USING (lang))
+             |SELECT doc_id, lang FROM r WHERE rn <= t_g AND t_g > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {
         // epoch-repetition mixing (weights > 1): ⌊w⌋ copies + a hash-

@@ -41,4 +41,31 @@ class RobustStatsSpec extends SparkTestBase {
     val r = RobustStats.madOutlierStats(df, "g", col("v")).head()
     assert(r.getAs[Long]("n_outliers") == 6L)
   }
+
+  test("sampleQuantiles: k >= n degenerates to exact quantiles of the full set") {
+    val df = (1L to 101L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val got = RobustStats.sampleQuantiles(df, col("id"), col("v"),
+        probs = Seq(0.25, 0.5, 0.75), k = 1000)
+      .orderBy("p").as[(Double, Double)].collect().toSeq
+    // 101 values 1..101: interpolated quantiles land exactly on 26/51/76
+    assert(got == Seq((0.25, 26.0), (0.5, 51.0), (0.75, 76.0)))
+  }
+
+  test("sampleQuantiles: sample is the hash-order prefix, stable under repartition") {
+    val df = (1L to 5000L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val a = RobustStats.sampleQuantiles(df, col("id"), col("v"),
+      probs = Seq(0.5), k = 200).head().getDouble(1)
+    val b = RobustStats.sampleQuantiles(df.repartition(13), col("id"), col("v"),
+      probs = Seq(0.5), k = 200).head().getDouble(1)
+    assert(a == b)
+    // reference: the same Knuth-hash bottom-200 prefix computed locally
+    val ids = (1L to 5000L).sortBy(i =>
+      (Math.floorMod((i % 1000003L) * 2654435761L, 1000000007L), i)).take(200)
+    val vs = ids.map(_.toDouble).sorted
+    val want = { // percentile(v, 0.5) interpolation over 200 values
+      val pos = 0.5 * (vs.length - 1); val lo = pos.toInt
+      vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo))
+    }
+    assert(a == want)
+  }
 }

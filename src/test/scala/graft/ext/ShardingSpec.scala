@@ -218,4 +218,24 @@ class ShardingSpec extends SparkTestBase {
     // date-like token must not be phone-matched
     assert(out(3L)._4 == "nothing sensitive here 12345 2026-01-01")
   }
+
+  test("temperatureMix: sqrt-law targets upweight low-resource groups; caps at n_g") {
+    // groups: big=400, small=100 docs. α=1/2 weights: w ∝ 20 / 10, so a
+    // 150-row target splits 100 / 50 — the small group keeps 50% while
+    // the big one keeps 25% (a proportional split would be 120/30).
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val got = Sharding.temperatureMix(docs, "src", "doc_id", totalTarget = 150L)
+    val bySrc = got.groupBy("src").count().as[(String, Long)].collect().toMap
+    // w_big = isqrt(4e8) = 20000, w_small = isqrt(1e8) = 10000, W = 30000
+    // t_big = 150*20000 div 30000 = 100; t_small = 150*10000 div 30000 = 50
+    assert(bySrc == Map("big" -> 100L, "small" -> 50L))
+    // a target above the corpus size caps every group at its own n_g
+    val all = Sharding.temperatureMix(docs, "src", "doc_id", totalTarget = 100000L)
+    assert(all.count() == 500L)
+    // determinism: same ids under a different partitioning
+    val again = Sharding.temperatureMix(docs.repartition(7), "src", "doc_id", 150L)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
+      got.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
