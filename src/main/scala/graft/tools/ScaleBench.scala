@@ -80,7 +80,14 @@ object ScaleBench {
     // frames (vocab, bigram types) grow linearly under the content-
     // disjoint replicas — the worst case for the model join-back.
     "q103_ivfpq_recall@probes", "q104_semantic_dedup",
-    "q105_bm25_topk@queries", "q106_perplexity_filter", "q107_dsir_weights")
+    "q105_bm25_topk@queries", "q106_perplexity_filter", "q107_dsir_weights",
+    // q108: the forced-hierarchical cell assignment — its O(√k)-per-row
+    // claim is exactly a scale-sensitivity claim (k grows with n here).
+    // Round-7 additions: q109's docs×labels scoring join, q110's
+    // digest-keyed winner agg over ALL corpus tiles (the row-heaviest
+    // new frame), q112's count→isqrt-targets→bounded-heap pick.
+    "q108_semantic_dedup_hier", "q109_nb_classify", "q110_span_dedup",
+    "q112_temperature_mix")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
