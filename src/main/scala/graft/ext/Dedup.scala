@@ -777,6 +777,50 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** The (doc_id, idx, tile, digest) tile frame [[dedupTiles]] and
+    * [[tileDupEdges]] share: consecutive `width`-token tiles per
+    * document (ragged tail kept), keyed by a 256-bit digest so
+    * downstream aggregations never shuffle tile text as the group key. */
+  def tileFrame(docs: DataFrame, idCol: String, textCol: String,
+                width: Int): DataFrame = {
+    require(width >= 1)
+    val nTiles = ((size(col("__toks")) + lit(width - 1)) / lit(width)).cast("int")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), explode(transform(sequence(lit(0), nTiles - 1),
+        i => struct(i.cast("long").as("idx"),
+          concat_ws(" ", slice(col("__toks"), i * width + 1, lit(width))).as("tile")))).as("g"))
+      .select(col("doc_id"), col("g.idx").as("idx"), col("g.tile").as("tile"),
+        sha2(col("g.tile"), 256).as("__k"))
+  }
+
+  /** Undirected duplication-graph edges: (src, dst) BOTH directions for
+    * every document pair sharing at least one duplicate `width`-token
+    * tile — the input graph for centrality over duplication structure
+    * ([[PageRank]]: a template/boilerplate SOURCE is central in this
+    * graph; its copies are leaves).
+    *
+    * Scale shape: pairs form per-digest within duplicate-tile groups
+    * only (the overwhelmingly-unique tiles never join); a hot boiler-
+    * plate tile with f occurrences contributes f² pairs — the same
+    * bucket-cap discipline as the LSH band join applies via `maxFanout`
+    * (groups above it are dropped and accounted, like Dedup's capped
+    * bands; boilerplate THAT common is better handled by q86's span
+    * report than by pair explosion). */
+  def tileDupEdges(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int = 8, maxFanout: Int = 1000): DataFrame = {
+    val t = tileFrame(docs, idCol, textCol, width)
+      .select(col("__k"), col("doc_id"))
+    val grouped = t.groupBy("__k")
+      .agg(collect_set(col("doc_id")).as("__docs"))
+      .filter(size(col("__docs")) > 1 && size(col("__docs")) <= maxFanout)
+    grouped
+      .select(explode(col("__docs")).as("src"), col("__docs"))
+      .select(col("src"), explode(col("__docs")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** C4-style span removal (Raffel et al., JMLR'20 §2.2 — "discard all
     * but one of any three-sentence span occurring more than once"),
     * re-expressed over fixed-width TOKEN TILES (this corpus has no
@@ -800,15 +844,7 @@ object Dedup {
     * `text_clean = ""`). */
   def dedupTiles(docs: DataFrame, idCol: String, textCol: String,
                  width: Int = 8): DataFrame = {
-    require(width >= 1)
-    val nTiles = ((size(col("__toks")) + lit(width - 1)) / lit(width)).cast("int")
-    val tiles = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
-      .select(col("doc_id"), explode(transform(sequence(lit(0), nTiles - 1),
-        i => struct(i.cast("long").as("idx"),
-          concat_ws(" ", slice(col("__toks"), i * width + 1, lit(width))).as("tile")))).as("g"))
-      .select(col("doc_id"), col("g.idx").as("idx"), col("g.tile").as("tile"),
-        sha2(col("g.tile"), 256).as("__k"))
+    val tiles = tileFrame(docs, idCol, textCol, width)
     val first = tiles.groupBy("__k")
       .agg(min(struct(col("doc_id"), col("idx"))).as("__first"))
     tiles.join(first, "__k")

@@ -420,4 +420,74 @@ object Similarity {
         .take(k).map(_._1)
     }.toMap
   }
+
+  /** Margin-based mutual-nearest-neighbor pair mining (Artetxe &
+    * Schwenk, ACL'19 "Margin-based Parallel Corpus Mining" — the
+    * standard bitext/paired-data miner, also the alignment step of
+    * cross-modal pair curation): a pair (a, b) survives when each side
+    * is the other's best candidate under the RATIO margin
+    *
+    *   margin(a, b) = cos(a, b) / ((avgTopK_B(a) + avgTopK_A(b)) / 2)
+    *
+    * which normalizes away hubness — a vector whose whole neighborhood
+    * is close (a hub) must beat its own neighborhood average to pair.
+    *
+    * This overload mines over PRE-COMPUTED per-side candidate lists
+    * (`ab` = per-a top-k in B, `ba` = per-b top-k in A, both in
+    * [[topKBruteForce]]'s (query_id, neighbor_id, sim, rank) shape) —
+    * the 100 TB path feeds ANN candidates ([[topKLsh]] / [[topKIvf]] /
+    * [[graft.ext.IvfPq.topKIvfPq]]) instead of exact lists; the margin
+    * algebra downstream is identical. Per-id denominators are
+    * rank-ordered sequential folds (deterministic regardless of
+    * partitioning); margins round to `scale` decimals before the
+    * argmax, ties to the smaller counterpart id.
+    *
+    * Scale shape: candidate frames are O(n·k); denominator frames are
+    * O(n); the best-pair windows partition per id over ≤ 2k rows.
+    * Output: (id_a, id_b, sim, margin) for mutual pairs with
+    * margin ≥ minMargin (and sim ≥ minSim when set — the ratio margin
+    * normalizes hubness, not absolute quality, so on weakly-aligned
+    * spaces practitioners also floor the raw cosine), the bit-exact
+    * cosine alongside the rounded margin. */
+  def mutualMarginPairsFrom(ab: DataFrame, ba: DataFrame,
+                            minMargin: Double, scale: Int = 4,
+                            minSim: Double = -1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def sideAvg(knn: DataFrame, idOut: String, avgOut: String): DataFrame =
+      knn.groupBy(col("query_id").as(idOut))
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("rank"), col("sim")))),
+            s => s.getField("sim")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as(avgOut))
+    val aAvg = sideAvg(ab, "id_a", "avg_a")
+    val bAvg = sideAvg(ba, "id_b", "avg_b")
+    val pairs = ab.select(col("query_id").as("id_a"),
+        col("neighbor_id").as("id_b"), col("sim"))
+      .unionByName(ba.select(col("neighbor_id").as("id_a"),
+        col("query_id").as("id_b"), col("sim")))
+      .distinct()
+    val m = pairs
+      .join(aAvg, Seq("id_a"))
+      .join(bAvg, Seq("id_b"))
+      .withColumn("margin",
+        round(col("sim") / ((col("avg_a") + col("avg_b")) / 2), scale))
+    val fwd = Window.partitionBy("id_a").orderBy(col("margin").desc, col("id_b").asc)
+    val bwd = Window.partitionBy("id_b").orderBy(col("margin").desc, col("id_a").asc)
+    m.withColumn("__rf", row_number().over(fwd))
+      .withColumn("__rb", row_number().over(bwd))
+      .filter(col("__rf") === 1 && col("__rb") === 1 &&
+        col("margin") >= minMargin && col("sim") >= minSim)
+      .select("id_a", "id_b", "sim", "margin")
+  }
+
+  /** [[mutualMarginPairsFrom]] with exact brute-force candidate lists —
+    * the small-corpus / validation path (each side broadcasts as the
+    * query batch of the other's scan). */
+  def mutualMarginPairs(a: DataFrame, b: DataFrame, k: Int, minMargin: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        scale: Int = 4, minSim: Double = -1.0): DataFrame =
+    mutualMarginPairsFrom(
+      topKBruteForce(b, a, k, idCol, vecCol),
+      topKBruteForce(a, b, k, idCol, vecCol), minMargin, scale, minSim)
 }

@@ -181,6 +181,40 @@ object Extended {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q114's oracle: integer PageRank unrolled — 5 iteration CTEs, each
+    * mirroring PageRank.ranks' update exactly (same div placement). */
+  private val q114Sql: String = {
+    val scale = "1000000000000"
+    val iters = (1 to 5).map { k =>
+      s"""r$k AS (SELECT nd.node,
+         |  COALESCE((3 * $scale) // (20 * n.n) + (17 * s.s) // 20,
+         |           (3 * $scale) // (20 * n.n)) AS pr
+         |FROM nd CROSS JOIN n
+         |LEFT JOIN (SELECT e.dst AS node, SUM(r${k - 1}.pr // deg.deg) AS s
+         |           FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src
+         |           JOIN deg ON deg.src = e.src
+         |           GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tile AS (SELECT doc_id,
+       |           array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS tile
+       |         FROM (SELECT doc_id, toks,
+       |                 unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+       |               FROM t)),
+       |grp AS (SELECT tile, COUNT(DISTINCT doc_id) AS ndocs FROM tile GROUP BY 1),
+       |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |      FROM tile a JOIN tile b USING (tile) JOIN grp USING (tile)
+       |      WHERE a.doc_id <> b.doc_id AND grp.ndocs BETWEEN 2 AND 1000),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |nd AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e
+       |                                  UNION ALL SELECT dst FROM e)),
+       |n AS (SELECT COUNT(*) AS n FROM nd),
+       |r0 AS (SELECT node, $scale // n.n AS pr FROM nd CROSS JOIN n),
+       |$iters
+       |SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr FROM r5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     ("q94_bpe_pairs",
@@ -1958,6 +1992,62 @@ object Extended {
              |      FROM documents d JOIN t USING (lang))
              |SELECT doc_id, lang FROM r WHERE rn <= t_g AND t_g > 0
              |ORDER BY doc_id""".stripMargin)),
+
+    ("q113_mutual_margin_pairs",
+      (s: SparkSession, d: String) => {
+        // bitext-style paired-data mining: mutual best-candidate pairs
+        // across the even/odd embedding slices under the ratio margin
+        // (hubness-normalized). GROUND-TRUTH oracle: DuckDB recomputes
+        // the full pipeline from raw vectors — all-pairs cosine, per-
+        // side top-k averages, margins, mutual argmax.
+        val emb = Tables.embeddings(s, d)
+        graft.ext.Similarity.mutualMarginPairs(
+            emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 =!= 0),
+            k = 8, minMargin = 1.05)
+          .orderBy("id_a")
+      },
+      Some("""WITH va AS (SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings WHERE vec_id % 2 = 0),
+             |vb AS (SELECT vec_id AS id_b, CAST(embedding AS DOUBLE[]) AS v
+             |       FROM embeddings WHERE vec_id % 2 <> 0),
+             |s AS (SELECT id_a, id_b, list_cosine_similarity(va.v, vb.v) AS sim
+             |      FROM va CROSS JOIN vb),
+             |ka AS (SELECT id_a, id_b, sim, row_number() OVER (PARTITION BY id_a
+             |         ORDER BY sim DESC, id_b) AS rk FROM s),
+             |kb AS (SELECT id_a, id_b, sim, row_number() OVER (PARTITION BY id_b
+             |         ORDER BY sim DESC, id_a) AS rk FROM s),
+             |aavg AS (SELECT id_a, AVG(sim) AS avg_a FROM ka WHERE rk <= 8 GROUP BY 1),
+             |bavg AS (SELECT id_b, AVG(sim) AS avg_b FROM kb WHERE rk <= 8 GROUP BY 1),
+             |pairs AS (SELECT DISTINCT id_a, id_b, sim FROM (
+             |            SELECT id_a, id_b, sim FROM ka WHERE rk <= 8
+             |            UNION ALL SELECT id_a, id_b, sim FROM kb WHERE rk <= 8)),
+             |m AS (SELECT p.id_a, p.id_b, p.sim,
+             |        round(p.sim / ((avg_a + avg_b) / 2), 4) AS margin
+             |      FROM pairs p JOIN aavg USING (id_a) JOIN bavg USING (id_b)),
+             |f AS (SELECT *, row_number() OVER (PARTITION BY id_a
+             |        ORDER BY margin DESC, id_b) AS rf FROM m),
+             |g AS (SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b
+             |        ORDER BY margin DESC, id_a) AS rb FROM m)
+             |SELECT f.id_a, f.id_b, f.sim, f.margin
+             |FROM f JOIN g USING (id_a, id_b)
+             |WHERE f.rf = 1 AND g.rb = 1 AND f.margin >= 1.05
+             |ORDER BY f.id_a""".stripMargin)),
+
+    ("q114_dup_pagerank",
+      (s: SparkSession, d: String) => {
+        // graph centrality over the duplication graph: PageRank in exact
+        // integer arithmetic (scaled longs, integer div) so the 5-
+        // iteration fixed point is bit-reproducible by any engine — the
+        // oracle replays all 5 iterations in SQL. High-rank nodes are
+        // the template/boilerplate sources.
+        graft.ext.PageRank.ranks(
+            graft.ext.Dedup.tileDupEdges(Tables.documents(s, d), "doc_id",
+              "text", width = 8), iterations = 5)
+          .select(col("node").as("doc_id"), col("pr"))
+          .orderBy("doc_id")
+      },
+      Some(q114Sql)),
 
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {

@@ -260,4 +260,37 @@ class SimilaritySpec extends SparkTestBase {
     for (r <- out; if !r.getBoolean(2))
       assert(r.getLong(1) < r.getLong(0), "representative must be the min id")
   }
+
+  test("mutualMarginPairs: planted translations pair up; hubs are margin-suppressed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def noise() = Array.fill(16)(rnd.nextGaussian().toFloat * 0.1f)
+    def basis(i: Int) = Array.tabulate(16)(j => if (j == i % 16) 1.0f else 0.0f)
+    def mix(v: Array[Float], w: Array[Float]) =
+      v.zip(w).map { case (a, b) => a + b }
+    // side A even ids, side B odd ids; pairs (2i, 2i+1) share a basis
+    // direction; ids 100/101+ are unpaired noise
+    val planted = (0 until 6).flatMap { i =>
+      Seq((2L * i, mix(basis(i), noise())), (2L * i + 1, mix(basis(i), noise())))
+    }
+    val loose = (100L to 109L).map(id => (id, noise()))
+    val emb = (planted ++ loose).toDF("vec_id", "embedding")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 =!= 0)
+    val got = Similarity.mutualMarginPairs(a, b, k = 4, minMargin = 1.2,
+        minSim = 0.5)
+      .as[(Long, Long, Double, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    (0 until 6).foreach { i =>
+      assert(pairs.contains((2L * i, 2L * i + 1)), s"planted pair $i missing")
+    }
+    // with the absolute floor, noise ids (max cos ~0.3) never pair —
+    // the margin alone would NOT suppress them (it normalizes hubness,
+    // not absolute quality; random vectors can carry large ratios)
+    assert(got.forall(r => r._1 < 100 && r._2 < 100))
+    // determinism under repartition
+    val again = Similarity.mutualMarginPairs(a.repartition(5), b.repartition(3),
+      k = 4, minMargin = 1.2, minSim = 0.5).as[(Long, Long, Double, Double)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
 }
