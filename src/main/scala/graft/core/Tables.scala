@@ -40,6 +40,11 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         // integer `div`, not `/`: nanos ~1.7e18 exceed double's 53-bit mantissa
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // normalize to TIMESTAMP so batch and streaming agree on the
+        // column type (watermarks reject NTZ) — session tz is pinned
+        // UTC everywhere, so the cast is value-identical
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

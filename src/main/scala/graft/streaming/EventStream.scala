@@ -16,25 +16,33 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema with `ts` as raw parquet nanos (LongType) — what a
-    * streaming scan of the driver corpus must declare (see Tables.events:
-    * Spark's vectorized reader rejects TIMESTAMP(NANOS)). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming read of an events parquet directory (ns → µs timestamps). */
+  /** Streaming read of an events parquet directory, tolerant of every
+    * `ts` physical encoding the corpus has shipped with: a streaming
+    * source needs a DECLARED schema, so the footer of the existing data
+    * is sniffed with a zero-row batch read and the stream declares
+    * exactly what is on disk —
+    *  - TIMESTAMP(NANOS) (read as LongType under `nanosAsLong`; Spark's
+    *    vectorized reader rejects nanos): converted ns → µs timestamps;
+    *  - TIMESTAMP / TIMESTAMP_NTZ (µs): passed through unchanged, so
+    *    streaming and batch ([[graft.core.Tables.events]]) agree on the
+    *    column type and parity joins compare equal. */
   def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 100): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val onDisk = spark.read.parquet(dir).schema
+    val raw = spark.readStream
+      .schema(onDisk)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    onDisk("ts").dataType match {
+      case LongType =>
+        // integer `div`, not `/`: nanos ~1.7e18 exceed double's mantissa
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        // on NTZ); session tz is pinned UTC, so the cast is value-identical
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling event-time window counts/sums per event_type, watermarked.

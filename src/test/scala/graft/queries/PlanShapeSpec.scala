@@ -466,10 +466,18 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q106/q107: LM count frames partial-aggregate map-side, no cartesian") {
+    // since round 7 the scored frame eagerly checkpoints inside
+    // bigramLogLik/dsirWeights (so threshold + gate reuse never replays
+    // the LM) — the count-frame aggregation facts therefore live in the
+    // PRE-checkpoint subplan, asserted here on the gram frame directly;
+    // the declared queries keep the no-cartesian fact on their final plan
+    val grams = graft.ext.NgramLM.docBigrams(
+      graft.core.Tables.documents(spark, dir))
+    val gp = grams.queryExecution.executedPlan.toString
+    assert(gp.contains("partial_count") || gp.contains("partial_sum"),
+      "docBigrams: per-doc gram counts must combine map-side before the shuffle")
     for (q <- Seq("q106_perplexity_filter", "q107_dsir_weights")) {
       val p = plan(q)
-      assert(p.contains("partial_sum") || p.contains("partial_count"),
-        s"$q: gram counts must combine map-side before the shuffle")
       assert(!p.contains("CartesianProduct"),
         s"$q: scalar frames must ride broadcast nested-loop, never cartesian")
     }

@@ -180,13 +180,18 @@ class EventStreamSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$d2/a_events.parquet"))
-    val maxTs = Tables.events(spark, dir).agg(max("ts")).head().getTimestamp(0)
-    // stage flushes as later-listed files (file source orders by path)
+    val maxMicros = Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+    // stage flushes as later-listed files (file source orders by path);
+    // ts must carry the SAME physical type as the corpus file (the
+    // stream declares the on-disk schema) — LocalDateTime ⇒ TIMESTAMP_NTZ
     (0 until 2).foreach { i =>
       val src = tmpDir(s"flush-stage$i")
-      // rawSchema shape: ts is raw parquet NANOS (LongType)
-      val flushNanos = (maxTs.getTime + (i + 10) * 3600 * 1000L) * 1000000L
-      Seq((999999L + i, flushNanos, 999999L + i, "flush", 0.0, "{}"))
+      val flushMicros = maxMicros + (i + 10) * 3600L * 1000000L
+      val flushTs = java.time.LocalDateTime.ofEpochSecond(
+        flushMicros / 1000000L, ((flushMicros % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      Seq((999999L + i, flushTs, 999999L + i, "flush", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(src)
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
