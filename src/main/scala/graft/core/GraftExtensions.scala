@@ -69,5 +69,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.lengthBucketsPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("stratified_sample"), info("stratified_sample"),
       (es: Seq[Expression]) => graft.ext.DocSql.stratifiedSamplePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("span_dedup"), info("span_dedup"),
+      (es: Seq[Expression]) => graft.ext.DocSql.spanDedupPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("nb_classify"), info("nb_classify"),
+      (es: Seq[Expression]) => graft.ext.DocSql.nbClassifyPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("temperature_mix"), info("temperature_mix"),
+      (es: Seq[Expression]) => graft.ext.DocSql.temperatureMixPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("dup_pagerank"), info("dup_pagerank"),
+      (es: Seq[Expression]) => graft.ext.DocSql.dupPagerankPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("sample_quantiles"), info("sample_quantiles"),
+      (es: Seq[Expression]) => graft.ext.DocSql.sampleQuantilesPlan(es)))
   }
 }

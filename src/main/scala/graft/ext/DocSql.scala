@@ -100,4 +100,48 @@ object DocSql {
   private[graft] def stratifiedSamplePlan(es: Seq[Expression]): LogicalPlan =
     plan(Sharding.sampleStratified(tableArg(es.head), "source", "doc_id",
       tableArg(es(1))))
+
+  private def strArg(e: Expression): String = {
+    require(e.foldable, "TVF parameters must be literals")
+    e.eval().toString
+  }
+
+  /** `span_dedup('docs', width)`: C4-style duplicate-tile removal —
+    * (doc_id, n_tiles, n_kept, text_clean). */
+  private[graft] def spanDedupPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.dedupTiles(tableArg(es.head), "doc_id", "text",
+      width = intArg(es(1))))
+
+  /** `nb_classify('train', 'score', 'label_col')`: multinomial NB —
+    * train on the first view's label column, score every row of the
+    * second. */
+  private[graft] def nbClassifyPlan(es: Seq[Expression]): LogicalPlan =
+    plan(NaiveBayes.trainScore(tableArg(es.head), tableArg(es(1)),
+      strArg(es(2))))
+
+  /** `temperature_mix('docs', 'group_col', total_target)`: sqrt-law
+    * mixture sampling with in-engine targets. Eager like
+    * `stratified_sample` (the bounded-heap pick collects its
+    * config-sized targets at analysis). */
+  private[graft] def temperatureMixPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Sharding.temperatureMix(tableArg(es.head), strArg(es(1)), "doc_id",
+      numArg(es(2)).longValue()))
+
+  /** `dup_pagerank('docs', width, iterations)`: integer PageRank over
+    * the tile-duplication graph — (node, pr). Eager: each iteration
+    * checkpoints at analysis time (the eager-TVF caveat above). */
+  private[graft] def dupPagerankPlan(es: Seq[Expression]): LogicalPlan =
+    plan(PageRank.ranks(
+      Dedup.tileDupEdges(tableArg(es.head), "doc_id", "text",
+        width = intArg(es(1))),
+      iterations = intArg(es(2))))
+
+  /** `sample_quantiles('t', 'key_col', 'value_col', 'p1,p2,…', k)`:
+    * deterministic bottom-k-by-hash sample quantiles — (p, q). */
+  private[graft] def sampleQuantilesPlan(es: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions.col
+    val probs = strArg(es(3)).split(",").map(_.trim.toDouble).toSeq
+    plan(RobustStats.sampleQuantiles(tableArg(es.head),
+      col(strArg(es(1))), col(strArg(es(2))), probs, k = intArg(es(4))))
+  }
 }

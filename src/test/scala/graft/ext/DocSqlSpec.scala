@@ -110,4 +110,45 @@ class DocSqlSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(counts == Map("s0" -> 3L, "s1" -> 5L))
   }
+
+  test("round-7 TVFs equal their Scala counterparts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs
+    assert(sorted(spark.sql("SELECT * FROM span_dedup('docs', 4)")) ==
+      sorted(Dedup.dedupTiles(docs, "doc_id", "text", width = 4)))
+
+    val labeled = (1L to 30L)
+      .map(i => (i, if (i % 2 == 0) "alpha beta beta" else "gamma delta",
+        if (i % 2 == 0) "even" else "odd"))
+      .toDF("doc_id", "text", "lang")
+    labeled.createOrReplaceTempView("docs_lbl")
+    assert(sorted(spark.sql(
+        "SELECT * FROM nb_classify('docs_lbl', 'docs_lbl', 'lang')")) ==
+      sorted(NaiveBayes.trainScore(labeled, labeled, "lang")))
+
+    val srcDocs2 = (1L to 60L).map(i => (i, s"s${i % 3}", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    srcDocs2.createOrReplaceTempView("docs_mix")
+    assert(sorted(spark.sql(
+        "SELECT * FROM temperature_mix('docs_mix', 'source', 30)")) ==
+      sorted(Sharding.temperatureMix(srcDocs2, "source", "doc_id", 30L)))
+
+    assert(sorted(spark.sql("SELECT * FROM dup_pagerank('docs', 4, 3)")) ==
+      sorted(PageRank.ranks(
+        Dedup.tileDupEdges(docs, "doc_id", "text", width = 4), iterations = 3)))
+
+    val vals = (1L to 500L).map(i => (i, i.toDouble)).toDF("id", "v")
+    vals.createOrReplaceTempView("vals")
+    assert(sorted(spark.sql(
+        "SELECT * FROM sample_quantiles('vals', 'id', 'v', '0.25,0.5,0.75', 100)")) ==
+      sorted(RobustStats.sampleQuantiles(vals, col("id"), col("v"),
+        Seq(0.25, 0.5, 0.75), k = 100)))
+
+    // outer SQL composes: only the fully-duplicated docs
+    val gone = spark.sql(
+      "SELECT doc_id FROM span_dedup('docs', 4) WHERE n_kept = 0")
+      .as[Long].collect().toSet
+    assert(gone == Set(4L), "exact dup of doc 1 loses every tile")
+  }
 }
