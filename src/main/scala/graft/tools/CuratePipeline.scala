@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Sharding, TextAnalysis}
+import graft.ext.{Dedup, NaiveBayes, Sharding, TextAnalysis}
 
 /** End-to-end training-corpus curation CLI — the pipeline a data team
   * runs over raw documents, composed from the verified operators:
@@ -27,20 +27,55 @@ import graft.ext.{Dedup, Sharding, TextAnalysis}
 object CuratePipeline {
 
   /** The pipeline as a function (CLI-independent, spec-driven). Returns
-    * the curated, split, packed frame that `main` writes. */
+    * the curated, split, packed frame that `main` writes.
+    *
+    * Round-7 optional stages (each composes a verified operator):
+    *  - `nbLangTrain`: raw crawls often lack language metadata — when
+    *    given, every doc's `lang` is REPLACED by the Naive Bayes
+    *    prediction of a classifier trained on this labeled frame
+    *    ([[NaiveBayes.trainScore]]), and the `langs` gate applies to
+    *    predictions;
+    *  - `spanDedupWidth`: C4 duplicate-span removal after the quality
+    *    gates ([[Dedup.dedupTiles]]) — doc text becomes the cleaned
+    *    reconstruction, fully-duplicated documents drop;
+    *  - `temperatureTarget`: replaces the flat per-source cap with
+    *    sqrt-law temperature mixing ([[Sharding.temperatureMix]]). */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
-          benchmarks: Option[DataFrame] = None): DataFrame = {
-    val curated = TextAnalysis.curateCorpus(docs, minQuality, langs)
-    val clean = benchmarks match {
-      case Some(b) =>
-        val hits = Dedup.decontaminate(curated, b, "doc_id", "text")
-          .select(col("doc_id")).distinct()
-        curated.join(hits, Seq("doc_id"), "left_anti")
+          benchmarks: Option[DataFrame] = None,
+          nbLangTrain: Option[DataFrame] = None,
+          spanDedupWidth: Option[Int] = None,
+          temperatureTarget: Option[Long] = None): DataFrame = {
+    val labeled = nbLangTrain match {
+      case Some(train) =>
+        val pred = NaiveBayes.trainScore(train, docs, "lang")
+          .select(col("doc_id"), col("label_pred"))
+        docs.drop("lang").join(pred, Seq("doc_id"))
+          .withColumnRenamed("label_pred", "lang")
+      case None => docs
+    }
+    val curated = TextAnalysis.curateCorpus(labeled, minQuality, langs)
+    val spanned = spanDedupWidth match {
+      case Some(w) =>
+        val cleaned = Dedup.dedupTiles(curated, "doc_id", "text", w)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("text_clean"))
+        curated.drop("text").join(cleaned, Seq("doc_id"))
+          .withColumnRenamed("text_clean", "text")
       case None => curated
     }
-    val capped = Sharding.capPerGroup(clean, "source", "doc_id", perSourceCap)
+    val clean = benchmarks match {
+      case Some(b) =>
+        val hits = Dedup.decontaminate(spanned, b, "doc_id", "text")
+          .select(col("doc_id")).distinct()
+        spanned.join(hits, Seq("doc_id"), "left_anti")
+      case None => spanned
+    }
+    val capped = temperatureTarget match {
+      case Some(t) => Sharding.temperatureMix(clean, "source", "doc_id", t)
+      case None => Sharding.capPerGroup(clean, "source", "doc_id", perSourceCap)
+    }
     val split = Sharding.assignSplit(capped, "doc_id")
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
     // pack WITHIN each split (a val doc must never share a shard with a

