@@ -391,6 +391,65 @@ object Relational {
              |ORDER BY win_start, event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    ("q115_correlated_exists",
+      (s: SparkSession, d: String) => {
+        // the SQL-entry subquery surface: correlated EXISTS / NOT EXISTS
+        // plus a correlated scalar aggregate, through spark.sql so
+        // Catalyst's subquery DECORRELATION does the planning — each
+        // subquery rewrites to a join against a pre-aggregated or
+        // semi/anti frame, never a per-row subquery execution.
+        Tables.customer(s, d).createOrReplaceTempView("q115_customer")
+        Tables.orders(s, d).createOrReplaceTempView("q115_orders")
+        s.sql("""
+          SELECT c.c_custkey, c.c_name,
+                 (SELECT COUNT(*) FROM q115_orders o
+                  WHERE o.o_custkey = c.c_custkey) AS n_orders
+          FROM q115_customer c
+          WHERE EXISTS (SELECT 1 FROM q115_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)
+            AND NOT EXISTS (SELECT 1 FROM q115_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'F'
+                              AND o.o_totalprice < 50000)
+          ORDER BY c.c_custkey""")
+      },
+      Some("""SELECT c.c_custkey, c.c_name,
+             |       (SELECT COUNT(*) FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 300000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderstatus = 'F'
+             |                    AND o.o_totalprice < 50000)
+             |ORDER BY c.c_custkey""".stripMargin)),
+
+    ("q116_lateral_topn",
+      (s: SparkSession, d: String) => {
+        // LATERAL correlated subquery — per-customer top-2 orders by
+        // value, the top-n-per-group idiom at the SQL entry; Spark
+        // decorrelates the LIMIT'd lateral into a ranked join (no
+        // per-customer subquery execution)
+        Tables.customer(s, d).createOrReplaceTempView("q116_customer")
+        Tables.orders(s, d).createOrReplaceTempView("q116_orders")
+        s.sql("""
+          SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+          FROM q116_customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM q116_orders o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+          ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             |         WHERE o.o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+             |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey""".stripMargin)),
+
     ("q16_sessionize",
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -465,6 +465,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q115/q116: subqueries decorrelate into joins, never per-row execution") {
+    for (q <- Seq("q115_correlated_exists", "q116_lateral_topn")) {
+      val p = plan(q)
+      assert(p.contains("Join"), s"$q: decorrelation must produce a join")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: correlated subqueries must not plan as cartesian products")
+    }
+    // the EXISTS/NOT EXISTS pair specifically becomes semi/anti joins
+    val p115 = plan("q115_correlated_exists")
+    assert(p115.contains("LeftSemi") && p115.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS must decorrelate to semi/anti joins")
+  }
+
   test("q106/q107: LM count frames partial-aggregate map-side, no cartesian") {
     // since round 7 the scored frame eagerly checkpoints inside
     // bigramLogLik/dsirWeights (so threshold + gate reuse never replays
