@@ -87,7 +87,14 @@ object ScaleBench {
     // digest-keyed winner agg over ALL corpus tiles (the row-heaviest
     // new frame), q112's count→isqrt-targets→bounded-heap pick.
     "q108_semantic_dedup_hier", "q109_nb_classify", "q110_span_dedup",
-    "q112_temperature_mix")
+    "q112_temperature_mix",
+    // q113 at its PRODUCTION shape: the declared query mines over exact
+    // brute-force candidate lists because its oracle recomputes them —
+    // deliberately quadratic; at scale the candidate lists come from the
+    // IVF-PQ index per side and the margin algebra is unchanged. q114's
+    // row is the operator as shipped (edges grow linearly under the
+    // content-disjoint replicas; 5 join+agg iterations).
+    "q113_mutual_margin@ivfpq", "q114_dup_pagerank")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -168,6 +175,27 @@ object ScaleBench {
             graft.ext.Retrieval.probeQueries(docs, every = every, width = 8),
             k = 5)
           .orderBy("query_id", "rank")
+      })
+      case "q113_mutual_margin@ivfpq" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        val a = emb.filter(col("vec_id") % 2 === 0)
+        val b = emb.filter(col("vec_id") % 2 =!= 0)
+        // mutual mining queries with HALF THE CORPUS, so unlike the
+        // @probes rows the query count grows with n — cells must grow
+        // too (the q104/q108 auto-sizing discipline) or the per-query
+        // scan is ∝ n and the whole pass ∝ n²: cells = n/256 keeps
+        // nProbe × cellSize constant ⇒ the mining stays linear
+        def fit(side: DataFrame, seed: Long) = {
+          val cells = math.max(32L, side.count() / 256L).toInt
+          graft.ext.IvfPq.fit(side, "vec_id", "embedding", dim = 64,
+            numCells = cells, m = 8, k = 16, iterations = 3, seed = seed)
+        }
+        val ab = graft.ext.IvfPq.topKIvfPq(b, a, k = 8, fit(b, 42L),
+          nProbe = 8, refine = 4)
+        val ba = graft.ext.IvfPq.topKIvfPq(a, b, k = 8, fit(a, 43L),
+          nProbe = 8, refine = 4)
+        graft.ext.Similarity.mutualMarginPairsFrom(ab, ba, minMargin = 1.05)
+          .orderBy("id_a")
       })
       case _ => None
     }
