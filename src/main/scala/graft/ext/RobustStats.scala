@@ -90,6 +90,36 @@ object RobustStats {
     * Output: one row per requested probability — (p, q), where q uses
     * the same linear interpolation as `percentile`/`quantile_cont`
     * (bit-stable across engines, hash-proven by q42). */
+  /** Exact LOWER weighted median per group: the smallest value v with
+    * 2·cumweight(≤ v) ≥ totalweight — the duration-weighted-latency /
+    * token-weighted-doc-stat aggregate, under the integer rule (no
+    * interpolation, no float comparison) so any engine reproduces it
+    * bit-for-bit from integral values and weights.
+    *
+    * Scale shape: rows collapse to the (group, value) DISTINCT frame
+    * first (one map-side-combinable weight sum — the window that
+    * follows ranks distinct values, not rows, typically orders of
+    * magnitude smaller); the cumulative walk is one window per group
+    * over that collapsed frame; the pick is a conditional min.
+    * Output: (group, n_values, total_w, wmedian). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: Column,
+                     weightCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df
+      .select(col(groupCol).as("g"), valueCol.cast("long").as("v"),
+        weightCol.cast("long").as("w"))
+      .groupBy("g", "v").agg(sum("w").as("w"))
+    val win = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gv
+      .withColumn("__cum", sum(col("w")).over(win))
+      .withColumn("__tot", sum(col("w")).over(Window.partitionBy("g")))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_values"),
+        max(col("__tot")).as("total_w"),
+        min(when(col("__cum") * 2 >= col("__tot"), col("v"))).as("wmedian"))
+  }
+
   def sampleQuantiles(df: DataFrame, keyCol: Column, valueCol: Column,
                       probs: Seq[Double], k: Int = 1000): DataFrame = {
     require(k > 0 && probs.nonEmpty)

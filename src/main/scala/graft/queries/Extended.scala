@@ -2049,6 +2049,33 @@ object Extended {
       },
       Some(q114Sql)),
 
+    ("q117_weighted_median",
+      (s: SparkSession, d: String) => {
+        // quantity-weighted median price (cents) per return flag: the
+        // exact lower-weighted-median integer rule — no interpolation,
+        // no float compare, bit-reproducible by any engine. Values
+        // collapse to the (group, cents) distinct frame before the
+        // cumulative window ranks them.
+        graft.ext.RobustStats.weightedMedian(Tables.lineitem(s, d),
+            "l_returnflag",
+            floor(col("l_extendedprice") * 100 + 0.5),
+            col("l_quantity"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH gv AS (SELECT l_returnflag AS g,
+             |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             |       FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT g, v, w,
+             |        SUM(w) OVER (PARTITION BY g ORDER BY v
+             |          ROWS UNBOUNDED PRECEDING) AS cum,
+             |        SUM(w) OVER (PARTITION BY g) AS tot FROM gv)
+             |SELECT g AS l_returnflag, COUNT(*) AS n_values,
+             |  CAST(MAX(tot) AS BIGINT) AS total_w,
+             |  MIN(CASE WHEN 2 * cum >= tot THEN v END) AS wmedian
+             |FROM c GROUP BY g
+             |ORDER BY l_returnflag""".stripMargin)),
+
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {
         // epoch-repetition mixing (weights > 1): ⌊w⌋ copies + a hash-

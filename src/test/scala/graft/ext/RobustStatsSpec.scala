@@ -42,6 +42,21 @@ class RobustStatsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_outliers") == 6L)
   }
 
+  test("weightedMedian: hand-computed lower weighted median; weight collapse") {
+    // group A: values (1, w=1), (5, w=2), (9, w=1): tot=4, cum(5)=3 >= 2 -> 5
+    // group B: a heavy single value dominates: (10, w=100), (99, w=1) -> 10
+    // value 5 appears twice in A (weights 1+1 collapse to 2)
+    val df = Seq(("A", 1L, 1L), ("A", 5L, 1L), ("A", 5L, 1L), ("A", 9L, 1L),
+      ("B", 10L, 100L), ("B", 99L, 1L)).toDF("g", "v", "w")
+    val got = RobustStats.weightedMedian(df, "g", col("v"), col("w"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 4L, 5L), ("B", 2L, 101L, 10L)))
+    // unit weights degenerate to the plain lower median
+    val unit = (1L to 7L).map(i => ("G", i, 1L)).toDF("g", "v", "w")
+    assert(RobustStats.weightedMedian(unit, "g", col("v"), col("w"))
+      .head().getLong(3) == 4L)
+  }
+
   test("sampleQuantiles: k >= n degenerates to exact quantiles of the full set") {
     val df = (1L to 101L).map(i => (i, i.toDouble)).toDF("id", "v")
     val got = RobustStats.sampleQuantiles(df, col("id"), col("v"),
