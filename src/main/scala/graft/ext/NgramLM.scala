@@ -84,12 +84,13 @@ object NgramLM {
     val grams = docBigrams(docs, idCol, textCol).persist()
     val trainGrams =
       if (train eq docs) grams else docBigrams(train, idCol, textCol).persist()
+    try {
     val c12 = trainGrams.groupBy("w1", "w2").agg(sum("n").as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = train
       .select(explode(split(col(textCol), " ")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val out = grams
+    grams
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -102,9 +103,12 @@ object NgramLM {
       // O(docs) rows, 3 columns: eager-materialize so callers that use
       // the scored frame twice (threshold + gate) never re-run the LM.
       .localCheckpoint(true)
-    grams.unpersist(false)
-    if (!(train eq docs)) trainGrams.unpersist(false)
-    out
+    } finally {
+      // unpersist even when the compute throws (a failing query must not
+      // leak cached frames into executor storage for the session's life)
+      grams.unpersist(false)
+      if (!(train eq docs)) trainGrams.unpersist(false): Unit
+    }
   }
 
   /** CCNet-style perplexity filter: score every document with
@@ -149,16 +153,18 @@ object NgramLM {
     // each so every explode/shuffle runs once (same reasoning as
     // [[bigramLogLik]]).
     val rawU = unigrams(raw).persist()
+    var model: DataFrame = null
+    try {
     val cRaw = rawU.groupBy("w").agg(sum("n").as("c_raw"))
     val cTgt = unigrams(target).groupBy("w").agg(sum("n").as("c_tgt"))
     // union vocabulary + totals: one tiny frame each, broadcast
-    val model = cRaw.join(cTgt, Seq("w"), "full_outer")
+    model = cRaw.join(cTgt, Seq("w"), "full_outer")
       .select(col("w"), coalesce(col("c_raw"), lit(0L)).as("c_raw"),
         coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
       .persist()
     val totals = model.agg(sum("c_raw").as("t_raw"), sum("c_tgt").as("t_tgt"),
       count(lit(1)).as("v"))
-    val out = rawU
+    rawU
       .join(model, Seq("w"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("lr",
@@ -167,7 +173,10 @@ object NgramLM {
       .groupBy("doc_id")
       .agg(sum("n").as("n_tokens"), round(sum(col("n") * col("lr")), scale).as("log_w"))
       .localCheckpoint(true)
-    rawU.unpersist(false); model.unpersist(false)
-    out
+    } finally {
+      // unpersist even when the compute throws (see [[bigramLogLik]])
+      rawU.unpersist(false)
+      if (model != null) model.unpersist(false): Unit
+    }
   }
 }

@@ -64,7 +64,11 @@ object PQ {
       val sampleOneIn =
         if (trainTarget <= 0) 1L else math.max(1L, n / trainTarget)
       val books =
-        if (n <= driverThreshold && sampleOneIn == 1) {
+        // clamp to KMeans.fit's own in-driver threshold (20000): above it
+        // the slow path would choose fitDistributed (decimal sums), and the
+        // "bit-exact with the per-subspace path" contract only holds while
+        // both paths would run the same in-memory lloyd
+        if (n <= math.min(driverThreshold, 20000L) && sampleOneIn == 1) {
           val rows = base.select(col(vecCol).cast("array<float>").as("__v"),
               array((0 until m).map(s =>
                 xxhash64(col(idCol), lit(seed + s))): _*).as("__hs"))

@@ -466,7 +466,11 @@ object Similarity {
         col("neighbor_id").as("id_b"), col("sim"))
       .unionByName(ba.select(col("neighbor_id").as("id_a"),
         col("query_id").as("id_b"), col("sim")))
-      .distinct()
+      // key-dedup, NOT distinct(): approximate candidate lists (per-side
+      // IVF-PQ with different codebooks) can surface the same pair with
+      // two different sims — distinct() would keep both rows and rank-1
+      // could split across the copies, dropping a genuinely mutual pair
+      .groupBy("id_a", "id_b").agg(max(col("sim")).as("sim"))
     val m = pairs
       .join(aAvg, Seq("id_a"))
       .join(bAvg, Seq("id_b"))

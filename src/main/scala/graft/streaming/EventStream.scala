@@ -16,6 +16,19 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Declared schema when the input directory has no files yet to sniff
+    * (start-before-produce): the `events` stream shape with `ts` as
+    * TIMESTAMP (µs) — what current driver corpora carry after the
+    * normalization below, so late-arriving files of either µs encoding
+    * read correctly. */
+  val fallbackSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Streaming read of an events parquet directory, tolerant of every
     * `ts` physical encoding the corpus has shipped with: a streaming
     * source needs a DECLARED schema, so the footer of the existing data
@@ -25,10 +38,18 @@ object EventStream {
     *    vectorized reader rejects nanos): converted ns → µs timestamps;
     *  - TIMESTAMP / TIMESTAMP_NTZ (µs): passed through unchanged, so
     *    streaming and batch ([[graft.core.Tables.events]]) agree on the
-    *    column type and parity joins compare equal. */
-  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 100): DataFrame = {
+    *    column type and parity joins compare equal.
+    *
+    * A start-before-produce stream (directory empty or absent, nothing
+    * to sniff) falls back to [[fallbackSchema]] rather than throwing;
+    * pass `schemaHint` to declare the encoding explicitly instead. */
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 100,
+                 schemaHint: Option[StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema
+    val onDisk = schemaHint.getOrElse {
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => fallbackSchema }
+    }
     val raw = spark.readStream
       .schema(onDisk)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

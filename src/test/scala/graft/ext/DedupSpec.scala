@@ -431,4 +431,18 @@ class DedupSpec extends SparkTestBase {
     dp(a.length)(b.length)
   }
 
+  test("tileFrame: null text emits no tiles and cannot cross-link docs") {
+    // null text → split() null → size = -1; without the guard the
+    // descending sequence(0, -1) emits phantom empty tiles at idx 0/-1
+    // whose shared digest would edge every null-text doc to every other
+    val corpus = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val tiles = Dedup.tileFrame(corpus, "doc_id", "text", width = 2)
+    assert(tiles.filter(col("doc_id") =!= 1L).count() == 0,
+      "null-text docs must contribute no tiles")
+    assert(tiles.count() == 2) // [a b][c d]
+    assert(Dedup.tileDupEdges(corpus, "doc_id", "text", width = 2).count() == 0,
+      "null-text docs must not form duplication edges")
+  }
+
 }

@@ -66,4 +66,22 @@ class NgramLMSpec extends SparkTestBase {
     assert(w(1L) > w(2L))
     assert(w(1L) > 0.0 && w(2L) < 0.0)
   }
+
+  test("bigramLogLik/dsirWeights: a failing query leaves no cached frames behind") {
+    spark.catalog.clearCache()
+    // a text column that throws during evaluation — the action inside
+    // bigramLogLik/dsirWeights fails mid-compute
+    val bad = Seq((1L, "a b c"), (2L, "boom")).toDF("doc_id", "text")
+      .withColumn("text",
+        when(col("text") === "boom",
+          raise_error(lit("planted failure"))).otherwise(col("text")))
+    intercept[Exception] { NgramLM.bigramLogLik(bad, bad).count() }
+    intercept[Exception] { NgramLM.dsirWeights(bad, bad).count() }
+    // the try/finally must have unpersisted the intermediates: an
+    // equivalent re-built plan finds no cache entry to attach to
+    assert(NgramLM.docBigrams(bad).storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "failed bigramLogLik leaked its persisted gram frame")
+    spark.catalog.clearCache()
+  }
 }

@@ -72,4 +72,21 @@ class PQSpec extends SparkTestBase {
     assert(codes.columns.toSeq == Seq("vec_id", "codes"))
     assert(codes.schema("codes").dataType.simpleString == "array<int>")
   }
+
+  test("fit: raising driverThreshold past KMeans's in-driver bound keeps paths bit-exact") {
+    // 20001 rows > KMeans.fit's internal 20000 in-driver bound: a caller
+    // raising PQ's driverThreshold must NOT re-enable the in-memory fast
+    // path there (double sums) while KMeans.fit would go distributed
+    // (decimal sums) — the clamp forces both through the same path
+    val rnd = new scala.util.Random(3)
+    val corpus = (0 until 20001)
+      .map(i => (i.toLong, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val raised = PQ.fit(corpus, "vec_id", "embedding", dim = 4, m = 2, k = 4,
+      iterations = 2, seed = 5L, driverThreshold = 1000000L)
+    val default = PQ.fit(corpus, "vec_id", "embedding", dim = 4, m = 2, k = 4,
+      iterations = 2, seed = 5L)
+    assert(raised == default,
+      "an inflated driverThreshold must not change the codebooks")
+  }
 }

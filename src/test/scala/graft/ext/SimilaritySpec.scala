@@ -293,4 +293,29 @@ class SimilaritySpec extends SparkTestBase {
       k = 4, minMargin = 1.2, minSim = 0.5).as[(Long, Long, Double, Double)].collect()
     assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
+
+  test("mutualMarginPairsFrom: per-side ANN sim drift cannot duplicate or split a pair") {
+    // the same pair surfaced by BOTH sides with different approximate
+    // sims (per-side IVF-PQ lists use different codebooks): the key-
+    // dedup must collapse the copies to one row carrying max(sim) —
+    // distinct() would keep both and rank-1 could split across them
+    val ab = (0 until 20).flatMap { i =>
+      Seq((2L * i, 2L * i + 1, 0.90 + i * 0.001, 1),
+        (2L * i, 999L, 0.30, 2)) // shared far neighbor drags avg down
+    }.toDF("query_id", "neighbor_id", "sim", "rank")
+    val ba = (0 until 20).flatMap { i =>
+      Seq((2L * i + 1, 2L * i, 0.90 + i * 0.001 - 0.004, 1), // drifted copy
+        (2L * i + 1, 998L, 0.30, 2))
+    }.toDF("query_id", "neighbor_id", "sim", "rank")
+    // scale=2 rounds the drifted copies to EQUAL margins — the tie that
+    // makes rank-1 nondeterministically split under distinct()
+    val got = Similarity.mutualMarginPairsFrom(ab, ba, minMargin = 1.1, scale = 2)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 20, s"every planted pair must survive, got ${got.length}")
+    (0 until 20).foreach { i =>
+      val row = got.find(_._1 == 2L * i).get
+      assert(row._2 == 2L * i + 1)
+      assert(row._3 == 0.90 + i * 0.001, "the deduped row must carry max(sim)")
+    }
+  }
 }

@@ -290,4 +290,15 @@ class EventStreamSpec extends SparkTestBase {
     assert(streaming.count() > 0, "join must produce real matches")
   }
 
+  test("readStream: start-before-produce (empty dir) falls back to the declared schema") {
+    val dir = tmpDir("events-empty")
+    val s = EventStream.readStream(spark, dir) // must not throw
+    assert(s.isStreaming)
+    assert(s.schema == EventStream.fallbackSchema)
+    // an explicit hint wins over both sniffing and the fallback
+    val hinted = EventStream.readStream(spark, dir,
+      schemaHint = Some(EventStream.fallbackSchema))
+    assert(hinted.schema == EventStream.fallbackSchema)
+  }
+
 }
