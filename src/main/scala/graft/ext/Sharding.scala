@@ -43,6 +43,20 @@ object Sharding {
                                       budget: Long, numBuckets: Int)
       : Option[(DataFrame, DataFrame)] = {
     require(budget > 0, "token budget must be positive")
+    globalCumStaged(docs, idCol, tokenCol, numBuckets).map { case (cum, ranged) =>
+      (cum.withColumn("shard", floor(col("__cum") / budget)).drop("__cum"), ranged)
+    }
+  }
+
+  /** The shared distributed-prefix-sum stage: `docs` plus an exclusive
+    * global running total `__cum` of `tokenCol` in `idCol` order (range
+    * buckets + driver prefix scan + per-bucket windows — see
+    * [[packShards]]'s scale note). Some((frame with `__cum`, the
+    * persisted bucketed frame the CALLER must unpersist)); None on an
+    * empty corpus. */
+  private[graft] def globalCumStaged(docs: DataFrame, idCol: String, tokenCol: String,
+                                     numBuckets: Int)
+      : Option[(DataFrame, DataFrame)] = {
     val ranged = (if (numBuckets > 0) docs.repartitionByRange(numBuckets, col(idCol))
                   else docs.repartitionByRange(col(idCol)))
       .withColumn("__rb", spark_partition_id())
@@ -64,9 +78,55 @@ object Sharding {
       .join(broadcast(offsets), "__rb")
       .withColumn("__cum",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)) + col("__off"))
-      .withColumn("shard", floor(col("__cum") / budget))
-      .drop("__rb", "__off", "__cum")
+      .drop("__rb", "__off")
     Some((out, ranged))
+  }
+
+  /** GPT-style sequence packing (concat-and-chop): documents laid
+    * end-to-end in `idCol` order form one global token stream, chopped
+    * into fixed `seqLen`-token training sequences; a document crossing a
+    * boundary SPLITS across the two sequences (how pretraining batches
+    * are actually built — no padding waste, every sequence except the
+    * last exactly full). Contrast [[packShards]]: there a doc never
+    * splits and shards overflow; here sequences never overflow and docs
+    * split. Output: one row per document × sequence it overlaps —
+    * (`idCol`, `tokenCol`, seq_id, doc_off, seq_off, span_len), i.e.
+    * tokens [doc_off, doc_off+span_len) of the doc land at
+    * [seq_off, seq_off+span_len) of sequence seq_id. Pure integer
+    * arithmetic on the exclusive prefix sum, so any engine reproduces
+    * the layout bit-for-bit.
+    *
+    * Scale shape: the same distributed prefix sum as [[packShards]]
+    * (range buckets + driver scan of ≤ #buckets totals + per-bucket
+    * windows), then a map-only explode bounded by tokens/seqLen + 1
+    * rows per doc — no further shuffle. */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    seqLen: Long, numBuckets: Int = 0): DataFrame = {
+    require(seqLen > 0, "sequence length must be positive")
+    globalCumStaged(docs, idCol, tokenCol, numBuckets) match {
+      case None =>
+        docs.select(col(idCol), col(tokenCol))
+          .withColumn("seq_id", lit(0L)).withColumn("doc_off", lit(0L))
+          .withColumn("seq_off", lit(0L)).withColumn("span_len", lit(0L))
+          .limit(0)
+      case Some((cum, ranged)) =>
+        val first = expr(s"__cum div $seqLen")
+        val last = expr(s"(__cum + $tokenCol - 1) div $seqLen")
+        val out = cum
+          .filter(col(tokenCol) > 0)
+          .withColumn("seq_id", explode(sequence(first, last)))
+          .withColumn("doc_off",
+            greatest(lit(0L), col("seq_id") * seqLen - col("__cum")))
+          .withColumn("span_len",
+            least(col(tokenCol), (col("seq_id") + 1) * seqLen - col("__cum")) -
+              col("doc_off"))
+          .withColumn("seq_off",
+            col("__cum") + col("doc_off") - col("seq_id") * seqLen)
+          .select(col(idCol), col(tokenCol), col("seq_id"), col("doc_off"),
+            col("seq_off"), col("span_len"))
+        try out.localCheckpoint(true)
+        finally ranged.unpersist(false): Unit
+    }
   }
 
   /** Deterministic [0, 100) bucket from an integral id: Knuth

@@ -2076,6 +2076,40 @@ object Extended {
              |FROM c GROUP BY g
              |ORDER BY l_returnflag""".stripMargin)),
 
+    ("q118_pack_sequences",
+      (s: SparkSession, d: String) => {
+        // GPT-style concat-and-chop: the corpus as one global token
+        // stream chopped into 512-token training sequences, docs
+        // SPLITTING across boundaries (cf. q55 where docs never split
+        // and shards overflow). Distributed prefix sum + map-only
+        // explode; all-integer span arithmetic both engines reproduce
+        // exactly (Sharding.packSequences scaladoc).
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        Sharding.packSequences(toks, "doc_id", "n_tokens",
+            seqLen = 512L, numBuckets = 8)
+          .orderBy("doc_id", "seq_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |cum AS (SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS c
+             |  FROM toks),
+             |sp AS (SELECT doc_id, n_tokens, c,
+             |    UNNEST(range(c // 512, (c + n_tokens - 1) // 512 + 1)) AS seq_id
+             |  FROM cum WHERE n_tokens > 0)
+             |SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+             |  CAST(GREATEST(0, seq_id * 512 - c) AS BIGINT) AS doc_off,
+             |  CAST(c + GREATEST(0, seq_id * 512 - c) - seq_id * 512
+             |    AS BIGINT) AS seq_off,
+             |  CAST(LEAST(n_tokens, (seq_id + 1) * 512 - c)
+             |    - GREATEST(0, seq_id * 512 - c) AS BIGINT) AS span_len
+             |FROM sp ORDER BY doc_id, seq_id""".stripMargin)),
+
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {
         // epoch-repetition mixing (weights > 1): ⌊w⌋ copies + a hash-

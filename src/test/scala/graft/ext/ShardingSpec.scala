@@ -238,4 +238,49 @@ class ShardingSpec extends SparkTestBase {
     assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
       got.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("packSequences: exact concat-and-chop tiling — full coverage, no overlap, full sequences") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 200L).map(i => (i, 1L + rnd.nextInt(40).toLong))
+      .toDF("doc_id", "n_tokens")
+    val L = 32L
+    val got = Sharding.packSequences(docs, "doc_id", "n_tokens", seqLen = L,
+        numBuckets = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    val total = (1L to 200L).map(i => got.filter(_._1 == i).map(_._6).sum).sum
+    // 1) every token of every doc is covered exactly once, in order
+    for (d <- 1L to 200L) {
+      val spans = got.filter(_._1 == d).sortBy(_._4)
+      assert(spans.map(_._4).zip(spans.scanLeft(0L)(_ + _._6)).forall {
+        case (off, expect) => off == expect
+      }, s"doc $d spans must tile [0, n) contiguously")
+      assert(spans.map(_._6).sum == spans.head._2, s"doc $d must be fully covered")
+    }
+    // 2) every sequence except the last is exactly full
+    val bySeq = got.groupBy(_._3).view.mapValues(_.map(_._6).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, n) =>
+      if (s != lastSeq) assert(n == L, s"sequence $s holds $n tokens, want $L")
+      else assert(n == total - lastSeq * L)
+    }
+    // 3) within a sequence, spans tile [0, L) contiguously too
+    for (s <- bySeq.keys) {
+      val spans = got.filter(_._3 == s).sortBy(_._5)
+      assert(spans.map(_._5).zip(spans.scanLeft(0L)(_ + _._6)).forall {
+        case (off, expect) => off == expect
+      }, s"sequence $s must fill contiguously from offset 0")
+    }
+    // 4) docs longer than L really split across > 2 sequences
+    val wide = Seq((1L, 100L), (2L, 5L)).toDF("doc_id", "n_tokens")
+    val ws = Sharding.packSequences(wide, "doc_id", "n_tokens", seqLen = 32L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(ws.filter(_._1 == 1L).map(_._3).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // 5) bucket count cannot change the layout
+    val again = Sharding.packSequences(docs.repartition(7), "doc_id", "n_tokens",
+        seqLen = L, numBuckets = 11)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(again == got, "layout must be partitioning-independent")
+  }
 }
