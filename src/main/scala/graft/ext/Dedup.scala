@@ -707,26 +707,69 @@ object Dedup {
                     idCol: String, textCol: String,
                     n: Int = 3, containment: Double = 0.5,
                     broadcastMaxShingles: Long = 5000000L): DataFrame = {
-    val benchSh = benchmarks.select(col(idCol).as("bench_id"),
-        array_distinct(hashedShingles(col(textCol), n)).as("__sh"))
-      .withColumn("__bench_n", size(col("__sh")))
-      .select(col("bench_id"), col("__bench_n"), explode(col("__sh")).as("__h"))
-      // eager, cache-free materialization: both the size check and the
-      // join read the computed rows; no cache entry escapes this call
-      .localCheckpoint(true)
-    val corpusSh = corpus.select(col(idCol).as("doc_id"),
-        explode(array_distinct(hashedShingles(col(textCol), n))).as("__h"))
+    val benchSh = benchShingles(benchmarks, idCol, textCol, n)
+    val corpusSh = corpusShingles(corpus, idCol, textCol, n)
     val joined =
       if (benchSh.count() <= broadcastMaxShingles)
         corpusSh.join(broadcast(benchSh), Seq("__h"))
       else corpusSh.join(benchSh.hint("shuffle_hash"), Seq("__h"))
+    containmentScores(joined, containment)
+  }
+
+  /** [[decontaminate]] for benchmark sides too large to broadcast, with
+    * the pre-shuffle cost cut by a Bloom filter: the benchmark shingle
+    * set aggregates into ONE bitmap (map-side combinable, a few MB for
+    * tens of millions of shingles), the corpus's exploded shingles
+    * filter against it BEFORE the join shuffle, and only might-match
+    * rows — typically a small percent of a clean corpus — pay the
+    * exchange. False positives only ADD pre-join rows; the exact join
+    * removes them, so the output is bit-identical to [[decontaminate]]
+    * (the same guarantee as [[graft.core.BloomPrune.semiJoinReduce]],
+    * which this composes).
+    *
+    * At 100 TB this is the difference between shuffling every corpus
+    * shingle (tokens × corpus) and shuffling only the contaminated
+    * tail: the bitmap rides the task binary, the filter runs inside
+    * whole-stage codegen at scan time. */
+  def decontaminateBloom(corpus: DataFrame, benchmarks: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, containment: Double = 0.5,
+                         expectedShingles: Long = 1000000L,
+                         numBits: Long = 8388608L): DataFrame = {
+    val benchSh = benchShingles(benchmarks, idCol, textCol, n)
+    val pruned = graft.core.BloomPrune.semiJoinReduce(
+      corpusShingles(corpus, idCol, textCol, n), col("__h"),
+      benchSh, col("__h"), expectedShingles, numBits)
+    containmentScores(pruned.join(benchSh.hint("shuffle_hash"), Seq("__h")),
+      containment)
+  }
+
+  /** Benchmark side of [[decontaminate]]: (bench_id, __bench_n, __h) —
+    * one row per distinct shingle, eagerly materialized cache-free (the
+    * size check, the bloom build, and the join all read the computed
+    * rows; no cache entry escapes the call). */
+  private def benchShingles(benchmarks: DataFrame, idCol: String,
+                            textCol: String, n: Int): DataFrame =
+    benchmarks.select(col(idCol).as("bench_id"),
+        array_distinct(hashedShingles(col(textCol), n)).as("__sh"))
+      .withColumn("__bench_n", size(col("__sh")))
+      .select(col("bench_id"), col("__bench_n"), explode(col("__sh")).as("__h"))
+      .localCheckpoint(true)
+
+  private def corpusShingles(corpus: DataFrame, idCol: String,
+                             textCol: String, n: Int): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+      explode(array_distinct(hashedShingles(col(textCol), n))).as("__h"))
+
+  /** Shared tail: matched-shingle counts → containment ≥ threshold. */
+  private def containmentScores(joined: DataFrame,
+                                containment: Double): DataFrame =
     joined
       .groupBy("doc_id", "bench_id", "__bench_n")
       .agg(count(lit(1)).as("__matched"))
       .withColumn("containment", col("__matched").cast("double") / col("__bench_n"))
       .filter(col("containment") >= containment)
       .select("doc_id", "bench_id", "containment")
-  }
 
   /** Exact n-gram overlap scores for an explicit pair set: Jaccard plus
     * both containment directions (containment catches a short document

@@ -2110,6 +2110,42 @@ object Extended {
              |    - GREATEST(0, seq_id * 512 - c) AS BIGINT) AS span_len
              |FROM sp ORDER BY doc_id, seq_id""".stripMargin)),
 
+    ("q120_decontaminate_bloom",
+      (s: SparkSession, d: String) => {
+        // q52's operator at its 100 TB shape: benchmark side treated as
+        // too big to broadcast (shuffle-hash join), with the corpus's
+        // pre-shuffle shingle stream cut by a bloom bitmap over the
+        // benchmark shingles. Bit-identical to the exact path (false
+        // positives die in the join) — the ORACLE is the exact SQL.
+        // Different slice than q52 (every 89th doc, first 12 tokens) so
+        // the two queries cannot mask each other.
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 89 === 0)
+          .select(col("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+        Dedup.decontaminateBloom(docs, bench, "doc_id", "text",
+            n = 3, containment = 0.8)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |mk AS (SELECT doc_id, toks,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |btok AS (SELECT doc_id AS bench_id, list_slice(toks, 1, 12) AS toks
+             |         FROM tok WHERE doc_id % 89 = 0),
+             |bsh AS (SELECT bench_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM btok)
+             |SELECT c.doc_id, b.bench_id,
+             |  CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(b.sh) AS containment
+             |FROM mk c CROSS JOIN bsh b
+             |WHERE CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.8
+             |ORDER BY doc_id, bench_id""".stripMargin)),
+
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {
         // epoch-repetition mixing (weights > 1): ⌊w⌋ copies + a hash-

@@ -445,4 +445,22 @@ class DedupSpec extends SparkTestBase {
       "null-text docs must not form duplication edges")
   }
 
+  test("decontaminateBloom: bit-identical to the exact path, superset pruned pre-join") {
+    val corpus = (1L to 120L).map { i =>
+      val words = (0 until 20).map(j => s"w${i}_$j").mkString(" ")
+      (i, if (i % 10 == 0) "the quick brown fox jumps over the lazy dog " + words
+          else words)
+    }.toDF("doc_id", "text")
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 3, containment = 0.8)
+      .orderBy("doc_id").collect().toSeq
+    val bloomed = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+        n = 3, containment = 0.8)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloomed == exact, "bloom path must not change the result")
+    assert(exact.nonEmpty, "the planted contamination must flag")
+  }
+
 }

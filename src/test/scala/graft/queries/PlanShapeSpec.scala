@@ -198,6 +198,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q120: bloom probe cuts the corpus shingle stream before the join exchange") {
+    val p = plan("q120_decontaminate_bloom")
+    assert(p.contains("might_contain"), "bloom probe missing")
+    assert(p.contains("ShuffledHashJoin"),
+      "the large-benchmark path must be a shuffle hash join, not broadcast")
+    val probeLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = p.linesIterator.indexWhere(_.contains("HashJoin"))
+    assert(joinLine >= 0 && probeLine > joinLine,
+      "probe must sit under the join's corpus side, not above the join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q68: the salted join's condition carries the salt bucket") {
     val p = plan("q68_salted_join")
     assert(p.contains("__salt"), "join must key on (custkey, salt)")
