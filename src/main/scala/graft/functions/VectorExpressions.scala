@@ -103,6 +103,47 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVectorE
     copy(left = l, right = r)
 }
 
+/** dot(a, b) over DOUBLE vectors — the [[DotProduct]] kernel at double
+  * input precision, for math whose weights are themselves doubles (PCA
+  * components). Sequential left-to-right accumulation, the same order
+  * DuckDB's list kernels use, so cross-engine results compare
+  * bit-for-bit (the q29 contract). */
+case class DoubleDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "double_dot_product"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Sign-random-projection LSH buckets for cosine similarity.
   *
   * Emits one bucket id per hash table: bucket(t) = (t << bits) | signbits,
@@ -724,6 +765,7 @@ object VectorFunctions {
 
   def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def double_dot_product(a: Column, b: Column): Column = c(DoubleDotProduct(e(a), e(b)))
   def lsh_buckets(v: Column, seed: Long, numTables: Int, bitsPerTable: Int): Column =
     c(HyperplaneLshBuckets(e(v), seed, numTables, bitsPerTable))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{CorpusDiff, Dedup, Multimodal, NgramLM, RangeJoin, Retrieval, RobustStats, Sharding, Similarity, TextAnalysis}
+import graft.ext.{CorpusDiff, Dedup, Multimodal, NgramLM, PCA, RangeJoin, Retrieval, RobustStats, Sharding, Similarity, TextAnalysis}
 
 /** Extended operator queries: training-data-pipeline ops beyond the
   * reference's own surface (dedup family, ANN similarity, text analysis,
@@ -82,6 +82,11 @@ object Extended {
       graft.ext.PQ.pqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
         q91Fit(s, d), nCandidates = 40)
     }),
+    "q119_components" -> ((s: SparkSession, d: String) =>
+      // the exact (comp, j, w, bias) model q119 projects with — the dump
+      // boundary is the eigensolve; the oracle recomputes every
+      // projection from raw vectors via the same sequential double dot
+      graft.ext.PCA.modelFrame(q119Fit(s, d), Tables.embeddings(s, d))),
     "q102_candidates" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       graft.ext.IvfPq.ivfPqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
@@ -162,6 +167,16 @@ object Extended {
     q102FitCache.computeIfAbsent(d, dir =>
       graft.ext.IvfPq.fit(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, numCells = 32, m = 8, k = 16, iterations = 3, seed = 42L))
+
+  /** q119's PCA model (memoized like [[q102Fit]]; deterministic per
+    * PCA.fit's decimal-sum + fixed-sweep-Jacobi contract, so the dumped
+    * component frame IS the model the query projected with). */
+  private val q119FitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ext.PCA.Model]()
+  private def q119Fit(s: SparkSession, d: String): graft.ext.PCA.Model =
+    q119FitCache.computeIfAbsent(d, dir =>
+      graft.ext.PCA.fit(Tables.embeddings(s, dir), "embedding",
+        dim = 64, nComponents = 8))
 
   /** Exact-cosine re-rank oracle over a materialized candidate dump:
     * identical scoring (DuckDB's list_cosine_similarity over DOUBLE[] is
@@ -2109,6 +2124,27 @@ object Extended {
              |  CAST(LEAST(n_tokens, (seq_id + 1) * 512 - c)
              |    - GREATEST(0, seq_id * 512 - c) AS BIGINT) AS span_len
              |FROM sp ORDER BY doc_id, seq_id""".stripMargin)),
+
+    ("q119_pca_project",
+      (s: SparkSession, d: String) => {
+        // dimensionality reduction before indexing: project 64-dim
+        // embeddings onto the top-8 principal components (one
+        // distributed decimal-sum covariance pass + driver Jacobi;
+        // projection map-only against broadcast-literal components —
+        // PCA.scaladoc). Long format (vec_id, comp, proj) so the oracle
+        // recomputes every value from raw vectors + the dumped model.
+        PCA.project(Tables.embeddings(s, d), "vec_id", "embedding",
+            q119Fit(s, d))
+          .orderBy("vec_id", "comp")
+      },
+      Some(s"""WITH comp AS (SELECT comp, bias, list(w ORDER BY j) AS wv
+             |  FROM read_parquet('$OracleAuxDir/q119_components/*.parquet')
+             |  GROUP BY comp, bias),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
+             |SELECT e.vec_id, c.comp,
+             |  ROUND(list_inner_product(e.x, c.wv) - c.bias, 4) AS proj
+             |FROM e CROSS JOIN comp c
+             |ORDER BY vec_id, comp""".stripMargin)),
 
     ("q120_decontaminate_bloom",
       (s: SparkSession, d: String) => {
