@@ -685,6 +685,29 @@ object Dedup {
       .join(crossDropped, Seq(idCol), "left_anti")
   }
 
+  /** Representative selection over duplicate clusters: instead of the
+    * keep-smallest-id rule, keep each cluster's highest-`scoreCol`
+    * member (exact ties → smallest id) — what curation pipelines
+    * actually want: of N copies of a page, keep the best-quality one,
+    * not the accidentally-first-crawled one. `clusters` is
+    * [[clusterPairs]]'s (id, cluster_id); `scores` maps `idCol` to
+    * `scoreCol`. One equi-join plus one max-struct aggregation per
+    * cluster (map-side combinable — never a per-cluster window over the
+    * corpus). Output: (cluster_id, rep_id, rep_score, cluster_size). */
+  def clusterRepresentatives(clusters: DataFrame, scores: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__score")),
+        Seq("id"))
+      .groupBy("cluster_id")
+      .agg(
+        // lexicographic struct max: score desc, then -id max = id min
+        max(struct(col("__score").as("s"), (-col("id")).as("negid")))
+          .as("__best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("__best.negid")).as("rep_id"),
+        col("__best.s").as("rep_score"), col("cluster_size"))
+
   /** Benchmark decontamination: find corpus documents whose n-gram set
     * CONTAINS a large fraction of some benchmark document's n-grams —
     * the asymmetric overlap that matters for eval leakage (a 50-token

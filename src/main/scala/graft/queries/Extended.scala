@@ -2182,6 +2182,62 @@ object Extended {
              |WHERE CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.8
              |ORDER BY doc_id, bench_id""".stripMargin)),
 
+    ("q121_cluster_representatives",
+      (s: SparkSession, d: String) => {
+        // best-of-cluster curation: the same verified minhash clusters
+        // as q85, but keeping each cluster's highest-quality member
+        // (q22's score; exact ties → smallest id) instead of the
+        // smallest id — of N copies of a page, keep the best copy.
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        val clusters = Dedup.clusterPairs(pairs.select("id1", "id2"))
+        Dedup.clusterRepresentatives(clusters,
+            TextAnalysis.withQuality(docs)
+              .select(col("doc_id"), col("quality_score")),
+            "doc_id", "quality_score")
+          .orderBy("cluster_id")
+      },
+      // GROUND-TRUTH oracle: q85's exact-Jaccard recursive-CTE closure
+      // composed with q22's quality formula; rank ties break on doc_id
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |pairs AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+             |q AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+             |  FROM documents),
+             |score AS (SELECT doc_id,
+             |    0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+             |      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             |      + 0.1 * (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) AS qs
+             |  FROM q),
+             |rep AS (
+             |  SELECT l.cluster_id, l.id, s.qs,
+             |    row_number() OVER (PARTITION BY l.cluster_id
+             |                       ORDER BY s.qs DESC, l.id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+             |  FROM lbl l JOIN score s ON l.id = s.doc_id)
+             |SELECT cluster_id, id AS rep_id, qs AS rep_score,
+             |  CAST(cluster_size AS BIGINT) AS cluster_size
+             |FROM rep WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
     ("q87_upsample_mix",
       (s: SparkSession, d: String) => {
         // epoch-repetition mixing (weights > 1): ⌊w⌋ copies + a hash-

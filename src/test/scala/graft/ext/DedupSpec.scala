@@ -445,6 +445,22 @@ class DedupSpec extends SparkTestBase {
       "null-text docs must not form duplication edges")
   }
 
+  test("clusterRepresentatives: argmax score per cluster, exact ties to smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.7), (11L, 0.2))
+      .toDF("doc_id", "score")
+    val got = Dedup.clusterRepresentatives(clusters, scores, "doc_id", "score")
+      .orderBy("cluster_id")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // cluster 1: 2 and 3 tie at 0.9 → smaller id 2 wins; cluster 10: 10 wins
+    assert(got == Seq((1L, 2L, 0.9, 3L), (10L, 10L, 0.7, 2L)))
+    val again = Dedup.clusterRepresentatives(clusters.repartition(5),
+        scores.repartition(3), "doc_id", "score")
+      .orderBy("cluster_id").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(again == got)
+  }
+
   test("decontaminateBloom: bit-identical to the exact path, superset pruned pre-join") {
     val corpus = (1L to 120L).map { i =>
       val words = (0 until 20).map(j => s"w${i}_$j").mkString(" ")
