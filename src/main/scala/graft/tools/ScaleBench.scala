@@ -94,7 +94,19 @@ object ScaleBench {
     // IVF-PQ index per side and the margin algebra is unchanged. q114's
     // row is the operator as shipped (edges grow linearly under the
     // content-disjoint replicas; 5 join+agg iterations).
-    "q113_mutual_margin@ivfpq", "q114_dup_pagerank")
+    "q113_mutual_margin@ivfpq", "q114_dup_pagerank",
+    // round-7 stragglers: q111's bottom-k-by-hash sample (the TakeOrdered
+    // heap must stay O(k) per partition as rows ×10) and q117's
+    // distinct-(group, value) collapse under a 10x-deeper value column.
+    "q111_sample_quantiles", "q117_weighted_median",
+    // round-8 additions: q118's prefix-sum + bounded explode (the span
+    // axis grows with tokens), q119's O(n·dim²) covariance melt — the
+    // row-heaviest per-row constant in the suite, the ratio proves it
+    // stays a CONSTANT — q120's bloom-pruned shingle stream (the probe
+    // must keep the pre-shuffle cut as the corpus grows), and q121's
+    // cluster argmax over the ×10 minhash clusters.
+    "q118_pack_sequences", "q119_pca_project", "q120_decontaminate_bloom",
+    "q121_cluster_representatives")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
