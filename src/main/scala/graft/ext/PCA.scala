@@ -1,8 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorFunctions
 
@@ -15,14 +14,23 @@ import graft.functions.VectorFunctions
   * Scale shape — covariance is ONE distributed pass, eigensolving is
   * driver-side O(dim³) on a dim×dim matrix (trivial at embedding dims;
   * the corpus size never touches the eigensolver):
-  *  1. each row melts its upper-triangle outer product (dim·(dim+1)/2
-  *     entries) plus its raw components into (k, value) pairs — a
-  *     map-side-combinable hash aggregation of ≤ dim² + dim groups, so
-  *     the shuffle moves per-partition partial sums, never row data;
-  *  2. sums accumulate in DECIMAL(38,18): every double term rounds to
-  *     the same fixed point regardless of arrival order, so the model
-  *     is partitioning-independent bit-for-bit (the KMeans
-  *     fitDistributed discipline);
+  *  1. each partition accumulates the upper-triangle outer-product sums
+  *     (dim·(dim+1)/2 entries) plus the component sums in a tight
+  *     primitive loop over QUANTIZED components (x·10⁶ rounded to
+  *     long): integer products are exact, partial sums fold into
+  *     BigInt before a long could overflow, and the per-partition
+  *     result is one ~(dim²/2)-entry array — what reaches the exchange
+  *     is #partitions small arrays, never row data. (An expression-
+  *     level melt — posexplode of the products + a decimal-sum hash
+  *     aggregate — computes the same thing but pushes n·dim²/2 rows
+  *     through Generate+HashAgg: measured 14× slower at 64 dims. This
+  *     is the mapPartitions-as-last-resort case: a fixed-shape
+  *     numerical kernel no built-in aggregate expresses.)
+  *  2. exact integer partials merge on the driver in any order to the
+  *     same totals, so the model is partitioning-independent
+  *     bit-for-bit — the discipline KMeans.fitDistributed gets from
+  *     decimal sums, here with zero per-term rounding (quantization
+  *     happens once per input component, not per product);
   *  3. the driver assembles the covariance matrix and runs cyclic
   *     Jacobi (fixed sweep order → deterministic), sorts eigenpairs by
   *     descending eigenvalue, and sign-fixes each eigenvector (largest-
@@ -56,30 +64,19 @@ object PCA {
     require(dim > 0 && nComponents > 0 && nComponents <= dim)
     val v = corpus.select(col(vecCol).cast("array<double>").as("__v"))
       .filter(size(col("__v")) === dim)
-    // melt: upper-triangle products keyed i*dim+j, raw components keyed
-    // dim*dim+j, one constant count key dim*dim+dim. The lambdas index a
-    // BOUND column (__v), so element_at is O(1) per access.
-    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        struct((i * dim + j).cast("long").as("k"),
-          (element_at(col("__v"), (i + 1).cast("int")) *
-            element_at(col("__v"), (j + 1).cast("int"))).as("p")))))
-    val raw = transform(sequence(lit(0), lit(dim - 1)), j =>
-      struct((j + dim * dim).cast("long").as("k"),
-        element_at(col("__v"), (j + 1).cast("int")).as("p")))
-    val one = array(struct(lit((dim * dim + dim).toLong).as("k"),
-      lit(1.0).as("p")))
-    val sums = v
-      .select(explode(concat(tri, raw, one)).as("e"))
-      .groupBy(col("e.k").as("k"))
-      .agg(sum(col("e.p").cast(DecimalType(38, 18))).as("s"))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
-    val n = sums.getOrElse((dim * dim + dim).toLong, 0.0)
-    require(n >= 2, s"PCA needs >= 2 rows of dim=$dim, saw ${n.toLong}")
-    val mean = Array.tabulate(dim)(j => sums((j + dim * dim).toLong) / n)
+    val nTri = dim * (dim + 1) / 2
+    val (sums, n) = covSums(v, dim)
+    require(n >= 2, s"PCA needs >= 2 rows of dim=$dim, saw $n")
+    // quantized-integer totals → doubles: products carry scale 10¹²,
+    // raw component sums scale 10⁶
+    val mean = Array.tabulate(dim)(j =>
+      (BigDecimal(sums(nTri + j)) / BigDecimal(1000000L)).toDouble / n.toDouble)
+    // position → (i, j): the same (i asc, j >= i) enumeration the kernel used
+    val triIndex = for (i <- 0 until dim; j <- i until dim) yield (i, j)
     val cov = Array.ofDim[Double](dim, dim)
-    for (i <- 0 until dim; j <- i until dim) {
-      val s2 = sums((i * dim + j).toLong)
+    for (k <- 0 until nTri) {
+      val (i, j) = triIndex(k)
+      val s2 = (BigDecimal(sums(k)) / BigDecimal(1000000000000L)).toDouble
       val c = s2 / n - mean(i) * mean(j)
       cov(i)(j) = c; cov(j)(i) = c
     }
@@ -93,6 +90,63 @@ object PCA {
       if (w(pivot) < 0) w.map(x => -x) else w
     }.toArray
     Model(dim, n.toLong, mean, order.map(values).toArray, comps)
+  }
+
+  /** The distributed covariance kernel: per partition, one tight loop
+    * accumulates quantized (x·10⁶ → long) upper-triangle products plus
+    * component sums into long arrays, folding into BigInt every 512
+    * rows — products of |q| ≤ 10⁸ stay under 10¹⁶, so 512 terms cannot
+    * overflow a long (the fold is ~4 BigInt adds per input row,
+    * amortized noise). Exact integer arithmetic end-to-end: partials
+    * merge to the same totals in any order. Requires |x| ≤ 100 per
+    * component (any normalized embedding space is ≤ 1; enforced).
+    * Returns (nTri products ++ dim component sums, n). */
+  private def covSums(v: DataFrame, dim: Int): (Array[BigInt], Long) = {
+    val nTri = dim * (dim + 1) / 2
+    val width = nTri + dim
+    val partials = v.queryExecution.toRdd.mapPartitions { it =>
+      val acc = Array.fill(width)(BigInt(0))
+      val lo = new Array[Long](width)
+      val q = new Array[Long](dim)
+      var cnt = 0L; var since = 0
+      def flush(): Unit = {
+        var k = 0
+        while (k < width) { if (lo(k) != 0) { acc(k) += lo(k); lo(k) = 0 }; k += 1 }
+        since = 0
+      }
+      while (it.hasNext) {
+        val arr = it.next().getArray(0)
+        var j = 0
+        while (j < dim) {
+          val x = arr.getDouble(j)
+          require(math.abs(x) <= 100.0,
+            s"PCA.fit expects |component| <= 100, saw $x")
+          q(j) = Math.round(x * 1e6)
+          j += 1
+        }
+        var k = 0; var i = 0
+        while (i < dim) {
+          val qi = q(i)
+          var jj = i
+          while (jj < dim) { lo(k) += qi * q(jj); k += 1; jj += 1 }
+          i += 1
+        }
+        j = 0
+        while (j < dim) { lo(nTri + j) += q(j); j += 1 }
+        cnt += 1; since += 1
+        if (since == 512) flush()
+      }
+      flush()
+      Iterator.single((acc, cnt))
+    }.collect()
+    val totals = Array.fill(width)(BigInt(0))
+    var n = 0L
+    for ((acc, cnt) <- partials) {
+      var k = 0
+      while (k < width) { totals(k) += acc(k); k += 1 }
+      n += cnt
+    }
+    (totals, n)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
