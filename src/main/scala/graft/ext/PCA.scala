@@ -212,6 +212,20 @@ object PCA {
       .select(col(idCol), col("comp").cast("long").as("comp"), col("proj"))
   }
 
+  /** Wide variant of [[project]]: (`idCol`, pvec) with the rounded
+    * projections as ONE array<double> per row — the reduced vector the
+    * ANN path indexes (the point of the reduction: a dim→c projection
+    * cuts every downstream distance computation and index byte by
+    * dim/c). Same per-component arithmetic as [[project]]. */
+  def projectVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                     model: Model, scale: Int = 4): DataFrame = {
+    val x = col(vecCol).cast("array<double>")
+    corpus.select(col(idCol), array(model.components.indices.map { c =>
+      round(VectorFunctions.double_dot_product(x, lit(model.components(c))) -
+        model.bias(c), scale)
+    }: _*).as("pvec"))
+  }
+
   /** The model as a frame — (comp, j, w, bias) rows — for dumping next
     * to projection outputs so an independent engine can recompute the
     * projections from raw vectors (the aux-dump oracle contract). */

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, explode, posexplode}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, explode, lit, posexplode, sqrt, when}
 
 import graft.functions.TopK
 import graft.functions.VectorFunctions._
@@ -42,6 +42,26 @@ object Similarity {
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine_similarity(col("_cv"), col("_qv")))
+    rankTopK(scored, k)
+  }
+
+  /** [[topKBruteForce]] over DOUBLE vectors — the PCA-reduced search
+    * space ([[PCA.projectVectors]]). Cosine composes from three
+    * sequential double dots (dot/(√na·√nb), 0 on a zero norm) so an
+    * independent engine reproduces every sim bit-for-bit from the same
+    * reduced vectors; ranking and tie-break match [[topKBruteForce]]. */
+  def topKBruteForceD(corpus: DataFrame, queries: DataFrame, k: Int,
+                      idCol: String = "vec_id", vecCol: String = "pvec"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val num = double_dot_product(col("_cv"), col("_qv"))
+    val na = double_dot_product(col("_cv"), col("_cv"))
+    val nb = double_dot_product(col("_qv"), col("_qv"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        when(na === 0.0 || nb === 0.0, lit(0.0))
+          .otherwise(num / (sqrt(na) * sqrt(nb))))
     rankTopK(scored, k)
   }
 

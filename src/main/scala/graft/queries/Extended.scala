@@ -2146,6 +2146,67 @@ object Extended {
              |FROM e CROSS JOIN comp c
              |ORDER BY vec_id, comp""".stripMargin)),
 
+    ("q122_pca_recall",
+      (s: SparkSession, d: String) => {
+        // reduction-quality monitor (q92/q103's shape for the PCA path):
+        // per-query recall@10 of brute-force search in the 8-dim reduced
+        // space against 64-dim exact truth — the continuous check that
+        // the projection isn't silently eating neighborhood structure.
+        // BOTH sides recompute wholly in SQL (projections from the
+        // dumped model, truth from raw vectors).
+        val emb = Tables.embeddings(s, d)
+        val red = PCA.projectVectors(emb, "vec_id", "embedding", q119Fit(s, d))
+        val probes = emb.filter(col("vec_id") % 50 === 0)
+        val exact = Similarity.topKBruteForce(emb, probes, k = 10)
+        val approx = Similarity.topKBruteForceD(red,
+          red.filter(col("vec_id") % 50 === 0), k = 10)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("recall_hits"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
+            lit(10L).as("k"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH comp AS (SELECT comp, bias, list(w ORDER BY j) AS wv
+             |  FROM read_parquet('$OracleAuxDir/q119_components/*.parquet')
+             |  GROUP BY comp, bias),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+             |red AS (SELECT v.vec_id,
+             |    list(ROUND(list_inner_product(v.dv, c.wv) - c.bias, 4)
+             |         ORDER BY c.comp) AS pv
+             |  FROM v CROSS JOIN comp c GROUP BY v.vec_id),
+             |rq AS (SELECT vec_id AS query_id, pv AS qv FROM red WHERE vec_id % 50 = 0),
+             |rsim AS (SELECT rq.query_id, r.vec_id AS neighbor_id,
+             |    CASE WHEN list_inner_product(r.pv, r.pv) = 0
+             |           OR list_inner_product(rq.qv, rq.qv) = 0 THEN 0.0
+             |         ELSE list_inner_product(r.pv, rq.qv) /
+             |              (sqrt(list_inner_product(r.pv, r.pv)) *
+             |               sqrt(list_inner_product(rq.qv, rq.qv))) END AS sim
+             |  FROM red r CROSS JOIN rq WHERE r.vec_id <> rq.query_id),
+             |apk AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY sim DESC, neighbor_id) AS rnk FROM rsim)
+             |  WHERE rnk <= 10),
+             |q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id % 50 = 0),
+             |ex AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY list_cosine_similarity(e.dv, q.qv) DESC, e.vec_id) AS rnk
+             |  FROM v e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |exk AS (SELECT query_id, neighbor_id FROM ex WHERE rnk <= 10),
+             |h AS (SELECT e.query_id, COUNT(*) AS recall_hits
+             |  FROM exk e JOIN apk a
+             |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+             |  GROUP BY 1)
+             |SELECT q.query_id,
+             |  CAST(COALESCE(h.recall_hits, 0) AS BIGINT) AS recall_hits,
+             |  CAST(10 AS BIGINT) AS k
+             |FROM q LEFT JOIN h USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     ("q120_decontaminate_bloom",
       (s: SparkSession, d: String) => {
         // q52's operator at its 100 TB shape: benchmark side treated as

@@ -79,6 +79,34 @@ class PCASpec extends SparkTestBase {
     for ((c, s) <- sums) assert(math.abs(s) < 0.5, s"component $c not centered: $s")
   }
 
+  test("projectVectors + topKBruteForceD: reduced-space search preserves planted neighborhoods") {
+    // 2-factor data: the 8→2 reduction keeps the factor plane, so
+    // reduced-space top-k must recover most full-space neighbors (not
+    // all: full-space cosine also sees the noise dims and the
+    // uncentered offset; random recall@5 here would be ~0.025)
+    val rows = planted(200)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val m = PCA.fit(corpus, "embedding", dim = 8, nComponents = 2)
+    val red = PCA.projectVectors(corpus, "vec_id", "embedding", m)
+    assert(red.schema("pvec").dataType.simpleString == "array<double>")
+    val probes = corpus.filter(col("vec_id") % 40 === 0)
+    val exact = Similarity.topKBruteForce(corpus, probes, k = 5)
+    val approx = Similarity.topKBruteForceD(red,
+      red.filter(col("vec_id") % 40 === 0), k = 5)
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .count()
+    val total = exact.count()
+    assert(hits.toDouble / total > 0.7,
+      s"reduced-space recall ${hits.toDouble / total} too low on 2-factor data")
+    // determinism under repartition
+    val again = Similarity.topKBruteForceD(red.repartition(7),
+      red.filter(col("vec_id") % 40 === 0), k = 5)
+    assert(again.orderBy("query_id", "rank").collect().toSeq ==
+      approx.orderBy("query_id", "rank").collect().toSeq)
+  }
+
   test("explained variance: dominant factors carry nearly everything") {
     val corpus = planted().toDF("vec_id", "embedding")
     val full = PCA.fit(corpus, "embedding", dim = 8, nComponents = 8)
