@@ -106,7 +106,9 @@ object ScaleBench {
     // must keep the pre-shuffle cut as the corpus grows), and q121's
     // cluster argmax over the ×10 minhash clusters.
     "q118_pack_sequences", "q119_pca_project", "q120_decontaminate_bloom",
-    "q121_cluster_representatives")
+    // q122 at the fixed-probe regime (recall monitoring is a workload
+    // property; the ratio measures the corpus-side reduced scan)
+    "q121_cluster_representatives", "q122_pca_recall@probes")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -187,6 +189,25 @@ object ScaleBench {
             graft.ext.Retrieval.probeQueries(docs, every = every, width = 8),
             k = 5)
           .orderBy("query_id", "rank")
+      })
+      case "q122_pca_recall@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        val probes = fixedProbes(emb)
+        val m = graft.ext.PCA.fit(emb, "embedding", dim = 64, nComponents = 8)
+        val red = graft.ext.PCA.projectVectors(emb, "vec_id", "embedding", m)
+        val redQ = red.join(probes.select("vec_id"), Seq("vec_id"))
+        val exact = graft.ext.Similarity.topKBruteForce(emb, probes, k = 10)
+        val approx = graft.ext.Similarity.topKBruteForceD(red, redQ, k = 10)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("recall_hits"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
+            lit(10L).as("k"))
+          .orderBy("query_id")
       })
       case "q113_mutual_margin@ivfpq" => Some((s, d) => {
         val emb = graft.core.Tables.embeddings(s, d)
