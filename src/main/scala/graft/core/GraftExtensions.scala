@@ -79,5 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.dupPagerankPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("sample_quantiles"), info("sample_quantiles"),
       (es: Seq[Expression]) => graft.ext.DocSql.sampleQuantilesPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("pack_sequences"), info("pack_sequences"),
+      (es: Seq[Expression]) => graft.ext.DocSql.packSequencesPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("decontaminate"), info("decontaminate"),
+      (es: Seq[Expression]) => graft.ext.DocSql.decontaminatePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("pca_project"), info("pca_project"),
+      (es: Seq[Expression]) => graft.ext.DocSql.pcaProjectPlan(es)))
   }
 }

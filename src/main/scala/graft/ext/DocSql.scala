@@ -144,4 +144,31 @@ object DocSql {
     plan(RobustStats.sampleQuantiles(tableArg(es.head),
       col(strArg(es(1))), col(strArg(es(2))), probs, k = intArg(es(4))))
   }
+
+  /** `pack_sequences('docs', seq_len)`: GPT-style concat-and-chop over
+    * whitespace token counts — (doc_id, n_tokens, seq_id, doc_off,
+    * seq_off, span_len). Eager (distributed prefix sum at analysis). */
+  private[graft] def packSequencesPlan(es: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions.col
+    val toks = tableArg(es.head).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    plan(Sharding.packSequences(toks, "doc_id", "n_tokens",
+      numArg(es(1)).longValue()))
+  }
+
+  /** `decontaminate('corpus', 'bench', n, containment)`: benchmark
+    * n-gram containment flags — (doc_id, bench_id, containment). */
+  private[graft] def decontaminatePlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.decontaminate(tableArg(es.head), tableArg(es(1)),
+      "doc_id", "text", n = intArg(es(2)), containment = dblArg(es(3))))
+
+  /** `pca_project('emb', dim, n_components)`: fit on the view's
+    * `embedding` column, project to (vec_id, comp, proj). Eager (the
+    * covariance pass and eigensolve run at analysis). */
+  private[graft] def pcaProjectPlan(es: Seq[Expression]): LogicalPlan = {
+    val emb = tableArg(es.head)
+    val model = PCA.fit(emb, "embedding", dim = intArg(es(1)),
+      nComponents = intArg(es(2)))
+    plan(PCA.project(emb, "vec_id", "embedding", model))
+  }
 }

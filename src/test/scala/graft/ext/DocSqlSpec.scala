@@ -151,4 +151,32 @@ class DocSqlSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(gone == Set(4L), "exact dup of doc 1 loses every tile")
   }
+
+  test("round-8 TVFs equal their Scala counterparts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    assert(sorted(spark.sql("SELECT * FROM pack_sequences('docs', 8)")) ==
+      sorted(Sharding.packSequences(toks, "doc_id", "n_tokens", seqLen = 8L)))
+
+    val bench = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.expr(
+        "array_join(slice(split(text, ' '), 1, 6), ' ')").as("text"))
+    bench.createOrReplaceTempView("bench6")
+    assert(sorted(spark.sql(
+        "SELECT * FROM decontaminate('docs', 'bench6', 3, 0.8)")) ==
+      sorted(Dedup.decontaminate(docs, bench, "doc_id", "text",
+        n = 3, containment = 0.8)))
+
+    val rnd = new scala.util.Random(5)
+    val emb = (1L to 80L)
+      .map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("emb8")
+    val model = PCA.fit(emb, "embedding", dim = 8, nComponents = 2)
+    assert(sorted(spark.sql("SELECT * FROM pca_project('emb8', 8, 2)")) ==
+      sorted(PCA.project(emb, "vec_id", "embedding", model)))
+  }
 }
