@@ -39,14 +39,27 @@ object CuratePipeline {
     *    gates ([[Dedup.dedupTiles]]) — doc text becomes the cleaned
     *    reconstruction, fully-duplicated documents drop;
     *  - `temperatureTarget`: replaces the flat per-source cap with
-    *    sqrt-law temperature mixing ([[Sharding.temperatureMix]]). */
+    *    sqrt-law temperature mixing ([[Sharding.temperatureMix]]).
+    *
+    * Round-8 optional stages:
+    *  - `bloomDecontaminate`: runs the benchmark stage through
+    *    [[Dedup.decontaminateBloom]] — bit-identical flags, but the
+    *    corpus's shingle stream is bloom-cut before the join shuffle
+    *    (the switch a deployment flips once the benchmark suite
+    *    outgrows the broadcast threshold);
+    *  - `seqLen`: the final layout becomes GPT-style fixed-length
+    *    training sequences ([[Sharding.packSequences]], per split) —
+    *    each output row is a document span, `shard` is the sequence
+    *    id, every sequence except a split's last is exactly full. */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
           benchmarks: Option[DataFrame] = None,
           nbLangTrain: Option[DataFrame] = None,
           spanDedupWidth: Option[Int] = None,
-          temperatureTarget: Option[Long] = None): DataFrame = {
+          temperatureTarget: Option[Long] = None,
+          bloomDecontaminate: Boolean = false,
+          seqLen: Option[Long] = None): DataFrame = {
     val labeled = nbLangTrain match {
       case Some(train) =>
         val pred = NaiveBayes.trainScore(train, docs, "lang")
@@ -67,9 +80,12 @@ object CuratePipeline {
     }
     val clean = benchmarks match {
       case Some(b) =>
-        val hits = Dedup.decontaminate(spanned, b, "doc_id", "text")
-          .select(col("doc_id")).distinct()
-        spanned.join(hits, Seq("doc_id"), "left_anti")
+        val flags =
+          if (bloomDecontaminate)
+            Dedup.decontaminateBloom(spanned, b, "doc_id", "text")
+          else Dedup.decontaminate(spanned, b, "doc_id", "text")
+        spanned.join(flags.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
       case None => spanned
     }
     val capped = temperatureTarget match {
@@ -81,8 +97,20 @@ object CuratePipeline {
     // pack WITHIN each split (a val doc must never share a shard with a
     // train doc): three small packing passes, one per split value
     Seq("train", "val", "test").map { sp =>
-      Sharding.packShards(split.filter(col("split") === sp),
-        "doc_id", "n_tokens", tokenBudget)
+      val part = split.filter(col("split") === sp)
+      seqLen match {
+        case Some(l) =>
+          // concat-and-chop layout: spans join their doc's metadata
+          // back, the sequence id becomes the shard key
+          part.join(
+            Sharding.packSequences(
+                part.select("doc_id", "n_tokens"), "doc_id", "n_tokens", l)
+              .withColumnRenamed("seq_id", "shard")
+              .drop("n_tokens"),
+            Seq("doc_id"))
+        case None =>
+          Sharding.packShards(part, "doc_id", "n_tokens", tokenBudget)
+      }
     }.reduce(_ unionByName _)
   }
 

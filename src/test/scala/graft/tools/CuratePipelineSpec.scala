@@ -107,4 +107,38 @@ class CuratePipelineSpec extends SparkTestBase {
       .as[(Long, String, String, Long)].collect()
     assert(again.toSet == rows.toSet)
   }
+
+  test("round-8 stages: bloom decontamination identical; seqLen emits full sequences") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.orderBy("doc_id").limit(2)
+      .select(col("doc_id") + 900000L as "doc_id", col("text"))
+    def ids(bloom: Boolean) = CuratePipeline.run(spark, docs,
+      minQuality = 0.0, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 1000, benchmarks = Some(bench),
+      bloomDecontaminate = bloom)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids(bloom = true) == ids(bloom = false),
+      "bloom and exact decontamination must keep identical corpora")
+
+    val seqs = CuratePipeline.run(spark, docs,
+      minQuality = 0.0, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 1000, seqLen = Some(256L))
+    val rows = seqs.select("doc_id", "split", "shard", "seq_off", "span_len")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // within each split, every sequence but the last is exactly full and
+    // fills contiguously from offset 0
+    rows.groupBy(_._2).foreach { case (sp, rs) =>
+      val bySeq = rs.groupBy(_._3)
+      val last = bySeq.keys.max
+      bySeq.foreach { case (seq, ss) =>
+        val spans = ss.sortBy(_._4)
+        assert(spans.map(_._4).zip(spans.scanLeft(0L)(_ + _._5)).forall {
+          case (off, expect) => off == expect
+        }, s"$sp seq $seq must fill contiguously")
+        if (seq != last)
+          assert(ss.map(_._5).sum == 256L, s"$sp seq $seq not full")
+      }
+    }
+  }
 }
