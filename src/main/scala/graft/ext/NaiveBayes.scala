@@ -32,12 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
-  /** Train on `train` (must carry `labelCol`), score every row of
-    * `score`. Output: (doc_id, label_pred, score_pred) — the argmax
-    * label and its rounded log-posterior. */
-  def trainScore(train: DataFrame, score: DataFrame, labelCol: String,
-                 idCol: String = "doc_id", textCol: String = "text",
-                 scale: Int = 4): DataFrame = {
+  /** The full (doc × label) rounded log-posterior frame both
+    * [[trainScore]] and [[prCurve]] read: (doc_id, label, score_pred). */
+  def scoreAll(train: DataFrame, score: DataFrame, labelCol: String,
+               idCol: String = "doc_id", textCol: String = "text",
+               scale: Int = 4): DataFrame = {
     def unigrams(d: DataFrame) =
       d.select(col(idCol).as("doc_id"),
           explode(split(col(textCol), " ")).as("w"))
@@ -59,7 +58,7 @@ object NaiveBayes {
     // (label, w). At corpus scale the (label, w) join is the only real
     // shuffle — and it carries pre-aggregated rows, never raw tokens.
     val labelFrame = broadcast(priors.join(cl, Seq("label")))
-    val scored = unigrams(score)
+    unigrams(score)
       .crossJoin(labelFrame)
       .join(cw, Seq("label", "w"), "left")
       .crossJoin(broadcast(totals))
@@ -69,6 +68,15 @@ object NaiveBayes {
           sum(col("n") * log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
             (col("cl") + col("v")))),
         scale).as("score_pred"))
+  }
+
+  /** Train on `train` (must carry `labelCol`), score every row of
+    * `score`. Output: (doc_id, label_pred, score_pred) — the argmax
+    * label and its rounded log-posterior. */
+  def trainScore(train: DataFrame, score: DataFrame, labelCol: String,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 scale: Int = 4): DataFrame = {
+    val scored = scoreAll(train, score, labelCol, idCol, textCol, scale)
     // argmax over `labels` rows per doc; rounded-tie → smallest label
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_pred").desc, col("label").asc)
@@ -76,5 +84,52 @@ object NaiveBayes {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col("doc_id"), col("label").as("label_pred"), col("score_pred"))
+  }
+
+  /** One-vs-rest precision/recall sweep — the threshold-calibration
+    * step a deployment runs before routing a corpus by classifier
+    * score. Per doc in `eval`, margin = score(positive) −
+    * max(score(other)) over ROUNDED scores (so any engine reproduces
+    * every margin exactly); per threshold t in `thresholds`, the doc
+    * predicts positive iff margin ≥ t. Output one row per threshold:
+    * (threshold, tp, fp, fn, precision, recall) with the ratios
+    * rounded to `scale` (0-denominator → precision/recall 0).
+    *
+    * Scale shape: scoring is [[scoreAll]] (the (label, w) join is the
+    * only real shuffle); margins are one labels-per-doc aggregation;
+    * the sweep crosses the O(eval) margin frame with a broadcast
+    * threshold grid and reduces map-side — thresholds never multiply
+    * the shuffle. */
+  def prCurve(train: DataFrame, eval: DataFrame, labelCol: String,
+              positive: String, thresholds: Seq[Double],
+              idCol: String = "doc_id", textCol: String = "text",
+              scale: Int = 4): DataFrame = {
+    val margins = scoreAll(train, eval, labelCol, idCol, textCol, scale)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("label") === positive, col("score_pred"))).as("__pos"),
+        max(when(col("label") =!= positive, col("score_pred"))).as("__rest"))
+      .select(col("doc_id"), (col("__pos") - col("__rest")).as("margin"))
+      .join(eval.select(col(idCol).as("doc_id"),
+        (col(labelCol) === positive).as("truth")), Seq("doc_id"))
+    val spark = train.sparkSession
+    import spark.implicits._
+    val grid = broadcast(thresholds.toDF("threshold"))
+    margins.crossJoin(grid)
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("margin") >= col("threshold") && col("truth"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("margin") >= col("threshold") && !col("truth"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("margin") < col("threshold") && col("truth"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(col("tp") / (col("tp") + col("fp")), scale))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(col("tp") / (col("tp") + col("fn")), scale))
+          .as("recall"))
   }
 }

@@ -2243,6 +2243,63 @@ object Extended {
              |WHERE CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.8
              |ORDER BY doc_id, bench_id""".stripMargin)),
 
+    ("q124_nb_pr_curve",
+      (s: SparkSession, d: String) => {
+        // threshold calibration for the corpus classifier: one-vs-rest
+        // ('en') precision/recall sweep on the HELD-OUT slice (trained
+        // on doc_id % 5 <> 0, evaluated on % 5 = 0) over a fixed margin
+        // grid — the step that picks the routing threshold before a
+        // classifier gates a 100 TB corpus. Margins come from ROUNDED
+        // scores, counts are integers, so every row reproduces exactly.
+        val docs = Tables.documents(s, d)
+        graft.ext.NaiveBayes.prCurve(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "lang", positive = "en",
+            thresholds = Seq(-100.0, -50.0, -20.0, -10.0, -5.0, -2.0, 0.0,
+              2.0, 5.0, 10.0, 20.0, 50.0, 100.0))
+          .orderBy("threshold")
+      },
+      Some("""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+             |ev AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0),
+             |tw AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS w FROM tr),
+             |cw AS (SELECT label, w, COUNT(*) AS c FROM tw GROUP BY 1, 2),
+             |cl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS cl FROM cw GROUP BY 1),
+             |pr AS (SELECT lang AS label, COUNT(*) AS nd FROM tr GROUP BY 1),
+             |tot AS (SELECT (SELECT COUNT(DISTINCT w) FROM tw) AS v,
+             |               (SELECT COUNT(*) FROM tr) AS nt),
+             |dn AS (SELECT d.doc_id, w, COUNT(*) AS n
+             |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |             FROM documents WHERE doc_id % 5 = 0) d
+             |       GROUP BY 1, 2),
+             |sc AS (SELECT dn.doc_id, pr.label,
+             |         round(ln(pr.nd * 1.0 / tot.nt)
+             |           + SUM(dn.n * ln((COALESCE(cw.c, 0) + 1.0) / (cl.cl + tot.v))), 4) AS sp
+             |       FROM dn CROSS JOIN pr
+             |       LEFT JOIN cw ON cw.label = pr.label AND cw.w = dn.w
+             |       JOIN cl ON cl.label = pr.label
+             |       CROSS JOIN tot
+             |       GROUP BY dn.doc_id, pr.label, pr.nd, tot.nt),
+             |mg AS (SELECT sc.doc_id,
+             |         MAX(CASE WHEN label = 'en' THEN sp END)
+             |           - MAX(CASE WHEN label <> 'en' THEN sp END) AS margin,
+             |         ANY_VALUE(ev.lang = 'en') AS truth
+             |       FROM sc JOIN ev ON ev.doc_id = sc.doc_id
+             |       GROUP BY sc.doc_id),
+             |grid AS (SELECT CAST(unnest([-100.0, -50.0, -20.0, -10.0, -5.0, -2.0,
+             |              0.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0]) AS DOUBLE) AS threshold),
+             |agg AS (SELECT threshold,
+             |          CAST(SUM(CASE WHEN margin >= threshold AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |          CAST(SUM(CASE WHEN margin >= threshold AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |          CAST(SUM(CASE WHEN margin < threshold AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn
+             |        FROM mg CROSS JOIN grid GROUP BY threshold)
+             |SELECT threshold, tp, fp, fn,
+             |  CASE WHEN tp + fp = 0 THEN 0.0
+             |       ELSE round(tp * 1.0 / (tp + fp), 4) END AS precision,
+             |  CASE WHEN tp + fn = 0 THEN 0.0
+             |       ELSE round(tp * 1.0 / (tp + fn), 4) END AS recall
+             |FROM agg ORDER BY threshold""".stripMargin)),
+
     ("q121_cluster_representatives",
       (s: SparkSession, d: String) => {
         // best-of-cluster curation: the same verified minhash clusters

@@ -62,4 +62,36 @@ class NaiveBayesSpec extends SparkTestBase {
       assert(pred == (if (id % 2 == 0) "red" else "blue"), s"doc $id")
     }
   }
+
+  test("prCurve: counts partition the eval slice; recall falls and precision rises with t") {
+    // planted separable corpus: 'red' docs use red vocab, 'blue' blue
+    val docs = (1L to 60L).map { i =>
+      val lbl = if (i % 2 == 0) "red" else "blue"
+      val words = if (lbl == "red") "crimson scarlet ruby" else "azure navy cobalt"
+      (i, words + " common filler", lbl)
+    }.toDF("doc_id", "text", "lang")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    val nEval = eval.count()
+    val nPos = eval.filter(col("lang") === "red").count()
+    val grid = Seq(-1000.0, 0.0, 1000.0)
+    val got = NaiveBayes.prCurve(train, eval, "lang", "red", grid)
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == grid)
+    // every row: tp + fn = positives; tp + fp <= eval size
+    got.foreach { case (t, tp, fp, fn, p, r) =>
+      assert(tp + fn == nPos, s"t=$t")
+      assert(tp + fp <= nEval)
+      if (tp + fp > 0) assert(math.abs(p - tp.toDouble / (tp + fp)) < 1e-4)
+      if (tp + fn > 0) assert(math.abs(r - tp.toDouble / (tp + fn)) < 1e-4)
+    }
+    // t = -inf-ish: everything predicted positive → recall 1, precision = base rate
+    assert(got.head._6 == 1.0 && got.head._2 == nPos)
+    // t = +inf-ish: nothing predicted positive → tp 0
+    assert(got.last._2 == 0L && got.last._6 == 0.0)
+    // the separable middle threshold: perfect classification
+    val mid = got(1)
+    assert(mid._5 == 1.0 && mid._6 == 1.0, s"separable corpus at t=0: $mid")
+  }
 }
