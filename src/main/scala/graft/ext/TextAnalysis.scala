@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-corpus analysis for training-data pipelines: token accounting,
@@ -324,6 +325,48 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("gdocs") === 1, 1L).otherwise(0L)).as("n_unique"))
+  }
+
+  /** Heaps-law vocabulary-growth curve: at each id-axis checkpoint
+    * (multiples of `every`), the cumulative document/token counts and
+    * the cumulative DISTINCT vocabulary of the corpus prefix
+    * doc_id ≤ checkpoint. Flattening growth signals saturation or
+    * heavy duplication; the curve is the standard corpus-scaling
+    * diagnostic (Heaps' law V ≈ K·Nᵝ).
+    *
+    * Scale shape: one token explode feeds a map-side-combinable
+    * min-aggregation (each type's FIRST doc — the only shuffle that
+    * sees token-grain rows); pure integer arithmetic buckets types and
+    * tokens to checkpoints; the cumulative sums run in one window over
+    * the ≤ idRange/every-row checkpoint frame (a partitionless window,
+    * acceptable ONLY because that frame is checkpoint-sized, never
+    * corpus-sized). Output: (checkpoint, cum_docs, cum_tokens, vocab),
+    * all integers — any engine reproduces the curve bit-for-bit. */
+  def vocabGrowth(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", every: Long = 50L): DataFrame = {
+    require(every >= 1)
+    val cpOfDoc = expr(s"(($idCol - 1) div $every + 1) * $every")
+    val firstDoc = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(min(col(idCol)).as(idCol))
+    val newTypes = firstDoc.select(cpOfDoc.as("checkpoint"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("__new_types"))
+    val perCp = docs
+      .select(cpOfDoc.as("checkpoint"),
+        size(split(col(textCol), " ")).cast("long").as("__n_tokens"))
+      .groupBy("checkpoint")
+      .agg(count(lit(1)).as("__n_docs"), sum(col("__n_tokens")).as("__n_toks"))
+    val w = Window.orderBy("checkpoint")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perCp.join(newTypes, Seq("checkpoint"), "full_outer")
+      .select(col("checkpoint"),
+        coalesce(col("__n_docs"), lit(0L)).as("__d"),
+        coalesce(col("__n_toks"), lit(0L)).as("__t"),
+        coalesce(col("__new_types"), lit(0L)).as("__v"))
+      .select(col("checkpoint"),
+        sum(col("__d")).over(w).as("cum_docs"),
+        sum(col("__t")).over(w).as("cum_tokens"),
+        sum(col("__v")).over(w).as("vocab"))
   }
 
   // ---------------------------------------------------------------- curation

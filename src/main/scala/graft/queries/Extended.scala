@@ -2243,6 +2243,34 @@ object Extended {
              |WHERE CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.8
              |ORDER BY doc_id, bench_id""".stripMargin)),
 
+    ("q125_vocab_growth",
+      (s: SparkSession, d: String) => {
+        // Heaps-law corpus-scaling diagnostic: cumulative docs / tokens
+        // / distinct vocabulary at every-50-id checkpoints. One
+        // token-grain min-agg (each type's first doc) + integer bucket
+        // arithmetic + one tiny checkpoint window — all-integer output.
+        TextAnalysis.vocabGrowth(Tables.documents(s, d), every = 50L)
+          .orderBy("checkpoint")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |fd AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w),
+             |cpv AS (SELECT ((first_doc - 1) // 50 + 1) * 50 AS cp,
+             |          CAST(COUNT(*) AS BIGINT) AS new_types FROM fd GROUP BY 1),
+             |cpt AS (SELECT ((doc_id - 1) // 50 + 1) * 50 AS cp,
+             |          CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |        FROM documents GROUP BY 1),
+             |j AS (SELECT COALESCE(cpt.cp, cpv.cp) AS checkpoint,
+             |        COALESCE(n_docs, 0) AS d, COALESCE(n_tokens, 0) AS t,
+             |        COALESCE(new_types, 0) AS v
+             |      FROM cpt FULL JOIN cpv ON cpt.cp = cpv.cp)
+             |SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+             |  CAST(SUM(d) OVER w AS BIGINT) AS cum_docs,
+             |  CAST(SUM(t) OVER w AS BIGINT) AS cum_tokens,
+             |  CAST(SUM(v) OVER w AS BIGINT) AS vocab
+             |FROM j WINDOW w AS (ORDER BY checkpoint ROWS UNBOUNDED PRECEDING)
+             |ORDER BY checkpoint""".stripMargin)),
+
     ("q124_nb_pr_curve",
       (s: SparkSession, d: String) => {
         // threshold calibration for the corpus classifier: one-vs-rest

@@ -138,4 +138,29 @@ class TextAnalysisSpec extends SparkTestBase {
     val all = TextAnalysis.stopwords.values.flatten.toSeq
     assert(all.size == all.toSet.size, "stopword appearing in two languages breaks scoring")
   }
+
+  test("vocabGrowth: hand-computed curve; duplicated corpus flattens vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),     // cp 2: 3 new types, 3 tokens
+      (2L, "a b d"),     // cp 2: 1 new type (d)
+      (3L, "e f"),       // cp 4: 2 new
+      (4L, "a e g"),     // cp 4: 1 new (g)
+      (5L, "a b c"))     // cp 6: 0 new
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, every = 2L)
+      .orderBy("checkpoint")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 6L, 4L), (4L, 4L, 11L, 7L), (6L, 5L, 14L, 7L)))
+    // determinism under repartition
+    val again = TextAnalysis.vocabGrowth(docs.repartition(4), every = 2L)
+      .orderBy("checkpoint").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+    // a fully-duplicated corpus: vocab flat after the first checkpoint
+    val dup = (1L to 20L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val flat = TextAnalysis.vocabGrowth(dup, every = 5L)
+      .orderBy("checkpoint").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(flat.forall(_._4 == 3L), s"duplication must flatten vocab: $flat")
+    assert(flat.map(_._2) == Seq(5L, 10L, 15L, 20L))
+  }
 }
