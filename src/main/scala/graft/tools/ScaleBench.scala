@@ -108,7 +108,11 @@ object ScaleBench {
     "q118_pack_sequences", "q119_pca_project", "q120_decontaminate_bloom",
     // q122 at the fixed-probe regime (recall monitoring is a workload
     // property; the ratio measures the corpus-side reduced scan)
-    "q121_cluster_representatives", "q122_pca_recall@probes")
+    "q121_cluster_representatives", "q122_pca_recall@probes",
+    // q124's docs×labels scoring join under ×10 docs (labels constant);
+    // q125's token-grain first-doc min-agg — the widest-key shuffle of
+    // the analysis family (every distinct type is a group)
+    "q124_nb_pr_curve", "q125_vocab_growth")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
