@@ -85,5 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.decontaminatePlan(es)))
     ext.injectTableFunction((FunctionIdentifier("pca_project"), info("pca_project"),
       (es: Seq[Expression]) => graft.ext.DocSql.pcaProjectPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("contamination_profile"), info("contamination_profile"),
+      (es: Seq[Expression]) => graft.ext.DocSql.contaminationProfilePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("epoch_shuffle"), info("epoch_shuffle"),
+      (es: Seq[Expression]) => graft.ext.DocSql.epochShufflePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("kmv_overlap"), info("kmv_overlap"),
+      (es: Seq[Expression]) => graft.ext.DocSql.kmvOverlapPlan(es)))
   }
 }

@@ -767,6 +767,47 @@ object Dedup {
       containment)
   }
 
+  /** Per-document contamination fraction: for EVERY corpus document, the
+    * share of its distinct n-gram shingles that appear anywhere in the
+    * benchmark set — the GPT-3-style per-doc dirtiness score.
+    * [[decontaminate]] answers "which (doc, benchmark) pairs leak?";
+    * this answers "how dirty is each document?", the signal a curation
+    * pipeline thresholds or stratifies on (and the denominator is the
+    * DOC's shingle count, not the benchmark's — the complementary
+    * containment direction). Output: one row per corpus doc —
+    * (doc_id, n_shingles, n_matched, dirty_frac), dirty_frac the IEEE
+    * division of the two exact counts (engine-identical).
+    *
+    * Scale shape: the benchmark's distinct shingle set collapses to ONE
+    * column and broadcasts (its per-bench-doc identity is irrelevant
+    * here); the corpus explodes its distinct shingles once and the
+    * left broadcast join + per-doc count is fully map-side — the corpus
+    * NEVER shuffles by shingle, and the per-doc aggregation combines
+    * map-side before the O(docs) shuffle. A benchmark side too big to
+    * broadcast (> `broadcastMaxShingles` distinct shingles, measured not
+    * estimated) falls back to a shuffle-hash left join on the shingle
+    * hash — same output, one unavoidable exchange. */
+  def contaminationProfile(corpus: DataFrame, benchmarks: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3,
+                           broadcastMaxShingles: Long = 5000000L): DataFrame = {
+    val benchSet = benchmarks
+      .select(explode(array_distinct(hashedShingles(col(textCol), n))).as("__h"))
+      .distinct()
+      .withColumn("__m", lit(1))
+      .localCheckpoint(true)
+    val corpusSh = corpusShingles(corpus, idCol, textCol, n)
+    val joined =
+      if (benchSet.count() <= broadcastMaxShingles)
+        corpusSh.join(broadcast(benchSet), Seq("__h"), "left")
+      else corpusSh.join(benchSet.hint("shuffle_hash"), Seq("__h"), "left")
+    joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__m")).as("n_matched"))
+      .withColumn("dirty_frac",
+        col("n_matched").cast("double") / col("n_shingles").cast("double"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Benchmark side of [[decontaminate]]: (bench_id, __bench_n, __h) —
     * one row per distinct shingle, eagerly materialized cache-free (the
     * size check, the bloom build, and the join all read the computed

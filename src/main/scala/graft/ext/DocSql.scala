@@ -162,6 +162,32 @@ object DocSql {
     plan(Dedup.decontaminate(tableArg(es.head), tableArg(es(1)),
       "doc_id", "text", n = intArg(es(2)), containment = dblArg(es(3))))
 
+  /** `contamination_profile('corpus', 'bench', n)`: per-doc share of its
+    * distinct n-grams found anywhere in the benchmark view —
+    * (doc_id, n_shingles, n_matched, dirty_frac). */
+  private[graft] def contaminationProfilePlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.contaminationProfile(tableArg(es.head), tableArg(es(1)),
+      "doc_id", "text", n = intArg(es(2))))
+
+  /** `epoch_shuffle('docs', seed, shard_size)`: seeded deterministic
+    * training-order permutation — (doc_id, shuffle_key, epoch_pos,
+    * shard). Eager (distributed global rank at analysis). */
+  private[graft] def epochShufflePlan(es: Seq[Expression]): LogicalPlan =
+    plan(Sharding.epochShuffle(tableArg(es.head), "doc_id",
+      seed = numArg(es(1)).longValue(), shardSize = numArg(es(2)).longValue()))
+
+  /** `kmv_overlap('view', 'group_col', 'value_col', k)`: pairwise
+    * cross-group distinct-overlap estimates from bottom-k sketches —
+    * (group_a, group_b, distinct_a, distinct_b, union_est, inter_est,
+    * jaccard). Sketch algebra only; no cross-group join of values. */
+  private[graft] def kmvOverlapPlan(es: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions.col
+    val g = strArg(es(1))
+    val k = intArg(es(3))
+    plan(Sketches.overlapMatrix(
+      Sketches.kmvRegisters(tableArg(es.head), g, col(strArg(es(2))), k), g, k))
+  }
+
   /** `pca_project('emb', dim, n_components)`: fit on the view's
     * `embedding` column, project to (vec_id, comp, proj). Eager (the
     * covariance pass and eigensolve run at analysis). */

@@ -129,6 +129,62 @@ object Sharding {
     }
   }
 
+  /** Deterministic global training-order shuffle: a seeded
+    * pseudo-random permutation of the corpus — each row's epoch position
+    * is its rank under (knuth-hash(id, seed), id) — cut into fixed-size
+    * shards in permuted order. The step between packing (q118) and the
+    * shard write: an epoch's read order must be (a) decorrelated from
+    * document order (adjacent ids are near-duplicate crawl neighbors —
+    * reading in id order is curriculum by accident), (b) different per
+    * epoch (vary `seed`), and (c) exactly reproducible for resumable
+    * training — which rules out RNG state and engine-specific hashes.
+    * The hash is the same public Knuth multiplicative residue as
+    * [[splitBucket]] (64-bit-safe: residue < 1e6+seed, × 2654435761
+    * stays ≪ 2^63), so any engine replays the permutation bit-for-bit.
+    *
+    * Output: (`idCol`, shuffle_key, epoch_pos 0-based, shard).
+    *
+    * Scale shape: the same distributed global rank as [[ntileExact]] —
+    * range-repartition on (hash, id), per-bucket counts collect to the
+    * driver (≤ #buckets rows), exclusive offsets broadcast back, each
+    * bucket ranks its own rows in parallel (every window is
+    * bucket-partitioned; a bare `row_number() OVER (ORDER BY hash)`
+    * pulls the corpus through ONE task). Shard assignment is then pure
+    * integer `div`. */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
+                   shardSize: Long, numBuckets: Int = 0): DataFrame = {
+    require(shardSize > 0, "shard size must be positive")
+    require(seed >= 0 && seed <= 2000000000L,
+      "seed must be in [0, 2e9] (64-bit overflow guard: (residue + seed) * 2654435761 < 2^63)")
+    val key = pmod((pmod(col(idCol), lit(1000003L)) + lit(seed)) * 2654435761L,
+      lit(1000000007L))
+    val keyed = docs.select(col(idCol)).withColumn("shuffle_key", key)
+    val ranged = (if (numBuckets > 0)
+                    keyed.repartitionByRange(numBuckets, col("shuffle_key"), col(idCol))
+                  else keyed.repartitionByRange(col("shuffle_key"), col(idCol)))
+      .withColumn("__rb", spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy("__rb").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) {
+      ranged.unpersist(false)
+      return keyed.withColumn("epoch_pos", lit(0L)).withColumn("shard", lit(0L)).limit(0)
+    }
+    val ids = counts.keys.toArray.sorted
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsets = ids.zip(ids.scanLeft(0L)((acc, b) => acc + counts(b)))
+      .toSeq.toDF("__rb", "__off")
+    val w = Window.partitionBy("__rb").orderBy(col("shuffle_key"), col(idCol))
+    val out = ranged
+      .join(broadcast(offsets), "__rb")
+      .withColumn("epoch_pos", row_number().over(w).cast("long") - 1L + col("__off"))
+      .withColumn("shard", expr(s"epoch_pos div $shardSize"))
+      .drop("__rb", "__off")
+    try out.localCheckpoint(true)
+    finally ranged.unpersist(false)
+  }
+
   /** Deterministic [0, 100) bucket from an integral id: Knuth
     * multiplicative hashing over a prime residue. Plain 64-bit-safe
     * arithmetic (no engine-specific hash function), so any SQL engine

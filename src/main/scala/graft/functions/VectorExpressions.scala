@@ -758,6 +758,111 @@ case class MediaFeatures(child: Expression, dim: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-dimension int8 scalar quantization (SQ8): codes[j] =
+  * clamp(floor((x[j] − lo[j]) / step[j] + 0.5), 0, 255), stored as
+  * (code − 128) so the whole vector packs into `dim` BYTES — a 4× scan
+  * reduction vs float32 (the faiss `SQ8` / Lucene `int8` layout, between
+  * PQ's ~32× and raw floats). Dims with step = 0 (constant across the
+  * corpus) code to 0. The quantization grid rides the expression as
+  * broadcast-literal arrays — nothing joins, the encode is map-only
+  * inside whole-stage codegen. */
+case class Sq8Encode(child: Expression, lo: Array[Double], step: Array[Double])
+  extends UnaryExpression {
+  require(lo.length == step.length && lo.nonEmpty)
+
+  override def prettyName: String = "sq8_encode"
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SqKernel.encode(v.asInstanceOf[ArrayData], lo, step)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sqLo", lo, "double[]")
+    val stRef = ctx.addReferenceObj("sqStep", step, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SqKernel.encode($v, $loRef, $stRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Asymmetric-free SQ8 similarity: cosine over the DEQUANTIZED codes
+  * (x̂[j] = lo[j] + code[j]·step[j]) of both sides, one fused pass over
+  * the two byte arrays — the ADC scan of the SQ8 ANN path reads `dim`
+  * bytes per side where brute force reads `dim` floats. Sequential
+  * double accumulation ⇒ the score is a pure per-row function of the two
+  * codes (partitioning-independent), which is what makes the candidate
+  * dump deterministic. 0 when either dequantized norm is 0. */
+case class Sq8Cosine(left: Expression, right: Expression,
+                     lo: Array[Double], step: Array[Double])
+  extends BinaryExpression {
+  require(lo.length == step.length && lo.nonEmpty)
+
+  override def prettyName: String = "sq8_cosine"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == BinaryType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two binary arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SqKernel.cosine(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]], lo, step)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sqLo", lo, "double[]")
+    val stRef = ctx.addReferenceObj("sqStep", step, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SqKernel.cosine($a, $b, $loRef, $stRef);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SqKernel {
+  /** [[Sq8Encode]]'s kernel. Explicit op order — (x − lo) / step + 0.5,
+    * floor, clamp — so an independent engine recomputes every code from
+    * the dumped (lo, step) grid bit-for-bit. */
+  def encode(vec: ArrayData, lo: Array[Double], step: Array[Double]): Array[Byte] = {
+    val dim = lo.length
+    val n = math.min(vec.numElements(), dim)
+    val out = new Array[Byte](dim)
+    var j = 0
+    while (j < n) {
+      val code =
+        if (step(j) == 0.0) 0
+        else {
+          val c = math.floor((vec.getFloat(j).toDouble - lo(j)) / step(j) + 0.5)
+          if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
+        }
+      out(j) = (code - 128).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** [[Sq8Cosine]]'s kernel: one pass, three accumulators. */
+  def cosine(a: Array[Byte], b: Array[Byte], lo: Array[Double], step: Array[Double]): Double = {
+    val n = math.min(math.min(a.length, b.length), lo.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < n) {
+      val xa = lo(j) + (a(j) + 128) * step(j)
+      val xb = lo(j) + (b(j) + 128) * step(j)
+      dot += xa * xb; na += xa * xa; nb += xb * xb
+      j += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
 /** Column wrappers + SQL registration. */
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -781,6 +886,10 @@ object VectorFunctions {
                          dim: Int, k2: Int, nProbe: Int): Column =
     c(NearestChildCell(e(v), superFlat, childFlat, dim, k2, nProbe))
   def media_features(content: Column, dim: Int): Column = c(MediaFeatures(e(content), dim))
+  def sq8_encode(v: Column, lo: Array[Double], step: Array[Double]): Column =
+    c(Sq8Encode(e(v), lo, step))
+  def sq8_cosine(a: Column, b: Column, lo: Array[Double], step: Array[Double]): Column =
+    c(Sq8Cosine(e(a), e(b), lo, step))
 
   /** Register for `spark.sql` use: cosine_similarity(a, b), etc. */
   def registerAll(spark: SparkSession): Unit = {

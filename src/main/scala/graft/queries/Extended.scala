@@ -108,6 +108,11 @@ object Extended {
           Multimodal.synthesizeFromDocuments(Tables.documents(s, d)))
         .toDF().select(col("media_id"), col("feature"))
     }),
+    "q128_candidates" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ext.SQ.sqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
+        q128Fit(s, d), nCandidates = 40)
+    }),
     "q74_centroids" -> ((s: SparkSession, d: String) => {
       // the q74 fit re-run verbatim: deterministic for (corpus, params),
       // so this dump IS the centroid set the query assigned against
@@ -137,6 +142,15 @@ object Extended {
     q91FitCache.computeIfAbsent(d, dir =>
       graft.ext.PQ.fit(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, m = 8, k = 16, iterations = 3, seed = 42L))
+
+  /** q128's shared SQ8 grid fit (memoized like [[q91Fit]]; per-dim
+    * min/max is exact and order-independent, so the dumped candidate
+    * set reproduces the in-query candidate set). */
+  private val q128FitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ext.SQ.Model]()
+  private def q128Fit(s: SparkSession, d: String): graft.ext.SQ.Model =
+    q128FitCache.computeIfAbsent(d, dir =>
+      graft.ext.SQ.fit(Tables.embeddings(s, dir), "embedding", dim = 64))
 
   /** q102's shared IVF-PQ index fit (32 coarse cells, 8 subspaces × 16
     * residual centroids; deterministic per KMeans.fit's exact-arithmetic
@@ -2327,6 +2341,157 @@ object Extended {
              |  CASE WHEN tp + fn = 0 THEN 0.0
              |       ELSE round(tp * 1.0 / (tp + fn), 4) END AS recall
              |FROM agg ORDER BY threshold""".stripMargin)),
+
+    ("q126_contamination_profile",
+      (s: SparkSession, d: String) => {
+        // per-doc dirtiness: share of each doc's distinct 3-grams found
+        // anywhere in the benchmark set (q52's bench: first 15 tokens of
+        // every 97th doc) — the signal a pipeline thresholds on, where
+        // q52 reports pair-level leakage
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 15), " ").as("text"))
+        Dedup.contaminationProfile(docs, bench, "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |mk AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |bt AS (SELECT list_slice(toks, 1, 15) AS toks FROM tok WHERE doc_id % 97 = 0),
+             |bs AS (SELECT DISTINCT unnest(
+             |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS s FROM bt),
+             |ex AS (SELECT doc_id, unnest(sh) AS s FROM mk)
+             |SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |  CAST(COUNT(bs.s) AS BIGINT) AS n_matched,
+             |  CAST(COUNT(bs.s) AS DOUBLE) / COUNT(*) AS dirty_frac
+             |FROM ex LEFT JOIN bs USING (s)
+             |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin)),
+
+    ("q127_source_overlap",
+      (s: SparkSession, d: String) => {
+        // cross-source overlap WITHOUT a cross-source join: pairwise
+        // union/intersection/Jaccard of per-event-type user sets,
+        // estimated from the same KMV registers q38 dumps — sketch
+        // algebra only (merge + recut), O(groups² × k) total work
+        val reg = graft.ext.Sketches.kmvRegisters(Tables.events(s, d),
+          "event_type", col("user_id"), k = 128)
+        graft.ext.Sketches.overlapMatrix(reg, "event_type", k = 128)
+          .orderBy("group_a", "group_b")
+      },
+      // the oracle recomputes the ENTIRE matrix from the dumped register
+      // table in HUGEINT — merge, recut, estimate, inclusion-exclusion
+      Some(s"""WITH s AS (SELECT event_type, mins
+             |           FROM read_parquet('$OracleAuxDir/q38_kmv/*.parquet')),
+             |p AS (SELECT a.event_type AS group_a, b.event_type AS group_b,
+             |             a.mins AS ma, b.mins AS mb
+             |      FROM s a JOIN s b ON a.event_type < b.event_type),
+             |m AS (SELECT group_a, group_b, ma, mb,
+             |             list_sort(list_distinct(list_concat(ma, mb))) AS mu FROM p),
+             |e AS (SELECT group_a, group_b,
+             |  CASE WHEN len(ma) < 128 THEN CAST(len(ma) AS BIGINT)
+             |       ELSE CAST((127 * 18446744073709551616::HUGEINT)
+             |            / (CAST(ma[128] AS HUGEINT) + 9223372036854775808) AS BIGINT) END AS distinct_a,
+             |  CASE WHEN len(mb) < 128 THEN CAST(len(mb) AS BIGINT)
+             |       ELSE CAST((127 * 18446744073709551616::HUGEINT)
+             |            / (CAST(mb[128] AS HUGEINT) + 9223372036854775808) AS BIGINT) END AS distinct_b,
+             |  CASE WHEN len(mu) < 128 THEN CAST(len(mu) AS BIGINT)
+             |       ELSE CAST((127 * 18446744073709551616::HUGEINT)
+             |            / (CAST(mu[128] AS HUGEINT) + 9223372036854775808) AS BIGINT) END AS union_est
+             |  FROM m),
+             |f AS (SELECT group_a, group_b, distinct_a, distinct_b, union_est,
+             |  greatest(CAST(0 AS BIGINT), distinct_a + distinct_b - union_est) AS inter_est
+             |  FROM e)
+             |SELECT group_a, group_b, distinct_a, distinct_b, union_est, inter_est,
+             |  CASE WHEN union_est > 0
+             |       THEN CAST(inter_est AS DOUBLE) / CAST(union_est AS DOUBLE)
+             |       ELSE 0.0 END AS jaccard
+             |FROM f ORDER BY group_a, group_b""".stripMargin)),
+
+    ("q128_cosine_topk_sq",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        // int8 scalar quantization: the corpus-side ANN scan reads 64
+        // BYTES per vector instead of 64 floats (4× smaller index, far
+        // less recall loss than PQ's 32×) — the middle rung of the
+        // compression ladder. Same oracle contract as q30/q33/q91: the
+        // deterministic candidate dump is re-ranked exactly.
+        graft.ext.SQ.topKSq(emb, queries, k = 10, q128Fit(s, d), refine = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(rerankOracle("q128_candidates", k = 10))),
+
+    ("q129_sq_recall",
+      (s: SparkSession, d: String) => {
+        // index-quality monitor for the SQ8 path (q92's shape): per-query
+        // recall@10 of byte-code ADC + exact re-rank vs brute force
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val exact = Similarity.topKBruteForce(emb, queries, k = 10)
+        val approx = graft.ext.SQ.topKSq(emb, queries, k = 10,
+          q128Fit(s, d), refine = 4)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("recall_hits"))
+        queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
+            lit(10L).as("k"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH cand AS (SELECT DISTINCT query_id, neighbor_id
+             |              FROM read_parquet('$OracleAuxDir/q128_candidates/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id % 50 = 0),
+             |ex AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         row_number() OVER (PARTITION BY q.query_id
+             |           ORDER BY list_cosine_similarity(e.dv, q.qv) DESC, e.vec_id) AS rnk
+             |       FROM v e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |exk AS (SELECT query_id, neighbor_id FROM ex WHERE rnk <= 10),
+             |ap AS (SELECT c.query_id, c.neighbor_id,
+             |         row_number() OVER (PARTITION BY c.query_id
+             |           ORDER BY list_cosine_similarity(cn.dv, cq.dv) DESC, c.neighbor_id) AS rnk
+             |       FROM cand c JOIN v cq ON cq.vec_id = c.query_id
+             |                   JOIN v cn ON cn.vec_id = c.neighbor_id),
+             |apk AS (SELECT query_id, neighbor_id FROM ap WHERE rnk <= 10),
+             |h AS (SELECT e.query_id, COUNT(*) AS recall_hits
+             |      FROM exk e JOIN apk a
+             |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+             |      GROUP BY 1)
+             |SELECT q.query_id,
+             |       CAST(COALESCE(h.recall_hits, 0) AS BIGINT) AS recall_hits,
+             |       CAST(10 AS BIGINT) AS k
+             |FROM q LEFT JOIN h USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
+    ("q130_epoch_shuffle",
+      (s: SparkSession, d: String) => {
+        // deterministic training-order permutation + fixed-size shard
+        // cut (seed varies per epoch); distributed global rank, public
+        // Knuth hash — any engine replays the permutation bit-for-bit
+        Sharding.epochShuffle(Tables.documents(s, d), "doc_id",
+            seed = 7L, shardSize = 64L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    ((doc_id % 1000003) + 7) * 2654435761 % 1000000007 AS shuffle_key
+             |  FROM documents),
+             |r AS (SELECT doc_id, shuffle_key,
+             |    row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS epoch_pos
+             |  FROM h)
+             |SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+             |       CAST(epoch_pos AS BIGINT) AS epoch_pos,
+             |       CAST(epoch_pos // 64 AS BIGINT) AS shard
+             |FROM r ORDER BY doc_id""".stripMargin)),
 
     ("q121_cluster_representatives",
       (s: SparkSession, d: String) => {

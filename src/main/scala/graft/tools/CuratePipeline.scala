@@ -50,7 +50,19 @@ object CuratePipeline {
     *  - `seqLen`: the final layout becomes GPT-style fixed-length
     *    training sequences ([[Sharding.packSequences]], per split) —
     *    each output row is a document span, `shard` is the sequence
-    *    id, every sequence except a split's last is exactly full. */
+    *    id, every sequence except a split's last is exactly full.
+    *
+    * Round-9 optional stages:
+    *  - `maxDirtyFrac`: a PER-DOC contamination gate on top of the
+    *    pair-level decontaminate anti-join — docs whose
+    *    [[Dedup.contaminationProfile]] dirty fraction exceeds the
+    *    threshold drop even when no single benchmark item is contained
+    *    (diffuse leakage across many items);
+    *  - `epochSeed` (with `seqLen`): each split's sequence ids are
+    *    renumbered by the seeded deterministic permutation
+    *    ([[Sharding.epochShuffle]]) so a trainer reading shards in
+    *    order sees a decorrelated document order; sequence membership
+    *    is untouched. */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
@@ -59,7 +71,9 @@ object CuratePipeline {
           spanDedupWidth: Option[Int] = None,
           temperatureTarget: Option[Long] = None,
           bloomDecontaminate: Boolean = false,
-          seqLen: Option[Long] = None): DataFrame = {
+          seqLen: Option[Long] = None,
+          maxDirtyFrac: Option[Double] = None,
+          epochSeed: Option[Long] = None): DataFrame = {
     val labeled = nbLangTrain match {
       case Some(train) =>
         val pred = NaiveBayes.trainScore(train, docs, "lang")
@@ -84,8 +98,15 @@ object CuratePipeline {
           if (bloomDecontaminate)
             Dedup.decontaminateBloom(spanned, b, "doc_id", "text")
           else Dedup.decontaminate(spanned, b, "doc_id", "text")
-        spanned.join(flags.select(col("doc_id")).distinct(),
+        val pairClean = spanned.join(flags.select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
+        maxDirtyFrac match {
+          case Some(t) =>
+            val dirty = Dedup.contaminationProfile(pairClean, b, "doc_id", "text")
+              .filter(col("dirty_frac") > t).select("doc_id")
+            pairClean.join(dirty, Seq("doc_id"), "left_anti")
+          case None => pairClean
+        }
       case None => spanned
     }
     val capped = temperatureTarget match {
@@ -102,12 +123,24 @@ object CuratePipeline {
         case Some(l) =>
           // concat-and-chop layout: spans join their doc's metadata
           // back, the sequence id becomes the shard key
-          part.join(
+          val packed = part.join(
             Sharding.packSequences(
                 part.select("doc_id", "n_tokens"), "doc_id", "n_tokens", l)
               .withColumnRenamed("seq_id", "shard")
               .drop("n_tokens"),
             Seq("doc_id"))
+          epochSeed match {
+            case Some(seed) =>
+              // renumber sequences by the seeded permutation: membership
+              // untouched, read order decorrelated from document order
+              val perm = Sharding.epochShuffle(
+                  packed.select(col("shard").as("__seq")).distinct(),
+                  "__seq", seed, shardSize = 1L)
+                .select(col("__seq").as("shard"), col("epoch_pos").as("__shuffled"))
+              packed.join(perm, Seq("shard"))
+                .drop("shard").withColumnRenamed("__shuffled", "shard")
+            case None => packed
+          }
         case None =>
           Sharding.packShards(part, "doc_id", "n_tokens", tokenBudget)
       }

@@ -112,7 +112,18 @@ object ScaleBench {
     // q124's docs×labels scoring join under ×10 docs (labels constant);
     // q125's token-grain first-doc min-agg — the widest-key shuffle of
     // the analysis family (every distinct type is a group)
-    "q124_nb_pr_curve", "q125_vocab_growth")
+    "q124_nb_pr_curve", "q125_vocab_growth",
+    // round-9 additions: q126's corpus shingle stream under a ×10 corpus
+    // (its benchmark set grows with it — the honest row for the declared
+    // query); q127's KMV register pass over ×10 documents (the sketch
+    // algebra itself is O(groups²·k), corpus-size-free — the row
+    // measures the one pass that does scale, the per-group bottom-k);
+    // q128's byte-code ADC scan at fixed probes (4× the bytes of raw
+    // floats saved; must track q91's fixed-probe regime); q130's
+    // distributed global rank under a ×10-wider permutation (the same
+    // staged machinery as q99, now keyed by hash instead of length).
+    "q126_contamination_profile", "q127_source_overlap@docs",
+    "q128_cosine_topk_sq@probes", "q130_epoch_shuffle")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -233,6 +244,23 @@ object ScaleBench {
           nProbe = 8, refine = 4)
         graft.ext.Similarity.mutualMarginPairsFrom(ab, ba, minMargin = 1.05)
           .orderBy("id_a")
+      })
+      case "q127_source_overlap@docs" => Some((s, d) => {
+        // the declared q127 sketches `events` (not replicated here);
+        // same operator over ×10 documents: group = lang, value = text
+        // hash — the register pass is what must stay linear
+        val docs = graft.core.Tables.documents(s, d)
+        val reg = graft.ext.Sketches.kmvRegisters(docs, "lang",
+          xxhash64(col("text")), k = 128)
+        graft.ext.Sketches.overlapMatrix(reg, "lang", k = 128)
+          .orderBy("group_a", "group_b")
+      })
+      case "q128_cosine_topk_sq@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        val probes = fixedProbes(emb)
+        val m = graft.ext.SQ.fit(emb, "embedding", dim = 64)
+        graft.ext.SQ.topKSq(emb, probes, k = 10, m, refine = 4)
+          .orderBy("query_id", "rank")
       })
       case _ => None
     }

@@ -479,4 +479,35 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty, "the planted contamination must flag")
   }
 
+  test("contaminationProfile: per-doc dirty fraction, hand-checked") {
+    val corpus = Seq(
+      (1L, "a b c d e"),   // 2-grams: ab bc cd de — 2 of 4 in bench
+      (2L, "x y z"),       // clean
+      (3L, "a b"),         // single shingle, fully contained
+      (4L, "a b c")        // ab bc — both in bench
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.contaminationProfile(corpus, bench, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.5),
+      (2L, 2L, 0L, 0.0),
+      (3L, 1L, 1L, 1.0),
+      (4L, 2L, 2L, 1.0)))
+  }
+
+  test("contaminationProfile: shuffle fallback is identical to broadcast path") {
+    val corpus = (1L to 80L).map { i =>
+      val words = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      (i, if (i % 7 == 0) "alpha beta gamma delta " + words else words)
+    }.toDF("doc_id", "text")
+    val bench = Seq((900L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    def run(maxBroadcast: Long) =
+      Dedup.contaminationProfile(corpus, bench, "doc_id", "text", n = 3,
+        broadcastMaxShingles = maxBroadcast).orderBy("doc_id").collect().toSeq
+    assert(run(5000000L) == run(0L))
+    val dirty = run(5000000L).filter(_.getAs[Double]("dirty_frac") > 0)
+    assert(dirty.size == 80 / 7, "every planted doc (and only those) is dirty")
+  }
+
 }

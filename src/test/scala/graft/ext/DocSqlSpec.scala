@@ -179,4 +179,27 @@ class DocSqlSpec extends AnyFunSuite {
     assert(sorted(spark.sql("SELECT * FROM pca_project('emb8', 8, 2)")) ==
       sorted(PCA.project(emb, "vec_id", "embedding", model)))
   }
+
+  test("round-9 TVFs equal their Scala counterparts") {
+    import org.apache.spark.sql.functions.col
+    docs
+    val bench = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.expr(
+        "array_join(slice(split(text, ' '), 1, 6), ' ')").as("text"))
+    bench.createOrReplaceTempView("bench6b")
+    assert(sorted(spark.sql(
+        "SELECT * FROM contamination_profile('docs', 'bench6b', 3)")) ==
+      sorted(Dedup.contaminationProfile(docs, bench, "doc_id", "text", n = 3)))
+
+    assert(sorted(spark.sql("SELECT * FROM epoch_shuffle('docs', 7, 2)")) ==
+      sorted(Sharding.epochShuffle(docs, "doc_id", seed = 7L, shardSize = 2L)))
+
+    import spark.implicits._
+    val ev = (0L until 400L).map(i => (s"g${i % 3}", i % 37))
+      .toDF("grp", "user_id")
+    ev.createOrReplaceTempView("ev3")
+    assert(sorted(spark.sql("SELECT * FROM kmv_overlap('ev3', 'grp', 'user_id', 16)")) ==
+      sorted(Sketches.overlapMatrix(
+        Sketches.kmvRegisters(ev, "grp", col("user_id"), 16), "grp", 16)))
+  }
 }

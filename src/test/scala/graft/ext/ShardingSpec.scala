@@ -283,4 +283,33 @@ class ShardingSpec extends SparkTestBase {
       .sortBy(r => (r._1, r._3)).toSeq
     assert(again == got, "layout must be partitioning-independent")
   }
+
+  test("epochShuffle: a seeded permutation, partitioning-independent, shard-cut") {
+    val docs = (0L until 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val out = Sharding.epochShuffle(docs, "doc_id", seed = 7L, shardSize = 64L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    // 1) epoch_pos is exactly the permutation 0..n-1
+    assert(out.map(_._3).sorted == (0L until 300L))
+    // 2) it matches the driver-computed (knuth-hash, id) rank
+    val ref = out.map { case (id, _, _, _) =>
+      (((id % 1000003L) + 7L) * 2654435761L % 1000000007L, id)
+    }.sorted.map(_._2).zipWithIndex.map { case (id, pos) => id -> pos.toLong }.toMap
+    out.foreach { case (id, _, pos, _) => assert(pos == ref(id), s"id=$id") }
+    // 3) shard = pos div 64
+    out.foreach { case (_, _, pos, shard) => assert(shard == pos / 64L) }
+    // 4) bucket count cannot change the permutation
+    val again = Sharding.epochShuffle(docs.repartition(7), "doc_id",
+        seed = 7L, shardSize = 64L, numBuckets = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == out, "permutation must be partitioning-independent")
+    // 5) a different seed yields a different order
+    val other = Sharding.epochShuffle(docs, "doc_id", seed = 8L, shardSize = 64L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(other.map(_._3) != out.map(_._3))
+    // 6) the permutation decorrelates id order (no long sorted runs)
+    val order = out.sortBy(_._3).map(_._1)
+    val asc = order.sliding(2).count(p => p(1) == p(0) + 1)
+    assert(asc < 30, s"$asc adjacent-id pairs survived the shuffle")
+  }
 }

@@ -141,4 +141,48 @@ class CuratePipelineSpec extends SparkTestBase {
       }
     }
   }
+
+  test("round-9 stages: per-doc dirty gate tightens; epoch seed permutes shards only") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.orderBy("doc_id").limit(3)
+      .select(col("doc_id") + 900000L as "doc_id",
+        expr("array_join(slice(split(text, ' '), 1, 12), ' ')").as("text"))
+    def keptIds(dirty: Option[Double]) = CuratePipeline.run(spark, docs,
+      minQuality = 0.0, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 1000, benchmarks = Some(bench),
+      maxDirtyFrac = dirty)
+      .select("doc_id").as[Long].collect().toSet
+    val loose = keptIds(None)
+    val tight = keptIds(Some(0.0)) // any shared trigram drops the doc
+    assert(tight.subsetOf(loose), "the dirty gate can only REMOVE docs")
+    assert(tight.size < loose.size,
+      "the zero-tolerance gate must drop docs the pair-level gate kept")
+
+    val base = CuratePipeline.run(spark, docs,
+      minQuality = 0.0, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 1000, seqLen = Some(256L))
+      .select("doc_id", "split", "shard", "seq_off", "span_len")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val shuffled = CuratePipeline.run(spark, docs,
+      minQuality = 0.0, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 1000, seqLen = Some(256L),
+      epochSeed = Some(3L))
+      .select("doc_id", "split", "shard", "seq_off", "span_len")
+      .as[(Long, String, Long, Long, Long)].collect()
+    // membership is untouched: each (split, old shard)'s row set maps to
+    // exactly one new shard, and the shard id SET per split is identical
+    def key(r: (Long, String, Long, Long, Long)) = (r._1, r._2, r._4, r._5)
+    val toNew = shuffled.map(r => key(r) -> r._3).toMap
+    base.groupBy(r => (r._2, r._3)).foreach { case ((sp, old), rs) =>
+      val news = rs.map(r => toNew(key(r))).distinct
+      assert(news.size == 1, s"$sp shard $old split across new shards")
+    }
+    base.groupBy(_._2).foreach { case (sp, rs) =>
+      val olds = rs.map(_._3).toSet
+      val news = shuffled.filter(_._2 == sp).map(_._3).toSet
+      assert(olds == news, s"$sp: shard id set changed under renumbering")
+    }
+    assert(base.map(r => key(r) -> r._3).toMap != toNew,
+      "the permutation must actually move sequences")
+  }
 }
