@@ -97,27 +97,53 @@ object RobustStats {
     * bit-for-bit from integral values and weights.
     *
     * Scale shape: rows collapse to the (group, value) DISTINCT frame
-    * first (one map-side-combinable weight sum — the window that
-    * follows ranks distinct values, not rows, typically orders of
-    * magnitude smaller); the cumulative walk is one window per group
-    * over that collapsed frame; the pick is a conditional min.
-    * Output: (group, n_values, total_w, wmedian). */
+    * first (one map-side-combinable weight sum — everything after ranks
+    * distinct values, not rows, typically orders of magnitude smaller).
+    * The cumulative walk is a BUCKETED per-group prefix sum, not a
+    * window partitioned only by group: near-unique values make the
+    * collapsed frame nearly as big as the input, and `partitionBy(g)`
+    * alone drags each group through ONE task (3 tasks total for 3
+    * return flags — the hot-group trap). Instead the frame
+    * range-partitions on (g, v), per-(g, bucket) weight totals prefix-
+    * scan in a window over that TINY totals frame (groups × buckets
+    * rows, no driver round trip), and each bucket computes its own
+    * in-bucket running sum in parallel plus its group-prefix offset —
+    * the same staged discipline as [[graft.ext.Sharding.ntileExact]].
+    * The pick is a conditional min. Cum values are identical integers
+    * regardless of where range boundaries land, so the result is
+    * partitioning-independent. Output: (group, n_values, total_w,
+    * wmedian). */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: Column,
-                     weightCol: Column): DataFrame = {
+                     weightCol: Column, numBuckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gv = df
       .select(col(groupCol).as("g"), valueCol.cast("long").as("v"),
         weightCol.cast("long").as("w"))
       .groupBy("g", "v").agg(sum("w").as("w"))
-    val win = Window.partitionBy("g").orderBy("v")
+    val ranged = (if (numBuckets > 0) gv.repartitionByRange(numBuckets, col("g"), col("v"))
+                  else gv.repartitionByRange(col("g"), col("v")))
+      .withColumn("__rb", spark_partition_id())
+      .persist()
+    // per-(group, bucket) totals: a tiny frame (groups × buckets rows);
+    // the exclusive group-prefix over buckets and the group total are
+    // windows over IT, broadcast back — never over the value frame
+    val off = ranged.groupBy("g", "__rb").agg(sum("w").as("__bs"))
+      .withColumn("__off", coalesce(
+        sum(col("__bs")).over(Window.partitionBy("g").orderBy("__rb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tot", sum(col("__bs")).over(Window.partitionBy("g")))
+      .select("g", "__rb", "__off", "__tot")
+    val win = Window.partitionBy("g", "__rb").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gv
-      .withColumn("__cum", sum(col("w")).over(win))
-      .withColumn("__tot", sum(col("w")).over(Window.partitionBy("g")))
+    val out = ranged
+      .join(broadcast(off), Seq("g", "__rb"))
+      .withColumn("__cum", sum(col("w")).over(win) + col("__off"))
       .groupBy(col("g").as(groupCol))
       .agg(count(lit(1)).as("n_values"),
         max(col("__tot")).as("total_w"),
         min(when(col("__cum") * 2 >= col("__tot"), col("v"))).as("wmedian"))
+    try out.localCheckpoint(true)
+    finally ranged.unpersist(false)
   }
 
   def sampleQuantiles(df: DataFrame, keyCol: Column, valueCol: Column,

@@ -676,6 +676,56 @@ object Relational {
              |                        (l_returnflag), (l_linestatus), ())
              |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    ("q131_groupingsets_reagg",
+      (s: SparkSession, d: String) => {
+        // the q63→approxProfile plan-discipline pair for q69: IDENTICAL
+        // output, but the lattice is RE-AGGREGATED from the finest cells
+        // instead of Expand-multiplied — GROUPING SETS' one-pass Expand
+        // pushes every corpus row through the shuffle once PER lattice
+        // member (×4 here; ×2^k for a k-column cube), where this shape
+        // scans the corpus ONCE into the (rf, ls) cell frame (12 rows)
+        // and derives marginals + grand total from THAT. Exactness:
+        // count and decimal-sum are associative, so re-aggregated
+        // partials equal the direct aggregates bit-for-bit (the oracle
+        // is literally q69's GROUPING SETS SQL).
+        import org.apache.spark.sql.types.DecimalType
+        val p = DecimalType(28, 2) // sum(DECIMAL(18,2))'s type: every
+        // branch casts its re-sum back to it so the union is homogeneous
+        val cells = Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec2(col("l_extendedprice"))).as("sum_price"))
+          .localCheckpoint(true) // ONE corpus pass, reused by all members
+        val nullS = lit(null).cast("string")
+        val c2 = cells.select(col("l_returnflag"), col("l_linestatus"),
+          lit(0).as("g_rf"), lit(0).as("g_ls"),
+          col("cnt"), col("sum_price").cast(p).as("sum_price"))
+        val mRf = cells.groupBy("l_returnflag")
+          .agg(sum(col("cnt")).as("cnt"), sum(col("sum_price")).cast(p).as("sum_price"))
+          .select(col("l_returnflag"), nullS.as("l_linestatus"),
+            lit(0).as("g_rf"), lit(1).as("g_ls"), col("cnt"), col("sum_price"))
+        val mLs = cells.groupBy("l_linestatus")
+          .agg(sum(col("cnt")).as("cnt"), sum(col("sum_price")).cast(p).as("sum_price"))
+          .select(nullS.as("l_returnflag"), col("l_linestatus"),
+            lit(1).as("g_rf"), lit(0).as("g_ls"), col("cnt"), col("sum_price"))
+        val tot = cells
+          .agg(sum(col("cnt")).as("cnt"), sum(col("sum_price")).cast(p).as("sum_price"))
+          .select(nullS.as("l_returnflag"), nullS.as("l_linestatus"),
+            lit(1).as("g_rf"), lit(1).as("g_ls"), col("cnt"), col("sum_price"))
+        c2.unionByName(mRf).unionByName(mLs).unionByName(tot)
+          .orderBy(col("g_rf"), col("g_ls"),
+            asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), (l_linestatus), ())
+             |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     // ------------------------------------------------------------------
     ("q70_gap_fill",
       (s: SparkSession, d: String) => {

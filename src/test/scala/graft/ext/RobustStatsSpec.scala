@@ -57,6 +57,17 @@ class RobustStatsSpec extends SparkTestBase {
       .head().getLong(3) == 4L)
   }
 
+  test("weightedMedian: bucketed prefix sum is partitioning-independent") {
+    val rows = (0L until 5000L).map(i => (s"g${i % 3}", i % 700, 1L + i % 5))
+    def run(parts: Int, buckets: Int) =
+      RobustStats.weightedMedian(rows.toDF("g", "v", "w").repartition(parts),
+          "g", col("v"), col("w"), numBuckets = buckets)
+        .orderBy("g").collect().toSeq
+    val base = run(1, 1)
+    assert(base == run(13, 8))
+    assert(base == run(4, 0))
+  }
+
   test("sampleQuantiles: k >= n degenerates to exact quantiles of the full set") {
     val df = (1L to 101L).map(i => (i, i.toDouble)).toDF("id", "v")
     val got = RobustStats.sampleQuantiles(df, col("id"), col("v"),
