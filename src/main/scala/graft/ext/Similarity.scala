@@ -163,6 +163,93 @@ object Similarity {
       .select("query_id", "neighbor_id")
   }
 
+  /** [[rankCandidates]] for a CORPUS-SIZED query side (knn join): both
+    * vector join-backs are shuffle hash equi-joins — broadcasting the
+    * query vectors, correct when queries ≪ corpus, is exactly wrong
+    * when the query side IS the corpus. Candidates still move as bare
+    * id pairs; each side's vectors attach once, keyed by id. */
+  def rankCandidatesLarge(candidates: DataFrame, corpus: DataFrame,
+                          k: Int, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val withVecs = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "neighbor_id")
+      .join(corpus.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), "query_id")
+    rankTopK(withVecs.withColumn("sim", cosine_similarity(col("_cv"), col("_qv"))), k)
+  }
+
+  /** All-corpus knn join: every vector's top-k cosine neighbors — the
+    * workhorse of semantic clustering, retrieval-augmentation indexing,
+    * and graph-based curation, where the "query set" is the corpus
+    * itself and nothing may broadcast.
+    *
+    * Shape: IVF cells auto-sized to a constant occupancy
+    * (cells = n / targetCellSize — the q104/q108 discipline), each
+    * vector probes its `nProbe` nearest cells, and the candidate join is
+    * a shuffle EQUI-JOIN on cell between the corpus and its own probe
+    * list: per-cell work is bounded by nProbe · targetCellSize per
+    * vector, so the whole join is O(n · nProbe · targetCellSize) —
+    * linear in n at fixed occupancy, against brute force's O(n²).
+    * Ranking is [[rankCandidatesLarge]] (no broadcast anywhere) into
+    * the bounded top-k heap. Deterministic for a fixed seed
+    * ([[KMeans.fit]]'s exact-arithmetic contract), so the driver oracle
+    * re-ranks exactly the dumped candidate set. */
+  def knnJoin(corpus: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              targetCellSize: Int = 128, nProbe: Int = 4, iterations: Int = 5,
+              trainTarget: Int = 100000, seed: Long = 42L): DataFrame =
+    rankCandidatesLarge(
+      knnJoinCandidates(corpus, idCol, vecCol, targetCellSize, nProbe,
+        iterations, trainTarget, seed),
+      corpus, k, idCol, vecCol)
+
+  /** [[knnJoin]]'s candidate pairs — bare (query_id, neighbor_id) ids
+    * sharing a probed cell. Exposed for the candidate-dump oracle.
+    *
+    * Cell count grows with the corpus (cells = n / targetCellSize), so
+    * past `hierThreshold` cells the flat O(n·cells) argmax — the q108
+    * scale-killer — switches to the two-level layout: √cells supers ×
+    * √cells children, the corpus side assigned top-1 and the probe side
+    * top-`nProbe` through the SAME fit ([[graft.functions.NearestChildCells]],
+    * O(√cells) per row), so corpus cell ≡ first probe by construction. */
+  def knnJoinCandidates(corpus: DataFrame,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        targetCellSize: Int = 128, nProbe: Int = 4,
+                        iterations: Int = 5, trainTarget: Int = 100000,
+                        seed: Long = 42L, hierThreshold: Int = 1024,
+                        nProbeSuper: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions
+    val first = corpus.select(col(vecCol)).limit(1).collect()
+    require(first.nonEmpty, "empty corpus")
+    val dim = first.head.getSeq[Float](0).length
+    val n = math.max(1L, corpus.count())
+    val cells = math.max(32L, n / targetCellSize).toInt
+    val (cb, qb) =
+      if (cells <= hierThreshold) {
+        val cents = KMeans.fit(corpus, idCol, vecCol, cells, dim,
+          iterations, seed, trainTarget)
+        (corpus.select(col(idCol).as("neighbor_id"),
+           VectorFunctions.nearest_centroids(col(vecCol), cents, dim, 1)(0).as("cell")),
+         corpus.select(col(idCol).as("query_id"),
+           explode(VectorFunctions.nearest_centroids(col(vecCol), cents, dim, nProbe)).as("cell")))
+      } else {
+        val k1 = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val k2 = math.max(2, math.ceil(cells.toDouble / k1).toInt)
+        val (superFlat, childFlat) = KMeans.fitHier(corpus, idCol, vecCol,
+          k1, k2, dim, iterations, seed, trainTarget)
+        val probe = math.min(nProbeSuper, superFlat.length / dim)
+        (corpus.select(col(idCol).as("neighbor_id"),
+           VectorFunctions.nearest_child_cells(col(vecCol), superFlat, childFlat,
+             dim, k2, probe, 1)(0).as("cell")),
+         corpus.select(col(idCol).as("query_id"),
+           explode(VectorFunctions.nearest_child_cells(col(vecCol), superFlat, childFlat,
+             dim, k2, probe, nProbe)).as("cell")))
+      }
+    // shuffle equi-join on cell — NO broadcast: both sides are the corpus
+    cb.join(qb, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, found via shared
     * LSH buckets (corpus self-join on bucket, id1 < id2, exact verify).
     * Same shuffle discipline as topKLsh: the self-join and dedup move

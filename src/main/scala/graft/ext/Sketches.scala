@@ -112,6 +112,58 @@ object Sketches {
         col("union_est"), col("inter_est"), col("jaccard"))
   }
 
+  /** Exact frequency-threshold heavy hitters WITHOUT shuffling the full
+    * key space: all values occurring in at least `minFreq` of the rows,
+    * with exact counts. A plain `groupBy(value).count()` moves every
+    * distinct key through the exchange — for token-grain corpus
+    * frequency (stopword lists, tokenizer seeding, boilerplate
+    * detection) that is the whole vocabulary; here only CANDIDATES do.
+    *
+    * Two passes:
+    *  1. per-partition Misra–Gries summaries with k = ⌈2/minFreq⌉
+    *     counters: any value with global count > n/k must exceed its
+    *     share in some partition, so the UNION of per-partition
+    *     candidate sets (≤ k × partitions keys, ≪ vocabulary) provably
+    *     contains every value at ≥ minFreq — classic MG amortization
+    *     makes the pass O(rows);
+    *  2. exact recount of candidate rows only (the candidate set
+    *     broadcasts; the map-side-combinable recount shuffles
+    *     O(candidates)), then the ≥ ⌈n·minFreq⌉ cut.
+    *
+    * The MG summaries vary with partitioning; the OUTPUT does not — the
+    * threshold cut over exact recounts is a pure function of the data
+    * (the candidate superset property holds under any split), so any
+    * engine reproduces it from the definition. Output: (value, cnt). */
+  def heavyHitters(df: DataFrame, valueCol: Column, minFreq: Double): DataFrame = {
+    require(minFreq > 0 && minFreq < 1, s"minFreq must be in (0,1), got $minFreq")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = math.max(2, math.ceil(2.0 / minFreq).toInt)
+    val vals = df.select(valueCol.cast("string").as("v")).as[String]
+    val n = vals.count()
+    val minCount = math.ceil(n * minFreq).toLong
+    val candidates = vals.mapPartitions { it =>
+      val m = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { v =>
+        if (v != null) {
+          m.get(v) match {
+            case Some(c) => m.update(v, c + 1)
+            case None if m.size < k => m.update(v, 1L)
+            case None => // decrement-all: amortized O(1) per row
+              m.toArray.foreach { case (key, c) =>
+                if (c == 1L) m.remove(key) else m.update(key, c - 1) }
+          }
+        }
+      }
+      m.keysIterator
+    }.toDF("v").distinct()
+    vals.toDF("v")
+      .join(broadcast(candidates), Seq("v")) // semi-shaped: cuts pre-shuffle
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("v").as("value"), col("cnt"))
+  }
+
   /** [[estimate]]'s estimator over a bare register array column. */
   private[ext] def kmvEstimate(mins: Column, k: Int): Column = {
     val uk = element_at(mins, k).cast(DecimalType(38, 0)) +

@@ -278,7 +278,88 @@ case class NearestChildCell(child: Expression, superFlat: Array[Float],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-`take` cells under the two-level layout: the [[NearestChildCell]]
+  * probe generalized to a PROBE LIST — the nProbe-cell query side of an
+  * IVF index whose cell count grew past the flat-argmax regime
+  * (knn join at auto-sized cells). O(k1 + nProbeSuper·k2) dot products
+  * per row; ties to the lower cell id on both levels, so at full super
+  * probe the top-1 equals the flat argmax. */
+case class NearestChildCells(child: Expression, superFlat: Array[Float],
+                             childFlat: Array[Float], dim: Int, k2: Int,
+                             nProbeSuper: Int, take: Int)
+  extends UnaryExpression {
+  require(dim > 0 && k2 > 0 && nProbeSuper > 0 && take > 0 &&
+    superFlat.length % dim == 0 &&
+    childFlat.length == (superFlat.length / dim) * k2 * dim)
+
+  override def prettyName: String = "nearest_child_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(IvfKernel.nearestChildren(
+      v.asInstanceOf[ArrayData], superFlat, childFlat, dim, k2, nProbeSuper, take))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("hierSupers", superFlat, "float[]")
+    val cRef = ctx.addReferenceObj("hierChildren", childFlat, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.IvfKernel.nearestChildren($v, $sRef, $cRef, $dim, $k2, $nProbeSuper, $take));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object IvfKernel {
+  /** [[NearestChildCells]]'s kernel: top-`take` cells by dot product over
+    * the children of the `nProbeSuper` nearest supers; selection ties to
+    * the lower cell id (the [[nearest]] / [[nearestChild]] convention). */
+  def nearestChildren(vec: ArrayData, superFlat: Array[Float], childFlat: Array[Float],
+                      dim: Int, k2: Int, nProbeSuper: Int, take: Int): Array[Int] = {
+    val probes = nearest(vec, superFlat, dim, nProbeSuper)
+    val n = math.min(vec.numElements(), dim)
+    val nCand = probes.length * k2
+    val cells = new Array[Int](nCand)
+    val scores = new Array[Double](nCand)
+    var idx = 0
+    var p = 0
+    while (p < probes.length) {
+      val s = probes(p)
+      var c = 0
+      while (c < k2) {
+        var dot = 0.0; var i = 0; val base = (s * k2 + c) * dim
+        while (i < n) { dot += vec.getFloat(i).toDouble * childFlat(base + i); i += 1 }
+        cells(idx) = s * k2 + c
+        scores(idx) = dot
+        idx += 1
+        c += 1
+      }
+      p += 1
+    }
+    val k = math.min(take, nCand)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nCand)
+    var j = 0
+    while (j < k) {
+      var best = -1; var bestScore = Double.NegativeInfinity; var bestCell = Int.MaxValue
+      var i = 0
+      while (i < nCand) {
+        if (!used(i) && (scores(i) > bestScore ||
+            (scores(i) == bestScore && cells(i) < bestCell))) {
+          best = i; bestScore = scores(i); bestCell = cells(i)
+        }
+        i += 1
+      }
+      used(best) = true; out(j) = cells(best); j += 1
+    }
+    out
+  }
+
   /** [[NearestChildCell]]'s kernel: argmax dot product over the children
     * of the `nProbe` nearest supers; ties to the lower cell id on both
     * levels (the [[nearest]] convention, so flat and hierarchical paths
@@ -885,6 +966,9 @@ object VectorFunctions {
   def nearest_child_cell(v: Column, superFlat: Array[Float], childFlat: Array[Float],
                          dim: Int, k2: Int, nProbe: Int): Column =
     c(NearestChildCell(e(v), superFlat, childFlat, dim, k2, nProbe))
+  def nearest_child_cells(v: Column, superFlat: Array[Float], childFlat: Array[Float],
+                          dim: Int, k2: Int, nProbeSuper: Int, take: Int): Column =
+    c(NearestChildCells(e(v), superFlat, childFlat, dim, k2, nProbeSuper, take))
   def media_features(content: Column, dim: Int): Column = c(MediaFeatures(e(content), dim))
   def sq8_encode(v: Column, lo: Array[Double], step: Array[Double]): Column =
     c(Sq8Encode(e(v), lo, step))

@@ -108,6 +108,11 @@ object Extended {
           Multimodal.synthesizeFromDocuments(Tables.documents(s, d)))
         .toDF().select(col("media_id"), col("feature"))
     }),
+    "q132_candidates" -> ((s: SparkSession, d: String) =>
+      // q132's knn-join candidate set re-run verbatim (KMeans.fit's
+      // exact-arithmetic determinism — the q33 contract)
+      Similarity.knnJoinCandidates(Tables.embeddings(s, d),
+        targetCellSize = 128, nProbe = 4)),
     "q128_candidates" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       graft.ext.SQ.sqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
@@ -2472,6 +2477,40 @@ object Extended {
              |       CAST(10 AS BIGINT) AS k
              |FROM q LEFT JOIN h USING (query_id)
              |ORDER BY query_id""".stripMargin)),
+
+    ("q132_knn_join",
+      (s: SparkSession, d: String) => {
+        // all-corpus knn join: every vector's top-5 neighbors, IVF cells
+        // auto-sized to constant occupancy, candidate join a shuffle
+        // equi-join on cell — NO broadcast anywhere (the query side IS
+        // the corpus). Oracle contract of q30/q33: exact re-rank of the
+        // deterministic candidate dump.
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnJoin(emb, k = 5, targetCellSize = 128, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(rerankOracle("q132_candidates", k = 5))),
+
+    ("q133_heavy_tokens",
+      (s: SparkSession, d: String) => {
+        // corpus-frequency heavy hitters (stopword discovery) at a
+        // RELATIVE threshold: ≥0.2% of all tokens, exact counts — via
+        // per-partition Misra-Gries candidate summaries + exact recount
+        // of candidates only, so the full vocabulary never shuffles
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+        graft.ext.Sketches.heavyHitters(toks, col("token"), minFreq = 0.002)
+          .orderBy("value")
+      },
+      // the oracle is the DEFINITION (exact counts >= ceil(n * freq)) —
+      // the MG sketch is provably a candidate superset, so the output is
+      // partitioning-independent and fully recomputable
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS v FROM documents),
+             |n AS (SELECT COUNT(*) AS n FROM t),
+             |c AS (SELECT v, COUNT(*) AS cnt FROM t GROUP BY v)
+             |SELECT v AS value, cnt FROM c CROSS JOIN n
+             |WHERE cnt >= CAST(ceil(n.n * 0.002) AS BIGINT)
+             |ORDER BY value""".stripMargin)),
 
     ("q130_epoch_shuffle",
       (s: SparkSession, d: String) => {

@@ -261,6 +261,65 @@ class SimilaritySpec extends SparkTestBase {
       assert(r.getLong(1) < r.getLong(0), "representative must be the min id")
   }
 
+
+  test("nearest_child_cells: full-probe top-k equals flat ranking; top-1 equals argmax") {
+    val rnd = new scala.util.Random(19)
+    val dim = 8; val k1 = 4; val k2 = 3
+    val supers = Array.fill(k1 * dim)(rnd.nextGaussian().toFloat)
+    val children = Array.fill(k1 * k2 * dim)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 30).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("id", "v")
+    val got = vecs.select($"id",
+        nearest_child_cells($"v", supers, children, dim, k2, k1, 5).as("cells"),
+        nearest_centroids($"v", children, dim, 5).as("flat"),
+        nearest_child_cell($"v", supers, children, dim, k2, k1).as("one"))
+      .as[(Long, Seq[Int], Seq[Int], Int)].collect()
+    got.foreach { case (id, cells, flat, one) =>
+      assert(cells == flat, s"id $id: full-probe top-5 $cells != flat $flat")
+      assert(cells.head == one, s"id $id: top-1 disagrees with single-cell kernel")
+    }
+  }
+
+  test("knnJoin: near-perfect recall on planted clusters, deterministic, no broadcast of queries") {
+    val rows = planted(nClusters = 8, perCluster = 25, dim = 16)
+    val corpus = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding").cache()
+    val got = Similarity.knnJoin(corpus, k = 5, targetCellSize = 32, nProbe = 4)
+    assert(got.columns.toSeq == Seq("query_id", "neighbor_id", "sim", "rank"))
+    val pairs = got.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // exact reference: per-vector top-5 by cosine
+    val byId = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = rows.flatMap { case (q, qv) =>
+      rows.filter(_._1 != q).map { case (nId, nv) => (q, nId, cos(qv, byId(nId))) }
+        .sortBy(t => (-t._3, t._2)).take(5).map(t => (t._1, t._2))
+    }.toSet
+    val recall = (exact intersect pairs).size.toDouble / exact.size
+    assert(recall >= 0.95, s"knn-join recall $recall")
+    // deterministic under repartitioning
+    val again = Similarity.knnJoin(corpus.repartition(7), k = 5, targetCellSize = 32, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+  }
+
+  test("knnJoin hierarchical path: recall holds when the cell count forces two levels") {
+    val rows = planted(nClusters = 8, perCluster = 25, dim = 16)
+    val corpus = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    // hierThreshold = 0 forces the two-level assignment at gate scale
+    val cand = Similarity.knnJoinCandidates(corpus, targetCellSize = 32, nProbe = 4,
+      hierThreshold = 0, nProbeSuper = 4)
+    val got = Similarity.rankCandidatesLarge(cand, corpus, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // cluster members are each other's true neighbors: count recalled
+    def cluster(id: Long) = id / 25
+    val sameCluster = got.count { case (q, n) => cluster(q) == cluster(n) }
+    assert(sameCluster.toDouble / got.size >= 0.9,
+      s"hier knn-join lost the planted clusters: $sameCluster/${got.size}")
+  }
+
   test("mutualMarginPairs: planted translations pair up; hubs are margin-suppressed") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

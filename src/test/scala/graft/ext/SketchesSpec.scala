@@ -57,6 +57,31 @@ class SketchesSpec extends SparkTestBase {
     assert(run(1) == run(7))
   }
 
+  test("heavyHitters: exact thresholded counts, equal to brute force, partitioning-independent") {
+    // zipf-ish stream: value i appears ~3000/i times
+    val rows = (1 to 60).flatMap(i => Seq.fill(3000 / i)(s"tok$i"))
+    val df = rows.toDF("v")
+    val brute = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size
+    val minCount = math.ceil(n * 0.01).toLong
+    val expect = brute.filter(_._2 >= minCount).toSeq.sortBy(_._1)
+    def run(parts: Int) =
+      Sketches.heavyHitters(df.repartition(parts), col("v"), minFreq = 0.01)
+        .orderBy("value").as[(String, Long)].collect().toSeq
+    assert(run(1) == expect)
+    assert(run(13) == expect, "MG candidate variance must not reach the output")
+  }
+
+  test("heavyHitters: a value spread thin across partitions still surfaces") {
+    // 5% heavy value interleaved with unique noise — every partition sees
+    // it below its local majority, but the MG superset guarantee holds
+    val rows = (0 until 20000).map(i => if (i % 20 == 0) "heavy" else s"u$i")
+    val got = Sketches.heavyHitters(rows.toDF("v").repartition(16), col("v"),
+        minFreq = 0.04)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("heavy", 1000L)))
+  }
+
   test("pair count is groups choose 2") {
     val rows = (0L until 100L).map(i => (s"g${i % 5}", i))
     assert(matrixOf(rows, k = 16).count() == 10L)
