@@ -438,4 +438,46 @@ object Sharding {
       .select(col("__g"), col("__t"))
     sampleStratified(docs, groupCol, idCol, targets)
   }
+
+  /** Morton (Z-order) interleave of two bucketed integer coordinates:
+    * bit i of `x` lands at position 2i, bit i of `y` at 2i+1. Both
+    * inputs are masked to the low `bits` bits — the caller buckets each
+    * dimension into [0, 2^bits) first (quantile bucket, modulo, day
+    * number…). Pure 64-bit integer arithmetic inside whole-stage
+    * codegen; any engine reproduces the value bit-for-bit. */
+  def mortonZ(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    val mask = (1L << bits) - 1
+    val xm = x.cast("long").bitwiseAND(lit(mask))
+    val ym = y.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(xm, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-order data layout: assign each row to one of `nFiles` equal-size
+    * files along the Morton curve of two bucketed dimensions — the
+    * standard multi-column clustering for scan pruning (a predicate on
+    * EITHER dimension now skips most files, where a linear sort only
+    * serves its leading column). This is a LAYOUT op: it computes the
+    * assignment a writer would partition by; rows keep all their
+    * columns plus (`zvalue`, `file_id`).
+    *
+    * Scale shape: the z-value is map-only integer arithmetic
+    * ([[mortonZ]]); the equal-size cut is [[ntileExact]]'s distributed
+    * global rank over (zvalue, rowId) — range-repartition + per-bucket
+    * windows, never a partitionless window. `rowId` must be unique: it
+    * makes the total order (and therefore every file boundary)
+    * engine-independent. */
+  def zorderLayout(df: DataFrame, x: Column, y: Column, rowId: Column,
+                   bits: Int = 16, nFiles: Int = 64): DataFrame = {
+    require(nFiles >= 1)
+    val base = df
+      .withColumn("__zid", rowId.cast("long"))
+      .withColumn("zvalue", mortonZ(x, y, bits))
+    ntileExact(base, col("zvalue"), col("__zid"), nFiles)
+      .withColumnRenamed("bucket", "file_id")
+      .drop("__zid")
+  }
 }

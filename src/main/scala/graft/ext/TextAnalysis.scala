@@ -369,6 +369,72 @@ object TextAnalysis {
         sum(col("__v")).over(w).as("vocab"))
   }
 
+  /** Within-document repetition signals (the Gopher/MassiveText quality
+    * rules of Rae et al. 2021 §A.1, re-expressed over whitespace tokens):
+    * for each document,
+    *  - `top_unigram_frac` / `top_bigram_frac`: tokens covered by the
+    *    single most frequent 1-/2-gram as a fraction of the document
+    *    (count × n / n_tokens — an overlap-unaware upper bound, which is
+    *    the deterministic definition both engines implement);
+    *  - `dup_3gram_frac` / `dup_5gram_frac`: the fraction of n-gram
+    *    occurrences that belong to an n-gram repeated within the SAME
+    *    document (Σ c_g for c_g ≥ 2, over n_tokens − n + 1 slots);
+    *  - `repetitive`: any signal above its threshold — the row a
+    *    pipeline drops before training.
+    * All fractions round to 4 decimals BEFORE the threshold compare, so
+    * the flag is reproducible by any engine.
+    *
+    * Scale shape: the four gram sizes ride ONE tagged union — a single
+    * (doc, n, gram) count shuffle and a single (doc, n) reduce, both
+    * map-side combinable, instead of four separate explode+agg rounds;
+    * per-doc work is O(n_tokens × |sizes|) and nothing global exists
+    * anywhere (no corpus-wide vocabulary, no window). Documents shorter
+    * than n tokens contribute no n-grams and read as 0. */
+  def repetitionProfile(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        maxTopUnigramFrac: Double = 0.20,
+                        maxTopBigramFrac: Double = 0.15,
+                        maxDupTrigramFrac: Double = 0.01,
+                        maxDupFivegramFrac: Double = 0.0): DataFrame = {
+    val base = docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+    def gramsOf(n: Int): Column =
+      transform(sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(col("__toks"), i + k)): _*))
+    val tagged = Seq(1, 2, 3, 5).map { n =>
+      base.filter(size(col("__toks")) >= n)
+        .select(col(idCol), lit(n).as("__n"), explode(gramsOf(n)).as("__g"))
+    }.reduce(_.unionByName(_))
+    val perN = tagged
+      .groupBy(col(idCol), col("__n"), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__n"))
+      .agg(max(col("__c")).as("__top"),
+        sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).as("__dup"))
+    val wide = perN.groupBy(idCol)
+      .agg(max(when(col("__n") === 1, col("__top"))).as("__top1"),
+        max(when(col("__n") === 2, col("__top"))).as("__top2"),
+        max(when(col("__n") === 3, col("__dup"))).as("__dup3"),
+        max(when(col("__n") === 5, col("__dup"))).as("__dup5"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(wide, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(coalesce(col("__top1"), lit(0L)) * 1.0 / col("n_tokens"), 4)
+          .as("top_unigram_frac"),
+        round(coalesce(col("__top2"), lit(0L)) * 2.0 / col("n_tokens"), 4)
+          .as("top_bigram_frac"),
+        round(coalesce(col("__dup3"), lit(0L)).cast("double") /
+          greatest(col("n_tokens") - 2, lit(1L)), 4).as("dup_3gram_frac"),
+        round(coalesce(col("__dup5"), lit(0L)).cast("double") /
+          greatest(col("n_tokens") - 4, lit(1L)), 4).as("dup_5gram_frac"))
+      .withColumn("repetitive",
+        col("top_unigram_frac") > maxTopUnigramFrac ||
+        col("top_bigram_frac") > maxTopBigramFrac ||
+        col("dup_3gram_frac") > maxDupTrigramFrac ||
+        col("dup_5gram_frac") > maxDupFivegramFrac)
+  }
+
   // ---------------------------------------------------------------- curation
 
   /** End-to-end corpus curation — the pipeline a training-data job

@@ -2721,6 +2721,96 @@ object Extended {
              |SELECT g.doc_id, COUNT(*) AS n_grams,
              |  CAST(SUM(CASE WHEN c.gdocs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
              |FROM g JOIN c USING (gram)
-             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
+    ("q134_repetition",
+      (s: SparkSession, d: String) => {
+        // within-doc repetition signals (the Gopher/MassiveText rules):
+        // top 1-/2-gram coverage + duplicated 3-/5-gram occurrence
+        // fractions, rounded before the threshold flag — all four gram
+        // sizes ride ONE tagged-union shuffle
+        TextAnalysis.repetitionProfile(Tables.documents(s, d))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM tok),
+             |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |         i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+             |       FROM base WHERE n_tokens >= 2),
+             |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+             |t2 AS (SELECT doc_id, MAX(c) AS top2 FROM c2 GROUP BY 1),
+             |c1 AS (SELECT doc_id, w, COUNT(*) AS c
+             |       FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2),
+             |t1 AS (SELECT doc_id, MAX(c) AS top1 FROM c1 GROUP BY 1),
+             |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+             |       FROM base WHERE n_tokens >= 3),
+             |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+             |d3 AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+             |       FROM c3 GROUP BY 1),
+             |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+             |         i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g
+             |       FROM base WHERE n_tokens >= 5),
+             |c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+             |d5 AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5
+             |       FROM c5 GROUP BY 1),
+             |f AS (SELECT b.doc_id, b.n_tokens,
+             |  round(COALESCE(top1, 0) * 1.0 / b.n_tokens, 4) AS top_unigram_frac,
+             |  round(COALESCE(top2, 0) * 2.0 / b.n_tokens, 4) AS top_bigram_frac,
+             |  round(CAST(COALESCE(dup3, 0) AS DOUBLE)
+             |        / greatest(b.n_tokens - 2, 1), 4) AS dup_3gram_frac,
+             |  round(CAST(COALESCE(dup5, 0) AS DOUBLE)
+             |        / greatest(b.n_tokens - 4, 1), 4) AS dup_5gram_frac
+             |FROM base b LEFT JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+             |LEFT JOIN d3 USING (doc_id) LEFT JOIN d5 USING (doc_id))
+             |SELECT doc_id, n_tokens, top_unigram_frac, top_bigram_frac,
+             |  dup_3gram_frac, dup_5gram_frac,
+             |  (top_unigram_frac > 0.20 OR top_bigram_frac > 0.15
+             |   OR dup_3gram_frac > 0.01 OR dup_5gram_frac > 0.0) AS repetitive
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    ("q135_zorder_layout",
+      (s: SparkSession, d: String) => {
+        // Z-order clustered layout over (ship day, part key): per-file
+        // min/max envelopes on BOTH dimensions — the scan-pruning stats
+        // a writer would publish; tight envelopes on either column mean
+        // a predicate on it skips most files. Morton value is map-only
+        // integer bit arithmetic; the equal-size file cut is the
+        // distributed exact ntile (range repartition + bucket windows)
+        val li = Tables.lineitem(s, d)
+        def day = datediff(col("l_shipdate").cast("date"),
+          to_date(lit("1992-01-01")))
+        val rid = col("l_orderkey") * 100 + col("l_linenumber")
+        Sharding.zorderLayout(li, day, col("l_partkey"), rid,
+            bits = 16, nFiles = 64)
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min(day).cast("long").as("min_day"),
+            max(day).cast("long").as("max_day"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_partkey")).as("max_part"))
+          .orderBy("file_id")
+      },
+      // the oracle replays the bit interleave (unrolled — DuckDB has no
+      // loop) and the standard ntile over the unique (z, rid) order
+      Some {
+        // each term fully parenthesized: DuckDB's << binds LOOSER than +,
+        // so a bare `a << 0 + b << 1` would chain the shifts
+        val zx = (0 until 16)
+          .map(i => s"((((d & 65535) >> $i) & 1) << ${2 * i})").mkString(" + ")
+        val zy = (0 until 16)
+          .map(i => s"((((p & 65535) >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+        s"""WITH b AS (SELECT
+           |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS d,
+           |    l_partkey AS p, l_orderkey * 100 + l_linenumber AS rid
+           |  FROM lineitem),
+           |z AS (SELECT d, p, rid, ($zx + $zy) AS z FROM b),
+           |t AS (SELECT d, p, ntile(64) OVER (ORDER BY z, rid) AS file_id FROM z)
+           |SELECT CAST(file_id AS BIGINT) AS file_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(MIN(d) AS BIGINT) AS min_day, CAST(MAX(d) AS BIGINT) AS max_day,
+           |  MIN(p) AS min_part, MAX(p) AS max_part
+           |FROM t GROUP BY file_id ORDER BY file_id""".stripMargin
+      })
   )
 }

@@ -312,4 +312,56 @@ class ShardingSpec extends SparkTestBase {
     val asc = order.sliding(2).count(p => p(1) == p(0) + 1)
     assert(asc < 30, s"$asc adjacent-id pairs survived the shuffle")
   }
+
+  test("mortonZ: hand-computed interleave, masking, reference parity") {
+    import spark.implicits._
+    // x=3 (011), y=5 (101), 3 bits → y2 x2 y1 x1 y0 x0 = 100111 = 39
+    val one = Seq((3L, 5L)).toDF("x", "y")
+      .select(Sharding.mortonZ(col("x"), col("y"), bits = 3).as("z"))
+      .as[Long].head()
+    assert(one == 39L)
+    // masking: bits above `bits` are ignored
+    val masked = Seq((3L + 8L, 5L + 16L)).toDF("x", "y")
+      .select(Sharding.mortonZ(col("x"), col("y"), bits = 3).as("z"))
+      .as[Long].head()
+    assert(masked == 39L)
+    // parity with a driver-side reference interleave over a grid
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"), Sharding.mortonZ(col("x"), col("y"), 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ref(x, y, 4), s"($x,$y)") }
+    // the curve is a bijection on the grid
+    assert(got.map(_._3).distinct.length == grid.length)
+  }
+
+  test("zorderLayout: equal-size files, 2-D locality, partitioning-independent") {
+    import spark.implicits._
+    // 32×32 grid, one row per cell, ids unique
+    val rows = for (x <- 0L until 32L; y <- 0L until 32L) yield (x * 32 + y, x, y)
+    val df = rows.toDF("id", "x", "y")
+    val laid = Sharding.zorderLayout(df, col("x"), col("y"), col("id"),
+      bits = 5, nFiles = 16)
+    val stats = laid.groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        (max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // 1024 rows into 16 files of exactly 64
+    assert(stats.length == 16 && stats.forall(_._2 == 64L))
+    // each file of a perfect z-curve covers an 8×8 tile: both spans = 7
+    // (a row-major sort would give sx=31 for every non-boundary file)
+    assert(stats.forall(s => s._3 == 7L && s._4 == 7L),
+      s"z-files must be square tiles: ${stats.toSeq}")
+    // assignment is a pure function of the data, not its partitioning
+    val again = Sharding.zorderLayout(df.repartition(7), col("x"), col("y"),
+        col("id"), bits = 5, nFiles = 16)
+      .select("id", "file_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val first = laid.select("id", "file_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == first)
+  }
 }

@@ -163,4 +163,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(flat.forall(_._4 == 3L), s"duplication must flatten vocab: $flat")
     assert(flat.map(_._2) == Seq(5L, 10L, 15L, 20L))
   }
+
+  test("repetitionProfile: hand-computed fractions, flag, short-doc zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      // 8 tokens; "a" ×4 → top1 = 4/8 = .5; "a b" ×3 → top2 = 6/8 = .75;
+      // "a b a" ×2 + "b a b" ×2 of 6 slots → dup3 = 4/6; no dup 5-gram
+      (1L, "a b a b a b c a"),
+      // uniform doc: top1 1/6, top2 2/6, no dups anywhere
+      (2L, "p q r s t u"),
+      // shorter than 5 tokens: dup5 reads 0, others still compute
+      (3L, "x x x"),
+      // dup 5-gram: "k l m n o" twice in 10 tokens → slots 1,6 of 6 → .3333
+      (4L, "k l m n o k l m n o"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(docs).orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)].collect().toSeq
+    assert(got(0) == ((1L, 8L, 0.5, 0.75, 0.6667, 0.0, true)))
+    assert(got(1) == ((2L, 6L, 0.1667, 0.3333, 0.0, 0.0, true))) // top2 2/6 > .15
+    assert(got(2) == ((3L, 3L, 1.0, 1.3333, 0.0, 0.0, true)))
+    assert(got(3) == ((4L, 10L, 0.2, 0.4, 0.75, 0.3333, true)))
+    // a clean doc under permissive thresholds is not flagged
+    val clean = TextAnalysis.repetitionProfile(docs,
+        maxTopUnigramFrac = 1.0, maxTopBigramFrac = 2.0,
+        maxDupTrigramFrac = 2.0, maxDupFivegramFrac = 1.0)
+      .orderBy("doc_id").select("repetitive").as[Boolean].collect().toSeq
+    assert(clean == Seq(false, false, false, false))
+    // partitioning independence
+    val again = TextAnalysis.repetitionProfile(docs.repartition(4)).orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)].collect().toSeq
+    assert(again == got)
+  }
 }
