@@ -853,6 +853,58 @@ object Dedup {
       .select("id1", "id2", "jaccard", "containment1", "containment2")
   }
 
+  /** Empirical LSH recall audit — the continuous quality monitor for the
+    * minhash near-dup pipeline, run over a deterministic id-BLOCK
+    * sample of the corpus (the only place exact all-pairs ground truth
+    * is affordable — and blocks, not an id-modulo comb, because a comb
+    * destroys the very pair structure being audited; auditing a
+    * contiguous shard is the standard practice): exact shingle-Jaccard
+    * pairs ≥ `threshold` within the sample are the truth set; the
+    * PRODUCTION pair generator
+    * ([[minhashNearDupPairs]], same params) runs on the same sample; and
+    * recall is reported per Jaccard decile — the empirical S-curve
+    * (near-threshold pairs are exactly where banding loses recall, and a
+    * drifting curve is the first sign a band/row choice no longer fits
+    * the corpus). Found pairs are always a subset of truth (the
+    * pipeline's exact verify gives precision 1), so the one number that
+    * can degrade is per-decile recall.
+    *
+    * Scale shape: the sample is 1/`oneInBlocks` of the corpus (blocks of
+    * `blockSize` ids) and the exact side joins via the shingle inverted
+    * index (full recall at any J > 0 — a ≥-threshold pair shares a
+    * shingle), so nothing here is corpus-quadratic; decile bucketing is
+    * floor arithmetic on identical doubles; integer counts + one
+    * round(…, 4) make every row engine-reproducible given the found-pair
+    * list. */
+  def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+                     blockSize: Long = 50L, oneInBlocks: Long = 4L,
+                     threshold: Double = 0.5,
+                     shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                     seed: Long = 42L): DataFrame = {
+    require(blockSize >= 1 && oneInBlocks >= 1)
+    val sample = docs.filter(
+      expr(s"($idCol div $blockSize) % $oneInBlocks") === 0)
+    val sh = sample.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleSize))).as("s"))
+    val cand = sh.as("a").join(sh.as("b"), "s")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val exact = ngramJaccard(sample, idCol, textCol, shingleSize, cand)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"),
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L)).as("j_decile"))
+    val found = minhashNearDupPairs(sample, idCol, textCol, shingleSize,
+        bands, rowsPerBand, threshold, seed)
+      .select(col("id1"), col("id2"), lit(1L).as("__hit"))
+    exact.join(found, Seq("id1", "id2"), "left")
+      .groupBy("j_decile")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_exact"), 4))
+  }
+
   /** Substring-level duplication signal: k-token spans occurring in at
     * least `minDocs` distinct documents, with occurrence accounting and
     * a deterministic first-occurrence anchor. Exact repeated substrings

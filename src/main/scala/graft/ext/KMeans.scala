@@ -226,4 +226,50 @@ object KMeans {
     train.unpersist(false)
     centroids
   }
+
+  /** Cluster-separation monitor (a linear-time silhouette stand-in in
+    * similarity space): for each vector, `own` is the dot product to its
+    * assigned centroid (the same argmax-dot, ties-to-lower-cell rule as
+    * [[VectorFunctions.nearest_centroids]]) and `second` the best dot
+    * among the REMAINING centroids; `margin = own − second ≥ 0` is how
+    * decisively the vector belongs to its cell. Per-cell output —
+    * member count, microunit sums of own/margin, and the minimum margin
+    * (the cell's weakest member) — is the continuous fit-quality gate an
+    * index-build or SemDeDup job checks before trusting its clustering
+    * (k set too low ⇒ margins collapse; a dead cell ⇒ missing row).
+    *
+    * True silhouette compares mean distances to ALL points (O(n²));
+    * against centroids it is O(n·k) map-only arithmetic — no shuffle at
+    * all until the k-row rollup. Determinism: per-cell dots are
+    * sequential double accumulation ([[VectorFunctions
+    * .double_dot_product]] = DuckDB's list kernels, the q74/q119
+    * contract); sort/argmax over identical doubles is engine-stable; and
+    * `floor(x·10⁶)` microunits make the sums exact integers, so an
+    * independent engine reproduces every row from the dumped centroids
+    * (q75's quantization discipline). */
+  def clusterQuality(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroidsFlat: Array[Float], dim: Int): DataFrame = {
+    require(dim >= 1 && centroidsFlat.length % dim == 0)
+    val k = centroidsFlat.length / dim
+    require(k >= 2, "separation needs at least two centroids")
+    val x = col(vecCol).cast("array<double>")
+    val dots = array((0 until k).map { c =>
+      val cv = Array.tabulate(dim)(j => centroidsFlat(c * dim + j).toDouble)
+      VectorFunctions.double_dot_product(x, lit(cv))
+    }: _*)
+    val micro = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e6)).cast("long")
+    corpus
+      .select(col(idCol), dots.as("__d"),
+        sort_array(dots, asc = false).as("__s"))
+      .select(col(idCol),
+        (array_position(col("__d"), col("__s")(0)) - 1).cast("long").as("cell"),
+        col("__s")(0).as("__own"),
+        (col("__s")(0) - col("__s")(1)).as("__margin"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(micro(col("__own"))).as("sum_own_micro"),
+        sum(micro(col("__margin"))).as("sum_margin_micro"),
+        min(micro(col("__margin"))).as("min_margin_micro"))
+  }
 }

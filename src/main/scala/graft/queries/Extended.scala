@@ -118,6 +118,17 @@ object Extended {
       graft.ext.SQ.sqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
         q128Fit(s, d), nCandidates = 40)
     }),
+    "q137_lsh_pairs" -> ((s: SparkSession, d: String) => {
+      // the production pair generator re-run verbatim on q137's id-block
+      // sample (deterministic for the fixed seed): the dump IS the found
+      // set whose per-decile recall the oracle recomputes
+      Dedup.minhashNearDupPairs(
+        Tables.documents(s, d)
+          .filter(expr("(doc_id div 50) % 4") === 0),
+        "doc_id", "text", shingleSize = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.5)
+        .select(col("id1"), col("id2"))
+    }),
     "q74_centroids" -> ((s: SparkSession, d: String) => {
       // the q74 fit re-run verbatim: deterministic for (corpus, params),
       // so this dump IS the centroid set the query assigned against
@@ -2811,6 +2822,73 @@ object Extended {
            |  CAST(MIN(d) AS BIGINT) AS min_day, CAST(MAX(d) AS BIGINT) AS max_day,
            |  MIN(p) AS min_part, MAX(p) AS max_part
            |FROM t GROUP BY file_id ORDER BY file_id""".stripMargin
-      })
+      }),
+
+    ("q136_cluster_quality",
+      (s: SparkSession, d: String) => {
+        // cluster-separation monitor for q74's fit: per-cell member
+        // count + microunit sums of own-centroid similarity and
+        // (own − second-best) margin — the linear-time silhouette
+        // stand-in an index build checks before trusting its clustering.
+        // Map-only O(n·k) dot arithmetic, one k-row rollup shuffle.
+        graft.ext.KMeans.clusterQuality(Tables.embeddings(s, d),
+            "vec_id", "embedding", q74Fit(s, d), dim = 64)
+          .orderBy("cell")
+      },
+      // the oracle re-scores EVERY vector against the dumped centroids
+      // (same sequential double dots), re-derives own/second per vector,
+      // and reproduces the exact integer microunit sums
+      Some(s"""WITH c AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+             |  FROM read_parquet('$OracleAuxDir/q74_centroids/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+             |scored AS (SELECT v.vec_id, c.cell, list_dot_product(v.dv, c.cv) AS dot
+             |  FROM v CROSS JOIN c),
+             |r AS (SELECT vec_id, cell, dot, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY dot DESC, cell) AS rn FROM scored),
+             |p AS (SELECT a.vec_id, a.cell, a.dot AS own, b.dot AS second
+             |  FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+             |SELECT CAST(cell AS BIGINT) AS cell,
+             |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             |  CAST(SUM(CAST(floor(own * 1e6) AS BIGINT)) AS BIGINT) AS sum_own_micro,
+             |  CAST(SUM(CAST(floor((own - second) * 1e6) AS BIGINT)) AS BIGINT) AS sum_margin_micro,
+             |  CAST(MIN(CAST(floor((own - second) * 1e6) AS BIGINT)) AS BIGINT) AS min_margin_micro
+             |FROM p GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    ("q137_lsh_recall",
+      (s: SparkSession, d: String) => {
+        // empirical recall S-curve of the production minhash pipeline
+        // vs exact all-pairs Jaccard ground truth on a 25% id-block
+        // sample — the continuous index-quality probe for the TEXT dedup
+        // path (q88/q92/q103 are its embedding-side siblings)
+        Dedup.lshRecallAudit(Tables.documents(s, d), "doc_id", "text",
+            blockSize = 50L, oneInBlocks = 4L, threshold = 0.5)
+          .orderBy("j_decile")
+      },
+      // exact side recomputed wholly in SQL; found side is the dumped
+      // pair list (deterministic for the seed) — precision is 1 by the
+      // pipeline's own exact verify, so recall is the audited number
+      Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents WHERE (doc_id // 50) % 4 = 0),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END) AS sh FROM tok),
+             |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |    len(list_distinct(list_concat(a.sh, b.sh))) AS j
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+             |ex AS (SELECT id1, id2,
+             |    least(CAST(floor(j * 10) AS BIGINT), 9) AS j_decile
+             |  FROM pairs WHERE j >= 0.5),
+             |f AS (SELECT id1, id2, 1 AS hit
+             |  FROM read_parquet('$OracleAuxDir/q137_lsh_pairs/*.parquet')),
+             |agg AS (SELECT j_decile, COUNT(*) AS n_exact,
+             |    SUM(COALESCE(hit, 0)) AS n_found
+             |  FROM ex LEFT JOIN f USING (id1, id2) GROUP BY j_decile)
+             |SELECT j_decile, CAST(n_exact AS BIGINT) AS n_exact,
+             |  CAST(n_found AS BIGINT) AS n_found,
+             |  round(CAST(n_found AS DOUBLE) / n_exact, 4) AS recall
+             |FROM agg ORDER BY j_decile""".stripMargin))
   )
 }

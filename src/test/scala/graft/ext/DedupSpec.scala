@@ -510,4 +510,41 @@ class DedupSpec extends SparkTestBase {
     assert(dirty.size == 80 / 7, "every planted doc (and only those) is dirty")
   }
 
+  test("lshRecallAudit: block sampling, exact truth, found ⊆ truth") {
+    import spark.implicits._
+    def words(seed: Long, n: Int) =
+      (0 until n).map(i => s"w${(seed * 31 + i * 7) % 97}_$i").mkString(" ")
+    // blockSize=50, oneInBlocks=4 → sampled blocks are ids 0–49, 200–249…
+    val corpus = (
+      Seq((1L, words(1, 30)), (2L, words(1, 30)),              // exact dup pair IN sample
+          (10L, words(2, 30) + " extra token here"),           // near pair with 11 …
+          (11L, words(2, 30) + " other ending words"),
+          (60L, words(3, 30)), (61L, words(3, 30))) ++         // dup pair NOT in sample
+        (20L to 40L).map(i => (i, words(i, 25)))               // distinct background
+      ).toDF("doc_id", "text")
+    val got = Dedup.lshRecallAudit(corpus, "doc_id", "text",
+        blockSize = 50L, oneInBlocks = 4L, threshold = 0.5,
+        shingleSize = 3, bands = 16, rowsPerBand = 4)
+      .orderBy("j_decile")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // exactly the two planted in-sample pairs — the unsampled 60/61 dup
+    // pair (block 1) must NOT appear
+    val totalExact = got.map(_._2).sum
+    assert(totalExact == 2L, s"sampled truth must be the 2 planted pairs: $got")
+    // found is a subset of truth, recall = found/exact per decile
+    got.foreach { case (dec, ex, fnd, rec) =>
+      assert(fnd <= ex, s"decile $dec: found $fnd > exact $ex")
+      assert(rec == math.rint(fnd.toDouble / ex * 10000) / 10000 ||
+        math.abs(rec - fnd.toDouble / ex) < 1e-9)
+    }
+    // the identical pair (J = 1.0 → decile 9) is always found by LSH
+    val d9 = got.find(_._1 == 9L)
+    assert(d9.exists(r => r._3 >= 1L && r._2 >= 1L), s"decile 9 missing: $got")
+    // partitioning independence
+    val again = Dedup.lshRecallAudit(corpus.repartition(5), "doc_id", "text",
+        blockSize = 50L, oneInBlocks = 4L, threshold = 0.5,
+        shingleSize = 3, bands = 16, rowsPerBand = 4)
+      .orderBy("j_decile").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
 }

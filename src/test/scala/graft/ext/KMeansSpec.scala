@@ -71,4 +71,34 @@ class KMeansSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
     assert(a.length == 4 * 8)
   }
+
+  test("clusterQuality: hand-computed margins, ties to lower cell, partition-independent") {
+    import spark.implicits._
+    // centroids: c0 = (1,0), c1 = (0,1)
+    val cents = Array(1f, 0f, 0f, 1f)
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)),     // dots (1, 0)     → cell 0, own 1.0, margin 1.0
+      (2L, Seq(0.6f, 0.8f)), // dots (.6, .8)   → cell 1, own 0.8, margin ≈ 0.2
+      (3L, Seq(0.5f, 0.5f)), // tie (.5, .5)    → cell 0, margin 0
+      (4L, Seq(0f, 0.9f)))   // dots (0, .9)    → cell 1, own 0.9, margin 0.9
+      .toDF("vec_id", "embedding")
+    val got = KMeans.clusterQuality(vecs, "vec_id", "embedding", cents, dim = 2)
+      .orderBy("cell").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // cell 0: vecs 1,3 → own 1.0+0.5, margins 1.0, 0
+    val own2 = math.floor(0.8f.toDouble * 1e6).toLong
+    val m2 = math.floor((0.8f.toDouble - 0.6f.toDouble) * 1e6).toLong
+    val own4 = math.floor(0.9f.toDouble * 1e6).toLong // 0.9f ≠ 0.9 in double
+    assert(got(0) == ((0L, 2L, 1500000L, 1000000L, 0L)))
+    assert(got(1) == ((1L, 2L, own2 + own4, m2 + own4, m2)))
+    val again = KMeans.clusterQuality(vecs.repartition(3), "vec_id", "embedding",
+        cents, dim = 2)
+      .orderBy("cell").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+    // assignment agrees with the production nearest_centroids argmax
+    val cells = vecs.select($"vec_id",
+        graft.functions.VectorFunctions
+          .nearest_centroids($"embedding", cents, 2, 1)(0).cast("long").as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(cells == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
 }
