@@ -435,6 +435,90 @@ object TextAnalysis {
         col("dup_5gram_frac") > maxDupFivegramFrac)
   }
 
+  /** Zipf-law fit over the corpus's top-`topV` term frequencies: OLS of
+    * log(freq) on log(rank) — slope ≈ −1 is the natural-language
+    * signature; a flat slope flags template/boilerplate corpora, a
+    * cliff flags truncated vocabularies (the corpus-health diagnostic
+    * next to [[vocabGrowth]]'s Heaps curve). Output: one row of
+    * (n_terms, slope, intercept, r2).
+    *
+    * Determinism: the top-V cut is a bounded-heap TakeOrdered under the
+    * total order (cnt DESC, term); log points quantize to integer
+    * 1e4-units BEFORE summing (round of identical doubles — the q124
+    * rounded-ln discipline), so every regression sum is exact integer
+    * arithmetic and the final slope/intercept/r2 are single double
+    * expressions over those integers — engine-identical. The only
+    * corpus-sized work is the term count (map-side combinable); the
+    * window runs over the topV-row frame. */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+              topV: Int = 200): DataFrame = {
+    require(topV >= 2)
+    val counts = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(topV)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+    ranked
+      .select(
+        round(log(col("rank").cast("double")) * 10000).cast("long").as("x4"),
+        round(log(col("cnt").cast("double")) * 10000).cast("long").as("y4"))
+      .agg(count(lit(1)).as("n"), sum(col("x4")).as("sx"), sum(col("y4")).as("sy"),
+        sum(col("x4") * col("x4")).as("sxx"),
+        sum(col("x4") * col("y4")).as("sxy"),
+        sum(col("y4") * col("y4")).as("syy"))
+      .select(col("n").as("n_terms"),
+        expr("round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 4)")
+          .as("slope"),
+        expr("""round((CAST(sy AS DOUBLE)
+                - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * 10000.0), 4)""")
+          .as("intercept"),
+        expr("""round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+                / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 4)""")
+          .as("r2"))
+  }
+
+  /** Population-stability-index (PSI) drift monitor between two corpus
+    * slices (yesterday's crawl vs today's, source A vs source B): the
+    * quality-score distribution of each side buckets into `buckets`
+    * fixed-width bins and each bin contributes
+    * `(p_a − p_b)·ln(p_a/p_b)` — the standard drift score (PSI > 0.2 =
+    * investigate). Shares are Laplace-smoothed (`(n+1)/(N+buckets)`) so
+    * empty bins stay finite and Σp = 1 exactly.
+    *
+    * Scale shape: each side is one map-side-combinable bucket count
+    * (the score is a per-row expression — no shuffle before the
+    * O(buckets) aggregate); totals ride a broadcast 1-row cross join;
+    * the PSI contribution quantizes to integer 1e-8 units
+    * (`round(x·1e8)` of identical doubles), so the per-bin rows — and
+    * any total a consumer sums from them — are engine-exact. */
+  def qualityDrift(a: DataFrame, b: DataFrame, textCol: String = "text",
+                   buckets: Int = 10): DataFrame = {
+    require(buckets >= 2)
+    def counted(df: DataFrame, out: String) =
+      withQuality(df, textCol)
+        .select(least(floor(col("quality_score") * buckets), lit(buckets - 1))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val grid = (0L until buckets.toLong).toDF("bucket")
+    val joined = grid
+      .join(counted(a, "__na"), Seq("bucket"), "left")
+      .join(counted(b, "__nb"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__na"), lit(0L)).as("n_a"),
+        coalesce(col("__nb"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        ((col("n_a") + 1).cast("double") / (col("__ta") + buckets)).as("__pa"),
+        ((col("n_b") + 1).cast("double") / (col("__tb") + buckets)).as("__pb"))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb")) * 1e8)
+          .cast("long").as("psi_micro8"))
+  }
+
   // ---------------------------------------------------------------- curation
 
   /** End-to-end corpus curation — the pipeline a training-data job

@@ -2889,6 +2889,75 @@ object Extended {
              |SELECT j_decile, CAST(n_exact AS BIGINT) AS n_exact,
              |  CAST(n_found AS BIGINT) AS n_found,
              |  round(CAST(n_found AS DOUBLE) / n_exact, 4) AS recall
-             |FROM agg ORDER BY j_decile""".stripMargin))
+             |FROM agg ORDER BY j_decile""".stripMargin)),
+
+    ("q138_zipf_fit",
+      (s: SparkSession, d: String) => {
+        // Zipf-law OLS over the top-200 term frequencies (slope ≈ −1 =
+        // natural language; flat = boilerplate): log points quantize to
+        // integer 1e4-units before summing, so the regression sums are
+        // exact and the fit is one double expression over them
+        TextAnalysis.zipfFit(Tables.documents(s, d), topV = 200)
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |c AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
+             |top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 200),
+             |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM top),
+             |p AS (SELECT CAST(round(ln(rank) * 10000) AS BIGINT) AS x4,
+             |             CAST(round(ln(cnt) * 10000) AS BIGINT) AS y4 FROM r),
+             |a AS (SELECT COUNT(*) AS n, SUM(x4) AS sx, SUM(y4) AS sy,
+             |             SUM(x4*x4) AS sxx, SUM(x4*y4) AS sxy, SUM(y4*y4) AS syy
+             |      FROM p)
+             |SELECT CAST(n AS BIGINT) AS n_terms,
+             |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+             |        / CAST(n*sxx - sx*sx AS DOUBLE), 4) AS slope,
+             |  round((CAST(sy AS DOUBLE)
+             |         - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+             |           * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * 10000.0), 4) AS intercept,
+             |  round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+             |        / (CAST(n*sxx - sx*sx AS DOUBLE)
+             |           * CAST(n*syy - sy*sy AS DOUBLE)), 4) AS r2
+             |FROM a""".stripMargin)),
+
+    ("q139_quality_drift",
+      (s: SparkSession, d: String) => {
+        // PSI drift between the even- and odd-id corpus halves (the
+        // yesterday-vs-today monitor shape): per-bin counts + the
+        // (p_a − p_b)·ln(p_a/p_b) contribution in exact 1e-8 units;
+        // each side is one map-side bucket count, totals broadcast
+        val docs = Tables.documents(s, d)
+        TextAnalysis.qualityDrift(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), buckets = 10)
+          .orderBy("bucket")
+      },
+      Some("""WITH q AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+             |  FROM documents),
+             |score AS (SELECT doc_id,
+             |    0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+             |      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             |      + 0.1 * (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) AS qs
+             |  FROM q),
+             |bkt AS (SELECT doc_id, least(CAST(floor(qs * 10) AS BIGINT), 9) AS bucket
+             |  FROM score),
+             |ca AS (SELECT bucket, COUNT(*) AS n_a FROM bkt WHERE doc_id % 2 = 0 GROUP BY 1),
+             |cb AS (SELECT bucket, COUNT(*) AS n_b FROM bkt WHERE doc_id % 2 = 1 GROUP BY 1),
+             |grid AS (SELECT unnest(range(0, 10)) AS bucket),
+             |j AS (SELECT g.bucket, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+             |  FROM grid g LEFT JOIN ca ON ca.bucket = g.bucket
+             |  LEFT JOIN cb ON cb.bucket = g.bucket),
+             |t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j),
+             |p AS (SELECT bucket, n_a, n_b,
+             |    CAST(n_a + 1 AS DOUBLE) / (ta + 10) AS pa,
+             |    CAST(n_b + 1 AS DOUBLE) / (tb + 10) AS pb
+             |  FROM j CROSS JOIN t)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(round((pa - pb) * ln(pa / pb) * 1e8) AS BIGINT) AS psi_micro8
+             |FROM p ORDER BY bucket""".stripMargin))
   )
 }

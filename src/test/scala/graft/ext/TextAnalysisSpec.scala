@@ -164,6 +164,50 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(flat.map(_._2) == Seq(5L, 10L, 15L, 20L))
   }
 
+  test("qualityDrift: identical slices → zero PSI; planted drift detected") {
+    import spark.implicits._
+    def doc(i: Long, n: Int) = (i, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    val a = (1L to 40L).map(i => doc(i, 20)).toDF("doc_id", "text")
+    // identical distribution (different ids, same shape) → PSI = 0 per bin
+    val a2 = (101L to 140L).map(i => doc(i, 20)).toDF("doc_id", "text")
+    val same = TextAnalysis.qualityDrift(a, a2, buckets = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(same.length == 10, "every bucket of the grid must be present")
+    assert(same.forall(_._4 == 0L), s"identical shapes must give PSI 0: ${same.toSeq}")
+    // drifted side: much longer docs → higher length score → upper buckets
+    val b = (1L to 40L).map(i => doc(i, 70)).toDF("doc_id", "text")
+    val drift = TextAnalysis.qualityDrift(a, b, buckets = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(drift.map(_._4).sum > 0L, s"drift must be positive: ${drift.toSeq}")
+    assert(drift.map(_._2).sum == 40L && drift.map(_._3).sum == 40L)
+    // partitioning independence
+    val again = TextAnalysis.qualityDrift(a.repartition(5), b.repartition(3),
+        buckets = 10).as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == drift.toSeq)
+  }
+
+  test("zipfFit: exact-Zipf corpus → slope ≈ −1, r2 ≈ 1; deterministic") {
+    import spark.implicits._
+    // term r appears ⌊2520/r⌋ times (2520 divisible by 1..10 ⇒ exact)
+    val rows = (1 to 10).flatMap(r => Seq.fill(2520 / r)(s"t$r"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val docs = rows.toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, topV = 10)
+      .as[(Long, Double, Double, Double)].head()
+    assert(got._1 == 10L)
+    assert(got._2 > -1.01 && got._2 < -0.99, s"slope ${got._2}")
+    assert(got._4 > 0.999, s"r2 ${got._4}")
+    // intercept ≈ ln(2520) ≈ 7.832
+    assert(math.abs(got._3 - math.log(2520.0)) < 0.02, s"intercept ${got._3}")
+    val again = TextAnalysis.zipfFit(docs.repartition(6), topV = 10)
+      .as[(Long, Double, Double, Double)].head()
+    assert(again == got)
+    // fewer terms than topV: n_terms = vocabulary size
+    val small = Seq((1L, "a a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.zipfFit(small, topV = 200)
+      .as[(Long, Double, Double, Double)].head()._1 == 2L)
+  }
+
   test("repetitionProfile: hand-computed fractions, flag, short-doc zeros") {
     import spark.implicits._
     val docs = Seq(
