@@ -123,7 +123,25 @@ object ScaleBench {
     // distributed global rank under a ×10-wider permutation (the same
     // staged machinery as q99, now keyed by hash instead of length).
     "q126_contamination_profile", "q127_source_overlap@docs",
-    "q128_cosine_topk_sq@probes", "q130_epoch_shuffle")
+    "q128_cosine_topk_sq@probes", "q130_epoch_shuffle",
+    // round-8 tail: q129 at fixed probes (the SQ recall monitor's
+    // corpus-side brute-force truth is the scan under test); q131's
+    // one-pass re-aggregated lattice (the cell frame stays 12 rows while
+    // the corpus ×10 — the whole point of the shape); q132's all-corpus
+    // knn join with auto-sized cells (query side = corpus, so constant
+    // occupancy is a REQUIREMENT for linearity, not a nicety); q133's
+    // MG-prefiltered heavy hitters (candidate superset stays O(1/freq)
+    // while the token stream ×10); q134's tagged-union gram shuffle
+    // (token-grain, the widest frame of the round); q135's Morton ntile
+    // (the distributed global rank under a ×10-wider z order); q136's
+    // map-only O(n·k) dot scan; q137's block-sampled exact-vs-LSH audit
+    // (the inverted-index exact join must stay sample-bounded); q138's
+    // corpus term count under ×10 tokens (the top-200 cut is constant);
+    // q139's two map-side bucket counts (shuffle = 10 rows per side).
+    "q129_sq_recall@probes", "q131_groupingsets_reagg", "q132_knn_join",
+    "q133_heavy_tokens", "q134_repetition", "q135_zorder_layout",
+    "q136_cluster_quality", "q137_lsh_recall", "q138_zipf_fit",
+    "q139_quality_drift")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -261,6 +279,23 @@ object ScaleBench {
         val m = graft.ext.SQ.fit(emb, "embedding", dim = 64)
         graft.ext.SQ.topKSq(emb, probes, k = 10, m, refine = 4)
           .orderBy("query_id", "rank")
+      })
+      case "q129_sq_recall@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        val probes = fixedProbes(emb)
+        val m = graft.ext.SQ.fit(emb, "embedding", dim = 64)
+        val exact = graft.ext.Similarity.topKBruteForce(emb, probes, k = 10)
+        val approx = graft.ext.SQ.topKSq(emb, probes, k = 10, m, refine = 4)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("recall_hits"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
+            lit(10L).as("k"))
+          .orderBy("query_id")
       })
       case _ => None
     }
