@@ -886,11 +886,20 @@ object Dedup {
       expr(s"($idCol div $blockSize) % $oneInBlocks") === 0)
     val sh = sample.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleSize))).as("s"))
-    val cand = sh.as("a").join(sh.as("b"), "s")
+    // exact Jaccard straight off the inverted index: |A∩B| is the
+    // shared-shingle count per pair, |A∪B| = szA + szB − inter — no
+    // pair-level re-join of shingle arrays and no distinct() pass
+    // (identical integers to the set formulation, so identical doubles)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"), "s")
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    val exact = ngramJaccard(sample, idCol, textCol, shingleSize, cand)
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("__inter"))
+    val exact = inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("__sz1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("__sz2")), "id2")
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__sz1") + col("__sz2") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"),
         least(floor(col("jaccard") * 10).cast("long"), lit(9L)).as("j_decile"))
