@@ -62,7 +62,12 @@ object CuratePipeline {
     *    renumbered by the seeded deterministic permutation
     *    ([[Sharding.epochShuffle]]) so a trainer reading shards in
     *    order sees a decorrelated document order; sequence membership
-    *    is untouched. */
+    *    is untouched;
+    *  - `dropRepetitive`: the Gopher within-document repetition gate
+    *    ([[TextAnalysis.repetitionProfile]] default thresholds) right
+    *    after the quality/language gates — template/boilerplate pages
+    *    drop before the (more expensive) span dedup ever tokenizes
+    *    them. */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
@@ -73,7 +78,8 @@ object CuratePipeline {
           bloomDecontaminate: Boolean = false,
           seqLen: Option[Long] = None,
           maxDirtyFrac: Option[Double] = None,
-          epochSeed: Option[Long] = None): DataFrame = {
+          epochSeed: Option[Long] = None,
+          dropRepetitive: Boolean = false): DataFrame = {
     val labeled = nbLangTrain match {
       case Some(train) =>
         val pred = NaiveBayes.trainScore(train, docs, "lang")
@@ -82,7 +88,13 @@ object CuratePipeline {
           .withColumnRenamed("label_pred", "lang")
       case None => docs
     }
-    val curated = TextAnalysis.curateCorpus(labeled, minQuality, langs)
+    val gated = TextAnalysis.curateCorpus(labeled, minQuality, langs)
+    val curated =
+      if (!dropRepetitive) gated
+      else gated.join(
+        TextAnalysis.repetitionProfile(gated)
+          .filter(col("repetitive")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
     val spanned = spanDedupWidth match {
       case Some(w) =>
         val cleaned = Dedup.dedupTiles(curated, "doc_id", "text", w)

@@ -185,4 +185,28 @@ class CuratePipelineSpec extends SparkTestBase {
     assert(base.map(r => key(r) -> r._3).toMap != toNew,
       "the permutation must actually move sequences")
   }
+
+  test("repetition gate drops planted boilerplate; no kept doc is flagged") {
+    // 16 tokens, 8 distinct: passes the quality gate (score ≈ .43 ≥ .3)
+    // but its repeated 3-gram block gives dup3 ≈ .86 ≫ the .01 threshold
+    val planted = Seq(
+      (9000001L, "a b c d e f g h a b c d e f g h", "und", "src0", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Tables.documents(spark, sf).unionByName(planted)
+    def ids(gate: Boolean) = CuratePipeline.run(spark, docs,
+        minQuality = 0.3, langs = Seq("en", "de", "es", "fr", "und"),
+        tokenBudget = 2000, perSourceCap = 1000000, dropRepetitive = gate)
+      .select("doc_id").as[Long].collect().toSet
+    val without = ids(false)
+    val withGate = ids(true)
+    assert(without.contains(9000001L),
+      "planted doc must survive the quality/lang gates when ungated")
+    assert(!withGate.contains(9000001L), "the repetition gate must drop it")
+    // the gate's direct contract: nothing repetitive survives it
+    val flagged = graft.ext.TextAnalysis
+      .repetitionProfile(docs).filter(col("repetitive"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(withGate.intersect(flagged).isEmpty,
+      s"repetitive docs survived: ${withGate.intersect(flagged).take(5)}")
+  }
 }
