@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, explode, lit, posexplode, sqrt, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, explode, lit, posexplode, sqrt, transform, when}
 
 import graft.functions.TopK
 import graft.functions.VectorFunctions._
@@ -106,6 +106,48 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 42L, numTables: Int = 8, bitsPerTable: Int = 10): DataFrame =
     rankCandidates(lshCandidates(corpus, queries, idCol, vecCol, seed, numTables, bitsPerTable),
+      corpus, queries, k, idCol, vecCol)
+
+  /** MULTI-PROBE LSH candidates (Lv et al., VLDB'07): the query side
+    * probes its own bucket plus every 1-bit-flip neighbor in each table
+    * — (bits+1) probes per table — while the CORPUS side still indexes
+    * one bucket per table. A near-miss (query lands one hyperplane on
+    * the wrong side of a neighbor) is recovered by the flipped probe
+    * instead of by another table, so the same recall needs ~(bits+1)×
+    * fewer tables: the corpus-side index — the part that is 10⁹ rows at
+    * 100 TB while queries are thousands — shrinks by that factor, and
+    * probing is query-side-only arithmetic on the (broadcast) small
+    * side. Bucket ids are `(table << bits) | signBits`, so a flip is a
+    * pure XOR of one low bit — the table prefix is untouched and probes
+    * never cross tables. Deterministic for a fixed seed (same oracle
+    * contract as [[lshCandidates]]: the dump re-ranks exactly). */
+  def lshMultiProbeCandidates(corpus: DataFrame, queries: DataFrame,
+                              idCol: String = "vec_id", vecCol: String = "embedding",
+                              seed: Long = 42L, numTables: Int = 4,
+                              bitsPerTable: Int = 10): DataFrame = {
+    val masks = array(lit(0L) +: (0 until bitsPerTable).map(j => lit(1L << j)): _*)
+    val probed = queries
+      .select(col(idCol).as("query_id"),
+        explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("__b"))
+      .select(col("query_id"),
+        explode(transform(masks, m => col("__b").bitwiseXOR(m))).as("bucket"))
+    corpus
+      .select(col(idCol).as("neighbor_id"),
+        explode(lsh_buckets(col(vecCol), seed, numTables, bitsPerTable)).as("bucket"))
+      .join(broadcast(probed), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** Multi-probe LSH top-k: [[lshMultiProbeCandidates]] + exact cosine
+    * re-rank ([[rankCandidates]]). */
+  def topKLshMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        seed: Long = 42L, numTables: Int = 4,
+                        bitsPerTable: Int = 10): DataFrame =
+    rankCandidates(
+      lshMultiProbeCandidates(corpus, queries, idCol, vecCol, seed, numTables, bitsPerTable),
       corpus, queries, k, idCol, vecCol)
 
   /** IVF (inverted-file) approximate top-k: a DISTRIBUTED spherical

@@ -118,6 +118,12 @@ object Extended {
       graft.ext.SQ.sqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
         q128Fit(s, d), nCandidates = 40)
     }),
+    "q140_candidates" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshMultiProbeCandidates(emb,
+        emb.filter(col("vec_id") % 50 === 0),
+        numTables = 4, bitsPerTable = 8)
+    }),
     "q137_lsh_pairs" -> ((s: SparkSession, d: String) => {
       // the production pair generator re-run verbatim on q137's id-block
       // sample (deterministic for the fixed seed): the dump IS the found
@@ -2958,6 +2964,22 @@ object Extended {
              |SELECT CAST(bucket AS BIGINT) AS bucket,
              |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
              |  CAST(round((pa - pb) * ln(pa / pb) * 1e8) AS BIGINT) AS psi_micro8
-             |FROM p ORDER BY bucket""".stripMargin))
+             |FROM p ORDER BY bucket""".stripMargin)),
+
+    ("q140_cosine_topk_mplsh",
+      (s: SparkSession, d: String) => {
+        // multi-probe LSH top-k: 4 tables × (8+1) query-side probes in
+        // place of q30's 16 single-probe tables — the corpus-side index
+        // (the 10⁹-row part at 100 TB) is 4× smaller at comparable
+        // recall, and the extra probes are arithmetic on the broadcast
+        // query side. Same oracle contract as q30: exact re-rank of the
+        // deterministic candidate dump.
+        val emb = Tables.embeddings(s, d)
+        Similarity.topKLshMultiProbe(emb,
+            emb.filter(col("vec_id") % 50 === 0), k = 10,
+            numTables = 4, bitsPerTable = 8)
+          .orderBy("query_id", "rank")
+      },
+      Some(rerankOracle("q140_candidates", k = 10)))
   )
 }
