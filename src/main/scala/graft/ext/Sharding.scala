@@ -439,6 +439,54 @@ object Sharding {
     sampleStratified(docs, groupCol, idCol, targets)
   }
 
+  /** Deterministic ring negative sampling — training-pair generation for
+    * contrastive/embedding objectives: within each bucket (the caller's
+    * matching criterion — length band, language, domain…), members sort
+    * by a seeded Knuth hash into a ring and each anchor takes the next
+    * `k` members as its negatives. Ring pairing is the standard
+    * linear-cost stand-in for per-anchor random sampling: every member
+    * is an anchor exactly once and a negative exactly min(k, n_b−1)
+    * times (no hub over-sampling), the pairing is a pure function of
+    * (ids, seed) — no RNG state, any engine replays it — and a new seed
+    * re-deals every epoch. The seed enters MULTIPLICATIVELY
+    * (id · (2s+1) mod p, p = 1000003 prime — a genuine residue
+    * permutation per seed): an additive seed shift would rotate every
+    * hash by a constant, and ring adjacency is invariant under rotation
+    * — the epochShuffle-style `(id + seed)·M` hash can never re-deal a
+    * ring.
+    *
+    * Scale shape: one per-bucket rank window (buckets are the caller's
+    * matching bands — bounded slices of the corpus, so no partitionless
+    * window), a map-side explode of ≤ k ranks, and ONE equi-join on
+    * (bucket, position). Per-anchor sampling against the whole bucket
+    * would be O(n·bucket) — the ring is O(n·k). Singleton buckets yield
+    * no pairs; a bucket of n ≤ k members yields n−1 negatives each. */
+  def ringNegatives(docs: DataFrame, idCol: String, bucketCol: Column,
+                    k: Int, seed: Long = 7L): DataFrame = {
+    require(k >= 1)
+    val base = docs
+      .select(col(idCol).cast("long").as("anchor_id"),
+        bucketCol.cast("long").as("bucket"))
+      .withColumn("__h",
+        expr(s"((anchor_id % 1000003) * ((2 * $seed + 1) % 1000003) % 1000003)" +
+          " * 2654435761 % 1000000007"))
+    val pos = base
+      .withColumn("__pos",
+        row_number().over(Window.partitionBy("bucket").orderBy("__h", "anchor_id"))
+          .cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
+    val fanned = pos.filter(col("__n") > 1)
+      .select(col("anchor_id"), col("bucket"), col("__pos"), col("__n"),
+        explode(sequence(lit(1L), least(lit(k.toLong), col("__n") - 1)))
+          .as("neg_rank"))
+      .withColumn("__ppos", (col("__pos") + col("neg_rank")) % col("__n"))
+    fanned.join(
+        pos.select(col("bucket"), col("__pos").as("__ppos"),
+          col("anchor_id").as("negative_id")),
+        Seq("bucket", "__ppos"))
+      .select("anchor_id", "neg_rank", "negative_id", "bucket")
+  }
+
   /** Morton (Z-order) interleave of two bucketed integer coordinates:
     * bit i of `x` lands at position 2i, bit i of `y` at 2i+1. Both
     * inputs are masked to the low `bits` bits — the caller buckets each

@@ -2980,6 +2980,34 @@ object Extended {
             numTables = 4, bitsPerTable = 8)
           .orderBy("query_id", "rank")
       },
-      Some(rerankOracle("q140_candidates", k = 10)))
+      Some(rerankOracle("q140_candidates", k = 10))),
+
+    ("q141_ring_negatives",
+      (s: SparkSession, d: String) => {
+        // contrastive training pairs: 3 hard-ish negatives per doc from
+        // its 16-token length band via the seeded ring — every doc is a
+        // negative exactly min(3, n_b−1) times, the pairing replays from
+        // (ids, seed) with no RNG state, and a new seed re-deals epochs
+        Sharding.ringNegatives(Tables.documents(s, d), "doc_id",
+            expr("CAST(size(split(text, ' ')) div 16 AS BIGINT)"),
+            k = 3, seed = 7L)
+          .orderBy("anchor_id", "neg_rank")
+      },
+      Some("""WITH b AS (SELECT doc_id AS anchor_id,
+             |    CAST(len(string_split(text, ' ')) // 16 AS BIGINT) AS bucket,
+             |    ((doc_id % 1000003) * 15 % 1000003) * 2654435761 % 1000000007 AS h
+             |  FROM documents),
+             |p AS (SELECT anchor_id, bucket,
+             |    row_number() OVER (PARTITION BY bucket ORDER BY h, anchor_id) - 1 AS pos,
+             |    COUNT(*) OVER (PARTITION BY bucket) AS n
+             |  FROM b),
+             |e AS (SELECT anchor_id, bucket, pos, n,
+             |    unnest(range(1, least(3, n - 1) + 1)) AS neg_rank
+             |  FROM p WHERE n > 1)
+             |SELECT e.anchor_id, CAST(e.neg_rank AS BIGINT) AS neg_rank,
+             |  p2.anchor_id AS negative_id, e.bucket
+             |FROM e JOIN p p2
+             |  ON p2.bucket = e.bucket AND p2.pos = (e.pos + e.neg_rank) % e.n
+             |ORDER BY e.anchor_id, e.neg_rank""".stripMargin))
   )
 }

@@ -313,6 +313,41 @@ class ShardingSpec extends SparkTestBase {
     assert(asc < 30, s"$asc adjacent-id pairs survived the shuffle")
   }
 
+  test("ringNegatives: ring properties, singleton buckets, seeded re-deal") {
+    import spark.implicits._
+    // buckets: 0 → 6 members, 1 → 3 members, 2 → singleton
+    val docs = ((1L to 6L).map((_, 0L)) ++ (10L to 12L).map((_, 1L)) ++
+      Seq((20L, 2L))).toDF("doc_id", "b")
+    val got = Sharding.ringNegatives(docs, "doc_id", col("b"), k = 3, seed = 7L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byAnchor = got.groupBy(_._1)
+    // bucket 0: every member gets exactly 3 negatives; bucket 1: n-1 = 2;
+    // singleton: none
+    (1L to 6L).foreach(a => assert(byAnchor(a).size == 3, s"anchor $a"))
+    (10L to 12L).foreach(a => assert(byAnchor(a).size == 2, s"anchor $a"))
+    assert(!byAnchor.contains(20L))
+    // negatives stay in the anchor's bucket, never the anchor itself,
+    // and are distinct per anchor
+    got.foreach { case (a, _, n, b) =>
+      assert(n != a)
+      val expectBucket = if (a >= 10L) (if (a >= 20L) 2L else 1L) else 0L
+      assert(b == expectBucket, s"pair ($a,$n) crossed buckets")
+    }
+    byAnchor.foreach { case (a, rs) =>
+      assert(rs.map(_._3).distinct.size == rs.size, s"anchor $a repeats a negative")
+    }
+    // ring fairness: every member of bucket 0 is a negative exactly 3 times
+    val negCounts = got.filter(_._4 == 0L).groupBy(_._3).view.mapValues(_.size)
+    (1L to 6L).foreach(m => assert(negCounts(m) == 3, s"member $m as negative"))
+    // deterministic under repartition; a new seed re-deals the pairing
+    val again = Sharding.ringNegatives(docs.repartition(4), "doc_id", col("b"),
+        k = 3, seed = 7L).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again.sorted == got.sorted)
+    val other = Sharding.ringNegatives(docs, "doc_id", col("b"), k = 3, seed = 8L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(other.sorted != got.sorted, "seed must change the pairing")
+  }
+
   test("mortonZ: hand-computed interleave, masking, reference parity") {
     import spark.implicits._
     // x=3 (011), y=5 (101), 3 bits → y2 x2 y1 x1 y0 x0 = 100111 = 39
