@@ -141,7 +141,12 @@ object ScaleBench {
     "q129_sq_recall@probes", "q131_groupingsets_reagg", "q132_knn_join",
     "q133_heavy_tokens", "q134_repetition", "q135_zorder_layout",
     "q136_cluster_quality", "q137_lsh_recall", "q138_zipf_fit",
-    "q139_quality_drift")
+    "q139_quality_drift",
+    // q140 at fixed probes (the multi-probe expansion is query-side —
+    // the row measures the 4-table corpus index scan staying linear);
+    // q141's per-band ring (rank window + one (bucket, pos) equi-join)
+    // under ×10-deep length bands.
+    "q140_cosine_topk_mplsh@probes", "q141_ring_negatives")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -278,6 +283,12 @@ object ScaleBench {
         val probes = fixedProbes(emb)
         val m = graft.ext.SQ.fit(emb, "embedding", dim = 64)
         graft.ext.SQ.topKSq(emb, probes, k = 10, m, refine = 4)
+          .orderBy("query_id", "rank")
+      })
+      case "q140_cosine_topk_mplsh@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        graft.ext.Similarity.topKLshMultiProbe(emb, fixedProbes(emb), k = 10,
+            numTables = 4, bitsPerTable = 8)
           .orderBy("query_id", "rank")
       })
       case "q129_sq_recall@probes" => Some((s, d) => {
