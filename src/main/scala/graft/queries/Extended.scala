@@ -3008,6 +3008,68 @@ object Extended {
              |  p2.anchor_id AS negative_id, e.bucket
              |FROM e JOIN p p2
              |  ON p2.bucket = e.bucket AND p2.pos = (e.pos + e.neg_rank) % e.n
-             |ORDER BY e.anchor_id, e.neg_rank""".stripMargin))
+             |ORDER BY e.anchor_id, e.neg_rank""".stripMargin)),
+
+    ("q142_dq_audit",
+      (s: SparkSession, d: String) => {
+        // the per-batch data-quality gate: row-level rules fuse into ONE
+        // scan per table (a single conditional-sum aggregate melted by
+        // stack), referential checks are one anti-join each against the
+        // distinct key set, uniqueness is count vs exact distinct — the
+        // report is a union of 1-row frames, all-integer output
+        import graft.ext.DataAudit
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        DataAudit.audit(Seq(
+            DataAudit.rowRules(li, Seq(
+              "li_discount_range" -> (col("l_discount") < 0 || col("l_discount") > 0.1),
+              "li_discount_watch" -> (col("l_discount") > 0.05),
+              "li_quantity_range" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+              "li_price_positive" -> (col("l_extendedprice") <= 0))),
+            DataAudit.rowRules(ord, Seq(
+              "ord_totalprice_positive" -> (col("o_totalprice") <= 0),
+              "ord_status_domain" ->
+                !col("o_orderstatus").isin("O", "F", "P"))),
+            DataAudit.orphans(li, col("l_orderkey"), ord, col("o_orderkey"),
+              "li_orphan_orderkey"),
+            DataAudit.orphans(ord, col("o_custkey"), cust, col("c_custkey"),
+              "ord_orphan_custkey"),
+            DataAudit.duplicateKeys(ord, col("o_orderkey"), "ord_dup_orderkey")))
+          .orderBy("rule")
+      },
+      Some("""WITH r1 AS (SELECT
+             |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |    CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             |    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS e,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+             |r2 AS (SELECT
+             |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+             |orph1 AS (SELECT
+             |    CAST((SELECT COUNT(*) FROM lineitem l
+             |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                            WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS v,
+             |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n),
+             |orph2 AS (SELECT
+             |    CAST((SELECT COUNT(*) FROM orders o
+             |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS v,
+             |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n),
+             |dup AS (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+             |rep AS (
+             |  SELECT 'li_discount_range' AS rule, a AS violations, n AS checked FROM r1
+             |  UNION ALL SELECT 'li_discount_watch', b, n FROM r1
+             |  UNION ALL SELECT 'li_quantity_range', c, n FROM r1
+             |  UNION ALL SELECT 'li_price_positive', e, n FROM r1
+             |  UNION ALL SELECT 'ord_totalprice_positive', a, n FROM r2
+             |  UNION ALL SELECT 'ord_status_domain', b, n FROM r2
+             |  UNION ALL SELECT 'li_orphan_orderkey', v, n FROM orph1
+             |  UNION ALL SELECT 'ord_orphan_custkey', v, n FROM orph2
+             |  UNION ALL SELECT 'ord_dup_orderkey', v, n FROM dup)
+             |SELECT rule, violations, checked FROM rep ORDER BY rule""".stripMargin))
   )
 }

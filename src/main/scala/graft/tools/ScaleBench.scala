@@ -146,7 +146,10 @@ object ScaleBench {
     // the row measures the 4-table corpus index scan staying linear);
     // q141's per-band ring (rank window + one (bucket, pos) equi-join)
     // under ×10-deep length bands.
-    "q140_cosine_topk_mplsh@probes", "q141_ring_negatives")
+    "q140_cosine_topk_mplsh@probes", "q141_ring_negatives",
+    // q142: the fused row-rule scans + two key anti-joins under ×10 rows
+    // (rule count must never multiply corpus passes).
+    "q142_dq_audit")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
