@@ -100,11 +100,13 @@ object NaiveBayes {
     * the sweep crosses the O(eval) margin frame with a broadcast
     * threshold grid and reduces map-side — thresholds never multiply
     * the shuffle. */
-  def prCurve(train: DataFrame, eval: DataFrame, labelCol: String,
-              positive: String, thresholds: Seq[Double],
-              idCol: String = "doc_id", textCol: String = "text",
-              scale: Int = 4): DataFrame = {
-    val margins = scoreAll(train, eval, labelCol, idCol, textCol, scale)
+  /** One-vs-rest margin per eval doc — `score(positive) − max(score(
+    * other))` over ROUNDED scores — with the boolean truth label.
+    * Shared by [[prCurve]] and [[reliability]]. */
+  def marginFrame(train: DataFrame, eval: DataFrame, labelCol: String,
+                  positive: String, idCol: String = "doc_id",
+                  textCol: String = "text", scale: Int = 4): DataFrame =
+    scoreAll(train, eval, labelCol, idCol, textCol, scale)
       .groupBy("doc_id")
       .agg(
         max(when(col("label") === positive, col("score_pred"))).as("__pos"),
@@ -112,6 +114,12 @@ object NaiveBayes {
       .select(col("doc_id"), (col("__pos") - col("__rest")).as("margin"))
       .join(eval.select(col(idCol).as("doc_id"),
         (col(labelCol) === positive).as("truth")), Seq("doc_id"))
+
+  def prCurve(train: DataFrame, eval: DataFrame, labelCol: String,
+              positive: String, thresholds: Seq[Double],
+              idCol: String = "doc_id", textCol: String = "text",
+              scale: Int = 4): DataFrame = {
+    val margins = marginFrame(train, eval, labelCol, positive, idCol, textCol, scale)
     val spark = train.sparkSession
     import spark.implicits._
     val grid = broadcast(thresholds.toDF("threshold"))
@@ -131,5 +139,31 @@ object NaiveBayes {
         when(col("tp") + col("fn") === 0, lit(0.0))
           .otherwise(round(col("tp") / (col("tp") + col("fn")), scale))
           .as("recall"))
+  }
+
+  /** Calibration (reliability) diagram for the one-vs-rest margin:
+    * margins band into fixed-width bins (clamped to ±`maxBin`) and each
+    * bin reports how often the positive class is actually true — a
+    * well-calibrated classifier's `frac_true` rises monotonically
+    * through zero. This is the diagnostic read BEFORE picking the
+    * [[prCurve]] operating point: a threshold means nothing if the
+    * margin bands aren't ordered. Margins come from ROUNDED scores, the
+    * bin is floor arithmetic on identical doubles, counts are integers
+    * — every row engine-reproducible. One O(eval) margin pass + one
+    * O(bins) aggregate. */
+  def reliability(train: DataFrame, eval: DataFrame, labelCol: String,
+                  positive: String, binWidth: Double = 5.0, maxBin: Int = 10,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  scale: Int = 4): DataFrame = {
+    require(binWidth > 0 && maxBin >= 1)
+    marginFrame(train, eval, labelCol, positive, idCol, textCol, scale)
+      .select(
+        least(greatest(floor(col("margin") / binWidth), lit(-maxBin.toDouble)),
+          lit(maxBin.toDouble)).cast("long").as("bin"),
+        col("truth"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("truth"), 1L).otherwise(0L)).as("n_true"))
+      .withColumn("frac_true", round(col("n_true").cast("double") / col("n"), scale))
   }
 }

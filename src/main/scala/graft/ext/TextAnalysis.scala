@@ -519,6 +519,49 @@ object TextAnalysis {
           .cast("long").as("psi_micro8"))
   }
 
+  /** PMI collocation mining: adjacent token pairs scored by pointwise
+    * mutual information — `ln(p(x,y) / (p(x)·p(y)))` with pair
+    * probability over bigram slots and unigram probabilities over
+    * tokens. High-PMI pairs are the corpus's multi-word expressions
+    * (the classic collocation discovery of Church & Hanks 1990); a
+    * pipeline uses them for tokenizer merge seeding and boilerplate
+    * phrase detection. Pairs below `minCount` are cut first (PMI is
+    * unstable at tiny counts), the report is the top-`topK` by
+    * (rounded pmi DESC, t1, t2) — rounding BEFORE the sort keeps the
+    * cut engine-stable.
+    *
+    * Scale shape: one unigram count + one bigram count, both map-side
+    * combinable; totals are 1-row aggregates broadcast by cross join;
+    * the two unigram joins hash-partition by token; the final cut is a
+    * bounded-heap TakeOrdered. The PMI expression is a single
+    * double-arithmetic chain evaluated identically by any engine
+    * (left-associated products of exact integer counts). */
+  def pmiCollocations(docs: DataFrame, textCol: String = "text",
+                      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val toks = split(col(textCol), " ")
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bi = docs.select(toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("t1"),
+          element_at(col("__toks"), i + 2).as("t2")))).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("__nu")).crossJoin(
+      docs.agg(sum(greatest(size(toks) - 1, lit(0))).cast("long").as("__nb")))
+    bi.join(uni.select(col("t").as("t1"), col("c").as("c_x")), "t1")
+      .join(uni.select(col("t").as("t2"), col("c").as("c_y")), "t2")
+      .crossJoin(broadcast(totals))
+      .select(col("t1"), col("t2"), col("c_xy"), col("c_x"), col("c_y"),
+        round(log((col("c_xy").cast("double") * col("__nu") * col("__nu")) /
+          (col("__nb").cast("double") * col("c_x") * col("c_y"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
+
   // ---------------------------------------------------------------- curation
 
   /** End-to-end corpus curation — the pipeline a training-data job

@@ -3070,6 +3070,79 @@ object Extended {
              |  UNION ALL SELECT 'li_orphan_orderkey', v, n FROM orph1
              |  UNION ALL SELECT 'ord_orphan_custkey', v, n FROM orph2
              |  UNION ALL SELECT 'ord_dup_orderkey', v, n FROM dup)
-             |SELECT rule, violations, checked FROM rep ORDER BY rule""".stripMargin))
+             |SELECT rule, violations, checked FROM rep ORDER BY rule""".stripMargin)),
+
+    ("q143_pmi_collocations",
+      (s: SparkSession, d: String) => {
+        // collocation mining: top-50 adjacent pairs by PMI (≥5 occ.) —
+        // multi-word expressions for tokenizer merge seeding and
+        // boilerplate phrase detection; rounded before the sort so the
+        // cut is engine-stable
+        TextAnalysis.pmiCollocations(Tables.documents(s, d),
+            minCount = 5L, topK = 50)
+          .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      },
+      Some("""WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+             |uni AS (SELECT unnest(toks) AS t FROM tok),
+             |uc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY t),
+             |bi AS (SELECT unnest(list_transform(range(1, len(toks)),
+             |         i -> struct_pack(t1 := toks[i], t2 := toks[i + 1]))) AS p
+             |       FROM tok WHERE len(toks) >= 2),
+             |bc AS (SELECT p.t1 AS t1, p.t2 AS t2, CAST(COUNT(*) AS BIGINT) AS c_xy
+             |       FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+             |tot AS (SELECT (SELECT SUM(c) FROM uc) AS nu,
+             |               (SELECT SUM(greatest(len(toks) - 1, 0)) FROM tok) AS nb),
+             |scored AS (SELECT bc.t1, bc.t2, bc.c_xy, x.c AS c_x, y.c AS c_y,
+             |    round(ln((CAST(bc.c_xy AS DOUBLE) * nu * nu)
+             |             / (CAST(nb AS DOUBLE) * x.c * y.c)), 4) AS pmi
+             |  FROM bc JOIN uc x ON x.t = bc.t1 JOIN uc y ON y.t = bc.t2
+             |  CROSS JOIN tot)
+             |SELECT t1, t2, c_xy, c_x, c_y, pmi
+             |FROM scored ORDER BY pmi DESC, t1, t2 LIMIT 50""".stripMargin)),
+
+    ("q144_nb_reliability",
+      (s: SparkSession, d: String) => {
+        // calibration diagram for q124's classifier: margin bands vs
+        // empirical positive rate — read BEFORE picking the threshold
+        // (a threshold means nothing if the bands aren't ordered)
+        val docs = Tables.documents(s, d)
+        graft.ext.NaiveBayes.reliability(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "lang", positive = "en", binWidth = 5.0, maxBin = 10)
+          .orderBy("bin")
+      },
+      Some("""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+             |ev AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0),
+             |tw AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS w FROM tr),
+             |cw AS (SELECT label, w, COUNT(*) AS c FROM tw GROUP BY 1, 2),
+             |cl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS cl FROM cw GROUP BY 1),
+             |pr AS (SELECT lang AS label, COUNT(*) AS nd FROM tr GROUP BY 1),
+             |tot AS (SELECT (SELECT COUNT(DISTINCT w) FROM tw) AS v,
+             |               (SELECT COUNT(*) FROM tr) AS nt),
+             |dn AS (SELECT d.doc_id, w, COUNT(*) AS n
+             |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |             FROM documents WHERE doc_id % 5 = 0) d
+             |       GROUP BY 1, 2),
+             |sc AS (SELECT dn.doc_id, pr.label,
+             |         round(ln(pr.nd * 1.0 / tot.nt)
+             |           + SUM(dn.n * ln((COALESCE(cw.c, 0) + 1.0) / (cl.cl + tot.v))), 4) AS sp
+             |       FROM dn CROSS JOIN pr
+             |       LEFT JOIN cw ON cw.label = pr.label AND cw.w = dn.w
+             |       JOIN cl ON cl.label = pr.label
+             |       CROSS JOIN tot
+             |       GROUP BY dn.doc_id, pr.label, pr.nd, tot.nt),
+             |mg AS (SELECT sc.doc_id,
+             |         MAX(CASE WHEN label = 'en' THEN sp END)
+             |           - MAX(CASE WHEN label <> 'en' THEN sp END) AS margin,
+             |         ANY_VALUE(ev.lang = 'en') AS truth
+             |       FROM sc JOIN ev ON ev.doc_id = sc.doc_id
+             |       GROUP BY sc.doc_id)
+             |SELECT CAST(least(greatest(floor(margin / 5.0), -10), 10) AS BIGINT) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             |  round(CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / COUNT(*), 4) AS frac_true
+             |FROM mg GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

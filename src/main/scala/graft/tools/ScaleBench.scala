@@ -149,7 +149,12 @@ object ScaleBench {
     "q140_cosine_topk_mplsh@probes", "q141_ring_negatives",
     // q142: the fused row-rule scans + two key anti-joins under ×10 rows
     // (rule count must never multiply corpus passes).
-    "q142_dq_audit")
+    "q142_dq_audit",
+    // q143's bigram-count + two unigram joins (the pair key space is
+    // content-disjoint across replicas — worst case for the count
+    // shuffle, same regime as q94); q144 rides q109/q124's docs×labels
+    // scoring join with labels constant.
+    "q143_pmi_collocations", "q144_nb_reliability")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

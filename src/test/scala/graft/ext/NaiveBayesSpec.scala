@@ -94,4 +94,31 @@ class NaiveBayesSpec extends SparkTestBase {
     val mid = got(1)
     assert(mid._5 == 1.0 && mid._6 == 1.0, s"separable corpus at t=0: $mid")
   }
+
+  test("reliability: separable corpus → bins ordered 0 to 1 through zero") {
+    import spark.implicits._
+    val docs = (1L to 60L).map { i =>
+      val lbl = if (i % 2 == 0) "red" else "blue"
+      val words = if (lbl == "red") "crimson scarlet ruby" else "azure navy cobalt"
+      (i, words + " common filler", lbl)
+    }.toDF("doc_id", "text", "lang")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    val got = NaiveBayes.reliability(train, eval, "lang", "red",
+        binWidth = 5.0, maxBin = 10)
+      .orderBy("bin").as[(Long, Long, Long, Double)].collect().toSeq
+    // counts partition the eval slice
+    assert(got.map(_._2).sum == eval.count())
+    // a separable corpus: every negative-margin bin is pure non-positive,
+    // every non-negative bin pure positive
+    got.foreach { case (bin, n, nTrue, frac) =>
+      if (bin < 0) assert(nTrue == 0L, s"bin $bin impure: $nTrue/$n")
+      else assert(nTrue == n, s"bin $bin impure: $nTrue/$n")
+      assert(frac == math.rint(nTrue.toDouble / n * 10000) / 10000)
+    }
+    // both sides of zero are populated (the diagram is informative)
+    assert(got.exists(_._1 < 0) && got.exists(_._1 >= 0))
+    // clamping: no bin outside ±10
+    assert(got.forall(r => r._1 >= -10L && r._1 <= 10L))
+  }
 }

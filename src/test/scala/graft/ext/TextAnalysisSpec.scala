@@ -164,6 +164,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(flat.map(_._2) == Seq(5L, 10L, 15L, 20L))
   }
 
+  test("pmiCollocations: planted collocation scores hand-computed PMI") {
+    import spark.implicits._
+    // "x y" ×4; filler docs contribute unigrams but no repeated bigram
+    val docs = ((1L to 4L).map(i => (i, "x y")) ++
+      (5L to 8L).map(i => (i, s"p$i q$i r$i s$i"))).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 2L, topK = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.size == 1)
+    val (t1, t2, cxy, cx, cy, pmi) = got.head
+    assert((t1, t2, cxy, cx, cy) == (("x", "y", 4L, 4L, 4L)))
+    // N_uni = 24, N_bi = 16 → pmi = ln(4·24·24 / (16·4·4)) = ln 9
+    assert(pmi == math.rint(math.log(9.0) * 10000) / 10000)
+    // deterministic under repartition
+    val again = TextAnalysis.pmiCollocations(docs.repartition(4),
+      minCount = 2L, topK = 10).as[(String, String, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(again == got)
+  }
+
   test("qualityDrift: identical slices → zero PSI; planted drift detected") {
     import spark.implicits._
     def doc(i: Long, n: Int) = (i, (0 until n).map(j => s"w${i}_$j").mkString(" "))
