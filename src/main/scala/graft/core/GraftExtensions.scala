@@ -91,5 +91,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.epochShufflePlan(es)))
     ext.injectTableFunction((FunctionIdentifier("kmv_overlap"), info("kmv_overlap"),
       (es: Seq[Expression]) => graft.ext.DocSql.kmvOverlapPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("repetition_profile"), info("repetition_profile"),
+      (es: Seq[Expression]) => graft.ext.DocSql.repetitionProfilePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("zipf_fit"), info("zipf_fit"),
+      (es: Seq[Expression]) => graft.ext.DocSql.zipfFitPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("quality_drift"), info("quality_drift"),
+      (es: Seq[Expression]) => graft.ext.DocSql.qualityDriftPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("ring_negatives"), info("ring_negatives"),
+      (es: Seq[Expression]) => graft.ext.DocSql.ringNegativesPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("pmi_collocations"), info("pmi_collocations"),
+      (es: Seq[Expression]) => graft.ext.DocSql.pmiCollocationsPlan(es)))
   }
 }

@@ -197,4 +197,40 @@ object DocSql {
       nComponents = intArg(es(2)))
     plan(PCA.project(emb, "vec_id", "embedding", model))
   }
+
+  /** `repetition_profile('docs')`: Gopher within-doc repetition signals —
+    * (doc_id, n_tokens, top 1-/2-gram fractions, dup 3-/5-gram
+    * fractions, repetitive flag at the default thresholds). */
+  private[graft] def repetitionProfilePlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.repetitionProfile(tableArg(es.head)))
+
+  /** `zipf_fit('docs', top_v)`: Zipf-law OLS over the top-V term
+    * frequencies — one row (n_terms, slope, intercept, r2). */
+  private[graft] def zipfFitPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.zipfFit(tableArg(es.head), topV = intArg(es(1))))
+
+  /** `quality_drift('a', 'b', buckets)`: PSI between two corpus views
+    * over quality-score bins — (bucket, n_a, n_b, psi_micro8). */
+  private[graft] def qualityDriftPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.qualityDrift(tableArg(es.head), tableArg(es(1)),
+      buckets = intArg(es(2))))
+
+  /** `ring_negatives('docs', band_tokens, k, seed)`: deterministic ring
+    * negative sampling within `band_tokens`-wide length bands —
+    * (anchor_id, neg_rank, negative_id, bucket). */
+  private[graft] def ringNegativesPlan(es: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions.expr
+    val band = intArg(es(1))
+    require(band >= 1, "band width must be positive")
+    plan(Sharding.ringNegatives(tableArg(es.head), "doc_id",
+      expr(s"CAST(size(split(text, ' ')) div $band AS BIGINT)"),
+      k = intArg(es(2)), seed = numArg(es(3)).longValue()))
+  }
+
+  /** `pmi_collocations('docs', min_count, top_k)`: adjacent-pair PMI
+    * collocations — (t1, t2, c_xy, c_x, c_y, pmi), top_k by rounded
+    * PMI. Eager top-k cut (bounded heap at analysis). */
+  private[graft] def pmiCollocationsPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.pmiCollocations(tableArg(es.head),
+      minCount = numArg(es(1)).longValue(), topK = intArg(es(2))))
 }

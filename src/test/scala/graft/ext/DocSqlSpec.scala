@@ -202,4 +202,39 @@ class DocSqlSpec extends AnyFunSuite {
       sorted(Sketches.overlapMatrix(
         Sketches.kmvRegisters(ev, "grp", col("user_id"), 16), "grp", 16)))
   }
+
+  test("round-8-tail TVFs equal their Scala counterparts") {
+    import org.apache.spark.sql.functions.{col, expr}
+    docs
+    assert(sorted(spark.sql("SELECT * FROM repetition_profile('docs')")) ==
+      sorted(TextAnalysis.repetitionProfile(docs)))
+
+    assert(sorted(spark.sql("SELECT * FROM zipf_fit('docs', 10)")) ==
+      sorted(TextAnalysis.zipfFit(docs, topV = 10)))
+
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    odd.createOrReplaceTempView("docs_odd")
+    even.createOrReplaceTempView("docs_even")
+    assert(sorted(spark.sql(
+        "SELECT * FROM quality_drift('docs_odd', 'docs_even', 10)")) ==
+      sorted(TextAnalysis.qualityDrift(odd, even, buckets = 10)))
+
+    assert(sorted(spark.sql("SELECT * FROM ring_negatives('docs', 8, 2, 7)")) ==
+      sorted(Sharding.ringNegatives(docs, "doc_id",
+        expr("CAST(size(split(text, ' ')) div 8 AS BIGINT)"), k = 2, seed = 7L)))
+
+    assert(sorted(spark.sql("SELECT * FROM pmi_collocations('docs', 2, 20)")) ==
+      sorted(TextAnalysis.pmiCollocations(docs, minCount = 2L, topK = 20)))
+
+    // composable inside a larger query: the TVF expansion optimizes with
+    // the outer filter
+    val flagged = spark.sql(
+      "SELECT doc_id FROM repetition_profile('docs') WHERE repetitive")
+      .collect().map(_.getLong(0)).toSet
+    val scalaFlagged = TextAnalysis.repetitionProfile(docs)
+      .filter(col("repetitive")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == scalaFlagged)
+  }
 }
