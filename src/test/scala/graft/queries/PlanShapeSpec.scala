@@ -508,4 +508,52 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q134: all gram sizes ride one union — a single (doc,n,gram) exchange pair") {
+    val p = plan("q134_repetition")
+    // one count shuffle keyed (doc, n, gram) + one (doc, n) reduce + the
+    // per-doc rollup + final sort: a per-gram-size plan would multiply
+    // the exchanges by 4
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 4, s"q134: expected <= 4 hash exchanges, got $exchanges\n$p")
+    assert(p.contains("Union"), "gram sizes must union before the count")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "gram counts must combine map-side")
+  }
+
+  test("q135: Morton value is scan-side arithmetic; file cut is range-partitioned rank") {
+    val p = plan("q135_zorder_layout")
+    assert(p.contains("Exchange rangepartitioning"),
+      "the ntile cut must range-repartition on (zvalue, rid)")
+    assert(!p.contains("Window ") ||
+      "Window ".r.findAllIn(p).isEmpty ||
+      p.contains("__rb"),
+      "rank windows must be bucket-partitioned, never partitionless")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q136: centroid dots are map-only — the only exchange is the k-row rollup") {
+    val p = plan("q136_cluster_quality")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"q136: expected 1 hash exchange (cell rollup), got $exchanges")
+    assert(p.contains("double_dot_product") || p.contains("DoubleDotProduct") ||
+      p.contains("UDF") == false, "dots must be the codegen'd kernel")
+  }
+
+  test("q140: multi-probe expansion stays on the broadcast query side") {
+    val p = plan("q140_cosine_topk_mplsh")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe-expanded query side must broadcast onto the corpus buckets")
+    assert(!p.contains("CartesianProduct"))
+    // corpus side explodes once per table only (no probe multiplication)
+    assert(p.contains("Generate explode"), "bucket explode must be a Generate")
+  }
+
+  test("q142: row rules fuse — one scan per audited table") {
+    val p = plan("q142_dq_audit")
+    val liScans = "Location: InMemoryFileIndex \\[file:[^\\]]*lineitem".r
+      .findAllIn(p).size
+    // lineitem appears once for the fused row rules and once for the
+    // orphan anti-join probe — never once per rule (4 rules declared)
+    assert(liScans <= 2, s"q142: lineitem scanned $liScans times\n$p")
+  }
 }
