@@ -491,17 +491,15 @@ object Sharding {
     * bit i of `x` lands at position 2i, bit i of `y` at 2i+1. Both
     * inputs are masked to the low `bits` bits — the caller buckets each
     * dimension into [0, 2^bits) first (quantile bucket, modulo, day
-    * number…). Pure 64-bit integer arithmetic inside whole-stage
-    * codegen; any engine reproduces the value bit-for-bit. */
+    * number…). The bit kernel is [[graft.core.Layout.interleaveBits]]
+    * (the write-path Z-order clustering shares it); this entry adds the
+    * masking contract and the 2-D shape [[zorderLayout]] consumes. */
   def mortonZ(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
     val mask = (1L << bits) - 1
-    val xm = x.cast("long").bitwiseAND(lit(mask))
-    val ym = y.cast("long").bitwiseAND(lit(mask))
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(xm, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftrightunsigned(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    graft.core.Layout.interleaveBits(
+      Seq(x.cast("long").bitwiseAND(lit(mask)),
+        y.cast("long").bitwiseAND(lit(mask))), bits)
   }
 
   /** Z-order data layout: assign each row to one of `nFiles` equal-size
