@@ -369,6 +369,10 @@ object ScaleBench {
     (0 until factor).map(replicaLineitem).reduce(_ unionByName _)
       .repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/lineitem.parquet")
+    // customer copies as-is: order replicas keep o_custkey, so the
+    // referential rules stay intact while the fact side grows ×FACTOR
+    spark.read.parquet(s"$srcDir/customer.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/customer.parquet")
   }
 
   def main(args: Array[String]): Unit = {
