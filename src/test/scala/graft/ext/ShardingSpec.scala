@@ -348,6 +348,36 @@ class ShardingSpec extends SparkTestBase {
     assert(other.sorted != got.sorted, "seed must change the pairing")
   }
 
+  test("property: ringNegatives equals the sequential ring reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genRows = Gen.nonEmptyListOf(Gen.choose(0L, 4L))
+      .map(_.zipWithIndex.map { case (b, i) => (i.toLong + 1, b) })
+    val prop = Prop.forAll(genRows, Gen.choose(1, 4), Gen.choose(0L, 20L)) {
+      (rows, k, seed) =>
+        val got = Sharding.ringNegatives(rows.toDF("doc_id", "b"), "doc_id",
+            col("b"), k = k, seed = seed)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        // sequential reference: same hash, same ring walk
+        val mult = (2 * seed + 1) % 1000003L
+        def h(id: Long) = (id % 1000003L) * mult % 1000003L * 2654435761L % 1000000007L
+        val ref = rows.groupBy(_._2).flatMap { case (b, members) =>
+          val ring = members.map(_._1).sortBy(id => (h(id), id))
+          val n = ring.size
+          if (n <= 1) Seq.empty
+          else ring.zipWithIndex.flatMap { case (a, p) =>
+            (1 to math.min(k, n - 1)).map(j =>
+              (a, j.toLong, ring((p + j) % n), b))
+          }
+        }.toSet
+        got == ref
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(15)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mortonZ: hand-computed interleave, masking, reference parity") {
     import spark.implicits._
     // x=3 (011), y=5 (101), 3 bits → y2 x2 y1 x1 y0 x0 = 100111 = 39

@@ -164,6 +164,45 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(flat.map(_._2) == Seq(5L, 10L, 15L, 20L))
   }
 
+  test("property: repetitionProfile equals a sequential reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // small alphabet forces real repetition; lengths cover every n-gram
+    // boundary case (0-gram docs, exactly-n docs, long docs)
+    val genDoc = for {
+      n <- Gen.choose(1, 14)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield toks.mkString(" ")
+    val genCorpus = Gen.nonEmptyListOf(genDoc)
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) })
+    def refRow(text: String): (Long, Double, Double, Double, Double) = {
+      val t = text.split(" ")
+      val n = t.length.toLong
+      def grams(k: Int) = t.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      def top(k: Int) =
+        if (n < k) 0L else grams(k).groupBy(identity).values.map(_.size).max.toLong
+      def dup(k: Int) =
+        if (n < k) 0L
+        else grams(k).groupBy(identity).values.filter(_.size >= 2).map(_.size).sum.toLong
+      def r4(x: Double) = math.rint(x * 10000) / 10000
+      (n, r4(top(1) * 1.0 / n), r4(top(2) * 2.0 / n),
+        r4(dup(3).toDouble / math.max(n - 2, 1)),
+        r4(dup(5).toDouble / math.max(n - 4, 1)))
+    }
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val got = TextAnalysis.repetitionProfile(corpus.toDF("doc_id", "text"))
+        .select("doc_id", "n_tokens", "top_unigram_frac", "top_bigram_frac",
+          "dup_3gram_frac", "dup_5gram_frac")
+        .as[(Long, Long, Double, Double, Double, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      corpus.forall { case (id, text) => got(id) == refRow(text) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pmiCollocations: planted collocation scores hand-computed PMI") {
     import spark.implicits._
     // "x y" ×4; filler docs contribute unigrams but no repeated bigram
