@@ -140,6 +140,78 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
   }
 
+  /** Maximal-marginal-relevance diversified re-rank (Carbonell &
+    * Goldstein, SIGIR'98): from each query's exact top-`nCandidates`,
+    * greedily select `k` results maximizing
+    * `λ·sim(q,c) − μ·max_{s∈selected} sim(c,s)` — relevance traded
+    * against redundancy, the standard post-processor when near-duplicate
+    * neighbors would crowd out coverage (retrieval-augmented training
+    * batches, dedup-aware search). λ and μ are SEPARATE parameters, not
+    * λ/(1−λ): `1 − 0.7` in IEEE is 0.30000000000000004 while the
+    * literal `0.3` is not — two engines can only agree when both parse
+    * the same literal.
+    *
+    * Determinism: scores round to 4 decimals BEFORE each argmax and
+    * ties break on the candidate id, so every greedy step — and
+    * therefore the whole selection — is a pure function of the vectors.
+    * Scale shape: candidates and their pairwise sims are bounded
+    * (n per query, n² pairs per query) and checkpointed once; each of
+    * the k steps is one anti-join + one bounded aggregate + one
+    * per-query window over ≤ n rows — never a corpus scan. The oracle
+    * replays ALL k greedy steps in SQL from raw vectors (the q114
+    * unrolled-iteration discipline): a full ground-truth oracle, no
+    * candidate dump needed because the exact top-n is itself SQL. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                nCandidates: Int = 20, lambda: Double = 0.7, mu: Double = 0.3,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nCandidates >= k)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{max, round, row_number}
+    val cand = topKBruteForce(corpus, queries, nCandidates, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .localCheckpoint(true) // reused by all k steps + the pair join
+    val vecs = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val pairSims = cand.select(col("query_id"), col("neighbor_id").as("cand_a"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("cand_b")),
+        Seq("query_id"))
+      .filter(col("cand_a") =!= col("cand_b"))
+      .join(vecs.select(col("__vid").as("cand_a"), col("__v").as("__va")), "cand_a")
+      .join(vecs.select(col("__vid").as("cand_b"), col("__v").as("__vb")), "cand_b")
+      .select(col("query_id"), col("cand_a"), col("cand_b"),
+        cosine_similarity(col("__va"), col("__vb")).as("sim_ab"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__score").desc, col("neighbor_id"))
+    var selected: DataFrame = null
+    for (i <- 1 to k) {
+      val scored =
+        if (selected == null)
+          cand.withColumn("__score", round(lit(lambda) * col("sim"), 4))
+        else {
+          val maxSel = pairSims
+            .join(selected.select(col("query_id"), col("neighbor_id").as("cand_b")),
+              Seq("query_id", "cand_b"))
+            .groupBy(col("query_id"), col("cand_a").as("neighbor_id"))
+            .agg(max(col("sim_ab")).as("__maxSel"))
+          cand
+            .join(selected.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_anti")
+            .join(maxSel, Seq("query_id", "neighbor_id"))
+            .withColumn("__score",
+              round(lit(lambda) * col("sim") - lit(mu) * col("__maxSel"), 4))
+        }
+      val pick = scored
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("__score").as("mmr_score"), lit(i.toLong).as("mmr_rank"))
+      selected =
+        (if (selected == null) pick else selected.unionByName(pick))
+          .localCheckpoint(true) // one-step lineage per greedy round
+    }
+    selected.select("query_id", "mmr_rank", "neighbor_id", "sim", "mmr_score")
+  }
+
   /** Multi-probe LSH top-k: [[lshMultiProbeCandidates]] + exact cosine
     * re-rank ([[rankCandidates]]). */
   def topKLshMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -3143,6 +3143,65 @@ object Extended {
              |  CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
              |  round(CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS DOUBLE)
              |        / COUNT(*), 4) AS frac_true
-             |FROM mg GROUP BY 1 ORDER BY bin""".stripMargin))
+             |FROM mg GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    ("q145_mmr_rerank",
+      (s: SparkSession, d: String) => {
+        // diversified retrieval: greedy MMR over each query's exact
+        // top-20 (λ=0.7, μ=0.3), 5 picks — relevance traded against
+        // redundancy; every greedy step rounds before its argmax, so
+        // the selection is a pure function of the vectors
+        val emb = Tables.embeddings(s, d)
+        Similarity.mmrRerank(emb, emb.filter(col("vec_id") % 50 === 0),
+            k = 5, nCandidates = 20, lambda = 0.7, mu = 0.3)
+          .orderBy("query_id", "mmr_rank")
+      },
+      // GROUND-TRUTH oracle: all 5 greedy steps unrolled in SQL from
+      // raw vectors (the q114 discipline) — candidates, pairwise sims,
+      // and every pick recomputed independently
+      Some {
+        val steps = (2 to 5).map { i =>
+          s"""p$i AS (SELECT c.query_id, c.neighbor_id, c.sim,
+             |    round(0.7 * c.sim - 0.3 * ms.m, 4) AS score,
+             |    row_number() OVER (PARTITION BY c.query_id
+             |      ORDER BY round(0.7 * c.sim - 0.3 * ms.m, 4) DESC, c.neighbor_id) AS rn
+             |  FROM cand c
+             |  JOIN (SELECT ps.query_id, ps.ca AS neighbor_id, MAX(ps.sim_ab) AS m
+             |        FROM ps JOIN sel${i - 1} s
+             |          ON s.query_id = ps.query_id AND s.neighbor_id = ps.cb
+             |        GROUP BY 1, 2) ms
+             |    ON ms.query_id = c.query_id AND ms.neighbor_id = c.neighbor_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+             |    WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)),
+             |s$i AS (SELECT query_id, neighbor_id, sim, score, $i AS mmr_rank
+             |  FROM p$i WHERE rn = 1),
+             |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id % 50 = 0),
+           |ex0 AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           |    list_cosine_similarity(e.dv, q.qv) AS sim,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY list_cosine_similarity(e.dv, q.qv) DESC, e.vec_id) AS rn
+           |  FROM v e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+           |cand AS (SELECT query_id, neighbor_id, sim FROM ex0 WHERE rn <= 20),
+           |ps AS (SELECT c1.query_id, c1.neighbor_id AS ca, c2.neighbor_id AS cb,
+           |    list_cosine_similarity(va.dv, vb.dv) AS sim_ab
+           |  FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id
+           |    AND c1.neighbor_id <> c2.neighbor_id
+           |  JOIN v va ON va.vec_id = c1.neighbor_id
+           |  JOIN v vb ON vb.vec_id = c2.neighbor_id),
+           |p1 AS (SELECT query_id, neighbor_id, sim, round(0.7 * sim, 4) AS score,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY round(0.7 * sim, 4) DESC, neighbor_id) AS rn
+           |  FROM cand),
+           |s1 AS (SELECT query_id, neighbor_id, sim, score, 1 AS mmr_rank
+           |  FROM p1 WHERE rn = 1),
+           |sel1 AS (SELECT * FROM s1),
+           |$steps
+           |SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, neighbor_id,
+           |  sim, score AS mmr_score
+           |FROM sel5 ORDER BY query_id, mmr_rank""".stripMargin
+      })
   )
 }

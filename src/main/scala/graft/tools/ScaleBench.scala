@@ -154,7 +154,10 @@ object ScaleBench {
     // content-disjoint across replicas — worst case for the count
     // shuffle, same regime as q94); q144 rides q109/q124's docs×labels
     // scoring join with labels constant.
-    "q143_pmi_collocations", "q144_nb_reliability")
+    "q143_pmi_collocations", "q144_nb_reliability",
+    // q145 at fixed probes: the greedy steps are bounded (n, n² per
+    // query) — the row measures the exact top-n candidate scan.
+    "q145_mmr_rerank@probes")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -298,6 +301,12 @@ object ScaleBench {
         graft.ext.Similarity.topKLshMultiProbe(emb, fixedProbes(emb), k = 10,
             numTables = 4, bitsPerTable = 8)
           .orderBy("query_id", "rank")
+      })
+      case "q145_mmr_rerank@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        graft.ext.Similarity.mmrRerank(emb, fixedProbes(emb), k = 5,
+            nCandidates = 20, lambda = 0.7, mu = 0.3)
+          .orderBy("query_id", "mmr_rank")
       })
       case "q129_sq_recall@probes" => Some((s, d) => {
         val emb = graft.core.Tables.embeddings(s, d)

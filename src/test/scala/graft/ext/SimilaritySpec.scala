@@ -118,6 +118,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == multi)
   }
 
+  test("mmrRerank: redundancy penalized, pure-relevance limit, deterministic") {
+    // corpus: A ≈ the query, B a near-copy of A, C orthogonal-ish.
+    // With a diversity-heavy (λ=0.3, μ=0.7) trade-off the greedy must
+    // pick A, then skip the redundant B in favor of C.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),      // A: sim 1.0
+      (2L, Array(0.98f, 0.199f)),   // B: sim ≈ 0.98, near-dup of A
+      (3L, Array(0.6f, 0.8f)))      // C: sim 0.6, far from A
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(corpus, queries, k = 3, nCandidates = 3,
+        lambda = 0.3, mu = 0.7)
+      .orderBy("mmr_rank")
+      .select("mmr_rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+      s"MMR must diversify past the near-duplicate: $got")
+    // pure-relevance limit: λ=1, μ=0 reproduces the brute-force order
+    val rel = Similarity.mmrRerank(corpus, queries, k = 3, nCandidates = 3,
+        lambda = 1.0, mu = 0.0)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(rel == Seq(1L, 2L, 3L))
+    // ranks are a permutation of distinct candidates; deterministic
+    val again = Similarity.mmrRerank(corpus.repartition(3), queries, k = 3,
+        nCandidates = 3, lambda = 0.3, mu = 0.7)
+      .orderBy("mmr_rank")
+      .select("mmr_rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
   test("topKIvf: planted cluster members recalled") {
     val corpus = planted(10, 5)
     val queries = corpus.filter(_._1 % 5 == 0)
