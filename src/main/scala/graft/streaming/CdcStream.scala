@@ -55,6 +55,11 @@ final case class QueueSource(dir: String,
   * recomputes identically. */
 final case class ExpirePolicy(lag: String, pk: Seq[String])
 
+/** A maintained equi-join view over two snapshot tables (join key must
+  * be a payload column on BOTH sides). */
+final case class JoinViewSpec(view: String, jk: String,
+                              tableA: String, tableB: String)
+
 final case class CdcStreamConfig(
     inputDir: String,
     warehouseDir: String,
@@ -89,6 +94,13 @@ final case class CdcStreamConfig(
       * applies per-group deltas through [[graft.cdc.AggMaintainer]] —
       * the CDC-native materialized view. */
     aggSpecs: Map[String, Seq[graft.cdc.AggMaintainer.AggSpec]] = Map.empty,
+    /** maintained equi-join views ([[graft.cdc.JoinMaintainer]]): both
+      * member tables must be in `snapshotKeys`, must carry no
+      * `aggSpecs`, and may appear in at most one view — a member
+      * table's per-trigger fold runs INSIDE the maintainer (its
+      * pre-fold read needs the OLD join keys, so the fold cannot have
+      * happened yet); all other tables fold as before. */
+    joinViews: Seq[JoinViewSpec] = Seq.empty,
     /** partition versioned tables by event-time date (`_dt`) so
       * asOf/changesBetween prune directories (Versioned.asOfPruned). */
     partitionByDate: Boolean = false,
@@ -126,6 +138,18 @@ object CdcStream {
     kafkaFrame.selectExpr("CAST(value AS STRING) AS value")
 
   def start(spark: SparkSession, cfg: CdcStreamConfig): StreamingQuery = {
+    {
+      val members = cfg.joinViews.flatMap(v => Seq(v.tableA, v.tableB))
+      require(members.distinct.size == members.size,
+        "a table may appear in at most one maintained join view")
+      members.foreach { t =>
+        require(cfg.snapshotKeys.contains(t),
+          s"join-view table '$t' needs a snapshotKeys entry")
+        require(!cfg.aggSpecs.get(t).exists(_.nonEmpty),
+          s"join-view table '$t' cannot also carry aggSpecs (the view " +
+            "maintainer owns its fold)")
+      }
+    }
     val lines = cfg.source.getOrElse(FileSource(cfg.inputDir)) match {
       case FileSource(dir) =>
         spark.readStream
@@ -205,7 +229,10 @@ object CdcStream {
         val df = batch.toDF()
         Ingest.appendBatch(df, registry, cfg.warehouseDir, batchId,
           partitionByDate = cfg.partitionByDate)
-        cfg.snapshotKeys.foreach { case (table, pk) =>
+        val joinTables = cfg.joinViews
+          .flatMap(v => Seq(v.tableA, v.tableB)).toSet
+        cfg.snapshotKeys.filterNot(kv => joinTables(kv._1))
+          .foreach { case (table, pk) =>
           registry.get(table).foreach { spec =>
             // fold from the COLUMNAR rows appendBatch just wrote (the
             // same projection) — re-projecting `df` here would re-scan
@@ -240,6 +267,24 @@ object CdcStream {
                 s"[graft-cdc] no rows for '$table' in batch $batchId — fold skipped")
             }
           }
+        }
+        cfg.joinViews.foreach { v =>
+          val sess = df.sparkSession
+          def sideOf(table: String): graft.cdc.JoinMaintainer.Side = {
+            val pk = cfg.snapshotKeys(table)
+            val b = registry.get(table).flatMap { spec =>
+              val dir = s"${cfg.warehouseDir}/${spec.physicalName}/batch=$batchId"
+              val p = new org.apache.hadoop.fs.Path(dir)
+              val fs = p.getFileSystem(sess.sparkContext.hadoopConfiguration)
+              if (fs.exists(p))
+                Some(sess.read.parquet(dir).drop(graft.cdc.Envelope.DtCol))
+              else None
+            }
+            graft.cdc.JoinMaintainer.Side(table, pk, b)
+          }
+          graft.cdc.JoinMaintainer.foldAndMaintain(sess, cfg.warehouseDir,
+            v.view, v.jk, sideOf(v.tableA), sideOf(v.tableB),
+            snapshotBuckets = cfg.snapshotBuckets)
         }
         if (cfg.compactEveryNBatches > 0 && batchId > 0 &&
             batchId % cfg.compactEveryNBatches == 0) {

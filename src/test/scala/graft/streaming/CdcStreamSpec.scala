@@ -114,6 +114,70 @@ class CdcStreamSpec extends SparkTestBase {
     assert(maintained.map(_._1) == Set(null))
   }
 
+  test("maintained join view: per-trigger delta joins == join over final snapshots") {
+    val (in, wh, ck) = freshDirs()
+    val reg = graft.cdc.Registry.fromJson(
+      """{
+        |  "orders": {
+        |    "table_name": "warehouse.orders_cdc",
+        |    "schema": { "fields": [
+        |      {"name": "order_id", "type": "INT64"},
+        |      {"name": "cust", "type": "INT64"},
+        |      {"name": "amount", "type": "FLOAT"},
+        |      {"name": "action", "type": "STRING"},
+        |      {"name": "update_date", "type": "TIMESTAMP"}
+        |    ]}
+        |  },
+        |  "customers": {
+        |    "table_name": "warehouse.customers_cdc",
+        |    "schema": { "fields": [
+        |      {"name": "cust_id", "type": "INT64"},
+        |      {"name": "cust", "type": "INT64"},
+        |      {"name": "name", "type": "STRING"},
+        |      {"name": "action", "type": "STRING"},
+        |      {"name": "update_date", "type": "TIMESTAMP"}
+        |    ]}
+        |  }
+        |}""".stripMargin)
+    val cfg = CdcStreamConfig(in, wh, ck, reg,
+      snapshotKeys = Map("orders" -> Seq("order_id"),
+        "customers" -> Seq("cust_id")),
+      joinViews = Seq(JoinViewSpec("ord_cust", "cust", "orders", "customers")))
+    def env(obj: String, ts: String, ct: String, payload: String) =
+      Fixtures.envelope(obj, ts, ct, payload)
+    // trigger 1: two orders for cust 1, one customer
+    Fixtures.writeLines(in, "log-000.jsonl", Seq(
+      env("orders", "2026-01-01T10:00:00.000Z", "insert",
+        """{"order_id":1,"cust":1,"amount":5.0}"""),
+      env("orders", "2026-01-01T10:00:00.000Z", "insert",
+        """{"order_id":2,"cust":1,"amount":7.0}"""),
+      env("customers", "2026-01-01T10:00:00.000Z", "insert",
+        """{"cust_id":10,"cust":1,"name":"alice"}""")), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    def view() = graft.cdc.JoinMaintainer.read(spark, wh, "ord_cust")
+      .select("cust", "a_order_id", "b_name")
+      .as[(Long, Long, String)].collect().toSet
+    assert(view() == Set((1L, 1L, "alice"), (1L, 2L, "alice")))
+    // trigger 2: order 2 moves to cust 2 (new customer), order 1 deleted
+    Fixtures.writeLines(in, "log-001.jsonl", Seq(
+      env("customers", "2026-01-01T11:00:00.000Z", "insert",
+        """{"cust_id":20,"cust":2,"name":"bob"}"""),
+      env("orders", "2026-01-01T11:00:00.000Z", "update",
+        """{"order_id":2,"cust":2,"amount":7.5}"""),
+      env("orders", "2026-01-01T11:00:00.000Z", "delete",
+        """{"order_id":1}""")), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    assert(view() == Set((2L, 2L, "bob")),
+      "jk-moving update and delete must leave no stale join rows")
+    // the maintained view equals the from-scratch join of the snapshots
+    val oracle = graft.cdc.JoinMaintainer.rebuild(spark, wh, "ord_cust", "cust",
+        graft.cdc.JoinMaintainer.Side("orders", Seq("order_id"), None),
+        graft.cdc.JoinMaintainer.Side("customers", Seq("cust_id"), None))
+      .select("cust", "a_order_id", "b_name")
+      .as[(Long, Long, String)].collect().toSet
+    assert(view() == oracle)
+  }
+
   test("stream-static enrichment sees snapshot state as of EACH trigger") {
     val wh = tmpDir("enrich-wh")
     val in = tmpDir("enrich-in")
