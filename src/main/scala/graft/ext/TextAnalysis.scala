@@ -493,19 +493,34 @@ object TextAnalysis {
     * (`round(x·1e8)` of identical doubles), so the per-bin rows — and
     * any total a consumer sums from them — are engine-exact. */
   def qualityDrift(a: DataFrame, b: DataFrame, textCol: String = "text",
-                   buckets: Int = 10): DataFrame = {
+                   buckets: Int = 10): DataFrame =
+    psiBins(qualityBucketCounts(a, textCol, buckets),
+      qualityBucketCounts(b, textCol, buckets), buckets)
+
+  /** Sparse per-bin quality-score counts — the per-slice half of
+    * [[qualityDrift]], exposed so a STREAMING monitor can accumulate a
+    * reference incrementally ([[graft.streaming.DriftStream]]) instead
+    * of rescanning history every trigger. */
+  def qualityBucketCounts(df: DataFrame, textCol: String = "text",
+                          buckets: Int = 10): DataFrame =
+    withQuality(df, textCol)
+      .select(least(floor(col("quality_score") * buckets), lit(buckets - 1))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** PSI bins from two sparse count frames (`(bucket, n)` each): the
+    * grid-completion + Laplace smoothing + contribution arithmetic of
+    * [[qualityDrift]], shared with the streaming monitor. */
+  def psiBins(countsA: DataFrame, countsB: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2)
-    def counted(df: DataFrame, out: String) =
-      withQuality(df, textCol)
-        .select(least(floor(col("quality_score") * buckets), lit(buckets - 1))
-          .cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(out))
-    val spark = a.sparkSession
+    val spark = countsA.sparkSession
     import spark.implicits._
     val grid = (0L until buckets.toLong).toDF("bucket")
     val joined = grid
-      .join(counted(a, "__na"), Seq("bucket"), "left")
-      .join(counted(b, "__nb"), Seq("bucket"), "left")
+      .join(countsA.select(col("bucket"), col("n").as("__na")),
+        Seq("bucket"), "left")
+      .join(countsB.select(col("bucket"), col("n").as("__nb")),
+        Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("__na"), lit(0L)).as("n_a"),
         coalesce(col("__nb"), lit(0L)).as("n_b"))
