@@ -914,6 +914,68 @@ object Dedup {
         round(col("n_found").cast("double") / col("n_exact"), 4))
   }
 
+  /** Asymmetric containment near-dup pairs: (small, big) document pairs
+    * where the smaller distinct-shingle set is mostly inside the bigger
+    * one — |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) ≥ `threshold`. Symmetric
+    * Jaccard dedup ([[minhashNearDupPairs]]) is blind to exactly these:
+    * a page quoted whole inside a 10× larger aggregator page has high
+    * containment but tiny Jaccard, yet it is the same training text
+    * twice. This is the "LSH Ensemble" problem statement (Zhu et al.,
+    * VLDB'16) computed exactly.
+    *
+    * Exact containment rides the shingle INVERTED INDEX (the q137
+    * formulation): the shared-shingle count per pair is one self-join +
+    * hash agg on the (id, shingle) frame — no pair-level array re-join,
+    * no distinct() pass. Shingles are 64-bit hashes ([[hashedShingles]]):
+    * set-equivalent whp, never materializing n-gram strings.
+    *
+    * Scale shape: the index join's cost is Σ_s len(s)² over posting
+    * lists. `maxPostingLen` (0 = off) drops shingles shared by more docs
+    * than the cap — at corpus scale those are boilerplate (a footer in
+    * 10⁶ docs contributes 10¹² candidate pairs and no containment
+    * evidence worth that cost); dropped shingles can only LOWER measured
+    * containment of pairs that share them, the same one-sided recall
+    * caveat as [[nearDupPairs]]'s hot-bucket cap. At 100 TB the cap is
+    * mandatory; the sf-scale oracle runs uncapped.
+    *
+    * Output: (id_small, id_big, sz_small, sz_big, containment), where
+    * the SMALLER set (ties → smaller id) is the contained side.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.9, shingleSize: Int = 3,
+                       maxPostingLen: Long = 0L): DataFrame = {
+    val sh0 = docs.select(col(idCol).as("id"),
+      explode(array_distinct(hashedShingles(col(textCol), shingleSize))).as("s"))
+    val sh =
+      if (maxPostingLen <= 0L) sh0
+      else {
+        val hot = sh0.groupBy("s").agg(count(lit(1)).as("__len"))
+          .filter(col("__len") > maxPostingLen).select("s")
+        sh0.join(hot, Seq("s"), "left_anti")
+      }
+    // sizes come from the UNCUT frame: the cap prunes candidate
+    // generation, not the denominator a surviving pair is judged by
+    val sizes = sh0.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"), "s")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col("id").as("ida"), col("sz").as("__sza")), "ida")
+      .join(sizes.select(col("id").as("idb"), col("sz").as("__szb")), "idb")
+      // ida < idb, so on equal sizes the lexicographic min keeps ida —
+      // the documented tie rule
+      .withColumn("__small", least(struct(col("__sza").as("sz"), col("ida").as("id")),
+        struct(col("__szb").as("sz"), col("idb").as("id"))))
+      .withColumn("__big", greatest(struct(col("__sza").as("sz"), col("ida").as("id")),
+        struct(col("__szb").as("sz"), col("idb").as("id"))))
+      .select(col("__small.id").as("id_small"), col("__big.id").as("id_big"),
+        col("__small.sz").as("sz_small"), col("__big.sz").as("sz_big"),
+        (col("__inter").cast("double") /
+          least(col("__sza"), col("__szb"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Substring-level duplication signal: k-token spans occurring in at
     * least `minDocs` distinct documents, with occurrence accounting and
     * a deterministic first-occurrence anchor. Exact repeated substrings

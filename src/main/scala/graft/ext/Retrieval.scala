@@ -73,6 +73,52 @@ object Retrieval {
         col("t.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    * several per-query ranked lists into one hybrid ranking — the
+    * standard way a retrieval stack combines its sparse (BM25) and
+    * dense (embedding ANN) channels without score calibration: only
+    * RANKS enter the fused score, so the channels' incomparable score
+    * scales never meet.
+    *
+    * fused(q, d) = Σ_{lists containing d}  ⌊10¹² / (c + rank)⌋
+    *
+    * The per-rank contribution is an exact integer (floor division of
+    * int64s — no floating point anywhere), so the fused score is
+    * engine-identical regardless of summation order; ties break on
+    * doc_id asc.
+    *
+    * Scale shape: the inputs are ALREADY bounded — O(queries × k') rows
+    * per channel — so fusion costs one union + one hash agg + the
+    * bounded top-k heap over frames that are tiny relative to the
+    * corpus no matter the corpus size. The expensive work (scoring 100
+    * TB of documents) stays inside the channels, which each use their
+    * own scale path (posting-list broadcast for BM25, ANN index for
+    * dense); fusion adds no corpus-sized shuffle.
+    *
+    * Each input must carry (query_id: Long, doc_id: Long, rank: Long
+    * starting at 1). `k` is the fused list depth.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contrib = lists
+      .map(_.select(col("query_id"), col("doc_id"),
+        expr(s"CAST(1000000000000 AS BIGINT) div (CAST($c AS BIGINT) + rank)")
+          .as("contrib")))
+      .reduce(_.unionByName(_))
+    contrib
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("rrf_units"))
+      // bounded heap (score desc, id asc) — rrf_units < 2·10¹² per
+      // channel, far inside double's 2^53 exact-integer range
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.top_k(k)(col("doc_id"),
+        col("rrf_units").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").cast("long").as("rrf_units"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** The derived query set [[graft.queries.Extended]]'s q105 retrieves
     * with: every `every`-th document contributes its distinct
     * first-`width` tokens as one term-set query (query_id = doc_id).

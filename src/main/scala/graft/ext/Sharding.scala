@@ -185,6 +185,51 @@ object Sharding {
     finally ranged.unpersist(false)
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * IPL'06 — the "A-ES" exponential-race formulation): per stratum,
+    * keep the k documents with the smallest e = −ln(u)/w, where u is a
+    * deterministic per-id uniform and w the document's weight. The
+    * kept set is a true weight-proportional sample, yet a pure
+    * function of (ids, weights, seed) — rerunning the pipeline, or
+    * running it on another engine, re-deals the SAME sample, which is
+    * what makes a sampled training mix auditable.
+    *
+    * u comes from the same public Knuth multiplicative residue as
+    * [[epochShuffle]] (no RNG state, no engine-specific hash);
+    * e quantizes to round(e·10¹²) int64 units BEFORE the selection
+    * (the q105 rounded-ln discipline: a 1-ulp ln() divergence between
+    * engines cannot flip a rank), ties break on id asc.
+    *
+    * Scale shape: the hash and key are map-only; selection is the
+    * bounded top-k heap per stratum (partial heaps combine map-side,
+    * the shuffle moves O(strata × k) rows) — never a per-stratum sort
+    * of the corpus. Weights must be positive.
+    */
+  def weightedSample(docs: DataFrame, strataCol: String, weightCol: String,
+                     k: Int, idCol: String, seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(seed >= 0 && seed <= 2000000000L,
+      "seed must be in [0, 2e9] (64-bit overflow guard)")
+    val h = pmod((pmod(col(idCol), lit(1000003L)) + lit(seed)) * 2654435761L,
+      lit(1000000007L))
+    val u = (h + lit(1L)).cast("double") / lit(1000000008.0) // u ∈ (0, 1]
+    val keyed = docs
+      .filter(col(weightCol) > 0)
+      .select(col(strataCol).as("stratum"), col(idCol).as("id"),
+        round(-log(u) / col(weightCol).cast("double") * 1e12).cast("long")
+          .as("e_units"))
+    keyed
+      // smallest-k = largest-k on the negated key; heap ties (equal
+      // score) break on id asc, the oracle's (e_units, id) order
+      .groupBy("stratum")
+      .agg(graft.functions.TopK.top_k(k)(col("id"),
+        -col("e_units").cast("double")).as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("stratum"), col("t.id").as("id"),
+        (-col("t.score")).cast("long").as("e_units"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Deterministic [0, 100) bucket from an integral id: Knuth
     * multiplicative hashing over a prime residue. Plain 64-bit-safe
     * arithmetic (no engine-specific hash function), so any SQL engine

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, explode, lit, posexplode, sqrt, transform, when}
+import org.apache.spark.sql.functions.{array, array_sort, broadcast, coalesce, col, collect_list, count, explode, expr, floor, least, lit, posexplode, row_number, sqrt, struct, sum, transform, when}
 
 import graft.functions.TopK
 import graft.functions.VectorFunctions._
@@ -622,6 +622,66 @@ object Similarity {
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("rep_id"))
       .withColumn("kept", col("rep_id") === col(idCol))
+  }
+
+  /** Prototypicality-based density pruning (the "keep the hard
+    * examples" data-pruning rule of Sorscher et al., NeurIPS'22
+    * "Beyond neural scaling laws", applied with SemDeDup's k-means
+    * cells, Abbas et al. '23): within each semantic cell, rank members
+    * by cosine similarity to the cell CENTROID and drop the
+    * `dropPct`-percent most prototypical — of a cell of near-redundant
+    * web pages, the ones closest to the cell mean carry the least
+    * marginal information, so they go first when a 100 TB corpus must
+    * shrink to a token budget. Every cell keeps at least one member.
+    *
+    * Exactness: per-dim centroid sums are floor-microunit INTEGERS
+    * (partitioning-independent — the q136 discipline); the centroid is
+    * one exact division per dim; member→centroid cosine composes from
+    * three sequential double dots; ranking happens on
+    * floor(sim·10⁶) with id tie-breaks, so the kept set is a pure
+    * function of (vectors, cells, dropPct) that any engine reproduces.
+    *
+    * Scale shape: the melt is O(n·dim) map-side-combinable partial
+    * sums; centroids are O(cells·dim) rows; scoring is one equi-join
+    * on cell + map-only dot arithmetic; the rank window partitions by
+    * cell (cells are occupancy-bounded by construction —
+    * [[semanticCells]] sizes k = n/targetCellSize). Nothing global.
+    *
+    * `cells` must be the (id, cell) assignment the corpus was
+    * partitioned with ([[semanticCells]] — dump it for the oracle).
+    */
+  def densityPrune(corpus: DataFrame, cells: DataFrame, dropPct: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"):
+      DataFrame = {
+    require(dropPct >= 0 && dropPct < 100, "dropPct must be in [0, 100)")
+    val m = corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("__dv"))
+      .join(cells.select(col("id"), col("cell")), "id")
+    val sums = m
+      .select(col("cell"), posexplode(col("__dv")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(sum(floor(col("x") * 1e6).cast("long")).as("sm"))
+    val cnt = m.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    val cents = sums.join(cnt, "cell")
+      .groupBy("cell", "n_cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("sm")))).as("__ds"))
+      .select(col("cell"), col("n_cell"),
+        transform(col("__ds"), s => s("sm").cast("double") / col("n_cell")).as("__cv"))
+    val num = double_dot_product(col("__dv"), col("__cv"))
+    val na = double_dot_product(col("__dv"), col("__dv"))
+    val nb = double_dot_product(col("__cv"), col("__cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("proto_micro").desc, col("id"))
+    m.join(cents, "cell")
+      .withColumn("proto_micro",
+        floor(when(na === 0.0 || nb === 0.0, lit(0.0))
+          .otherwise(num / (sqrt(na) * sqrt(nb))) * 1e6).cast("long"))
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      // ceil(n·pct/100) in pure int64 arithmetic; never empty a cell
+      .withColumn("__ndrop",
+        least(expr(s"(n_cell * $dropPct + 99) div 100"), col("n_cell") - 1))
+      .select(col("id"), col("cell"), col("n_cell"), col("proto_micro"),
+        col("proto_rank"), (col("proto_rank") > col("__ndrop")).as("kept"))
   }
 
   /** Plain-Scala exact top-k oracle for tests (drives nothing at scale). */

@@ -3202,6 +3202,180 @@ object Extended {
            |SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, neighbor_id,
            |  sim, score AS mmr_score
            |FROM sel5 ORDER BY query_id, mmr_rank""".stripMargin
-      })
+      }),
+
+    ("q146_rrf_fusion",
+      (s: SparkSession, d: String) => {
+        // hybrid retrieval: the sparse channel (BM25 over text) and the
+        // dense channel (exact cosine over embeddings) each produce a
+        // per-query top-20, fused by reciprocal-rank into one top-10 —
+        // rank-only fusion, so the channels' incomparable score scales
+        // never meet. Fusion inputs are O(queries × 20) rows: the
+        // corpus-sized work stays inside each channel's own scale path.
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val lex = Retrieval.bm25TopK(docs,
+            Retrieval.probeQueries(docs, every = 50, width = 8), k = 20)
+          .select("query_id", "doc_id", "rank")
+        val den = Similarity.topKBruteForce(emb,
+            emb.filter(col("vec_id") % 50 === 0), k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(lex, den), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      // full recomputation oracle: both channels re-derived in SQL
+      // (q105's BM25 algebra at every=50/k=20; q29's cosine kernel at
+      // k=20), fused with the same integer floor-division contribution
+      // 10^12 // (60 + rank) — no floating point anywhere in the fusion
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+             |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+             |q AS (SELECT DISTINCT doc_id AS query_id,
+             |        unnest(list_distinct(list_slice(toks, 1, 8))) AS term
+             |      FROM t WHERE doc_id % 50 = 0),
+             |sc AS (SELECT q.query_id, tf.doc_id,
+             |         round(SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |           * (tf.tf * (1.2 + 1.0) /
+             |              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))), 4) AS score
+             |       FROM q JOIN tf USING (term) JOIN df USING (term)
+             |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+             |       GROUP BY 1, 2),
+             |lex AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |        FROM sc WHERE query_id <> doc_id QUALIFY rank <= 20),
+             |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |       FROM embeddings WHERE vec_id % 50 = 0),
+             |den0 AS (SELECT q.query_id, e.vec_id AS doc_id,
+             |           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+             |         FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.query_id),
+             |den AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+             |          ORDER BY sim DESC, doc_id) AS rank
+             |        FROM den0 QUALIFY rank <= 20),
+             |u AS (SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS contrib FROM lex
+             |      UNION ALL
+             |      SELECT query_id, doc_id, 1000000000000 // (60 + rank) FROM den),
+             |f AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_units
+             |      FROM u GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY rrf_units DESC, doc_id) AS rank FROM f)
+             |SELECT query_id, doc_id, rrf_units, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    ("q147_containment",
+      (s: SparkSession, d: String) => {
+        // asymmetric containment dedup: the smaller shingle set ≥60%
+        // inside the bigger one — the quoted-whole / aggregator-page
+        // duplication Jaccard dedup is blind to. Exact counts off the
+        // shingle inverted index (one self-join + hash agg); uncapped
+        // here (the oracle's exact regime) — maxPostingLen caps the
+        // boilerplate-shingle blowup at corpus scale.
+        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+            threshold = 0.6, shingleSize = 3)
+          .orderBy("id_small", "id_big")
+      },
+      // GROUND-TRUTH oracle: all-pairs exact 3-shingle containment with
+      // the same smaller-set orientation (size, then id, lexicographic).
+      // Shingle semantics mirror Dedup.shingles (q26's contract): space
+      // split, word 3-grams, short docs collapse to one whole-text
+      // shingle; the engine's 64-bit hashed shingles are set-equivalent
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |  unnest(list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END)) AS s FROM tok),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+             |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |j AS (SELECT i.ida, i.idb, i.inter, sa.sz AS sza, sb.sz AS szb
+             |      FROM inter i JOIN sz sa ON sa.doc_id = i.ida
+             |      JOIN sz sb ON sb.doc_id = i.idb),
+             |o AS (SELECT CASE WHEN sza <= szb THEN ida ELSE idb END AS id_small,
+             |             CASE WHEN sza <= szb THEN idb ELSE ida END AS id_big,
+             |             least(sza, szb) AS sz_small, greatest(sza, szb) AS sz_big,
+             |             CAST(inter AS DOUBLE) / least(sza, szb) AS containment
+             |      FROM j)
+             |SELECT id_small, id_big, sz_small, sz_big, containment
+             |FROM o WHERE containment >= 0.6
+             |ORDER BY id_small, id_big""".stripMargin)),
+
+    ("q148_density_prune",
+      (s: SparkSession, d: String) => {
+        // prototypicality pruning over q104's semantic cells: within
+        // each cell, the 20% of members closest to the cell centroid
+        // drop first (Sorscher et al.'s keep-the-hard-examples rule) —
+        // the shrink-to-token-budget step after semantic dedup. Exact
+        // integer centroid sums + sequential double dots + floor-micro
+        // ranking make the kept set engine-reproducible.
+        Similarity.densityPrune(Tables.embeddings(s, d), q104Cells(s, d),
+            dropPct = 20)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id")
+      },
+      // the oracle recomputes everything from the dumped cells + raw
+      // vectors: floor-microunit per-dim sums, one exact division per
+      // centroid dim, the same three-dot cosine, the same int64
+      // ceil-division drop count
+      Some(s"""WITH c AS (SELECT id, cell
+             |  FROM read_parquet('$OracleAuxDir/q104_cells/*.parquet')),
+             |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+             |m AS (SELECT c.cell, v.id, v.dv FROM c JOIN v USING (id)),
+             |melt AS (SELECT cell, id, unnest(dv) AS x,
+             |         unnest(range(1, len(dv) + 1)) AS dim FROM m),
+             |sums AS (SELECT cell, dim, SUM(CAST(floor(x * 1e6) AS BIGINT)) AS sm
+             |         FROM melt GROUP BY 1, 2),
+             |cnt AS (SELECT cell, COUNT(*) AS n_cell FROM m GROUP BY 1),
+             |cent AS (SELECT s.cell, n.n_cell,
+             |           list(CAST(s.sm AS DOUBLE) / n.n_cell ORDER BY s.dim) AS cv
+             |         FROM sums s JOIN cnt n USING (cell) GROUP BY 1, 2),
+             |sc AS (SELECT m.id, m.cell, ce.n_cell,
+             |         CASE WHEN list_inner_product(m.dv, m.dv) = 0
+             |                OR list_inner_product(ce.cv, ce.cv) = 0 THEN 0.0
+             |              ELSE list_inner_product(m.dv, ce.cv) /
+             |                   (sqrt(list_inner_product(m.dv, m.dv)) *
+             |                    sqrt(list_inner_product(ce.cv, ce.cv))) END AS sim
+             |       FROM m JOIN cent ce USING (cell)),
+             |r AS (SELECT id, cell, n_cell,
+             |        CAST(floor(sim * 1e6) AS BIGINT) AS proto_micro,
+             |        row_number() OVER (PARTITION BY cell
+             |          ORDER BY CAST(floor(sim * 1e6) AS BIGINT) DESC, id) AS proto_rank
+             |      FROM sc)
+             |SELECT id AS vec_id, cell, CAST(n_cell AS BIGINT) AS n_cell, proto_micro,
+             |  CAST(proto_rank AS BIGINT) AS proto_rank,
+             |  proto_rank > least((n_cell * 20 + 99) // 100, n_cell - 1) AS kept
+             |FROM r ORDER BY vec_id""".stripMargin)),
+
+    ("q149_weighted_sample",
+      (s: SparkSession, d: String) => {
+        // weighted sampling without replacement (Efraimidis-Spirakis
+        // exponential race): per language, 25 docs weighted by length —
+        // deterministic (Knuth-residue uniform + rounded-ln key), so
+        // the sampled training mix re-deals identically on any engine.
+        // Selection is the bounded per-stratum heap: O(strata × k)
+        // shuffle, never a per-stratum sort of the corpus.
+        Sharding.weightedSample(Tables.documents(s, d), "lang", "n_chars",
+            k = 25, idCol = "doc_id", seed = 42L)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("stratum", "rank")
+      },
+      // full recomputation: same residue hash, same u, same rounded
+      // exponential key, same (e_units, id) order
+      Some("""WITH h AS (SELECT lang AS stratum, doc_id,
+             |    ((doc_id % 1000003) + 42) * 2654435761 % 1000000007 AS hv
+             |  FROM documents WHERE n_chars > 0),
+             |k AS (SELECT h.stratum, h.doc_id,
+             |    CAST(round(-ln((hv + 1) / 1000000008.0) /
+             |         CAST(d.n_chars AS DOUBLE) * 1e12) AS BIGINT) AS e_units
+             |  FROM h JOIN documents d USING (doc_id)),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY stratum
+             |        ORDER BY e_units, doc_id) AS rank FROM k)
+             |SELECT stratum, doc_id, e_units, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 25
+             |ORDER BY stratum, rank""".stripMargin))
   )
 }

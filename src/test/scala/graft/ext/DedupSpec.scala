@@ -547,4 +547,95 @@ class DedupSpec extends SparkTestBase {
       .orderBy("j_decile").as[(Long, Long, Long, Double)].collect().toSeq
     assert(again == got)
   }
+
+  test("containmentPairs: quoted-whole doc has containment 1.0, small/big oriented") {
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    // doc 2 = doc 1's text embedded whole in a 3x larger page: Jaccard
+    // is low (~1/3) but containment of 1's shingles in 2 is 1.0 — the
+    // asymmetric case symmetric dedup misses
+    val small = words(1, 10)
+    val corpus = Seq(
+      (1L, small),
+      (2L, small + " " + words(9, 20)),
+      (3L, words(5, 15))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L))) // small id first
+    assert(got.head._5 == 1.0)
+    assert(got.head._3 == 8L)  // 10 tokens -> 8 distinct 3-shingles
+    assert(got.head._4 == 28L) // 30 tokens -> 28
+    // sanity: the same pair is NOT a Jaccard near-dup at 0.5
+    val jac = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    assert(jac.count() == 0L)
+  }
+
+  test("containmentPairs: equal sizes tie-break on id; threshold filters") {
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    // identical docs: containment 1.0 both ways, orientation = id asc
+    val corpus = Seq(
+      (7L, words(1, 12)), (4L, words(1, 12)),
+      (9L, words(2, 12))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((4L, 7L)))
+    // a high threshold drops partial overlaps entirely
+    val partial = Seq(
+      (1L, words(1, 10) + " " + words(2, 10)),
+      (2L, words(1, 10) + " " + words(3, 30))).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(partial, "doc_id", "text", threshold = 0.99)
+      .count() == 0L)
+  }
+
+  test("containmentPairs: matches a plain-Scala all-pairs reference") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val docs = (0L until 30L).map { id =>
+      val n = 5 + rnd.nextInt(20)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.split(" ").toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val ref = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      inter = (sa & sb).size
+      c = inter.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.5
+    } yield {
+      val (small, big) = if (sa.size <= sb.size) ((sa.size, ia), (sb.size, ib))
+                         else ((sb.size, ib), (sa.size, ia))
+      (small._2, big._2, small._1.toLong, big._1.toLong, c)
+    }).sortBy(p => (p._1, p._2))
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy("id_small", "id_big")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == ref)
+  }
+
+  test("containmentPairs: maxPostingLen cap is recall-only (never adds or inflates)") {
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val boiler = "shared footer text common to all pages here now"
+    val corpus = ((1L to 10L).map(i => (i, words(i.toInt, 15) + " " + boiler)) :+
+      (20L, words(1, 15) + " " + boiler)).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._5).toMap
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.3,
+        maxPostingLen = 5L)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._5).toMap
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, c) => assert(c <= uncapped(k) + 1e-12) }
+    // the genuinely-contained pair (1, 20) survives the cap: its overlap
+    // evidence is its own rare shingles, not the hot boilerplate
+    assert(capped.contains((1L, 20L)))
+  }
 }

@@ -58,4 +58,36 @@ class RetrievalSpec extends SparkTestBase {
       .as[(Long, Long, Double, Long)].collect().toSeq
     assert(got.map(_._2) == Seq(1L)) // only the x-posting doc scores
   }
+
+  private def rrfContrib(rank: Long, c: Long = 60L): Long =
+    1000000000000L / (c + rank)
+
+  test("rrfFuse: hand-computed integer fusion, both-list docs outrank single-list") {
+    // doc 5 is rank 2 in BOTH lists; doc 1 is rank 1 in one list only.
+    // RRF: 2/(60+2) units > 1/(60+1) units — presence in both channels wins.
+    val lex = Seq((10L, 1L, 1L), (10L, 5L, 2L)).toDF("query_id", "doc_id", "rank")
+    val den = Seq((10L, 7L, 1L), (10L, 5L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, den), k = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    val exp = Seq(
+      (10L, 5L, 2 * rrfContrib(2), 1L),   // in both lists
+      (10L, 1L, rrfContrib(1), 2L),       // single list, rank 1; tie vs doc 7
+      (10L, 7L, rrfContrib(1), 3L))       //   broken by doc_id asc
+    assert(got == exp)
+  }
+
+  test("rrfFuse: k truncation and per-query independence") {
+    val l1 = Seq((1L, 100L, 1L), (1L, 101L, 2L), (2L, 200L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(l1), k = 1)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got == Seq((1L, 100L, rrfContrib(1), 1L), (2L, 200L, rrfContrib(1), 1L)))
+  }
+
+  test("rrfFuse: fused score is exact-integer (floor division), no float drift") {
+    // 10^12 / 61 = 16393442622.95… -> floor 16393442622
+    val l = Seq((1L, 9L, 1L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(l), k = 5).as[(Long, Long, Long, Long)].collect()
+    assert(got.head._3 == 16393442622L)
+  }
 }

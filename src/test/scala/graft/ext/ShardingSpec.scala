@@ -429,4 +429,54 @@ class ShardingSpec extends SparkTestBase {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(again == first)
   }
+
+  private def aesKey(id: Long, w: Long, seed: Long): Long = {
+    val h = ((id % 1000003L) + seed) * 2654435761L % 1000000007L
+    val u = (h + 1).toDouble / 1000000008.0
+    BigDecimal(-math.log(u) / w * 1e12)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  test("weightedSample: matches the plain-Scala A-ES reference, k per stratum") {
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 200L).map { id =>
+      (id, if (id % 2 == 0) "en" else "de", 1L + rnd.nextInt(5000))
+    }
+    val ref = docs.groupBy(_._2).flatMap { case (lang, rows) =>
+      rows.map { case (id, _, w) => (id, aesKey(id, w, 42L)) }
+        .sortBy { case (id, e) => (e, id) }.take(10).zipWithIndex
+        .map { case ((id, e), i) => (lang, id, e, (i + 1).toLong) }
+    }.toSeq.sortBy(r => (r._1, r._4))
+    val got = Sharding.weightedSample(
+        docs.toDF("doc_id", "lang", "n_chars").repartition(5),
+        "lang", "n_chars", k = 10, idCol = "doc_id", seed = 42L)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got == ref)
+  }
+
+  test("weightedSample: deterministic per seed; heavier docs win the race in aggregate") {
+    val docs = (0L until 400L).map { id =>
+      // first half heavy (w=5000), second half light (w=50)
+      (id, "all", if (id < 200) 5000L else 50L)
+    }.toDF("doc_id", "lang", "n_chars")
+    val a = Sharding.weightedSample(docs, "lang", "n_chars", k = 50,
+      idCol = "doc_id", seed = 7L).as[(String, Long, Long, Long)].collect().toSeq
+    val b = Sharding.weightedSample(docs, "lang", "n_chars", k = 50,
+      idCol = "doc_id", seed = 7L).as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b, "same seed re-deals the same sample")
+    val heavy = a.count(_._2 < 200)
+    assert(heavy >= 40, s"100x weight must dominate the 50-sample: got $heavy heavy")
+    val other = Sharding.weightedSample(docs, "lang", "n_chars", k = 50,
+      idCol = "doc_id", seed = 8L).as[(String, Long, Long, Long)].collect().toSeq
+    assert(other.map(_._2).toSet != a.map(_._2).toSet,
+      "a different seed re-deals a different sample")
+  }
+
+  test("weightedSample: zero/negative weights are excluded, never crash the key") {
+    val docs = Seq((1L, "en", 100L), (2L, "en", 0L), (3L, "en", -5L), (4L, "en", 1L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Sharding.weightedSample(docs, "lang", "n_chars", k = 10,
+      idCol = "doc_id", seed = 1L).as[(String, Long, Long, Long)].collect()
+    assert(got.map(_._2).toSet == Set(1L, 4L))
+  }
 }

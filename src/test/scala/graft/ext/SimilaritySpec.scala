@@ -444,4 +444,73 @@ class SimilaritySpec extends SparkTestBase {
       assert(row._3 == 0.90 + i * 0.001, "the deduped row must carry max(sim)")
     }
   }
+
+  test("densityPrune: most-prototypical drop first, every cell keeps >= 1") {
+    // cell 0: three vectors along +x with a stray; the one closest to the
+    // cell MEAN is the most prototypical and must drop at dropPct=34
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)),
+      (10L, Array(0.5f, 0.5f)), (11L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val cells = Seq((1L, 0L), (2L, 0L), (3L, 0L), (10L, 1L), (11L, 1L))
+      .toDF("id", "cell")
+    val got = Similarity.densityPrune(vecs, cells, dropPct = 34)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // cell 0: n=3, ndrop = ceil(3*0.34) = 2 -> only rank 3 kept
+    val cell0 = Seq(1L, 2L, 3L).map(got)
+    assert(cell0.count(_._6) == 1)
+    assert(got(3)._6, "the stray (least prototypical) survives")
+    // cell 1: identical vectors -> proto tie, rank by id; n=2, ndrop=1
+    assert(!got(10)._6 && got(11)._6, "tie drops the smaller id first")
+    // dropPct=90 with n=2 can never empty the cell
+    val extreme = Similarity.densityPrune(vecs, cells, dropPct = 90)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(Seq(0L, 1L).forall(c => extreme.count(r => r._2 == c && r._6) >= 1))
+  }
+
+  test("densityPrune: matches a plain-Scala reference and ignores partitioning") {
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    val vecs = (0L until 60L).map { id =>
+      (id, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val cells = vecs.map { case (id, _) => (id, id % 4) }
+    // reference: floor-micro integer sums -> exact centroid -> sequential
+    // double dots -> floor-micro rank (the operator's documented algebra)
+    val byCell = cells.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val vmap = vecs.toMap
+    val ref = byCell.flatMap { case (cell, ids) =>
+      val n = ids.size
+      val sums = Array.fill(dim)(0L)
+      ids.foreach { id =>
+        val v = vmap(id)
+        (0 until dim).foreach(j => sums(j) += math.floor(v(j).toDouble * 1e6).toLong)
+      }
+      val cent = sums.map(_.toDouble / n)
+      def dot(a: Array[Double], b: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += a(i) * b(i); i += 1 }; s
+      }
+      val scored = ids.map { id =>
+        val dv = vmap(id).map(_.toDouble)
+        val (num, na, nb) = (dot(dv, cent), dot(dv, dv), dot(cent, cent))
+        val sim = if (na == 0.0 || nb == 0.0) 0.0 else num / (math.sqrt(na) * math.sqrt(nb))
+        (id, math.floor(sim * 1e6).toLong)
+      }.sortBy { case (id, pm) => (-pm, id) }
+      val ndrop = math.min((n * 25 + 99) / 100, n - 1)
+      scored.zipWithIndex.map { case ((id, pm), i) =>
+        (id, cell, n.toLong, pm, (i + 1).toLong, i + 1 > ndrop)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.densityPrune(
+        vecs.toDF("vec_id", "embedding").repartition(7),
+        cells.toDF("id", "cell"), dropPct = 25)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == ref)
+    val again = Similarity.densityPrune(vecs.toDF("vec_id", "embedding").repartition(3),
+        cells.toDF("id", "cell").repartition(2), dropPct = 25)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(again == ref, "exact integer sums make the result partition-independent")
+  }
 }
