@@ -101,5 +101,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.ringNegativesPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("pmi_collocations"), info("pmi_collocations"),
       (es: Seq[Expression]) => graft.ext.DocSql.pmiCollocationsPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("rrf_fuse"), info("rrf_fuse"),
+      (es: Seq[Expression]) => graft.ext.DocSql.rrfFusePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("containment_pairs"), info("containment_pairs"),
+      (es: Seq[Expression]) => graft.ext.DocSql.containmentPairsPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("density_prune"), info("density_prune"),
+      (es: Seq[Expression]) => graft.ext.DocSql.densityPrunePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("weighted_sample"), info("weighted_sample"),
+      (es: Seq[Expression]) => graft.ext.DocSql.weightedSamplePlan(es)))
   }
 }

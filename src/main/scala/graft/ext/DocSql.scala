@@ -233,4 +233,33 @@ object DocSql {
   private[graft] def pmiCollocationsPlan(es: Seq[Expression]): LogicalPlan =
     plan(TextAnalysis.pmiCollocations(tableArg(es.head),
       minCount = numArg(es(1)).longValue(), topK = intArg(es(2))))
+
+  /** `rrf_fuse('lex', 'den', k)`: reciprocal-rank fusion of two ranked
+    * views `(query_id, doc_id, rank)` — (query_id, doc_id, rrf_units,
+    * rank). Integer contributions; rank-only, so channel score scales
+    * never meet. */
+  private[graft] def rrfFusePlan(es: Seq[Expression]): LogicalPlan =
+    plan(Retrieval.rrfFuse(Seq(tableArg(es.head), tableArg(es(1))),
+      k = intArg(es(2))))
+
+  /** `containment_pairs('docs', threshold)`: asymmetric shingle
+    * containment — (id_small, id_big, sz_small, sz_big, containment). */
+  private[graft] def containmentPairsPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.containmentPairs(tableArg(es.head), "doc_id", "text",
+      threshold = dblArg(es(1))))
+
+  /** `density_prune('emb', 'cells', drop_pct)`: prototypicality pruning
+    * over semantic cells — (id, cell, n_cell, proto_micro, proto_rank,
+    * kept); the cells view is (id, cell). */
+  private[graft] def densityPrunePlan(es: Seq[Expression]): LogicalPlan =
+    plan(Similarity.densityPrune(tableArg(es.head), tableArg(es(1)),
+      dropPct = intArg(es(2))))
+
+  /** `weighted_sample('docs', 'stratum_col', 'weight_col', k, seed)`:
+    * deterministic Efraimidis-Spirakis sampling without replacement —
+    * (stratum, id, e_units, rank). */
+  private[graft] def weightedSamplePlan(es: Seq[Expression]): LogicalPlan =
+    plan(Sharding.weightedSample(tableArg(es.head), strArg(es(1)),
+      strArg(es(2)), k = intArg(es(3)), idCol = "doc_id",
+      seed = numArg(es(4)).longValue()))
 }

@@ -157,7 +157,18 @@ object ScaleBench {
     "q143_pmi_collocations", "q144_nb_reliability",
     // q145 at fixed probes: the greedy steps are bounded (n, n² per
     // query) — the row measures the exact top-n candidate scan.
-    "q145_mmr_rerank@probes")
+    "q145_mmr_rerank@probes",
+    // q146 at ~fixed query count (retrieval workload is a property of
+    // the queries, not the corpus): the row measures the two channel
+    // scans; the fusion itself is O(queries × k) regardless of corpus.
+    // q147 as shipped: the inverted-index self-join under ×10 docs —
+    // content-disjoint replicas keep postings short, so pair work must
+    // stay ∝ rows (the uncapped regime the oracle pins). q148 as
+    // shipped: cells re-fit at n/256 occupancy, so the per-cell window
+    // depth is constant while cell count ×10. q149 as shipped: map-side
+    // key + bounded per-stratum heaps — the flattest shape in the suite.
+    "q146_rrf_fusion@probes", "q147_containment", "q148_density_prune",
+    "q149_weighted_sample")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -307,6 +318,22 @@ object ScaleBench {
         graft.ext.Similarity.mmrRerank(emb, fixedProbes(emb), k = 5,
             nCandidates = 20, lambda = 0.7, mu = 0.3)
           .orderBy("query_id", "mmr_rank")
+      })
+      case "q146_rrf_fusion@probes" => Some((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        val emb = graft.core.Tables.embeddings(s, d)
+        // ~50 queries at any corpus size, ids aligned across channels
+        // (doc_id ≡ vec_id ≡ 0 mod every)
+        val every = math.max(1L, docs.count() / 50L)
+        val lex = graft.ext.Retrieval.bm25TopK(docs,
+            graft.ext.Retrieval.probeQueries(docs, every = every.toInt,
+              width = 8), k = 20)
+          .select("query_id", "doc_id", "rank")
+        val den = graft.ext.Similarity.topKBruteForce(emb,
+            emb.filter(pmod(col("vec_id"), lit(every)) === 0), k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        graft.ext.Retrieval.rrfFuse(Seq(lex, den), k = 10)
+          .orderBy("query_id", "rank")
       })
       case "q129_sq_recall@probes" => Some((s, d) => {
         val emb = graft.core.Tables.embeddings(s, d)

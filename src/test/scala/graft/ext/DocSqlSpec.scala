@@ -237,4 +237,39 @@ class DocSqlSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(flagged == scalaFlagged)
   }
+
+  test("fusion/containment/pruning/sampling TVFs equal their Scala counterparts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs
+
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val den = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    lex.createOrReplaceTempView("lex_list")
+    den.createOrReplaceTempView("den_list")
+    assert(sorted(spark.sql("SELECT * FROM rrf_fuse('lex_list', 'den_list', 5)")) ==
+      sorted(Retrieval.rrfFuse(Seq(lex, den), k = 5)))
+
+    assert(sorted(spark.sql("SELECT * FROM containment_pairs('docs', 0.9)")) ==
+      sorted(Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)))
+
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cells = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "cell")
+    emb.createOrReplaceTempView("emb_v")
+    cells.createOrReplaceTempView("cells_v")
+    assert(sorted(spark.sql("SELECT * FROM density_prune('emb_v', 'cells_v', 50)")) ==
+      sorted(Similarity.densityPrune(emb, cells, dropPct = 50)))
+
+    val weighted = docs.withColumn("n_chars",
+      org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    weighted.createOrReplaceTempView("docs_w")
+    assert(sorted(spark.sql(
+        "SELECT * FROM weighted_sample('docs_w', 'lang', 'n_chars', 2, 42)")) ==
+      sorted(Sharding.weightedSample(weighted, "lang", "n_chars", k = 2,
+        idCol = "doc_id", seed = 42L)))
+  }
 }

@@ -556,4 +556,41 @@ class PlanShapeSpec extends SparkTestBase {
     // orphan anti-join probe — never once per rule (4 rules declared)
     assert(liScans <= 2, s"q142: lineitem scanned $liScans times\n$p")
   }
+
+  test("q146: fusion is heap-selected over bounded inputs — no window, no cartesian") {
+    val p = plan("q146_rrf_fusion")
+    // the fused top-k rides the bounded ObjectHashAggregate heap; a
+    // Window here would re-sort the fused frame per query
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window "), "fusion must not rank via a window sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q147: containment rides the inverted-index equi-join, never nested-loop") {
+    val p = plan("q147_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must never compare all pairs directly\n$p")
+    // shared-shingle counts partial-aggregate map-side
+    assert(p.contains("partial_count"))
+  }
+
+  test("q148: prune windows partition by cell; centroid melt partial-aggregates") {
+    val p = plan("q148_density_prune")
+    // every window must carry the cell partition key — a partitionless
+    // window would pull the corpus through one task
+    val winSpecs = "Window \\[[^\\]]*partitionBy=\\[\\]".r.findAllIn(p).size
+    assert(winSpecs == 0, s"q148 has a partitionless window\n$p")
+    assert(p.contains("windowspecdefinition(cell"),
+      "the proto rank must partition by cell")
+    assert(p.contains("partial_sum"), "centroid sums must combine map-side")
+  }
+
+  test("q149: weighted sampling is map-side heaps — no window, no global sort") {
+    val p = plan("q149_weighted_sample")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window "), "per-stratum selection must be the bounded heap")
+    // the only sort is the final presentation ORDER BY
+    val sorts = "Sort \\[".r.findAllIn(p).size
+    assert(sorts <= 1, s"q149: unexpected extra sorts\n$p")
+  }
 }
