@@ -206,18 +206,33 @@ object Sharding {
     * of the corpus. Weights must be positive.
     */
   def weightedSample(docs: DataFrame, strataCol: String, weightCol: String,
-                     k: Int, idCol: String, seed: Long = 42L): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+                     k: Int, idCol: String, seed: Long = 42L): DataFrame =
+    aesSelect(aesKeyed(docs, strataCol, weightCol, idCol, seed), k)
+
+  /** The (stratum, id, e_units) exponential-race key frame behind
+    * [[weightedSample]] — split out because the key is a pure per-row
+    * function of (id, weight, seed), which is what lets a STREAMING
+    * reservoir fold batches incrementally ([[graft.streaming.SampleStream]]):
+    * min-k over deterministic keys is associative. */
+  private[graft] def aesKeyed(docs: DataFrame, strataCol: String,
+                              weightCol: String, idCol: String,
+                              seed: Long): DataFrame = {
     require(seed >= 0 && seed <= 2000000000L,
       "seed must be in [0, 2e9] (64-bit overflow guard)")
     val h = pmod((pmod(col(idCol), lit(1000003L)) + lit(seed)) * 2654435761L,
       lit(1000000007L))
     val u = (h + lit(1L)).cast("double") / lit(1000000008.0) // u ∈ (0, 1]
-    val keyed = docs
+    docs
       .filter(col(weightCol) > 0)
       .select(col(strataCol).as("stratum"), col(idCol).as("id"),
         round(-log(u) / col(weightCol).cast("double") * 1e12).cast("long")
           .as("e_units"))
+  }
+
+  /** Per-stratum smallest-k over an (stratum, id, e_units) key frame —
+    * the bounded-heap selection stage of [[weightedSample]]. */
+  private[graft] def aesSelect(keyed: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
     keyed
       // smallest-k = largest-k on the negated key; heap ties (equal
       // score) break on id asc, the oracle's (e_units, id) order

@@ -67,7 +67,22 @@ object CuratePipeline {
     *    ([[TextAnalysis.repetitionProfile]] default thresholds) right
     *    after the quality/language gates — template/boilerplate pages
     *    drop before the (more expensive) span dedup ever tokenizes
-    *    them. */
+    *    them.
+    *
+    * Late round-8 optional stages:
+    *  - `containmentThreshold`: asymmetric containment dedup
+    *    ([[Dedup.containmentPairs]]) after the symmetric near-dup pass —
+    *    a doc whose shingle set is ≥ the threshold contained in a
+    *    BIGGER surviving doc drops (its text already lives there);
+    *    Jaccard dedup cannot see these pairs. Posting lists cap at 10⁵
+    *    (recall-only, the boilerplate-shingle guard);
+    *  - `weightedSampleK` (mutually exclusive with `temperatureTarget`):
+    *    replaces the flat per-source cap with weight-proportional
+    *    sampling — per source, keep `k` docs sampled ∝ quality score
+    *    ([[Sharding.weightedSample]], seeded, deterministic re-deal):
+    *    the cap keeps the BEST-hash docs, this keeps a quality-tilted
+    *    random sample, the standard shrink when a source must downsize
+    *    without collapsing to only its top-scored pages. */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
@@ -79,7 +94,12 @@ object CuratePipeline {
           seqLen: Option[Long] = None,
           maxDirtyFrac: Option[Double] = None,
           epochSeed: Option[Long] = None,
-          dropRepetitive: Boolean = false): DataFrame = {
+          dropRepetitive: Boolean = false,
+          containmentThreshold: Option[Double] = None,
+          weightedSampleK: Option[Int] = None,
+          sampleSeed: Long = 42L): DataFrame = {
+    require(temperatureTarget.isEmpty || weightedSampleK.isEmpty,
+      "temperatureTarget and weightedSampleK both replace the per-source cap — pick one")
     val labeled = nbLangTrain match {
       case Some(train) =>
         val pred = NaiveBayes.trainScore(train, docs, "lang")
@@ -104,13 +124,24 @@ object CuratePipeline {
           .withColumnRenamed("text_clean", "text")
       case None => curated
     }
+    val contained = containmentThreshold match {
+      case Some(t) =>
+        // drop the SMALLER (contained) side only: the bigger page keeps
+        // the text once; chained containments resolve conservatively
+        // (a doc drops if contained in ANY bigger survivor)
+        val drops = Dedup.containmentPairs(spanned, "doc_id", "text",
+            threshold = t, maxPostingLen = 100000L)
+          .select(col("id_small").as("doc_id")).distinct()
+        spanned.join(drops, Seq("doc_id"), "left_anti")
+      case None => spanned
+    }
     val clean = benchmarks match {
       case Some(b) =>
         val flags =
           if (bloomDecontaminate)
-            Dedup.decontaminateBloom(spanned, b, "doc_id", "text")
-          else Dedup.decontaminate(spanned, b, "doc_id", "text")
-        val pairClean = spanned.join(flags.select(col("doc_id")).distinct(),
+            Dedup.decontaminateBloom(contained, b, "doc_id", "text")
+          else Dedup.decontaminate(contained, b, "doc_id", "text")
+        val pairClean = contained.join(flags.select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         maxDirtyFrac match {
           case Some(t) =>
@@ -119,11 +150,16 @@ object CuratePipeline {
             pairClean.join(dirty, Seq("doc_id"), "left_anti")
           case None => pairClean
         }
-      case None => spanned
+      case None => contained
     }
-    val capped = temperatureTarget match {
-      case Some(t) => Sharding.temperatureMix(clean, "source", "doc_id", t)
-      case None => Sharding.capPerGroup(clean, "source", "doc_id", perSourceCap)
+    val capped = (temperatureTarget, weightedSampleK) match {
+      case (Some(t), _) => Sharding.temperatureMix(clean, "source", "doc_id", t)
+      case (None, Some(k)) =>
+        val picks = Sharding.weightedSample(clean, "source", "quality_score",
+            k, idCol = "doc_id", seed = sampleSeed)
+          .select(col("id").as("doc_id"))
+        clean.join(picks, Seq("doc_id"), "left_semi")
+      case _ => Sharding.capPerGroup(clean, "source", "doc_id", perSourceCap)
     }
     val split = Sharding.assignSplit(capped, "doc_id")
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))

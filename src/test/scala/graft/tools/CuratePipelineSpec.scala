@@ -209,4 +209,52 @@ class CuratePipelineSpec extends SparkTestBase {
     assert(withGate.intersect(flagged).isEmpty,
       s"repetitive docs survived: ${withGate.intersect(flagged).take(5)}")
   }
+
+  test("containment stage drops the quoted-whole doc; weighted sampling replaces the cap") {
+    // doc B embeds doc A's entire text in a 3x larger page: Jaccard is
+    // ~1/3 (survives the symmetric LSH dedup at 0.5) but containment of
+    // A in B is 1.0 — only the containment stage can catch it. Real
+    // corpus words keep both docs through the quality/lang gates.
+    val innerText = ("the quick brown fox jumps over the lazy dog while " +
+      "many other animals watch the scene with great interest today")
+    // 3x the inner length: Jaccard ≈ 1/3 stays below the 0.5 symmetric
+    // dedup threshold while containment of inner in outer is 1.0
+    val outer = innerText + " " + ("meanwhile the weather stays warm and " +
+      "people walk along the river bank talking about the news quietly " +
+      "as evening comes the market closes and vendors pack their stalls " +
+      "before heading home through narrow streets filled with soft light")
+    val planted = Seq(
+      (9100001L, innerText, "en", "srcq", innerText.length.toLong),
+      (9100002L, outer, "en", "srcq", outer.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Tables.documents(spark, sf).unionByName(planted)
+    def ids(t: Option[Double]) = CuratePipeline.run(spark, docs,
+        minQuality = 0.3, langs = Seq("en", "de", "es", "fr", "und"),
+        tokenBudget = 2000, perSourceCap = 1000000,
+        containmentThreshold = t)
+      .select("doc_id").as[Long].collect().toSet
+    val without = ids(None)
+    assert(without.contains(9100001L) && without.contains(9100002L),
+      "both planted docs must survive the symmetric pipeline")
+    val gated = ids(Some(0.9))
+    assert(!gated.contains(9100001L), "the contained (smaller) doc must drop")
+    assert(gated.contains(9100002L), "the containing (bigger) doc must stay")
+
+    // weighted sampling: exactly k docs per source, deterministic re-deal
+    val base = Tables.documents(spark, sf)
+    def sampled() = CuratePipeline.run(spark, base,
+        minQuality = 0.0, langs = Seq("en", "de", "es", "fr", "und"),
+        tokenBudget = 2000, perSourceCap = 1000000,
+        weightedSampleK = Some(3), sampleSeed = 7L)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val s1 = sampled()
+    val perSource = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perSource.values.forall(_ <= 3), s"per-source k violated: $perSource")
+    assert(sampled() == s1, "the seeded sample must re-deal identically")
+    // mutually exclusive with temperature mixing
+    intercept[IllegalArgumentException] {
+      CuratePipeline.run(spark, base, 0.3, Seq("en"), 2000, 10,
+        temperatureTarget = Some(100L), weightedSampleK = Some(3))
+    }
+  }
 }
