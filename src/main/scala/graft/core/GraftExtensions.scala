@@ -109,5 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.densityPrunePlan(es)))
     ext.injectTableFunction((FunctionIdentifier("weighted_sample"), info("weighted_sample"),
       (es: Seq[Expression]) => graft.ext.DocSql.weightedSamplePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("weighted_jaccard"), info("weighted_jaccard"),
+      (es: Seq[Expression]) => graft.ext.DocSql.weightedJaccardPlan(es)))
   }
 }

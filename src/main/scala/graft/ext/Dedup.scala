@@ -976,6 +976,61 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** IDF-weighted Jaccard near-dup pairs: like [[minhashNearDupPairs]]'
+    * exact verify but every shingle counts with weight ln(N/df) — the
+    * weighted-set similarity of Broder's weighted resemblance / Ioffe's
+    * ICWS (ICDM'10) setting, restricted to the idf weighting a text
+    * pipeline actually uses. Two docs sharing rare shingles score far
+    * above two docs sharing boilerplate: unweighted Jaccard counts a
+    * shared legal footer and a shared unique paragraph equally, which
+    * both inflates false near-dups on template-heavy crawls and dilutes
+    * true ones.
+    *
+    *   wJ(a, b) = Σ_{s ∈ a∩b} idf(s) / Σ_{s ∈ a∪b} idf(s),
+    *   idf quantized to round(ln(N/df)·10⁶) int64 units BEFORE any sum
+    *   (the q105 rounded-ln discipline) — so every numerator and
+    *   denominator is an exact integer and the one double division per
+    *   pair is engine-identical.
+    *
+    * Computation rides the shingle inverted index exactly like
+    * [[containmentPairs]]: the df frame IS the posting-length frame, so
+    * idf weighting is free once the index exists; per-pair shared
+    * weight is one self-join + hash agg, per-doc weight sums are one
+    * hash agg, the union weight derives by inclusion-exclusion — no
+    * pair-level array work. `maxPostingLen` (0 = off) drops hot
+    * postings at corpus scale (recall-only; idf already down-weights
+    * exactly those shingles, so the cap costs even less here than in
+    * the unweighted op).
+    */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5, shingleSize: Int = 3,
+                           maxPostingLen: Long = 0L): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(hashedShingles(col(textCol), shingleSize))).as("s"))
+    val n = docs.select(col(idCol)).count()
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    val idf = dfreq.withColumn("__w",
+      round(log(lit(n.toDouble) / col("__df")) * 1e6).cast("long"))
+    val weighted0 = sh.join(idf, "s")
+    val weighted =
+      if (maxPostingLen <= 0L) weighted0
+      else weighted0.filter(col("__df") <= maxPostingLen)
+    // per-doc total weight from the UNCUT index (the judged denominator)
+    val sums = sh.join(idf, "s").groupBy("id").agg(sum(col("__w")).as("sw"))
+    val shared = weighted.as("a")
+      .join(weighted.as("b"), Seq("s"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(sum(col("a.__w")).as("__shared"))
+    shared
+      .join(sums.select(col("id").as("id1"), col("sw").as("__sw1")), "id1")
+      .join(sums.select(col("id").as("id2"), col("sw").as("__sw2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("__shared").cast("double") /
+          (col("__sw1") + col("__sw2") - col("__shared"))).as("wjaccard"))
+      .filter(col("wjaccard") >= threshold)
+  }
+
   /** Substring-level duplication signal: k-token spans occurring in at
     * least `minDocs` distinct documents, with occurrence accounting and
     * a deterministic first-occurrence anchor. Exact repeated substrings

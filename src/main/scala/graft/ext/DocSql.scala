@@ -255,6 +255,13 @@ object DocSql {
     plan(Similarity.densityPrune(tableArg(es.head), tableArg(es(1)),
       dropPct = intArg(es(2))))
 
+  /** `weighted_jaccard('docs', threshold)`: idf-weighted near-dup
+    * pairs — (id1, id2, wjaccard); rare shared shingles dominate,
+    * boilerplate barely counts. */
+  private[graft] def weightedJaccardPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.weightedJaccardPairs(tableArg(es.head), "doc_id", "text",
+      threshold = dblArg(es(1))))
+
   /** `weighted_sample('docs', 'stratum_col', 'weight_col', k, seed)`:
     * deterministic Efraimidis-Spirakis sampling without replacement —
     * (stratum, id, e_units, rank). */

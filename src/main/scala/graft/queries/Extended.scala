@@ -3376,6 +3376,40 @@ object Extended {
              |        ORDER BY e_units, doc_id) AS rank FROM k)
              |SELECT stratum, doc_id, e_units, CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 25
-             |ORDER BY stratum, rank""".stripMargin))
+             |ORDER BY stratum, rank""".stripMargin)),
+
+    ("q150_weighted_jaccard",
+      (s: SparkSession, d: String) => {
+        // idf-weighted near-dup pairs: shared rare shingles dominate,
+        // shared boilerplate barely counts — the weighted-set dedup
+        // template crawls need. Exact integer idf units off the same
+        // inverted index as q147; one double division per pair.
+        Dedup.weightedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+            threshold = 0.5, shingleSize = 3)
+          .orderBy("id1", "id2")
+      },
+      // GROUND-TRUTH oracle: all-pairs weighted Jaccard from string
+      // shingles with the identical round(ln(N/df)*1e6) quantization
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |  unnest(list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |  ELSE list_transform(range(1, len(toks) - 1),
+             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             |  END)) AS s FROM tok),
+             |nn AS (SELECT COUNT(*) AS n FROM documents),
+             |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+             |idf AS (SELECT s,
+             |    CAST(round(ln(CAST((SELECT n FROM nn) AS DOUBLE) / df) * 1e6) AS BIGINT) AS w
+             |  FROM dfq),
+             |sw AS (SELECT doc_id, SUM(w) AS sw FROM sh JOIN idf USING (s) GROUP BY 1),
+             |shared AS (SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(i.w) AS sh_w
+             |           FROM sh a JOIN sh b USING (s) JOIN idf i USING (s)
+             |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+             |j AS (SELECT sd.id1, sd.id2,
+             |        CAST(sd.sh_w AS DOUBLE) / (wa.sw + wb.sw - sd.sh_w) AS wjaccard
+             |      FROM shared sd JOIN sw wa ON wa.doc_id = sd.id1
+             |      JOIN sw wb ON wb.doc_id = sd.id2)
+             |SELECT id1, id2, wjaccard FROM j WHERE wjaccard >= 0.5
+             |ORDER BY id1, id2""".stripMargin))
   )
 }

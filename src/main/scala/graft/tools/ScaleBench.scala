@@ -168,7 +168,11 @@ object ScaleBench {
     // depth is constant while cell count ×10. q149 as shipped: map-side
     // key + bounded per-stratum heaps — the flattest shape in the suite.
     "q146_rrf_fusion@probes", "q147_containment", "q148_density_prune",
-    "q149_weighted_sample")
+    "q149_weighted_sample",
+    // q150 as shipped: q147's index join + the idf join-back — the df
+    // frame grows with the ×10 content-disjoint vocabulary, the worst
+    // case for the weight join.
+    "q150_weighted_jaccard")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

@@ -638,4 +638,63 @@ class DedupSpec extends SparkTestBase {
     // evidence is its own rare shingles, not the hot boilerplate
     assert(capped.contains((1L, 20L)))
   }
+
+  test("weightedJaccardPairs: boilerplate overlap scores low, rare overlap high") {
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    // every doc carries the same 12-token footer; docs 1/2 additionally
+    // share a unique 12-token paragraph. Unweighted Jaccard rates the
+    // (1,2) pair and any footer-only pair similarly; idf weighting must
+    // separate them.
+    val footer = "contact us terms of service privacy policy all rights reserved inc"
+    val para = words(77, 12)
+    val corpus = (Seq(
+      (1L, para + " " + words(1, 6) + " " + footer),
+      (2L, para + " " + words(2, 6) + " " + footer)) ++
+      (10L to 29L).map(i => (i, words(i.toInt, 12) + " " + footer)))
+      .toDF("doc_id", "text")
+    val w = Dedup.weightedJaccardPairs(corpus, "doc_id", "text", threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val target = w((1L, 2L))
+    val footerOnly = w.filter { case ((a, b), _) => (a, b) != ((1L, 2L)) }
+    assert(footerOnly.nonEmpty, "footer-sharing pairs must appear at threshold 0")
+    assert(footerOnly.values.forall(_ < target / 2),
+      s"boilerplate pairs must score far below the rare-overlap pair: " +
+        s"target=$target, worst=${footerOnly.values.max}")
+    // a threshold between the two regimes keeps exactly the meaningful pair
+    val strict = Dedup.weightedJaccardPairs(corpus, "doc_id", "text",
+        threshold = target / 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(strict.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+  }
+
+  test("weightedJaccardPairs: matches a plain-Scala reference on a random corpus") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 30).map(i => s"t$i")
+    val docs = (0L until 25L).map { id =>
+      val n = 5 + rnd.nextInt(15)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.split(" ").toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val n = docs.size
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    def idf(s: String): Long =
+      BigDecimal(math.log(n.toDouble / df(s)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ref = (for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq if ia < ib
+      shared = (sa & sb).toSeq.map(idf).sum if shared > 0 || (sa & sb).nonEmpty
+      wj = shared.toDouble / (sa.toSeq.map(idf).sum + sb.toSeq.map(idf).sum - shared)
+      if wj >= 0.1
+    } yield (ia, ib, wj)).sortBy(p => (p._1, p._2))
+    val got = Dedup.weightedJaccardPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.1)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(got == ref)
+  }
 }

@@ -253,6 +253,9 @@ class DocSqlSpec extends AnyFunSuite {
     assert(sorted(spark.sql("SELECT * FROM containment_pairs('docs', 0.9)")) ==
       sorted(Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)))
 
+    assert(sorted(spark.sql("SELECT * FROM weighted_jaccard('docs', 0.3)")) ==
+      sorted(Dedup.weightedJaccardPairs(docs, "doc_id", "text", threshold = 0.3)))
+
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
       (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))

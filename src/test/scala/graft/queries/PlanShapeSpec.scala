@@ -585,6 +585,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), "centroid sums must combine map-side")
   }
 
+  test("q150: weighted Jaccard rides the same inverted index — no nested-loop, no window") {
+    val p = plan("q150_weighted_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"weighted Jaccard must never compare all pairs directly\n$p")
+    assert(p.contains("partial_sum"), "per-pair shared weight must combine map-side")
+    assert(!p.contains("Window "), "no per-pair or per-doc window anywhere")
+  }
+
   test("q149: weighted sampling is map-side heaps — no window, no global sort") {
     val p = plan("q149_weighted_sample")
     assert(p.contains("ObjectHashAggregate"))
