@@ -111,5 +111,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.weightedSamplePlan(es)))
     ext.injectTableFunction((FunctionIdentifier("weighted_jaccard"), info("weighted_jaccard"),
       (es: Seq[Expression]) => graft.ext.DocSql.weightedJaccardPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("leakage_split"), info("leakage_split"),
+      (es: Seq[Expression]) => graft.ext.DocSql.leakageSplitPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("sorted_neighborhood"), info("sorted_neighborhood"),
+      (es: Seq[Expression]) => graft.ext.DocSql.sortedNeighborhoodPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("winsorize"), info("winsorize"),
+      (es: Seq[Expression]) => graft.ext.DocSql.winsorizePlan(es)))
   }
 }

@@ -1148,4 +1148,77 @@ object Dedup {
             struct(col("idx"), col("tile"))))),
           s => s.getField("tile")), " ").as("text_clean"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95): sort
+    * the corpus by a cheap blocking key, compare each document only
+    * against the `window` documents that FOLLOW it in the sort, verify
+    * survivors with exact shingle Jaccard. The classic entity-resolution
+    * complement to LSH banding: candidate generation is O(n·window)
+    * with zero hashing and zero false-negative risk for near-dups whose
+    * blocking keys sort adjacently (template families share language
+    * and near-identical length), at the price of missing pairs the key
+    * scatters — blocking recall is a property of the KEY, not the
+    * algorithm, so production stacks run both and union the pair lists.
+    *
+    * Scale shape: the global sort rank is the distributed staged rank
+    * (range-repartition on the key, per-bucket row counts collected to
+    * the driver — ≤ #buckets rows — then per-bucket `row_number` plus
+    * the bucket's exclusive offset: [[Sharding.ntileExact]]'s machinery,
+    * never a partitionless window). Candidates come from a map-only
+    * explode of each row into its `window` successor ranks and ONE
+    * integer equi-join — at most `window` × n candidate rows, each
+    * carrying the two hashed-shingle arrays straight into the codegen'd
+    * intersect/union verify (the same per-pair cost as the LSH verify
+    * stage). The total order (`blockCols`, id) is engine-reproducible,
+    * so the candidate set — and therefore the verified output — is too.
+    *
+    * Output: (id1, id2, jaccard), id1 < id2, jaccard ≥ threshold. */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
+                              blockCols: Seq[Column], window: Int,
+                              threshold: Double, shingleSize: Int = 3,
+                              numBuckets: Int = 0): DataFrame = {
+    require(window >= 1, "neighborhood window must be positive")
+    val keyed = docs.select(
+      (col(idCol).cast("long").as("__id") +:
+        array_distinct(hashedShingles(col(textCol), shingleSize)).as("__sh") +:
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }).toIndexedSeq: _*)
+    val ks = blockCols.indices.map(i => col(s"__k$i"))
+    val sortCols = (ks :+ col("__id")).toIndexedSeq
+    val ranged = (if (numBuckets > 0) keyed.repartitionByRange(numBuckets, sortCols: _*)
+                  else keyed.repartitionByRange(sortCols: _*))
+      .withColumn("__rb", spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy("__rb").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) {
+      ranged.unpersist(false)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id1"), lit(0L).as("id2"), lit(0.0).as("jaccard"))
+        .limit(0)
+    }
+    val ids = counts.keys.toArray.sorted
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsets = ids.zip(ids.scanLeft(0L)((acc, b) => acc + counts(b)))
+      .toSeq.toDF("__rb", "__off")
+    val w = Window.partitionBy("__rb").orderBy(sortCols: _*)
+    val r = ranged
+      .join(broadcast(offsets), "__rb")
+      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+      .select(col("__id"), col("__sh"), col("__rn"))
+      .localCheckpoint(true) // both join sides + releases `ranged`
+    ranged.unpersist(false)
+    // each row probes its `window` successors: map-only explode + one
+    // integer equi-join — the ONLY corpus-sized shuffle after the sort
+    val probes = r.select(col("__id").as("ida"), col("__sh").as("sa"),
+        explode(sequence(col("__rn") + 1, col("__rn") + window)).as("__rn"))
+    val out = probes.join(r, "__rn")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("__sh"))).cast("double") /
+          size(array_union(col("sa"), col("__sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("ida"), col("__id")).as("id1"),
+        greatest(col("ida"), col("__id")).as("id2"), col("jaccard"))
+    out
+  }
 }

@@ -269,4 +269,32 @@ object DocSql {
     plan(Sharding.weightedSample(tableArg(es.head), strArg(es(1)),
       strArg(es(2)), k = intArg(es(3)), idCol = "doc_id",
       seed = numArg(es(4)).longValue()))
+
+  /** `leakage_split('docs', threshold)`: cluster-aware train/val/test —
+    * (doc_id, cluster_id, split); near-dup clusters (verified pairs at
+    * `threshold`) never straddle a split boundary. */
+  private[graft] def leakageSplitPlan(es: Seq[Expression]): LogicalPlan = {
+    val docs = tableArg(es.head)
+    plan(Sharding.leakageSafeSplit(docs,
+      Dedup.minhashNearDupPairsAuto(docs, "doc_id", "text",
+        threshold = dblArg(es(1))), "doc_id"))
+  }
+
+  /** `sorted_neighborhood('docs', window, threshold)`: blocking dedup
+    * pairs — (id1, id2, jaccard) for docs within `window` positions of
+    * the (lang, n_chars, doc_id) sort. The view must carry `lang` and
+    * `n_chars` alongside (doc_id, text). */
+  private[graft] def sortedNeighborhoodPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.sortedNeighborhoodPairs(tableArg(es.head), "doc_id", "text",
+      Seq(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("n_chars")),
+      window = intArg(es(1)), threshold = dblArg(es(2))))
+
+  /** `winsorize('docs', 'group_col', 'value_col', lo_pct, hi_pct)`:
+    * per-group exact discrete-quantile clamp — one row per input row,
+    * (doc_id, group, v, lo, hi, winsorized). */
+  private[graft] def winsorizePlan(es: Seq[Expression]): LogicalPlan =
+    plan(RobustStats.winsorize(tableArg(es.head), strArg(es(1)),
+      org.apache.spark.sql.functions.col(strArg(es(2))), "doc_id",
+      loPct = intArg(es(3)), hiPct = intArg(es(4))))
 }

@@ -146,6 +146,53 @@ object RobustStats {
     finally ranged.unpersist(false)
   }
 
+  /** Per-group winsorization: clamp an integer-valued metric to its
+    * group's exact discrete [loPct, hiPct] quantiles — the robust
+    * normalization applied to quality/length scores before they feed a
+    * sampling weight or a mixing temperature, where a handful of
+    * pathological outliers (a 500 MB "document", a 0-char stub) would
+    * otherwise own the scale. Discrete (`quantile_disc`) on purpose:
+    * the bound is an actual observed value picked by integer rank
+    * arithmetic — rank = (n−1)·pct div 100 + 1 over the (value, id)
+    * order — so ANY engine reproduces the clamp bit-for-bit; an
+    * interpolated bound would reintroduce float averaging.
+    *
+    * Scale shape: the quantile never sorts the corpus — values collapse
+    * to a (group, value) HISTOGRAM via one map-side-combinable count
+    * (bounded by distinct values, not rows), the cumulative walk and
+    * the rank pick are windows over that tiny frame, and the per-group
+    * (lo, hi) bounds broadcast back onto the fact for a map-only clamp.
+    * A hot group costs ONE reducer row per distinct value, never a
+    * per-group sort of its rows.
+    *
+    * Output: one row per input row — (idCol, group, v, lo, hi,
+    * winsorized). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: Column,
+                idCol: String, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
+      s"bad winsorize percentiles [$loPct, $hiPct]")
+    import org.apache.spark.sql.expressions.Window
+    val fact = df.select(col(idCol).as("id"), col(groupCol).as("g"),
+      valueCol.cast("long").as("v"))
+    val hist = fact.groupBy("g", "v").agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy("g")))
+    // discrete quantile: the ((n−1)·pct div 100 + 1)-th value in the
+    // sorted multiset = min value whose cumulative count reaches it
+    // (`div`, not Column./ — that is double division, lossy over 2^53)
+    def pick(pct: Int): Column =
+      min(when(col("__cum") >= expr(s"(__n - 1) * $pct div 100 + 1"), col("v")))
+    val bounds = cum.groupBy("g")
+      .agg(pick(loPct).as("lo"), pick(hiPct).as("hi"))
+    fact.join(broadcast(bounds), "g")
+      .select(col("id").as(idCol), col("g").as(groupCol), col("v"),
+        col("lo"), col("hi"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("winsorized"))
+  }
+
   def sampleQuantiles(df: DataFrame, keyCol: Column, valueCol: Column,
                       probs: Seq[Double], k: Int = 1000): DataFrame = {
     require(k > 0 && probs.nonEmpty)

@@ -267,6 +267,33 @@ object Sharding {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary — a test doc whose near-dup sits in
+    * train leaks the answer into the training set and inflates eval
+    * (the train/test contamination problem, one duplication hop removed).
+    * Every doc is assigned by the [[splitBucket]] hash of its duplicate
+    * CLUSTER representative (connected-component minimum id over
+    * `pairs`; [[graft.ext.Dedup.clusterPairs]]), so whole clusters move
+    * together; singletons root at themselves, reproducing [[assignSplit]]
+    * exactly on the dup-free part of the corpus.
+    *
+    * Scale shape: the cluster frame is bounded by the VERIFIED pair list
+    * (orders of magnitude below the corpus), the components run
+    * large-star/small-star (O(log n) rounds, never diameter-bound), and
+    * the only corpus-sized step is one equi-join of docs against that
+    * small cluster frame (AQE broadcasts it when it fits) plus the
+    * map-only modular hash. Output: (doc_id, cluster_id, split). */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val clusters = Dedup.clusterPairs(pairs.select("id1", "id2"))
+      .withColumnRenamed("id", "__sid")
+    val rooted = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(clusters, col("doc_id") === col("__sid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    assignSplit(rooted, "cluster_id", valPct, testPct)
+  }
+
   /** Cap each group's contribution at `cap` rows, chosen
     * deterministically by ([[splitBucket]], id) — the per-domain
     * downsample that stops boilerplate-heavy sources from dominating a

@@ -172,7 +172,17 @@ object ScaleBench {
     // q150 as shipped: q147's index join + the idf join-back — the df
     // frame grows with the ×10 content-disjoint vocabulary, the worst
     // case for the weight join.
-    "q150_weighted_jaccard")
+    "q150_weighted_jaccard",
+    // round-8 continuation: q151 as shipped — the minhash pair list +
+    // star-contraction components + one docs×clusters equi-join (the
+    // edge set grows linearly under content-disjoint replicas, so the
+    // components loop must stay edge-bounded); q153's distributed rank
+    // + window×n candidate explode (candidate count ∝ rows — the
+    // blocking promise IS the linearity claim); q154's (group, value)
+    // histogram walk (distinct values barely grow under replication —
+    // the flattest possible quantile shape, and the row proves the
+    // per-doc clamp join stays map-only).
+    "q151_leakage_split", "q153_sorted_neighborhood", "q154_winsorize")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

@@ -275,4 +275,24 @@ class DocSqlSpec extends AnyFunSuite {
       sorted(Sharding.weightedSample(weighted, "lang", "n_chars", k = 2,
         idCol = "doc_id", seed = 42L)))
   }
+
+  test("split/blocking/winsorize TVFs equal their Scala counterparts") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    docs
+
+    assert(sorted(spark.sql("SELECT * FROM leakage_split('docs', 0.5)")) ==
+      sorted(Sharding.leakageSafeSplit(docs,
+        Dedup.minhashNearDupPairsAuto(docs, "doc_id", "text", threshold = 0.5),
+        "doc_id")))
+
+    val blocked = docs.withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+    blocked.createOrReplaceTempView("docs_b")
+    assert(sorted(spark.sql("SELECT * FROM sorted_neighborhood('docs_b', 3, 0.5)")) ==
+      sorted(Dedup.sortedNeighborhoodPairs(blocked, "doc_id", "text",
+        Seq(col("lang"), col("n_chars")), window = 3, threshold = 0.5)))
+
+    assert(sorted(spark.sql("SELECT * FROM winsorize('docs_b', 'lang', 'n_chars', 5, 95)")) ==
+      sorted(RobustStats.winsorize(blocked, "lang", col("n_chars"), "doc_id")))
+  }
 }

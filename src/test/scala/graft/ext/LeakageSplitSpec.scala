@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[Sharding.leakageSafeSplit]]: whole near-dup clusters move to one
+  * split, singletons reproduce the plain per-doc assignment, and the
+  * result is partitioning-independent. */
+class LeakageSplitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // three exact 4-doc template families (guaranteed near-dup clusters)
+  // plus unrelated singleton docs
+  private def corpus: Seq[(Long, String)] = {
+    val fam = (0 until 3).flatMap { f =>
+      (0 until 4).map { i =>
+        (100L * f + i, s"family $f shared template body words alpha beta gamma delta " +
+          s"epsilon zeta eta theta copy marker $i")
+      }
+    }
+    val singles = (0 until 30).map(i =>
+      (1000L + i, s"unique document $i with its own ${i * 7} content " +
+        s"token${i}a token${i}b token${i}c token${i}d token${i}e"))
+    fam ++ singles
+  }
+
+  private def splitOf(id: Long): String = {
+    val b = ((id % 1000003L) * 2654435761L) % 100L
+    if (b < 90) "train" else if (b < 95) "val" else "test"
+  }
+
+  test("no near-dup pair straddles a split; singletons match assignSplit") {
+    val docs = corpus.toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    assert(pairs.count() > 0, "fixture must actually contain near-dups")
+    val split = Sharding.leakageSafeSplit(docs, pairs, "doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = split.map(r => r._1 -> r._3).toMap
+
+    val crossPairs = pairs.select("id1", "id2").as[(Long, Long)].collect()
+      .filter { case (a, b) => byId(a) != byId(b) }
+    assert(crossPairs.isEmpty,
+      s"near-dup pairs must never straddle splits: $crossPairs")
+
+    // every clustered doc is assigned by its cluster root's hash
+    val roots = split.map(r => r._1 -> r._2).toMap
+    split.foreach { case (id, root, s) =>
+      assert(s == splitOf(root), s"doc $id: split must hash the root $root")
+    }
+    // singletons root at themselves → identical to the per-doc split
+    val clustered = pairs.select("id1", "id2").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    split.filterNot(r => clustered(r._1)).foreach { case (id, root, s) =>
+      assert(root == id && s == splitOf(id),
+        "a singleton must reproduce assignSplit exactly")
+    }
+  }
+
+  test("assignment is partitioning-independent") {
+    val docs = corpus.toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    val a = Sharding.leakageSafeSplit(docs, pairs, "doc_id")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val b = Sharding.leakageSafeSplit(docs.repartition(7), pairs.repartition(3), "doc_id")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}

@@ -601,4 +601,30 @@ class PlanShapeSpec extends SparkTestBase {
     val sorts = "Sort \\[".r.findAllIn(p).size
     assert(sorts <= 1, s"q149: unexpected extra sorts\n$p")
   }
+
+  test("q151: split assignment is one equi-join + map-only hash — no window, no cartesian") {
+    val p = plan("q151_leakage_split")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"leakage split must join docs to the (small) cluster frame by key\n$p")
+    assert(!p.contains("Window "),
+      "the modular split hash is map-only — no window anywhere")
+  }
+
+  test("q153: neighborhood rank windows are bucket-partitioned; candidates equi-join") {
+    val p = plan("q153_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sorted-neighborhood candidates must come from the integer equi-join\n$p")
+    val partitionless = "Window \\[[^\\]]*partitionBy=\\[\\]".r.findAllIn(p).size
+    assert(partitionless == 0,
+      s"the global rank must stay bucket-partitioned, never one task\n$p")
+  }
+
+  test("q154: winsorize walks the histogram — map-side count, windows never touch the fact") {
+    val p = plan("q154_winsorize")
+    assert(p.contains("partial_count"),
+      "the (group, value) histogram must combine map-side")
+    val partitionless = "Window \\[[^\\]]*partitionBy=\\[\\]".r.findAllIn(p).size
+    assert(partitionless == 0, s"q154 has a partitionless window\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
