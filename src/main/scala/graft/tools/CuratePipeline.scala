@@ -82,7 +82,14 @@ object CuratePipeline {
     *    ([[Sharding.weightedSample]], seeded, deterministic re-deal):
     *    the cap keeps the BEST-hash docs, this keeps a quality-tilted
     *    random sample, the standard shrink when a source must downsize
-    *    without collapsing to only its top-scored pages. */
+    *    without collapsing to only its top-scored pages;
+    *  - `leakageSplitThreshold`: the train/val/test assignment becomes
+    *    cluster-aware ([[Sharding.leakageSafeSplit]]) — near-dup pairs
+    *    at this Jaccard threshold can never straddle a split boundary.
+    *    Set it BELOW the dedup pass's threshold: the survivors are
+    *    near-dup-free at the dedup level, but weaker look-alikes (a
+    *    paraphrase, a partially-overlapping scrape) still leak eval
+    *    answers if one lands in train and the other in test. */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
@@ -97,7 +104,8 @@ object CuratePipeline {
           dropRepetitive: Boolean = false,
           containmentThreshold: Option[Double] = None,
           weightedSampleK: Option[Int] = None,
-          sampleSeed: Long = 42L): DataFrame = {
+          sampleSeed: Long = 42L,
+          leakageSplitThreshold: Option[Double] = None): DataFrame = {
     require(temperatureTarget.isEmpty || weightedSampleK.isEmpty,
       "temperatureTarget and weightedSampleK both replace the per-source cap — pick one")
     val labeled = nbLangTrain match {
@@ -161,8 +169,17 @@ object CuratePipeline {
         clean.join(picks, Seq("doc_id"), "left_semi")
       case _ => Sharding.capPerGroup(clean, "source", "doc_id", perSourceCap)
     }
-    val split = Sharding.assignSplit(capped, "doc_id")
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    val split = (leakageSplitThreshold match {
+      case Some(t) =>
+        // cluster-aware assignment: whole near-dup clusters move
+        // together, so a test doc can never have a train-side look-alike
+        val assigned = Sharding.leakageSafeSplit(capped,
+            Dedup.minhashNearDupPairsAuto(capped, "doc_id", "text",
+              threshold = t), "doc_id")
+          .select("doc_id", "split")
+        capped.join(assigned, Seq("doc_id"))
+      case None => Sharding.assignSplit(capped, "doc_id")
+    }).withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
     // pack WITHIN each split (a val doc must never share a shard with a
     // train doc): three small packing passes, one per split value
     Seq("train", "val", "test").map { sp =>

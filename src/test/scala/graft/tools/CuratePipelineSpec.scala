@@ -257,4 +257,43 @@ class CuratePipelineSpec extends SparkTestBase {
         temperatureTarget = Some(100L), weightedSampleK = Some(3))
     }
   }
+
+  test("leakage-safe split keeps weak look-alikes in one split") {
+    // two docs sharing ~47% of their shingles: BELOW the 0.5 dedup
+    // threshold (both survive the pipeline's near-dup pass) but clearly
+    // look-alike — under the per-doc hash their ids land in train vs
+    // test (computed to differ), leaking eval content into training.
+    val shared = "the quick brown fox jumps over the lazy dog while many " +
+      "other animals watch the scene with great interest as the sun sets " +
+      "slowly behind the tall green hills tonight"
+    val tailA = "later the farmer returns home and feeds the hungry " +
+      "chickens before dinner time arrives quietly"
+    val tailB = "meanwhile a gentle rain begins to fall across the quiet " +
+      "valley washing the dusty roads clean"
+    val planted = Seq(
+      (9200001L, shared + " " + tailA), // hash split: train
+      (9200004L, shared + " " + tailB)) // hash split: test
+      .map { case (id, t) => (id, t, "en", "srcl", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Tables.documents(spark, sf).unionByName(planted)
+    def splits(t: Option[Double]): Map[Long, String] =
+      CuratePipeline.run(spark, docs,
+          minQuality = 0.3, langs = Seq("en", "de", "es", "fr", "und"),
+          tokenBudget = 2000, perSourceCap = 1000000,
+          leakageSplitThreshold = t)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val naive = splits(None)
+    assert(naive.contains(9200001L) && naive.contains(9200004L),
+      "both look-alikes must survive the 0.5 dedup pass")
+    assert(naive(9200001L) == "train" && naive(9200004L) == "test",
+      "fixture must actually leak under the per-doc hash")
+    val safe = splits(Some(0.3))
+    assert(safe(9200001L) == safe(9200004L),
+      "cluster-aware assignment must put the pair in one split")
+    // dup-free docs keep their per-doc hash assignment (singleton roots)
+    val untouchedSame = naive.keySet.intersect(safe.keySet)
+      .filterNot(id => id == 9200001L || id == 9200004L)
+      .count(id => naive(id) == safe(id))
+    assert(untouchedSame > 0)
+  }
 }
