@@ -117,5 +117,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.sortedNeighborhoodPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("winsorize"), info("winsorize"),
       (es: Seq[Expression]) => graft.ext.DocSql.winsorizePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("bpe_merges"), info("bpe_merges"),
+      (es: Seq[Expression]) => graft.ext.DocSql.bpeMergesPlan(es)))
   }
 }

@@ -290,6 +290,14 @@ object DocSql {
         org.apache.spark.sql.functions.col("n_chars")),
       window = intArg(es(1)), threshold = dblArg(es(2))))
 
+  /** `bpe_merges('docs', rounds)`: the iterative BPE merge table —
+    * (round, lhs, rhs, pair_count); each round counts the corpus as
+    * REWRITTEN by the previous merges. NOTE: expansion runs the trainer
+    * loop (rounds × one count + one argmax) at analysis time — the
+    * result is the small merge table, not a lazy corpus view. */
+  private[graft] def bpeMergesPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.bpeMerges(tableArg(es.head), rounds = intArg(es(1))))
+
   /** `winsorize('docs', 'group_col', 'value_col', lo_pct, hi_pct)`:
     * per-group exact discrete-quantile clamp — one row per input row,
     * (doc_id, group, v, lo, hi, winsorized). */

@@ -300,6 +300,90 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Iterative BPE merge training ([[adjacentPairCounts]] is ONE counting
+    * pass; this runs the actual trainer loop): for `rounds` iterations,
+    * count adjacent token pairs over the CURRENT corpus, adopt the most
+    * frequent pair (ties → lexicographic (left, right) — engine-stable),
+    * and rewrite every document merging its non-overlapping left-to-right
+    * occurrences into a single token (Sennrich et al., ACL'16, at the
+    * word-merge grain). Round r+1 counts the rewritten corpus, so later
+    * merges can extend earlier ones ("a b" + "c" → "a b c") — the
+    * property a single counting pass cannot express, and the reason the
+    * rounds are SEQUENTIAL by definition (each argmax depends on the
+    * previous rewrite; this is the BPE training recurrence, not an
+    * artifact).
+    *
+    * The left-to-right non-overlap rule ("a a a" merges once, the third
+    * `a` survives) is a per-document left fold (`aggregate` higher-order
+    * function — codegen'd, O(tokens) per doc): carry a pending token;
+    * emit the merged pair and clear it on a match, else flush it.
+    *
+    * Scale shape: per round ONE map-only corpus rewrite + ONE map-side-
+    * combinable pair count + a 1-row TakeOrdered — the only driver
+    * traffic is the single winning pair per round. The token frame is
+    * re-checkpointed each round so the iterative plan never compounds
+    * (the [[Dedup.distributedClusterPairs]] discipline).
+    *
+    * Output: (round, lhs, rhs, pair_count) — the merge table a tokenizer
+    * build ships; stops early if a round has no pair left. */
+  def bpeMerges(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var toks = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("t1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("t2"))
+      val best = toks.filter(size(col("toks")) >= 2)
+        .select(explode(pairs).as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t1"), col("t2"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      best.headOption match {
+        case None => exhausted = true
+        case Some((a, b, c)) =>
+          merges += ((r, a, b, c))
+          val next = toks.withColumn("toks", mergeFold(col("toks"), a, b))
+            .localCheckpoint(true)
+          toks.unpersist(false)
+          toks = next
+          r += 1
+      }
+    }
+    toks.unpersist(false)
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+      .orderBy("round")
+  }
+
+  /** The BPE rewrite fold: merge non-overlapping left-to-right (a, b)
+    * occurrences in a token array into single `"a b"` tokens. */
+  private def mergeFold(toks: Column, a: String, b: String): Column = {
+    def st(out: Column, pending: Column) =
+      struct(out.as("out"), pending.as("pending"))
+    val nullStr = lit(null).cast("string")
+    aggregate(toks,
+      st(expr("cast(array() as array<string>)"), nullStr),
+      (acc, t) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pending")
+        when(pend.isNull, st(out, t))
+          .when(pend === lit(a) && t === lit(b),
+            st(concat(out, array(lit(a + " " + b))), nullStr))
+          .otherwise(st(concat(out, array(pend)), t))
+      },
+      acc => when(acc.getField("pending").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pending")))))
+  }
+
   /** Per-document n-gram novelty: of a document's distinct token
     * n-grams, how many appear in NO other document. The inverse of the
     * repetition signal — a high-novelty document contributes content the

@@ -3578,6 +3578,75 @@ object Extended {
              |SELECT d.doc_id, d.lang, d.n_chars AS v, b.lo, b.hi,
              |  least(greatest(d.n_chars, b.lo), b.hi) AS winsorized
              |FROM documents d JOIN b USING (lang)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    ("q155_bpe_merges",
+      (s: SparkSession, d: String) => {
+        // the actual BPE trainer loop (q94 is ONE counting pass): three
+        // sequential count -> argmax -> rewrite rounds, so later merges
+        // extend earlier ones. Per round: one map-only fold rewrite, one
+        // map-side pair count, a 1-row TakeOrdered -- the only driver
+        // traffic is the winning pair.
+        TextAnalysis.bpeMerges(Tables.documents(s, d), rounds = 3)
+      },
+      // GROUND-TRUTH oracle: all three rounds unrolled -- same argmax
+      // tie-break, same left-to-right non-overlap rewrite expressed as
+      // match-run parity (a match is taken iff its in-run position is
+      // odd, provably the fold's selection), same chained-token counts
+      Some("""             |WITH tok1 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |pr1 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
+             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok1 WHERE len(toks) >= 2) t),
+             |b1 AS (SELECT t1, t2, COUNT(*) AS c FROM pr1 GROUP BY 1, 2
+             |       ORDER BY c DESC, t1, t2 LIMIT 1),
+             |e1 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok1),
+             |m1 AS (SELECT doc_id, pos, t,
+             |         CASE WHEN t = (SELECT t1 FROM b1)
+             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b1)
+             |              THEN 1 ELSE 0 END AS m
+             |       FROM e1),
+             |run1 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+             |         FROM m1 WHERE m = 1),
+             |sel1 AS (SELECT doc_id, pos FROM (
+             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
+             |           FROM run1) WHERE rr % 2 = 1),
+             |tok2 AS (SELECT e.doc_id,
+             |           list(CASE WHEN s.pos IS NOT NULL
+             |                     THEN e.t || ' ' || (SELECT t2 FROM b1) ELSE e.t END ORDER BY e.pos) AS toks
+             |         FROM m1 e
+             |         LEFT JOIN sel1 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
+             |         LEFT JOIN sel1 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
+             |         WHERE s2.pos IS NULL
+             |         GROUP BY e.doc_id),
+             |pr2 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
+             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok2 WHERE len(toks) >= 2) t),
+             |b2 AS (SELECT t1, t2, COUNT(*) AS c FROM pr2 GROUP BY 1, 2
+             |       ORDER BY c DESC, t1, t2 LIMIT 1),
+             |e2 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok2),
+             |m2 AS (SELECT doc_id, pos, t,
+             |         CASE WHEN t = (SELECT t1 FROM b2)
+             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b2)
+             |              THEN 1 ELSE 0 END AS m
+             |       FROM e2),
+             |run2 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+             |         FROM m2 WHERE m = 1),
+             |sel2 AS (SELECT doc_id, pos FROM (
+             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
+             |           FROM run2) WHERE rr % 2 = 1),
+             |tok3 AS (SELECT e.doc_id,
+             |           list(CASE WHEN s.pos IS NOT NULL
+             |                     THEN e.t || ' ' || (SELECT t2 FROM b2) ELSE e.t END ORDER BY e.pos) AS toks
+             |         FROM m2 e
+             |         LEFT JOIN sel2 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
+             |         LEFT JOIN sel2 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
+             |         WHERE s2.pos IS NULL
+             |         GROUP BY e.doc_id),
+             |pr3 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
+             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok3 WHERE len(toks) >= 2) t),
+             |b3 AS (SELECT t1, t2, COUNT(*) AS c FROM pr3 GROUP BY 1, 2
+             |       ORDER BY c DESC, t1, t2 LIMIT 1)
+             |SELECT 1 AS round, t1 AS lhs, t2 AS rhs, CAST(c AS BIGINT) AS pair_count FROM b1
+             |UNION ALL SELECT 2, t1, t2, CAST(c AS BIGINT) FROM b2
+             |UNION ALL SELECT 3, t1, t2, CAST(c AS BIGINT) FROM b3
+             |ORDER BY round""".stripMargin))
   )
 }

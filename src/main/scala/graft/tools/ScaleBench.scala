@@ -182,7 +182,11 @@ object ScaleBench {
     // histogram walk (distinct values barely grow under replication —
     // the flattest possible quantile shape, and the row proves the
     // per-doc clamp join stays map-only).
-    "q151_leakage_split", "q153_sorted_neighborhood", "q154_winsorize")
+    "q151_leakage_split", "q153_sorted_neighborhood", "q154_winsorize",
+    // q155: three (pair-count + map-only rewrite) rounds — each round is
+    // token-grain work ∝ rows, argmax is a 1-row TakeOrdered; the row
+    // proves the sequential recurrence adds rounds, not superlinearity.
+    "q155_bpe_merges")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

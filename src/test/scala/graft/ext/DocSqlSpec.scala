@@ -294,5 +294,8 @@ class DocSqlSpec extends AnyFunSuite {
 
     assert(sorted(spark.sql("SELECT * FROM winsorize('docs_b', 'lang', 'n_chars', 5, 95)")) ==
       sorted(RobustStats.winsorize(blocked, "lang", col("n_chars"), "doc_id")))
+
+    assert(sorted(spark.sql("SELECT * FROM bpe_merges('docs', 2)")) ==
+      sorted(TextAnalysis.bpeMerges(docs, rounds = 2)))
   }
 }
