@@ -300,6 +300,43 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Token frequency-of-frequencies — the Good-Turing spectrum: N_r =
+    * number of distinct types occurring exactly r times. The diagnostic
+    * companion to the Zipf fit ([[zipfFit]]) and vocab growth
+    * ([[vocabGrowth]]): a healthy crawl is hapax-heavy (fat N_1);
+    * duplication shifts mass to high r. Two map-side-combinable hash
+    * counts; the second aggregates the (type, freq) frame — bounded by
+    * VOCABULARY, never corpus rows. All-integer output (freq, n_types),
+    * bit-reproducible by any engine. */
+  def tokenSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_types"))
+      .orderBy("freq")
+
+  /** Top-k per-user event-type trigram paths in (ts, event_id) order —
+    * behavioral sequence mining (the read that designs funnels, where a
+    * funnel query only MEASURES a path you already chose). The lead
+    * window partitions by user: per-partition work is bounded by a
+    * user's own event count and user cardinality is the scale axis, so
+    * no hot task; the trigram count combines map-side and the final cut
+    * is the TakeOrdered heap under a total (count desc, path asc)
+    * order — engine-stable top-k. */
+  def eventPaths(events: DataFrame, k: Int = 20,
+                 userCol: String = "user_id", typeCol: String = "event_type",
+                 tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(typeCol).as("e1"),
+        lead(col(typeCol), 1).over(w).as("e2"),
+        lead(col(typeCol), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   /** Iterative BPE merge training ([[adjacentPairCounts]] is ONE counting
     * pass; this runs the actual trainer loop): for `rounds` iterations,
     * count adjacent token pairs over the CURRENT corpus, adopt the most

@@ -3647,6 +3647,40 @@ object Extended {
              |SELECT 1 AS round, t1 AS lhs, t2 AS rhs, CAST(c AS BIGINT) AS pair_count FROM b1
              |UNION ALL SELECT 2, t1, t2, CAST(c AS BIGINT) FROM b2
              |UNION ALL SELECT 3, t1, t2, CAST(c AS BIGINT) FROM b3
-             |ORDER BY round""".stripMargin))
+             |ORDER BY round""".stripMargin)),
+
+    ("q156_token_spectrum",
+      (s: SparkSession, d: String) => {
+        // token frequency-of-frequencies (the Good-Turing input; the
+        // companion read to q138's Zipf slope and q125's vocab growth):
+        // N_r = how many distinct types occur exactly r times. A healthy
+        // crawl has a fat N_1 (hapax) head; duplication inflates high-r
+        // mass. Two map-side-combinable counts — the second groups the
+        // (type, freq) frame, bounded by vocabulary, not rows.
+        TextAnalysis.tokenSpectrum(Tables.documents(s, d))
+      },
+      Some("""WITH tc AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |f AS (SELECT t, COUNT(*) AS freq FROM tc GROUP BY t)
+             |SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
+             |FROM f GROUP BY freq ORDER BY freq""".stripMargin)),
+
+    ("q157_event_paths",
+      (s: SparkSession, d: String) => {
+        // behavioral path mining: the top-20 per-user event-type
+        // TRIGRAMS in (ts, event_id) order — the "what do users do in
+        // sequence" read that funnels (q64) fix in advance and session
+        // windows (q16) aggregate away. The lead window partitions by
+        // user (bounded by per-user event counts — high cardinality, no
+        // hot task); the cut is count desc with a full lexicographic
+        // tie-break, so the top-20 is engine-stable.
+        TextAnalysis.eventPaths(Tables.events(s, d), k = 20)
+      },
+      Some("""WITH s AS (SELECT event_type AS e1,
+             |    lead(event_type, 1) OVER w AS e2,
+             |    lead(event_type, 2) OVER w AS e3
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+             |FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+             |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""".stripMargin))
   )
 }

@@ -186,7 +186,13 @@ object ScaleBench {
     // q155: three (pair-count + map-only rewrite) rounds — each round is
     // token-grain work ∝ rows, argmax is a 1-row TakeOrdered; the row
     // proves the sequential recurrence adds rounds, not superlinearity.
-    "q155_bpe_merges")
+    "q155_bpe_merges",
+    // q156: two hash counts, the second over the (type, freq) frame —
+    // vocabulary ×10 under content-disjoint replicas, the worst case
+    // for the second shuffle. q157: per-user lead windows with USER
+    // CARDINALITY ×10 and per-user depth constant (the events replica's
+    // design axis) — the window must parallelize across users.
+    "q156_token_spectrum", "q157_event_paths")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -427,6 +433,18 @@ object ScaleBench {
     // referential rules stay intact while the fact side grows ×FACTOR
     spark.read.parquet(s"$srcDir/customer.parquet")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/customer.parquet")
+    // events: user AND event ids offset per replica — USER CARDINALITY
+    // grows ×FACTOR while per-user event counts stay constant, exactly
+    // the axis q157's per-user lead windows must stay flat along
+    val events = graft.core.Tables.events(spark, srcDir)
+    def replicaEvents(i: Int): DataFrame =
+      if (i == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(i * IdOffset))
+        .withColumn("user_id", col("user_id") + lit(i * IdOffset))
+    (0 until factor).map(replicaEvents).reduce(_ unionByName _)
+      .repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -619,6 +619,23 @@ class PlanShapeSpec extends SparkTestBase {
       s"the global rank must stay bucket-partitioned, never one task\n$p")
   }
 
+  test("q156: spectrum is two map-side hash counts — no window, no join") {
+    val p = plan("q156_token_spectrum")
+    assert(p.contains("partial_count"), "both counts must combine map-side")
+    assert(!p.contains("Window ") && !p.contains("Join"),
+      s"the spectrum is pure aggregation\n$p")
+  }
+
+  test("q157: path window partitions by user; the cut is a TakeOrdered heap") {
+    val p = plan("q157_event_paths")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "the lead window must partition by user")
+    val partitionless = "Window \\[[^\\]]*partitionBy=\\[\\]".r.findAllIn(p).size
+    assert(partitionless == 0, s"q157 has a partitionless window\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k cut must be per-partition heaps, not a full sort")
+  }
+
   test("q154: winsorize walks the histogram — map-side count, windows never touch the fact") {
     val p = plan("q154_winsorize")
     assert(p.contains("partial_count"),
