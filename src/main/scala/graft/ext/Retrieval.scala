@@ -36,12 +36,32 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
                idCol: String = "doc_id", textCol: String = "text",
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, dl) = buildIndex(docs, idCol, textCol)
+    bm25TopKFromIndex(tf, dl, queries, k, k1, b)
+  }
+
+  /** The (postings, doc-length) pair [[bm25TopK]] scores over — exposed
+    * so a maintained index ([[graft.streaming.IndexStream]]) can be
+    * built incrementally and queried with IDENTICAL semantics: postings
+    * = (doc_id, term, tf) via one map-side-combinable hash agg; dl =
+    * (doc_id, dl). Everything else BM25 needs (df, N, avgdl) derives
+    * from these two frames, so they ARE the index. */
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("toks"))
     val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val tf = toks
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    (tf, dl)
+  }
+
+  /** [[bm25TopK]] over a prebuilt (postings, doc-length) index — same
+    * scoring, same rounding, same tie-breaks; `tf` must be (doc_id,
+    * term, tf), `dl` (doc_id, dl). */
+  def bm25TopKFromIndex(tf: DataFrame, dl: DataFrame, queries: DataFrame,
+                        k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // two scalars (N, avgdl) — a 1-row broadcast crossJoin
     val stats = dl.agg(count(lit(1)).as("n_docs"),
