@@ -203,7 +203,36 @@ object SparkEntry {
         |FROM kept
         |ORDER BY pk, update_date, action""".stripMargin
 
+  private def cdcColumnChurn(s: SparkSession, d: String): DataFrame =
+    // CDC churn audit: of consecutive non-delete version transitions,
+    // how often each payload column actually changed — sizes downstream
+    // incremental work and catches formatting-instability capture bugs.
+    // One pk lag window + ONE fused aggregation melted per column.
+    Versioned.columnChurn(Changelog.fromOrders(s, d), Seq("pk"),
+      Seq("status", "totalprice"))
+
+  private val columnChurnOracle: String =
+    Changelog.oracleCte +
+      """, t AS (SELECT pk, action, totalprice, status,
+        |    lag(action)     OVER w AS pa,
+        |    lag(totalprice) OVER w AS pt,
+        |    lag(status)     OVER w AS ps
+        |  FROM changelog WINDOW w AS (PARTITION BY pk ORDER BY update_date, action)),
+        |tr AS (SELECT * FROM t
+        |       WHERE pa IS NOT NULL AND action <> 'delete' AND pa <> 'delete')
+        |SELECT 'status' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |  CAST(coalesce(SUM(CASE WHEN status IS DISTINCT FROM ps THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_changed
+        |FROM tr
+        |UNION ALL
+        |SELECT 'totalprice', CAST(COUNT(*) AS BIGINT),
+        |  CAST(coalesce(SUM(CASE WHEN totalprice IS DISTINCT FROM pt THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT)
+        |FROM tr
+        |ORDER BY col_name""".stripMargin
+
   private val cdcDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q158_column_churn", cdcColumnChurn _, Some(columnChurnOracle)),
     ("q97_expire_history", cdcExpireHistory _, Some(expireHistoryOracle)),
     ("q93_merge_upsert", cdcMergeUpsert _, Some(mergeUpsertOracle)),
     ("q48_asof_join_broadcast", cdcAsOfJoinBroadcast _, Some(asOfJoinBroadcastOracle)),

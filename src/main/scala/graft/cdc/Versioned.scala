@@ -199,6 +199,46 @@ object Versioned {
         pk, factTimeCol, versionCol, actionCol, tombstones)
       .filter(col(versionTsOut) >= col(factTimeCol) - tolerance)
 
+  /** Per-column change frequency across consecutive versions — the CDC
+    * churn audit: of all non-delete → non-delete version transitions,
+    * how often did each payload column actually change? The read that
+    * sizes downstream incremental work (a column that never changes
+    * needs no SCD2 tracking; one that changes every update dominates
+    * delta volume) and catches upstream capture bugs (a column
+    * "changing" on 100% of updates usually means a formatting
+    * instability, not data).
+    *
+    * One pk-partitioned lag window (the [[history]] shuffle) + ONE fused
+    * aggregation over all columns (N columns never multiply corpus
+    * passes — the DataAudit discipline), melted to one row per column.
+    * Null-safe comparison; all-integer output (col_name, n_transitions,
+    * n_changed). */
+  def columnChurn(changelog: DataFrame, pk: Seq[String],
+                  payloadCols: Seq[String],
+                  versionCol: String = "update_date",
+                  actionCol: String = "action"): DataFrame = {
+    require(payloadCols.nonEmpty)
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(versionCol), col(actionCol))
+    val prev = changelog.select(
+      (Seq(col(actionCol), lag(col(actionCol), 1).over(w).as("__pa")) ++
+        payloadCols.flatMap(c =>
+          Seq(col(c), lag(col(c), 1).over(w).as(s"__prev_$c")))).toIndexedSeq: _*)
+    val tr = prev.filter(col("__pa").isNotNull &&
+      col(actionCol) =!= DeleteAction && col("__pa") =!= DeleteAction)
+    val aggs = count(lit(1)).as("__n") +: payloadCols.map(c =>
+      coalesce(sum(when(!(col(c) <=> col(s"__prev_$c")), 1L).otherwise(0L)),
+        lit(0L)).as(s"__chg_$c"))
+    val one = tr.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = payloadCols
+      .map(c => s"'$c', __chg_$c").mkString(", ")
+    one.select(expr(
+        s"stack(${payloadCols.size}, $stackExpr) AS (col_name, n_changed)"),
+        col("__n").as("n_transitions"))
+      .select(col("col_name"), col("n_transitions"), col("n_changed"))
+      .orderBy("col_name")
+  }
+
   /** SCD2 view: each version gains a validity interval
     * [valid_from, valid_to); the current version has valid_to = null. */
   def scd2(changelog: DataFrame, pk: Seq[String],

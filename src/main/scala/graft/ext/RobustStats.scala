@@ -193,6 +193,39 @@ object RobustStats {
         least(greatest(col("v"), col("lo")), col("hi")).as("winsorized"))
   }
 
+  /** Per-group ECDF normalization: each row's value maps to its exact
+    * within-group percentile rank, pct_micro = ⌊#{v' ≤ v} · 10⁶ / n⌋ —
+    * the transform that makes a quality score COMPARABLE across sources
+    * whose raw scales differ (rank 0.9 means "top decile of its own
+    * source" regardless of how that source's scorer is calibrated),
+    * the standard pre-step before cross-source mixing weights. Pure
+    * integer arithmetic (a cumulative count, a multiply, a floor
+    * division) — any engine reproduces every rank bit-for-bit.
+    *
+    * Scale shape ([[winsorize]]'s skeleton): the ECDF is the (group,
+    * value) histogram's cumulative walk — one map-side-combinable
+    * count, windows only over that value-grain frame — and ranks
+    * attach to the fact by a broadcast (group, value) equi-join; no
+    * corpus sort, no per-row window, hot groups cost one reducer row
+    * per distinct value. */
+  def ecdfNormalize(df: DataFrame, groupCol: String, valueCol: Column,
+                    idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = df.select(col(idCol).as("id"), col(groupCol).as("g"),
+      valueCol.cast("long").as("v"))
+    val hist = fact.groupBy("g", "v").agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = hist
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy("g")))
+      .select(col("g"), col("v"),
+        expr("__cum * 1000000 div __n").as("pct_micro"))
+    fact.join(broadcast(ranks), Seq("g", "v"))
+      .select(col("id").as(idCol), col("g").as(groupCol), col("v"),
+        col("pct_micro"))
+  }
+
   def sampleQuantiles(df: DataFrame, keyCol: Column, valueCol: Column,
                       probs: Seq[Double], k: Int = 1000): DataFrame = {
     require(k > 0 && probs.nonEmpty)

@@ -3681,6 +3681,28 @@ object Extended {
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
              |FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
-             |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""".stripMargin))
+             |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""".stripMargin)),
+
+    ("q159_ecdf_normalize",
+      (s: SparkSession, d: String) => {
+        // per-source ECDF normalization: each doc's length maps to its
+        // exact within-source percentile rank (integer microunits) —
+        // the transform that makes scores comparable ACROSS sources
+        // before cross-source mixing weights. The ECDF walks the
+        // (source, value) histogram; ranks broadcast back.
+        RobustStats.ecdfNormalize(Tables.documents(s, d), "source",
+            col("n_chars"), "doc_id")
+          .orderBy("doc_id")
+      },
+      // identical integer arithmetic over the same histogram walk
+      Some("""WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |r AS (SELECT source, v,
+             |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) * 1000000 //
+             |         SUM(c) OVER (PARTITION BY source) AS BIGINT) AS pct_micro
+             |  FROM h)
+             |SELECT d.doc_id, d.source, d.n_chars AS v, r.pct_micro
+             |FROM documents d JOIN r ON r.source = d.source AND r.v = d.n_chars
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -101,6 +101,12 @@ final case class CdcStreamConfig(
       * pre-fold read needs the OLD join keys, so the fold cannot have
       * happened yet); all other tables fold as before. */
     joinViews: Seq[JoinViewSpec] = Seq.empty,
+    /** table → primary key columns: tables listed here additionally get
+      * an incrementally-maintained SCD2 interval table
+      * ([[graft.cdc.Scd2Maintainer]]) folded per micro-batch —
+      * independent of `snapshotKeys` (a table may maintain either or
+      * both; the folds share the appended batch read). */
+    scd2Keys: Map[String, Seq[String]] = Map.empty,
     /** partition versioned tables by event-time date (`_dt`) so
       * asOf/changesBetween prune directories (Versioned.asOfPruned). */
     partitionByDate: Boolean = false,
@@ -266,6 +272,18 @@ object CdcStream {
               org.apache.log4j.Logger.getLogger(getClass).info(
                 s"[graft-cdc] no rows for '$table' in batch $batchId — fold skipped")
             }
+          }
+        }
+        cfg.scd2Keys.foreach { case (table, pk) =>
+          registry.get(table).foreach { spec =>
+            val sess = df.sparkSession
+            val batchDir = s"${cfg.warehouseDir}/${spec.physicalName}/batch=$batchId"
+            val p = new org.apache.hadoop.fs.Path(batchDir)
+            val fs = p.getFileSystem(sess.sparkContext.hadoopConfiguration)
+            if (fs.exists(p))
+              graft.cdc.Scd2Maintainer.update(sess, cfg.warehouseDir, table,
+                sess.read.parquet(batchDir).drop(graft.cdc.Envelope.DtCol),
+                pk, buckets = cfg.snapshotBuckets)
           }
         }
         cfg.joinViews.foreach { v =>

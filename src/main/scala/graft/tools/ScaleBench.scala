@@ -192,7 +192,11 @@ object ScaleBench {
     // for the second shuffle. q157: per-user lead windows with USER
     // CARDINALITY ×10 and per-user depth constant (the events replica's
     // design axis) — the window must parallelize across users.
-    "q156_token_spectrum", "q157_event_paths")
+    "q156_token_spectrum", "q157_event_paths",
+    // q158: one pk lag window (key cardinality ×10, per-key depth
+    // constant — the orders replica axis) + one fused melt. q159: the
+    // q154 histogram skeleton with a broadcast rank join-back.
+    "q158_column_churn", "q159_ecdf_normalize")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

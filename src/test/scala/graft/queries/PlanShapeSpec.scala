@@ -636,6 +636,25 @@ class PlanShapeSpec extends SparkTestBase {
       "the top-k cut must be per-partition heaps, not a full sort")
   }
 
+  test("q158: churn is one pk lag window + one fused melt — N columns, one scan") {
+    val p = plan("q158_column_churn")
+    assert(p.contains("windowspecdefinition(pk"),
+      "the lag window must partition by pk")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"q158 must use exactly one window pass\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q159: ECDF ranks attach via broadcast join; windows stay on the histogram") {
+    val p = plan("q159_ecdf_normalize")
+    assert(p.contains("BroadcastHashJoin"),
+      "the value-grain rank frame must broadcast onto the fact")
+    assert(p.contains("partial_count"),
+      "the (group, value) histogram must combine map-side")
+    val partitionless = "Window \\[[^\\]]*partitionBy=\\[\\]".r.findAllIn(p).size
+    assert(partitionless == 0, s"q159 has a partitionless window\n$p")
+  }
+
   test("q154: winsorize walks the histogram — map-side count, windows never touch the fact") {
     val p = plan("q154_winsorize")
     assert(p.contains("partial_count"),

@@ -89,6 +89,32 @@ class CdcStreamSpec extends SparkTestBase {
     assert(replayed.collect().toSet == expectedRows)
   }
 
+  test("maintained SCD2: per-trigger interval folds == batch scd2 over full history") {
+    val (in, wh, ck) = freshDirs()
+    val cfg = CdcStreamConfig(in, wh, ck, Fixtures.registry,
+      scd2Keys = Map("products" -> Seq("product_id")))
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(3), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(3), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("product_id"), col("action"), col("update_date"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val maintained = canon(graft.cdc.Scd2Maintainer.read(spark, wh, "products"))
+    val recomputed = canon(Versioned.scd2(
+      Ingest.readTable(spark, wh, Fixtures.registry("products")),
+      Seq("product_id")))
+    assert(maintained == recomputed,
+      "interval folds must equal the full-history window")
+    assert(maintained.nonEmpty)
+
+    // replay with a fresh checkpoint: duplicate versions collapse
+    CdcStream.runOnce(spark, cfg.copy(checkpointDir = tmpDir("ck2")))
+    assert(canon(graft.cdc.Scd2Maintainer.read(spark, wh, "products")) == recomputed)
+  }
+
   test("maintained aggregate: per-batch deltas == GROUP BY over the final snapshot") {
     val (in, wh, ck) = freshDirs()
     val spec = graft.cdc.AggMaintainer.AggSpec(
