@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{array, array_sort, broadcast, coalesce, col, collect_list, count, explode, expr, floor, least, lit, posexplode, row_number, sqrt, struct, sum, transform, when}
+import org.apache.spark.sql.functions.{array, array_sort, broadcast, coalesce, col, collect_list, count, explode, expr, floor, least, lit, max, max_by, posexplode, row_number, sqrt, struct, sum, transform, when}
 
 import graft.functions.TopK
 import graft.functions.VectorFunctions._
@@ -43,6 +43,39 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine_similarity(col("_cv"), col("_qv")))
     rankTopK(scored, k)
+  }
+
+  /** Semantic decontamination: flag corpus vectors whose cosine to ANY
+    * benchmark vector reaches `threshold` — the embedding-space
+    * complement of the shingle-containment decontaminate ([[Dedup]]):
+    * a paraphrased eval item shares no 8-gram with its source but sits
+    * right next to it in embedding space. Output: one row per flagged
+    * corpus vector — (vec_id, n_hits, top_bench_id, max_sim_micro),
+    * ties on sim → smallest bench id; sims compare as ⌊sim·10⁶⌋
+    * integers so the flag set is engine-stable.
+    *
+    * Scale shape: the BENCHMARK side is bounded by construction (an
+    * eval suite is thousands of items — it broadcasts), so the scan is
+    * map-only O(corpus × |bench|) dots with a map-side-combinable
+    * per-vector reduce: no shuffle of the corpus, embarrassingly
+    * parallel, the shape production semantic-decon sweeps actually run.
+    * When the bench side outgrows the broadcast threshold, bucket IT
+    * (IVF on the benchmark, probe per corpus vector) — the [[IvfPq]]
+    * composition; the exact broadcast form is the reference semantics. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(bench.select(col(idCol).as("bench_id"), col(vecCol).as("_bv")))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+      .crossJoin(b)
+      .withColumn("sim_micro",
+        floor(cosine_similarity(col("_cv"), col("_bv")) * lit(1e6)).cast("long"))
+      .filter(col("sim_micro") >= lit(math.floor(threshold * 1e6).toLong))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        max_by(col("bench_id"), struct(col("sim_micro"), -col("bench_id")))
+          .as("top_bench_id"),
+        max(col("sim_micro")).as("max_sim_micro"))
   }
 
   /** [[topKBruteForce]] over DOUBLE vectors — the PCA-reduced search

@@ -3703,6 +3703,40 @@ object Extended {
              |  FROM h)
              |SELECT d.doc_id, d.source, d.n_chars AS v, r.pct_micro
              |FROM documents d JOIN r ON r.source = d.source AND r.v = d.n_chars
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    ("q160_semantic_decontaminate",
+      (s: SparkSession, d: String) => {
+        // embedding-space decontamination: flag corpus vectors whose
+        // cosine to ANY benchmark vector reaches 0.35 — catches the
+        // paraphrased eval item the shingle-containment pass (q52)
+        // cannot see. Benchmark side broadcasts (eval suites are
+        // bounded); the scan is map-only with a combinable reduce.
+        val emb = Tables.embeddings(s, d)
+        Similarity.semanticDecontaminate(
+            emb.filter(col("vec_id") % 97 =!= 0),
+            emb.filter(col("vec_id") % 97 === 0), threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      // full recomputation: the same double cosine, the same integer
+      // micro floor, the same (sim, -bench_id) argmax tie-break
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+             |  FROM embeddings WHERE vec_id % 97 <> 0),
+             |b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+             |  FROM embeddings WHERE vec_id % 97 = 0),
+             |s AS (SELECT c.vec_id, b.bench_id,
+             |    CAST(floor(list_inner_product(c.dv, b.bv) /
+             |      (sqrt(list_inner_product(c.dv, c.dv)) *
+             |       sqrt(list_inner_product(b.bv, b.bv))) * 1e6) AS BIGINT) AS sm
+             |  FROM c CROSS JOIN b),
+             |f AS (SELECT * FROM s WHERE sm >= 350000),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY sm DESC, bench_id) AS rn FROM f)
+             |SELECT f.vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             |  MIN(r.bench_id) AS top_bench_id,
+             |  MAX(f.sm) AS max_sim_micro
+             |FROM f JOIN r ON r.vec_id = f.vec_id AND r.rn = 1
+             |GROUP BY f.vec_id
+             |ORDER BY f.vec_id""".stripMargin))
   )
 }

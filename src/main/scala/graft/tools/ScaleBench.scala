@@ -196,7 +196,12 @@ object ScaleBench {
     // q158: one pk lag window (key cardinality ×10, per-key depth
     // constant — the orders replica axis) + one fused melt. q159: the
     // q154 histogram skeleton with a broadcast rank join-back.
-    "q158_column_churn", "q159_ecdf_normalize")
+    "q158_column_churn", "q159_ecdf_normalize",
+    // q160 at a FIXED benchmark (an eval suite does not grow because
+    // the corpus did — the declared %97 slice would make the map-only
+    // scan quadratic under replication): the row measures the corpus
+    // scan against the same ~120 broadcast bench vectors.
+    "q160_semantic_decontaminate@bench")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -340,6 +345,14 @@ object ScaleBench {
         graft.ext.Similarity.topKLshMultiProbe(emb, fixedProbes(emb), k = 10,
             numTables = 4, bitsPerTable = 8)
           .orderBy("query_id", "rank")
+      })
+      case "q160_semantic_decontaminate@bench" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        val bench = fixedProbes(emb)
+        graft.ext.Similarity.semanticDecontaminate(
+            emb.join(bench.select("vec_id"), Seq("vec_id"), "left_anti"),
+            bench, threshold = 0.35)
+          .orderBy("vec_id")
       })
       case "q145_mmr_rerank@probes" => Some((s, d) => {
         val emb = graft.core.Tables.embeddings(s, d)

@@ -655,6 +655,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(partitionless == 0, s"q159 has a partitionless window\n$p")
   }
 
+  test("q160: bench side broadcasts; the corpus never shuffles before the reduce") {
+    val p = plan("q160_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the bounded benchmark must broadcast onto the corpus scan")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "the per-vector reduce must combine map-side")
+    assert(!p.contains("Window "), "no window anywhere")
+  }
+
   test("q154: winsorize walks the histogram — map-side count, windows never touch the fact") {
     val p = plan("q154_winsorize")
     assert(p.contains("partial_count"),
