@@ -80,6 +80,45 @@ object Codecs extends Serializable {
     BmpImage(width, height, rgb)
   }
 
+  /** Encode RGB pixels as a 24bpp uncompressed bottom-up BMP — the
+    * exact layout [[decodeBmp]] parses (the round-trip is spec-pinned).
+    * `rgb` is row-major top-down RGB triples, `width*height*3` bytes. */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"BMP: bad dimensions ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"BMP: need ${width * height * 3} rgb bytes, got ${rgb.length}")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](54 + dataSize)
+    @inline def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    @inline def w32(o: Int, v: Int): Unit = {
+      w16(o, v & 0xffff); w16(o + 2, (v >>> 16) & 0xffff)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, out.length); w32(10, 54)          // file size, pixel offset
+    w32(14, 40)                              // BITMAPINFOHEADER
+    w32(18, width); w32(22, height)          // positive height = bottom-up
+    w16(26, 1); w16(28, 24)                  // planes, 24bpp
+    w32(30, 0); w32(34, dataSize)            // BI_RGB, image size
+    var y = 0
+    while (y < height) {
+      val dstRow = 54 + (height - 1 - y) * rowSize // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val s = (y * width + x) * 3
+        val d = dstRow + x * 3
+        out(d) = rgb(s + 2)     // BGR on disk
+        out(d + 1) = rgb(s + 1)
+        out(d + 2) = rgb(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Decoded audio: interleaved PCM16 samples. */
   final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
 

@@ -178,15 +178,36 @@ object Dedup {
     out
   }
 
+  /** Near-dup pairs over ANY 64-bit fingerprint frame `(id, fp)` —
+    * the [[simhashNearDupPairs]] machinery with the fingerprint supplied
+    * by the caller (simhash over tokens, [[Multimodal.imageAHash]] over
+    * decoded bitmaps, any future perceptual hash): 4×16-bit chunk
+    * pigeonhole candidates, exact `bit_count(xor)` verify. Output:
+    * (id1, id2, hamming), id1 < id2, hamming ≤ maxHamming ≤ 3. */
+  def hammingNearDupPairs(fps: DataFrame, maxHamming: Int = 3,
+                          maxBucketSize: Int = 10000): DataFrame = {
+    val fp = fps.select(col("id"), col("fp")).persist()
+    val out = hammingVerifiedLazy(fp, maxHamming, maxBucketSize)
+      .localCheckpoint(true)
+    fp.unpersist(false)
+    out
+  }
+
   /** Un-materialized [[simhashNearDupPairs]]: (fp cache handle, lazy
     * verified frame) — see [[minhashVerifiedLazy]] for why. */
   private[graft] def simhashVerifiedLazy(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxBucketSize: Int): (DataFrame, DataFrame) = {
-    require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only up to distance 3")
     val fp = docs.select(col(idCol).as("id"),
       simhash64(split(col(textCol), " ")).as("fp"))
       .persist() // feeds both sides of the chunk self-join
+    (fp, hammingVerifiedLazy(fp, maxHamming, maxBucketSize))
+  }
+
+  /** The shared pigeonhole+verify tail over a persisted (id, fp) frame. */
+  private def hammingVerifiedLazy(fp: DataFrame, maxHamming: Int,
+                                  maxBucketSize: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only up to distance 3")
     val chunked = graft.core.Skew.capGroupSize(
       fp.select(col("id"), col("fp"),
         posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)"))
@@ -201,7 +222,7 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(fp1 ^ fp2)"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
-    (fp, verified)
+    verified
   }
 
   /** All (i, start) probe slots for [[editDistanceNearDupPairs]]: segment

@@ -86,6 +86,83 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-format image corpus: every document renders as a
+    * `side`×`side` 24bpp BMP whose pixel j is the FNV-1a gray of token
+    * (j mod n_tokens) — so a near-duplicate document (few tokens differ)
+    * renders as a near-identical image (few pixels differ), and the
+    * image dedup path can be exercised end-to-end through the REAL
+    * encoder/decoder pair ([[Codecs.encodeBmp]]/[[Codecs.decodeBmp]]),
+    * not the stub seam. Pure integer arithmetic, reproducible anywhere. */
+  def synthesizeBmpCorpus(docs: DataFrame, side: Int = 16): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    require(side >= 8)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = if (text == null || text.isEmpty) Array("") else text.split(" ")
+          val rgb = new Array[Byte](side * side * 3)
+          var j = 0
+          while (j < side * side) {
+            val t = toks(j % toks.length)
+            var h = 0x811c9dc5
+            var i = 0
+            while (i < t.length) { h = (h ^ t.charAt(i)) * 0x01000193; i += 1 }
+            val gray = (h & 0xff).toByte
+            rgb(j * 3) = gray; rgb(j * 3 + 1) = gray; rgb(j * 3 + 2) = gray
+            j += 1
+          }
+          MediaRecord(id, "image",
+            MediaMeta("image/bmp", side, side, 0, 0L),
+            Codecs.encodeBmp(side, side, rgb))
+        }
+      }
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint over REAL decoded
+    * bitmaps: decode ([[Codecs.decodeBmp]]), reduce to an 8×8 grid of
+    * integer block-sums, set bit i iff block i's mean exceeds the global
+    * mean (compared as exact integer cross-products — no division, no
+    * floats, bit-identical on any engine/JVM). Two images within a few
+    * differing pixels land within a few Hamming bits — the standard
+    * cheap image near-dup signal ahead of an embedding pass. */
+  def imageAHash(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val img = Codecs.decodeBmp(r.content)
+        val (w, h) = (img.width, img.height)
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val bx = x * 8 / w
+            val o = (y * w + x) * 3
+            // integer luma (Rec.601 weights scaled by 1000)
+            val lum = 299L * (img.rgb(o) & 0xff) +
+              587L * (img.rgb(o + 1) & 0xff) + 114L * (img.rgb(o + 2) & 0xff)
+            sums(by * 8 + bx) += lum
+            counts(by * 8 + bx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var total = 0L; var n = 0L; var i = 0
+        while (i < 64) { total += sums(i); n += counts(i); i += 1 }
+        var fp = 0L
+        i = 0
+        while (i < 64) {
+          // block_mean > global_mean ⟺ sums(i) * n > total * counts(i)
+          if (counts(i) > 0 && sums(i) * n > total * counts(i)) fp |= (1L << i)
+          i += 1
+        }
+        (r.media_id, fp)
+      }
+    }.toDF("id", "fp")
+  }
+
   case class FrameSample(media_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
 
   /** ==== STUB ==== frame sampling: one output row per `everyMs` of

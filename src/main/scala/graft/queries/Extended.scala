@@ -70,6 +70,13 @@ object Extended {
         graft.functions.VectorFunctions.token_hashes(split(col("text"), " ")).as("hashes"))
     }),
     "q46_media_vectors" -> q46MediaVectors _,
+    "q161_ahashes" -> ((s: SparkSession, d: String) =>
+      // the per-image aHash fingerprints q161's pairs derive from —
+      // the dump boundary is the REAL BMP encode→decode→hash kernel;
+      // the oracle recomputes ALL-PAIRS Hamming truth from them (the
+      // q27 discipline: a pair the pigeonhole join missed hash-fails)
+      Multimodal.imageAHash(
+        Multimodal.synthesizeBmpCorpus(Tables.documents(s, d)))),
     "q38_kmv" -> ((s: SparkSession, d: String) =>
       // the exact register table q38's estimate reads — the dump boundary
       // is the xxhash64 kernel; the oracle recomputes the estimate from
@@ -3737,6 +3744,31 @@ object Extended {
              |  MAX(f.sm) AS max_sim_micro
              |FROM f JOIN r ON r.vec_id = f.vec_id AND r.rn = 1
              |GROUP BY f.vec_id
-             |ORDER BY f.vec_id""".stripMargin))
+             |ORDER BY f.vec_id""".stripMargin)),
+
+    ("q161_image_hash_dedup",
+      (s: SparkSession, d: String) => {
+        // image near-dup pairs over REAL bitmaps: every document renders
+        // as a BMP (near-dup docs → near-identical pixels), the REAL
+        // encode→decode→aHash kernel fingerprints each image, and the
+        // simhash pigeonhole machinery finds Hamming ≤ 3 pairs — the
+        // cheap perceptual-dedup pass an image corpus runs before any
+        // embedding model touches it.
+        val fps = Multimodal.imageAHash(
+          Multimodal.synthesizeBmpCorpus(Tables.documents(s, d)))
+        Dedup.hammingNearDupPairs(fps, maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy("id1", "id2")
+      },
+      // all-pairs Hamming ground truth over the dumped aHashes: a pair
+      // the 4-chunk pigeonhole missed (or a phantom the verify let
+      // through) hash-fails here
+      Some(s"""WITH fp AS (SELECT id, fp
+              |           FROM read_parquet('$OracleAuxDir/q161_ahashes/*.parquet'))
+              |SELECT a.id AS id1, b.id AS id2,
+              |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+              |FROM fp a JOIN fp b ON a.id < b.id
+              |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+              |ORDER BY id1, id2""".stripMargin))
   )
 }

@@ -201,7 +201,11 @@ object ScaleBench {
     // the corpus did — the declared %97 slice would make the map-only
     // scan quadratic under replication): the row measures the corpus
     // scan against the same ~120 broadcast bench vectors.
-    "q160_semantic_decontaminate@bench")
+    "q160_semantic_decontaminate@bench",
+    // q161: map-only BMP synth+decode+hash per doc, then the 4-chunk
+    // pigeonhole join — content-disjoint replicas give disjoint pixel
+    // streams, so chunk buckets stay small and pair work ∝ rows.
+    "q161_image_hash_dedup")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
