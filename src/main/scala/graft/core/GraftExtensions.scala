@@ -119,5 +119,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.winsorizePlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bpe_merges"), info("bpe_merges"),
       (es: Seq[Expression]) => graft.ext.DocSql.bpeMergesPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("ecdf_normalize"), info("ecdf_normalize"),
+      (es: Seq[Expression]) => graft.ext.DocSql.ecdfNormalizePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("token_spectrum"), info("token_spectrum"),
+      (es: Seq[Expression]) => graft.ext.DocSql.tokenSpectrumPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("event_paths"), info("event_paths"),
+      (es: Seq[Expression]) => graft.ext.DocSql.eventPathsPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("semantic_decontaminate"), info("semantic_decontaminate"),
+      (es: Seq[Expression]) => graft.ext.DocSql.semanticDecontaminatePlan(es)))
   }
 }

@@ -187,10 +187,8 @@ object Dedup {
   def hammingNearDupPairs(fps: DataFrame, maxHamming: Int = 3,
                           maxBucketSize: Int = 10000): DataFrame = {
     val fp = fps.select(col("id"), col("fp")).persist()
-    val out = hammingVerifiedLazy(fp, maxHamming, maxBucketSize)
-      .localCheckpoint(true)
-    fp.unpersist(false)
-    out
+    try hammingVerifiedLazy(fp, maxHamming, maxBucketSize).localCheckpoint(true)
+    finally fp.unpersist(false) // incl. the failure path — no leaked cache
   }
 
   /** Un-materialized [[simhashNearDupPairs]]: (fp cache handle, lazy
@@ -1199,36 +1197,39 @@ object Dedup {
                               threshold: Double, shingleSize: Int = 3,
                               numBuckets: Int = 0): DataFrame = {
     require(window >= 1, "neighborhood window must be positive")
-    val keyed = docs.select(
-      (col(idCol).cast("long").as("__id") +:
-        array_distinct(hashedShingles(col(textCol), shingleSize)).as("__sh") +:
-        blockCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }).toIndexedSeq: _*)
+    val keyed = docs
+      // null text → null shingle array → null jaccard, silently dropped
+      // by the threshold filter; filter explicitly (the tileFrame rule)
+      .filter(col(textCol).isNotNull)
+      .select(
+        (col(idCol).cast("long").as("__id") +:
+          array_distinct(hashedShingles(col(textCol), shingleSize)).as("__sh") +:
+          blockCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }).toIndexedSeq: _*)
     val ks = blockCols.indices.map(i => col(s"__k$i"))
     val sortCols = (ks :+ col("__id")).toIndexedSeq
     val ranged = (if (numBuckets > 0) keyed.repartitionByRange(numBuckets, sortCols: _*)
                   else keyed.repartitionByRange(sortCols: _*))
       .withColumn("__rb", spark_partition_id())
       .persist()
-    val counts = ranged.groupBy("__rb").agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) {
-      ranged.unpersist(false)
-      return docs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id1"), lit(0L).as("id2"), lit(0.0).as("jaccard"))
-        .limit(0)
-    }
-    val ids = counts.keys.toArray.sorted
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val offsets = ids.zip(ids.scanLeft(0L)((acc, b) => acc + counts(b)))
-      .toSeq.toDF("__rb", "__off")
-    val w = Window.partitionBy("__rb").orderBy(sortCols: _*)
-    val r = ranged
-      .join(broadcast(offsets), "__rb")
-      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
-      .select(col("__id"), col("__sh"), col("__rn"))
-      .localCheckpoint(true) // both join sides + releases `ranged`
-    ranged.unpersist(false)
+    val r = try {
+      val counts = ranged.groupBy("__rb").agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty)
+        return docs.sparkSession.emptyDataFrame
+          .select(lit(0L).as("id1"), lit(0L).as("id2"), lit(0.0).as("jaccard"))
+          .limit(0)
+      val ids = counts.keys.toArray.sorted
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val offsets = ids.zip(ids.scanLeft(0L)((acc, b) => acc + counts(b)))
+        .toSeq.toDF("__rb", "__off")
+      val w = Window.partitionBy("__rb").orderBy(sortCols: _*)
+      ranged
+        .join(broadcast(offsets), "__rb")
+        .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+        .select(col("__id"), col("__sh"), col("__rn"))
+        .localCheckpoint(true) // both join sides need it materialized
+    } finally ranged.unpersist(false) // incl. failure and empty paths
     // each row probes its `window` successors: map-only explode + one
     // integer equi-join — the ONLY corpus-sized shuffle after the sort
     val probes = r.select(col("__id").as("ida"), col("__sh").as("sa"),

@@ -305,4 +305,29 @@ object DocSql {
     plan(RobustStats.winsorize(tableArg(es.head), strArg(es(1)),
       org.apache.spark.sql.functions.col(strArg(es(2))), "doc_id",
       loPct = intArg(es(3)), hiPct = intArg(es(4))))
+
+  /** `ecdf_normalize('docs', 'group_col', 'value_col')`: exact per-group
+    * percentile ranks in integer microunits — (doc_id, group, v,
+    * pct_micro). */
+  private[graft] def ecdfNormalizePlan(es: Seq[Expression]): LogicalPlan =
+    plan(RobustStats.ecdfNormalize(tableArg(es.head), strArg(es(1)),
+      org.apache.spark.sql.functions.col(strArg(es(2))), "doc_id"))
+
+  /** `token_spectrum('docs')`: Good-Turing frequency-of-frequencies —
+    * (freq, n_types). */
+  private[graft] def tokenSpectrumPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.tokenSpectrum(tableArg(es.head)))
+
+  /** `event_paths('events', k)`: top-k per-user event-type trigram
+    * paths — (e1, e2, e3, n_paths). The view must carry (user_id,
+    * event_type, ts, event_id). */
+  private[graft] def eventPathsPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.eventPaths(tableArg(es.head), k = intArg(es(1))))
+
+  /** `semantic_decontaminate('corpus', 'bench', threshold)`: corpus
+    * vectors within cosine `threshold` of any benchmark vector — both
+    * views need (vec_id, embedding). */
+  private[graft] def semanticDecontaminatePlan(es: Seq[Expression]): LogicalPlan =
+    plan(Similarity.semanticDecontaminate(tableArg(es.head), tableArg(es(1)),
+      threshold = dblArg(es(2))))
 }

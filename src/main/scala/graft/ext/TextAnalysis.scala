@@ -374,7 +374,7 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
-    while (r <= rounds && !exhausted) {
+    try while (r <= rounds && !exhausted) {
       val pairs = arrays_zip(
         slice(col("toks"), lit(1), size(col("toks")) - 1).as("t1"),
         slice(col("toks"), lit(2), size(col("toks")) - 1).as("t2"))
@@ -395,8 +395,7 @@ object TextAnalysis {
           toks = next
           r += 1
       }
-    }
-    toks.unpersist(false)
+    } finally toks.unpersist(false) // incl. a failed round's frame
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
       .orderBy("round")
   }

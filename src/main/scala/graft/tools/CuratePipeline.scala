@@ -82,7 +82,9 @@ object CuratePipeline {
     *    ([[Sharding.weightedSample]], seeded, deterministic re-deal):
     *    the cap keeps the BEST-hash docs, this keeps a quality-tilted
     *    random sample, the standard shrink when a source must downsize
-    *    without collapsing to only its top-scored pages;
+    *    without collapsing to only its top-scored pages
+    *    (`normalizeSampleWeights` makes the tilt scale-free: weights
+    *    become per-source ECDF percentile ranks of the score);
     *  - `leakageSplitThreshold`: the train/val/test assignment becomes
     *    cluster-aware ([[Sharding.leakageSafeSplit]]) — near-dup pairs
     *    at this Jaccard threshold can never straddle a split boundary.
@@ -105,7 +107,8 @@ object CuratePipeline {
           containmentThreshold: Option[Double] = None,
           weightedSampleK: Option[Int] = None,
           sampleSeed: Long = 42L,
-          leakageSplitThreshold: Option[Double] = None): DataFrame = {
+          leakageSplitThreshold: Option[Double] = None,
+          normalizeSampleWeights: Boolean = false): DataFrame = {
     require(temperatureTarget.isEmpty || weightedSampleK.isEmpty,
       "temperatureTarget and weightedSampleK both replace the per-source cap — pick one")
     val labeled = nbLangTrain match {
@@ -163,7 +166,23 @@ object CuratePipeline {
     val capped = (temperatureTarget, weightedSampleK) match {
       case (Some(t), _) => Sharding.temperatureMix(clean, "source", "doc_id", t)
       case (None, Some(k)) =>
-        val picks = Sharding.weightedSample(clean, "source", "quality_score",
+        // normalizeSampleWeights: weights become each doc's per-source
+        // ECDF percentile rank of quality_score (integer microunits,
+        // +1 so no weight is zero) instead of the raw score — the tilt
+        // becomes scale-free, so a source whose scorer clusters at 0.9
+        // and one clustering at 0.1 get the SAME relative preference
+        // for their better pages (q159's transform feeding q149's
+        // sampler)
+        val weighted =
+          if (!normalizeSampleWeights) clean.withColumn("__w", col("quality_score"))
+          else clean.join(
+            graft.ext.RobustStats.ecdfNormalize(
+                clean.withColumn("__qm",
+                  floor(col("quality_score") * 1e6).cast("long")),
+                "source", col("__qm"), "doc_id")
+              .select(col("doc_id"), (col("pct_micro") + 1).as("__w")),
+            Seq("doc_id"))
+        val picks = Sharding.weightedSample(weighted, "source", "__w",
             k, idCol = "doc_id", seed = sampleSeed)
           .select(col("id").as("doc_id"))
         clean.join(picks, Seq("doc_id"), "left_semi")

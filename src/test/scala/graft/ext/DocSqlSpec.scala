@@ -298,4 +298,44 @@ class DocSqlSpec extends AnyFunSuite {
     assert(sorted(spark.sql("SELECT * FROM bpe_merges('docs', 2)")) ==
       sorted(TextAnalysis.bpeMerges(docs, rounds = 2)))
   }
+
+  test("spectrum/ecdf/paths/semantic-decon TVFs equal their Scala counterparts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    docs
+
+    assert(sorted(spark.sql("SELECT * FROM token_spectrum('docs')")) ==
+      sorted(TextAnalysis.tokenSpectrum(docs)))
+
+    val scored = docs.withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+    scored.createOrReplaceTempView("docs_s")
+    assert(sorted(spark.sql("SELECT * FROM ecdf_normalize('docs_s', 'lang', 'n_chars')")) ==
+      sorted(RobustStats.ecdfNormalize(scored, "lang", col("n_chars"), "doc_id")))
+
+    val events = Seq(
+      (1L, "2026-01-01T10:00:00", 7L, "view"),
+      (2L, "2026-01-01T10:01:00", 7L, "cart"),
+      (3L, "2026-01-01T10:02:00", 7L, "buy"),
+      (4L, "2026-01-01T10:00:00", 8L, "view"),
+      (5L, "2026-01-01T10:01:00", 8L, "cart"),
+      (6L, "2026-01-01T10:02:00", 8L, "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    events.createOrReplaceTempView("events_v")
+    assert(sorted(spark.sql("SELECT * FROM event_paths('events_v', 5)")) ==
+      sorted(TextAnalysis.eventPaths(events, k = 5)))
+
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    emb.filter(col("vec_id") =!= 1L).createOrReplaceTempView("corpus_v")
+    emb.filter(col("vec_id") === 1L).createOrReplaceTempView("bench_v")
+    assert(sorted(spark.sql(
+        "SELECT * FROM semantic_decontaminate('corpus_v', 'bench_v', 0.9)")) ==
+      sorted(Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") =!= 1L), emb.filter(col("vec_id") === 1L),
+        threshold = 0.9)))
+  }
 }

@@ -258,6 +258,25 @@ class CuratePipelineSpec extends SparkTestBase {
     }
   }
 
+  test("normalized sample weights: scale-free tilt, deterministic, per-source k") {
+    val base = Tables.documents(spark, sf)
+    def sampled(norm: Boolean) = CuratePipeline.run(spark, base,
+        minQuality = 0.0, langs = Seq("en", "de", "es", "fr", "und"),
+        tokenBudget = 2000, perSourceCap = 1000000,
+        weightedSampleK = Some(3), sampleSeed = 7L,
+        normalizeSampleWeights = norm)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val norm1 = sampled(norm = true)
+    assert(sampled(norm = true) == norm1, "seeded re-deal must be identical")
+    val perSource = norm1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perSource.values.forall(_ <= 3), s"per-source k violated: $perSource")
+    val raw = sampled(norm = false)
+    assert(raw.map(_._2) == norm1.map(_._2),
+      "both weightings sample the same source strata")
+    assert(raw != norm1,
+      "rank-transformed weights must actually change the tilt")
+  }
+
   test("leakage-safe split keeps weak look-alikes in one split") {
     // two docs sharing ~47% of their shingles: BELOW the 0.5 dedup
     // threshold (both survive the pipeline's near-dup pass) but clearly
