@@ -27,6 +27,10 @@ object Bench {
       // expression interpretation beyond that size instead.
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
+      // the engine's full surface (native fns, TVFs, optimizer rules) —
+      // the same extensions GraftSession loads, so the driver-contract
+      // sessions run the plans a deployment would
+      .withExtensions(new graft.core.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -19,6 +19,10 @@ object Verify {
       // µs, not INT96: pyarrow reads INT96 as ns, breaking typed compares
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // the engine's full surface (native fns, TVFs, optimizer rules) —
+      // the same extensions GraftSession loads, so the driver-contract
+      // sessions run the plans a deployment would
+      .withExtensions(new graft.core.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -127,5 +127,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.eventPathsPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("semantic_decontaminate"), info("semantic_decontaminate"),
       (es: Seq[Expression]) => graft.ext.DocSql.semanticDecontaminatePlan(es)))
+    // Optimizer rule: point-in-interval theta joins → granule-bucketized
+    // equi-joins (graft.plans.RangeJoinRule) — plain SQL range joins get
+    // the linear plan instead of BroadcastNestedLoopJoin.
+    ext.injectOptimizerRule(session => new graft.plans.RangeJoinRule(session))
   }
 }

@@ -3769,6 +3769,39 @@ object Extended {
               |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
               |FROM fp a JOIN fp b ON a.id < b.id
               |WHERE bit_count(xor(a.fp, b.fp)) <= 3
-              |ORDER BY id1, id2""".stripMargin))
+              |ORDER BY id1, id2""".stripMargin)),
+
+    ("q162_range_join_sql",
+      (s: SparkSession, d: String) => {
+        // a PLAIN-SQL point-in-interval join: order dates against 7-day
+        // post-ship windows. No equality conjunct, so vanilla Spark
+        // plans the quadratic BroadcastNestedLoopJoin — the engine's
+        // RangeJoinRule (plans/RangeJoinRule, loaded via
+        // GraftExtensions) rewrites it to the granule-bucketized
+        // equi-join automatically; semantics are byte-identical either
+        // way (RangeJoinRuleSpec pins both the plan shape and the
+        // equality), which is why the oracle is simply the same SQL.
+        Tables.orders(s, d).createOrReplaceTempView("q162_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("q162_lineitem")
+        s.sql("""
+          WITH p AS (SELECT CAST(o_orderdate AS TIMESTAMP) AS ts, o_orderkey
+                     FROM q162_orders WHERE o_orderkey % 100 = 0),
+          i AS (SELECT CAST(l_shipdate AS TIMESTAMP) AS start_ts,
+                       CAST(l_shipdate AS TIMESTAMP) + INTERVAL 7 DAY AS end_ts,
+                       l_orderkey, l_linenumber
+                FROM q162_lineitem WHERE l_orderkey % 50 = 0)
+          SELECT p.o_orderkey, i.l_orderkey, i.l_linenumber
+          FROM p JOIN i ON p.ts >= i.start_ts AND p.ts < i.end_ts
+          ORDER BY o_orderkey, l_orderkey, l_linenumber""")
+      },
+      Some("""WITH p AS (SELECT CAST(o_orderdate AS TIMESTAMP) AS ts, o_orderkey
+             |           FROM orders WHERE o_orderkey % 100 = 0),
+             |i AS (SELECT CAST(l_shipdate AS TIMESTAMP) AS start_ts,
+             |             CAST(l_shipdate AS TIMESTAMP) + INTERVAL 7 DAY AS end_ts,
+             |             l_orderkey, l_linenumber
+             |      FROM lineitem WHERE l_orderkey % 50 = 0)
+             |SELECT p.o_orderkey, i.l_orderkey, i.l_linenumber
+             |FROM p JOIN i ON p.ts >= i.start_ts AND p.ts < i.end_ts
+             |ORDER BY o_orderkey, l_orderkey, l_linenumber""".stripMargin))
   )
 }

@@ -205,7 +205,11 @@ object ScaleBench {
     // q161: map-only BMP synth+decode+hash per doc, then the 4-chunk
     // pigeonhole join — content-disjoint replicas give disjoint pixel
     // streams, so chunk buckets stay small and pair work ∝ rows.
-    "q161_image_hash_dedup")
+    "q161_image_hash_dedup",
+    // q162: the PLAIN-SQL range join through the optimizer rewrite
+    // (ScaleBench loads GraftExtensions) — granule equi-join work is
+    // points + interval-granules, both ∝ rows.
+    "q162_range_join_sql")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -483,6 +487,7 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.core.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

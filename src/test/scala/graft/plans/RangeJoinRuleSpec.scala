@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftExtensions
+
+/** The point-in-interval rewrite: plain SQL range joins plan as granule
+  * equi-joins (no nested loop), results stay identical to the nested-
+  * loop semantics — strict and inclusive bounds, extra conjuncts, and
+  * the disable switch all covered. */
+class RangeJoinRuleSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-range-rule-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  private def fixtures(): Unit = {
+    import spark.implicits._
+    val points = (0 until 400).map { i =>
+      (i.toLong, f"2026-01-01T${i % 24}%02d:${(i * 7) % 60}%02d:00")
+    }.toDF("p_id", "ts_s")
+      .selectExpr("p_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    val ivals = (0 until 30).map { i =>
+      (100L + i, f"2026-01-01T${(i * 3) % 22}%02d:00:00",
+        f"2026-01-01T${(i * 3) % 22 + 2}%02d:00:00")
+    }.toDF("iv_id", "s_s", "e_s")
+      .selectExpr("iv_id", "CAST(s_s AS TIMESTAMP) AS s", "CAST(e_s AS TIMESTAMP) AS e")
+    points.createOrReplaceTempView("pts")
+    ivals.createOrReplaceTempView("ivals")
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long)] = {
+    import spark.implicits._
+    df.select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+  }
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString()
+
+  test("theta range join plans as granule equi-join with identical results") {
+    fixtures()
+    val q = "SELECT p_id, iv_id FROM pts JOIN ivals ON ts >= s AND ts < e"
+    val rewritten = spark.sql(q)
+    val p = plan(rewritten)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the rewrite must eliminate the nested loop\n$p")
+
+    spark.conf.set("spark.graft.rangeJoin.granuleSeconds", "0")
+    val reference = try rows(spark.sql(q))
+    finally spark.conf.unset("spark.graft.rangeJoin.granuleSeconds")
+    assert(rows(rewritten) == reference, "rewrite must preserve the result set")
+    assert(reference.nonEmpty, "fixture must produce matches")
+  }
+
+  test("inclusive bounds (BETWEEN) and extra conjuncts keep exact semantics") {
+    fixtures()
+    val q = "SELECT p_id, iv_id FROM pts JOIN ivals " +
+      "ON ts BETWEEN s AND e AND p_id % 2 = 0"
+    val rewritten = spark.sql(q)
+    val p = plan(rewritten)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BETWEEN must rewrite too\n$p")
+    spark.conf.set("spark.graft.rangeJoin.granuleSeconds", "0")
+    val reference = try rows(spark.sql(q))
+    finally spark.conf.unset("spark.graft.rangeJoin.granuleSeconds")
+    assert(rows(rewritten) == reference)
+    assert(reference.nonEmpty)
+  }
+
+  test("equi-join with a range residual is left alone") {
+    fixtures()
+    val q = "SELECT p_id, iv_id FROM pts JOIN ivals " +
+      "ON p_id % 10 = iv_id % 10 AND ts >= s AND ts < e"
+    val p = plan(spark.sql(q))
+    assert(!p.contains("__graft_g"),
+      s"an equality conjunct means Spark already has a hash strategy\n$p")
+  }
+
+  test("q162 (the declared SQL range join) plans through the rewrite") {
+    val df = graft.SparkEntry.queries("q162_range_join_sql")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the declared query must get the granule plan on an extensions session\n$p")
+  }
+
+  test("the disable switch restores the nested loop") {
+    fixtures()
+    spark.conf.set("spark.graft.rangeJoin.granuleSeconds", "0")
+    try {
+      val p = plan(spark.sql(
+        "SELECT p_id, iv_id FROM pts JOIN ivals ON ts >= s AND ts < e"))
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+    } finally spark.conf.unset("spark.graft.rangeJoin.granuleSeconds")
+  }
+}
