@@ -365,6 +365,36 @@ object TextAnalysis {
     * build ships; stops early if a round has no pair left. */
   def bpeMerges(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, toks) = bpeTrain(docs, idCol, textCol, rounds)
+    toks.unpersist(false)
+    merges.toDF("round", "lhs", "rhs", "pair_count").orderBy("round")
+  }
+
+  /** Apply the trained merges — the ENCODE step a tokenizer build ships
+    * next to its merge table: per document, the token count before and
+    * after the `rounds` learned merges rewrite it (the compression the
+    * merges actually buy on this corpus). Same recurrence as
+    * [[bpeMerges]]; the final rewritten corpus is the byproduct.
+    * Output: (doc_id, n_raw, n_encoded). */
+  def bpeEncode(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", rounds: Int = 3): DataFrame = {
+    val (_, toks) = bpeTrain(docs, idCol, textCol, rounds)
+    try docs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_raw"))
+      .join(toks.select(col("id").as("doc_id"),
+        size(col("toks")).cast("long").as("n_encoded")), Seq("doc_id"))
+      .localCheckpoint(true)
+    finally toks.unpersist(false)
+  }
+
+  /** The shared trainer loop: (merge table, FINAL rewritten token frame
+    * — persisted; the caller must unpersist). */
+  private def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+                       rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -395,9 +425,10 @@ object TextAnalysis {
           toks = next
           r += 1
       }
-    } finally toks.unpersist(false) // incl. a failed round's frame
-    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
-      .orderBy("round")
+    } catch {
+      case t: Throwable => toks.unpersist(false); throw t
+    }
+    (merges.toSeq, toks)
   }
 
   /** The BPE rewrite fold: merge non-overlapping left-to-right (a, b)

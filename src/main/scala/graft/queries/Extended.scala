@@ -3802,6 +3802,92 @@ object Extended {
              |      FROM lineitem WHERE l_orderkey % 50 = 0)
              |SELECT p.o_orderkey, i.l_orderkey, i.l_linenumber
              |FROM p JOIN i ON p.ts >= i.start_ts AND p.ts < i.end_ts
-             |ORDER BY o_orderkey, l_orderkey, l_linenumber""".stripMargin))
+             |ORDER BY o_orderkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    ("q163_bpe_encode",
+      (s: SparkSession, d: String) => {
+        // the ENCODE step next to q155's merge table: per document, the
+        // token count before and after the three learned merges rewrite
+        // it -- the compression the merges actually buy. Same sequential
+        // recurrence; the rewritten corpus is the byproduct.
+        TextAnalysis.bpeEncode(Tables.documents(s, d), rounds = 3)
+          .orderBy("doc_id")
+      },
+      // the q155 oracle chain extended through the third rewrite, then
+      // raw-vs-encoded lengths per document
+      Some("""             |WITH tok1 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |pr1 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
+             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok1 WHERE len(toks) >= 2) t),
+             |b1 AS (SELECT t1, t2, COUNT(*) AS c FROM pr1 GROUP BY 1, 2
+             |       ORDER BY c DESC, t1, t2 LIMIT 1),
+             |e1 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok1),
+             |m1 AS (SELECT doc_id, pos, t,
+             |         CASE WHEN t = (SELECT t1 FROM b1)
+             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b1)
+             |              THEN 1 ELSE 0 END AS m
+             |       FROM e1),
+             |run1 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+             |         FROM m1 WHERE m = 1),
+             |sel1 AS (SELECT doc_id, pos FROM (
+             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
+             |           FROM run1) WHERE rr % 2 = 1),
+             |tok2 AS (SELECT e.doc_id,
+             |           list(CASE WHEN s.pos IS NOT NULL
+             |                     THEN e.t || ' ' || (SELECT t2 FROM b1) ELSE e.t END ORDER BY e.pos) AS toks
+             |         FROM m1 e
+             |         LEFT JOIN sel1 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
+             |         LEFT JOIN sel1 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
+             |         WHERE s2.pos IS NULL
+             |         GROUP BY e.doc_id),
+             |pr2 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
+             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok2 WHERE len(toks) >= 2) t),
+             |b2 AS (SELECT t1, t2, COUNT(*) AS c FROM pr2 GROUP BY 1, 2
+             |       ORDER BY c DESC, t1, t2 LIMIT 1),
+             |e2 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok2),
+             |m2 AS (SELECT doc_id, pos, t,
+             |         CASE WHEN t = (SELECT t1 FROM b2)
+             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b2)
+             |              THEN 1 ELSE 0 END AS m
+             |       FROM e2),
+             |run2 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+             |         FROM m2 WHERE m = 1),
+             |sel2 AS (SELECT doc_id, pos FROM (
+             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
+             |           FROM run2) WHERE rr % 2 = 1),
+             |tok3 AS (SELECT e.doc_id,
+             |           list(CASE WHEN s.pos IS NOT NULL
+             |                     THEN e.t || ' ' || (SELECT t2 FROM b2) ELSE e.t END ORDER BY e.pos) AS toks
+             |         FROM m2 e
+             |         LEFT JOIN sel2 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
+             |         LEFT JOIN sel2 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
+             |         WHERE s2.pos IS NULL
+             |         GROUP BY e.doc_id),
+             |pr3 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
+             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok3 WHERE len(toks) >= 2) t),
+             |b3 AS (SELECT t1, t2, COUNT(*) AS c FROM pr3 GROUP BY 1, 2
+             |       ORDER BY c DESC, t1, t2 LIMIT 1),
+             |e3 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok3),
+             |m3 AS (SELECT doc_id, pos, t,
+             |         CASE WHEN t = (SELECT t1 FROM b3)
+             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b3)
+             |              THEN 1 ELSE 0 END AS m
+             |       FROM e3),
+             |run3 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+             |         FROM m3 WHERE m = 1),
+             |sel3 AS (SELECT doc_id, pos FROM (
+             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
+             |           FROM run3) WHERE rr % 2 = 1),
+             |tok4 AS (SELECT e.doc_id,
+             |           list(CASE WHEN s.pos IS NOT NULL
+             |                     THEN e.t || ' ' || (SELECT t2 FROM b3) ELSE e.t END ORDER BY e.pos) AS toks
+             |         FROM m3 e
+             |         LEFT JOIN sel3 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
+             |         LEFT JOIN sel3 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
+             |         WHERE s2.pos IS NULL
+             |         GROUP BY e.doc_id)
+             |SELECT t1.doc_id, CAST(len(t1.toks) AS BIGINT) AS n_raw,
+             |       CAST(len(t4.toks) AS BIGINT) AS n_encoded
+             |FROM tok1 t1 JOIN tok4 t4 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -209,7 +209,9 @@ object ScaleBench {
     // q162: the PLAIN-SQL range join through the optimizer rewrite
     // (ScaleBench loads GraftExtensions) — granule equi-join work is
     // points + interval-granules, both ∝ rows.
-    "q162_range_join_sql")
+    "q162_range_join_sql",
+    // q163: the trainer loop + one counts join — rides q155's rounds.
+    "q163_bpe_encode")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

@@ -57,6 +57,29 @@ class BpeMergesSpec extends SparkTestBase {
       "fixture must produce a chained (second-order) merge")
   }
 
+  test("bpeEncode reports the reference rewrite's exact compression") {
+    val docs = Seq(
+      "x x x x x",
+      "the cat sat on the mat",
+      "the cat ran to the cat house",
+      "a b a b a b")
+    var corpus = docs.map(_.split(" ").toList)
+    reference(docs, 3).foreach { case (_, a, b, _) =>
+      corpus = corpus.map(refMerge(_, a, b))
+    }
+    val got = TextAnalysis.bpeEncode(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        rounds = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    docs.indices.foreach { i =>
+      val (_, nRaw, nEnc) = got(i)
+      assert(nRaw == docs(i).split(" ").length)
+      assert(nEnc == corpus(i).length,
+        s"doc $i: encoded count $nEnc != reference ${corpus(i).length}")
+    }
+    assert(got.exists(r => r._3 < r._2), "the merges must compress something")
+  }
+
   test("partitioning-independent and early-stops on exhausted corpora") {
     val docs = Seq("p q", "p q", "r s").zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
