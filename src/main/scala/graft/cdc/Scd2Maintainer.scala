@@ -32,7 +32,7 @@ object Scd2Maintainer {
 
   val DefaultBuckets: Int = SnapshotMaintainer.DefaultBuckets
 
-  private val BucketCol = "__bucket"
+  private val BucketCol = BucketStore.BucketCol
   private val Derived = Seq("valid_from", "valid_to", "is_current")
 
   def scd2Dir(warehouseDir: String, table: String): String =
@@ -48,47 +48,24 @@ object Scd2Maintainer {
              buckets: Int = DefaultBuckets): Unit = {
     require(buckets > 0)
     val dir = scd2Dir(warehouseDir, table)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-
     val keyed = batch
       .withColumn(BucketCol, pmod(hash(pk.map(col): _*), lit(buckets)))
       .persist()
     try {
-      val touched = keyed.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).sorted
+      val touched = BucketStore.touchedBuckets(keyed)
       if (touched.isEmpty) return
 
-      val currentTouched =
-        if (fs.exists(root)) {
-          val dirs = touched.map(b => s"$dir/$BucketCol=$b")
-            .filter(p => fs.exists(new Path(p)))
-          if (dirs.isEmpty) None
-          else Some(spark.read.option("basePath", dir).parquet(dirs.toIndexedSeq: _*)
-            // strip the derived interval columns: what remains IS the
-            // changelog-version grain the batch arrives at
-            .drop(Derived: _*))
-        } else None
+      val currentTouched = BucketStore.readTouched(spark, dir, touched)
+        // strip the derived interval columns: what remains IS the
+        // changelog-version grain the batch arrives at
+        .map(_.drop(Derived: _*))
 
       // exact-duplicate versions collapse here — this is what makes a
       // replayed batch a no-op fold
       val versions = currentTouched.map(_.unionByName(keyed)).getOrElse(keyed)
         .distinct()
       val folded = Versioned.scd2(versions, pk, versionCol, actionCol)
-
-      val tmp = new Path(s"$dir/.__fold_tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      folded.repartition(col(BucketCol))
-        .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-      touched.foreach { b =>
-        val src = new Path(tmp, s"$BucketCol=$b")
-        val dst = new Path(root, s"$BucketCol=$b")
-        if (fs.exists(src)) {
-          if (fs.exists(dst)) fs.delete(dst, true)
-          require(fs.rename(src, dst), s"scd2 bucket swap failed: $dst")
-        }
-      }
-      fs.delete(tmp, true)
+      BucketStore.stageAndSwap(spark, dir, folded, touched)
     } finally keyed.unpersist(false)
   }
 

@@ -51,27 +51,17 @@ object SnapshotMaintainer {
              buckets: Int = DefaultBuckets): Unit = {
     require(buckets > 0)
     val dir = snapshotDir(warehouseDir, table)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
     val tsBatch = batch
       .withColumn("__v", col(versionCol).cast("timestamp"))
       .withColumn(BucketCol, pmod(hash(pk.map(col): _*), lit(buckets)))
       .persist()
     try {
-      // ≤ `buckets` values by construction — a driver-bounded collect
-      val touched = tsBatch.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).sorted
+      val touched = BucketStore.touchedBuckets(tsBatch)
       if (touched.isEmpty) return
 
-      val currentTouched =
-        if (fs.exists(root)) {
-          val dirs = touched.map(b => s"$dir/$BucketCol=$b")
-            .filter(p => fs.exists(new Path(p)))
-          if (dirs.isEmpty) None
-          else Some(spark.read.option("basePath", dir).parquet(dirs.toIndexedSeq: _*)
-            .withColumn("__v", col(versionCol).cast("timestamp")))
-        } else None
+      val currentTouched = BucketStore.readTouched(spark, dir, touched)
+        .map(_.withColumn("__v", col(versionCol).cast("timestamp")))
 
       // Fold = argmax per key over (__v, action) — same pick as
       // latestSnapshotWithTombstones' row_number window (desc on both),
@@ -91,28 +81,10 @@ object SnapshotMaintainer {
         .select(outCols.map(c =>
           if (pk.contains(c)) col(c) else col(s"__best.$c").as(c)): _*)
 
-      // stage the re-folded buckets, then swap each one individually —
-      // untouched buckets' files are never listed, read, or rewritten.
-      // The pre-write repartition on the bucket column is load-bearing:
-      // partitionBy writes one file per (task × bucket-value) pair, so
-      // writing straight out of the fold's pk-hash shuffle creates up to
-      // tasks×buckets tiny files per trigger — and the NEXT trigger's
-      // currentTouched read pays for all of them. Clustering by bucket
-      // first bounds the layout at one file per touched bucket
-      // (measured 2× on the ingest+fold bench at sf0.1).
-      val tmp = new Path(s"$dir/.__fold_tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      folded.repartition(col(BucketCol))
-        .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-      touched.foreach { b =>
-        val src = new Path(tmp, s"$BucketCol=$b")
-        val dst = new Path(root, s"$BucketCol=$b")
-        if (fs.exists(src)) {
-          if (fs.exists(dst)) fs.delete(dst, true)
-          require(fs.rename(src, dst), s"snapshot bucket swap failed: $dst")
-        }
-      }
-      fs.delete(tmp, true)
+      // stage + touched-bucket swap via the shared protocol (the
+      // pre-write bucket repartition there is load-bearing — measured
+      // 2× on the ingest+fold bench at sf0.1)
+      BucketStore.stageAndSwap(spark, dir, folded, touched)
     } finally tsBatch.unpersist(false)
   }
 

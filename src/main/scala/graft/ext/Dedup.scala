@@ -196,6 +196,9 @@ object Dedup {
   private[graft] def simhashVerifiedLazy(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxBucketSize: Int): (DataFrame, DataFrame) = {
+    // validate BEFORE persist: a thrown require must not leak a
+    // registered cache entry (the VERDICT r1 leaked-cache failure mode)
+    require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only up to distance 3")
     val fp = docs.select(col(idCol).as("id"),
       simhash64(split(col(textCol), " ")).as("fp"))
       .persist() // feeds both sides of the chunk self-join

@@ -37,8 +37,18 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   *  - `spark.graft.rangeJoin.granuleSeconds` > 0 (default 3600; set 0
   *    to disable — tune toward the median interval length).
   *
-  * Idempotent by construction: the rewritten join IS an equi-join on
-  * the granule column, so the no-equality guard stops a second firing.
+  * Fan-out safety — the HYBRID split: an interval explodes to its
+  * granule count, which nothing bounds at plan time (an open-ended
+  * sentinel like valid_to = 9999-12-31 is ~70M granules at the default
+  * width). Intervals within `spark.graft.rangeJoin
+  * .maxGranulesPerInterval` (default 256) take the equi-join; longer
+  * ones keep a nested-loop branch; the union is exact because each
+  * pair matches in exactly one branch (partitioned by the interval).
+  *
+  * Idempotent by construction: the equi-branch join has an equality
+  * conjunct and the nested-loop branch is a CROSS join with the
+  * condition in a Filter — neither shape matches the rule, so the
+  * fixed-point batch stabilizes after one firing.
   */
 class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
@@ -61,12 +71,23 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     case _                        => None
   }
 
+  /** Any equality conjunct — incl. null-safe `<=>` — means Spark already
+    * has a hash/merge strategy; the rewrite would only add work. */
+  private def hasEquality(conjuncts: Seq[Expression]): Boolean =
+    conjuncts.exists {
+      case _: EqualTo | _: EqualNullSafe => true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val g = try granuleSeconds catch { case _: NumberFormatException => 0L }
     if (g <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _)
-          if j.resolved && !splitConjunctivePredicates(cond).exists(_.isInstanceOf[EqualTo]) =>
+          if j.resolved && !hasEquality(splitConjunctivePredicates(cond)) &&
+            // the rewrite reserves __graft_g; a colliding user column
+            // would be clobbered by withColumn — bail out instead
+            !(left.output ++ right.output).exists(_.name == "__graft_g") =>
         rewrite(j, left, right, splitConjunctivePredicates(cond), g).getOrElse(j)
     }
   }
@@ -101,14 +122,43 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       // reference the matched attributes DIRECTLY (Bridge.column), so
       // duplicate column names anywhere in either input cannot
       // mis-resolve the rewrite
+      val gs = granule(Bridge.column(s))
+      val ge = granule(Bridge.column(e))
+      // HYBRID fan-out guard: an interval explodes to (ge − gs + 1)
+      // rows, and nothing bounds that at plan time — an open-ended
+      // sentinel interval (valid_to = 9999-12-31) would materialize
+      // ~70M granules per row and OOM where the old nested loop merely
+      // crawled. Intervals within the cap take the granule equi-join;
+      // the (few) longer ones keep the original theta join — each pair
+      // matches in exactly one branch (partitioned by the interval), so
+      // the union is exact and both branches stay bounded.
+      val span = ge - gs
       val p = pts.withColumn("__graft_g", granule(Bridge.column(t)))
-      val iv = ivs.withColumn("__graft_g",
-        explode(sequence(granule(Bridge.column(s)), granule(Bridge.column(e)))))
-      // using-join keeps both sides' original attribute ids; the
-      // residual filter is the ORIGINAL condition, strictness intact
-      val joined = p.join(iv, Seq("__graft_g")).drop("__graft_g")
+      val ivShort = ivs.filter(span <= lit(maxGranules))
+        .withColumn("__graft_g", explode(sequence(gs, ge)))
+      val shortJoined = p.join(ivShort, Seq("__graft_g")).drop("__graft_g")
+      // null bounds route here too: the residual condition drops them,
+      // as the original nested loop would. crossJoin + Filter, NOT a
+      // conditioned inner join: this batch runs to a FIXED POINT, and a
+      // theta join here would match the rule again next iteration — a
+      // cross join with the condition in a Filter above it executes
+      // identically (nested loop) but can never re-fire the match.
+      val ivLong = ivs.filter(span.isNull || span > lit(maxGranules))
+      val longJoined = pts.crossJoin(ivLong)
+        .filter(Bridge.column(conjuncts.reduce(And)))
+      val joined = shortJoined.unionByName(longJoined)
+      // union output carries the first branch's (= original) attribute
+      // ids; the residual filter is the ORIGINAL condition, strictness
+      // intact
       Project(j.output,
         Filter(conjuncts.reduce(And), joined.queryExecution.analyzed))
     }
   }
+
+  /** Max granules one interval may explode to on the equi-join branch;
+    * longer intervals stay on the theta branch. */
+  private def maxGranules: Long =
+    try math.max(1L,
+      conf.getConfString("spark.graft.rangeJoin.maxGranulesPerInterval", "256").toLong)
+    catch { case _: NumberFormatException => 256L }
 }

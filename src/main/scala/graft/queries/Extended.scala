@@ -26,6 +26,89 @@ object Extended {
     * process that ran Verify. */
   val OracleAuxDir = "/root/repo/target/oracle_aux"
 
+  /** The exact-Jaccard recursive-closure CTE prefix shared by the
+    * cluster-grade oracles (q85/q121/q151/q152; q40 keeps its own tail
+    * variant): string 3-gram shingles, all-pairs Jaccard >= 0.5,
+    * symmetric edges, recursive reachability, component-min labels.
+    * ONE source of truth — a change to the closure semantics lands
+    * here, not in four copies. Ends mid-CTE-list (after `lbl,`);
+    * callers append their own CTEs / final SELECT. */
+  /** The unrolled BPE trainer chain shared by q155/q163 — ONE generator
+    * instead of two drifting copies: per round, pair counts (pr) and
+    * the lexicographic-tie argmax (b); the rewrite (e/m/run/sel ->
+    * tok_{r+1}) expresses the engine's left-to-right non-overlap fold
+    * as match-run parity (a match is taken iff its in-run position is
+    * odd — provably the fold's selection). `rewriteLast` controls
+    * whether the final round's rewrite materializes (q163 needs the
+    * encoded corpus; q155 only the merge table). */
+  private def bpeCte(rounds: Int, rewriteLast: Boolean): String = {
+    val sb = new StringBuilder(
+      "WITH tok1 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)")
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+pr$r AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok$r WHERE len(toks) >= 2) t),
+b$r AS (SELECT t1, t2, COUNT(*) AS c FROM pr$r GROUP BY 1, 2
+       ORDER BY c DESC, t1, t2 LIMIT 1)"""
+      if (r < rounds || rewriteLast) sb ++= s""",
+e$r AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok$r),
+m$r AS (SELECT doc_id, pos, t,
+         CASE WHEN t = (SELECT t1 FROM b$r)
+               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b$r)
+              THEN 1 ELSE 0 END AS m
+       FROM e$r),
+run$r AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+         FROM m$r WHERE m = 1),
+sel$r AS (SELECT doc_id, pos FROM (
+           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
+           FROM run$r) WHERE rr % 2 = 1),
+tok${r + 1} AS (SELECT e.doc_id,
+           list(CASE WHEN s.pos IS NOT NULL
+                     THEN e.t || ' ' || (SELECT t2 FROM b$r) ELSE e.t END ORDER BY e.pos) AS toks
+         FROM m$r e
+         LEFT JOIN sel$r s  ON s.doc_id = e.doc_id AND s.pos = e.pos
+         LEFT JOIN sel$r s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
+         WHERE s2.pos IS NULL
+         GROUP BY e.doc_id)"""
+    }
+    sb.toString
+  }
+
+  /** q155's oracle: the merge table off the unrolled chain. */
+  private def bpeMergeTableSql(rounds: Int): String =
+    bpeCte(rounds, rewriteLast = false) + "\n" +
+      (1 to rounds).map(r =>
+        s"SELECT $r AS round, t1 AS lhs, t2 AS rhs, CAST(c AS BIGINT) AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n") + "\nORDER BY round"
+
+  /** q163's oracle: per-doc raw-vs-encoded lengths off the full chain. */
+  private def bpeEncodeSql(rounds: Int): String =
+    bpeCte(rounds, rewriteLast = true) + s"""
+SELECT t1.doc_id, CAST(len(t1.toks) AS BIGINT) AS n_raw,
+       CAST(len(tf.toks) AS BIGINT) AS n_encoded
+FROM tok1 t1 JOIN tok${rounds + 1} tf USING (doc_id)
+ORDER BY doc_id"""
+
+  private val JaccardClosureCte: String =
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_transform(range(1, len(toks) - 1),
+      |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      |  END) AS sh FROM tok),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+      |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      |""".stripMargin
+
   /** q46's featurized media corpus (documents + every-100th replayed
     * under a shifted id, media_features over the synthesized payloads) —
     * shared between the query and its vector dump so the oracle scores
@@ -2574,24 +2657,7 @@ object Extended {
       },
       // GROUND-TRUTH oracle: q85's exact-Jaccard recursive-CTE closure
       // composed with q22's quality formula; rank ties break on doc_id
-      Some("""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |sh AS (SELECT doc_id,
-             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             |  ELSE list_transform(range(1, len(toks) - 1),
-             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-             |  END) AS sh FROM tok),
-             |pairs AS (
-             |  SELECT a.doc_id AS id1, b.doc_id AS id2
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
-             |reach AS (
-             |  SELECT a, b FROM edges
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-             |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
-             |q AS (SELECT doc_id,
+      Some(JaccardClosureCte + """q AS (SELECT doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
              |    CAST(length(text) AS BIGINT) AS n_chars,
@@ -2683,24 +2749,7 @@ object Extended {
       },
       // GROUND-TRUTH oracle: q40's exact-Jaccard recursive-CTE closure,
       // aggregated to (size, count); singletons = docs − clustered
-      Some("""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |sh AS (SELECT doc_id,
-             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             |  ELSE list_transform(range(1, len(toks) - 1),
-             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-             |  END) AS sh FROM tok),
-             |pairs AS (
-             |  SELECT a.doc_id AS id1, b.doc_id AS id2
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
-             |reach AS (
-             |  SELECT a, b FROM edges
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-             |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
-             |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id),
+      Some(JaccardClosureCte + """sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id),
              |hist AS (
              |  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
              |  FROM sizes GROUP BY cluster_size
@@ -3435,24 +3484,7 @@ object Extended {
       },
       // GROUND-TRUTH oracle: q85's exact-Jaccard recursive-CTE closure
       // to component-min roots + the identical modular split hash
-      Some("""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |sh AS (SELECT doc_id,
-             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             |  ELSE list_transform(range(1, len(toks) - 1),
-             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-             |  END) AS sh FROM tok),
-             |pairs AS (
-             |  SELECT a.doc_id AS id1, b.doc_id AS id2
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
-             |reach AS (
-             |  SELECT a, b FROM edges
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-             |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
-             |rooted AS (SELECT d.doc_id,
+      Some(JaccardClosureCte + """rooted AS (SELECT d.doc_id,
              |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
              |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
              |bk AS (SELECT doc_id, cluster_id,
@@ -3488,24 +3520,7 @@ object Extended {
         crossCount(naive, "by_doc").unionByName(crossCount(safe, "by_cluster"))
           .orderBy("scheme")
       },
-      Some("""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |sh AS (SELECT doc_id,
-             |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             |  ELSE list_transform(range(1, len(toks) - 1),
-             |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-             |  END) AS sh FROM tok),
-             |pairs AS (
-             |  SELECT a.doc_id AS id1, b.doc_id AS id2
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-             |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
-             |reach AS (
-             |  SELECT a, b FROM edges
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-             |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
-             |rooted AS (SELECT d.doc_id,
+      Some(JaccardClosureCte + """rooted AS (SELECT d.doc_id,
              |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
              |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
              |sp AS (SELECT doc_id,
@@ -3545,7 +3560,8 @@ object Extended {
       // GROUND-TRUTH oracle: the same total order via row_number, the
       // same 5-successor candidate comb, exact string-shingle Jaccard
       Some("""WITH tok AS (SELECT doc_id, lang, n_chars,
-             |    string_split(text, ' ') AS toks FROM documents),
+             |    string_split(text, ' ') AS toks FROM documents
+             |    WHERE text IS NOT NULL),
              |sh AS (SELECT doc_id, lang, n_chars,
              |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
              |  ELSE list_transform(range(1, len(toks) - 1),
@@ -3600,61 +3616,7 @@ object Extended {
       // tie-break, same left-to-right non-overlap rewrite expressed as
       // match-run parity (a match is taken iff its in-run position is
       // odd, provably the fold's selection), same chained-token counts
-      Some("""             |WITH tok1 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |pr1 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
-             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok1 WHERE len(toks) >= 2) t),
-             |b1 AS (SELECT t1, t2, COUNT(*) AS c FROM pr1 GROUP BY 1, 2
-             |       ORDER BY c DESC, t1, t2 LIMIT 1),
-             |e1 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok1),
-             |m1 AS (SELECT doc_id, pos, t,
-             |         CASE WHEN t = (SELECT t1 FROM b1)
-             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b1)
-             |              THEN 1 ELSE 0 END AS m
-             |       FROM e1),
-             |run1 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
-             |         FROM m1 WHERE m = 1),
-             |sel1 AS (SELECT doc_id, pos FROM (
-             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
-             |           FROM run1) WHERE rr % 2 = 1),
-             |tok2 AS (SELECT e.doc_id,
-             |           list(CASE WHEN s.pos IS NOT NULL
-             |                     THEN e.t || ' ' || (SELECT t2 FROM b1) ELSE e.t END ORDER BY e.pos) AS toks
-             |         FROM m1 e
-             |         LEFT JOIN sel1 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
-             |         LEFT JOIN sel1 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
-             |         WHERE s2.pos IS NULL
-             |         GROUP BY e.doc_id),
-             |pr2 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
-             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok2 WHERE len(toks) >= 2) t),
-             |b2 AS (SELECT t1, t2, COUNT(*) AS c FROM pr2 GROUP BY 1, 2
-             |       ORDER BY c DESC, t1, t2 LIMIT 1),
-             |e2 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok2),
-             |m2 AS (SELECT doc_id, pos, t,
-             |         CASE WHEN t = (SELECT t1 FROM b2)
-             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b2)
-             |              THEN 1 ELSE 0 END AS m
-             |       FROM e2),
-             |run2 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
-             |         FROM m2 WHERE m = 1),
-             |sel2 AS (SELECT doc_id, pos FROM (
-             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
-             |           FROM run2) WHERE rr % 2 = 1),
-             |tok3 AS (SELECT e.doc_id,
-             |           list(CASE WHEN s.pos IS NOT NULL
-             |                     THEN e.t || ' ' || (SELECT t2 FROM b2) ELSE e.t END ORDER BY e.pos) AS toks
-             |         FROM m2 e
-             |         LEFT JOIN sel2 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
-             |         LEFT JOIN sel2 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
-             |         WHERE s2.pos IS NULL
-             |         GROUP BY e.doc_id),
-             |pr3 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
-             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok3 WHERE len(toks) >= 2) t),
-             |b3 AS (SELECT t1, t2, COUNT(*) AS c FROM pr3 GROUP BY 1, 2
-             |       ORDER BY c DESC, t1, t2 LIMIT 1)
-             |SELECT 1 AS round, t1 AS lhs, t2 AS rhs, CAST(c AS BIGINT) AS pair_count FROM b1
-             |UNION ALL SELECT 2, t1, t2, CAST(c AS BIGINT) FROM b2
-             |UNION ALL SELECT 3, t1, t2, CAST(c AS BIGINT) FROM b3
-             |ORDER BY round""".stripMargin)),
+      Some(bpeMergeTableSql(3))),
 
     ("q156_token_spectrum",
       (s: SparkSession, d: String) => {
@@ -3815,79 +3777,6 @@ object Extended {
       },
       // the q155 oracle chain extended through the third rewrite, then
       // raw-vs-encoded lengths per document
-      Some("""             |WITH tok1 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |pr1 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
-             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok1 WHERE len(toks) >= 2) t),
-             |b1 AS (SELECT t1, t2, COUNT(*) AS c FROM pr1 GROUP BY 1, 2
-             |       ORDER BY c DESC, t1, t2 LIMIT 1),
-             |e1 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok1),
-             |m1 AS (SELECT doc_id, pos, t,
-             |         CASE WHEN t = (SELECT t1 FROM b1)
-             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b1)
-             |              THEN 1 ELSE 0 END AS m
-             |       FROM e1),
-             |run1 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
-             |         FROM m1 WHERE m = 1),
-             |sel1 AS (SELECT doc_id, pos FROM (
-             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
-             |           FROM run1) WHERE rr % 2 = 1),
-             |tok2 AS (SELECT e.doc_id,
-             |           list(CASE WHEN s.pos IS NOT NULL
-             |                     THEN e.t || ' ' || (SELECT t2 FROM b1) ELSE e.t END ORDER BY e.pos) AS toks
-             |         FROM m1 e
-             |         LEFT JOIN sel1 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
-             |         LEFT JOIN sel1 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
-             |         WHERE s2.pos IS NULL
-             |         GROUP BY e.doc_id),
-             |pr2 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
-             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok2 WHERE len(toks) >= 2) t),
-             |b2 AS (SELECT t1, t2, COUNT(*) AS c FROM pr2 GROUP BY 1, 2
-             |       ORDER BY c DESC, t1, t2 LIMIT 1),
-             |e2 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok2),
-             |m2 AS (SELECT doc_id, pos, t,
-             |         CASE WHEN t = (SELECT t1 FROM b2)
-             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b2)
-             |              THEN 1 ELSE 0 END AS m
-             |       FROM e2),
-             |run2 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
-             |         FROM m2 WHERE m = 1),
-             |sel2 AS (SELECT doc_id, pos FROM (
-             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
-             |           FROM run2) WHERE rr % 2 = 1),
-             |tok3 AS (SELECT e.doc_id,
-             |           list(CASE WHEN s.pos IS NOT NULL
-             |                     THEN e.t || ' ' || (SELECT t2 FROM b2) ELSE e.t END ORDER BY e.pos) AS toks
-             |         FROM m2 e
-             |         LEFT JOIN sel2 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
-             |         LEFT JOIN sel2 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
-             |         WHERE s2.pos IS NULL
-             |         GROUP BY e.doc_id),
-             |pr3 AS (SELECT t.toks[i] AS t1, t.toks[i+1] AS t2
-             |        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok3 WHERE len(toks) >= 2) t),
-             |b3 AS (SELECT t1, t2, COUNT(*) AS c FROM pr3 GROUP BY 1, 2
-             |       ORDER BY c DESC, t1, t2 LIMIT 1),
-             |e3 AS (SELECT doc_id, unnest(toks) AS t, unnest(range(1, len(toks) + 1)) AS pos FROM tok3),
-             |m3 AS (SELECT doc_id, pos, t,
-             |         CASE WHEN t = (SELECT t1 FROM b3)
-             |               AND lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT t2 FROM b3)
-             |              THEN 1 ELSE 0 END AS m
-             |       FROM e3),
-             |run3 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
-             |         FROM m3 WHERE m = 1),
-             |sel3 AS (SELECT doc_id, pos FROM (
-             |           SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) AS rr
-             |           FROM run3) WHERE rr % 2 = 1),
-             |tok4 AS (SELECT e.doc_id,
-             |           list(CASE WHEN s.pos IS NOT NULL
-             |                     THEN e.t || ' ' || (SELECT t2 FROM b3) ELSE e.t END ORDER BY e.pos) AS toks
-             |         FROM m3 e
-             |         LEFT JOIN sel3 s  ON s.doc_id = e.doc_id AND s.pos = e.pos
-             |         LEFT JOIN sel3 s2 ON s2.doc_id = e.doc_id AND s2.pos = e.pos - 1
-             |         WHERE s2.pos IS NULL
-             |         GROUP BY e.doc_id)
-             |SELECT t1.doc_id, CAST(len(t1.toks) AS BIGINT) AS n_raw,
-             |       CAST(len(t4.toks) AS BIGINT) AS n_encoded
-             |FROM tok1 t1 JOIN tok4 t4 USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+      Some(bpeEncodeSql(3)))
   )
 }

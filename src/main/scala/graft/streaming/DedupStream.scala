@@ -42,7 +42,7 @@ final case class DedupStreamConfig(
   * stores. */
 object DedupStream {
 
-  private val BucketCol = "__bucket"
+  private val BucketCol = graft.cdc.BucketStore.BucketCol
 
   def indexDir(storeDir: String): String = s"$storeDir/_dedup_index"
 
@@ -76,22 +76,11 @@ object DedupStream {
       .withColumn(BucketCol, pmod(col("text_hash"), lit(cfg.buckets)).cast("int"))
       .persist()
     try {
-      // ≤ `buckets` values by construction — a driver-bounded collect
-      val touched = folded0.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).sorted
+      val touched = graft.cdc.BucketStore.touchedBuckets(folded0)
       if (touched.isEmpty) return
 
       val dir = indexDir(cfg.storeDir)
-      val root = new Path(dir)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val currentTouched =
-        if (fs.exists(root)) {
-          val dirs = touched.map(b => s"$dir/$BucketCol=$b")
-            .filter(p => fs.exists(new Path(p)))
-          if (dirs.isEmpty) None
-          else Some(spark.read.option("basePath", dir).parquet(dirs.toIndexedSeq: _*))
-        } else None
-
+      val currentTouched = graft.cdc.BucketStore.readTouched(spark, dir, touched)
       val unioned = currentTouched
         .map(_.select("text_hash", "rep_id", BucketCol).unionByName(folded0))
         .getOrElse(folded0)
@@ -99,25 +88,7 @@ object DedupStream {
         .groupBy("text_hash")
         .agg(min("rep_id").as("rep_id"))
         .withColumn(BucketCol, pmod(col("text_hash"), lit(cfg.buckets)).cast("int"))
-
-      // stage, then swap each touched bucket individually — untouched
-      // buckets' files are never listed, read, or rewritten. The
-      // pre-write repartition bounds the layout at one file per touched
-      // bucket (SnapshotMaintainer's argument: partitionBy straight out
-      // of the fold shuffle writes tasks×buckets tiny files).
-      val tmp = new Path(s"${cfg.storeDir}/.__dedup_tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      folded.repartition(col(BucketCol))
-        .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-      touched.foreach { b =>
-        val src = new Path(tmp, s"$BucketCol=$b")
-        val dst = new Path(root, s"$BucketCol=$b")
-        if (fs.exists(src)) {
-          if (fs.exists(dst)) fs.delete(dst, true)
-          require(fs.rename(src, dst), s"dedup bucket swap failed: $dst")
-        }
-      }
-      fs.delete(tmp, true)
+      graft.cdc.BucketStore.stageAndSwap(spark, dir, folded, touched)
     } finally folded0.unpersist(false)
   }
 }

@@ -88,8 +88,51 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     val df = graft.SparkEntry.queries("q162_range_join_sql")(
       spark, "/root/testdata/sf0.001")
     val p = plan(df)
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"the declared query must get the granule plan on an extensions session\n$p")
+    // the granule equi-join carries the work; the long-interval guard
+    // branch stays in the plan (its filter empties it at runtime for
+    // 7-day intervals) — assert the hybrid shape, not its absence
+    assert(p.contains("__graft_g") && p.contains("Union"),
+      s"the declared query must get the hybrid granule plan\n$p")
+    val hashJoins = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(hashJoins >= 1, s"the short branch must be a hash join\n$p")
+  }
+
+  test("sentinel (open-ended) intervals take the nested-loop branch, results exact") {
+    import spark.implicits._
+    fixtures()
+    // three interval classes: normal 2h, an open-ended sentinel
+    // (9999-12-31 — would be ~70M granules if exploded), and null bounds
+    val ivals = Seq(
+      (1L, "2026-01-01T02:00:00", "2026-01-01T04:00:00"),
+      (2L, "2026-01-01T00:00:00", "9999-12-31T00:00:00"),
+      (3L, null.asInstanceOf[String], "2026-01-02T00:00:00"))
+      .toDF("iv_id", "s_s", "e_s")
+      .selectExpr("iv_id", "CAST(s_s AS TIMESTAMP) AS s", "CAST(e_s AS TIMESTAMP) AS e")
+    ivals.createOrReplaceTempView("ivals2")
+    val q = "SELECT p_id, iv_id FROM pts JOIN ivals2 ON ts >= s AND ts < e"
+    val rewritten = spark.sql(q)
+    val p = plan(rewritten)
+    assert(p.contains("Union"), s"the hybrid split must be present\n$p")
+    spark.conf.set("spark.graft.rangeJoin.granuleSeconds", "0")
+    val reference = try rows(spark.sql(q))
+    finally spark.conf.unset("spark.graft.rangeJoin.granuleSeconds")
+    assert(rows(rewritten) == reference,
+      "sentinel + null intervals must keep nested-loop semantics exactly")
+    assert(reference.exists(_._2 == 2L), "the sentinel interval matches points")
+    assert(!reference.exists(_._2 == 3L), "null bounds never match")
+  }
+
+  test("a reserved __graft_g column on an input bails the rewrite out safely") {
+    import spark.implicits._
+    fixtures()
+    spark.sql("SELECT *, p_id AS __graft_g FROM pts").createOrReplaceTempView("pts_g")
+    val q = "SELECT p_id, iv_id, __graft_g FROM pts_g JOIN ivals ON ts >= s AND ts < e"
+    val df = spark.sql(q)
+    assert(plan(df).contains("BroadcastNestedLoopJoin") ||
+      plan(df).contains("CartesianProduct"),
+      "collision must fall back to the vanilla plan, not clobber the column")
+    val got = df.select("p_id", "__graft_g").as[(Long, Long)].collect()
+    assert(got.forall(r => r._1 == r._2), "the user column must survive intact")
   }
 
   test("the disable switch restores the nested loop") {

@@ -87,5 +87,18 @@ class IndexStreamSpec extends SparkTestBase {
         IndexStream.postingsDir(st)))
       .filter(_.isDirectory).map(_.getPath.getName).toSeq
     assert(parts == Seq("batch=0"), s"expected one folded partition, got $parts")
+
+    // a replay of a batch the fold absorbed is SKIPPED by the watermark
+    // — re-writing its (now gone) partition would duplicate its rows
+    IndexStream.processBatch(b1.toDF("doc_id", "text"), 1L, cfg)
+    assert(topKRows(IndexStream.topK(spark, st, qdf, k = 3)) == before,
+      "a replayed pre-compaction batch must not re-enter the index")
+    // while a genuinely NEW batch still lands
+    IndexStream.processBatch(b2.toDF("doc_id", "text"), 2L, cfg)
+    val withB2 = topKRows(IndexStream.topK(spark, st, qdf, k = 3))
+    val oneShot = topKRows(Retrieval.bm25TopK(
+      (b0 ++ b1 ++ b2).toDF("doc_id", "text"), qdf, k = 3))
+    assert(withB2 == oneShot,
+      "post-compaction appends must keep exact batch semantics")
   }
 }
