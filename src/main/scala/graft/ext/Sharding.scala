@@ -294,6 +294,26 @@ object Sharding {
     assignSplit(rooted, "cluster_id", valPct, testPct)
   }
 
+  /** Dedup-safe k-fold assignment — [[leakageSafeSplit]]'s machinery at
+    * cross-validation shape: every doc's fold is the [[splitBucket]]
+    * hash of its duplicate-cluster representative modulo `k`, so a
+    * near-dup pair can never straddle folds and every held-out fold is
+    * leak-free against its training complement. Output: (doc_id,
+    * cluster_id, fold ∈ [0, k)). Same scale shape as the split (one
+    * equi-join against the edge-bounded cluster frame + map-only
+    * arithmetic). */
+  def leakageSafeFolds(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 2, "k-fold needs k >= 2")
+    val clusters = Dedup.clusterPairs(pairs.select("id1", "id2"))
+      .withColumnRenamed("id", "__sid")
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(clusters, col("doc_id") === col("__sid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("fold", pmod(splitBucket(col("cluster_id")), lit(k.toLong)))
+  }
+
   /** Cap each group's contribution at `cap` rows, chosen
     * deterministically by ([[splitBucket]], id) — the per-domain
     * downsample that stops boilerplate-heavy sources from dominating a

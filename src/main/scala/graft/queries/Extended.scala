@@ -89,6 +89,17 @@ SELECT t1.doc_id, CAST(len(t1.toks) AS BIGINT) AS n_raw,
 FROM tok1 t1 JOIN tok${rounds + 1} tf USING (doc_id)
 ORDER BY doc_id"""
 
+  /** q164's oracle tail over [[JaccardClosureCte]]: fold = hash(root)
+    * mod k — the same modular arithmetic as q151's split. */
+  private def leakageFoldsSql(k: Int): String =
+    JaccardClosureCte +
+      s"""rooted AS (SELECT d.doc_id,
+         |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  (cluster_id % 1000003) * 2654435761 % 100 % $k AS fold
+         |FROM rooted ORDER BY doc_id""".stripMargin
+
   private val JaccardClosureCte: String =
     """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT doc_id,
@@ -3777,6 +3788,20 @@ ORDER BY doc_id"""
       },
       // the q155 oracle chain extended through the third rewrite, then
       // raw-vs-encoded lengths per document
-      Some(bpeEncodeSql(3)))
+      Some(bpeEncodeSql(3))),
+
+    ("q164_leakage_folds",
+      (s: SparkSession, d: String) => {
+        // dedup-safe k-fold assignment (q151 at cross-validation shape):
+        // fold = hash(cluster root) mod 5 — a near-dup pair can never
+        // straddle folds, so every held-out fold is leak-free against
+        // its training complement.
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        Sharding.leakageSafeFolds(docs, pairs, "doc_id", k = 5)
+          .orderBy("doc_id")
+      },
+      Some(leakageFoldsSql(5)))
   )
 }

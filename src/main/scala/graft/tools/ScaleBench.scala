@@ -211,7 +211,9 @@ object ScaleBench {
     // points + interval-granules, both ∝ rows.
     "q162_range_join_sql",
     // q163: the trainer loop + one counts join — rides q155's rounds.
-    "q163_bpe_encode")
+    "q163_bpe_encode",
+    // q164: q151's machinery at k-fold shape — same edge-bounded join.
+    "q164_leakage_folds")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

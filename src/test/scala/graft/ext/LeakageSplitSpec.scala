@@ -58,6 +58,27 @@ class LeakageSplitSpec extends SparkTestBase {
     }
   }
 
+  test("k-fold assignment: no near-dup pair straddles folds, folds in range") {
+    val docs = corpus.toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    val folds = Sharding.leakageSafeFolds(docs, pairs, "doc_id", k = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byId = folds.map(r => r._1 -> r._3).toMap
+    pairs.select("id1", "id2").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(byId(a) == byId(b),
+        s"pair ($a, $b) straddles folds ${byId(a)} vs ${byId(b)}")
+    }
+    assert(folds.forall(r => r._3 >= 0 && r._3 < 4))
+    // the root-mod formula reproduces exactly
+    folds.foreach { case (_, root, f) =>
+      assert(f == ((root % 1000003L) * 2654435761L) % 100L % 4L)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.leakageSafeFolds(docs, pairs, "doc_id", k = 1)
+    }
+  }
+
   test("assignment is partitioning-independent") {
     val docs = corpus.toDF("doc_id", "text")
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
