@@ -127,6 +127,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.eventPathsPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("semantic_decontaminate"), info("semantic_decontaminate"),
       (es: Seq[Expression]) => graft.ext.DocSql.semanticDecontaminatePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("leakage_folds"), info("leakage_folds"),
+      (es: Seq[Expression]) => graft.ext.DocSql.leakageFoldsPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("image_dedup_pairs"), info("image_dedup_pairs"),
+      (es: Seq[Expression]) => graft.ext.DocSql.imageDedupPairsPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("bpe_encode"), info("bpe_encode"),
+      (es: Seq[Expression]) => graft.ext.DocSql.bpeEncodePlan(es)))
     // Optimizer rule: point-in-interval theta joins → granule-bucketized
     // equi-joins (graft.plans.RangeJoinRule) — plain SQL range joins get
     // the linear plan instead of BroadcastNestedLoopJoin.

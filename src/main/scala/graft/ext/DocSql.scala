@@ -330,4 +330,27 @@ object DocSql {
   private[graft] def semanticDecontaminatePlan(es: Seq[Expression]): LogicalPlan =
     plan(Similarity.semanticDecontaminate(tableArg(es.head), tableArg(es(1)),
       threshold = dblArg(es(2))))
+
+  /** `leakage_folds('docs', threshold, k)`: dedup-safe k-fold
+    * assignment — (doc_id, cluster_id, fold). */
+  private[graft] def leakageFoldsPlan(es: Seq[Expression]): LogicalPlan = {
+    val docs = tableArg(es.head)
+    plan(Sharding.leakageSafeFolds(docs,
+      Dedup.minhashNearDupPairsAuto(docs, "doc_id", "text",
+        threshold = dblArg(es(1))), "doc_id", k = intArg(es(2))))
+  }
+
+  /** `image_dedup_pairs('docs', max_hamming)`: render every doc as a
+    * real BMP, aHash it, and return Hamming-bounded near-dup pairs —
+    * (id1, id2, hamming). */
+  private[graft] def imageDedupPairsPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.hammingNearDupPairs(
+      Multimodal.imageAHash(Multimodal.synthesizeBmpCorpus(tableArg(es.head))),
+      maxHamming = intArg(es(1))))
+
+  /** `bpe_encode('docs', rounds)`: per-doc token counts before/after
+    * the trained merges — (doc_id, n_raw, n_encoded). Runs the trainer
+    * loop at analysis time (the bpe_merges caveat). */
+  private[graft] def bpeEncodePlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.bpeEncode(tableArg(es.head), rounds = intArg(es(1))))
 }

@@ -338,4 +338,21 @@ class DocSqlSpec extends AnyFunSuite {
         emb.filter(col("vec_id") =!= 1L), emb.filter(col("vec_id") === 1L),
         threshold = 0.9)))
   }
+
+  test("folds/image-pairs/bpe-encode TVFs equal their Scala counterparts") {
+    docs
+
+    assert(sorted(spark.sql("SELECT * FROM leakage_folds('docs', 0.5, 3)")) ==
+      sorted(Sharding.leakageSafeFolds(docs,
+        Dedup.minhashNearDupPairsAuto(docs, "doc_id", "text", threshold = 0.5),
+        "doc_id", k = 3)))
+
+    assert(sorted(spark.sql("SELECT * FROM image_dedup_pairs('docs', 3)")) ==
+      sorted(Dedup.hammingNearDupPairs(
+        Multimodal.imageAHash(Multimodal.synthesizeBmpCorpus(docs)),
+        maxHamming = 3)))
+
+    assert(sorted(spark.sql("SELECT * FROM bpe_encode('docs', 2)")) ==
+      sorted(TextAnalysis.bpeEncode(docs, rounds = 2)))
+  }
 }
