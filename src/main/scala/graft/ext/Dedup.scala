@@ -458,6 +458,41 @@ object Dedup {
       .select(col("id").as(idCol))
   }
 
+  /** Per-group dedup-rate audit — the management dashboard behind a
+    * dedup rollout: for each `groupCol` (source/crawl/domain), how many
+    * docs are exact-duplicate losers, how many near-duplicate losers
+    * (on the exact survivors, mirroring [[dedupCorpus]]'s order), and
+    * how many survive. A source whose loss rate spikes is the first
+    * sign of a mirror, a template farm, or a crawler loop. Output:
+    * (group, n_docs, n_exact_dup, n_near_dup, n_kept) — all integers.
+    *
+    * Scale shape: composes the existing passes (hash-grouped exact
+    * losers, minhash+verify pairs, star-contraction clusters); the
+    * audit itself adds two bounded left joins of loser-id frames and
+    * one map-side-combinable group count. */
+  def dedupRates(docs: DataFrame, idCol: String, textCol: String,
+                 groupCol: String, threshold: Double = 0.5,
+                 shingleSize: Int = 3, bands: Int = 16,
+                 rowsPerBand: Int = 4): DataFrame = {
+    val exactLosers = exactDupLosers(docs, idCol, textCol, Nil, min(col("id")))
+      .withColumn("__e", lit(1L))
+    val fresh = docs.join(exactLosers.select(idCol), Seq(idCol), "left_anti")
+    val pairs = minhashNearDupPairs(fresh, idCol, textCol,
+      shingleSize, bands, rowsPerBand, threshold)
+    val nearLosers = clusterPairs(pairs.select("id1", "id2"))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol)).withColumn("__n", lit(1L))
+    docs.select(col(idCol), col(groupCol))
+      .join(exactLosers, Seq(idCol), "left")
+      .join(nearLosers, Seq(idCol), "left")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__e")), lit(0L)).as("n_exact_dup"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_near_dup"))
+      .withColumn("n_kept",
+        col("n_docs") - col("n_exact_dup") - col("n_near_dup"))
+  }
+
   /** Near-dedup a corpus end-to-end: exact-duplicate pre-pass (collapse
     * byte-identical texts to their minimum-id copy), then MinHash+LSH
     * candidate pairs, exact Jaccard verify, cluster, keep each cluster's

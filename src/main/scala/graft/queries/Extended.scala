@@ -100,8 +100,8 @@ ORDER BY doc_id"""
          |  (cluster_id % 1000003) * 2654435761 % 100 % $k AS fold
          |FROM rooted ORDER BY doc_id""".stripMargin
 
-  private val JaccardClosureCte: String =
-    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private def jaccardClosureBody(table: String): String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $table),
       |sh AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |  ELSE list_transform(range(1, len(toks) - 1),
@@ -119,6 +119,9 @@ ORDER BY doc_id"""
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
       |""".stripMargin
+
+  private val JaccardClosureCte: String =
+    "WITH RECURSIVE " + jaccardClosureBody("documents")
 
   /** q46's featurized media corpus (documents + every-100th replayed
     * under a shifted id, media_features over the synthesized payloads) —
@@ -3802,6 +3805,40 @@ ORDER BY doc_id"""
         Sharding.leakageSafeFolds(docs, pairs, "doc_id", k = 5)
           .orderBy("doc_id")
       },
-      Some(leakageFoldsSql(5)))
+      Some(leakageFoldsSql(5))),
+
+    ("q165_dedup_rates",
+      (s: SparkSession, d: String) => {
+        // per-source dedup-rate audit: exact losers, near losers (on
+        // the exact survivors — dedupCorpus's order), survivors. The
+        // rollout dashboard: a source whose loss rate spikes is a
+        // mirror, a template farm, or a crawler loop.
+        Dedup.dedupRates(Tables.documents(s, d), "doc_id", "text",
+            "source", threshold = 0.5)
+          .orderBy("source")
+      },
+      // GROUND TRUTH: exact losers by raw TEXT grouping, the closure
+      // over the exact-survivor corpus (the parameterized CTE body),
+      // integer flags folded per source
+      Some("WITH RECURSIVE eg AS (SELECT text, MIN(doc_id) AS rep, COUNT(*) AS n\n" +
+        "    FROM documents GROUP BY text),\n" +
+        "exl AS (SELECT d.doc_id FROM documents d JOIN eg ON eg.text = d.text\n" +
+        "        WHERE eg.n > 1 AND d.doc_id <> eg.rep),\n" +
+        "fresh AS (SELECT * FROM documents\n" +
+        "          WHERE doc_id NOT IN (SELECT doc_id FROM exl)),\n" +
+        jaccardClosureBody("fresh") +
+        """nl AS (SELECT id AS doc_id FROM lbl WHERE cluster_id < id)
+          |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(coalesce(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 END), 0)
+          |    AS BIGINT) AS n_exact_dup,
+          |  CAST(coalesce(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 END), 0)
+          |    AS BIGINT) AS n_near_dup,
+          |  CAST(COUNT(*) - coalesce(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 END), 0)
+          |    - coalesce(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 END), 0)
+          |    AS BIGINT) AS n_kept
+          |FROM documents d
+          |LEFT JOIN exl e ON e.doc_id = d.doc_id
+          |LEFT JOIN nl n ON n.doc_id = d.doc_id
+          |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 }

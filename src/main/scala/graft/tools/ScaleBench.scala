@@ -213,7 +213,9 @@ object ScaleBench {
     // q163: the trainer loop + one counts join — rides q155's rounds.
     "q163_bpe_encode",
     // q164: q151's machinery at k-fold shape — same edge-bounded join.
-    "q164_leakage_folds")
+    "q164_leakage_folds",
+    // q165: the composed dedup passes + two bounded loser joins.
+    "q165_dedup_rates")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

@@ -79,6 +79,31 @@ class LeakageSplitSpec extends SparkTestBase {
     }
   }
 
+  test("dedupRates: exact vs near losers accounted per source") {
+    // src A: 3 byte-identical docs (2 exact losers) + 1 unique;
+    // src B: 2 near-dups (1 near loser) + 1 unique
+    val base = "the quick brown fox jumps over the lazy dog again today yes"
+    val docs = Seq(
+      (1L, "A", base), (2L, "A", base), (3L, "A", base),
+      (4L, "A", "completely different text about spark and scala engines"),
+      (5L, "B", base + " extra"), (6L, "B", base + " bonus"),
+      (7L, "B", "another unique document body with its own words entirely"))
+      .toDF("doc_id", "source", "text")
+    val rates = Dedup.dedupRates(docs, "doc_id", "text", "source",
+        threshold = 0.5)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rates("A") == ((4L, 2L, 0L, 2L)),
+      s"A: 2 exact losers, representative + unique kept: ${rates("A")}")
+    // docs 5 and 6 are near-dups of A's surviving representative (doc
+    // 1), so the cluster roots at 1 and BOTH B members are losers —
+    // dedup clusters cross sources, and the audit must account for it
+    assert(rates("B") == ((3L, 0L, 2L, 1L)),
+      s"B: both near-dups lose to A's representative: ${rates("B")}")
+    assert(rates.values.forall(r => r._1 == r._2 + r._3 + r._4),
+      "docs = exact + near + kept, per source")
+  }
+
   test("assignment is partitioning-independent") {
     val docs = corpus.toDF("doc_id", "text")
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
