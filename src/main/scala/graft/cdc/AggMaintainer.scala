@@ -140,18 +140,9 @@ object AggMaintainer {
       .localCheckpoint(true)
 
     val dir = aggDir(warehouseDir, table, spec.name)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-
-    // ≤ aggBuckets values by construction — driver-bounded
-    val touched = delta.select(BucketCol).distinct().collect()
-      .map(_.getInt(0)).sorted
+    val touched = BucketStore.touchedBuckets(delta, BucketCol)
     if (touched.isEmpty) return
-    val existingDirs = touched.map(b => s"$dir/$BucketCol=$b")
-      .filter(p => fs.exists(new Path(p)))
-    val current =
-      if (existingDirs.isEmpty) None
-      else Some(spark.read.option("basePath", dir).parquet(existingDirs.toIndexedSeq: _*))
+    val current = BucketStore.readTouched(spark, dir, touched, BucketCol)
 
     val merged = current match {
       case None => delta.filter(col("n_rows") =!= 0L ||
@@ -175,18 +166,11 @@ object AggMaintainer {
           .filter(col("n_rows") > 0L)
     }
 
-    // stage + per-bucket swap, same discipline as the snapshot store
-    val tmp = new Path(s"$dir/.__agg_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-    touched.foreach { b =>
-      val src = new Path(tmp, s"$BucketCol=$b")
-      val dst = new Path(root, s"$BucketCol=$b")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src))
-        require(fs.rename(src, dst), s"agg bucket swap failed: $dst")
-    }
-    fs.delete(tmp, true)
+    // shared stage + per-bucket swap (rename-aside, crash-recoverable,
+    // and the load-bearing pre-write bucket repartition); a bucket
+    // whose groups all cancelled to zero is DELETED, not left stale
+    BucketStore.stageAndSwap(spark, dir, merged, touched,
+      deleteMissingTouched = true, bucketCol = BucketCol)
   }
 
   /** The maintained aggregate table. */

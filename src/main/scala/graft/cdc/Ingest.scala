@@ -40,6 +40,11 @@ object Ingest {
   def appendBatch(parsed: DataFrame, registry: Map[String, TableSpec],
                   warehouseDir: String, batchId: Long,
                   partitionByDate: Boolean = false): Unit = {
+    // the compacted partition holds MERGED history — an idempotent
+    // batch overwrite targeting it would replace all of it with one
+    // batch's rows; no legitimate caller appends at this id
+    require(batchId != CompactedBatchId,
+      s"batch id $batchId is reserved for compacted history")
     val cached = parsed.cache()
     try {
       registry.values.foreach { spec =>
@@ -114,7 +119,7 @@ object Ingest {
     * stream's (e.g. negative) so replays stay idempotent too. */
   def replayDeadLetter(spark: SparkSession, warehouseDir: String,
                        registry: Map[String, TableSpec],
-                       replayBatchId: Long = -1L): Unit = {
+                       replayBatchId: Long = ReplayBatchId): Unit = {
     val dead = spark.read.parquet(s"$warehouseDir/$UnknownTableDir")
       .select(col("_raw").as("value"))
     val parsed = Envelope.parse(dead)
@@ -134,6 +139,14 @@ object Ingest {
     * history into a replayable id would let that overwrite destroy
     * other batches' rows (same invariant as DocStream.CompactedBatch). */
   val CompactedBatchId: Long = -1L
+
+  /** Reserved id for [[replayDeadLetter]]'s default write. MUST differ
+    * from [[CompactedBatchId]]: a replay writing `batch=-1` would
+    * OVERWRITE the compacted partition of every table it routes to,
+    * destroying the merged history (and the compacted dead letter).
+    * −2 can never collide with a streaming batch id, and the next
+    * compaction absorbs it like any other committed batch dir. */
+  val ReplayBatchId: Long = -2L
 
   /** Completion marker + recovery manifest for [[compactBatches]]: written
     * INTO the tmp dir after the parquet write returns, listing the source

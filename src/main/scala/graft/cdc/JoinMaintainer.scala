@@ -174,21 +174,11 @@ object JoinMaintainer {
     * is DELETED (its content legitimately went empty). */
   private def swapBuckets(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                           dir: String, rows: DataFrame,
-                          touched: Array[Int]): Unit = {
-    val root = new Path(dir)
-    val tmp = new Path(s"$dir/.__join_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    rows.repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-    touched.foreach { bk =>
-      val src = new Path(tmp, s"$BucketCol=$bk")
-      val dst = new Path(root, s"$BucketCol=$bk")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src))
-        require(fs.rename(src, dst), s"join bucket swap failed: $dst")
-    }
-    fs.delete(tmp, true)
-  }
+                          touched: Array[Int]): Unit =
+    // shared rename-aside protocol; a touched bucket whose join went
+    // empty is deleted (the staged fold emitted no rows for it)
+    BucketStore.stageAndSwap(spark, dir, rows, touched.toSeq,
+      deleteMissingTouched = true, bucketCol = BucketCol)
 
   /** The LIVE (non-tombstone) snapshot rows of exactly `keys` — the
     * same bounded pk-bucket read as [[AggMaintainer]]'s. */

@@ -95,8 +95,17 @@ object Registry {
           val flips = spec.schema.flatMap(f => oldTypes.get(f.name)
             .filter(_ != f.dataType)
             .map(was => s"${f.name}: $was -> ${f.dataType}"))
-          if (flips.nonEmpty) { rejected += s"$name [${flips.mkString(", ")}]"; name -> old }
-          else name -> spec
+          // a physical-name change silently reroutes a RUNNING stream's
+          // appends/folds to a fresh directory, splitting the table's
+          // history — the same hazard class as a type flip; reject it
+          // (renames are a restart-time storage migration, not a
+          // hot-refresh edit)
+          val renamed = spec.physicalName != old.physicalName
+          if (flips.nonEmpty || renamed) {
+            val why = flips ++
+              (if (renamed) Seq(s"physical ${old.physicalName} -> ${spec.physicalName}") else Nil)
+            rejected += s"$name [${why.mkString(", ")}]"; name -> old
+          } else name -> spec
         case None => name -> spec
       }
     }

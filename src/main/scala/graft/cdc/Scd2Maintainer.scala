@@ -62,7 +62,9 @@ object Scd2Maintainer {
 
       // exact-duplicate versions collapse here — this is what makes a
       // replayed batch a no-op fold
-      val versions = currentTouched.map(_.unionByName(keyed)).getOrElse(keyed)
+      val versions = currentTouched
+        .map(_.unionByName(keyed, allowMissingColumns = true))
+        .getOrElse(keyed)
         .distinct()
       val folded = Versioned.scd2(versions, pk, versionCol, actionCol)
       BucketStore.stageAndSwap(spark, dir, folded, touched)
@@ -72,5 +74,6 @@ object Scd2Maintainer {
   /** Read the maintained SCD2 table — the same frame
     * [[Versioned.scd2]] derives from the full history. */
   def read(spark: SparkSession, warehouseDir: String, table: String): DataFrame =
-    spark.read.parquet(scd2Dir(warehouseDir, table)).drop(BucketCol)
+    spark.read.option("mergeSchema", "true")
+      .parquet(scd2Dir(warehouseDir, table)).drop(BucketCol)
 }

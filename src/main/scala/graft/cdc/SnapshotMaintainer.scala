@@ -71,7 +71,13 @@ object SnapshotMaintainer {
       // where the window form shuffles every input row to sort it.
       // (Exact ties on (version, action) pick an arbitrary row under
       // both forms.)
-      val unioned = currentTouched.map(_.unionByName(tsBatch)).getOrElse(tsBatch)
+      // allowMissingColumns: a registry column add/remove (accepted by
+      // Registry.refreshCompatible) must not wedge the fold — missing
+      // sides fill with null, exactly what an old row knows about a new
+      // column
+      val unioned = currentTouched
+        .map(_.unionByName(tsBatch, allowMissingColumns = true))
+        .getOrElse(tsBatch)
       val outCols = tsBatch.columns.filterNot(_ == "__v")
       val payloadCols = outCols.filterNot(pk.contains)
       val folded = unioned
@@ -91,7 +97,8 @@ object SnapshotMaintainer {
   /** Read the maintained current-state table (tombstones filtered). */
   def read(spark: SparkSession, warehouseDir: String, table: String,
            actionCol: String = "action"): DataFrame =
-    spark.read.parquet(snapshotDir(warehouseDir, table))
+    spark.read.option("mergeSchema", "true")
+      .parquet(snapshotDir(warehouseDir, table))
       .filter(col(actionCol) =!= Versioned.DeleteAction)
       .drop(BucketCol)
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
+import graft.cdc.Ingest
 import graft.ext.Dedup
 
 /** Config for the streaming deduplicating corpus builder.
@@ -84,29 +85,18 @@ object DocStream {
     * dir — a no-op, exactly like a replay before compaction. */
   def compact(spark: SparkSession, corpusDir: String, upToBatch: Long): Unit = {
     require(upToBatch >= 0)
-    Seq(corpusDir, sigDir(corpusDir)).foreach { dir =>
-      val root = new Path(dir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) {
-        val mergeDirs = fs.listStatus(root).map(_.getPath)
-          .filter { p =>
-            p.getName.startsWith("batch=") &&
-              p.getName.stripPrefix("batch=").toLong <= upToBatch
-          }
-        if (mergeDirs.nonEmpty) {
-          val merged = spark.read.option("basePath", dir)
-            .parquet(mergeDirs.map(_.toString).toIndexedSeq: _*)
-            .drop("batch")
-          val tmp = new Path(s"$dir/.__compact_tmp")
-          if (fs.exists(tmp)) fs.delete(tmp, true)
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          val dst = new Path(s"$dir/batch=$CompactedBatch")
-          if (fs.exists(dst)) fs.delete(dst, true)
-          require(fs.rename(tmp, dst), s"compact rename failed: $dst")
-          mergeDirs.foreach(p => fs.delete(p, true))
-        }
-      }
-    }
+    // delegate to Ingest's MANIFEST-protocol compactor (same batch=<id>
+    // layout): the hand-rolled version here deleted sources AFTER the
+    // rename with no recovery — a crash in the window either duplicated
+    // every absorbed document (sources + batch=-1 both live) or lost
+    // batch=-1 outright when the next run swept the tmp dir. The
+    // manifest makes every crash point re-runnable. `upToBatch` must
+    // stay at or below the stream's committed frontier (the in-stream
+    // caller passes batchId − 1), so a replay can never target an
+    // absorbed partition.
+    val root = new Path(corpusDir)
+    Ingest.compactBatches(spark, root.getParent.toString, root.getName, upToBatch)
+    Ingest.compactBatches(spark, corpusDir, "_sigs", upToBatch)
   }
 
   /** One micro-batch: dedup within the batch, then against the corpus,

@@ -47,8 +47,12 @@ object DriftStream {
       .parquet(logDir(monitorDir))
 
   /** The accumulated reference histogram: (bucket, n). */
-  def readReference(spark: SparkSession, monitorDir: String): DataFrame =
+  def readReference(spark: SparkSession, monitorDir: String): DataFrame = {
+    val ref = new Path(refDir(monitorDir))
+    graft.cdc.BucketStore.recoverDir(
+      ref.getFileSystem(spark.sessionState.newHadoopConf()), ref)
     spark.read.parquet(refDir(monitorDir)).select("bucket", "n")
+  }
 
   def start(spark: SparkSession, cfg: DriftStreamConfig): StreamingQuery =
     spark.readStream
@@ -75,6 +79,7 @@ object DriftStream {
     if (nDocs == 0L) return // nothing arrived: no log row, no fold
     val ref = new Path(refDir(cfg.monitorDir))
     val fs = ref.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.cdc.BucketStore.recoverDir(fs, ref) // a crashed swap's aside copy
     val current: Option[(DataFrame, Long)] =
       if (!fs.exists(ref)) None
       else {
@@ -82,6 +87,12 @@ object DriftStream {
         Some((r.select("bucket", "n"),
           r.select(max(col("__last_batch"))).head().getLong(0)))
       }
+
+    // a batch the reference has already folded is a REPLAY whose log
+    // row is already committed: recomputing PSI now would score the
+    // batch against a reference that includes itself (biased toward 0)
+    // and overwrite the real alarm — skip entirely
+    if (current.exists(_._2 >= batchId)) return
 
     // PSI of this batch against the reference BEFORE it (first batch:
     // reference = itself ⇒ PSI 0, the monitor's calibration row)
@@ -109,8 +120,10 @@ object DriftStream {
       if (fs.exists(tmp)) fs.delete(tmp, true)
       merged.withColumn("__last_batch", lit(batchId))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(ref)) fs.delete(ref, true)
-      require(fs.rename(tmp, ref), s"reference swap failed: $ref")
+      // rename-aside swap: a crash can no longer reset the reference
+      // to one batch's histogram (every later PSI would then compare
+      // against a near-empty reference)
+      graft.cdc.BucketStore.swapDir(fs, ref, tmp)
     }
   }
 }

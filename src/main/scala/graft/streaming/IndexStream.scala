@@ -55,12 +55,40 @@ object IndexStream {
   def postingsDir(storeDir: String): String = s"$storeDir/_postings"
   def doclenDir(storeDir: String): String = s"$storeDir/_doclen"
 
+  /** The dirs a reader trusts: the CURRENT compacted generation (named
+    * by the watermark it absorbed) plus every batch partition ABOVE the
+    * watermark. Partitions at or below it are pre-GC stragglers from a
+    * crashed compaction — their rows already live in the generation
+    * dir, so reading them would double-count. */
+  private def liveDirs(spark: SparkSession, dir: String, wm: Long): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val names = fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName).toSeq
+      val gen = names.filter(_ == s"compacted=$wm")
+      val batches = names.filter(_.startsWith("batch="))
+        .filter(n => scala.util.Try(n.stripPrefix("batch=").toLong)
+          .toOption.exists(_ > wm))
+      (gen ++ batches).map(n => s"$dir/$n")
+    }
+  }
+
+  private def readFrame(spark: SparkSession, storeDir: String, dir: String,
+                        cols: Seq[String]): DataFrame = {
+    val wm = readWatermark(spark, storeDir)
+    val dirs = liveDirs(spark, dir, wm)
+    require(dirs.nonEmpty, s"empty index store: $dir")
+    spark.read.parquet(dirs: _*).selectExpr(cols: _*)
+  }
+
   def readPostings(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(postingsDir(storeDir))
-      .select("doc_id", "term", "tf")
+    readFrame(spark, storeDir, postingsDir(storeDir),
+      Seq("doc_id", "term", "tf"))
 
   def readDocLens(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(doclenDir(storeDir)).select("doc_id", "dl")
+    readFrame(spark, storeDir, doclenDir(storeDir), Seq("doc_id", "dl"))
 
   /** BM25 top-k over the maintained index — identical scoring to
     * [[Retrieval.bm25TopK]] over the concatenation of every batch. */
@@ -110,51 +138,95 @@ object IndexStream {
     dl.write.mode("overwrite")
       .parquet(s"${doclenDir(cfg.storeDir)}/batch=$batchId")
     // in-stream compaction: foreachBatch serializes triggers, so the
-    // fold can never race a concurrent writer here
+    // fold can never race a concurrent writer; the IN-FLIGHT batch is
+    // excluded (upToBatch = batchId − 1) — folding a batch whose
+    // checkpoint has not committed would let its replay double-count
     if (cfg.compactEveryNBatches > 0 && batchId > 0 &&
         batchId % cfg.compactEveryNBatches == 0)
-      compact(spark, cfg.storeDir)
+      compact(spark, cfg.storeDir, upToBatch = batchId - 1)
   }
 
-  /** Fold all accumulated `batch=<id>` partitions of both frames into
-    * one, preserving contents exactly — run periodically so reader-side
-    * file listings stay bounded regardless of trigger count. Records
-    * the highest absorbed batch id as the replay watermark (see the
-    * class doc). Run it from INSIDE the stream (`compactEveryNBatches`)
-    * or with the stream quiesced — an external call racing a live
-    * trigger could interleave with that trigger's partition write. */
-  def compact(spark: SparkSession, storeDir: String): Unit = {
+  /** Fold every committed `batch=<id>` partition with id ≤ `upToBatch`
+    * (plus the previous generation) into a NEW `compacted=<upToBatch>`
+    * generation dir per frame — run periodically so reader-side file
+    * listings stay bounded regardless of trigger count.
+    *
+    * Crash-safe by GENERATIONS, not in-place swaps: nothing live is
+    * deleted before the commit point. The new generation is written
+    * beside the live data; the COMMIT is the watermark write (readers
+    * and the replay guard consult it); absorbed batch dirs and the old
+    * generation are garbage-collected AFTER the commit, and a crash
+    * anywhere leaves either the old state fully live (pre-commit) or
+    * the new one with harmless stragglers the next GC sweep removes
+    * (readers select by watermark, so stragglers are never read).
+    *
+    * `upToBatch = Long.MaxValue` (the external-call default) folds
+    * everything on disk — only valid with the stream quiesced; the
+    * in-stream path passes `batchId − 1` so the in-flight batch (whose
+    * checkpoint has not committed) can never be folded and then
+    * replay-duplicated. */
+  def compact(spark: SparkSession, storeDir: String,
+              upToBatch: Long = Long.MaxValue): Unit = {
+    val frames = Seq(postingsDir(storeDir) -> Seq("doc_id", "term", "tf"),
+      doclenDir(storeDir) -> Seq("doc_id", "dl"))
+    val wm0 = readWatermark(spark, storeDir)
     val pRoot = new Path(postingsDir(storeDir))
-    val pFs = pRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    val maxBatch =
-      if (!pFs.exists(pRoot)) -1L
-      else pFs.listStatus(pRoot).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong).foldLeft(-1L)(math.max)
-    if (maxBatch < 0) return
-    Seq(postingsDir(storeDir) -> Seq("doc_id", "term", "tf"),
-        doclenDir(storeDir) -> Seq("doc_id", "dl")).foreach {
-      case (dir, cols) =>
-        val root = new Path(dir)
-        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(root)) {
-          val folded = spark.read.parquet(dir)
-            .select(cols.map(col): _*)
-            .localCheckpoint(true) // materialize BEFORE the dir is replaced
-          val tmp = new Path(s"$dir.__compact_tmp")
-          if (fs.exists(tmp)) fs.delete(tmp, true)
-          folded.write.parquet(s"${tmp.toString}/batch=0")
-          fs.delete(root, true)
-          require(fs.rename(tmp, root), s"index compaction swap failed: $dir")
-        }
+    val fs = pRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    gc(spark, storeDir, wm0) // stragglers from a previously crashed GC
+    if (!fs.exists(pRoot)) return
+    val absorbable = fs.listStatus(pRoot).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      .filter(b => b > wm0 && b <= upToBatch)
+    if (absorbable.isEmpty) return
+    val newWm = absorbable.max
+    frames.foreach { case (dir, cols) =>
+      // previous generation + the committed batches being absorbed;
+      // batches ABOVE upToBatch (e.g. the in-flight one) stay live
+      val selected = liveDirs(spark, dir, wm0).filter { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        !n.startsWith("batch=") ||
+          n.stripPrefix("batch=").toLong <= upToBatch
+      }
+      val folded = spark.read.parquet(selected: _*).selectExpr(cols: _*)
+      // written BESIDE the live data — nothing is deleted pre-commit;
+      // a crashed partial generation is invisible (watermark still old)
+      // and overwritten by the next attempt
+      folded.write.mode("overwrite").parquet(s"$dir/compacted=$newWm")
     }
-    // watermark LAST: if the fold crashes mid-way, replays still target
-    // their own (surviving or rewritten) partitions — never duplicated
+    // COMMIT: the watermark flips readers and the replay guard to the
+    // new generation; created via create+rename so a torn write can
+    // never look committed
     val wm = watermarkPath(storeDir)
-    val fs = wm.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(wm, true)
-    try out.write(maxBatch.toString.getBytes(
+    val tmp = new Path(wm.getParent, wm.getName + ".inprogress")
+    val out = fs.create(tmp, true)
+    try out.write(newWm.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(wm, false)
+    require(fs.rename(tmp, wm), s"watermark commit failed: $wm")
+    gc(spark, storeDir, newWm)
+  }
+
+  /** Delete partitions the watermark has superseded: batch dirs ≤ wm
+    * and compacted generations < wm. Pure garbage collection — readers
+    * never select these — so a crash mid-sweep is harmless. */
+  private def gc(spark: SparkSession, storeDir: String, wm: Long): Unit = {
+    if (wm < 0) return
+    Seq(postingsDir(storeDir), doclenDir(storeDir)).foreach { dir =>
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(root)) {
+        fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+          val n = st.getPath.getName
+          val stale =
+            (n.startsWith("batch=") && scala.util.Try(
+              n.stripPrefix("batch=").toLong).toOption.exists(_ <= wm)) ||
+            (n.startsWith("compacted=") && scala.util.Try(
+              n.stripPrefix("compacted=").toLong).toOption.exists(_ < wm))
+          if (stale) fs.delete(st.getPath, true)
+        }
+      }
+    }
   }
 }

@@ -44,6 +44,9 @@ object SampleStream {
   /** The maintained sample: (stratum, id, e_units, rank) — rank is
     * derived on read (the frame is O(strata × k) rows). */
   def readSample(spark: SparkSession, storeDir: String): DataFrame = {
+    val res = new Path(resDir(storeDir))
+    graft.cdc.BucketStore.recoverDir(
+      res.getFileSystem(spark.sessionState.newHadoopConf()), res)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stratum").orderBy(col("e_units"), col("id"))
     spark.read.parquet(resDir(storeDir))
@@ -72,6 +75,7 @@ object SampleStream {
 
     val res = new Path(resDir(cfg.storeDir))
     val fs = res.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.cdc.BucketStore.recoverDir(fs, res) // a crashed swap's aside copy
     val current: Option[(DataFrame, Long)] =
       if (!fs.exists(res)) None
       else {
@@ -96,7 +100,8 @@ object SampleStream {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     folded.withColumn("__last_batch", lit(batchId))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(res)) fs.delete(res, true)
-    require(fs.rename(tmp, res), s"reservoir swap failed: $res")
+    // rename-aside swap: a crash can no longer reset the reservoir to
+    // one batch's sample (BucketStore.swapDir + the recoverDir calls)
+    graft.cdc.BucketStore.swapDir(fs, res, tmp)
   }
 }

@@ -85,8 +85,9 @@ class IndexStreamSpec extends SparkTestBase {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(
         IndexStream.postingsDir(st)))
-      .filter(_.isDirectory).map(_.getPath.getName).toSeq
-    assert(parts == Seq("batch=0"), s"expected one folded partition, got $parts")
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    assert(parts == Seq("compacted=1"),
+      s"expected one folded generation, got $parts")
 
     // a replay of a batch the fold absorbed is SKIPPED by the watermark
     // — re-writing its (now gone) partition would duplicate its rows
