@@ -218,24 +218,36 @@ object Versioned {
                   versionCol: String = "update_date",
                   actionCol: String = "action"): DataFrame = {
     require(payloadCols.nonEmpty)
-    val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(col(versionCol), col(actionCol))
+    // user-supplied identifiers are backtick-quoted (embedded backticks
+    // doubled) so names with spaces/dots/hyphens/quotes resolve as the
+    // literal column, never as a nested-field path or broken SQL; all
+    // GENERATED intermediates are indexed (__cur_0, __chg_0 …) so the
+    // payload name never appears inside an identifier at all — it only
+    // survives as a string literal in the melt struct
+    def qcol(n: String) = col("`" + n.replace("`", "``") + "`")
+    val idx = payloadCols.zipWithIndex
+    val w = Window.partitionBy(pk.map(qcol): _*)
+      .orderBy(qcol(versionCol), qcol(actionCol))
     val prev = changelog.select(
-      (Seq(col(actionCol), lag(col(actionCol), 1).over(w).as("__pa")) ++
-        payloadCols.flatMap(c =>
-          Seq(col(c), lag(col(c), 1).over(w).as(s"__prev_$c")))).toIndexedSeq: _*)
+      (Seq(qcol(actionCol).as("__a"), lag(qcol(actionCol), 1).over(w).as("__pa")) ++
+        idx.flatMap { case (c, i) =>
+          Seq(qcol(c).as(s"__cur_$i"), lag(qcol(c), 1).over(w).as(s"__prev_$i"))
+        }).toIndexedSeq: _*)
     val tr = prev.filter(col("__pa").isNotNull &&
-      col(actionCol) =!= DeleteAction && col("__pa") =!= DeleteAction)
-    val aggs = count(lit(1)).as("__n") +: payloadCols.map(c =>
-      coalesce(sum(when(!(col(c) <=> col(s"__prev_$c")), 1L).otherwise(0L)),
-        lit(0L)).as(s"__chg_$c"))
+      col("__a") =!= DeleteAction && col("__pa") =!= DeleteAction)
+    val aggs = count(lit(1)).as("__n") +: idx.map { case (_, i) =>
+      coalesce(sum(when(!(col(s"__cur_$i") <=> col(s"__prev_$i")), 1L)
+        .otherwise(0L)), lit(0L)).as(s"__chg_$i")
+    }
     val one = tr.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = payloadCols
-      .map(c => s"'$c', __chg_$c").mkString(", ")
-    one.select(expr(
-        s"stack(${payloadCols.size}, $stackExpr) AS (col_name, n_changed)"),
-        col("__n").as("n_transitions"))
-      .select(col("col_name"), col("n_transitions"), col("n_changed"))
+    // typed melt (explode over an array of structs) replaces the former
+    // stack() SQL string — nothing user-controlled is ever parsed
+    val melt = explode(array(idx.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__chg_$i").as("n_changed"))
+    }: _*))
+    one.select(melt.as("m"), col("__n").as("n_transitions"))
+      .select(col("m.col_name").as("col_name"), col("n_transitions"),
+        col("m.n_changed").as("n_changed"))
       .orderBy("col_name")
   }
 

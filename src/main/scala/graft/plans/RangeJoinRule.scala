@@ -132,9 +132,14 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       // the (few) longer ones keep the original theta join — each pair
       // matches in exactly one branch (partitioned by the interval), so
       // the union is exact and both branches stay bounded.
+      // span < 0 means ⌊e/G⌋ < ⌊s/G⌋, hence e < s (floor is monotone):
+      // no t can satisfy s ≤/< t AND t </≤ e, so inverted intervals are
+      // dropped from BOTH branches — exact, and it keeps sequence(gs, ge)
+      // from materializing a huge descending granule array (an inverted
+      // sentinel like [9999-12-31, 2026-01-01] would otherwise OOM).
       val span = ge - gs
       val p = pts.withColumn("__graft_g", granule(Bridge.column(t)))
-      val ivShort = ivs.filter(span <= lit(maxGranules))
+      val ivShort = ivs.filter(span >= lit(0L) && span <= lit(maxGranules))
         .withColumn("__graft_g", explode(sequence(gs, ge)))
       val shortJoined = p.join(ivShort, Seq("__graft_g")).drop("__graft_g")
       // null bounds route here too: the residual condition drops them,
@@ -146,7 +151,13 @@ class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       val ivLong = ivs.filter(span.isNull || span > lit(maxGranules))
       val longJoined = pts.crossJoin(ivLong)
         .filter(Bridge.column(conjuncts.reduce(And)))
-      val joined = shortJoined.unionByName(longJoined)
+      // POSITIONAL union, not unionByName: when the two join sides share
+      // a column name (SELECT p.id, i.id …), both branches carry the
+      // duplicate and unionByName throws COLUMN_ALREADY_EXISTS. Both
+      // branches emit the identical [pts cols…, ivs cols…] order by
+      // construction (using-join key dropped / crossJoin), so resolving
+      // by position is exact and name-collision-proof.
+      val joined = shortJoined.union(longJoined)
       // union output carries the first branch's (= original) attribute
       // ids; the residual filter is the ORIGINAL condition, strictness
       // intact

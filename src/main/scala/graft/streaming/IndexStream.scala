@@ -75,27 +75,55 @@ object IndexStream {
     }
   }
 
-  private def readFrame(spark: SparkSession, storeDir: String, dir: String,
-                        cols: Seq[String]): DataFrame = {
-    val wm = readWatermark(spark, storeDir)
+  private def frameAt(spark: SparkSession, dir: String,
+                      cols: Seq[String], wm: Long): DataFrame = {
     val dirs = liveDirs(spark, dir, wm)
     require(dirs.nonEmpty, s"empty index store: $dir")
     spark.read.parquet(dirs: _*).selectExpr(cols: _*)
   }
 
+  /** Run `f` against ONE watermark snapshot shared by every frame the
+    * query reads — so a topK can never mix generations — and retry when
+    * a concurrent [[compact]] committed between the snapshot and the
+    * path resolution (detected: the selected dirs are gone AND the
+    * watermark moved). GC keeps each superseded generation alive for
+    * one extra compaction cycle, so a reader that resolved its paths
+    * before the commit still finds its files during the action. */
+  private def withSnapshot[T](spark: SparkSession, storeDir: String)
+                             (f: Long => T): T = {
+    var attempts = 0
+    while (true) {
+      val wm = readWatermark(spark, storeDir)
+      try return f(wm)
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: org.apache.spark.sql.AnalysisException)
+            if attempts < 3 && readWatermark(spark, storeDir) != wm =>
+          attempts += 1 // compaction raced us — re-snapshot and retry
+      }
+    }
+    sys.error("unreachable")
+  }
+
   def readPostings(spark: SparkSession, storeDir: String): DataFrame =
-    readFrame(spark, storeDir, postingsDir(storeDir),
-      Seq("doc_id", "term", "tf"))
+    withSnapshot(spark, storeDir)(wm =>
+      frameAt(spark, postingsDir(storeDir), Seq("doc_id", "term", "tf"), wm))
 
   def readDocLens(spark: SparkSession, storeDir: String): DataFrame =
-    readFrame(spark, storeDir, doclenDir(storeDir), Seq("doc_id", "dl"))
+    withSnapshot(spark, storeDir)(wm =>
+      frameAt(spark, doclenDir(storeDir), Seq("doc_id", "dl"), wm))
 
   /** BM25 top-k over the maintained index — identical scoring to
-    * [[Retrieval.bm25TopK]] over the concatenation of every batch. */
+    * [[Retrieval.bm25TopK]] over the concatenation of every batch.
+    * Both frames are resolved under a SINGLE watermark snapshot. */
   def topK(spark: SparkSession, storeDir: String, queries: DataFrame,
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    Retrieval.bm25TopKFromIndex(readPostings(spark, storeDir),
-      readDocLens(spark, storeDir), queries, k, k1, b)
+    withSnapshot(spark, storeDir) { wm =>
+      Retrieval.bm25TopKFromIndex(
+        frameAt(spark, postingsDir(storeDir), Seq("doc_id", "term", "tf"), wm),
+        frameAt(spark, doclenDir(storeDir), Seq("doc_id", "dl"), wm),
+        queries, k, k1, b)
+    }
 
   def start(spark: SparkSession, cfg: IndexStreamConfig): StreamingQuery =
     spark.readStream
@@ -111,17 +139,26 @@ object IndexStream {
   private def watermarkPath(storeDir: String) =
     new Path(s"$storeDir/_compacted_watermark")
 
-  private def readWatermark(spark: SparkSession, storeDir: String): Long = {
+  /** Watermark file: line 1 = current generation, line 2 = the previous
+    * one (-1 if none). The previous generation's dirs are still on disk
+    * — GC is delayed one compaction cycle so in-flight readers that
+    * resolved paths under the old watermark finish their action. */
+  private def readWatermarks(spark: SparkSession, storeDir: String): (Long, Long) = {
     val p = watermarkPath(storeDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) -1L
+    if (!fs.exists(p)) (-1L, -1L)
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val lines = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
       finally in.close()
+      (lines(0).trim.toLong,
+        if (lines.length > 1) lines(1).trim.toLong else -1L)
     }
   }
+
+  private def readWatermark(spark: SparkSession, storeDir: String): Long =
+    readWatermarks(spark, storeDir)._1
 
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: IndexStreamConfig): Unit = {
@@ -169,10 +206,13 @@ object IndexStream {
               upToBatch: Long = Long.MaxValue): Unit = {
     val frames = Seq(postingsDir(storeDir) -> Seq("doc_id", "term", "tf"),
       doclenDir(storeDir) -> Seq("doc_id", "dl"))
-    val wm0 = readWatermark(spark, storeDir)
+    val (wm0, prev0) = readWatermarks(spark, storeDir)
     val pRoot = new Path(postingsDir(storeDir))
     val fs = pRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    gc(spark, storeDir, wm0) // stragglers from a previously crashed GC
+    // sweep only what the PREVIOUS generation superseded (one-cycle GC
+    // delay): dirs the current generation superseded may still be held
+    // by an in-flight reader that snapshotted before the last commit
+    gc(spark, storeDir, prev0)
     if (!fs.exists(pRoot)) return
     val absorbable = fs.listStatus(pRoot).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("batch="))
@@ -200,12 +240,15 @@ object IndexStream {
     val wm = watermarkPath(storeDir)
     val tmp = new Path(wm.getParent, wm.getName + ".inprogress")
     val out = fs.create(tmp, true)
-    try out.write(newWm.toString.getBytes(
+    try out.write(s"$newWm\n$wm0".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(wm, false)
     require(fs.rename(tmp, wm), s"watermark commit failed: $wm")
-    gc(spark, storeDir, newWm)
+    // delayed GC: sweep what the OLD watermark superseded; dirs this
+    // commit superseded (gen wm0 + batches ≤ newWm) survive until the
+    // next compaction so concurrent readers' resolved paths stay valid
+    gc(spark, storeDir, wm0)
   }
 
   /** Delete partitions the watermark has superseded: batch dirs ≤ wm

@@ -32,6 +32,22 @@ class ColumnChurnSpec extends SparkTestBase {
     assert(rows.size == 2)
   }
 
+  test("hostile column names (space, dot, hyphen, quote, backtick) melt correctly") {
+    // regression: raw names were spliced into a stack() SQL string, so a
+    // dot mis-resolved as a field path and a quote broke parsing
+    val hostile = Seq("order status", "unit.price", "qty-on-hand", "o'brien", "a`b")
+    val log = Seq(
+      (1L, "insert", "2026-01-01T10:00:00", "a", 1L, 2L, "x", 9L),
+      (1L, "update", "2026-01-01T11:00:00", "b", 1L, 3L, "x", 9L))
+      .toDF(Seq("pk", "action", "update_date") ++ hostile: _*)
+    val rows = Versioned.columnChurn(log, Seq("pk"), hostile)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.keySet == hostile.toSet, s"every hostile name melts: $rows")
+    assert(rows("order status") == ((1L, 1L)) && rows("unit.price") == ((1L, 0L)))
+    assert(rows("qty-on-hand") == ((1L, 1L)) && rows("o'brien") == ((1L, 0L)))
+    assert(rows("a`b") == ((1L, 0L)))
+  }
+
   test("empty changelog yields zero counts, not an empty frame") {
     val log = Seq.empty[(Long, String, String, String, Long)]
       .toDF("pk", "action", "update_date", "status", "price")

@@ -135,6 +135,49 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(got.forall(r => r._1 == r._2), "the user column must survive intact")
   }
 
+  test("join sides sharing a column name still rewrite and stay exact") {
+    // regression: unionByName threw COLUMN_ALREADY_EXISTS when both
+    // sides carried e.g. `id` — the union is positional now
+    fixtures()
+    spark.sql("SELECT p_id AS id, ts FROM pts").createOrReplaceTempView("p2")
+    spark.sql("SELECT iv_id AS id, s, e FROM ivals").createOrReplaceTempView("i2")
+    val q = "SELECT p2.id, i2.id AS iid FROM p2 JOIN i2 ON ts >= s AND ts < e"
+    val rewritten = spark.sql(q)
+    val p = plan(rewritten)
+    assert(p.contains("__graft_g"), s"shared names must not bail the rewrite\n$p")
+    import spark.implicits._
+    def pairs(df: DataFrame) = df.as[(Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.rangeJoin.granuleSeconds", "0")
+    val reference = try pairs(spark.sql(q))
+    finally spark.conf.unset("spark.graft.rangeJoin.granuleSeconds")
+    assert(pairs(rewritten) == reference && reference.nonEmpty)
+  }
+
+  test("inverted intervals (s > e) are exact and never explode granules") {
+    // regression: span < 0 passed the short-branch filter and
+    // sequence(gs, ge) built a ~70M-element DESCENDING array → OOM.
+    // s > e can match no point under any bound strictness, so those
+    // rows are dropped from both branches.
+    import spark.implicits._
+    fixtures()
+    val ivals = Seq(
+      (1L, "2026-01-01T02:00:00", "2026-01-01T04:00:00"),
+      (2L, "9999-12-31T00:00:00", "2026-01-01T00:00:00")) // inverted sentinel
+      .toDF("iv_id", "s_s", "e_s")
+      .selectExpr("iv_id", "CAST(s_s AS TIMESTAMP) AS s", "CAST(e_s AS TIMESTAMP) AS e")
+    ivals.createOrReplaceTempView("ivals_inv")
+    val q = "SELECT p_id, iv_id FROM pts JOIN ivals_inv ON ts >= s AND ts < e"
+    val rewritten = spark.sql(q)
+    assert(plan(rewritten).contains("__graft_g"))
+    val got = rows(rewritten)
+    assert(got.nonEmpty && got.forall(_._2 == 1L),
+      "normal interval matches; the inverted one matches nothing")
+    spark.conf.set("spark.graft.rangeJoin.granuleSeconds", "0")
+    val reference = try rows(spark.sql(q))
+    finally spark.conf.unset("spark.graft.rangeJoin.granuleSeconds")
+    assert(got == reference)
+  }
+
   test("the disable switch restores the nested loop") {
     fixtures()
     spark.conf.set("spark.graft.rangeJoin.granuleSeconds", "0")

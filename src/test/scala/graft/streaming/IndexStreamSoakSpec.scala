@@ -48,13 +48,15 @@ class IndexStreamSoakSpec extends SparkTestBase {
     assert(streamed == oneShot,
       "40 folds + 4 compactions + replays must keep exact batch semantics")
 
-    // partition count bounded: last compaction at batch 30 → batch=0
-    // (the fold) + batches 31..39
+    // partition count bounded: last compaction at batch 30 folded
+    // 20..29; with one-cycle-delayed GC those linger until the NEXT
+    // compaction, so live = 30..39 plus ≤10 lingering = ≤ 21 — bounded
+    // by 2 × compactEveryNBatches + 1, never growing with stream length
     val fs = new org.apache.hadoop.fs.Path(st)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(
         IndexStream.postingsDir(st)))
       .filter(_.isDirectory).count(_.getPath.getName.startsWith("batch="))
-    assert(parts <= 11, s"partition count must stay bounded, got $parts")
+    assert(parts <= 21, s"partition count must stay bounded, got $parts")
   }
 }

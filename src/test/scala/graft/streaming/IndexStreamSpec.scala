@@ -80,14 +80,16 @@ class IndexStreamSpec extends SparkTestBase {
     IndexStream.compact(spark, st)
     assert(topKRows(IndexStream.topK(spark, st, qdf, k = 3)) == before,
       "compaction must preserve the index contents exactly")
-    // and the store really collapsed to one partition per frame
+    // the folded generation is live; the absorbed batch dirs LINGER ONE
+    // compaction cycle (delayed GC — in-flight readers that resolved
+    // paths under the old watermark must still find their files)
     val fs = new org.apache.hadoop.fs.Path(st)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(
+    def parts(): Seq[String] = fs.listStatus(new org.apache.hadoop.fs.Path(
         IndexStream.postingsDir(st)))
       .filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
-    assert(parts == Seq("compacted=1"),
-      s"expected one folded generation, got $parts")
+    assert(parts().contains("compacted=1"),
+      s"expected the folded generation, got ${parts()}")
 
     // a replay of a batch the fold absorbed is SKIPPED by the watermark
     // — re-writing its (now gone) partition would duplicate its rows
@@ -101,5 +103,15 @@ class IndexStreamSpec extends SparkTestBase {
       (b0 ++ b1 ++ b2).toDF("doc_id", "text"), qdf, k = 3))
     assert(withB2 == oneShot,
       "post-compaction appends must keep exact batch semantics")
+
+    // the NEXT compaction sweeps what the previous one superseded —
+    // the GC lag is exactly one cycle, not unbounded growth
+    IndexStream.compact(spark, st)
+    assert(topKRows(IndexStream.topK(spark, st, qdf, k = 3)) == withB2,
+      "second compaction must preserve contents")
+    val after = parts()
+    assert(!after.contains("batch=0") && !after.contains("batch=1"),
+      s"generation-1's absorbed batches must be swept one cycle later: $after")
+    assert(after.contains("compacted=2"), s"new generation live: $after")
   }
 }
