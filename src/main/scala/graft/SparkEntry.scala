@@ -31,6 +31,33 @@ object SparkEntry {
       .select("pk", "action", "valid_from", "valid_to", "is_current")
       .orderBy("pk", "valid_from", "action")
 
+  /** q167: the INCREMENTALLY MAINTAINED SCD2 store under the DuckDB
+    * gate — the changelog arrives as three out-of-chronological-order
+    * folds (updates, then deletes, then the inserts they extend), so
+    * every fold performs mid-timeline insertion and interval reclose;
+    * the maintained read must still equal the one-shot derivation
+    * (q34's oracle, verbatim). Fresh store per run under target/. */
+  private def cdcScd2Maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = s"/root/repo/target/stream_gate/scd2_${Integer.toHexString(d.hashCode)}"
+    deleteDir(wh)
+    val log = Changelog.fromOrders(s, d)
+    Seq("update", "delete", "insert").foreach { a =>
+      graft.cdc.Scd2Maintainer.update(s, wh, "orders",
+        log.filter(col("action") === a), Seq("pk"))
+    }
+    graft.cdc.Scd2Maintainer.read(s, wh, "orders")
+      .select("pk", "action", "valid_from", "valid_to", "is_current")
+      .orderBy("pk", "valid_from", "action")
+  }
+
+  private def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
+  }
+
   private def cdcChanges(s: SparkSession, d: String): DataFrame =
     Versioned.changesBetween(Changelog.fromOrders(s, d),
         lit("1997-01-01 00:00:00").cast("timestamp"),
@@ -231,6 +258,18 @@ object SparkEntry {
         |FROM tr
         |ORDER BY col_name""".stripMargin
 
+  /** Shared by q34 (one-shot scd2) and q167 (maintained store). */
+  private val scd2Oracle: String = Changelog.oracleCte +
+    """
+      |SELECT pk, action,
+      |  strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS valid_from,
+      |  strftime(lead(update_date) OVER (PARTITION BY pk ORDER BY update_date, action),
+      |           '%Y-%m-%dT%H:%M:%S.%f') AS valid_to,
+      |  (lead(update_date) OVER (PARTITION BY pk ORDER BY update_date, action) IS NULL
+      |   AND action <> 'delete') AS is_current
+      |FROM changelog
+      |ORDER BY pk, valid_from, action""".stripMargin
+
   private val cdcDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q158_column_churn", cdcColumnChurn _, Some(columnChurnOracle)),
     ("q97_expire_history", cdcExpireHistory _, Some(expireHistoryOracle)),
@@ -238,17 +277,11 @@ object SparkEntry {
     ("q48_asof_join_broadcast", cdcAsOfJoinBroadcast _, Some(asOfJoinBroadcastOracle)),
     ("q39_asof_join", cdcAsOfJoin _, Some(asOfJoinOracle)),
     ("q76_asof_join_within", cdcAsOfJoinWithin _, Some(asOfJoinWithinOracle)),
-    ("q34_cdc_scd2", cdcScd2 _,
-      Some(Changelog.oracleCte +
-        """
-          |SELECT pk, action,
-          |  strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS valid_from,
-          |  strftime(lead(update_date) OVER (PARTITION BY pk ORDER BY update_date, action),
-          |           '%Y-%m-%dT%H:%M:%S.%f') AS valid_to,
-          |  (lead(update_date) OVER (PARTITION BY pk ORDER BY update_date, action) IS NULL
-          |   AND action <> 'delete') AS is_current
-          |FROM changelog
-          |ORDER BY pk, valid_from, action""".stripMargin)),
+    ("q34_cdc_scd2", cdcScd2 _, Some(scd2Oracle)),
+    // the MAINTAINED store must answer identically to the one-shot
+    // derivation — same oracle, different engine path (incremental
+    // folds in adversarial arrival order)
+    ("q167_scd2_maintained", cdcScd2Maintained _, Some(scd2Oracle)),
     ("q35_cdc_changes", cdcChanges _,
       Some(Changelog.oracleCte +
         """

@@ -431,6 +431,111 @@ object TextAnalysis {
     (merges.toSeq, toks)
   }
 
+  /** Batched-trainer provenance: the merge table plus, per recount
+    * window, the spectrum slice the driver-local adoption scanned —
+    * dumped by Verify so the DuckDB oracle can independently REPLAY the
+    * adoption logic over the same spectra. */
+  final case class BpeBatchResult(
+      merges: Seq[(Int, String, String, Long)],
+      windows: Seq[(Int, Seq[(String, String, Long)])])
+
+  /** Depth-capable BPE trainer: the [[bpeMerges]] recurrence batched so
+    * vocabulary-scale merge counts (10³–10⁵) cost O(rounds / batchCap)
+    * Spark jobs instead of O(rounds) — the sequential loop's ~1.5 s of
+    * fixed job overhead PER MERGE is what makes deep vocabularies
+    * unreachable, not the counting or rewrite work.
+    *
+    * Per recount window: ONE distributed pair count collects only the
+    * top `8 × batchCap` spectrum slice (a bounded driver frame, the
+    * [[Dedup]] bounded-collect discipline); a DRIVER-LOCAL greedy then
+    * adopts up to `batchCap` merges from that slice in (count desc,
+    * lhs, rhs) order, skipping any candidate that shares a token with a
+    * merge already adopted this window — those counts are stale after
+    * the earlier merge rewrites (pairs ending in its lhs / starting at
+    * its rhs shrink), while token-disjoint candidates keep their exact
+    * counts, adjacency-by-adjacency. ONE distributed rewrite then
+    * applies the whole batch in adoption order ([[graft.functions
+    * .BpeApplyMerges]], a single codegen'd O(batch × tokens) kernel),
+    * and the next window recounts the rewritten corpus.
+    *
+    * Exactness contract: `batchCap = 1` degenerates to adopt-top-pair /
+    * rewrite / recount — BIT-IDENTICAL to [[bpeMerges]] (BpeBatchedSpec
+    * pins it). Larger caps trade the guarantee that a pair CREATED by
+    * an earlier merge in the window could have outranked a later
+    * adoption (its count is bounded by the neighbor counts the earlier
+    * merge consumed) for a batchCap× reduction in job rounds; the
+    * schedule is fully deterministic either way, and each adopted row
+    * records its window-start count.
+    *
+    * `pair_count` per row = the pair's count in the window-start corpus
+    * (the number the adoption ranked it by). */
+  def bpeMergesBatched(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", rounds: Int = 160,
+                       batchCap: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (res, toks) = bpeTrainBatched(docs, idCol, textCol, rounds, batchCap)
+    toks.unpersist(false)
+    res.merges.toDF("round", "lhs", "rhs", "pair_count").orderBy("round")
+  }
+
+  /** The batched trainer loop — (provenance, FINAL rewritten token
+    * frame, persisted; caller must unpersist). */
+  def bpeTrainBatched(docs: DataFrame, idCol: String, textCol: String,
+                      rounds: Int, batchCap: Int)
+      : (BpeBatchResult, DataFrame) = {
+    require(rounds >= 1 && batchCap >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scanCap = 8 * batchCap
+    var toks = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val windows = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[(String, String, Long)])]
+    var w = 0
+    var exhausted = false
+    try while (merges.size < rounds && !exhausted) {
+      val pairs = arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("t1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("t2"))
+      val sliceRows = toks.filter(size(col("toks")) >= 2)
+        .select(explode(pairs).as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t1"), col("t2"))
+        .limit(scanCap)
+        .as[(String, String, Long)].collect().toSeq
+      if (sliceRows.isEmpty) exhausted = true
+      else {
+        w += 1
+        windows += ((w, sliceRows))
+        val cap = math.min(batchCap, rounds - merges.size)
+        val base = merges.size
+        val dirty = scala.collection.mutable.Set.empty[String]
+        val adopted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        sliceRows.foreach { case (t1, t2, c) =>
+          if (adopted.size < cap && !dirty(t1) && !dirty(t2)) {
+            adopted += ((t1, t2, c)); dirty += t1; dirty += t2
+          }
+        }
+        // the top candidate always adopts (empty dirty set) → progress
+        merges ++= adopted.zipWithIndex.map { case ((a, b, c), i) =>
+          (base + i + 1, a, b, c)
+        }
+        val next = toks.withColumn("toks",
+            graft.functions.VectorFunctions.bpe_apply_merges(col("toks"),
+              adopted.map(_._1).toArray, adopted.map(_._2).toArray))
+          .localCheckpoint(true)
+        toks.unpersist(false)
+        toks = next
+      }
+    } catch {
+      case t: Throwable => toks.unpersist(false); throw t
+    }
+    (BpeBatchResult(merges.toSeq, windows.toSeq), toks)
+  }
+
   /** The BPE rewrite fold: merge non-overlapping left-to-right (a, b)
     * occurrences in a token array into single `"a b"` tokens. */
   private def mergeFold(toks: Column, a: String, b: String): Column = {

@@ -945,6 +945,81 @@ object SqKernel {
 }
 
 /** Column wrappers + SQL registration. */
+/** Static kernel for [[BpeApplyMerges]]: apply a learned merge table to
+  * a token array — each merge sequentially, left-to-right non-overlap
+  * within a merge (the exact semantics of TextAnalysis.mergeFold:
+  * "a a a" + (a,a) merges once, the third `a` survives). One tight
+  * O(merges × tokens) scan per row, replacing a chain of `merges`
+  * codegen'd aggregate() expressions each materializing an
+  * intermediate array. */
+object BpeKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def applyMerges(toks: ArrayData, lhs: Array[UTF8String],
+                  rhs: Array[UTF8String], merged: Array[UTF8String]): ArrayData = {
+    var cur = new Array[AnyRef](toks.numElements())
+    var n = cur.length
+    var i = 0
+    while (i < n) {
+      cur(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    var m = 0
+    while (m < lhs.length) {
+      val a = lhs(m); val b = rhs(m); val ab = merged(m)
+      val out = new Array[AnyRef](n)
+      var j = 0; var k = 0
+      while (j < n) {
+        if (j < n - 1 && a == cur(j) && b == cur(j + 1)) {
+          out(k) = ab; j += 2
+        } else { out(k) = cur(j); j += 1 }
+        k += 1
+      }
+      cur = out; n = k
+      m += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(cur, n))
+  }
+}
+
+/** Apply a BPE merge table (in training order) to a token array —
+  * the batched trainer's rewrite step as ONE codegen'd expression.
+  * The merge table rides along as codegen reference objects, like
+  * [[NearestCentroids]]' centroids. */
+case class BpeApplyMerges(child: Expression, lhs: Array[String], rhs: Array[String])
+  extends UnaryExpression {
+  require(lhs.length == rhs.length, "lhs/rhs merge arrays must align")
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val lhsU = lhs.map(UTF8String.fromString)
+  @transient private lazy val rhsU = rhs.map(UTF8String.fromString)
+  @transient private lazy val mergedU =
+    lhs.indices.map(i => UTF8String.fromString(lhs(i) + " " + rhs(i))).toArray
+
+  override def prettyName: String = "bpe_apply_merges"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BpeKernel.applyMerges(v.asInstanceOf[ArrayData], lhsU, rhsU, mergedU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.unsafe.types.UTF8String[]"
+    val lRef = ctx.addReferenceObj("bpeLhs", lhsU, cls)
+    val rRef = ctx.addReferenceObj("bpeRhs", rhsU, cls)
+    val mRef = ctx.addReferenceObj("bpeMerged", mergedU, cls)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BpeKernel.applyMerges($v, $lRef, $rRef, $mRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
   private def e(col: Column): Expression = Bridge.expression(col)
@@ -970,6 +1045,8 @@ object VectorFunctions {
                           dim: Int, k2: Int, nProbeSuper: Int, take: Int): Column =
     c(NearestChildCells(e(v), superFlat, childFlat, dim, k2, nProbeSuper, take))
   def media_features(content: Column, dim: Int): Column = c(MediaFeatures(e(content), dim))
+  def bpe_apply_merges(toks: Column, lhs: Array[String], rhs: Array[String]): Column =
+    c(BpeApplyMerges(e(toks), lhs, rhs))
   def sq8_encode(v: Column, lo: Array[Double], step: Array[Double]): Column =
     c(Sq8Encode(e(v), lo, step))
   def sq8_cosine(a: Column, b: Column, lo: Array[Double], step: Array[Double]): Column =

@@ -167,6 +167,16 @@ ORDER BY doc_id"""
         graft.functions.VectorFunctions.token_hashes(split(col("text"), " ")).as("hashes"))
     }),
     "q46_media_vectors" -> q46MediaVectors _,
+    "q166_windows" -> ((s: SparkSession, d: String) => {
+      // per-window spectrum slices the batched-BPE adoption scanned —
+      // the oracle replays the greedy over these (dump boundary = the
+      // Spark pair counting; the adoption logic itself is re-derived
+      // in SQL, so it is NOT trusted from the engine)
+      import s.implicits._
+      q166Train(s, d).windows.flatMap { case (w, sliceRows) =>
+        sliceRows.zipWithIndex.map { case ((t1, t2, c), i) => (w, i + 1, t1, t2, c) }
+      }.toDF("w", "rn", "t1", "t2", "c")
+    }),
     "q161_ahashes" -> ((s: SparkSession, d: String) =>
       // the per-image aHash fingerprints q161's pairs derive from —
       // the dump boundary is the REAL BMP encode→decode→hash kernel;
@@ -3839,6 +3849,125 @@ ORDER BY doc_id"""
           |FROM documents d
           |LEFT JOIN exl e ON e.doc_id = d.doc_id
           |LEFT JOIN nl n ON n.doc_id = d.doc_id
-          |GROUP BY d.source ORDER BY d.source""".stripMargin))
+          |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    ("q166_bpe_deep",
+      (s: SparkSession, d: String) => {
+        // depth-capable batched BPE: 160 merges in ⌈160/32⌉ = 5 recount
+        // windows (the sequential q155 trainer would take 160 job
+        // rounds). Query = the merge table; provenance windows ride the
+        // q166_windows aux dump for the oracle's independent replay.
+        import s.implicits._
+        q166Train(s, d).merges.toDF("round", "lhs", "rhs", "pair_count")
+          .orderBy("round")
+      },
+      // INDEPENDENT REPLAY: DuckDB walks the dumped per-window spectrum
+      // slices (Spark-computed pair counts — the trusted dump boundary,
+      // the q30/q24 discipline) and re-runs the driver-local adoption
+      // from scratch as a recursive CTE: candidates in (count desc,
+      // lhs, rhs) order, skip if either token is dirty this window,
+      // stop at the batch cap / total rounds. Any drift in the greedy —
+      // order, dirty rule, caps, window reset — hash-fails.
+      Some(q166ReplaySql)),
+
+    ("q168_bm25_maintained",
+      (s: SparkSession, d: String) => {
+        // the MAINTAINED streaming BM25 index under the DuckDB gate:
+        // documents arrive as three folds with a compaction between the
+        // second and third (generation fold + post-compaction append),
+        // then top-k over the store must equal q105's full-corpus BM25
+        // (same oracle, verbatim). Fresh store per run under target/.
+        val docs = Tables.documents(s, d)
+        val st = s"/root/repo/target/stream_gate/idx_${Integer.toHexString(d.hashCode)}"
+        deleteDir(st)
+        val cfg = graft.streaming.IndexStreamConfig(
+          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
+        graft.streaming.IndexStream.processBatch(
+          docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+        graft.streaming.IndexStream.processBatch(
+          docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+        graft.streaming.IndexStream.compact(s, st)
+        graft.streaming.IndexStream.processBatch(
+          docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+        graft.streaming.IndexStream.topK(s, st,
+            Retrieval.probeQueries(docs, every = 100, width = 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      // q105's full-recomputation oracle verbatim: the maintained index
+      // answers over everything ingested = the whole corpus
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+             |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+             |q AS (SELECT DISTINCT doc_id AS query_id,
+             |        unnest(list_distinct(list_slice(toks, 1, 8))) AS term
+             |      FROM t WHERE doc_id % 100 = 0),
+             |sc AS (SELECT q.query_id, tf.doc_id,
+             |         round(SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |           * (tf.tf * (1.2 + 1.0) /
+             |              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))), 4) AS score
+             |       FROM q JOIN tf USING (term) JOIN df USING (term)
+             |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+             |       GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score DESC, doc_id) AS rank
+             |      FROM sc WHERE query_id <> doc_id)
+             |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
   )
+
+  private def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
+  }
+
+  /** Memoized batched-BPE training for q166: the query emits the merge
+    * table and the aux dump emits the window spectra — one training run
+    * per sf dir serves both (same discipline as [[q119Fit]]). */
+  private val q166Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, TextAnalysis.BpeBatchResult]()
+  private def q166Train(s: SparkSession, d: String): TextAnalysis.BpeBatchResult =
+    q166Cache.computeIfAbsent(d, dir => {
+      val (res, toks) = TextAnalysis.bpeTrainBatched(
+        Tables.documents(s, dir), "doc_id", "text", rounds = 160, batchCap = 32)
+      toks.unpersist(false)
+      res
+    })
+
+  private def q166ReplaySql: String = {
+    val rounds = 160; val cap = 32
+    // state carried per step: d0 = dirty set at this candidate (reset on
+    // window change), n0 = adoptions so far this window
+    val d0 = "(CASE WHEN c.w <> r.w THEN CAST([] AS VARCHAR[]) ELSE r.dirty END)"
+    val n0 = "(CASE WHEN c.w <> r.w THEN 0 ELSE r.nw END)"
+    val ok = s"(NOT list_contains($d0, c.t1) AND NOT list_contains($d0, c.t2)" +
+      s" AND $n0 < $cap AND r.tot < $rounds)"
+    s"""WITH RECURSIVE c AS (
+       |  SELECT w, t1, t2, c AS cnt, row_number() OVER (ORDER BY w, rn) AS s
+       |  FROM read_parquet('$OracleAuxDir/q166_windows/*.parquet')),
+       |r AS (
+       |  SELECT CAST(0 AS BIGINT) AS s, CAST(-1 AS BIGINT) AS w,
+       |         CAST([] AS VARCHAR[]) AS dirty, 0 AS nw, 0 AS tot,
+       |         CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs,
+       |         CAST(NULL AS BIGINT) AS pc, 0 AS rnd
+       |  UNION ALL
+       |  SELECT c.s, CAST(c.w AS BIGINT),
+       |         CASE WHEN $ok THEN list_append(list_append($d0, c.t1), c.t2)
+       |              ELSE $d0 END,
+       |         $n0 + CASE WHEN $ok THEN 1 ELSE 0 END,
+       |         r.tot + CASE WHEN $ok THEN 1 ELSE 0 END,
+       |         CASE WHEN $ok THEN c.t1 END,
+       |         CASE WHEN $ok THEN c.t2 END,
+       |         CASE WHEN $ok THEN c.cnt END,
+       |         CASE WHEN $ok THEN r.tot + 1 ELSE 0 END
+       |  FROM r JOIN c ON c.s = r.s + 1)
+       |SELECT rnd AS round, lhs, rhs, pc AS pair_count
+       |FROM r WHERE lhs IS NOT NULL ORDER BY round""".stripMargin
+  }
 }

@@ -160,8 +160,11 @@ object IndexStream {
   private def readWatermark(spark: SparkSession, storeDir: String): Long =
     readWatermarks(spark, storeDir)._1
 
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
-                                      cfg: IndexStreamConfig): Unit = {
+  /** Fold one document batch into the store — the foreachBatch body,
+    * public so batch-mode callers (and the driver-gate query q168) can
+    * drive the same fold path without a streaming query. */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   cfg: IndexStreamConfig): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     // a batch at or below the compaction watermark is ALREADY folded —
