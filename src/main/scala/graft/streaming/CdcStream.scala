@@ -82,6 +82,24 @@ final case class CdcStreamConfig(
       * records within the watermark — protects against duplicate file
       * delivery from an at-least-once upstream. */
     dedupWithinWatermark: Option[String] = None,
+    /** Ingest-INPUT listing policy (file source only): "archive" moves
+      * each processed input file to [[sourceArchiveDir]], "delete"
+      * removes it, "off" (default) leaves it in place. A long-running
+      * stream re-lists the input directory every trigger, so without a
+      * policy the trigger cost grows O(files ever landed) even though
+      * each file is processed once; with archive/delete it stays
+      * O(unprocessed files) — the engine-side equivalent of the
+      * reference's notification-driven discovery (OBJECT_FINALIZE →
+      * Pub/Sub, `build/stream/stream.tf:23-29`), which exists precisely
+      * so nobody lists a growing bucket. Spark's cleaner runs
+      * asynchronously after each batch commits, so moves lag processing
+      * by up to a trigger — a listing-cost bound, not a transactional
+      * move. */
+    cleanSource: String = "off",
+    /** Required when `cleanSource = "archive"`; must lie OUTSIDE the
+      * input directory's glob (Spark rejects an archive dir the source
+      * pattern would re-discover). */
+    sourceArchiveDir: Option[String] = None,
     /** table → primary key columns: tables listed here get an
       * incrementally-maintained current-state snapshot
       * (SnapshotMaintainer) folded per micro-batch. */
@@ -156,11 +174,15 @@ object CdcStream {
             "maintainer owns its fold)")
       }
     }
+    require(cfg.cleanSource != "archive" || cfg.sourceArchiveDir.nonEmpty,
+      "cleanSource=archive requires sourceArchiveDir")
     val lines = cfg.source.getOrElse(FileSource(cfg.inputDir)) match {
       case FileSource(dir) =>
-        spark.readStream
+        val rd = spark.readStream
           .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-          .text(dir)
+          .option("cleanSource", cfg.cleanSource)
+        cfg.sourceArchiveDir.foreach(rd.option("sourceArchiveDir", _))
+        rd.text(dir)
       case KafkaSource(servers, topics, offsets, maxPerTrigger) =>
         kafkaLines(spark.readStream
           .format("kafka")

@@ -354,7 +354,7 @@ class CdcStreamSpec extends SparkTestBase {
 
     // phase 3: the phase-1 dead letters replay into the now-known table
     Ingest.replayDeadLetter(spark, wh, graft.cdc.Registry.load(regPath))
-    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 5)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 6)
   }
 
   test("registry type flip mid-stream: rejected, stream keeps old schema, table stays readable") {
@@ -433,4 +433,61 @@ class CdcStreamSpec extends SparkTestBase {
     assert(rows == Map(1L -> None, 2L -> Some("EUR")))
   }
 
+  test("cleanSource=archive bounds input listing to O(new files), results intact") {
+    // the listing-cost policy the reference's Pub/Sub notification hop
+    // exists for: processed input files MOVE to the archive dir, so a
+    // long stream's per-trigger input listing covers only unprocessed
+    // files — not every file ever landed
+    val (in, wh, ck) = freshDirs()
+    val archive = tmpDir("cdc-archive")
+    def inputFiles(): Seq[String] = {
+      val d = new java.io.File(in)
+      Option(d.listFiles()).map(_.filter(_.isFile).map(_.getName).toSeq)
+        .getOrElse(Seq.empty)
+    }
+    def archivedFiles(): Long = {
+      def rec(f: java.io.File): Long =
+        if (f.isFile) 1L
+        else Option(f.listFiles()).map(_.map(rec).sum).getOrElse(0L)
+      rec(new java.io.File(archive))
+    }
+    Fixtures.writeLines(in, "log-000.jsonl", Fixtures.lines.take(4), gzip = false)
+    Fixtures.writeLines(in, "log-001.jsonl", Fixtures.lines.drop(4), gzip = false)
+    // maxFilesPerTrigger = 1 → one file per batch. A batch's files are
+    // cleaned when the batch COMMITS, i.e. when the NEXT batch starts —
+    // so archival lags processing by one batch (the documented bound:
+    // the input listing is O(unprocessed + last batch), not O(ever)).
+    val cfg = CdcStreamConfig(in, wh, ck, Fixtures.registry,
+      maxFilesPerTrigger = 1,
+      cleanSource = "archive", sourceArchiveDir = Some(archive))
+    CdcStream.runOnce(spark, cfg)
+    // batch 1's start committed batch 0 → its file archives (async: poll)
+    val deadline = System.currentTimeMillis() + 30000
+    while (archivedFiles() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(archivedFiles() >= 1 && inputFiles().size <= 1,
+      s"committed batches' files must leave the input dir: ${inputFiles()}")
+    // results are complete despite the moves
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 4)
+
+    // a SECOND wave: the restart replays/commits the prior batch, so
+    // its file archives too; afterwards the input dir holds at most the
+    // final batch's file — O(new), never O(files ever landed)
+    Fixtures.writeLines(in, "log-002.jsonl", Fixtures.lines.take(2), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    val deadline2 = System.currentTimeMillis() + 30000
+    while (archivedFiles() < 2 && System.currentTimeMillis() < deadline2)
+      Thread.sleep(200)
+    assert(archivedFiles() >= 2 && inputFiles().size <= 1,
+      s"input dir must not accumulate processed files: ${inputFiles()}")
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 6)
+  }
+
+  test("cleanSource=archive requires an archive dir") {
+    val (in, wh, ck) = freshDirs()
+    intercept[IllegalArgumentException] {
+      CdcStream.start(spark, CdcStreamConfig(in, wh, ck, Fixtures.registry,
+        cleanSource = "archive"))
+    }
+  }
 }
