@@ -1206,6 +1206,68 @@ object Dedup {
           s => s.getField("tile")), " ").as("text_clean"))
   }
 
+  /** EXACT substring dedup at suffix-array grade (Lee et al., ACL'22
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) at the TOKEN grain: every token covered by a
+    * non-first occurrence of a duplicated `minLen`-token substring is
+    * removed; the globally first occurrence (smallest (doc, pos))
+    * survives intact. Equivalent to the suffix-array formulation for
+    * spans ≥ minLen because a duplicated span's every length-minLen
+    * window is itself duplicated, so the span's later occurrences are
+    * covered end-to-end — at ANY alignment, which is precisely what
+    * [[dedupTiles]]' fixed tiling cannot see (a duplicate whose
+    * occurrences disagree on offset mod width shares no aligned tile;
+    * SpanDedupExactSpec quantifies that miss class). Lee et al. use a
+    * byte-level suffix array; rolling digests over token windows reach
+    * the same removed-set at token granularity with only hash
+    * aggregates — no suffix sort, no global order.
+    *
+    * Scale shape: the gram frame is O(tokens) rows keyed by a 256-bit
+    * digest (never gram text); the winner aggregate is a map-side
+    * min-struct; coverage marks explode ONLY non-first occurrences of
+    * DUPLICATED grams (O(minLen × duplicate occurrences) — duplication
+    * mass, not corpus mass) and collapse by (doc, position); the
+    * rebuild groups each doc's own tokens. Every stage is a hash
+    * aggregate or equi-join on (digest) or (doc, position).
+    *
+    * Output: (doc_id, n_tokens, n_kept, text_clean), one row per
+    * non-null-text input document; a fully-duplicated later copy keeps
+    * its row with text_clean = "". */
+  def exactSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 8): DataFrame = {
+    require(minLen >= 1)
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+    val grams = toks.filter(size(col("__toks")) >= minLen)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - minLen),
+        i => sha2(concat_ws(" ",
+          (1 to minLen).map(j => element_at(col("__toks"), i + j)): _*), 256)))
+        .as(Seq("pos", "__k")))
+    val first = grams.groupBy("__k")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__n"))
+    val marks = grams.join(first.filter(col("__n") > 1), "__k")
+      .filter(!(col("doc_id") === col("__first.doc_id") &&
+        col("pos") === col("__first.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("tpos"))
+      .distinct()
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("tpos", "tok")))
+    val kept = tokens.join(marks, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_clean"))
+    toks.select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95): sort
     * the corpus by a cheap blocking key, compare each document only
     * against the `window` documents that FOLLOW it in the sort, verify

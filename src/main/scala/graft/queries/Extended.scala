@@ -3917,6 +3917,46 @@ ORDER BY doc_id"""
              |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
+
+    ("q169_span_dedup_exact",
+      (s: SparkSession, d: String) => {
+        // suffix-array-grade substring dedup (Lee et al. ExactSubstr at
+        // token grain): tokens covered by a non-first occurrence of any
+        // duplicated 8-token substring are cut, at ANY alignment — the
+        // exact operator q110's fixed tiles approximate (tiles miss
+        // occurrences that disagree on offset mod width).
+        Dedup.exactSpanDedup(Tables.documents(s, d), "doc_id", "text",
+            minLen = 8)
+          .orderBy("doc_id")
+      },
+      // GROUND TRUTH: DuckDB recomputes the whole pipeline from raw
+      // text — rolling 8-gram occurrences, global first by (doc, pos),
+      // coverage marks of later occurrences, anti-join rebuild
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |           FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT doc_id, i - 1 AS pos,
+             |        array_to_string(toks[i:i+7], ' ') AS gram
+             |      FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+             |      WHERE len(toks) >= 8),
+             |r AS (SELECT doc_id, pos, gram,
+             |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+             |        COUNT(*) OVER (PARTITION BY gram) AS n
+             |      FROM g),
+             |marks AS (SELECT DISTINCT doc_id, pos + o.range AS tpos
+             |          FROM r, range(0, 8) o WHERE r.n > 1 AND r.rk > 1),
+             |tok AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+             |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+             |kept AS (SELECT tok.doc_id, COUNT(*) AS n_kept,
+             |           string_agg(tok.tok, ' ' ORDER BY tok.tpos) AS text_clean
+             |         FROM tok LEFT JOIN marks
+             |           ON marks.doc_id = tok.doc_id AND marks.tpos = tok.tpos
+             |         WHERE marks.doc_id IS NULL
+             |         GROUP BY tok.doc_id)
+             |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+             |  coalesce(kept.text_clean, '') AS text_clean
+             |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
   )
 
   private def deleteDir(path: String): Unit = {

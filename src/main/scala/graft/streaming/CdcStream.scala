@@ -178,10 +178,11 @@ object CdcStream {
       "cleanSource=archive requires sourceArchiveDir")
     val lines = cfg.source.getOrElse(FileSource(cfg.inputDir)) match {
       case FileSource(dir) =>
-        val rd = spark.readStream
+        var rd = spark.readStream
           .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-          .option("cleanSource", cfg.cleanSource)
-        cfg.sourceArchiveDir.foreach(rd.option("sourceArchiveDir", _))
+        if (cfg.cleanSource != "off")
+          rd = rd.option("cleanSource", cfg.cleanSource)
+        cfg.sourceArchiveDir.foreach(d => rd = rd.option("sourceArchiveDir", d))
         rd.text(dir)
       case KafkaSource(servers, topics, offsets, maxPerTrigger) =>
         kafkaLines(spark.readStream

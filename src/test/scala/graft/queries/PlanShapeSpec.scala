@@ -664,6 +664,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window "), "no window anywhere")
   }
 
+  test("q169: exact span dedup is hash aggregates + equi-joins — no window, no cartesian") {
+    val p = plan("q169_span_dedup_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the suffix-array-grade pass must never degrade to all-pairs")
+    assert(!p.contains("Window "),
+      "winner selection is a min-struct hash aggregate, never a window over gram occurrences")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "the gram winner aggregate must combine map-side (boilerplate grams collapse before the shuffle)")
+  }
+
   test("q154: winsorize walks the histogram — map-side count, windows never touch the fact") {
     val p = plan("q154_winsorize")
     assert(p.contains("partial_count"),

@@ -354,7 +354,7 @@ class CdcStreamSpec extends SparkTestBase {
 
     // phase 3: the phase-1 dead letters replay into the now-known table
     Ingest.replayDeadLetter(spark, wh, graft.cdc.Registry.load(regPath))
-    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 6)
+    assert(Ingest.readTable(spark, wh, Fixtures.registry("products")).count() == 5)
   }
 
   test("registry type flip mid-stream: rejected, stream keeps old schema, table stays readable") {
