@@ -3967,6 +3967,9 @@ ORDER BY doc_id"""
     rec(new java.io.File(path))
   }
 
+  /** ScaleBench's q168 variant rebuilds a fresh store per run too. */
+  private[graft] def deleteDirForBench(path: String): Unit = deleteDir(path)
+
   /** Memoized batched-BPE training for q166: the query emits the merge
     * table and the aux dump emits the window spectra — one training run
     * per sf dir serves both (same discipline as [[q119Fit]]). */

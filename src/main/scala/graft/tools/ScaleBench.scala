@@ -215,7 +215,24 @@ object ScaleBench {
     // q164: q151's machinery at k-fold shape — same edge-bounded join.
     "q164_leakage_folds",
     // q165: the composed dedup passes + two bounded loser joins.
-    "q165_dedup_rates")
+    "q165_dedup_rates",
+    // round-9 additions. q166: the batched deep trainer — per-window
+    // pair counts are token-grain ∝ rows, the driver greedy is
+    // corpus-size-free (a bounded spectrum slice per window); the row
+    // proves depth batching doesn't trade away linearity. q167: three
+    // Scd2Maintainer folds over the ×10 orders changelog — fold work
+    // must stay ∝ touched pk-buckets + batch, and the interval
+    // re-derivation is bucket-local (key cardinality ×10, per-key
+    // depth constant — the orders replica axis). q169: the exact
+    // substring pass — gram frame ∝ tokens, coverage marks ∝ duplicate
+    // mass (content-disjoint replicas keep within-replica duplicate
+    // structure, so both axes grow exactly ×10).
+    "q166_bpe_deep", "q167_scd2_maintained", "q169_span_dedup_exact",
+    // q168 at ~fixed query count (the q105 discipline — a retrieval
+    // workload does not grow because the corpus did): three maintained
+    // folds + compaction over ×10 documents, topK over ~50 queries;
+    // the row measures the store build + the posting-side scan.
+    "q168_bm25_maintained@queries")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -413,6 +430,25 @@ object ScaleBench {
             coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
             lit(10L).as("k"))
           .orderBy("query_id")
+      })
+      case "q168_bm25_maintained@queries" => Some((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        val every = math.max(1L, docs.count() / 50L).toInt
+        val st = s"/root/repo/target/stream_gate/idx_scale_${Integer.toHexString(d.hashCode)}"
+        graft.queries.Extended.deleteDirForBench(st)
+        val cfg = graft.streaming.IndexStreamConfig(
+          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
+        graft.streaming.IndexStream.processBatch(
+          docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+        graft.streaming.IndexStream.processBatch(
+          docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+        graft.streaming.IndexStream.compact(s, st)
+        graft.streaming.IndexStream.processBatch(
+          docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+        graft.streaming.IndexStream.topK(s, st,
+            graft.ext.Retrieval.probeQueries(docs, every = every, width = 8),
+            k = 5)
+          .orderBy("query_id", "rank")
       })
       case _ => None
     }
