@@ -50,6 +50,173 @@ object SparkEntry {
       .orderBy("pk", "valid_from", "action")
   }
 
+  /** q170: the INCREMENTALLY MAINTAINED current-state snapshot under
+    * the DuckDB gate — the changelog arrives as three folds in
+    * adversarial (non-chronological) order: updates first, then the
+    * deletes that supersede some of them, then the inserts both extend.
+    * The bucket-local argmax fold must be arrival-order-free, so the
+    * maintained read equals q17's one-shot `latestSnapshot` (same
+    * oracle, verbatim). Fresh store per run under target/. */
+  private def cdcSnapshotMaintained(s: SparkSession, d: String): DataFrame = {
+    val wh = s"/root/repo/target/stream_gate/snap_${Integer.toHexString(d.hashCode)}"
+    deleteDir(wh)
+    val log = Changelog.fromOrders(s, d)
+    Seq("update", "delete", "insert").foreach { a =>
+      graft.cdc.SnapshotMaintainer.update(s, wh, "orders",
+        log.filter(col("action") === a), Seq("pk"))
+    }
+    graft.cdc.SnapshotMaintainer.read(s, wh, "orders")
+      .select("pk", "action", "update_date", "totalprice", "status")
+      .orderBy("pk")
+  }
+
+  /** q171: the INCREMENTALLY MAINTAINED aggregate view under the DuckDB
+    * gate — `AggMaintainer` folds the same three adversarial batches,
+    * maintaining per-status live-row counts and totalprice sums as
+    * bucket-local deltas (pre/post live-row diffs of only the touched
+    * pk-buckets; never a full-table re-aggregation). The maintained
+    * table must equal a from-scratch GROUP BY over the final live
+    * snapshot — which is exactly what the oracle recomputes from the
+    * changelog. */
+  private def cdcAggMaintained(s: SparkSession, d: String): DataFrame = {
+    val wh = s"/root/repo/target/stream_gate/agg_${Integer.toHexString(d.hashCode)}"
+    deleteDir(wh)
+    val log = Changelog.fromOrders(s, d)
+    val spec = graft.cdc.AggMaintainer.AggSpec("by_status",
+      Seq("status"), Seq("totalprice"))
+    Seq("update", "delete", "insert").foreach { a =>
+      graft.cdc.AggMaintainer.foldAndMaintain(s, wh, "orders",
+        log.filter(col("action") === a), Seq("pk"), Seq(spec))
+    }
+    graft.cdc.AggMaintainer.read(s, wh, "orders", "by_status")
+      .select("status", "n_rows", "sum_totalprice")
+      .orderBy("status")
+  }
+
+  /** q173's side-A changelog: orders with the CUSTOMER KEY in the
+    * payload — and the %3 update MOVES the row to custkey+1, so the
+    * maintained join view must relocate it across join-key buckets
+    * (the stale-row case a naive delta join gets wrong). Same action/
+    * timestamp scheme as [[Changelog.fromOrders]]. */
+  private def q173OrdersLog(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = graft.core.Tables.orders(s, d)
+    val dec = DecimalType(18, 2)
+    val ins = o.select(col("o_orderkey").as("pk"), lit("insert").as("action"),
+      col("o_orderdate").as("update_date"), col("o_custkey").as("custkey"),
+      col("o_totalprice").cast(dec).as("totalprice"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey").as("pk"), lit("update").as("action"),
+      (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("update_date"),
+      (col("o_custkey") + lit(1L)).as("custkey"),
+      round(col("o_totalprice").cast(dec) * lit(BigDecimal("1.1")), 2)
+        .cast(dec).as("totalprice"))
+    val del = o.filter(col("o_orderkey") % 7 === 0).select(
+      col("o_orderkey").as("pk"), lit("delete").as("action"),
+      (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("update_date"),
+      lit(null).cast("long").as("custkey"), lit(null).cast(dec).as("totalprice"))
+    ins.unionAll(upd).unionAll(del)
+  }
+
+  /** q173's side-B changelog: customers keyed BY the join key, with
+    * their own update (+100 acctbal, %5) and delete (%11) streams at
+    * fixed deterministic timestamps. */
+  private def q173CustLog(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = graft.core.Tables.customer(s, d)
+    val dec = DecimalType(18, 2)
+    val base = lit("1995-01-01 00:00:00").cast("timestamp")
+    val ins = c.select(col("c_custkey").as("custkey"), lit("insert").as("action"),
+      base.as("update_date"), col("c_acctbal").cast(dec).as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+    val upd = c.filter(col("c_custkey") % 5 === 0).select(
+      col("c_custkey").as("custkey"), lit("update").as("action"),
+      (base + expr("INTERVAL 1 DAY")).as("update_date"),
+      (col("c_acctbal").cast(dec) + lit(BigDecimal("100.00")).cast(dec))
+        .cast(dec).as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+    val del = c.filter(col("c_custkey") % 11 === 0).select(
+      col("c_custkey").as("custkey"), lit("delete").as("action"),
+      (base + expr("INTERVAL 2 DAY")).as("update_date"),
+      lit(null).cast(dec).as("acctbal"), lit(null).cast("string").as("mktsegment"))
+    ins.unionAll(upd).unionAll(del)
+  }
+
+  /** q173: the INCREMENTALLY MAINTAINED equi-join view under the DuckDB
+    * gate — completes the maintained-store family (q167 SCD2, q170
+    * snapshot, q171 aggregate). Both sides' changelogs fold in
+    * adversarial order (updates, deletes, then inserts), the side-A
+    * updates CHANGE the join key, and the bucket-local re-join must
+    * still equal the from-scratch join of the final live snapshots —
+    * which is what the oracle recomputes. */
+  private def cdcJoinMaintained(s: SparkSession, d: String): DataFrame = {
+    val wh = s"/root/repo/target/stream_gate/join_${Integer.toHexString(d.hashCode)}"
+    deleteDir(wh)
+    val ol = q173OrdersLog(s, d)
+    val cl = q173CustLog(s, d)
+    Seq("update", "delete", "insert").foreach { a =>
+      graft.cdc.JoinMaintainer.foldAndMaintain(s, wh, "ord_cust", "custkey",
+        graft.cdc.JoinMaintainer.Side("orders_t", Seq("pk"),
+          Some(ol.filter(col("action") === a))),
+        graft.cdc.JoinMaintainer.Side("customer_t", Seq("custkey"),
+          Some(cl.filter(col("action") === a))))
+    }
+    graft.cdc.JoinMaintainer.read(s, wh, "ord_cust")
+      .select(col("custkey"), col("a_pk"), col("a_totalprice"),
+        col("b_acctbal"), col("b_mktsegment"))
+      .orderBy("custkey", "a_pk")
+  }
+
+  private val joinMaintainedOracle: String =
+    """WITH ol AS (
+      |  SELECT o_orderkey AS pk, 'insert' AS action, o_orderdate AS update_date,
+      |         o_custkey AS custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'update', o_orderdate + INTERVAL 1 DAY, o_custkey + 1,
+      |         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2)
+      |              AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'delete', o_orderdate + INTERVAL 2 DAY,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |olr AS (SELECT *, row_number() OVER (PARTITION BY pk
+      |          ORDER BY update_date DESC, action DESC) AS rn FROM ol),
+      |oliv AS (SELECT * FROM olr WHERE rn = 1 AND action <> 'delete'),
+      |cl AS (
+      |  SELECT c_custkey AS custkey, 'insert' AS action,
+      |         TIMESTAMP '1995-01-01 00:00:00' AS update_date,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, c_mktsegment AS mktsegment
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'update', TIMESTAMP '1995-01-02 00:00:00',
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100.00 AS DECIMAL(18,2))
+      |              AS DECIMAL(18,2)), c_mktsegment
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 'delete', TIMESTAMP '1995-01-03 00:00:00',
+      |         CAST(NULL AS DECIMAL(18,2)), CAST(NULL AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 11 = 0),
+      |clr AS (SELECT *, row_number() OVER (PARTITION BY custkey
+      |          ORDER BY update_date DESC, action DESC) AS rn FROM cl),
+      |cliv AS (SELECT * FROM clr WHERE rn = 1 AND action <> 'delete')
+      |SELECT o.custkey, o.pk AS a_pk, CAST(o.totalprice AS VARCHAR) AS a_totalprice,
+      |       CAST(c.acctbal AS VARCHAR) AS b_acctbal, c.mktsegment AS b_mktsegment
+      |FROM oliv o JOIN cliv c USING (custkey)
+      |ORDER BY o.custkey, o.pk""".stripMargin
+
+  private val aggMaintainedOracle: String = Changelog.oracleCte +
+    """, ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY pk
+      |            ORDER BY update_date DESC, action DESC) AS rn
+      |  FROM changelog),
+      |live AS (SELECT * FROM ranked WHERE rn = 1 AND action <> 'delete')
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(CAST(SUM(totalprice) AS DECIMAL(38,8)) AS VARCHAR) AS sum_totalprice
+      |FROM live GROUP BY status
+      |ORDER BY status""".stripMargin
+
   private def deleteDir(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
@@ -258,6 +425,17 @@ object SparkEntry {
         |FROM tr
         |ORDER BY col_name""".stripMargin
 
+  /** Shared by q17 (one-shot latestSnapshot) and q170 (maintained store). */
+  private val snapshotOracle: String = Changelog.oracleCte +
+    """, ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY pk
+      |            ORDER BY update_date DESC, action DESC) AS rn
+      |  FROM changelog)
+      |SELECT pk, action, strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS update_date,
+      |  CAST(totalprice AS VARCHAR) AS totalprice, status
+      |FROM ranked WHERE rn = 1 AND action <> 'delete'
+      |ORDER BY pk""".stripMargin
+
   /** Shared by q34 (one-shot scd2) and q167 (maintained store). */
   private val scd2Oracle: String = Changelog.oracleCte +
     """
@@ -297,16 +475,13 @@ object SparkEntry {
           |  CAST(totalprice AS VARCHAR) AS totalprice, status FROM changelog
           |WHERE pk % 500 = 0
           |ORDER BY pk, update_date, action""".stripMargin)),
-    ("q17_cdc_snapshot", cdcSnapshot _,
-      Some(Changelog.oracleCte +
-        """, ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY pk
-          |            ORDER BY update_date DESC, action DESC) AS rn
-          |  FROM changelog)
-          |SELECT pk, action, strftime(update_date, '%Y-%m-%dT%H:%M:%S.%f') AS update_date,
-          |  CAST(totalprice AS VARCHAR) AS totalprice, status
-          |FROM ranked WHERE rn = 1 AND action <> 'delete'
-          |ORDER BY pk""".stripMargin)),
+    ("q17_cdc_snapshot", cdcSnapshot _, Some(snapshotOracle)),
+    // the MAINTAINED stores must answer identically to the one-shot
+    // derivations they cache (q170: q17's oracle verbatim; q171: the
+    // GROUP BY the delta folds claim to maintain)
+    ("q170_snapshot_maintained", cdcSnapshotMaintained _, Some(snapshotOracle)),
+    ("q171_agg_maintained", cdcAggMaintained _, Some(aggMaintainedOracle)),
+    ("q173_join_maintained", cdcJoinMaintained _, Some(joinMaintainedOracle)),
     ("q18_cdc_asof", cdcAsOf _,
       Some(Changelog.oracleCte +
         s""", ranked AS (

@@ -1268,6 +1268,64 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Cross-corpus exact-substring DECONTAMINATION (the GPT-3 appendix-C
+    * / PaLM discipline at substring grain): every training token covered
+    * by a length-`minLen` token window that appears ANYWHERE in the
+    * benchmark corpus is removed — all training occurrences, at any
+    * alignment (no first-survives: benchmark text is forbidden, not
+    * deduplicated). The shingle-overlap variants ([[decontaminate]],
+    * q120/q126) FLAG whole contaminated documents; this pass performs
+    * targeted surgery, keeping the clean remainder of a document that
+    * merely quotes a benchmark item.
+    *
+    * Scale shape: the benchmark gram frame collapses to DISTINCT
+    * digests (O(bench tokens) rows, tiny vs the corpus) and the train
+    * grams reach it through one equi-join on the digest — a build-side
+    * broadcast whenever the bench fits, a shuffle-hash join otherwise;
+    * coverage marks explode only CONTAMINATED windows (O(minLen ×
+    * contamination mass)); the rebuild groups each doc's own tokens.
+    * Never an all-pairs comparison, never a window function.
+    *
+    * Output: (doc_id, n_tokens, n_kept, text_clean), one row per
+    * non-null-text train document. */
+  def exactSubstrDecontaminate(train: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String,
+                               minLen: Int = 8): DataFrame = {
+    require(minLen >= 1)
+    def gramKeys(i: org.apache.spark.sql.Column) = sha2(concat_ws(" ",
+      (1 to minLen).map(j => element_at(col("__toks"), i + j)): _*), 256)
+    val toks = train.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+    val grams = toks.filter(size(col("__toks")) >= minLen)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - minLen),
+        i => gramKeys(i))).as(Seq("pos", "__k")))
+    val benchKeys = bench.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= minLen)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__toks")) - minLen),
+        i => gramKeys(i))).as("__k"))
+      .distinct()
+    val marks = grams.join(benchKeys, Seq("__k"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("tpos"))
+      .distinct()
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("tpos", "tok")))
+    val kept = tokens.join(marks, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_clean"))
+    toks.select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95): sort
     * the corpus by a cheap blocking key, compare each document only
     * against the `window` documents that FOLLOW it in the sort, verify

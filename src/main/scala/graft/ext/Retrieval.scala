@@ -139,6 +139,51 @@ object Retrieval {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Exact PHRASE search through the positional posting frame: for each
+    * phrase (an ORDERED token sequence, unlike [[bm25TopK]]'s term
+    * sets), every document containing the phrase verbatim, with its
+    * occurrence count and first position.
+    *
+    * The classic positional-inverted-index algorithm, join-shaped: the
+    * corpus melts once to (doc, term, position) postings; each phrase
+    * melts to (phrase, term, offset); one equi-join on the TERM aligns
+    * candidate anchors (start = position − offset), and a start is a
+    * real occurrence iff all `plen` offsets matched — a hash-aggregate
+    * count, never a per-document scan per phrase and never a substring
+    * pass over the corpus. The phrase frame is tiny and broadcast, so
+    * per-phrase work is proportional to its terms' posting lists (the
+    * [[bm25TopK]] discipline), and the anchor aggregate combines
+    * map-side.
+    *
+    * Output: (phrase_id, doc_id, n_matches, first_pos) — one row per
+    * (phrase, document) with ≥1 verbatim occurrence. */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   phraseIdCol: String = "phrase_id",
+                   phraseCol: String = "phrase"): DataFrame = {
+    val pos = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("tpos", "term")))
+    val pt = phrases
+      .select(col(phraseIdCol).as("phrase_id"),
+        split(col(phraseCol), " ").as("__pt"))
+      .select(col("phrase_id"), size(col("__pt")).as("plen"),
+        posexplode(col("__pt")).as(Seq("off", "term")))
+    // (doc, tpos) rows are unique and (phrase, off) rows are unique, so
+    // each matched offset contributes exactly one row per anchor — the
+    // anchor is a full occurrence iff its row count reaches plen
+    val anchors = pos.join(pt, Seq("term"))
+      .select(col("doc_id"), col("phrase_id"), col("plen"),
+        (col("tpos") - col("off")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy("doc_id", "phrase_id", "plen", "start")
+      .agg(count(lit(1)).as("matched"))
+      .filter(col("matched") === col("plen"))
+    anchors.groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
   /** The derived query set [[graft.queries.Extended]]'s q105 retrieves
     * with: every `every`-th document contributes its distinct
     * first-`width` tokens as one term-set query (query_id = doc_id).

@@ -3957,6 +3957,90 @@ ORDER BY doc_id"""
              |  coalesce(kept.text_clean, '') AS text_clean
              |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
+
+    ("q172_substr_decontaminate",
+      (s: SparkSession, d: String) => {
+        // targeted cross-corpus decontamination at substring grain:
+        // benchmark items are the first 15 tokens of every 97th doc
+        // (q52's convention); every training token covered by an
+        // 8-token window that appears in the benchmark is CUT, at any
+        // alignment — the source docs lose exactly their contaminated
+        // prefix (self-validating), quoting docs lose only the quote.
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 15), " ").as("text"))
+        Dedup.exactSubstrDecontaminate(docs, bench, "doc_id", "text",
+            minLen = 8)
+          .orderBy("doc_id")
+      },
+      // GROUND TRUTH: DuckDB rebuilds the whole pass from raw text —
+      // distinct benchmark 8-gram set, train-side rolling windows,
+      // coverage marks of matching windows, anti-join rebuild
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |           FROM documents WHERE text IS NOT NULL),
+             |b AS (SELECT list_slice(toks, 1, 15) AS toks FROM t
+             |      WHERE doc_id % 97 = 0),
+             |bg AS (SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+             |       FROM b, unnest(range(1, len(toks) - 6)) AS u(i)
+             |       WHERE len(toks) >= 8),
+             |g AS (SELECT doc_id, i - 1 AS pos,
+             |        array_to_string(toks[i:i+7], ' ') AS gram
+             |      FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+             |      WHERE len(toks) >= 8),
+             |marks AS (SELECT DISTINCT g.doc_id, g.pos + o.range AS tpos
+             |          FROM g JOIN bg USING (gram), range(0, 8) o),
+             |tok AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+             |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+             |kept AS (SELECT tok.doc_id, COUNT(*) AS n_kept,
+             |           string_agg(tok.tok, ' ' ORDER BY tok.tpos) AS text_clean
+             |         FROM tok LEFT JOIN marks
+             |           ON marks.doc_id = tok.doc_id AND marks.tpos = tok.tpos
+             |         WHERE marks.doc_id IS NULL
+             |         GROUP BY tok.doc_id)
+             |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+             |  coalesce(kept.text_clean, '') AS text_clean
+             |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    ("q174_phrase_search",
+      (s: SparkSession, d: String) => {
+        // exact phrase retrieval through the positional posting index:
+        // phrases are tokens 3..6 of every 163rd doc (phrase_id =
+        // source doc_id) — every source doc must report itself
+        // (self-validating), plus any doc repeating the phrase verbatim.
+        val docs = Tables.documents(s, d)
+        val phrases = docs
+          .filter(col("doc_id") % 163 === 0 &&
+            size(split(col("text"), " ")) >= 6)
+          .select(col("doc_id").as("phrase_id"),
+            array_join(slice(split(col("text"), " "), 3, 4), " ").as("phrase"))
+        Retrieval.phraseSearch(docs, phrases)
+          .orderBy("phrase_id", "doc_id")
+      },
+      // GROUND TRUTH: DuckDB re-runs the positional-index algebra from
+      // raw text — postings, phrase offsets, anchor counting
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |           FROM documents WHERE text IS NOT NULL),
+             |p AS (SELECT doc_id AS phrase_id, list_slice(toks, 3, 6) AS ptoks
+             |      FROM t WHERE doc_id % 163 = 0 AND len(toks) >= 6),
+             |pt AS (SELECT phrase_id, i - 1 AS off, ptoks[i] AS term,
+             |         len(ptoks) AS plen
+             |       FROM p, unnest(range(1, len(ptoks) + 1)) AS u(i)),
+             |pos AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS term
+             |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+             |h AS (SELECT pos.doc_id, pt.phrase_id, pt.plen,
+             |        pos.tpos - pt.off AS start
+             |      FROM pos JOIN pt USING (term)
+             |      WHERE pos.tpos - pt.off >= 0),
+             |m AS (SELECT doc_id, phrase_id, plen, start, COUNT(*) AS matched
+             |      FROM h GROUP BY 1, 2, 3, 4),
+             |f AS (SELECT * FROM m WHERE matched = plen)
+             |SELECT phrase_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             |  CAST(MIN(start) AS BIGINT) AS first_pos
+             |FROM f GROUP BY 1, 2
+             |ORDER BY phrase_id, doc_id""".stripMargin)),
   )
 
   private def deleteDir(path: String): Unit = {

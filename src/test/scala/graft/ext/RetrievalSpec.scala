@@ -90,4 +90,45 @@ class RetrievalSpec extends SparkTestBase {
     val got = Retrieval.rrfFuse(Seq(l), k = 5).as[(Long, Long, Long, Long)].collect()
     assert(got.head._3 == 16393442622L)
   }
+
+  private def phrases(ps: (Long, String)*) =
+    ps.toSeq.toDF("phrase_id", "phrase")
+
+  test("phraseSearch: verbatim occurrences only — order matters, bags don't match") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "brown quick the fox"),        // same bag, wrong order
+      (3L, "x the quick brown fox y the quick brown fox"), // twice, offset
+      (4L, "the quick brown")).toDF("doc_id", "text") // prefix only
+    val got = Retrieval.phraseSearch(docs, phrases(7L -> "the quick brown fox"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((7L, 1L, 1L, 0L), (7L, 3L, 2L, 1L)),
+      s"doc 2 (permuted bag) and doc 4 (prefix) must not match: $got")
+  }
+
+  test("phraseSearch: a phrase with a REPEATED token needs the repetition aligned") {
+    val docs = Seq(
+      (1L, "a b a c"),   // contains "a b a"
+      (2L, "a b c a"),   // has both tokens but not "a b a"
+      (3L, "b a b a b")) // "a b a" at start 1
+      .toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, phrases(1L -> "a b a"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1L, 1L, 0L), (1L, 3L, 1L, 1L)), got.toString)
+  }
+
+  test("phraseSearch: overlapping self-similar occurrences all count") {
+    val docs = Seq((1L, "z z z z")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, phrases(1L -> "z z"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L, 0L)), s"starts 0,1,2 all match: $got")
+  }
+
+  test("phraseSearch: multiple phrases resolve independently; no-match phrases emit nothing") {
+    val docs = Seq((1L, "p q r"), (2L, "q r s")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs,
+        phrases(1L -> "q r", 2L -> "never present"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 1L, 1L, 1L), (1L, 2L, 1L, 0L)), got.toString)
+  }
 }

@@ -83,4 +83,37 @@ class SpanDedupExactSpec extends SparkTestBase {
         s"doc $id: exact keeps $kExact tokens, tiles keep ${t2(id)} — tiles must only under-remove")
     }
   }
+
+  private def runDecon(docs: org.apache.spark.sql.DataFrame,
+                       bench: org.apache.spark.sql.DataFrame) =
+    Dedup.exactSubstrDecontaminate(docs, bench, "doc_id", "text", minLen = W)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("decontaminate: a doc quoting a bench item loses exactly the quote — " +
+      "ALL occurrences cut (no first-survives), at any alignment") {
+    val item = (1 to 5).map(i => s"b$i").mkString(" ") // 5 tokens > W
+    val docs = Seq(
+      (1L, item),                       // verbatim copy of the bench item
+      (2L, s"x1 x2 $item y1"),          // quote mid-document, shifted
+      (3L, s"$item $item"),             // quotes it twice
+      (4L, "clean text with no overlap at all")).toDF("doc_id", "text")
+    val bench = Seq((100L, item)).toDF("doc_id", "text")
+    val out = runDecon(docs, bench)
+    assert(out(1L) == ((5L, 0L, "")), s"verbatim copy empties: ${out(1L)}")
+    assert(out(2L)._3 == "x1 x2 y1", s"only the quote is cut: ${out(2L)}")
+    assert(out(3L) == ((10L, 0L, "")),
+      s"both occurrences cut — no first-survives: ${out(3L)}")
+    assert(out(4L)._3 == "clean text with no overlap at all")
+  }
+
+  test("decontaminate: bench items shorter than minLen contribute nothing; " +
+      "partial (sub-minLen) overlap is kept") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // "a b" is 2 < W tokens; "c d e" overlaps 3 < W tokens of doc 1
+    val bench = Seq((100L, "a b"), (101L, "c d e q r s t u")).toDF("doc_id", "text")
+    val out = runDecon(docs, bench)
+    assert(out(1L) == ((6L, 6L, "a b c d e f")),
+      s"no full-minLen window matches — nothing cut: ${out(1L)}")
+  }
 }

@@ -664,6 +664,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window "), "no window anywhere")
   }
 
+  test("q172: substring decontamination rides one digest semi-join — no window, no cartesian") {
+    val p = plan("q172_substr_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "train grams must reach the bench gram set through an equi-join, never all-pairs")
+    assert(!p.contains("Window "),
+      "coverage is mark-explode + distinct, never a window over gram occurrences")
+    assert(p.contains("LeftSemi"), "the bench-gram probe must be a semi-join")
+  }
+
+  test("q174: phrase search is the positional-index join — no cartesian, no window, " +
+      "map-side-combining anchor aggregate") {
+    val p = plan("q174_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "phrase terms must meet postings on a term equi-join, never doc×phrase")
+    assert(!p.contains("Window "), "anchor promotion is a hash aggregate, not a window")
+    assert(p.contains("partial_count"),
+      "the anchor count must combine map-side before the shuffle")
+  }
+
   test("q169: exact span dedup is hash aggregates + equi-joins — no window, no cartesian") {
     val p = plan("q169_span_dedup_exact")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
