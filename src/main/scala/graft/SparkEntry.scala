@@ -43,7 +43,7 @@ object SparkEntry {
     val log = Changelog.fromOrders(s, d)
     Seq("update", "delete", "insert").foreach { a =>
       graft.cdc.Scd2Maintainer.update(s, wh, "orders",
-        log.filter(col("action") === a), Seq("pk"))
+        log.filter(col("action") === a), Seq("pk"), buckets = 16) // sized to the data, q170's note
     }
     graft.cdc.Scd2Maintainer.read(s, wh, "orders")
       .select("pk", "action", "valid_from", "valid_to", "is_current")
@@ -61,9 +61,13 @@ object SparkEntry {
     val wh = s"/root/repo/target/stream_gate/snap_${Integer.toHexString(d.hashCode)}"
     deleteDir(wh)
     val log = Changelog.fromOrders(s, d)
+    // buckets sized to the data (the DefaultBuckets scaladoc's
+    // |keys|/1e5 guidance): ~15k keys at sf0.1 wants far fewer than 64
+    // bucket dirs per swap — bucket count is a deployment knob, not an
+    // algorithm parameter
     Seq("update", "delete", "insert").foreach { a =>
       graft.cdc.SnapshotMaintainer.update(s, wh, "orders",
-        log.filter(col("action") === a), Seq("pk"))
+        log.filter(col("action") === a), Seq("pk"), buckets = 16)
     }
     graft.cdc.SnapshotMaintainer.read(s, wh, "orders")
       .select("pk", "action", "update_date", "totalprice", "status")
@@ -86,7 +90,8 @@ object SparkEntry {
       Seq("status"), Seq("totalprice"))
     Seq("update", "delete", "insert").foreach { a =>
       graft.cdc.AggMaintainer.foldAndMaintain(s, wh, "orders",
-        log.filter(col("action") === a), Seq("pk"), Seq(spec))
+        log.filter(col("action") === a), Seq("pk"), Seq(spec),
+        snapshotBuckets = 16, aggBuckets = 16) // sized to the data, q170's note
     }
     graft.cdc.AggMaintainer.read(s, wh, "orders", "by_status")
       .select("status", "n_rows", "sum_totalprice")
@@ -159,7 +164,8 @@ object SparkEntry {
         graft.cdc.JoinMaintainer.Side("orders_t", Seq("pk"),
           Some(ol.filter(col("action") === a))),
         graft.cdc.JoinMaintainer.Side("customer_t", Seq("custkey"),
-          Some(cl.filter(col("action") === a))))
+          Some(cl.filter(col("action") === a))),
+        snapshotBuckets = 16, joinBuckets = 16) // sized to the data, q170's note
     }
     graft.cdc.JoinMaintainer.read(s, wh, "ord_cust")
       .select(col("custkey"), col("a_pk"), col("a_totalprice"),

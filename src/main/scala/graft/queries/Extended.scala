@@ -196,6 +196,14 @@ ORDER BY doc_id"""
       graft.ext.PQ.pqCandidates(emb, emb.filter(col("vec_id") % 50 === 0),
         q91Fit(s, d), nCandidates = 40)
     }),
+    "q179_candidates" -> ((s: SparkSession, d: String) => {
+      // the MAINTAINED store's ADC candidate set (k·refine = 40) — the
+      // dump boundary is the codes store q179 ranks over; the oracle
+      // re-ranks these exactly
+      val emb = Tables.embeddings(s, d)
+      graft.streaming.AnnStream.candidates(s, q179Store(s, d),
+        emb.filter(col("vec_id") % 50 === 0), nCandidates = 40)
+    }),
     "q119_components" -> ((s: SparkSession, d: String) =>
       // the exact (comp, j, w, bias) model q119 projects with — the dump
       // boundary is the eigensolve; the oracle recomputes every
@@ -379,6 +387,43 @@ ORDER BY doc_id"""
        |SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr FROM r5
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared by q110 (one-shot tile dedup) and q178 (maintained
+    * streaming store fed in ascending id-range order, which makes
+    * first-arrival-wins coincide with the global min-(doc, idx) rule —
+    * the equivalence SpanStreamSpec pins). */
+  private val spanDedupOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tile AS (SELECT doc_id, i AS idx,
+      |           array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS tile
+      |         FROM (SELECT doc_id, toks,
+      |                 unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+      |               FROM t)),
+      |k AS (SELECT doc_id, idx, tile,
+      |        row_number() OVER (PARTITION BY tile ORDER BY doc_id, idx) AS rk
+      |      FROM tile)
+      |SELECT doc_id, COUNT(*) AS n_tiles,
+      |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COALESCE(string_agg(CASE WHEN rk = 1 THEN tile END, ' ' ORDER BY idx), '') AS text_clean
+      |FROM k GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared by q149 (one-shot weighted reservoir) and q176 (maintained
+    * streaming reservoir — A-ES keys are pure per-row functions, so
+    * min-k folds associatively and the store answers identically). */
+  private val weightedSampleOracle: String =
+    """WITH h AS (SELECT lang AS stratum, doc_id,
+      |    ((doc_id % 1000003) + 42) * 2654435761 % 1000000007 AS hv
+      |  FROM documents WHERE n_chars > 0),
+      |k AS (SELECT h.stratum, h.doc_id,
+      |    CAST(round(-ln((hv + 1) / 1000000008.0) /
+      |         CAST(d.n_chars AS DOUBLE) * 1e12) AS BIGINT) AS e_units
+      |  FROM h JOIN documents d USING (doc_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY stratum
+      |        ORDER BY e_units, doc_id) AS rank FROM k)
+      |SELECT stratum, doc_id, e_units, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 25
+      |ORDER BY stratum, rank""".stripMargin
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -2092,20 +2137,7 @@ ORDER BY doc_id"""
             width = 8)
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |tile AS (SELECT doc_id, i AS idx,
-             |           array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS tile
-             |         FROM (SELECT doc_id, toks,
-             |                 unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
-             |               FROM t)),
-             |k AS (SELECT doc_id, idx, tile,
-             |        row_number() OVER (PARTITION BY tile ORDER BY doc_id, idx) AS rk
-             |      FROM tile)
-             |SELECT doc_id, COUNT(*) AS n_tiles,
-             |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-             |  COALESCE(string_agg(CASE WHEN rk = 1 THEN tile END, ' ' ORDER BY idx), '') AS text_clean
-             |FROM k GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin)),
+      Some(spanDedupOracle)),
 
     ("q111_sample_quantiles",
       (s: SparkSession, d: String) => {
@@ -3445,18 +3477,7 @@ ORDER BY doc_id"""
       },
       // full recomputation: same residue hash, same u, same rounded
       // exponential key, same (e_units, id) order
-      Some("""WITH h AS (SELECT lang AS stratum, doc_id,
-             |    ((doc_id % 1000003) + 42) * 2654435761 % 1000000007 AS hv
-             |  FROM documents WHERE n_chars > 0),
-             |k AS (SELECT h.stratum, h.doc_id,
-             |    CAST(round(-ln((hv + 1) / 1000000008.0) /
-             |         CAST(d.n_chars AS DOUBLE) * 1e12) AS BIGINT) AS e_units
-             |  FROM h JOIN documents d USING (doc_id)),
-             |r AS (SELECT *, row_number() OVER (PARTITION BY stratum
-             |        ORDER BY e_units, doc_id) AS rank FROM k)
-             |SELECT stratum, doc_id, e_units, CAST(rank AS BIGINT) AS rank
-             |FROM r WHERE rank <= 25
-             |ORDER BY stratum, rank""".stripMargin)),
+      Some(weightedSampleOracle)),
 
     ("q150_weighted_jaccard",
       (s: SparkSession, d: String) => {
@@ -4041,6 +4062,164 @@ ORDER BY doc_id"""
              |  CAST(MIN(start) AS BIGINT) AS first_pos
              |FROM f GROUP BY 1, 2
              |ORDER BY phrase_id, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q175–q179: the REMAINING maintained streaming stores under the
+    // DuckDB gate (completing what q167/q168/q170/q171/q173 started for
+    // SCD2/BM25/snapshot/agg/join) — each store folds the corpus in
+    // micro-batches, then its read surface must answer identically to
+    // the one-shot batch operator over everything ingested.
+    // ------------------------------------------------------------------
+    ("q175_dedup_maintained",
+      (s: SparkSession, d: String) => {
+        // the streaming exact-dedup index (text-hash → min doc id
+        // representative): min is associative + idempotent, so the
+        // 3-fold store must equal the one-shot grouping. The index
+        // keeps only 64-bit hashes; joining back to the corpus
+        // recovers the (doc, canonical-representative) map the oracle
+        // recomputes from raw text.
+        val docs = Tables.documents(s, d)
+        val st = s"/root/repo/target/stream_gate/dd_${Integer.toHexString(d.hashCode)}"
+        deleteDir(st)
+        val cfg = graft.streaming.DedupStreamConfig(
+          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, buckets = 16)
+        Seq(0, 1, 2).foreach { r =>
+          graft.streaming.DedupStream.processBatch(
+            docs.filter(col("doc_id") % 3 === r), r.toLong, cfg)
+        }
+        graft.streaming.DedupStream.readIndex(s, st)
+          .join(docs.select(xxhash64(col("text")).as("text_hash"),
+            col("doc_id")), "text_hash")
+          .select(col("doc_id"), col("rep_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep_id
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("q176_sample_maintained",
+      (s: SparkSession, d: String) => {
+        // the streaming per-stratum A-ES reservoir: deterministic keys
+        // make per-stratum min-k associative, so the maintained sample
+        // is BIT-IDENTICAL to q149's one-shot weightedSample over the
+        // whole corpus (same oracle, verbatim).
+        val docs = Tables.documents(s, d)
+        val st = s"/root/repo/target/stream_gate/sm_${Integer.toHexString(d.hashCode)}"
+        deleteDir(st)
+        val cfg = graft.streaming.SampleStreamConfig(
+          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema,
+          strataCol = "lang", weightCol = "n_chars", idCol = "doc_id",
+          k = 25, seed = 42L)
+        Seq(0, 1, 2).foreach { r =>
+          graft.streaming.SampleStream.processBatch(
+            docs.filter(col("doc_id") % 3 === r), r.toLong, cfg)
+        }
+        graft.streaming.SampleStream.readSample(s, st)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("stratum", "rank")
+      },
+      Some(weightedSampleOracle)),
+
+    ("q177_drift_maintained",
+      (s: SparkSession, d: String) => {
+        // the streaming PSI drift monitor: each batch scores against
+        // the ACCUMULATED reference of everything before it (batch 0
+        // against itself ⇒ the PSI-0 calibration row). The oracle
+        // recomputes every prefix histogram and the per-bucket-rounded
+        // PSI sum from raw text.
+        val docs = Tables.documents(s, d)
+        val st = s"/root/repo/target/stream_gate/dr_${Integer.toHexString(d.hashCode)}"
+        deleteDir(st)
+        val cfg = graft.streaming.DriftStreamConfig(
+          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, buckets = 10)
+        Seq(0, 1, 2).foreach { r =>
+          graft.streaming.DriftStream.processBatch(
+            docs.filter(col("doc_id") % 3 === r), r.toLong, cfg)
+        }
+        graft.streaming.DriftStream.readLog(s, st)
+          .select(col("batch").cast("long").as("batch"),
+            col("n_docs"), col("psi_micro8"))
+          .orderBy("batch")
+      },
+      Some("""WITH q AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+             |  FROM documents),
+             |score AS (SELECT doc_id,
+             |    0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+             |      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             |      + 0.1 * (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) AS qs
+             |  FROM q),
+             |bkt AS (SELECT doc_id % 3 AS batch,
+             |    least(CAST(floor(qs * 10) AS BIGINT), 9) AS bucket FROM score),
+             |cnt AS (SELECT batch, bucket, COUNT(*) AS n FROM bkt GROUP BY 1, 2),
+             |grid AS (SELECT b.batch, u.bucket
+             |         FROM (SELECT DISTINCT batch FROM cnt) b
+             |         CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) u),
+             |cur AS (SELECT g.batch, g.bucket, COALESCE(c.n, 0) AS n_b
+             |        FROM grid g LEFT JOIN cnt c
+             |          ON c.batch = g.batch AND c.bucket = g.bucket),
+             |ref AS (SELECT g.batch, g.bucket, COALESCE(SUM(c.n), 0) AS n_a
+             |        FROM grid g LEFT JOIN cnt c
+             |          ON c.bucket = g.bucket AND c.batch < g.batch
+             |        GROUP BY 1, 2),
+             |t AS (SELECT cur.batch, cur.bucket, ref.n_a, cur.n_b,
+             |        SUM(ref.n_a) OVER (PARTITION BY cur.batch) AS ta,
+             |        SUM(cur.n_b) OVER (PARTITION BY cur.batch) AS tb
+             |      FROM cur JOIN ref
+             |        ON ref.batch = cur.batch AND ref.bucket = cur.bucket),
+             |p AS (SELECT batch, bucket,
+             |        CAST(n_a + 1 AS DOUBLE) / (ta + 10) AS pa,
+             |        CAST(n_b + 1 AS DOUBLE) / (tb + 10) AS pb
+             |      FROM t),
+             |psi AS (SELECT batch, CAST(SUM(CASE WHEN batch = 0 THEN 0
+             |          ELSE CAST(round((pa - pb) * ln(pa / pb) * 1e8) AS BIGINT) END)
+             |          AS BIGINT) AS psi_micro8
+             |        FROM p GROUP BY 1),
+             |nd AS (SELECT batch, COUNT(*) AS n_docs FROM bkt GROUP BY 1)
+             |SELECT CAST(psi.batch AS BIGINT) AS batch, nd.n_docs, psi.psi_micro8
+             |FROM psi JOIN nd USING (batch)
+             |ORDER BY batch""".stripMargin)),
+
+    ("q178_span_maintained",
+      (s: SparkSession, d: String) => {
+        // the streaming C4-style span-dedup corpus: batches fed in
+        // ascending doc-id ranges, where first-arrival-wins coincides
+        // with q110's global min-(doc, idx) winner rule — so the
+        // maintained clean corpus must equal the one-shot dedupTiles
+        // (same oracle, verbatim).
+        val docs = Tables.documents(s, d)
+        val st = s"/root/repo/target/stream_gate/sp_${Integer.toHexString(d.hashCode)}"
+        deleteDir(st)
+        val cfg = graft.streaming.SpanStreamConfig(
+          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, width = 8)
+        val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+        Seq((0L, m / 3), (m / 3 + 1, 2 * m / 3), (2 * m / 3 + 1, m))
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            graft.streaming.SpanStream.processBatch(
+              docs.filter(col("doc_id") >= lo && col("doc_id") <= hi),
+              i.toLong, cfg)
+          }
+        graft.streaming.SpanStream.readClean(s, st)
+          .select("doc_id", "n_tiles", "n_kept", "text_clean")
+          .orderBy("doc_id")
+      },
+      Some(spanDedupOracle)),
+
+    ("q179_ann_maintained",
+      (s: SparkSession, d: String) => {
+        // the streaming PQ ANN index: codebook frozen on the base
+        // third, two streamed batches encode-and-append (with an
+        // in-stream compaction), then top-k over the CODES store +
+        // exact re-rank. Same oracle contract as q91/q102: the
+        // deterministic candidate dump is re-ranked exactly in DuckDB.
+        val emb = Tables.embeddings(s, d)
+        graft.streaming.AnnStream.topK(s, q179Store(s, d), emb,
+            emb.filter(col("vec_id") % 50 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(rerankOracle("q179_candidates", k = 10))),
   )
 
   private def deleteDir(path: String): Unit = {
@@ -4053,6 +4232,30 @@ ORDER BY doc_id"""
 
   /** ScaleBench's q168 variant rebuilds a fresh store per run too. */
   private[graft] def deleteDirForBench(path: String): Unit = deleteDir(path)
+
+  /** Memoized maintained-ANN store build for q179: the query ranks over
+    * the store and the aux dump emits its candidate set — one build per
+    * sf dir serves both (same discipline as [[q166Train]]). Fit,
+    * encode, and compaction are all deterministic, so independent
+    * rebuilds (e.g. a re-run Verify JVM) reproduce the store exactly. */
+  private val q179Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q179Store(s: SparkSession, d: String): String =
+    q179Cache.computeIfAbsent(d, dir => {
+      val emb = Tables.embeddings(s, dir)
+      val st = s"/root/repo/target/stream_gate/ann_${Integer.toHexString(dir.hashCode)}"
+      deleteDir(st)
+      val cfg = graft.streaming.AnnStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", dim = 64,
+        compactEveryNBatches = 1)
+      val cb = graft.streaming.AnnStream.initialize(
+        s, emb.filter(col("vec_id") % 3 === 0), cfg)
+      graft.streaming.AnnStream.processBatch(
+        emb.filter(col("vec_id") % 3 === 1), 0L, cb, cfg)
+      graft.streaming.AnnStream.processBatch(
+        emb.filter(col("vec_id") % 3 === 2), 1L, cb, cfg)
+      st
+    })
 
   /** Memoized batched-BPE training for q166: the query emits the merge
     * table and the aux dump emits the window spectra — one training run

@@ -62,8 +62,10 @@ object DedupStream {
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, cfg))
       .start()
 
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
-                                      cfg: DedupStreamConfig): Unit = {
+  /** One micro-batch. Public so tests, batch backfills, and the
+    * declared-query gate can drive exact batch boundaries. */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   cfg: DedupStreamConfig): Unit = {
     val spark = batch.sparkSession
     require(cfg.buckets > 0)
     // within-batch collapse BEFORE anything touches the store: one

@@ -65,8 +65,10 @@ object DriftStream {
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, cfg))
       .start()
 
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
-                                      cfg: DriftStreamConfig): Unit = {
+  /** One micro-batch. Public so tests, batch backfills, and the
+    * declared-query gate can drive exact batch boundaries. */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   cfg: DriftStreamConfig): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val counts = TextAnalysis

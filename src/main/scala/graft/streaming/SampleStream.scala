@@ -65,8 +65,10 @@ object SampleStream {
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, cfg))
       .start()
 
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
-                                      cfg: SampleStreamConfig): Unit = {
+  /** One micro-batch. Public so tests, batch backfills, and the
+    * declared-query gate can drive exact batch boundaries. */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   cfg: SampleStreamConfig): Unit = {
     val spark = batch.sparkSession
     val keyed = Sharding.aesKeyed(batch, cfg.strataCol, cfg.weightCol,
         cfg.idCol, cfg.seed)
