@@ -4220,6 +4220,131 @@ ORDER BY doc_id"""
           .orderBy("query_id", "rank")
       },
       Some(rerankOracle("q179_candidates", k = 10))),
+
+    ("q180_doc_maintained",
+      (s: SparkSession, d: String) => {
+        // the streaming deduplicating corpus builder (DocStream) under
+        // the gate — the near-dup sibling of q175's exact index, and
+        // the last spec-only store. Three sequential batches by doc_id
+        // residue, batch 1 additionally carrying PLANTED exact replays
+        // of batch-0 survivors (the cross-batch hash anti-join path),
+        // with a generation COMPACTION between batches 1 and 2 (the
+        // q168 discipline — fold + post-compaction append on one
+        // store). Survivor rule per batch: exact drop vs the standing
+        // corpus, within-batch transitive-closure keep-min at jaccard
+        // >= 0.5, then drop survivors with any corpus partner at the
+        // threshold. The oracle replays all three stages from raw text
+        // (q62's recursive-CTE machinery, unrolled sequentially).
+        // bandsForRecall keeps LSH recall at 0.999 AT the threshold so
+        // the ground-truth comparison is honest, not luck.
+        val docs = Tables.documents(s, d)
+        val st = s"/root/repo/target/stream_gate/doc_${Integer.toHexString(d.hashCode)}"
+        deleteDir(st)
+        val (bb, rr) = graft.ext.Dedup.bandsForRecall(64, 0.5, minRecall = 0.999)
+        val cfg = graft.streaming.DocStreamConfig(
+          s"$st/_in_unused", s"$st/corpus", s"$st/_ck_unused", docs.schema,
+          shingleSize = 3, bands = bb, rowsPerBand = rr, threshold = 0.5)
+        val b0 = docs.filter(col("doc_id") % 3 === 0)
+        val b1 = docs.filter(col("doc_id") % 3 === 1)
+          .unionByName(docs.filter(col("doc_id") % 3 === 0 &&
+              col("doc_id") % 11 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+        val b2 = docs.filter(col("doc_id") % 3 === 2)
+        graft.streaming.DocStream.processBatch(b0, 0L, cfg)
+        graft.streaming.DocStream.processBatch(b1, 1L, cfg)
+        graft.streaming.DocStream.compact(s, cfg.corpusDir, upToBatch = 1L)
+        graft.streaming.DocStream.processBatch(b2, 2L, cfg)
+        graft.streaming.DocStream.readCorpus(s, cfg.corpusDir)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      // GROUND TRUTH: the three-stage survivor recursion replayed from
+      // raw text — per stage: exact drop vs accumulated survivors,
+      // within-batch closure keep-min (recursive CTE), cross near-drop
+      // at jaccard >= 0.5 vs accumulated survivors. Every non-recursive
+      // CTE is MATERIALIZED: DuckDB inlines CTEs by default, and the
+      // staged references (s1 -> w1 -> f1 -> s0 -> ...) re-expand
+      // EXPONENTIALLY without it (measured 214 s inlined vs 16 s
+      // materialized at sf0.01)
+      Some("""WITH RECURSIVE
+             |t AS MATERIALIZED (SELECT doc_id, text, lang, source FROM documents),
+             |sh AS MATERIALIZED (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
+             |    THEN [text]
+             |    ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+             |  END) AS sh FROM t),
+             |b0 AS MATERIALIZED (SELECT doc_id, text FROM t WHERE doc_id % 3 = 0),
+             |p0 AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM b0 a JOIN b0 b ON a.doc_id < b.doc_id
+             |  JOIN sh sa ON sa.doc_id = a.doc_id
+             |  JOIN sh sb ON sb.doc_id = b.doc_id
+             |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+             |e0 AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p0 UNION SELECT id2, id1 FROM p0),
+             |reach0 AS (SELECT a, b FROM e0
+             |  UNION
+             |  SELECT r.a, e.b FROM reach0 r JOIN e0 e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl0 AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS cid FROM reach0 GROUP BY a),
+             |s0 AS MATERIALIZED (SELECT doc_id, text FROM b0
+             |  WHERE doc_id NOT IN (SELECT id FROM lbl0 WHERE cid < id)),
+             |b1 AS MATERIALIZED (SELECT doc_id, text, doc_id AS src_id FROM t WHERE doc_id % 3 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, text, doc_id FROM t
+             |  WHERE doc_id % 3 = 0 AND doc_id % 11 = 0),
+             |f1 AS MATERIALIZED (SELECT doc_id, src_id FROM b1
+             |  WHERE text NOT IN (SELECT text FROM s0)),
+             |p1 AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM f1 a JOIN f1 b ON a.doc_id < b.doc_id
+             |  JOIN sh sa ON sa.doc_id = a.src_id
+             |  JOIN sh sb ON sb.doc_id = b.src_id
+             |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+             |e1 AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p1 UNION SELECT id2, id1 FROM p1),
+             |reach1 AS (SELECT a, b FROM e1
+             |  UNION
+             |  SELECT r.a, e.b FROM reach1 r JOIN e1 e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl1 AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS cid FROM reach1 GROUP BY a),
+             |w1 AS MATERIALIZED (SELECT doc_id, src_id FROM f1
+             |  WHERE doc_id NOT IN (SELECT id FROM lbl1 WHERE cid < id)),
+             |x1 AS MATERIALIZED (SELECT DISTINCT w.doc_id FROM w1 w
+             |  JOIN sh sw ON sw.doc_id = w.src_id, s0
+             |  JOIN sh se ON se.doc_id = s0.doc_id
+             |  WHERE CAST(len(list_intersect(sw.sh, se.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(sw.sh, se.sh))) >= 0.5),
+             |s1 AS MATERIALIZED (SELECT w1.doc_id, w1.src_id FROM w1
+             |  WHERE w1.doc_id NOT IN (SELECT doc_id FROM x1)),
+             |corpus1 AS MATERIALIZED (SELECT doc_id, doc_id AS src_id, text FROM s0
+             |  UNION ALL
+             |  SELECT s1.doc_id, s1.src_id, t.text FROM s1 JOIN t ON t.doc_id = s1.src_id),
+             |b2 AS MATERIALIZED (SELECT doc_id, text FROM t WHERE doc_id % 3 = 2),
+             |f2 AS MATERIALIZED (SELECT doc_id FROM b2
+             |  WHERE text NOT IN (SELECT text FROM corpus1)),
+             |p2 AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM f2 a JOIN f2 b ON a.doc_id < b.doc_id
+             |  JOIN sh sa ON sa.doc_id = a.doc_id
+             |  JOIN sh sb ON sb.doc_id = b.doc_id
+             |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+             |e2 AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p2 UNION SELECT id2, id1 FROM p2),
+             |reach2 AS (SELECT a, b FROM e2
+             |  UNION
+             |  SELECT r.a, e.b FROM reach2 r JOIN e2 e ON r.b = e.a WHERE e.b <> r.a),
+             |lbl2 AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS cid FROM reach2 GROUP BY a),
+             |w2 AS MATERIALIZED (SELECT doc_id FROM f2
+             |  WHERE doc_id NOT IN (SELECT id FROM lbl2 WHERE cid < id)),
+             |x2 AS MATERIALIZED (SELECT DISTINCT w.doc_id FROM w2 w
+             |  JOIN sh sw ON sw.doc_id = w.doc_id, corpus1 c
+             |  JOIN sh se ON se.doc_id = c.src_id
+             |  WHERE CAST(len(list_intersect(sw.sh, se.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(sw.sh, se.sh))) >= 0.5),
+             |s2 AS MATERIALIZED (SELECT doc_id FROM w2
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM x2)),
+             |kept AS MATERIALIZED (SELECT doc_id, src_id FROM corpus1
+             |  UNION ALL SELECT doc_id, doc_id FROM s2)
+             |SELECT k.doc_id, t.lang, t.source FROM kept k
+             |JOIN t ON t.doc_id = k.src_id
+             |ORDER BY k.doc_id""".stripMargin)),
   )
 
   private def deleteDir(path: String): Unit = {

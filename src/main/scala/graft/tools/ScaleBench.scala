@@ -232,7 +232,49 @@ object ScaleBench {
     // workload does not grow because the corpus did): three maintained
     // folds + compaction over ×10 documents, topK over ~50 queries;
     // the row measures the store build + the posting-side scan.
-    "q168_bm25_maintained@queries")
+    "q168_bm25_maintained@queries",
+    // the rest of the maintained-store gate family (q167's regime: the
+    // row measures fold work staying ∝ touched buckets + batch while
+    // key cardinality ×10 — the orders replica axis). q170 snapshot,
+    // q171 agg deltas (group cardinality constant, the delta frame
+    // stays tiny), q173 both-sides join folds incl. the key-change
+    // relocation path.
+    "q170_snapshot_maintained", "q171_agg_maintained", "q173_join_maintained",
+    // q172: bench grams ∝ n/97 and train grams ∝ tokens — BOTH sides of
+    // the one digest semi-join grow ×10 under content-disjoint replicas
+    // (the honest row for the declared query, q126's discipline); marks
+    // ∝ contamination mass, which replicates ×10 exactly.
+    "q172_substr_decontaminate",
+    // q174: phrases ∝ n/163, postings ∝ tokens; `_rN`-suffixed replica
+    // terms keep posting lists content-disjoint, so the term equi-join's
+    // output keeps within-replica structure — anchor work ×10 exactly.
+    "q174_phrase_search",
+    // q175–q178: the remaining maintained stores as declared — each row
+    // rebuilds its store from scratch per run (the declared queries
+    // deleteDir first), so the fold path itself is what's measured.
+    // q175: hash-index folds + one corpus join-back, both ∝ rows.
+    // q176: per-stratum min-k — reservoir stays k×strata while input
+    // ×10 (the bounded-state claim IS the row). q177: map-side decile
+    // histograms (shuffle = 10 rows per batch); the PSI algebra is
+    // corpus-size-free. q178: digest-keyed tile winner agg ∝ tokens.
+    "q175_dedup_maintained", "q176_sample_maintained",
+    "q177_drift_maintained", "q178_span_maintained",
+    // q180: the streaming dedup corpus — per-batch work is the banded
+    // LSH self-join (capped buckets) + the presigged cross pass against
+    // the ACCUMULATED signature store (sigs ∝ survivors, ~0.5 KB/doc;
+    // corpus text read back only for docs that became candidates), so a
+    // fold is O(batch + touched buckets), never O(corpus). Replicas'
+    // `_rN`-suffixed tokens keep shingle buckets content-disjoint —
+    // within-replica dup structure replicates, the worst case for the
+    // band shuffle.
+    "q180_doc_maintained",
+    // q179 at fixed probes (the q91/q102 regime — the ADC scan against
+    // the maintained codes store is the corpus-side axis under test;
+    // the declared query's % 50 probe set would grow with n and measure
+    // workload growth, not the store). Fresh store per run: codebook
+    // fit on the base third + two encode-appends with an in-stream
+    // compaction — the encode path is the linear claim.
+    "q179_ann_maintained@probes")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -448,6 +490,22 @@ object ScaleBench {
         graft.streaming.IndexStream.topK(s, st,
             graft.ext.Retrieval.probeQueries(docs, every = every, width = 8),
             k = 5)
+          .orderBy("query_id", "rank")
+      })
+      case "q179_ann_maintained@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        val st = s"/root/repo/target/stream_gate/ann_scale_${Integer.toHexString(d.hashCode)}"
+        graft.queries.Extended.deleteDirForBench(st)
+        val cfg = graft.streaming.AnnStreamConfig(
+          s"$st/_in_unused", st, s"$st/_ck_unused", dim = 64,
+          compactEveryNBatches = 1)
+        val cb = graft.streaming.AnnStream.initialize(
+          s, emb.filter(col("vec_id") % 3 === 0), cfg)
+        graft.streaming.AnnStream.processBatch(
+          emb.filter(col("vec_id") % 3 === 1), 0L, cb, cfg)
+        graft.streaming.AnnStream.processBatch(
+          emb.filter(col("vec_id") % 3 === 2), 1L, cb, cfg)
+        graft.streaming.AnnStream.topK(s, st, emb, fixedProbes(emb), k = 10)
           .orderBy("query_id", "rank")
       })
       case _ => None
