@@ -22,10 +22,18 @@ object Bench {
     * or the parse fails. */
   private def forkFoldBench(sfDir: String): Option[String] = try {
     val javaBin = sys.props("java.home") + "/bin/java"
-    val addOpens = java.lang.management.ManagementFactory
+    val parentArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala
+    val addOpens = parentArgs
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
-    val cmd = (Seq(javaBin, "-Xmx8g", "-XX:ReservedCodeCacheSize=512m",
+    // child heap: env override, else inherit the parent's -Xmx (the
+    // parent JVM demonstrably fits this host), else 8g — a fixed 8g
+    // on a smaller host would fail the spawn or swap, silently falling
+    // back to the in-process "indicative" number the fork exists to avoid
+    val xmx = sys.env.get("SPARK_GRAFT_FOLD_XMX")
+      .orElse(parentArgs.findLast(_.startsWith("-Xmx")).map(_.stripPrefix("-Xmx")))
+      .getOrElse("8g")
+    val cmd = (Seq(javaBin, s"-Xmx$xmx", "-XX:ReservedCodeCacheSize=512m",
       "-Dspark.ui.enabled=false") ++ addOpens ++
       Seq("-cp", sys.props("java.class.path"),
         "graft.tools.IngestFoldMain", sfDir,

@@ -38,7 +38,7 @@ object SparkEntry {
     * the maintained read must still equal the one-shot derivation
     * (q34's oracle, verbatim). Fresh store per run under target/. */
   private def cdcScd2Maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = s"/root/repo/target/stream_gate/scd2_${Integer.toHexString(d.hashCode)}"
+    val wh = graft.core.WorkDirs.streamGate(s"scd2_${Integer.toHexString(d.hashCode)}")
     deleteDir(wh)
     val log = Changelog.fromOrders(s, d)
     Seq("update", "delete", "insert").foreach { a =>
@@ -58,7 +58,7 @@ object SparkEntry {
     * maintained read equals q17's one-shot `latestSnapshot` (same
     * oracle, verbatim). Fresh store per run under target/. */
   private def cdcSnapshotMaintained(s: SparkSession, d: String): DataFrame = {
-    val wh = s"/root/repo/target/stream_gate/snap_${Integer.toHexString(d.hashCode)}"
+    val wh = graft.core.WorkDirs.streamGate(s"snap_${Integer.toHexString(d.hashCode)}")
     deleteDir(wh)
     val log = Changelog.fromOrders(s, d)
     // buckets sized to the data (the DefaultBuckets scaladoc's
@@ -83,7 +83,7 @@ object SparkEntry {
     * snapshot — which is exactly what the oracle recomputes from the
     * changelog. */
   private def cdcAggMaintained(s: SparkSession, d: String): DataFrame = {
-    val wh = s"/root/repo/target/stream_gate/agg_${Integer.toHexString(d.hashCode)}"
+    val wh = graft.core.WorkDirs.streamGate(s"agg_${Integer.toHexString(d.hashCode)}")
     deleteDir(wh)
     val log = Changelog.fromOrders(s, d)
     val spec = graft.cdc.AggMaintainer.AggSpec("by_status",
@@ -155,7 +155,7 @@ object SparkEntry {
     * still equal the from-scratch join of the final live snapshots —
     * which is what the oracle recomputes. */
   private def cdcJoinMaintained(s: SparkSession, d: String): DataFrame = {
-    val wh = s"/root/repo/target/stream_gate/join_${Integer.toHexString(d.hashCode)}"
+    val wh = graft.core.WorkDirs.streamGate(s"join_${Integer.toHexString(d.hashCode)}")
     deleteDir(wh)
     val ol = q173OrdersLog(s, d)
     val cl = q173CustLog(s, d)
@@ -223,13 +223,8 @@ object SparkEntry {
       |FROM live GROUP BY status
       |ORDER BY status""".stripMargin
 
-  private def deleteDir(path: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-      f.delete(): Unit
-    }
-    rec(new java.io.File(path))
-  }
+  private def deleteDir(path: String): Unit =
+    graft.core.WorkDirs.deleteDir(path)
 
   private def cdcChanges(s: SparkSession, d: String): DataFrame =
     Versioned.changesBetween(Changelog.fromOrders(s, d),

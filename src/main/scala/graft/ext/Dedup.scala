@@ -1223,12 +1223,15 @@ object Dedup {
     * aggregates — no suffix sort, no global order.
     *
     * Scale shape: the gram frame is O(tokens) rows keyed by a 256-bit
-    * digest (never gram text); the winner aggregate is a map-side
-    * min-struct; coverage marks explode ONLY non-first occurrences of
-    * DUPLICATED grams (O(minLen × duplicate occurrences) — duplication
-    * mass, not corpus mass) and collapse by (doc, position); the
-    * rebuild groups each doc's own tokens. Every stage is a hash
-    * aggregate or equi-join on (digest) or (doc, position).
+    * digest (never gram text) carried as 32-byte BINARY (`unhex` of the
+    * sha2 hex — the digest is the dominant shuffle payload per token
+    * window, and the hex string doubles it to 64 bytes for zero
+    * information); the winner aggregate is a map-side min-struct;
+    * coverage marks explode ONLY non-first occurrences of DUPLICATED
+    * grams (O(minLen × duplicate occurrences) — duplication mass, not
+    * corpus mass) and collapse by (doc, position); the rebuild groups
+    * each doc's own tokens. Every stage is a hash aggregate or
+    * equi-join on (digest) or (doc, position).
     *
     * Output: (doc_id, n_tokens, n_kept, text_clean), one row per
     * non-null-text input document; a fully-duplicated later copy keeps
@@ -1241,8 +1244,8 @@ object Dedup {
     val grams = toks.filter(size(col("__toks")) >= minLen)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("__toks")) - minLen),
-        i => sha2(concat_ws(" ",
-          (1 to minLen).map(j => element_at(col("__toks"), i + j)): _*), 256)))
+        i => unhex(sha2(concat_ws(" ",
+          (1 to minLen).map(j => element_at(col("__toks"), i + j)): _*), 256))))
         .as(Seq("pos", "__k")))
     val first = grams.groupBy("__k")
       .agg(min(struct(col("doc_id"), col("pos"))).as("__first"),
@@ -1279,7 +1282,8 @@ object Dedup {
     * merely quotes a benchmark item.
     *
     * Scale shape: the benchmark gram frame collapses to DISTINCT
-    * digests (O(bench tokens) rows, tiny vs the corpus) and the train
+    * digests (O(bench tokens) rows, tiny vs the corpus; 32-byte binary
+    * digests, [[exactSpanDedup]]'s shuffle-weight note) and the train
     * grams reach it through one equi-join on the digest — a build-side
     * broadcast whenever the bench fits, a shuffle-hash join otherwise;
     * coverage marks explode only CONTAMINATED windows (O(minLen ×
@@ -1292,8 +1296,8 @@ object Dedup {
                                idCol: String, textCol: String,
                                minLen: Int = 8): DataFrame = {
     require(minLen >= 1)
-    def gramKeys(i: org.apache.spark.sql.Column) = sha2(concat_ws(" ",
-      (1 to minLen).map(j => element_at(col("__toks"), i + j)): _*), 256)
+    def gramKeys(i: org.apache.spark.sql.Column) = unhex(sha2(concat_ws(" ",
+      (1 to minLen).map(j => element_at(col("__toks"), i + j)): _*), 256))
     val toks = train.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
     val grams = toks.filter(size(col("__toks")) >= minLen)

@@ -525,7 +525,7 @@ object TextAnalysis {
         }
         val next = toks.withColumn("toks",
             graft.functions.VectorFunctions.bpe_apply_merges(col("toks"),
-              adopted.map(_._1).toArray, adopted.map(_._2).toArray))
+              adopted.map(_._1).toSeq, adopted.map(_._2).toSeq))
           .localCheckpoint(true)
         toks.unpersist(false)
         toks = next
@@ -759,7 +759,11 @@ object TextAnalysis {
     * of rescanning history every trigger. */
   def qualityBucketCounts(df: DataFrame, textCol: String = "text",
                           buckets: Int = 10): DataFrame =
-    withQuality(df, textCol)
+    // null text carries no quality signal: EXCLUDED, explicitly — a null
+    // score would otherwise fall through Spark's null-skipping `least`
+    // into the top bucket, a coincidence of builtin null rules rather
+    // than monitor semantics (and one DuckDB's `least` need not share)
+    withQuality(df.filter(col(textCol).isNotNull), textCol)
       .select(least(floor(col("quality_score") * buckets), lit(buckets - 1))
         .cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))

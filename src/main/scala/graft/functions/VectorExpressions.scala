@@ -985,16 +985,19 @@ object BpeKernel {
 /** Apply a BPE merge table (in training order) to a token array —
   * the batched trainer's rewrite step as ONE codegen'd expression.
   * The merge table rides along as codegen reference objects, like
-  * [[NearestCentroids]]' centroids. */
-case class BpeApplyMerges(child: Expression, lhs: Array[String], rhs: Array[String])
+  * [[NearestCentroids]]' centroids. Fields are Seq (not Array) so the
+  * case-class equals/hashCode compare merge-table CONTENT — two
+  * instances carrying identical tables are `semanticEquals`, keeping
+  * subexpression elimination and plan-equality checks working. */
+case class BpeApplyMerges(child: Expression, lhs: Seq[String], rhs: Seq[String])
   extends UnaryExpression {
   require(lhs.length == rhs.length, "lhs/rhs merge arrays must align")
   import org.apache.spark.unsafe.types.UTF8String
 
-  @transient private lazy val lhsU = lhs.map(UTF8String.fromString)
-  @transient private lazy val rhsU = rhs.map(UTF8String.fromString)
+  @transient private lazy val lhsU = lhs.iterator.map(UTF8String.fromString).toArray
+  @transient private lazy val rhsU = rhs.iterator.map(UTF8String.fromString).toArray
   @transient private lazy val mergedU =
-    lhs.indices.map(i => UTF8String.fromString(lhs(i) + " " + rhs(i))).toArray
+    lhs.indices.iterator.map(i => UTF8String.fromString(lhs(i) + " " + rhs(i))).toArray
 
   override def prettyName: String = "bpe_apply_merges"
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
@@ -1045,7 +1048,7 @@ object VectorFunctions {
                           dim: Int, k2: Int, nProbeSuper: Int, take: Int): Column =
     c(NearestChildCells(e(v), superFlat, childFlat, dim, k2, nProbeSuper, take))
   def media_features(content: Column, dim: Int): Column = c(MediaFeatures(e(content), dim))
-  def bpe_apply_merges(toks: Column, lhs: Array[String], rhs: Array[String]): Column =
+  def bpe_apply_merges(toks: Column, lhs: Seq[String], rhs: Seq[String]): Column =
     c(BpeApplyMerges(e(toks), lhs, rhs))
   def sq8_encode(v: Column, lo: Array[Double], step: Array[Double]): Column =
     c(Sq8Encode(e(v), lo, step))

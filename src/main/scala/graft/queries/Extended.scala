@@ -3054,7 +3054,7 @@ ORDER BY doc_id"""
              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
              |    CAST(length(text) AS BIGINT) AS n_chars,
              |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
-             |  FROM documents),
+             |  FROM documents WHERE text IS NOT NULL),
              |score AS (SELECT doc_id,
              |    0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
              |      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
@@ -3899,7 +3899,7 @@ ORDER BY doc_id"""
         // then top-k over the store must equal q105's full-corpus BM25
         // (same oracle, verbatim). Fresh store per run under target/.
         val docs = Tables.documents(s, d)
-        val st = s"/root/repo/target/stream_gate/idx_${Integer.toHexString(d.hashCode)}"
+        val st = graft.core.WorkDirs.streamGate(s"idx_${Integer.toHexString(d.hashCode)}")
         deleteDir(st)
         val cfg = graft.streaming.IndexStreamConfig(
           s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
@@ -4079,7 +4079,7 @@ ORDER BY doc_id"""
         // recovers the (doc, canonical-representative) map the oracle
         // recomputes from raw text.
         val docs = Tables.documents(s, d)
-        val st = s"/root/repo/target/stream_gate/dd_${Integer.toHexString(d.hashCode)}"
+        val st = graft.core.WorkDirs.streamGate(s"dd_${Integer.toHexString(d.hashCode)}")
         deleteDir(st)
         val cfg = graft.streaming.DedupStreamConfig(
           s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, buckets = 16)
@@ -4103,7 +4103,7 @@ ORDER BY doc_id"""
         // is BIT-IDENTICAL to q149's one-shot weightedSample over the
         // whole corpus (same oracle, verbatim).
         val docs = Tables.documents(s, d)
-        val st = s"/root/repo/target/stream_gate/sm_${Integer.toHexString(d.hashCode)}"
+        val st = graft.core.WorkDirs.streamGate(s"sm_${Integer.toHexString(d.hashCode)}")
         deleteDir(st)
         val cfg = graft.streaming.SampleStreamConfig(
           s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema,
@@ -4127,7 +4127,7 @@ ORDER BY doc_id"""
         // recomputes every prefix histogram and the per-bucket-rounded
         // PSI sum from raw text.
         val docs = Tables.documents(s, d)
-        val st = s"/root/repo/target/stream_gate/dr_${Integer.toHexString(d.hashCode)}"
+        val st = graft.core.WorkDirs.streamGate(s"dr_${Integer.toHexString(d.hashCode)}")
         deleteDir(st)
         val cfg = graft.streaming.DriftStreamConfig(
           s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, buckets = 10)
@@ -4145,7 +4145,7 @@ ORDER BY doc_id"""
              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
              |    CAST(length(text) AS BIGINT) AS n_chars,
              |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
-             |  FROM documents),
+             |  FROM documents WHERE text IS NOT NULL),
              |score AS (SELECT doc_id,
              |    0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
              |      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
@@ -4190,7 +4190,7 @@ ORDER BY doc_id"""
         // maintained clean corpus must equal the one-shot dedupTiles
         // (same oracle, verbatim).
         val docs = Tables.documents(s, d)
-        val st = s"/root/repo/target/stream_gate/sp_${Integer.toHexString(d.hashCode)}"
+        val st = graft.core.WorkDirs.streamGate(s"sp_${Integer.toHexString(d.hashCode)}")
         deleteDir(st)
         val cfg = graft.streaming.SpanStreamConfig(
           s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, width = 8)
@@ -4238,7 +4238,7 @@ ORDER BY doc_id"""
         // bandsForRecall keeps LSH recall at 0.999 AT the threshold so
         // the ground-truth comparison is honest, not luck.
         val docs = Tables.documents(s, d)
-        val st = s"/root/repo/target/stream_gate/doc_${Integer.toHexString(d.hashCode)}"
+        val st = graft.core.WorkDirs.streamGate(s"doc_${Integer.toHexString(d.hashCode)}")
         deleteDir(st)
         val (bb, rr) = graft.ext.Dedup.bandsForRecall(64, 0.5, minRecall = 0.999)
         val cfg = graft.streaming.DocStreamConfig(
@@ -4347,13 +4347,8 @@ ORDER BY doc_id"""
              |ORDER BY k.doc_id""".stripMargin)),
   )
 
-  private def deleteDir(path: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-      f.delete(): Unit
-    }
-    rec(new java.io.File(path))
-  }
+  private def deleteDir(path: String): Unit =
+    graft.core.WorkDirs.deleteDir(path)
 
   /** ScaleBench's q168 variant rebuilds a fresh store per run too. */
   private[graft] def deleteDirForBench(path: String): Unit = deleteDir(path)
@@ -4368,7 +4363,7 @@ ORDER BY doc_id"""
   private def q179Store(s: SparkSession, d: String): String =
     q179Cache.computeIfAbsent(d, dir => {
       val emb = Tables.embeddings(s, dir)
-      val st = s"/root/repo/target/stream_gate/ann_${Integer.toHexString(dir.hashCode)}"
+      val st = graft.core.WorkDirs.streamGate(s"ann_${Integer.toHexString(dir.hashCode)}")
       deleteDir(st)
       val cfg = graft.streaming.AnnStreamConfig(
         s"$st/_in_unused", st, s"$st/_ck_unused", dim = 64,

@@ -476,7 +476,7 @@ object ScaleBench {
       case "q168_bm25_maintained@queries" => Some((s, d) => {
         val docs = graft.core.Tables.documents(s, d)
         val every = math.max(1L, docs.count() / 50L).toInt
-        val st = s"/root/repo/target/stream_gate/idx_scale_${Integer.toHexString(d.hashCode)}"
+        val st = graft.core.WorkDirs.streamGate(s"idx_scale_${Integer.toHexString(d.hashCode)}")
         graft.queries.Extended.deleteDirForBench(st)
         val cfg = graft.streaming.IndexStreamConfig(
           s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
@@ -494,7 +494,7 @@ object ScaleBench {
       })
       case "q179_ann_maintained@probes" => Some((s, d) => {
         val emb = graft.core.Tables.embeddings(s, d)
-        val st = s"/root/repo/target/stream_gate/ann_scale_${Integer.toHexString(d.hashCode)}"
+        val st = graft.core.WorkDirs.streamGate(s"ann_scale_${Integer.toHexString(d.hashCode)}")
         graft.queries.Extended.deleteDirForBench(st)
         val cfg = graft.streaming.AnnStreamConfig(
           s"$st/_in_unused", st, s"$st/_ck_unused", dim = 64,

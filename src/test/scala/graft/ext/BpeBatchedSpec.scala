@@ -56,7 +56,7 @@ class BpeBatchedSpec extends SparkTestBase {
     cases.foreach { case (toks, merges, want) =>
       val got = Seq(Tuple1(toks)).toDF("toks")
         .select(VectorFunctions.bpe_apply_merges(col("toks"),
-          merges.map(_._1).toArray, merges.map(_._2).toArray).as("out"))
+          merges.map(_._1), merges.map(_._2)).as("out"))
         .as[Seq[String]].head()
       assert(got == want, s"toks=$toks merges=$merges got=$got want=$want")
     }
