@@ -36,15 +36,18 @@ object SparkEntry {
     * folds (updates, then deletes, then the inserts they extend), so
     * every fold performs mid-timeline insertion and interval reclose;
     * the maintained read must still equal the one-shot derivation
-    * (q34's oracle, verbatim). Fresh store per run under target/. */
-  private def cdcScd2Maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = graft.core.WorkDirs.streamGate(s"scd2_${Integer.toHexString(d.hashCode)}")
-    deleteDir(wh)
-    val log = Changelog.fromOrders(s, d)
-    Seq("update", "delete", "insert").foreach { a =>
-      graft.cdc.Scd2Maintainer.update(s, wh, "orders",
-        log.filter(col("action") === a), Seq("pk"), buckets = 16) // sized to the data, q170's note
+    * (q34's oracle, verbatim). Fresh store per sf dir (memoized per JVM). */
+  private def scd2StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"scd2_${Integer.toHexString(d.hashCode)}") { wh =>
+      val log = Changelog.fromOrders(s, d)
+      Seq("update", "delete", "insert").foreach { a =>
+        graft.cdc.Scd2Maintainer.update(s, wh, "orders",
+          log.filter(col("action") === a), Seq("pk"), buckets = 16) // sized to the data, q170's note
+      }
     }
+
+  private def cdcScd2Maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = scd2StoreBuild(s, d)
     graft.cdc.Scd2Maintainer.read(s, wh, "orders")
       .select("pk", "action", "valid_from", "valid_to", "is_current")
       .orderBy("pk", "valid_from", "action")
@@ -56,19 +59,22 @@ object SparkEntry {
     * deletes that supersede some of them, then the inserts both extend.
     * The bucket-local argmax fold must be arrival-order-free, so the
     * maintained read equals q17's one-shot `latestSnapshot` (same
-    * oracle, verbatim). Fresh store per run under target/. */
-  private def cdcSnapshotMaintained(s: SparkSession, d: String): DataFrame = {
-    val wh = graft.core.WorkDirs.streamGate(s"snap_${Integer.toHexString(d.hashCode)}")
-    deleteDir(wh)
-    val log = Changelog.fromOrders(s, d)
-    // buckets sized to the data (the DefaultBuckets scaladoc's
-    // |keys|/1e5 guidance): ~15k keys at sf0.1 wants far fewer than 64
-    // bucket dirs per swap — bucket count is a deployment knob, not an
-    // algorithm parameter
-    Seq("update", "delete", "insert").foreach { a =>
-      graft.cdc.SnapshotMaintainer.update(s, wh, "orders",
-        log.filter(col("action") === a), Seq("pk"), buckets = 16)
+    * oracle, verbatim). Fresh store per sf dir (memoized per JVM). */
+  private def snapStoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"snap_${Integer.toHexString(d.hashCode)}") { wh =>
+      val log = Changelog.fromOrders(s, d)
+      // buckets sized to the data (the DefaultBuckets scaladoc's
+      // |keys|/1e5 guidance): ~15k keys at sf0.1 wants far fewer than 64
+      // bucket dirs per swap — bucket count is a deployment knob, not an
+      // algorithm parameter
+      Seq("update", "delete", "insert").foreach { a =>
+        graft.cdc.SnapshotMaintainer.update(s, wh, "orders",
+          log.filter(col("action") === a), Seq("pk"), buckets = 16)
+      }
     }
+
+  private def cdcSnapshotMaintained(s: SparkSession, d: String): DataFrame = {
+    val wh = snapStoreBuild(s, d)
     graft.cdc.SnapshotMaintainer.read(s, wh, "orders")
       .select("pk", "action", "update_date", "totalprice", "status")
       .orderBy("pk")
@@ -82,17 +88,20 @@ object SparkEntry {
     * table must equal a from-scratch GROUP BY over the final live
     * snapshot — which is exactly what the oracle recomputes from the
     * changelog. */
-  private def cdcAggMaintained(s: SparkSession, d: String): DataFrame = {
-    val wh = graft.core.WorkDirs.streamGate(s"agg_${Integer.toHexString(d.hashCode)}")
-    deleteDir(wh)
-    val log = Changelog.fromOrders(s, d)
-    val spec = graft.cdc.AggMaintainer.AggSpec("by_status",
-      Seq("status"), Seq("totalprice"))
-    Seq("update", "delete", "insert").foreach { a =>
-      graft.cdc.AggMaintainer.foldAndMaintain(s, wh, "orders",
-        log.filter(col("action") === a), Seq("pk"), Seq(spec),
-        snapshotBuckets = 16, aggBuckets = 16) // sized to the data, q170's note
+  private def aggStoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"agg_${Integer.toHexString(d.hashCode)}") { wh =>
+      val log = Changelog.fromOrders(s, d)
+      val spec = graft.cdc.AggMaintainer.AggSpec("by_status",
+        Seq("status"), Seq("totalprice"))
+      Seq("update", "delete", "insert").foreach { a =>
+        graft.cdc.AggMaintainer.foldAndMaintain(s, wh, "orders",
+          log.filter(col("action") === a), Seq("pk"), Seq(spec),
+          snapshotBuckets = 16, aggBuckets = 16) // sized to the data, q170's note
+      }
     }
+
+  private def cdcAggMaintained(s: SparkSession, d: String): DataFrame = {
+    val wh = aggStoreBuild(s, d)
     graft.cdc.AggMaintainer.read(s, wh, "orders", "by_status")
       .select("status", "n_rows", "sum_totalprice")
       .orderBy("status")
@@ -154,19 +163,22 @@ object SparkEntry {
     * updates CHANGE the join key, and the bucket-local re-join must
     * still equal the from-scratch join of the final live snapshots —
     * which is what the oracle recomputes. */
-  private def cdcJoinMaintained(s: SparkSession, d: String): DataFrame = {
-    val wh = graft.core.WorkDirs.streamGate(s"join_${Integer.toHexString(d.hashCode)}")
-    deleteDir(wh)
-    val ol = q173OrdersLog(s, d)
-    val cl = q173CustLog(s, d)
-    Seq("update", "delete", "insert").foreach { a =>
-      graft.cdc.JoinMaintainer.foldAndMaintain(s, wh, "ord_cust", "custkey",
-        graft.cdc.JoinMaintainer.Side("orders_t", Seq("pk"),
-          Some(ol.filter(col("action") === a))),
-        graft.cdc.JoinMaintainer.Side("customer_t", Seq("custkey"),
-          Some(cl.filter(col("action") === a))),
-        snapshotBuckets = 16, joinBuckets = 16) // sized to the data, q170's note
+  private def joinStoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"join_${Integer.toHexString(d.hashCode)}") { wh =>
+      val ol = q173OrdersLog(s, d)
+      val cl = q173CustLog(s, d)
+      Seq("update", "delete", "insert").foreach { a =>
+        graft.cdc.JoinMaintainer.foldAndMaintain(s, wh, "ord_cust", "custkey",
+          graft.cdc.JoinMaintainer.Side("orders_t", Seq("pk"),
+            Some(ol.filter(col("action") === a))),
+          graft.cdc.JoinMaintainer.Side("customer_t", Seq("custkey"),
+            Some(cl.filter(col("action") === a))),
+          snapshotBuckets = 16, joinBuckets = 16) // sized to the data, q170's note
+      }
     }
+
+  private def cdcJoinMaintained(s: SparkSession, d: String): DataFrame = {
+    val wh = joinStoreBuild(s, d)
     graft.cdc.JoinMaintainer.read(s, wh, "ord_cust")
       .select(col("custkey"), col("a_pk"), col("a_totalprice"),
         col("b_acctbal"), col("b_mktsegment"))
@@ -520,4 +532,19 @@ object SparkEntry {
     * LSH / q33 IVF) can score EXACTLY the pairs the engine scored. */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Extended.auxDumps
+
+  /** Maintained-store queries' build phase, split from the read: each
+    * entry forces the named query's store to exist (fold machinery,
+    * memoized per sf dir within a JVM) WITHOUT running the query's
+    * read. Bench times these separately so the per-query table stops
+    * charging store construction to query latency; callers that skip
+    * the builder (Verify, ScaleBench) get build+read in one call,
+    * exactly as before. */
+  def storeBuilders: Map[String, (SparkSession, String) => Unit] = Map[
+      String, (SparkSession, String) => Unit](
+    "q167_scd2_maintained" -> ((s, d) => scd2StoreBuild(s, d): Unit),
+    "q170_snapshot_maintained" -> ((s, d) => snapStoreBuild(s, d): Unit),
+    "q171_agg_maintained" -> ((s, d) => aggStoreBuild(s, d): Unit),
+    "q173_join_maintained" -> ((s, d) => joinStoreBuild(s, d): Unit)
+  ) ++ graft.queries.Extended.storeBuilders
 }

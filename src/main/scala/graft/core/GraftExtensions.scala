@@ -133,6 +133,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.imageDedupPairsPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bpe_encode"), info("bpe_encode"),
       (es: Seq[Expression]) => graft.ext.DocSql.bpeEncodePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("span_dedup_exact"), info("span_dedup_exact"),
+      (es: Seq[Expression]) => graft.ext.DocSql.spanDedupExactPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("substr_decontaminate"), info("substr_decontaminate"),
+      (es: Seq[Expression]) => graft.ext.DocSql.substrDecontaminatePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("phrase_search"), info("phrase_search"),
+      (es: Seq[Expression]) => graft.ext.DocSql.phraseSearchPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("bpe_merges_batched"), info("bpe_merges_batched"),
+      (es: Seq[Expression]) => graft.ext.DocSql.bpeMergesBatchedPlan(es)))
     // Optimizer rule: point-in-interval theta joins → granule-bucketized
     // equi-joins (graft.plans.RangeJoinRule) — plain SQL range joins get
     // the linear plan instead of BroadcastNestedLoopJoin.

@@ -20,6 +20,20 @@ object WorkDirs {
   /** Scratch dir for one named maintained store. */
   def streamGate(name: String): String = s"$root/target/stream_gate/$name"
 
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized fresh build of one maintained store: the FIRST call per
+    * (store name, JVM) deletes the scratch dir and runs `build`; later
+    * calls reuse the store. Builds are deterministic per sf dir (the
+    * name embeds it), so reuse never changes a query's answer — the
+    * seam exists so Bench can time fold machinery (store build)
+    * separately from the read the query actually answers with. */
+  def ensureStore(name: String)(build: String => Unit): String =
+    built.computeIfAbsent(streamGate(name), { wh =>
+      deleteDir(wh); build(wh); wh
+    })
+
   /** Recursive local delete — the fresh-store guarantee before a gate
     * query rebuilds its store. Local-FS only by design: these are
     * driver-local scratch dirs, never warehouse data. */

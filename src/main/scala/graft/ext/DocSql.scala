@@ -353,4 +353,40 @@ object DocSql {
     * loop at analysis time (the bpe_merges caveat). */
   private[graft] def bpeEncodePlan(es: Seq[Expression]): LogicalPlan =
     plan(TextAnalysis.bpeEncode(tableArg(es.head), rounds = intArg(es(1))))
+
+  /** `span_dedup_exact('docs', min_len)`: suffix-array-grade EXACT
+    * substring dedup — any-alignment duplicated spans ≥ min_len
+    * removed, globally-first occurrence survives — (doc_id, n_tokens,
+    * n_kept, text_clean). The engine's strongest dedup pass (q169);
+    * `span_dedup` remains the cheaper fixed-tile C4 variant. */
+  private[graft] def spanDedupExactPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.exactSpanDedup(tableArg(es.head), "doc_id", "text",
+      minLen = intArg(es(1))))
+
+  /** `substr_decontaminate('corpus', 'bench', min_len)`: exact
+    * substring DECONTAMINATION surgery — every corpus token covered by
+    * a min_len-token window appearing anywhere in the bench view is
+    * removed (all occurrences; no first-survives) — (doc_id, n_tokens,
+    * n_kept, text_clean). The flagging variants are `decontaminate` /
+    * `contamination_profile`; this one rewrites the text. */
+  private[graft] def substrDecontaminatePlan(es: Seq[Expression]): LogicalPlan =
+    plan(Dedup.exactSubstrDecontaminate(tableArg(es.head), tableArg(es(1)),
+      "doc_id", "text", minLen = intArg(es(2))))
+
+  /** `phrase_search('docs', 'phrases')`: exact ordered-phrase search
+    * through the positional posting frame — (phrase_id, doc_id,
+    * n_matches, first_pos); the phrases view carries
+    * (phrase_id, phrase). */
+  private[graft] def phraseSearchPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Retrieval.phraseSearch(tableArg(es.head), tableArg(es(1))))
+
+  /** `bpe_merges_batched('docs', rounds, batch_cap)`: the depth-capable
+    * BPE trainer — up to batch_cap token-disjoint merges adopted per
+    * recount window, so vocabulary-scale tables cost O(rounds /
+    * batch_cap) jobs — (round, lhs, rhs, pair_count). batch_cap = 1 is
+    * bit-identical to `bpe_merges`. Eager: the trainer loop runs at
+    * analysis time (the bpe_merges caveat). */
+  private[graft] def bpeMergesBatchedPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.bpeMergesBatched(tableArg(es.head),
+      rounds = intArg(es(1)), batchCap = intArg(es(2))))
 }

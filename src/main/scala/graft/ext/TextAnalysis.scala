@@ -390,6 +390,36 @@ object TextAnalysis {
     finally toks.unpersist(false)
   }
 
+  /** ENCODE with an ALREADY-TRAINED merge table — the production encode
+    * path, completing the deep-BPE story: [[bpeMergesBatched]] makes
+    * training a vocabulary-scale table reachable, and this applies one
+    * at a per-document cost INDEPENDENT of its depth via the
+    * rank-routing indexed kernel ([[graft.functions
+    * .BpeApplyMergesIndexed]] — O(tokens·log tokens + applications) vs
+    * the sequential kernel's O(merges × tokens), a 30–100× gap at
+    * production 32k–100k-merge tables). Bit-identical to applying the
+    * merges sequentially in training order (BpeIndexedSpec pins it at
+    * several depths).
+    *
+    * Scale shape: ONE map-only pass — the merge table broadcasts as a
+    * codegen reference object, no joins, no shuffle; output is
+    * (doc_id, n_raw, n_encoded) plus the encoded token array for
+    * downstream packing. */
+  def bpeEncodeWithTable(docs: DataFrame, merges: Seq[(String, String)],
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val lhs = merges.map(_._1)
+    val rhs = merges.map(_._2)
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_raw"),
+        graft.functions.VectorFunctions.bpe_apply_merges_indexed(
+          col("__t"), lhs, rhs).as("toks_encoded"))
+      .select(col("doc_id"), col("n_raw"),
+        size(col("toks_encoded")).cast("long").as("n_encoded"),
+        col("toks_encoded"))
+  }
+
   /** The shared trainer loop: (merge table, FINAL rewritten token frame
     * — persisted; the caller must unpersist). */
   private def bpeTrain(docs: DataFrame, idCol: String, textCol: String,

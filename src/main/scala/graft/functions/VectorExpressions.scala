@@ -982,6 +982,122 @@ object BpeKernel {
   }
 }
 
+/** [[BpeApplyMergesIndexed]]'s kernel: the SAME semantics as
+  * [[BpeKernel.applyMerges]] (each merge in training order, left-to-right
+  * non-overlap within a merge) at a cost INDEPENDENT of table depth —
+  * O(tokens · log tokens + merge applications) per document instead of
+  * O(merges × tokens). The production-encode half of the deep-BPE story:
+  * the batched trainer (q166) makes TRAINING a 10³–10⁵-merge table
+  * reachable; this makes ENCODING a corpus with it reachable (a 100k-merge
+  * table under the sequential kernel costs 100k array scans per document,
+  * ~10⁴× the document's own size).
+  *
+  * Per document: one scan buckets each adjacent pair's position under the
+  * RANK of the merge that would rewrite it (a hash lookup against the
+  * broadcast rank table); ranks are then processed in increasing order off
+  * a min-heap — identical to running the sequential passes in training
+  * order while SKIPPING every merge with no occurrence. Merging at a
+  * position splices a doubly-linked token list and routes the two newly
+  * adjacent pairs to their merges' buckets, but ONLY to ranks strictly
+  * above the current one: a pair whose merge rank is below the rank being
+  * processed missed its pass, exactly as in the sequential rewrite. A
+  * pair adopted at several training rounds (later merges can recreate
+  * earlier pairs, and the trainer may re-adopt them) keeps ALL its ranks,
+  * and each new occurrence routes to the smallest unprocessed one. Stale
+  * bucket entries (positions rewritten by an earlier merge) are dropped by
+  * re-verifying the pair's tokens at processing time. BpeIndexedSpec pins
+  * bit-equality against the sequential kernel on trained tables and on
+  * adversarial hand cases. */
+object BpeIndexedKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Nul = UTF8String.fromString("\u0000")
+
+  def pairKey(a: UTF8String, b: UTF8String): UTF8String =
+    UTF8String.concat(a, Nul, b)
+
+  /** Smallest rank in the (ascending) list strictly above `r`, or -1. */
+  private def firstRankAbove(ranks: Array[Int], r: Int): Int = {
+    var i = 0
+    while (i < ranks.length) {
+      if (ranks(i) > r) return ranks(i)
+      i += 1
+    }
+    -1
+  }
+
+  def applyMergesIndexed(toks: ArrayData,
+                         rankOf: java.util.HashMap[UTF8String, Array[Int]],
+                         lhs: Array[UTF8String], rhs: Array[UTF8String],
+                         merged: Array[UTF8String]): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0) return ArrayData.toArrayData(Array.empty[AnyRef])
+    val tok = new Array[UTF8String](n)
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      tok(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      next(i) = if (i < n - 1) i + 1 else -1
+      prev(i) = i - 1
+      i += 1
+    }
+    val buckets = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()
+    val heap = new java.util.PriorityQueue[Integer]()
+    def route(p: Int, above: Int): Unit = {
+      val a = tok(p); val q = next(p)
+      if (a == null || q == -1) return
+      val b = tok(q)
+      if (b == null) return
+      val ranks = rankOf.get(pairKey(a, b))
+      if (ranks == null) return
+      val r = firstRankAbove(ranks, above)
+      if (r < 0) return
+      var bucket = buckets.get(r)
+      if (bucket == null) {
+        bucket = new java.util.ArrayList[Integer]()
+        buckets.put(r, bucket)
+        heap.add(r)
+      }
+      bucket.add(p): Unit
+    }
+    i = 0
+    while (i < n - 1) { route(i, -1); i += 1 }
+    var count = n
+    while (!heap.isEmpty) {
+      val r = heap.poll()
+      val bucket = buckets.remove(r)
+      java.util.Collections.sort(bucket) // appends from earlier ranks arrive unordered
+      val a = lhs(r); val b = rhs(r); val ab = merged(r)
+      var bi = 0
+      while (bi < bucket.size()) {
+        val p = bucket.get(bi).intValue()
+        val q = next(p)
+        // re-verify: the position may have been rewritten since routing
+        // (overlap within this merge, or an earlier merge's splice)
+        if (q != -1 && a == tok(p) && b == tok(q)) {
+          tok(p) = ab
+          tok(q) = null
+          next(p) = next(q)
+          if (next(q) != -1) prev(next(q)) = p
+          count -= 1
+          val lp = prev(p)
+          if (lp != -1) route(lp, r)
+          route(p, r)
+        }
+        bi += 1
+      }
+    }
+    val out = new Array[AnyRef](count)
+    var k = 0
+    i = 0
+    while (i != -1) {
+      out(k) = tok(i); k += 1; i = next(i)
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Apply a BPE merge table (in training order) to a token array —
   * the batched trainer's rewrite step as ONE codegen'd expression.
   * The merge table rides along as codegen reference objects, like
@@ -1023,6 +1139,62 @@ case class BpeApplyMerges(child: Expression, lhs: Seq[String], rhs: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [[BpeApplyMerges]] at table-depth-independent cost — the
+  * [[BpeIndexedKernel]] rank-routing encode, bit-identical output by
+  * contract (BpeIndexedSpec). Use this one whenever the merge table is
+  * vocabulary-scale (the sequential kernel is fine for trainer batches
+  * of ≤ a few dozen merges, where its single tight scan wins on
+  * constant factors). */
+case class BpeApplyMergesIndexed(child: Expression, lhs: Seq[String], rhs: Seq[String])
+  extends UnaryExpression {
+  require(lhs.length == rhs.length, "lhs/rhs merge arrays must align")
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val lhsU = lhs.iterator.map(UTF8String.fromString).toArray
+  @transient private lazy val rhsU = rhs.iterator.map(UTF8String.fromString).toArray
+  @transient private lazy val mergedU =
+    lhs.indices.iterator.map(i => UTF8String.fromString(lhs(i) + " " + rhs(i))).toArray
+  /** pair key → ASCENDING ranks adopting that pair (normally one; the
+    * trainer may re-adopt a pair that later merges recreate). */
+  @transient private lazy val rankOf: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, scala.collection.mutable.ArrayBuffer[Int]]()
+    lhs.indices.foreach { i =>
+      m.computeIfAbsent(BpeIndexedKernel.pairKey(lhsU(i), rhsU(i)),
+        _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+    }
+    val out = new java.util.HashMap[UTF8String, Array[Int]](m.size())
+    m.forEach((k, v) => out.put(k, v.toArray): Unit)
+    out
+  }
+
+  override def prettyName: String = "bpe_apply_merges_indexed"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BpeIndexedKernel.applyMergesIndexed(v.asInstanceOf[ArrayData], rankOf,
+      lhsU, rhsU, mergedU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arrCls = "org.apache.spark.unsafe.types.UTF8String[]"
+    val mapCls = "java.util.HashMap"
+    val kRef = ctx.addReferenceObj("bpeRankOf", rankOf, mapCls)
+    val lRef = ctx.addReferenceObj("bpeLhs", lhsU, arrCls)
+    val rRef = ctx.addReferenceObj("bpeRhs", rhsU, arrCls)
+    val mRef = ctx.addReferenceObj("bpeMerged", mergedU, arrCls)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BpeIndexedKernel.applyMergesIndexed(" +
+        s"$v, ($mapCls) $kRef, $lRef, $rRef, $mRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
   private def e(col: Column): Expression = Bridge.expression(col)
@@ -1050,6 +1222,8 @@ object VectorFunctions {
   def media_features(content: Column, dim: Int): Column = c(MediaFeatures(e(content), dim))
   def bpe_apply_merges(toks: Column, lhs: Seq[String], rhs: Seq[String]): Column =
     c(BpeApplyMerges(e(toks), lhs, rhs))
+  def bpe_apply_merges_indexed(toks: Column, lhs: Seq[String], rhs: Seq[String]): Column =
+    c(BpeApplyMergesIndexed(e(toks), lhs, rhs))
   def sq8_encode(v: Column, lo: Array[Double], step: Array[Double]): Column =
     c(Sq8Encode(e(v), lo, step))
   def sq8_cosine(a: Column, b: Column, lo: Array[Double], step: Array[Double]): Column =

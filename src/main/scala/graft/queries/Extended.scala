@@ -20,11 +20,14 @@ object Extended {
     * exact in ranking — the candidate set is deterministic for a fixed
     * seed, so the ranking over it is fully oracled). A fixed path
     * because `SparkEntry.oracleSql` is a static map: the SQL must name
-    * the location without runtime substitution. Lives under the repo's
-    * (gitignored) build dir rather than /tmp: the process running the
-    * oracle SQL is guaranteed to share the repo filesystem with the
-    * process that ran Verify. */
-  val OracleAuxDir = "/root/repo/target/oracle_aux"
+    * the location without runtime substitution — the path is baked in
+    * at object init from [[graft.core.WorkDirs.root]] (the checkout the
+    * Verify JVM runs from), so the dumped `oracle_sql.json` carries an
+    * absolute path on ANY checkout. Lives under the repo's (gitignored)
+    * build dir rather than /tmp: the process running the oracle SQL is
+    * guaranteed to share the repo filesystem with the process that ran
+    * Verify. */
+  val OracleAuxDir = s"${graft.core.WorkDirs.root}/target/oracle_aux"
 
   /** The exact-Jaccard recursive-closure CTE prefix shared by the
     * cluster-grade oracles (q85/q121/q151/q152; q40 keeps its own tail
@@ -176,6 +179,15 @@ ORDER BY doc_id"""
       q166Train(s, d).windows.flatMap { case (w, sliceRows) =>
         sliceRows.zipWithIndex.map { case ((t1, t2, c), i) => (w, i + 1, t1, t2, c) }
       }.toDF("w", "rn", "t1", "t2", "c")
+    }),
+    "q181_merges" -> ((s: SparkSession, d: String) => {
+      // the trained merge table q181 encodes with — the dump boundary
+      // is the (q166-gated) trainer; the ENCODE itself is re-derived in
+      // SQL as the sequential fold, so the indexed kernel is NOT
+      // trusted from the engine
+      import s.implicits._
+      q166Train(s, d).merges.map(m => (m._1, m._2, m._3))
+        .toDF("round", "lhs", "rhs")
     }),
     "q161_ahashes" -> ((s: SparkSession, d: String) =>
       // the per-image aHash fingerprints q161's pairs derive from —
@@ -3897,19 +3909,10 @@ ORDER BY doc_id"""
         // documents arrive as three folds with a compaction between the
         // second and third (generation fold + post-compaction append),
         // then top-k over the store must equal q105's full-corpus BM25
-        // (same oracle, verbatim). Fresh store per run under target/.
+        // (same oracle, verbatim). Fresh store per sf dir (memoized
+        // per JVM; build/read split via [[storeBuilders]]).
         val docs = Tables.documents(s, d)
-        val st = graft.core.WorkDirs.streamGate(s"idx_${Integer.toHexString(d.hashCode)}")
-        deleteDir(st)
-        val cfg = graft.streaming.IndexStreamConfig(
-          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
-        graft.streaming.IndexStream.processBatch(
-          docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
-        graft.streaming.IndexStream.processBatch(
-          docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
-        graft.streaming.IndexStream.compact(s, st)
-        graft.streaming.IndexStream.processBatch(
-          docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+        val st = q168StoreBuild(s, d)
         graft.streaming.IndexStream.topK(s, st,
             Retrieval.probeQueries(docs, every = 100, width = 8), k = 5)
           .orderBy("query_id", "rank")
@@ -4079,14 +4082,7 @@ ORDER BY doc_id"""
         // recovers the (doc, canonical-representative) map the oracle
         // recomputes from raw text.
         val docs = Tables.documents(s, d)
-        val st = graft.core.WorkDirs.streamGate(s"dd_${Integer.toHexString(d.hashCode)}")
-        deleteDir(st)
-        val cfg = graft.streaming.DedupStreamConfig(
-          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, buckets = 16)
-        Seq(0, 1, 2).foreach { r =>
-          graft.streaming.DedupStream.processBatch(
-            docs.filter(col("doc_id") % 3 === r), r.toLong, cfg)
-        }
+        val st = q175StoreBuild(s, d)
         graft.streaming.DedupStream.readIndex(s, st)
           .join(docs.select(xxhash64(col("text")).as("text_hash"),
             col("doc_id")), "text_hash")
@@ -4102,17 +4098,7 @@ ORDER BY doc_id"""
         // make per-stratum min-k associative, so the maintained sample
         // is BIT-IDENTICAL to q149's one-shot weightedSample over the
         // whole corpus (same oracle, verbatim).
-        val docs = Tables.documents(s, d)
-        val st = graft.core.WorkDirs.streamGate(s"sm_${Integer.toHexString(d.hashCode)}")
-        deleteDir(st)
-        val cfg = graft.streaming.SampleStreamConfig(
-          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema,
-          strataCol = "lang", weightCol = "n_chars", idCol = "doc_id",
-          k = 25, seed = 42L)
-        Seq(0, 1, 2).foreach { r =>
-          graft.streaming.SampleStream.processBatch(
-            docs.filter(col("doc_id") % 3 === r), r.toLong, cfg)
-        }
+        val st = q176StoreBuild(s, d)
         graft.streaming.SampleStream.readSample(s, st)
           .withColumnRenamed("id", "doc_id")
           .orderBy("stratum", "rank")
@@ -4126,15 +4112,7 @@ ORDER BY doc_id"""
         // against itself ⇒ the PSI-0 calibration row). The oracle
         // recomputes every prefix histogram and the per-bucket-rounded
         // PSI sum from raw text.
-        val docs = Tables.documents(s, d)
-        val st = graft.core.WorkDirs.streamGate(s"dr_${Integer.toHexString(d.hashCode)}")
-        deleteDir(st)
-        val cfg = graft.streaming.DriftStreamConfig(
-          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, buckets = 10)
-        Seq(0, 1, 2).foreach { r =>
-          graft.streaming.DriftStream.processBatch(
-            docs.filter(col("doc_id") % 3 === r), r.toLong, cfg)
-        }
+        val st = q177StoreBuild(s, d)
         graft.streaming.DriftStream.readLog(s, st)
           .select(col("batch").cast("long").as("batch"),
             col("n_docs"), col("psi_micro8"))
@@ -4189,18 +4167,7 @@ ORDER BY doc_id"""
         // with q110's global min-(doc, idx) winner rule — so the
         // maintained clean corpus must equal the one-shot dedupTiles
         // (same oracle, verbatim).
-        val docs = Tables.documents(s, d)
-        val st = graft.core.WorkDirs.streamGate(s"sp_${Integer.toHexString(d.hashCode)}")
-        deleteDir(st)
-        val cfg = graft.streaming.SpanStreamConfig(
-          s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, width = 8)
-        val m = docs.agg(max(col("doc_id"))).head().getLong(0)
-        Seq((0L, m / 3), (m / 3 + 1, 2 * m / 3), (2 * m / 3 + 1, m))
-          .zipWithIndex.foreach { case ((lo, hi), i) =>
-            graft.streaming.SpanStream.processBatch(
-              docs.filter(col("doc_id") >= lo && col("doc_id") <= hi),
-              i.toLong, cfg)
-          }
+        val st = q178StoreBuild(s, d)
         graft.streaming.SpanStream.readClean(s, st)
           .select("doc_id", "n_tiles", "n_kept", "text_clean")
           .orderBy("doc_id")
@@ -4237,24 +4204,8 @@ ORDER BY doc_id"""
         // (q62's recursive-CTE machinery, unrolled sequentially).
         // bandsForRecall keeps LSH recall at 0.999 AT the threshold so
         // the ground-truth comparison is honest, not luck.
-        val docs = Tables.documents(s, d)
-        val st = graft.core.WorkDirs.streamGate(s"doc_${Integer.toHexString(d.hashCode)}")
-        deleteDir(st)
-        val (bb, rr) = graft.ext.Dedup.bandsForRecall(64, 0.5, minRecall = 0.999)
-        val cfg = graft.streaming.DocStreamConfig(
-          s"$st/_in_unused", s"$st/corpus", s"$st/_ck_unused", docs.schema,
-          shingleSize = 3, bands = bb, rowsPerBand = rr, threshold = 0.5)
-        val b0 = docs.filter(col("doc_id") % 3 === 0)
-        val b1 = docs.filter(col("doc_id") % 3 === 1)
-          .unionByName(docs.filter(col("doc_id") % 3 === 0 &&
-              col("doc_id") % 11 === 0)
-            .withColumn("doc_id", col("doc_id") + lit(3000000L)))
-        val b2 = docs.filter(col("doc_id") % 3 === 2)
-        graft.streaming.DocStream.processBatch(b0, 0L, cfg)
-        graft.streaming.DocStream.processBatch(b1, 1L, cfg)
-        graft.streaming.DocStream.compact(s, cfg.corpusDir, upToBatch = 1L)
-        graft.streaming.DocStream.processBatch(b2, 2L, cfg)
-        graft.streaming.DocStream.readCorpus(s, cfg.corpusDir)
+        val st = q180StoreBuild(s, d)
+        graft.streaming.DocStream.readCorpus(s, s"$st/corpus")
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
@@ -4345,6 +4296,53 @@ ORDER BY doc_id"""
              |SELECT k.doc_id, t.lang, t.source FROM kept k
              |JOIN t ON t.doc_id = k.src_id
              |ORDER BY k.doc_id""".stripMargin)),
+
+    ("q181_bpe_encode_deep",
+      (s: SparkSession, d: String) => {
+        // production ENCODE with the q166-trained 160-merge table
+        // through the rank-routing indexed kernel — per-document cost
+        // independent of table depth (the sequential kernel would scan
+        // every document once per merge). The merge table rides the
+        // q181_merges aux dump so the oracle can replay the encode
+        // INDEPENDENTLY.
+        val table = q166Train(s, d).merges.map(m => (m._2, m._3))
+        graft.ext.TextAnalysis.bpeEncodeWithTable(
+            Tables.documents(s, d).filter(col("text").isNotNull), table)
+          .select("doc_id", "n_raw", "n_encoded")
+          .orderBy("doc_id")
+      },
+      // INDEPENDENT REPLAY: DuckDB re-applies every merge round
+      // SEQUENTIALLY — a recursive CTE over rounds whose step is the
+      // left-to-right non-overlap fold as a list_reduce with a string
+      // accumulator (last accumulator token == lhs AND next == rhs →
+      // join with a SPACE, forming the merged token; else append behind
+      // the chr(31) separator; a just-merged token can never re-fire as
+      // lhs because it contains a space). The engine computes the same
+      // answer through the rank-routed indexed kernel, so ANY routing
+      // bug — staleness, ordering, skipped-recreation, multi-rank —
+      // hash-fails against this sequential reference.
+      Some(s"""WITH RECURSIVE
+             |m AS MATERIALIZED (SELECT round, lhs, rhs
+             |  FROM read_parquet('$OracleAuxDir/q181_merges/*.parquet')),
+             |enc AS (
+             |  SELECT doc_id, 0 AS r, replace(text, ' ', chr(31)) AS state
+             |  FROM documents WHERE text IS NOT NULL
+             |  UNION ALL
+             |  SELECT e.doc_id, e.r + 1,
+             |    list_reduce(string_split(e.state, chr(31)),
+             |      (acc, x) -> CASE WHEN (acc = m.lhs
+             |                             OR ends_with(acc, chr(31) || m.lhs))
+             |                        AND x = m.rhs
+             |                  THEN acc || ' ' || x
+             |                  ELSE acc || chr(31) || x END)
+             |  FROM enc e JOIN m ON m.round = e.r + 1)
+             |SELECT d.doc_id,
+             |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_raw,
+             |  CAST(len(string_split(f.state, chr(31))) AS BIGINT) AS n_encoded
+             |FROM documents d
+             |JOIN (SELECT doc_id, state FROM enc
+             |      WHERE r = (SELECT MAX(round) FROM m)) f USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
   )
 
   private def deleteDir(path: String): Unit =
@@ -4352,6 +4350,105 @@ ORDER BY doc_id"""
 
   /** ScaleBench's q168 variant rebuilds a fresh store per run too. */
   private[graft] def deleteDirForBench(path: String): Unit = deleteDir(path)
+
+  /** q167–q180 store builds, split from their reads so Bench can time
+    * fold machinery separately from query latency (the r9 verdict's
+    * store-build/query conflation). Memoized per (store, JVM) via
+    * [[graft.core.WorkDirs.ensureStore]]; builds are deterministic per
+    * sf dir, so reuse never changes a query's answer. */
+  private def q168StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"idx_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.IndexStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
+      graft.streaming.IndexStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.IndexStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.IndexStream.compact(s, st)
+      graft.streaming.IndexStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+    }
+
+  private def q175StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"dd_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.DedupStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, buckets = 16)
+      Seq(0, 1, 2).foreach { r =>
+        graft.streaming.DedupStream.processBatch(
+          docs.filter(col("doc_id") % 3 === r), r.toLong, cfg)
+      }
+    }
+
+  private def q176StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"sm_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.SampleStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema,
+        strataCol = "lang", weightCol = "n_chars", idCol = "doc_id",
+        k = 25, seed = 42L)
+      Seq(0, 1, 2).foreach { r =>
+        graft.streaming.SampleStream.processBatch(
+          docs.filter(col("doc_id") % 3 === r), r.toLong, cfg)
+      }
+    }
+
+  private def q177StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"dr_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.DriftStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, buckets = 10)
+      Seq(0, 1, 2).foreach { r =>
+        graft.streaming.DriftStream.processBatch(
+          docs.filter(col("doc_id") % 3 === r), r.toLong, cfg)
+      }
+    }
+
+  private def q178StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"sp_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.SpanStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema, width = 8)
+      val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+      Seq((0L, m / 3), (m / 3 + 1, 2 * m / 3), (2 * m / 3 + 1, m))
+        .zipWithIndex.foreach { case ((lo, hi), i) =>
+          graft.streaming.SpanStream.processBatch(
+            docs.filter(col("doc_id") >= lo && col("doc_id") <= hi),
+            i.toLong, cfg)
+        }
+    }
+
+  private def q180StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"doc_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val (bb, rr) = graft.ext.Dedup.bandsForRecall(64, 0.5, minRecall = 0.999)
+      val cfg = graft.streaming.DocStreamConfig(
+        s"$st/_in_unused", s"$st/corpus", s"$st/_ck_unused", docs.schema,
+        shingleSize = 3, bands = bb, rowsPerBand = rr, threshold = 0.5)
+      val b0 = docs.filter(col("doc_id") % 3 === 0)
+      val b1 = docs.filter(col("doc_id") % 3 === 1)
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 &&
+            col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+      val b2 = docs.filter(col("doc_id") % 3 === 2)
+      graft.streaming.DocStream.processBatch(b0, 0L, cfg)
+      graft.streaming.DocStream.processBatch(b1, 1L, cfg)
+      graft.streaming.DocStream.compact(s, cfg.corpusDir, upToBatch = 1L)
+      graft.streaming.DocStream.processBatch(b2, 2L, cfg)
+    }
+
+  /** Extended's half of [[graft.SparkEntry.storeBuilders]]: declared
+    * query name → ensure-built store (no read). q179 routes through its
+    * pre-existing memoized build. */
+  private[graft] val storeBuilders: Map[String, (SparkSession, String) => Unit] = Map(
+    "q168_bm25_maintained" -> ((s, d) => q168StoreBuild(s, d): Unit),
+    "q175_dedup_maintained" -> ((s, d) => q175StoreBuild(s, d): Unit),
+    "q176_sample_maintained" -> ((s, d) => q176StoreBuild(s, d): Unit),
+    "q177_drift_maintained" -> ((s, d) => q177StoreBuild(s, d): Unit),
+    "q178_span_maintained" -> ((s, d) => q178StoreBuild(s, d): Unit),
+    "q179_ann_maintained" -> ((s, d) => q179Store(s, d): Unit),
+    "q180_doc_maintained" -> ((s, d) => q180StoreBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

@@ -89,6 +89,18 @@ object IndexStream {
     * watermark moved). GC keeps each superseded generation alive for
     * one extra compaction cycle, so a reader that resolved its paths
     * before the commit still finds its files during the action. */
+  /** A vanished-file failure, at any wrapping depth: path resolution
+    * throws FileNotFound/AnalysisException directly, but a file swept
+    * MID-SCAN surfaces as a SparkException whose cause chain carries
+    * the FNF — both mean the same race and both must retry. */
+  @scala.annotation.tailrec
+  private def isFileGone(e: Throwable): Boolean = e match {
+    case null => false
+    case _: java.io.FileNotFoundException => true
+    case _: org.apache.spark.sql.AnalysisException => true
+    case other => isFileGone(other.getCause)
+  }
+
   private def withSnapshot[T](spark: SparkSession, storeDir: String)
                              (f: Long => T): T = {
     var attempts = 0
@@ -96,33 +108,46 @@ object IndexStream {
       val wm = readWatermark(spark, storeDir)
       try return f(wm)
       catch {
-        case e @ (_: java.io.FileNotFoundException |
-                  _: org.apache.spark.sql.AnalysisException)
-            if attempts < 3 && readWatermark(spark, storeDir) != wm =>
+        case e: Throwable if isFileGone(e) && attempts < 3 &&
+            readWatermark(spark, storeDir) != wm =>
           attempts += 1 // compaction raced us — re-snapshot and retry
       }
     }
     sys.error("unreachable")
   }
 
+  /** LAZY postings frame — valid for ONE compaction cycle. The returned
+    * DataFrame pins directory paths, not data: the delayed GC keeps the
+    * superseded generation on disk for one further [[compact]], so an
+    * action on this frame is safe until the SECOND compaction after it
+    * was built. A longer-lived reader must re-call this per action (or
+    * use [[topK]], which materializes under the snapshot and retries). */
   def readPostings(spark: SparkSession, storeDir: String): DataFrame =
     withSnapshot(spark, storeDir)(wm =>
       frameAt(spark, postingsDir(storeDir), Seq("doc_id", "term", "tf"), wm))
 
+  /** LAZY doc-length frame — same one-compaction-cycle validity window
+    * as [[readPostings]]. */
   def readDocLens(spark: SparkSession, storeDir: String): DataFrame =
     withSnapshot(spark, storeDir)(wm =>
       frameAt(spark, doclenDir(storeDir), Seq("doc_id", "dl"), wm))
 
   /** BM25 top-k over the maintained index — identical scoring to
     * [[Retrieval.bm25TopK]] over the concatenation of every batch.
-    * Both frames are resolved under a SINGLE watermark snapshot. */
+    * Both frames are resolved under a SINGLE watermark snapshot, and the
+    * result is MATERIALIZED inside that snapshot (k rows per query —
+    * bounded by construction), so the returned frame is independent of
+    * the store's files: unlike the lazy readers, it has no validity
+    * window, and the race-retry genuinely covers the whole read — a
+    * compaction committing mid-scan surfaces here, not at some later
+    * caller action the retry can't see. */
   def topK(spark: SparkSession, storeDir: String, queries: DataFrame,
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     withSnapshot(spark, storeDir) { wm =>
       Retrieval.bm25TopKFromIndex(
         frameAt(spark, postingsDir(storeDir), Seq("doc_id", "term", "tf"), wm),
         frameAt(spark, doclenDir(storeDir), Seq("doc_id", "dl"), wm),
-        queries, k, k1, b)
+        queries, k, k1, b).localCheckpoint(true)
     }
 
   def start(spark: SparkSession, cfg: IndexStreamConfig): StreamingQuery =

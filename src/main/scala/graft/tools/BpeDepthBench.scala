@@ -25,11 +25,34 @@ object BpeDepthBench {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.core.Tables.documents(spark, sfDir)
     val t0 = System.nanoTime()
-    val merges = graft.ext.TextAnalysis.bpeMergesBatched(
-      docs, rounds = rounds, batchCap = batchCap)
-    val n = merges.count()
+    val (res, toksFrame) = graft.ext.TextAnalysis.bpeTrainBatched(
+      docs, "doc_id", "text", rounds = rounds, batchCap = batchCap)
+    toksFrame.unpersist(false)
+    val table = res.merges.map(m => (m._2, m._3))
+    val n = table.size
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"bpe_depth_train","value":$secs%.2f,"unit":"sec","merges":$n,"rounds":$rounds,"batch_cap":$batchCap,"merges_per_sec":${n / secs}%.1f,"sf":"$sfDir"}""")
+
+    // ENCODE-side depth check: applying the full trained table through
+    // the rank-routing indexed kernel must cost ~the same as applying
+    // its first 8 merges (depth-independence); the sequential kernel at
+    // full depth shows the O(merges × tokens) cost it replaces.
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    def timeEncode(t: Seq[(String, String)], indexed: Boolean): Double = {
+      val toks = split(col("text"), " ")
+      val enc = if (indexed)
+        VectorFunctions.bpe_apply_merges_indexed(toks, t.map(_._1), t.map(_._2))
+      else VectorFunctions.bpe_apply_merges(toks, t.map(_._1), t.map(_._2))
+      val s0 = System.nanoTime()
+      docs.select(size(enc).as("n")).agg(sum(col("n"))).head(): Unit
+      (System.nanoTime() - s0) / 1e9
+    }
+    timeEncode(table.take(8), indexed = true): Unit // codegen warm-up
+    val idx8 = timeEncode(table.take(8), indexed = true)
+    val idxFull = timeEncode(table, indexed = true)
+    val seqFull = timeEncode(table, indexed = false)
+
+    println(f"""{"metric":"bpe_depth_train","value":$secs%.2f,"unit":"sec","merges":$n,"rounds":$rounds,"batch_cap":$batchCap,"merges_per_sec":${n / secs}%.1f,"encode_indexed_8_secs":$idx8%.2f,"encode_indexed_full_secs":$idxFull%.2f,"encode_sequential_full_secs":$seqFull%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,7 +91,19 @@ object CuratePipeline {
     *    Set it BELOW the dedup pass's threshold: the survivors are
     *    near-dup-free at the dedup level, but weaker look-alikes (a
     *    paraphrase, a partially-overlapping scrape) still leak eval
-    *    answers if one lands in train and the other in test. */
+    *    answers if one lands in train and the other in test.
+    *
+    * Round-10 optional stage:
+    *  - `substrDecontaminateMinLen` (requires `benchmarks`): exact
+    *    substring decontamination SURGERY ([[Dedup
+    *    .exactSubstrDecontaminate]]) after the doc-level flag stage —
+    *    every remaining token covered by a ≥ minLen-token window that
+    *    appears anywhere in the benchmark suite is CUT OUT of the
+    *    text (all occurrences), instead of the whole doc dropping.
+    *    The flag stages catch docs that contain whole benchmark items;
+    *    this removes the sub-threshold residue they keep — a quoted
+    *    test question inside an otherwise-clean page survives the
+    *    flags but not the scalpel. Docs cut to nothing drop. */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
@@ -108,9 +120,12 @@ object CuratePipeline {
           weightedSampleK: Option[Int] = None,
           sampleSeed: Long = 42L,
           leakageSplitThreshold: Option[Double] = None,
-          normalizeSampleWeights: Boolean = false): DataFrame = {
+          normalizeSampleWeights: Boolean = false,
+          substrDecontaminateMinLen: Option[Int] = None): DataFrame = {
     require(temperatureTarget.isEmpty || weightedSampleK.isEmpty,
       "temperatureTarget and weightedSampleK both replace the per-source cap — pick one")
+    require(substrDecontaminateMinLen.isEmpty || benchmarks.nonEmpty,
+      "substrDecontaminateMinLen needs a benchmarks frame to cut against")
     val labeled = nbLangTrain match {
       case Some(train) =>
         val pred = NaiveBayes.trainScore(train, docs, "lang")
@@ -163,8 +178,21 @@ object CuratePipeline {
         }
       case None => contained
     }
+    // surgery AFTER the flag stages: the flags dropped whole-item
+    // carriers; the scalpel rewrites what's left, so only benchmark
+    // windows the flags were too coarse to see reach it
+    val excised = (benchmarks, substrDecontaminateMinLen) match {
+      case (Some(b), Some(ml)) =>
+        val cut = Dedup.exactSubstrDecontaminate(clean, b, "doc_id", "text",
+            minLen = ml)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("text_clean"))
+        clean.drop("text").join(cut, Seq("doc_id"))
+          .withColumnRenamed("text_clean", "text")
+      case _ => clean
+    }
     val capped = (temperatureTarget, weightedSampleK) match {
-      case (Some(t), _) => Sharding.temperatureMix(clean, "source", "doc_id", t)
+      case (Some(t), _) => Sharding.temperatureMix(excised, "source", "doc_id", t)
       case (None, Some(k)) =>
         // normalizeSampleWeights: weights become each doc's per-source
         // ECDF percentile rank of quality_score (integer microunits,
@@ -174,10 +202,10 @@ object CuratePipeline {
         // for their better pages (q159's transform feeding q149's
         // sampler)
         val weighted =
-          if (!normalizeSampleWeights) clean.withColumn("__w", col("quality_score"))
-          else clean.join(
+          if (!normalizeSampleWeights) excised.withColumn("__w", col("quality_score"))
+          else excised.join(
             graft.ext.RobustStats.ecdfNormalize(
-                clean.withColumn("__qm",
+                excised.withColumn("__qm",
                   floor(col("quality_score") * 1e6).cast("long")),
                 "source", col("__qm"), "doc_id")
               .select(col("doc_id"), (col("pct_micro") + 1).as("__w")),
@@ -185,8 +213,8 @@ object CuratePipeline {
         val picks = Sharding.weightedSample(weighted, "source", "__w",
             k, idCol = "doc_id", seed = sampleSeed)
           .select(col("id").as("doc_id"))
-        clean.join(picks, Seq("doc_id"), "left_semi")
-      case _ => Sharding.capPerGroup(clean, "source", "doc_id", perSourceCap)
+        excised.join(picks, Seq("doc_id"), "left_semi")
+      case _ => Sharding.capPerGroup(excised, "source", "doc_id", perSourceCap)
     }
     val split = (leakageSplitThreshold match {
       case Some(t) =>

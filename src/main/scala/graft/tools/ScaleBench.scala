@@ -228,6 +228,13 @@ object ScaleBench {
     // mass (content-disjoint replicas keep within-replica duplicate
     // structure, so both axes grow exactly ×10).
     "q166_bpe_deep", "q167_scd2_maintained", "q169_span_dedup_exact",
+    // q181: the rank-routing indexed ENCODE over the q166-trained table.
+    // q166Train memoizes per dir, and q166's own row (above) runs first
+    // on every dir this row sees — so the training cost is billed to the
+    // q166 row and THIS row times the encode kernel alone: one map-only
+    // pass whose routing work is a hash probe per adjacent token pair,
+    // ∝ tokens ×10 and independent of table depth by design.
+    "q181_bpe_encode_deep",
     // q168 at ~fixed query count (the q105 discipline — a retrieval
     // workload does not grow because the corpus did): three maintained
     // folds + compaction over ×10 documents, topK over ~50 queries;

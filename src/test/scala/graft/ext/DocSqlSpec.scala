@@ -355,4 +355,51 @@ class DocSqlSpec extends AnyFunSuite {
     assert(sorted(spark.sql("SELECT * FROM bpe_encode('docs', 2)")) ==
       sorted(TextAnalysis.bpeEncode(docs, rounds = 2)))
   }
+
+  test("round-10 TVFs (exact-substring/phrase/batched-BPE) equal their Scala counterparts") {
+    docs
+
+    // span_dedup_exact: TVF ≡ Scala, and the doc-4 exact dup is wiped
+    val sdeSql = spark.sql("SELECT * FROM span_dedup_exact('docs', 4)")
+    assert(sorted(sdeSql) ==
+      sorted(Dedup.exactSpanDedup(docs, "doc_id", "text", minLen = 4)))
+    // SQL composability: outer predicate over the expansion
+    val wiped = spark.sql(
+      "SELECT doc_id FROM span_dedup_exact('docs', 4) WHERE n_kept = 0 ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(wiped.contains(4L), s"exact dup of doc 1 must be fully covered, got $wiped")
+
+    // substr_decontaminate: docs as corpus, doc 3 alone as the bench —
+    // doc 3 self-contaminates fully, 1/2/4 share no 4-gram with it
+    spark.sql("SELECT * FROM docs WHERE doc_id = 3").createOrReplaceTempView("bench_v")
+    val decSql = spark.sql("SELECT * FROM substr_decontaminate('docs', 'bench_v', 4)")
+    assert(sorted(decSql) ==
+      sorted(Dedup.exactSubstrDecontaminate(docs, spark.table("bench_v"),
+        "doc_id", "text", minLen = 4)))
+    val kept3 = spark.sql(
+      "SELECT n_kept FROM substr_decontaminate('docs', 'bench_v', 4) WHERE doc_id = 3")
+      .head().getLong(0)
+    assert(kept3 == 0L, s"the bench doc itself must be fully removed, kept $kept3")
+
+    // phrase_search over a (phrase_id, phrase) view
+    locally {
+      import spark.implicits._
+      Seq((10L, "quick brown fox"), (11L, "spark and scala"), (12L, "no such phrase"))
+        .toDF("phrase_id", "phrase").createOrReplaceTempView("phrases_v")
+    }
+    val psSql = spark.sql("SELECT * FROM phrase_search('docs', 'phrases_v')")
+    assert(sorted(psSql) ==
+      sorted(Retrieval.phraseSearch(docs, spark.table("phrases_v"))))
+    val hits = spark.sql(
+      "SELECT phrase_id, COUNT(*) AS n FROM phrase_search('docs', 'phrases_v') " +
+        "GROUP BY phrase_id ORDER BY phrase_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(10L -> 3L, 11L -> 1L), s"got $hits") // 12 absent: no doc matches
+
+    // bpe_merges_batched: TVF ≡ Scala at cap 2, and cap 1 ≡ bpe_merges
+    assert(sorted(spark.sql("SELECT * FROM bpe_merges_batched('docs', 4, 2)")) ==
+      sorted(TextAnalysis.bpeMergesBatched(docs, rounds = 4, batchCap = 2)))
+    assert(sorted(spark.sql("SELECT * FROM bpe_merges_batched('docs', 3, 1)")) ==
+      sorted(spark.sql("SELECT * FROM bpe_merges('docs', 3)")))
+  }
 }

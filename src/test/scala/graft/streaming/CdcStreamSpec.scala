@@ -490,4 +490,176 @@ class CdcStreamSpec extends SparkTestBase {
         cleanSource = "archive"))
     }
   }
+
+  test("full streaming loop: every maintainer engaged concurrently + archive, stores == from-scratch") {
+    // the deployment shape: ONE stream with snapshot + aggregate + SCD2 +
+    // join-view maintenance all on and the input-listing bound engaged.
+    // q167-q180 drive the maintainers via direct processBatch/update
+    // calls; this is the end-to-end micro-batch loop over a file source,
+    // with the concurrency the gate queries can't exercise — shared
+    // batch reads across maintainers, a table that is BOTH a join-view
+    // member and SCD2-maintained, folds for three tables per trigger.
+    val (in, wh, ck) = freshDirs()
+    val archive = tmpDir("all-archive")
+    val reg = graft.cdc.Registry.fromJson(
+      """{
+        |  "orders": {
+        |    "table_name": "warehouse.orders_cdc",
+        |    "schema": { "fields": [
+        |      {"name": "order_id", "type": "INT64"},
+        |      {"name": "cust", "type": "INT64"},
+        |      {"name": "amount", "type": "FLOAT"},
+        |      {"name": "action", "type": "STRING"},
+        |      {"name": "update_date", "type": "TIMESTAMP"}
+        |    ]}
+        |  },
+        |  "customers": {
+        |    "table_name": "warehouse.customers_cdc",
+        |    "schema": { "fields": [
+        |      {"name": "cust_id", "type": "INT64"},
+        |      {"name": "cust", "type": "INT64"},
+        |      {"name": "name", "type": "STRING"},
+        |      {"name": "action", "type": "STRING"},
+        |      {"name": "update_date", "type": "TIMESTAMP"}
+        |    ]}
+        |  },
+        |  "items": {
+        |    "table_name": "warehouse.items_cdc",
+        |    "schema": { "fields": [
+        |      {"name": "item_id", "type": "STRING"},
+        |      {"name": "category", "type": "STRING"},
+        |      {"name": "qty", "type": "INT64"},
+        |      {"name": "action", "type": "STRING"},
+        |      {"name": "update_date", "type": "TIMESTAMP"}
+        |    ]}
+        |  }
+        |}""".stripMargin)
+    val cfg = CdcStreamConfig(in, wh, ck, reg,
+      cleanSource = "archive", sourceArchiveDir = Some(archive),
+      snapshotKeys = Map(
+        "orders" -> Seq("order_id"), "customers" -> Seq("cust_id"),
+        "items" -> Seq("item_id")),
+      aggSpecs = Map("items" -> Seq(graft.cdc.AggMaintainer.AggSpec(
+        "by_category", Seq("category"), Seq("qty")))),
+      // orders is a join member AND SCD2-maintained — the fold-sharing case
+      scd2Keys = Map("items" -> Seq("item_id"), "orders" -> Seq("order_id")),
+      joinViews = Seq(JoinViewSpec("ord_cust", "cust", "orders", "customers")))
+    def env(obj: String, ts: String, ct: String, payload: String) =
+      Fixtures.envelope(obj, ts, ct, payload)
+    // trigger 1: base population
+    Fixtures.writeLines(in, "log-000.jsonl", Seq(
+      env("items", "2026-01-01T10:00:00.000Z", "insert",
+        """{"item_id":"i1","category":"A","qty":5}"""),
+      env("items", "2026-01-01T10:00:00.000Z", "insert",
+        """{"item_id":"i2","category":"A","qty":7}"""),
+      env("orders", "2026-01-01T10:00:00.000Z", "insert",
+        """{"order_id":1,"cust":1,"amount":5.0}"""),
+      env("orders", "2026-01-01T10:00:00.000Z", "insert",
+        """{"order_id":2,"cust":1,"amount":7.0}"""),
+      env("customers", "2026-01-01T10:00:00.000Z", "insert",
+        """{"cust_id":10,"cust":1,"name":"alice"}""")), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    // trigger 2: updates (incl. a join-key move), a delete, new rows
+    Fixtures.writeLines(in, "log-001.jsonl", Seq(
+      env("items", "2026-01-01T11:00:00.000Z", "update",
+        """{"item_id":"i1","category":"B","qty":6}"""),
+      env("items", "2026-01-01T11:00:00.000Z", "insert",
+        """{"item_id":"i3","category":"A","qty":1}"""),
+      env("customers", "2026-01-01T11:00:00.000Z", "insert",
+        """{"cust_id":20,"cust":2,"name":"bob"}"""),
+      env("orders", "2026-01-01T11:00:00.000Z", "update",
+        """{"order_id":2,"cust":2,"amount":7.5}"""),
+      env("orders", "2026-01-01T11:00:00.000Z", "delete",
+        """{"order_id":1}""")), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+    // trigger 3: a delete on the aggregated table, one more order
+    Fixtures.writeLines(in, "log-002.jsonl", Seq(
+      env("items", "2026-01-01T12:00:00.000Z", "delete",
+        """{"item_id":"i2"}"""),
+      env("orders", "2026-01-01T12:00:00.000Z", "insert",
+        """{"order_id":3,"cust":2,"amount":9.0}"""),
+      env("customers", "2026-01-01T12:00:00.000Z", "update",
+        """{"cust_id":10,"cust":1,"name":"alice2"}""")), gzip = false)
+    CdcStream.runOnce(spark, cfg)
+
+    def canon(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+
+    // 1) maintained snapshots == latestSnapshot over the full history
+    for ((t, pk) <- Seq(("items", "item_id"), ("orders", "order_id"),
+                        ("customers", "cust_id"))) {
+      val full = Ingest.readTable(spark, wh, reg(t))
+        .withColumn("__v", col("update_date").cast("timestamp"))
+      val want = canon(Versioned.latestSnapshot(full, Seq(pk),
+        versionCol = "__v"), pk, "action")
+      val got = canon(graft.cdc.SnapshotMaintainer.read(spark, wh, t),
+        pk, "action")
+      assert(got == want, s"snapshot($t): $got != $want")
+    }
+    assert(canon(graft.cdc.SnapshotMaintainer.read(spark, wh, "items"),
+      "item_id", "category") ==
+      Set(Seq("i1", "B"), Seq("i3", "A"))) // i2 deleted, i1 moved to B
+
+    // 2) maintained aggregate == GROUP BY over the maintained snapshot
+    val aggGot = graft.cdc.AggMaintainer.read(spark, wh, "items", "by_category")
+      .select("category", "n_rows", "sum_qty")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValue())).toSet
+    val aggWant = graft.cdc.SnapshotMaintainer.read(spark, wh, "items")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum(col("qty").cast("decimal(38,8)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValue())).toSet
+    assert(aggGot == aggWant && aggGot == Set(("B", 1L, 6L), ("A", 1L, 1L)))
+
+    // 3) maintained SCD2 == batch scd2 over full history — for the
+    // standalone table AND the join-member one
+    for (t <- Seq("items", "orders")) {
+      val pk = if (t == "items") "item_id" else "order_id"
+      val got = canon(graft.cdc.Scd2Maintainer.read(spark, wh, t),
+        pk, "action", "valid_from", "valid_to", "is_current")
+      val want = canon(Versioned.scd2(
+        Ingest.readTable(spark, wh, reg(t)), Seq(pk)),
+        pk, "action", "valid_from", "valid_to", "is_current")
+      assert(got == want, s"scd2($t) diverged from batch derivation")
+      assert(got.nonEmpty)
+    }
+
+    // 4) maintained join view == from-scratch join of the final snapshots
+    val viewGot = canon(graft.cdc.JoinMaintainer.read(spark, wh, "ord_cust"),
+      "cust", "a_order_id", "b_name")
+    val viewWant = canon(graft.cdc.JoinMaintainer.rebuild(spark, wh,
+        "ord_cust", "cust",
+        graft.cdc.JoinMaintainer.Side("orders", Seq("order_id"), None),
+        graft.cdc.JoinMaintainer.Side("customers", Seq("cust_id"), None)),
+      "cust", "a_order_id", "b_name")
+    assert(viewGot == viewWant)
+    assert(viewGot == Set(Seq("2", "2", "bob"), Seq("2", "3", "bob")),
+      s"jk-moving update + delete must leave exactly bob's orders: $viewGot")
+
+    // 5) the listing bound held: triggers 1-2 committed, so their files
+    // archived (async, poll); the input dir holds at most the last file
+    def archivedFiles(): Long = {
+      def rec(f: java.io.File): Long =
+        if (f.isFile) 1L
+        else Option(f.listFiles()).map(_.map(rec).sum).getOrElse(0L)
+      rec(new java.io.File(archive))
+    }
+    val deadline = System.currentTimeMillis() + 30000
+    while (archivedFiles() < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    val left = Option(new java.io.File(in).listFiles())
+      .map(_.filter(_.isFile).map(_.getName).toSeq).getOrElse(Seq.empty)
+    assert(archivedFiles() >= 2 && left.size <= 1,
+      s"processed files must leave the input dir: $left")
+
+    // 6) restart on the same checkpoint: no new files -> every store
+    // unchanged (idempotent replay across ALL maintainers at once)
+    CdcStream.runOnce(spark, cfg)
+    assert(canon(graft.cdc.JoinMaintainer.read(spark, wh, "ord_cust"),
+      "cust", "a_order_id", "b_name") == viewWant)
+    assert(graft.cdc.AggMaintainer.read(spark, wh, "items", "by_category")
+      .select("category", "n_rows", "sum_qty")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValue()))
+      .toSet == aggWant)
+  }
 }

@@ -315,4 +315,52 @@ class CuratePipelineSpec extends SparkTestBase {
       .count(id => naive(id) == safe(id))
     assert(untouchedSame > 0)
   }
+
+  test("round-10 stage: substring surgery cuts the quoted benchmark window, keeps the doc") {
+    // the leak class the flag stages can't see: a 10-token benchmark
+    // quote inside an otherwise-clean page. The benchmark item is 60
+    // tokens, so the doc's containment of it is ~14% — far below the
+    // 0.5 flag threshold — yet every quoted token must leave the text.
+    val docs = Tables.documents(spark, sf)
+    val allLangs = Seq("en", "de", "es", "fr", "zh", "und")
+    def run(bench: Option[org.apache.spark.sql.DataFrame], ml: Option[Int]) =
+      CuratePipeline.run(spark, docs, minQuality = 0.0, langs = allLangs,
+        tokenBudget = 2000, perSourceCap = 1000000,
+        benchmarks = bench, substrDecontaminateMinLen = ml)
+    val baseline = run(None, None)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // a doc KNOWN to survive the baseline pipeline, long enough to quote
+    val (carrierId, carrierText) = baseline
+      .filter(_._2.split(" ").length >= 20).minBy(_._1)
+    val toks = carrierText.split(" ")
+    val quoted = toks.slice(5, 15).mkString(" ") // the 10-token "question"
+    val filler = (0 until 50).map(i => s"zzfiller$i").mkString(" ")
+    val bench = Seq((900001L, s"$filler $quoted")).toDF("doc_id", "text")
+
+    // flags alone: carrier survives WITH the quote (sub-threshold leak)
+    val flaggedOnly = run(Some(bench), None)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(flaggedOnly.contains(carrierId),
+      "fixture must stay below the flag threshold")
+    assert(flaggedOnly(carrierId).contains(quoted),
+      "without surgery, the quoted window leaks into the corpus")
+
+    // scalpel on: carrier survives, quote gone, count reflects the cut
+    val cut = run(Some(bench), Some(8))
+      .select("doc_id", "text", "n_tokens").as[(Long, String, Long)].collect()
+    val cutText = cut.map(r => r._1 -> r._2).toMap
+    assert(cutText.contains(carrierId), "surgery keeps the doc, never drops it")
+    assert(!cutText(carrierId).contains(quoted),
+      "every quoted benchmark window must be excised")
+    assert(cutText(carrierId).split(" ").length <= toks.length - 10,
+      "at least the 10 covered tokens leave the carrier")
+    // n_tokens (the packing weight) is computed AFTER the surgery
+    val nToks = cut.map(r => r._1 -> r._3).toMap
+    assert(nToks(carrierId) == cutText(carrierId).split(" ").length.toLong)
+
+    // determinism with the stage on
+    val again = run(Some(bench), Some(8))
+      .select("doc_id", "text", "n_tokens").as[(Long, String, Long)].collect()
+    assert(again.toSet == cut.toSet)
+  }
 }
