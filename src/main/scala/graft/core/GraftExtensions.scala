@@ -141,6 +141,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.phraseSearchPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bpe_merges_batched"), info("bpe_merges_batched"),
       (es: Seq[Expression]) => graft.ext.DocSql.bpeMergesBatchedPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("bpe_encode_with"), info("bpe_encode_with"),
+      (es: Seq[Expression]) => graft.ext.DocSql.bpeEncodeWithPlan(es)))
     // Optimizer rule: point-in-interval theta joins → granule-bucketized
     // equi-joins (graft.plans.RangeJoinRule) — plain SQL range joins get
     // the linear plan instead of BroadcastNestedLoopJoin.

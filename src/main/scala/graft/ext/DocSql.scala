@@ -389,4 +389,20 @@ object DocSql {
   private[graft] def bpeMergesBatchedPlan(es: Seq[Expression]): LogicalPlan =
     plan(TextAnalysis.bpeMergesBatched(tableArg(es.head),
       rounds = intArg(es(1)), batchCap = intArg(es(2))))
+
+  /** `bpe_encode_with('docs', 'merges')`: production ENCODE with an
+    * already-trained merge table — the depth-independent rank-routing
+    * kernel ([[TextAnalysis.bpeEncodeWithTable]]) — (doc_id, n_raw,
+    * n_encoded, toks_encoded). The merges view carries (round, lhs,
+    * rhs) in training order (exactly what `bpe_merges` /
+    * `bpe_merges_batched` emit, so the two TVFs compose). The table
+    * collects to the driver at analysis time — bounded by vocabulary
+    * size by construction (the same frame the kernel broadcasts). */
+  private[graft] def bpeEncodeWithPlan(es: Seq[Expression]): LogicalPlan = {
+    val merges = tableArg(es(1))
+      .select("round", "lhs", "rhs").collect()
+      .sortBy(_.getAs[Number]("round").longValue())
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    plan(TextAnalysis.bpeEncodeWithTable(tableArg(es.head), merges))
+  }
 }

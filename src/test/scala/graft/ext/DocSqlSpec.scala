@@ -401,5 +401,19 @@ class DocSqlSpec extends AnyFunSuite {
       sorted(TextAnalysis.bpeMergesBatched(docs, rounds = 4, batchCap = 2)))
     assert(sorted(spark.sql("SELECT * FROM bpe_merges_batched('docs', 3, 1)")) ==
       sorted(spark.sql("SELECT * FROM bpe_merges('docs', 3)")))
+
+    // bpe_encode_with: the trainer TVF's output composes straight into
+    // the depth-independent encoder, all in SQL
+    spark.sql("SELECT round, lhs, rhs FROM bpe_merges_batched('docs', 4, 2)")
+      .createOrReplaceTempView("merges_v")
+    val encSql = spark.sql(
+      "SELECT doc_id, n_raw, n_encoded FROM bpe_encode_with('docs', 'merges_v')")
+    val table = spark.table("merges_v").select("round", "lhs", "rhs").collect()
+      .sortBy(_.getAs[Number](0).longValue())
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(sorted(encSql) == sorted(TextAnalysis.bpeEncodeWithTable(docs, table)
+      .select("doc_id", "n_raw", "n_encoded")))
+    // a merged pair exists ⇒ at least one doc must compress
+    assert(encSql.filter("n_encoded < n_raw").count() > 0)
   }
 }
