@@ -185,6 +185,98 @@ object SparkEntry {
       .orderBy("custkey", "a_pk")
   }
 
+  /** q182–q184: the FULL STREAMING LOOP under the gate. q167/q170/q171
+    * drive the maintainers through direct fold calls; these three run
+    * the real thing — the changelog rendered back to Datastream
+    * envelope JSONL files, consumed by [[graft.streaming.CdcStream]]
+    * through a FILE SOURCE with a checkpoint, per-batch registry
+    * refresh semantics, the input-listing bound (cleanSource=archive),
+    * and snapshot + SCD2 + aggregate maintenance ALL ON — in three
+    * adversarially-ordered triggers (updates, then deletes, then the
+    * inserts they extend; maxFilesPerTrigger=1 + mtime order pins the
+    * batch composition). The stores the stream leaves behind must
+    * answer the SAME oracles as the one-shot derivations (q17 / q34 /
+    * q171, verbatim): decode → route → append → fold, end to end, is
+    * what the gate hashes — any envelope-parse, projection, or
+    * fold-sharing bug in the loop itself fails here even though every
+    * maintainer passes its direct-call gate. */
+  private val streamLoopRegistryJson: String =
+    """{"orders": {"table_name": "orders_cdc", "schema": {"fields": [
+      |  {"name": "pk", "type": "INT64"},
+      |  {"name": "totalprice", "type": "NUMERIC"},
+      |  {"name": "status", "type": "STRING"},
+      |  {"name": "action", "type": "STRING"},
+      |  {"name": "update_date", "type": "TIMESTAMP"}]}}}""".stripMargin
+
+  private def streamLoopBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"loop_${Integer.toHexString(d.hashCode)}") { wh =>
+      val in = s"$wh/_in"
+      new java.io.File(in).mkdirs(): Unit
+      // the changelog as Datastream envelope lines — the inverse of
+      // Envelope.parse/project, so the loop's decode is genuinely
+      // exercised (timestamps as ISO-8601 Z strings, payload JSON with
+      // null-valued keys for tombstones)
+      val lines = Changelog.fromOrders(s, d).select(
+        col("action").as("__a"),
+        to_json(struct(
+          lit("orders").as("object"),
+          date_format(col("update_date").cast("timestamp"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("source_timestamp"),
+          struct(col("action").as("change_type")).as("source_metadata"),
+          struct(col("pk"), col("totalprice"), col("status")).as("payload")
+        )).as("value")).persist()
+      try {
+        val t0 = System.currentTimeMillis()
+        Seq("update", "delete", "insert").zipWithIndex.foreach { case (a, i) =>
+          val tmp = s"$wh/_tmp_$a"
+          lines.filter(col("__a") === a).select("value")
+            .coalesce(1).write.mode("overwrite").text(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          val dst = java.nio.file.Paths.get(in, f"log-$i%03d.jsonl")
+          java.nio.file.Files.move(part.toPath, dst): Unit
+          // FileStreamSource orders by mtime — pin file → batch
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L)): Unit
+          graft.core.WorkDirs.deleteDir(tmp)
+        }
+      } finally lines.unpersist(false)
+      graft.streaming.CdcStream.runOnce(s, graft.streaming.CdcStreamConfig(
+        in, wh, s"$wh/_ck",
+        graft.cdc.Registry.fromJson(streamLoopRegistryJson),
+        maxFilesPerTrigger = 1, // one adversarial fold per trigger
+        cleanSource = "archive", sourceArchiveDir = Some(s"$wh/_archive"),
+        snapshotKeys = Map("orders" -> Seq("pk")), snapshotBuckets = 16,
+        aggSpecs = Map("orders" -> Seq(graft.cdc.AggMaintainer.AggSpec(
+          "by_status", Seq("status"), Seq("totalprice")))),
+        scd2Keys = Map("orders" -> Seq("pk"))))
+    }
+
+  private def cdcStreamLoopSnapshot(s: SparkSession, d: String): DataFrame = {
+    val wh = streamLoopBuild(s, d)
+    graft.cdc.SnapshotMaintainer.read(s, wh, "orders")
+      // NUMERIC registry payloads land as decimal(38,9); the oracle
+      // contract renders at the changelog's declared (18,2) — exact,
+      // every value carries two fractional digits
+      .select(col("pk"), col("action"), col("update_date"),
+        col("totalprice").cast("decimal(18,2)").as("totalprice"), col("status"))
+      .orderBy("pk")
+  }
+
+  private def cdcStreamLoopScd2(s: SparkSession, d: String): DataFrame = {
+    val wh = streamLoopBuild(s, d)
+    graft.cdc.Scd2Maintainer.read(s, wh, "orders")
+      .select("pk", "action", "valid_from", "valid_to", "is_current")
+      .orderBy("pk", "valid_from", "action")
+  }
+
+  private def cdcStreamLoopAgg(s: SparkSession, d: String): DataFrame = {
+    val wh = streamLoopBuild(s, d)
+    graft.cdc.AggMaintainer.read(s, wh, "orders", "by_status")
+      .select("status", "n_rows", "sum_totalprice")
+      .orderBy("status")
+  }
+
   private val joinMaintainedOracle: String =
     """WITH ol AS (
       |  SELECT o_orderkey AS pk, 'insert' AS action, o_orderdate AS update_date,
@@ -495,6 +587,13 @@ object SparkEntry {
     ("q170_snapshot_maintained", cdcSnapshotMaintained _, Some(snapshotOracle)),
     ("q171_agg_maintained", cdcAggMaintained _, Some(aggMaintainedOracle)),
     ("q173_join_maintained", cdcJoinMaintained _, Some(joinMaintainedOracle)),
+    // the FULL STREAMING LOOP (file source + checkpoint + archive +
+    // every maintainer on, three adversarial triggers) must leave
+    // stores answering the one-shot oracles verbatim — decode → route
+    // → append → fold gated end to end, not per-maintainer
+    ("q182_stream_loop_snapshot", cdcStreamLoopSnapshot _, Some(snapshotOracle)),
+    ("q183_stream_loop_scd2", cdcStreamLoopScd2 _, Some(scd2Oracle)),
+    ("q184_stream_loop_agg", cdcStreamLoopAgg _, Some(aggMaintainedOracle)),
     ("q18_cdc_asof", cdcAsOf _,
       Some(Changelog.oracleCte +
         s""", ranked AS (
@@ -545,6 +644,9 @@ object SparkEntry {
     "q167_scd2_maintained" -> ((s, d) => scd2StoreBuild(s, d): Unit),
     "q170_snapshot_maintained" -> ((s, d) => snapStoreBuild(s, d): Unit),
     "q171_agg_maintained" -> ((s, d) => aggStoreBuild(s, d): Unit),
-    "q173_join_maintained" -> ((s, d) => joinStoreBuild(s, d): Unit)
+    "q173_join_maintained" -> ((s, d) => joinStoreBuild(s, d): Unit),
+    "q182_stream_loop_snapshot" -> ((s, d) => streamLoopBuild(s, d): Unit),
+    "q183_stream_loop_scd2" -> ((s, d) => streamLoopBuild(s, d): Unit),
+    "q184_stream_loop_agg" -> ((s, d) => streamLoopBuild(s, d): Unit)
   ) ++ graft.queries.Extended.storeBuilders
 }

@@ -247,6 +247,13 @@ object ScaleBench {
     // stays tiny), q173 both-sides join folds incl. the key-change
     // relocation path.
     "q170_snapshot_maintained", "q171_agg_maintained", "q173_join_maintained",
+    // q182: the FULL streaming loop (JSONL render + file-source stream +
+    // three fold triggers with snapshot/SCD2/agg all on) — every stage
+    // ∝ changelog rows; the row proves the loop's per-trigger cost is
+    // O(touched buckets + batch) like the direct-fold rows above, with
+    // the decode/route/append plumbing included. (q183/q184 read the
+    // same memoized store — one row measures the build.)
+    "q182_stream_loop_snapshot",
     // q172: bench grams ∝ n/97 and train grams ∝ tokens — BOTH sides of
     // the one digest semi-join grow ×10 under content-disjoint replicas
     // (the honest row for the declared query, q126's discipline); marks

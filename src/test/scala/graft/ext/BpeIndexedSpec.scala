@@ -107,4 +107,60 @@ class BpeIndexedSpec extends SparkTestBase {
     assert(out.map(_._4) == Seq("a b c a b", "x", "a b a b a b"))
     assert(out.map(r => (r._2, r._3)) == Seq((5L, 2L), (1L, 1L), (6L, 3L)))
   }
+
+  test("property: both kernels equal a pure-Scala sequential reference on random tables") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // third, independent implementation of the contract: each merge in
+    // training order, left-to-right non-overlap within a merge
+    def seqRef(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(toks) { case (t, (a, b)) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < t.length) {
+          if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+            out += s"$a $b"; i += 2
+          } else { out += t(i); i += 1 }
+        }
+        out.result()
+      }
+    val alphabet = Seq("a", "b", "c", "d")
+    // merges grow a vocab so later merges can consume earlier outputs
+    // (chained tables — the rank-routing's hardest regime); duplicate
+    // adoptions arise naturally from re-picking the same pair
+    val genTable: Gen[Seq[(String, String)]] = for {
+      k <- Gen.choose(1, 10)
+      picks <- Gen.listOfN(k, Gen.choose(0, Int.MaxValue - 1))
+    } yield {
+      var vocab = alphabet.toVector
+      picks.map { p =>
+        val a = vocab(p % vocab.size)
+        val b = vocab((p / vocab.size) % vocab.size)
+        vocab = vocab :+ s"$a $b"
+        (a, b)
+      }
+    }
+    val genCorpus: Gen[Seq[Seq[String]]] = Gen.nonEmptyListOf(for {
+      n <- Gen.choose(0, 20)
+      toks <- Gen.listOfN(n, Gen.oneOf(alphabet))
+    } yield toks: Seq[String]).map(_.toSeq)
+    val prop = Prop.forAll(genCorpus, genTable) { (corpus, table) =>
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "toks")
+      val got = df.select(col("id"),
+          VectorFunctions.bpe_apply_merges(col("toks"),
+            table.map(_._1), table.map(_._2)).as("s"),
+          VectorFunctions.bpe_apply_merges_indexed(col("toks"),
+            table.map(_._1), table.map(_._2)).as("x"))
+        .as[(Long, Seq[String], Seq[String])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      corpus.zipWithIndex.forall { case (toks, i) =>
+        val want = seqRef(toks, table)
+        got(i.toLong) == ((want, want))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
