@@ -1294,24 +1294,50 @@ object Dedup {
     * non-null-text train document. */
   def exactSubstrDecontaminate(train: DataFrame, bench: DataFrame,
                                idCol: String, textCol: String,
-                               minLen: Int = 8): DataFrame = {
-    require(minLen >= 1)
-    def gramKeys(i: org.apache.spark.sql.Column) = unhex(sha2(concat_ws(" ",
+                               minLen: Int = 8): DataFrame =
+    exactSubstrDecontaminateAgainst(train,
+      benchGramDigests(bench, textCol, minLen), idCol, textCol, minLen)
+
+  /** The window-digest key: 16-byte truncated sha2 over the space-joined
+    * minLen-token window starting at 0-based offset `i` of `__toks`. */
+  private def gramKeys(i: org.apache.spark.sql.Column, minLen: Int) =
+    unhex(sha2(concat_ws(" ",
       (1 to minLen).map(j => element_at(col("__toks"), i + j)): _*), 256))
+
+  /** The DISTINCT forbidden-window digest frame of a benchmark view —
+    * the state [[exactSubstrDecontaminateAgainst]] cuts against, and
+    * the per-batch increment the streaming registry
+    * ([[graft.streaming.DecontamStream]]) appends: one `__k` binary
+    * column, one row per distinct minLen-token window. Bounded by the
+    * benchmark suite's token count, never the corpus. */
+  private[graft] def benchGramDigests(bench: DataFrame, textCol: String,
+                                      minLen: Int): DataFrame = {
+    require(minLen >= 1)
+    bench.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= minLen)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__toks")) - minLen),
+        i => gramKeys(i, minLen))).as("__k"))
+      .distinct()
+  }
+
+  /** [[exactSubstrDecontaminate]] against a PRE-BUILT digest frame —
+    * the surgery half, factored so the batch pass and the streaming
+    * registry share one kernel. `benchKeys` rows beyond the first per
+    * digest are harmless (the mark join is a semi-join), so an
+    * append-only store needs no global distinct before calling this. */
+  private[graft] def exactSubstrDecontaminateAgainst(
+      train: DataFrame, benchKeys: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1)
     val toks = train.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
     val grams = toks.filter(size(col("__toks")) >= minLen)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("__toks")) - minLen),
-        i => gramKeys(i))).as(Seq("pos", "__k")))
-    val benchKeys = bench.filter(col(textCol).isNotNull)
-      .select(split(col(textCol), " ").as("__toks"))
-      .filter(size(col("__toks")) >= minLen)
-      .select(explode(transform(
-        sequence(lit(0), size(col("__toks")) - minLen),
-        i => gramKeys(i))).as("__k"))
-      .distinct()
-    val marks = grams.join(benchKeys, Seq("__k"), "left_semi")
+        i => gramKeys(i, minLen))).as(Seq("pos", "__k")))
+    val marks = grams.join(benchKeys.select("__k"), Seq("__k"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("tpos"))
       .distinct()

@@ -4001,32 +4001,22 @@ ORDER BY doc_id"""
       // GROUND TRUTH: DuckDB rebuilds the whole pass from raw text —
       // distinct benchmark 8-gram set, train-side rolling windows,
       // coverage marks of matching windows, anti-join rebuild
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-             |           FROM documents WHERE text IS NOT NULL),
-             |b AS (SELECT list_slice(toks, 1, 15) AS toks FROM t
-             |      WHERE doc_id % 97 = 0),
-             |bg AS (SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
-             |       FROM b, unnest(range(1, len(toks) - 6)) AS u(i)
-             |       WHERE len(toks) >= 8),
-             |g AS (SELECT doc_id, i - 1 AS pos,
-             |        array_to_string(toks[i:i+7], ' ') AS gram
-             |      FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
-             |      WHERE len(toks) >= 8),
-             |marks AS (SELECT DISTINCT g.doc_id, g.pos + o.range AS tpos
-             |          FROM g JOIN bg USING (gram), range(0, 8) o),
-             |tok AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
-             |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
-             |kept AS (SELECT tok.doc_id, COUNT(*) AS n_kept,
-             |           string_agg(tok.tok, ' ' ORDER BY tok.tpos) AS text_clean
-             |         FROM tok LEFT JOIN marks
-             |           ON marks.doc_id = tok.doc_id AND marks.tpos = tok.tpos
-             |         WHERE marks.doc_id IS NULL
-             |         GROUP BY tok.doc_id)
-             |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-             |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
-             |  coalesce(kept.text_clean, '') AS text_clean
-             |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
-             |ORDER BY t.doc_id""".stripMargin)),
+      Some(substrDecontamOracleSql)),
+
+    ("q185_decontam_maintained",
+      (s: SparkSession, d: String) => {
+        // the STREAMING decontamination registry: q172's benchmark set
+        // arrives as three residue-class suites (with a replayed fold
+        // and a mid-stream compaction), and the corpus cut against the
+        // accumulated store must equal the one-shot batch pass over the
+        // unioned suites — q172's full DuckDB recompute, verbatim (set
+        // union is fold-order-free; the mark join is a semi-join).
+        val st = q185StoreBuild(s, d)
+        graft.streaming.DecontamStream.decontaminate(s, st,
+            graft.core.Tables.documents(s, d), "doc_id", "text", minLen = 8)
+          .orderBy("doc_id")
+      },
+      Some(substrDecontamOracleSql)),
 
     ("q174_phrase_search",
       (s: SparkSession, d: String) => {
@@ -4345,6 +4335,58 @@ ORDER BY doc_id"""
              |ORDER BY d.doc_id""".stripMargin)),
   )
 
+  /** Shared by q172 (one-shot pass) and q185 (maintained registry):
+    * the full-recompute decontamination oracle over the %97 benchmark
+    * convention — the maintained store must answer it VERBATIM. */
+  private def substrDecontamOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |b AS (SELECT list_slice(toks, 1, 15) AS toks FROM t
+      |      WHERE doc_id % 97 = 0),
+      |bg AS (SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+      |       FROM b, unnest(range(1, len(toks) - 6)) AS u(i)
+      |       WHERE len(toks) >= 8),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |        array_to_string(toks[i:i+7], ' ') AS gram
+      |      FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+      |      WHERE len(toks) >= 8),
+      |marks AS (SELECT DISTINCT g.doc_id, g.pos + o.range AS tpos
+      |          FROM g JOIN bg USING (gram), range(0, 8) o),
+      |tok AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+      |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |kept AS (SELECT tok.doc_id, COUNT(*) AS n_kept,
+      |           string_agg(tok.tok, ' ' ORDER BY tok.tpos) AS text_clean
+      |         FROM tok LEFT JOIN marks
+      |           ON marks.doc_id = tok.doc_id AND marks.tpos = tok.tpos
+      |         WHERE marks.doc_id IS NULL
+      |         GROUP BY tok.doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(kept.text_clean, '') AS text_clean
+      |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** q185's registry build: q172's benchmark set as three residue-class
+    * suites with a replayed fold and a mid-stream compaction — the
+    * arrival shape the one-shot pass never sees. Memoized per sf dir. */
+  private def q185StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"dc_${Integer.toHexString(d.hashCode)}") { st =>
+      val bench = Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 15), " ").as("text"))
+      val cfg = graft.streaming.DecontamStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", bench.schema, minLen = 8)
+      graft.streaming.DecontamStream.processBatch(
+        bench.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.DecontamStream.processBatch(
+        bench.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.DecontamStream.processBatch( // at-least-once replay
+        bench.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.DecontamStream.compact(s, st, upToBatch = 1L)
+      graft.streaming.DecontamStream.processBatch(
+        bench.filter(col("doc_id") % 3 === 2), 2L, cfg)
+    }
+
   private def deleteDir(path: String): Unit =
     graft.core.WorkDirs.deleteDir(path)
 
@@ -4448,7 +4490,8 @@ ORDER BY doc_id"""
     "q177_drift_maintained" -> ((s, d) => q177StoreBuild(s, d): Unit),
     "q178_span_maintained" -> ((s, d) => q178StoreBuild(s, d): Unit),
     "q179_ann_maintained" -> ((s, d) => q179Store(s, d): Unit),
-    "q180_doc_maintained" -> ((s, d) => q180StoreBuild(s, d): Unit))
+    "q180_doc_maintained" -> ((s, d) => q180StoreBuild(s, d): Unit),
+    "q185_decontam_maintained" -> ((s, d) => q185StoreBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

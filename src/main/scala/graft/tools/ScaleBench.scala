@@ -254,6 +254,11 @@ object ScaleBench {
     // the decode/route/append plumbing included. (q183/q184 read the
     // same memoized store — one row measures the build.)
     "q182_stream_loop_snapshot",
+    // q185: the streaming decontamination registry — suite folds append
+    // ∝ bench tokens (n/97 docs × 15 tokens), the compaction distinct is
+    // ∝ the digest set, and the cut is q172's semi-join ∝ corpus tokens;
+    // every axis grows ×10 under content-disjoint replicas.
+    "q185_decontam_maintained",
     // q172: bench grams ∝ n/97 and train grams ∝ tokens — BOTH sides of
     // the one digest semi-join grow ×10 under content-disjoint replicas
     // (the honest row for the declared query, q126's discipline); marks
