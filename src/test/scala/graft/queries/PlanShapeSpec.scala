@@ -693,6 +693,27 @@ class PlanShapeSpec extends SparkTestBase {
       "the gram winner aggregate must combine map-side (boilerplate grams collapse before the shuffle)")
   }
 
+  test("q181: table-driven encode is ONE map pass — no join, no aggregate, no window") {
+    val p = plan("q181_bpe_encode_deep")
+    assert(p.contains("bpe_apply_merges_indexed"),
+      "the depth-independent kernel must be the encode path")
+    assert(!p.contains("Join") && !p.contains("Window "),
+      "the merge table rides as a codegen reference object — encoding must not join or window")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, // the declared ORDER BY's range partitioning only
+      s"encode must be map-only up to the final sort, found $exchanges exchanges\n$p")
+  }
+
+  test("q185: the registry cut is a digest semi-join — no cartesian, no window") {
+    val p = plan("q185_decontam_maintained")
+    assert(p.contains("LeftSemi"),
+      "corpus grams must reach the registered digests through a semi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the cut must never degrade to corpus×registry pairs")
+    assert(!p.contains("Window "),
+      "coverage marks and the rebuild are hash aggregates, never windows")
+  }
+
   test("q154: winsorize walks the histogram — map-side count, windows never touch the fact") {
     val p = plan("q154_winsorize")
     assert(p.contains("partial_count"),
