@@ -160,10 +160,23 @@ object Retrieval {
   def phraseSearch(docs: DataFrame, phrases: DataFrame,
                    idCol: String = "doc_id", textCol: String = "text",
                    phraseIdCol: String = "phrase_id",
-                   phraseCol: String = "phrase"): DataFrame = {
-    val pos = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("tpos", "term")))
+                   phraseCol: String = "phrase"): DataFrame =
+    phraseSearchFromPostings(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), " ")).as(Seq("tpos", "term"))),
+      phrases, phraseIdCol, phraseCol)
+
+  /** [[phraseSearch]] against a PRE-BUILT positional posting frame
+    * (`doc_id`, `tpos`, `term`) — the surgery half, factored so the
+    * one-shot pass and the maintained positional index
+    * ([[graft.streaming.PosIndexStream]]) share one kernel. The
+    * postings of a document are per-document facts, so the frame may
+    * come from any union of per-batch appends. */
+  private[graft] def phraseSearchFromPostings(
+      pos: DataFrame, phrases: DataFrame,
+      phraseIdCol: String = "phrase_id",
+      phraseCol: String = "phrase"): DataFrame = {
     val pt = phrases
       .select(col(phraseIdCol).as("phrase_id"),
         split(col(phraseCol), " ").as("__pt"))

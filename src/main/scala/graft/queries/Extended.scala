@@ -4035,26 +4035,26 @@ ORDER BY doc_id"""
       },
       // GROUND TRUTH: DuckDB re-runs the positional-index algebra from
       // raw text — postings, phrase offsets, anchor counting
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-             |           FROM documents WHERE text IS NOT NULL),
-             |p AS (SELECT doc_id AS phrase_id, list_slice(toks, 3, 6) AS ptoks
-             |      FROM t WHERE doc_id % 163 = 0 AND len(toks) >= 6),
-             |pt AS (SELECT phrase_id, i - 1 AS off, ptoks[i] AS term,
-             |         len(ptoks) AS plen
-             |       FROM p, unnest(range(1, len(ptoks) + 1)) AS u(i)),
-             |pos AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS term
-             |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
-             |h AS (SELECT pos.doc_id, pt.phrase_id, pt.plen,
-             |        pos.tpos - pt.off AS start
-             |      FROM pos JOIN pt USING (term)
-             |      WHERE pos.tpos - pt.off >= 0),
-             |m AS (SELECT doc_id, phrase_id, plen, start, COUNT(*) AS matched
-             |      FROM h GROUP BY 1, 2, 3, 4),
-             |f AS (SELECT * FROM m WHERE matched = plen)
-             |SELECT phrase_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
-             |  CAST(MIN(start) AS BIGINT) AS first_pos
-             |FROM f GROUP BY 1, 2
-             |ORDER BY phrase_id, doc_id""".stripMargin)),
+      Some(phraseSearchOracleSql)),
+
+    ("q186_phrase_maintained",
+      (s: SparkSession, d: String) => {
+        // the MAINTAINED positional index: documents arrive as three
+        // residue folds (with a replayed fold and a mid-stream
+        // compaction), then q174's phrase search over the store must
+        // equal the one-shot pass over the whole corpus — postings are
+        // per-document facts, so the maintained frame is their union
+        // (same oracle, verbatim).
+        val docs = Tables.documents(s, d)
+        val st = q186StoreBuild(s, d)
+        graft.streaming.PosIndexStream.phraseSearch(s, st,
+            docs.filter(col("doc_id") % 163 === 0 &&
+                size(split(col("text"), " ")) >= 6)
+              .select(col("doc_id").as("phrase_id"),
+                array_join(slice(split(col("text"), " "), 3, 4), " ").as("phrase")))
+          .orderBy("phrase_id", "doc_id")
+      },
+      Some(phraseSearchOracleSql)),
 
     // ------------------------------------------------------------------
     // q175–q179: the REMAINING maintained streaming stores under the
@@ -4366,6 +4366,49 @@ ORDER BY doc_id"""
       |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Shared by q174 (one-shot pass) and q186 (maintained positional
+    * index): the full positional-algebra recompute over the %163 phrase
+    * convention — the maintained store must answer it VERBATIM. */
+  private def phraseSearchOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |p AS (SELECT doc_id AS phrase_id, list_slice(toks, 3, 6) AS ptoks
+      |      FROM t WHERE doc_id % 163 = 0 AND len(toks) >= 6),
+      |pt AS (SELECT phrase_id, i - 1 AS off, ptoks[i] AS term,
+      |         len(ptoks) AS plen
+      |       FROM p, unnest(range(1, len(ptoks) + 1)) AS u(i)),
+      |pos AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS term
+      |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |h AS (SELECT pos.doc_id, pt.phrase_id, pt.plen,
+      |        pos.tpos - pt.off AS start
+      |      FROM pos JOIN pt USING (term)
+      |      WHERE pos.tpos - pt.off >= 0),
+      |m AS (SELECT doc_id, phrase_id, plen, start, COUNT(*) AS matched
+      |      FROM h GROUP BY 1, 2, 3, 4),
+      |f AS (SELECT * FROM m WHERE matched = plen)
+      |SELECT phrase_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |  CAST(MIN(start) AS BIGINT) AS first_pos
+      |FROM f GROUP BY 1, 2
+      |ORDER BY phrase_id, doc_id""".stripMargin
+
+  /** q186's index build: the corpus as three residue folds with a
+    * replayed fold and a mid-stream compaction. Memoized per sf dir. */
+  private def q186StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"pix_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.PosIndexStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
+      graft.streaming.PosIndexStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.PosIndexStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.PosIndexStream.processBatch( // at-least-once replay
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.PosIndexStream.compact(s, st, upToBatch = 1L)
+      graft.streaming.PosIndexStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+    }
+
   /** q185's registry build: q172's benchmark set as three residue-class
     * suites with a replayed fold and a mid-stream compaction — the
     * arrival shape the one-shot pass never sees. Memoized per sf dir. */
@@ -4491,7 +4534,8 @@ ORDER BY doc_id"""
     "q178_span_maintained" -> ((s, d) => q178StoreBuild(s, d): Unit),
     "q179_ann_maintained" -> ((s, d) => q179Store(s, d): Unit),
     "q180_doc_maintained" -> ((s, d) => q180StoreBuild(s, d): Unit),
-    "q185_decontam_maintained" -> ((s, d) => q185StoreBuild(s, d): Unit))
+    "q185_decontam_maintained" -> ((s, d) => q185StoreBuild(s, d): Unit),
+    "q186_phrase_maintained" -> ((s, d) => q186StoreBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

@@ -268,6 +268,10 @@ object ScaleBench {
     // terms keep posting lists content-disjoint, so the term equi-join's
     // output keeps within-replica structure — anchor work ×10 exactly.
     "q174_phrase_search",
+    // q186: the MAINTAINED positional index — three O(batch tokens)
+    // append folds + one compaction merge, then q174's anchor algebra
+    // over the store; every axis ∝ tokens ×10 (same disjointness note).
+    "q186_phrase_maintained",
     // q175–q178: the remaining maintained stores as declared — each row
     // rebuilds its store from scratch per run (the declared queries
     // deleteDir first), so the fold path itself is what's measured.
