@@ -90,7 +90,11 @@ object DecontamStream {
   /** Merge every committed `batch <= upToBatch` partition into
     * `batch=-1` and globally distinct the digests — the small-file AND
     * store-size bound for a long-running registry. Rides
-    * [[graft.cdc.Ingest.compactBatches]]'s crash-safe manifest swap. */
+    * [[graft.cdc.Ingest.compactBatches]]'s crash-safe manifest swap —
+    * crash-safe for WRITERS; a reader scanning the store mid-swap can
+    * hit vanished files, so schedule compaction between reads (the
+    * stream's own foreachBatch is the natural slot), like any storage
+    * maintenance job. */
   def compact(spark: SparkSession, storeDir: String, upToBatch: Long): Unit =
     graft.cdc.Ingest.compactBatches(spark, storeDir, TableName, upToBatch,
       transform = Some(_.distinct()))

@@ -79,7 +79,11 @@ object PosIndexStream {
 
   /** Merge every committed `batch <= upToBatch` partition into
     * `batch=-1` — the small-file bound for a long-running index. Rides
-    * [[graft.cdc.Ingest.compactBatches]]'s crash-safe manifest swap. */
+    * [[graft.cdc.Ingest.compactBatches]]'s crash-safe manifest swap —
+    * crash-safe for WRITERS; a reader scanning the store mid-swap can
+    * hit vanished files, so schedule compaction between reads (the
+    * stream's own foreachBatch is the natural slot), like any storage
+    * maintenance job. */
   def compact(spark: SparkSession, storeDir: String, upToBatch: Long): Unit =
     graft.cdc.Ingest.compactBatches(spark, storeDir, TableName, upToBatch)
 
