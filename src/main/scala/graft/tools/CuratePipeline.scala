@@ -103,7 +103,17 @@ object CuratePipeline {
     *    The flag stages catch docs that contain whole benchmark items;
     *    this removes the sub-threshold residue they keep — a quoted
     *    test question inside an otherwise-clean page survives the
-    *    flags but not the scalpel. Docs cut to nothing drop. */
+    *    flags but not the scalpel. Docs cut to nothing drop.
+    *  - `bpeMerges`: count packing/budget tokens with a TRAINED BPE
+    *    merge table instead of whitespace — production budgets are
+    *    measured in TOKENIZER tokens, and a whitespace count
+    *    systematically over-charges compressible (templated,
+    *    repetitive) text, skewing shard sizes. `n_tokens` becomes the
+    *    encoded length through the depth-independent indexed kernel
+    *    ([[graft.functions.BpeApplyMergesIndexed]] — one map-only
+    *    expression, no extra pass), so every downstream consumer
+    *    (token budget, sequence packing, shard stats) counts what the
+    *    training job will actually see. */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
@@ -121,7 +131,8 @@ object CuratePipeline {
           sampleSeed: Long = 42L,
           leakageSplitThreshold: Option[Double] = None,
           normalizeSampleWeights: Boolean = false,
-          substrDecontaminateMinLen: Option[Int] = None): DataFrame = {
+          substrDecontaminateMinLen: Option[Int] = None,
+          bpeMerges: Option[Seq[(String, String)]] = None): DataFrame = {
     require(temperatureTarget.isEmpty || weightedSampleK.isEmpty,
       "temperatureTarget and weightedSampleK both replace the per-source cap — pick one")
     require(substrDecontaminateMinLen.isEmpty || benchmarks.nonEmpty,
@@ -226,7 +237,17 @@ object CuratePipeline {
           .select("doc_id", "split")
         capped.join(assigned, Seq("doc_id"))
       case None => Sharding.assignSplit(capped, "doc_id")
-    }).withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    }).withColumn("n_tokens", bpeMerges match {
+      // tokenizer-token accounting: the budget/packing weight is the
+      // ENCODED length under the trained table — same one-map-pass
+      // plan shape as the whitespace count (the table rides as a
+      // codegen reference object)
+      case Some(m) => size(graft.functions.VectorFunctions
+          .bpe_apply_merges_indexed(
+            org.apache.spark.sql.functions.split(col("text"), " "),
+            m.map(_._1), m.map(_._2))).cast("long")
+      case None => TextAnalysis.tokenCount(col("text"))
+    })
     // pack WITHIN each split (a val doc must never share a shard with a
     // train doc): three small packing passes, one per split value
     Seq("train", "val", "test").map { sp =>

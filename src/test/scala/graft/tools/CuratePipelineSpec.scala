@@ -363,4 +363,56 @@ class CuratePipelineSpec extends SparkTestBase {
       .select("doc_id", "text", "n_tokens").as[(Long, String, Long)].collect()
     assert(again.toSet == cut.toSet)
   }
+
+  test("round-10 stage: BPE-token accounting packs by encoded length, not whitespace") {
+    val docs = Tables.documents(spark, sf)
+    val allLangs = Seq("en", "de", "es", "fr", "zh", "und")
+    // a real trained table, so compression actually fires on the corpus
+    val (res, toks) = graft.ext.TextAnalysis.bpeTrainBatched(
+      docs, "doc_id", "text", rounds = 24, batchCap = 8)
+    toks.unpersist(false)
+    val table = res.merges.map(m => (m._2, m._3))
+    def run(merges: Option[Seq[(String, String)]]) =
+      CuratePipeline.run(spark, docs, minQuality = 0.0, langs = allLangs,
+        tokenBudget = 500, perSourceCap = 1000000, bpeMerges = merges)
+
+    val ws = run(None).select("doc_id", "n_tokens", "shard")
+      .as[(Long, Long, Long)].collect()
+    val bpe = run(Some(table)).select("doc_id", "n_tokens", "shard")
+      .as[(Long, Long, Long)].collect()
+    assert(ws.map(_._1).toSet == bpe.map(_._1).toSet,
+      "token accounting must not change WHICH docs survive")
+
+    // n_tokens under the table == the indexed kernel's encoded length
+    val want = graft.ext.TextAnalysis.bpeEncodeWithTable(
+        docs.filter(col("text").isNotNull), table)
+      .select("doc_id", "n_encoded").as[(Long, Long)].collect().toMap
+    val got = bpe.map(r => r._1 -> r._2).toMap
+    assert(got.forall { case (id, n) => want(id) == n },
+      "packing weights must be the trained-tokenizer lengths")
+
+    // merges only compress: every doc's encoded count <= whitespace
+    // count, strictly less for at least one (the table really fired)
+    val wsTok = ws.map(r => r._1 -> r._2).toMap
+    assert(got.forall { case (id, n) => n <= wsTok(id) })
+    assert(got.exists { case (id, n) => n < wsTok(id) })
+
+    // packShards closes a shard once it reaches the budget (one doc of
+    // overshoot max) — under encoded weights each shard must still obey
+    // that rule measured in ENCODED tokens: total minus its largest doc
+    // stays under budget
+    val shardTotals = run(Some(table))
+      .groupBy("split", "shard")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(shardTotals.forall(s => s._3 - s._4 < 500),
+      s"a shard exceeds the encoded budget by more than one doc: " +
+        shardTotals.filter(s => s._3 - s._4 >= 500).toSeq)
+    // and compression buys fewer shards than whitespace accounting
+    def nShards(merges: Option[Seq[(String, String)]]) =
+      run(merges).select("split", "shard").distinct().count()
+    val (wsShards, bpeShards) = (nShards(None), nShards(Some(table)))
+    assert(bpeShards <= wsShards,
+      s"encoded accounting must not need MORE shards: $bpeShards > $wsShards")
+  }
 }
