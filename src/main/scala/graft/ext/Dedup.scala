@@ -1298,11 +1298,13 @@ object Dedup {
     exactSubstrDecontaminateAgainst(train,
       benchGramDigests(bench, textCol, minLen), idCol, textCol, minLen)
 
-  /** The window-digest key: 16-byte truncated sha2 over the space-joined
-    * minLen-token window starting at 0-based offset `i` of `__toks`. */
+  /** The window-digest key: 16-byte truncated sha2-256 over the
+    * space-joined minLen-token window starting at 0-based offset `i` of
+    * `__toks`. Truncation halves the shuffle/registry key width; at 128
+    * bits the collision bound stays negligible (birthday ~2^64 grams). */
   private def gramKeys(i: org.apache.spark.sql.Column, minLen: Int) =
-    unhex(sha2(concat_ws(" ",
-      (1 to minLen).map(j => element_at(col("__toks"), i + j)): _*), 256))
+    substring(unhex(sha2(concat_ws(" ",
+      (1 to minLen).map(j => element_at(col("__toks"), i + j)): _*), 256)), 1, 16)
 
   /** The DISTINCT forbidden-window digest frame of a benchmark view —
     * the state [[exactSubstrDecontaminateAgainst]] cuts against, and

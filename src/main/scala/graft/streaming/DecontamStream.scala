@@ -42,8 +42,9 @@ final case class DecontamStreamConfig(
   * folds committed partitions into `batch=-1` WITH a global distinct,
   * so reader listings stay bounded and the store size converges to the
   * true set size even under heavy cross-suite overlap. Store rows are
-  * 16-byte binary digests — the registry for a million-item benchmark
-  * battery is a few hundred MB, broadcast-joinable at read time. */
+  * 16-byte truncated sha2-256 digests ([[graft.ext.Dedup]]'s gramKeys)
+  * — the registry for a million-item benchmark battery is a few
+  * hundred MB, broadcast-joinable at read time. */
 object DecontamStream {
 
   private val TableName = "_bench_digests"
@@ -52,9 +53,21 @@ object DecontamStream {
 
   /** Every registered forbidden-window digest (`__k` binary; duplicates
     * across batch partitions possible until [[compact]] — harmless to
-    * every consumer by the semi-join contract). */
-  def readDigests(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(digestsDir(storeDir)).select("__k")
+    * every consumer by the semi-join contract). An empty registry (no
+    * batch has ever written digests — reachable when every batch was
+    * all-short/null) reads as an empty frame, so the cut is a no-op
+    * instead of a path-not-found failure. */
+  def readDigests(spark: SparkSession, storeDir: String): DataFrame = {
+    val dir = digestsDir(storeDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__k",
+            org.apache.spark.sql.types.BinaryType))))
+    else spark.read.parquet(dir).select("__k")
+  }
 
   def start(spark: SparkSession, cfg: DecontamStreamConfig): StreamingQuery =
     spark.readStream

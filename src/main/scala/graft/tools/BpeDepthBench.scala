@@ -47,7 +47,11 @@ object BpeDepthBench {
       docs.select(size(enc).as("n")).agg(sum(col("n"))).head(): Unit
       (System.nanoTime() - s0) / 1e9
     }
-    timeEncode(table.take(8), indexed = true): Unit // codegen warm-up
+    // codegen/JIT warm-up for BOTH kernels, so neither timed figure
+    // carries first-use compilation cost (an unwarmed sequential kernel
+    // would inflate the reported sequential-vs-indexed gap)
+    timeEncode(table.take(8), indexed = true): Unit
+    timeEncode(table.take(8), indexed = false): Unit
     val idx8 = timeEncode(table.take(8), indexed = true)
     val idxFull = timeEncode(table, indexed = true)
     val seqFull = timeEncode(table, indexed = false)

@@ -272,9 +272,11 @@ object ScaleBench {
     // append folds + one compaction merge, then q174's anchor algebra
     // over the store; every axis ∝ tokens ×10 (same disjointness note).
     "q186_phrase_maintained",
-    // q175–q178: the remaining maintained stores as declared — each row
-    // rebuilds its store from scratch per run (the declared queries
-    // deleteDir first), so the fold path itself is what's measured.
+    // q175–q178: the remaining maintained stores as declared — builds
+    // go through WorkDirs.ensureStore, memoized per (store, JVM), and
+    // the store name embeds the data-dir hash, so each timed call here
+    // still performs exactly one fresh build for its data dir (base and
+    // ×10 hash to different stores); the fold path itself is measured.
     // q175: hash-index folds + one corpus join-back, both ∝ rows.
     // q176: per-stratum min-k — reservoir stays k×strata while input
     // ×10 (the bounded-state claim IS the row). q177: map-side decile
