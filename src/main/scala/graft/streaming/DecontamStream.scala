@@ -1,9 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
 /** Config for the streaming decontamination registry. `minLen` and
   * `textCol` must stay constant for the life of a store directory (the
@@ -37,37 +36,45 @@ final case class DecontamStreamConfig(
   * APPENDS O(batch windows) under `batch=<id>` and reads NOTHING; the
   * mark join downstream is a semi-join, so cross-batch duplicate
   * digests are semantically harmless and need no fold. Replay = the
-  * Ingest `batch=<id>` overwrite discipline (a re-delivered micro-batch
-  * rewrites its own partition, never doubling the store); [[compact]]
-  * folds committed partitions into `batch=-1` WITH a global distinct,
-  * so reader listings stay bounded and the store size converges to the
-  * true set size even under heavy cross-suite overlap. Store rows are
-  * 16-byte truncated sha2-256 digests ([[graft.ext.Dedup]]'s gramKeys)
-  * — the registry for a million-item benchmark battery is a few
-  * hundred MB, broadcast-joinable at read time. */
+  * Ingest `batch=<id>` overwrite discipline plus the [[GenerationStore]]
+  * watermark guard (a re-delivered micro-batch rewrites its own
+  * partition; one at or below the compaction watermark is skipped —
+  * already folded). [[compact]] folds committed partitions into a new
+  * generation WITH a global distinct, so reader listings stay bounded
+  * and the store size converges to the true set size even under heavy
+  * cross-suite overlap — through the reader-safe generational swap
+  * (watermark snapshot + one-cycle-delayed GC + action-time retry), so
+  * compaction can run concurrently with readers. Store rows are 16-byte
+  * truncated sha2-256 digests ([[graft.ext.Dedup]]'s gramKeys) — the
+  * registry for a million-item benchmark battery is a few hundred MB,
+  * broadcast-joinable at read time. */
 object DecontamStream {
 
   private val TableName = "_bench_digests"
 
   def digestsDir(storeDir: String): String = s"$storeDir/$TableName"
 
+  private val DigestSchema = StructType(Seq(StructField("__k", BinaryType)))
+
+  private def frames(storeDir: String): Seq[GenFrame] = Seq(
+    // global distinct at fold time: duplicates across batch partitions
+    // are read-harmless (semi-join) but pure store bloat — compaction
+    // is where the store converges to the true set size
+    GenFrame(digestsDir(storeDir), Seq("__k"), _.distinct()))
+
   /** Every registered forbidden-window digest (`__k` binary; duplicates
     * across batch partitions possible until [[compact]] — harmless to
     * every consumer by the semi-join contract). An empty registry (no
     * batch has ever written digests — reachable when every batch was
     * all-short/null) reads as an empty frame, so the cut is a no-op
-    * instead of a path-not-found failure. */
-  def readDigests(spark: SparkSession, storeDir: String): DataFrame = {
-    val dir = digestsDir(storeDir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__k",
-            org.apache.spark.sql.types.BinaryType))))
-    else spark.read.parquet(dir).select("__k")
-  }
+    * instead of a path-not-found failure. LAZY — valid for ONE
+    * compaction cycle (the [[GenerationStore]] delayed-GC window); a
+    * longer-lived reader re-calls this per action, or uses
+    * [[decontaminate]], which pins the registry under the snapshot. */
+  def readDigests(spark: SparkSession, storeDir: String): DataFrame =
+    GenerationStore.withSnapshot(spark, storeDir)(wm =>
+      GenerationStore.frameAtOrEmpty(spark, frames(storeDir).head, wm,
+        DigestSchema))
 
   def start(spark: SparkSession, cfg: DecontamStreamConfig): StreamingQuery =
     spark.readStream
@@ -85,8 +92,10 @@ object DecontamStream {
     * boundaries. */
   def processBatch(batch: DataFrame, batchId: Long,
                    cfg: DecontamStreamConfig): Unit = {
-    require(batchId != graft.cdc.Ingest.CompactedBatchId,
-      s"batch id $batchId is reserved for compacted history")
+    val spark = batch.sparkSession
+    // a batch at or below the compaction watermark is ALREADY folded —
+    // re-appending it would only re-bloat what compaction deduped
+    if (batchId <= GenerationStore.readWatermark(spark, cfg.storeDir)) return
     val digests = graft.ext.Dedup
       .benchGramDigests(batch, cfg.textCol, cfg.minLen).persist()
     try {
@@ -100,26 +109,35 @@ object DecontamStream {
     } finally digests.unpersist(false)
   }
 
-  /** Merge every committed `batch <= upToBatch` partition into
-    * `batch=-1` and globally distinct the digests — the small-file AND
-    * store-size bound for a long-running registry. Rides
-    * [[graft.cdc.Ingest.compactBatches]]'s crash-safe manifest swap —
-    * crash-safe for WRITERS; a reader scanning the store mid-swap can
-    * hit vanished files, so schedule compaction between reads (the
-    * stream's own foreachBatch is the natural slot), like any storage
-    * maintenance job. */
-  def compact(spark: SparkSession, storeDir: String, upToBatch: Long): Unit =
-    graft.cdc.Ingest.compactBatches(spark, storeDir, TableName, upToBatch,
-      transform = Some(_.distinct()))
+  /** Fold every committed `batch <= upToBatch` partition (plus the
+    * previous generation) into a new globally-distinct generation — the
+    * small-file AND store-size bound for a long-running registry, via
+    * the reader-safe [[GenerationStore.compact]] discipline: the new
+    * generation lands beside live data, the watermark write is the
+    * commit, superseded dirs are GC'd one cycle later, and concurrent
+    * readers re-snapshot on a lost race. Safe to run while readers are
+    * active; an in-stream caller passes `batchId − 1` so the in-flight
+    * batch is never folded. */
+  def compact(spark: SparkSession, storeDir: String,
+              upToBatch: Long = Long.MaxValue): Unit =
+    GenerationStore.compact(spark, storeDir, frames(storeDir), upToBatch)
 
   /** q172's surgery against everything ever registered: every corpus
     * token covered by a registered minLen-window is cut (all
     * occurrences, any alignment) — (doc_id, n_tokens, n_kept,
     * text_clean). `minLen` must equal the store's config (the digests
-    * are keyed by it). */
+    * are keyed by it). The registry side is MATERIALIZED under one
+    * watermark snapshot (bounded: the digest set is benchmark-sized,
+    * broadcast-joinable by design), so the returned corpus frame is
+    * independent of the store's files — no validity window, and a
+    * compaction racing the registry read retries inside this call. */
   def decontaminate(spark: SparkSession, storeDir: String, corpus: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
-                    minLen: Int = 8): DataFrame =
+                    minLen: Int = 8): DataFrame = {
+    val digests = GenerationStore.withSnapshot(spark, storeDir)(wm =>
+      GenerationStore.frameAtOrEmpty(spark, frames(storeDir).head, wm,
+        DigestSchema).localCheckpoint(true))
     graft.ext.Dedup.exactSubstrDecontaminateAgainst(corpus,
-      readDigests(spark, storeDir), idCol, textCol, minLen)
+      digests, idCol, textCol, minLen)
+  }
 }

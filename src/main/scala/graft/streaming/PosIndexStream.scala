@@ -31,21 +31,33 @@ final case class PosIndexStreamConfig(
   *
   * Scale shape — the [[IndexStream]] discipline: a trigger APPENDS
   * O(batch tokens) under `batch=<id>` and reads NOTHING; replay = the
-  * Ingest overwrite discipline (a re-delivered micro-batch rewrites its
-  * own partition); [[compact]] merges committed partitions into
-  * `batch=-1` through the crash-safe manifest swap so reader listings
-  * stay bounded. Phrase search reads only the probed terms' posting
-  * rows through the term equi-join — never a per-doc scan per phrase. */
+  * Ingest overwrite discipline plus the [[GenerationStore]] watermark
+  * guard (a re-delivered micro-batch rewrites its own partition; one at
+  * or below the compaction watermark is skipped — already folded, and
+  * re-appending would double-count every occurrence). [[compact]]
+  * merges committed partitions into a new generation through the
+  * reader-safe generational swap (watermark snapshot + one-cycle-
+  * delayed GC + action-time retry), so reader listings stay bounded and
+  * compaction can run concurrently with searches. Phrase search reads
+  * only the probed terms' posting rows through the term equi-join —
+  * never a per-doc scan per phrase. */
 object PosIndexStream {
 
   private val TableName = "_pos_postings"
 
   def postingsDir(storeDir: String): String = s"$storeDir/$TableName"
 
-  /** The maintained positional posting frame: (doc_id, tpos, term). */
+  private def frames(storeDir: String): Seq[GenFrame] = Seq(
+    GenFrame(postingsDir(storeDir), Seq("doc_id", "tpos", "term")))
+
+  /** The maintained positional posting frame: (doc_id, tpos, term).
+    * LAZY — valid for ONE compaction cycle (the [[GenerationStore]]
+    * delayed-GC window); a longer-lived reader re-calls this per
+    * action, or uses [[phraseSearch]], which materializes under the
+    * snapshot and retries. */
   def readPostings(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(postingsDir(storeDir))
-      .select("doc_id", "tpos", "term")
+    GenerationStore.withSnapshot(spark, storeDir)(wm =>
+      GenerationStore.frameAt(spark, frames(storeDir).head, wm))
 
   def start(spark: SparkSession, cfg: PosIndexStreamConfig): StreamingQuery =
     spark.readStream
@@ -62,8 +74,10 @@ object PosIndexStream {
     * and the declared-query gate can drive exact batch boundaries. */
   def processBatch(batch: DataFrame, batchId: Long,
                    cfg: PosIndexStreamConfig): Unit = {
-    require(batchId != graft.cdc.Ingest.CompactedBatchId,
-      s"batch id $batchId is reserved for compacted history")
+    val spark = batch.sparkSession
+    // a batch at or below the compaction watermark is ALREADY folded —
+    // re-writing its (swept) partition would double-count its postings
+    if (batchId <= GenerationStore.readWatermark(spark, cfg.storeDir)) return
     val postings = batch.filter(col(cfg.textCol).isNotNull)
       .select(col(cfg.idCol).as("doc_id"),
         posexplode(split(col(cfg.textCol), " ")).as(Seq("tpos", "term")))
@@ -77,24 +91,32 @@ object PosIndexStream {
     } finally postings.unpersist(false)
   }
 
-  /** Merge every committed `batch <= upToBatch` partition into
-    * `batch=-1` — the small-file bound for a long-running index. Rides
-    * [[graft.cdc.Ingest.compactBatches]]'s crash-safe manifest swap —
-    * crash-safe for WRITERS; a reader scanning the store mid-swap can
-    * hit vanished files, so schedule compaction between reads (the
-    * stream's own foreachBatch is the natural slot), like any storage
-    * maintenance job. */
-  def compact(spark: SparkSession, storeDir: String, upToBatch: Long): Unit =
-    graft.cdc.Ingest.compactBatches(spark, storeDir, TableName, upToBatch)
+  /** Merge every committed `batch <= upToBatch` partition (plus the
+    * previous generation) into a new generation — the small-file bound
+    * for a long-running index, via the reader-safe
+    * [[GenerationStore.compact]] discipline: generation write beside
+    * live data, watermark commit, one-cycle-delayed GC, action-time
+    * reader retry. Safe to run while searches are active; an in-stream
+    * caller passes `batchId − 1` so the in-flight batch is never
+    * folded. */
+  def compact(spark: SparkSession, storeDir: String,
+              upToBatch: Long = Long.MaxValue): Unit =
+    GenerationStore.compact(spark, storeDir, frames(storeDir), upToBatch)
 
   /** Exact ordered-phrase search over everything ever indexed —
     * identical algebra to [[graft.ext.Retrieval.phraseSearch]] over the
     * concatenation of every batch: (phrase_id, doc_id, n_matches,
-    * first_pos). The phrases view carries (phrase_id, phrase). */
+    * first_pos). The phrases view carries (phrase_id, phrase). The
+    * result is MATERIALIZED under one watermark snapshot (bounded:
+    * matching docs per phrase), so it has no validity window and a
+    * compaction racing the scan retries inside this call. */
   def phraseSearch(spark: SparkSession, storeDir: String,
                    phrases: DataFrame,
                    phraseIdCol: String = "phrase_id",
                    phraseCol: String = "phrase"): DataFrame =
-    graft.ext.Retrieval.phraseSearchFromPostings(
-      readPostings(spark, storeDir), phrases, phraseIdCol, phraseCol)
+    GenerationStore.withSnapshot(spark, storeDir) { wm =>
+      graft.ext.Retrieval.phraseSearchFromPostings(
+        GenerationStore.frameAt(spark, frames(storeDir).head, wm),
+        phrases, phraseIdCol, phraseCol).localCheckpoint(true)
+    }
 }

@@ -80,7 +80,7 @@ class DecontamStreamSpec extends SparkTestBase {
     assert(!byId.contains(6L), "null text is outside the pass, as in the batch operator")
   }
 
-  test("compaction bounds the store: one partition, globally distinct digests") {
+  test("compaction bounds the store: distinct generation, replay-guarded, GC'd one cycle later") {
     val st = tmpDir("dcs-cp")
     val cfg = cfgFor(st)
     // the same suite registered across three batches — the append-only
@@ -92,9 +92,64 @@ class DecontamStreamSpec extends SparkTestBase {
     val after = DecontamStream.readDigests(spark, st).count()
     assert(before == after * 3, s"3 identical batches: $before vs $after")
     assert(cut(st) == oneShot(suiteA), "compaction must not change the cut")
-    val dirs = new java.io.File(DecontamStream.digestsDir(st))
+    def dirs(): Seq[String] = new java.io.File(DecontamStream.digestsDir(st))
       .listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
-    assert(dirs == Seq("batch=-1"), s"committed partitions must fold: $dirs")
+    // generation live; absorbed batches LINGER one cycle (delayed GC —
+    // an in-flight reader that resolved paths pre-commit must still
+    // find its files), so readers select by watermark, not listing
+    assert(dirs().contains("compacted=2"), s"generation must be live: ${dirs()}")
+    // a replay of an absorbed batch is SKIPPED by the watermark guard
+    DecontamStream.processBatch(suiteA.toDF("doc_id", "text"), 1L, cfg)
+    assert(DecontamStream.readDigests(spark, st).count() == after,
+      "a replayed pre-watermark batch must not re-enter the store")
+    // a genuinely NEW batch lands; the next compaction absorbs it AND
+    // sweeps what the previous one superseded
+    DecontamStream.processBatch(suiteB.toDF("doc_id", "text"), 3L, cfg)
+    DecontamStream.compact(spark, st, upToBatch = 3L)
+    assert(cut(st) == oneShot(suiteA ++ suiteB))
+    val d = dirs()
+    assert(!d.exists(_.matches("batch=[012]")),
+      s"generation-2's absorbed batches must be swept one cycle later: $d")
+    assert(d.contains("compacted=3"), s"new generation live: $d")
+  }
+
+  test("a reader racing compaction re-snapshots instead of failing") {
+    val st = tmpDir("dcs-race")
+    val cfg = cfgFor(st)
+    DecontamStream.processBatch(suiteA.toDF("doc_id", "text"), 0L, cfg)
+    DecontamStream.processBatch(suiteB.toDF("doc_id", "text"), 1L, cfg)
+    val want = oneShot(suiteA ++ suiteB)
+    // a compactor thread folds repeatedly (each cycle supersedes the
+    // previous generation and GC-sweeps the one before it) while the
+    // reader loops full decontaminate passes — every read must see the
+    // complete registry, either by landing inside a snapshot window or
+    // by the action-time retry re-snapshotting after a lost race
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val compactor = new Thread(() => {
+      var b = 2L
+      while (!stop.get()) {
+        try {
+          // alternate a tiny new batch with a fold so every compact()
+          // call has something to absorb (and therefore commits + GCs)
+          DecontamStream.processBatch(suiteC.toDF("doc_id", "text"), b, cfg)
+          DecontamStream.compact(spark, st, upToBatch = b)
+          b += 1
+        } catch { case t: Throwable => failed.set(t); stop.set(true) }
+      }
+    })
+    compactor.start()
+    try {
+      val wantAll = oneShot(suiteA ++ suiteB ++ suiteC)
+      (0 until 12).foreach { _ =>
+        val got = cut(st)
+        // suite C may or may not be registered yet at this instant, but
+        // A and B are immutable history: both states are complete reads
+        assert(got == want || got == wantAll,
+          s"racing reader saw a torn registry: $got")
+      }
+    } finally { stop.set(true); compactor.join(30000) }
+    assert(failed.get() == null, s"compactor thread failed: ${failed.get()}")
   }
 
   test("file-source end-to-end: suites arriving as files register without restarts") {

@@ -63,8 +63,54 @@ class PosIndexStreamSpec extends SparkTestBase {
     assert(got == Seq((10L, 1L, 1L, 1L), (10L, 2L, 2L, 0L), (11L, 3L, 2L, 1L)))
     val dirs = new java.io.File(PosIndexStream.postingsDir(st))
       .listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
-    assert(dirs == Seq("batch=-1", "batch=2"),
+    // the folded generation is live and batch=2 appended after it;
+    // absorbed batches 0/1 LINGER one GC cycle by design (readers
+    // select by watermark, so stragglers are never read)
+    assert(dirs.contains("compacted=1") && dirs.contains("batch=2"),
       s"committed partitions must fold, later ones append: $dirs")
+    // a replayed pre-watermark batch is SKIPPED — re-appending postings
+    // already inside the generation would double-count every occurrence
+    PosIndexStream.processBatch(
+      corpus.slice(2, 3).toDF("doc_id", "text"), 1L, cfgFor(st))
+    assert(searched(st) == oneShot(),
+      "a replayed pre-watermark batch must not re-enter the index")
+  }
+
+  test("a searcher racing compaction re-snapshots instead of failing") {
+    val st = tmpDir("pix-race")
+    val cfg = cfgFor(st)
+    PosIndexStream.processBatch(
+      corpus.filter(_._2 != null).toDF("doc_id", "text"), 0L, cfg)
+    val want = oneShot()
+    // a compactor thread folds repeatedly (each cycle supersedes the
+    // previous generation and GC-sweeps the one before it) while the
+    // searcher loops phrase probes — every search must see the full
+    // index, either by landing inside a snapshot window or by the
+    // action-time retry re-snapshotting after a lost race
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val compactor = new Thread(() => {
+      var b = 1L
+      while (!stop.get()) {
+        try {
+          // re-index doc 6/7 noise each cycle so every compact() has
+          // something to absorb (and therefore commits + GCs); the
+          // noise doc contains no probed phrase, so searches are stable
+          PosIndexStream.processBatch(
+            Seq((100L + b, s"noise$b filler$b")).toDF("doc_id", "text"), b, cfg)
+          PosIndexStream.compact(spark, st, upToBatch = b)
+          b += 1
+        } catch { case t: Throwable => failed.set(t); stop.set(true) }
+      }
+    })
+    compactor.start()
+    try {
+      (0 until 12).foreach { _ =>
+        val got = searched(st)
+        assert(got == want, s"racing searcher saw a torn index: $got")
+      }
+    } finally { stop.set(true); compactor.join(30000) }
+    assert(failed.get() == null, s"compactor thread failed: ${failed.get()}")
   }
 
   test("file-source end-to-end: documents arriving as files index without restarts") {
@@ -80,14 +126,21 @@ class PosIndexStreamSpec extends SparkTestBase {
       fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$name")): Unit
       fs.delete(p, true): Unit
     }
+    val cfg = PosIndexStreamConfig(in, st, ck, schema, maxFilesPerTrigger = 1)
     writeBatch("b0.parquet", corpus.take(2))
-    val q = PosIndexStream.start(spark, PosIndexStreamConfig(
-      in, st, ck, schema, maxFilesPerTrigger = 1))
+    val q = PosIndexStream.start(spark, cfg)
     try {
       q.processAllAvailable()
-      writeBatch("b1.parquet", corpus.drop(2).filter(_._2 != null))
+      writeBatch("b1.parquet", corpus.slice(2, 3))
       q.processAllAvailable()
     } finally q.stop()
-    assert(searched(st) == oneShot())
+    // RESTART on the same checkpoint: the resumed stream must pick up
+    // files landed while down (and only those — no re-indexing of
+    // already-committed batches, or occurrences would double-count)
+    writeBatch("b2.parquet", corpus.drop(3).filter(_._2 != null))
+    val q2 = PosIndexStream.start(spark, cfg)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(searched(st) == oneShot(),
+      "restarted stream must resume exactly where the checkpoint left off")
   }
 }
