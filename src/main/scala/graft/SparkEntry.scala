@@ -252,6 +252,180 @@ object SparkEntry {
         scd2Keys = Map("orders" -> Seq("pk"))))
     }
 
+  /** q187: the TWO-TABLE streaming loop with a maintained JOIN VIEW, a
+    * MID-STREAM registry refresh, and a dead-letter replay — closing
+    * the one maintainer the q182–q184 loop left gated only through
+    * direct fold calls (JoinMaintainer), and exercising the reference's
+    * core operational story end-to-end: multi-table routing
+    * (`dataflow-cdc-stream.py:69-92`), a table that starts UNREGISTERED
+    * (its envelopes dead-letter), a registry edit applied to the
+    * RUNNING stream (per-batch reload from `registryPath` — the
+    * reference's per-record fetch, at per-batch cost), and the
+    * documented recovery pattern (replayDeadLetter, then fold the
+    * `batch=-2` frame through the maintainer).
+    *
+    * Determinism under a racy refresh: the registry-v2 write lands
+    * asynchronously after batch 0 commits (a StreamingQueryListener),
+    * so WHICH later trigger first routes `customer` is timing-dependent
+    * — but every fold in the chain is arrival-order-free (snapshot
+    * argmax; the join view re-derives from the side snapshots), and
+    * whatever dead-letters is replayed and folded after the stream, so
+    * the FINAL store state is identical on every run: the from-scratch
+    * join of the two final snapshots — q173's oracle, verbatim. Batch 0
+    * itself is pinned: the stream loads v1 at start and re-loads it at
+    * batch 0 before the listener can fire, so the dead-letter path is
+    * genuinely exercised every run (plus a ghost `audit_log` envelope
+    * that no registry version ever learns — it must survive in the dead
+    * letter, replayed by nothing). */
+  private def streamLoop2RegistryJson(withCustomer: Boolean): String = {
+    val orders =
+      """"orders": {"table_name": "orders_j", "schema": {"fields": [
+        |  {"name": "pk", "type": "INT64"},
+        |  {"name": "custkey", "type": "INT64"},
+        |  {"name": "totalprice", "type": "NUMERIC"},
+        |  {"name": "action", "type": "STRING"},
+        |  {"name": "update_date", "type": "TIMESTAMP"}]}}""".stripMargin
+    val customer =
+      """"customer": {"table_name": "customer_j", "schema": {"fields": [
+        |  {"name": "custkey", "type": "INT64"},
+        |  {"name": "acctbal", "type": "NUMERIC"},
+        |  {"name": "mktsegment", "type": "STRING"},
+        |  {"name": "action", "type": "STRING"},
+        |  {"name": "update_date", "type": "TIMESTAMP"}]}}""".stripMargin
+    if (withCustomer) s"{$orders,\n$customer}" else s"{$orders}"
+  }
+
+  /** Render a one-column `value` frame to a single JSONL file at `dst`
+    * with a pinned mtime (FileStreamSource orders by mtime — mtime IS
+    * the trigger order under maxFilesPerTrigger=1). */
+  private def writeJsonlFile(df: DataFrame, tmp: String, dst: java.nio.file.Path,
+                             mtimeMillis: Long): Unit = {
+    df.coalesce(1).write.mode("overwrite").text(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-")).get
+    java.nio.file.Files.move(part.toPath, dst): Unit
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMillis)): Unit
+    graft.core.WorkDirs.deleteDir(tmp)
+  }
+
+  private def streamLoop2Build(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"loop2_${Integer.toHexString(d.hashCode)}") { wh =>
+      val in = s"$wh/_in"
+      new java.io.File(in).mkdirs(): Unit
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+      // both changelogs as Datastream envelope lines, action-partitioned
+      // into three files (updates, deletes, inserts — the adversarial
+      // fold order q173 pins), each file carrying BOTH tables' lines so
+      // every trigger is a genuine multi-table batch
+      val ol = q173OrdersLog(s, d).select(col("action").as("__a"),
+        to_json(struct(
+          lit("orders").as("object"),
+          date_format(col("update_date").cast("timestamp"), tsFmt).as("source_timestamp"),
+          struct(col("action").as("change_type")).as("source_metadata"),
+          struct(col("pk"), col("custkey"), col("totalprice")).as("payload")
+        )).as("value"))
+      val cl = q173CustLog(s, d).select(col("action").as("__a"),
+        to_json(struct(
+          lit("customer").as("object"),
+          date_format(col("update_date").cast("timestamp"), tsFmt).as("source_timestamp"),
+          struct(col("custkey"), col("acctbal"), col("mktsegment")).as("payload"),
+          struct(col("action").as("change_type")).as("source_metadata")
+        )).as("value"))
+      val ghost = s.createDataFrame(
+        s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("insert",
+          """{"object":"audit_log","source_timestamp":"1995-01-01T00:00:00.000Z","source_metadata":{"change_type":"insert"},"payload":{"id":1}}"""))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__a", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+      val lines = ol.unionByName(cl).persist()
+      try {
+        val t0 = System.currentTimeMillis()
+        Seq("update", "delete", "insert").zipWithIndex.foreach { case (a, i) =>
+          val perAction = lines.filter(col("__a") === a).select("value")
+          val withGhost = if (i == 0)
+            perAction.unionAll(ghost.select("value")) else perAction
+          writeJsonlFile(withGhost, s"$wh/_tmp_$a",
+            java.nio.file.Paths.get(in, f"log-$i%03d.jsonl"), t0 + i * 1000L)
+        }
+      } finally lines.unpersist(false)
+
+      // registry v1: orders only — batch 0 MUST dead-letter customer
+      val regPath = s"$wh/_registry.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(regPath),
+        streamLoop2RegistryJson(withCustomer = false)): Unit
+      // the MID-STREAM refresh: after the first batch commits, swap in
+      // v2 atomically (tmp + ATOMIC_MOVE — a torn read must be
+      // impossible; CdcStream's per-batch reload would survive one by
+      // keeping the previous registry, but then the refresh would
+      // silently skip a batch)
+      val flipped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = {}
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {}
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.name != null &&
+              e.progress.name.startsWith("graft-cdc-stream") &&
+              !flipped.getAndSet(true)) {
+            val tmp = java.nio.file.Paths.get(s"$regPath.next")
+            java.nio.file.Files.writeString(tmp,
+              streamLoop2RegistryJson(withCustomer = true)): Unit
+            java.nio.file.Files.move(tmp, java.nio.file.Paths.get(regPath),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+      }
+      s.streams.addListener(listener)
+      try {
+        graft.streaming.CdcStream.runOnce(s, graft.streaming.CdcStreamConfig(
+          in, wh, s"$wh/_ck",
+          registry = Map.empty, registryPath = Some(regPath),
+          maxFilesPerTrigger = 1, // one adversarial fold per trigger
+          cleanSource = "archive", sourceArchiveDir = Some(s"$wh/_archive"),
+          snapshotKeys = Map("orders" -> Seq("pk"), "customer" -> Seq("custkey")),
+          snapshotBuckets = 16, // sized to the data, q170's note
+          joinViews = Seq(graft.streaming.JoinViewSpec(
+            "ord_cust", "custkey", "orders", "customer"))))
+      } finally s.streams.removeListener(listener)
+
+      // recovery: replay whatever dead-lettered under v1 (at least batch
+      // 0's customer updates — possibly later batches too if the refresh
+      // landed late), then fold the replayed frame through the SAME
+      // maintainer the stream used (identical bucket counts — the store
+      // layout is the contract). The ghost table is not in v2, so its
+      // envelope stays dead — replay filters on the current registry.
+      val reg2 = graft.cdc.Registry.load(regPath)
+      graft.cdc.Ingest.replayDeadLetter(s, wh, reg2)
+      def replayed(table: String): Option[DataFrame] = {
+        val dir = s"$wh/${reg2(table).physicalName}/batch=${graft.cdc.Ingest.ReplayBatchId}"
+        if (!new java.io.File(dir).exists()) None
+        else {
+          val df = s.read.parquet(dir).drop(graft.cdc.Envelope.DtCol)
+          if (df.isEmpty) None else Some(df)
+        }
+      }
+      graft.cdc.JoinMaintainer.foldAndMaintain(s, wh, "ord_cust", "custkey",
+        graft.cdc.JoinMaintainer.Side("orders", Seq("pk"), replayed("orders")),
+        graft.cdc.JoinMaintainer.Side("customer", Seq("custkey"), replayed("customer")),
+        snapshotBuckets = 16)
+    }
+
+  private def cdcStreamLoop2Join(s: SparkSession, d: String): DataFrame = {
+    val wh = streamLoop2Build(s, d)
+    graft.cdc.JoinMaintainer.read(s, wh, "ord_cust")
+      // NUMERIC registry payloads land as decimal(38,9); the oracle
+      // contract renders at the changelogs' declared (18,2) — exact,
+      // every value carries at most two fractional digits
+      .select(col("custkey"), col("a_pk"),
+        col("a_totalprice").cast("decimal(18,2)").as("a_totalprice"),
+        col("b_acctbal").cast("decimal(18,2)").as("b_acctbal"),
+        col("b_mktsegment"))
+      .orderBy("custkey", "a_pk")
+  }
+
   private def cdcStreamLoopSnapshot(s: SparkSession, d: String): DataFrame = {
     val wh = streamLoopBuild(s, d)
     graft.cdc.SnapshotMaintainer.read(s, wh, "orders")
@@ -594,6 +768,10 @@ object SparkEntry {
     ("q182_stream_loop_snapshot", cdcStreamLoopSnapshot _, Some(snapshotOracle)),
     ("q183_stream_loop_scd2", cdcStreamLoopScd2 _, Some(scd2Oracle)),
     ("q184_stream_loop_agg", cdcStreamLoopAgg _, Some(aggMaintainedOracle)),
+    // the TWO-TABLE loop: multi-table routing + maintained join view +
+    // mid-stream registry refresh + dead-letter replay, all through the
+    // real file-source stream — must answer q173's oracle verbatim
+    ("q187_stream_loop_join", cdcStreamLoop2Join _, Some(joinMaintainedOracle)),
     ("q18_cdc_asof", cdcAsOf _,
       Some(Changelog.oracleCte +
         s""", ranked AS (
@@ -647,6 +825,7 @@ object SparkEntry {
     "q173_join_maintained" -> ((s, d) => joinStoreBuild(s, d): Unit),
     "q182_stream_loop_snapshot" -> ((s, d) => streamLoopBuild(s, d): Unit),
     "q183_stream_loop_scd2" -> ((s, d) => streamLoopBuild(s, d): Unit),
-    "q184_stream_loop_agg" -> ((s, d) => streamLoopBuild(s, d): Unit)
+    "q184_stream_loop_agg" -> ((s, d) => streamLoopBuild(s, d): Unit),
+    "q187_stream_loop_join" -> ((s, d) => streamLoop2Build(s, d): Unit)
   ) ++ graft.queries.Extended.storeBuilders
 }

@@ -299,7 +299,33 @@ object ScaleBench {
     // workload growth, not the store). Fresh store per run: codebook
     // fit on the base third + two encode-appends with an in-stream
     // compaction — the encode path is the linear claim.
-    "q179_ann_maintained@probes")
+    "q179_ann_maintained@probes",
+    // round-11 additions — the last custom-kernel queries without a
+    // row. q87: map-side copy explode, output ∝ rows × mean weight.
+    // q89/q152 ride q151's minhash-pair machinery (edges ∝ rows under
+    // content-disjoint replicas) plus the split arithmetic / cluster
+    // contraction on top — q152 runs the pair list through BOTH split
+    // schemes and the star-contraction components.
+    "q87_upsample_mix", "q89_split_leakage", "q152_split_leakage",
+    // q115: Catalyst-decorrelated EXISTS / NOT EXISTS / scalar-agg —
+    // one aggregate and two semi/anti joins over ×10 orders (customers
+    // constant — the fact-side axis). q116: the lateral top-2 as a rank
+    // window whose per-customer DEPTH grows ×10 while the partition
+    // count stays fixed — the per-partition sort is the axis under test.
+    "q115_correlated_exists", "q116_lateral_topn",
+    // q88 at fixed probes (the q92/q103 discipline — recall monitoring
+    // is a workload property; the declared %50 probe set would grow
+    // with n and measure workload growth): per-query exact truth scan
+    // and the 16-table LSH candidate path are both ∝ corpus.
+    "q88_ann_recall@probes",
+    // q187: the TWO-TABLE streaming loop with the maintained join view
+    // — JSONL render for both changelogs, multi-table routing with a
+    // mid-stream registry refresh, per-trigger JoinMaintainer folds,
+    // dead-letter replay + manual fold; every stage ∝ changelog rows
+    // (the orders replica axis; the customer side is copied as-is, so
+    // the view's join-key buckets deepen ×10 — the relocation path's
+    // worst case).
+    "q187_stream_loop_join")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
@@ -516,6 +542,23 @@ object ScaleBench {
             graft.ext.Retrieval.probeQueries(docs, every = every, width = 8),
             k = 5)
           .orderBy("query_id", "rank")
+      })
+      case "q88_ann_recall@probes" => Some((s, d) => {
+        val emb = graft.core.Tables.embeddings(s, d)
+        val probes = fixedProbes(emb)
+        val exact = graft.ext.Similarity.topKBruteForce(emb, probes, k = 10)
+        val approx = graft.ext.Similarity.topKLsh(emb, probes, k = 10,
+          numTables = 16, bitsPerTable = 8)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("recall_hits"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("recall_hits"), lit(0L)).as("recall_hits"),
+            lit(10L).as("k"))
+          .orderBy("query_id")
       })
       case "q179_ann_maintained@probes" => Some((s, d) => {
         val emb = graft.core.Tables.embeddings(s, d)
