@@ -467,7 +467,11 @@ object TextAnalysis {
     * adoption logic over the same spectra. */
   final case class BpeBatchResult(
       merges: Seq[(Int, String, String, Long)],
-      windows: Seq[(Int, Seq[(String, String, Long)])])
+      windows: Seq[(Int, Seq[(String, String, Long)])],
+      /** Merges adopted per recount window (same order as `windows`) —
+        * the depth-efficiency signal: adoption ÷ batchCap per pass is
+        * how much of each Spark job the greedy non-conflict rule kept. */
+      adoptedPerWindow: Seq[Int] = Seq.empty)
 
   /** Depth-capable BPE trainer: the [[bpeMerges]] recurrence batched so
     * vocabulary-scale merge counts (10³–10⁵) cost O(rounds / batchCap)
@@ -523,6 +527,7 @@ object TextAnalysis {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     val windows = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[(String, String, Long)])]
+    val adoptedPerWindow = scala.collection.mutable.ArrayBuffer.empty[Int]
     var w = 0
     var exhausted = false
     try while (merges.size < rounds && !exhausted) {
@@ -553,6 +558,7 @@ object TextAnalysis {
         merges ++= adopted.zipWithIndex.map { case ((a, b, c), i) =>
           (base + i + 1, a, b, c)
         }
+        adoptedPerWindow += adopted.size
         val next = toks.withColumn("toks",
             graft.functions.VectorFunctions.bpe_apply_merges(col("toks"),
               adopted.map(_._1).toSeq, adopted.map(_._2).toSeq))
@@ -563,7 +569,7 @@ object TextAnalysis {
     } catch {
       case t: Throwable => toks.unpersist(false); throw t
     }
-    (BpeBatchResult(merges.toSeq, windows.toSeq), toks)
+    (BpeBatchResult(merges.toSeq, windows.toSeq, adoptedPerWindow.toSeq), toks)
   }
 
   /** The BPE rewrite fold: merge non-overlapping left-to-right (a, b)
