@@ -143,6 +143,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.bpeMergesBatchedPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bpe_encode_with"), info("bpe_encode_with"),
       (es: Seq[Expression]) => graft.ext.DocSql.bpeEncodeWithPlan(es)))
+    // store-backed TVFs: the SQL faces of the maintained streaming
+    // stores — a SQL-only user queries what the streams keep current
+    ext.injectTableFunction((FunctionIdentifier("phrase_search_store"), info("phrase_search_store"),
+      (es: Seq[Expression]) => graft.ext.DocSql.phraseSearchStorePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("decontaminate_store"), info("decontaminate_store"),
+      (es: Seq[Expression]) => graft.ext.DocSql.decontaminateStorePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("bm25_topk_store"), info("bm25_topk_store"),
+      (es: Seq[Expression]) => graft.ext.DocSql.bm25TopKStorePlan(es)))
     // Optimizer rule: point-in-interval theta joins → granule-bucketized
     // equi-joins (graft.plans.RangeJoinRule) — plain SQL range joins get
     // the linear plan instead of BroadcastNestedLoopJoin.

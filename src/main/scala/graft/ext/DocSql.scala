@@ -390,6 +390,42 @@ object DocSql {
     plan(TextAnalysis.bpeMergesBatched(tableArg(es.head),
       rounds = intArg(es(1)), batchCap = intArg(es(2))))
 
+  /** `phrase_search_store('/path/to/store', 'phrases')`: exact
+    * ordered-phrase search over a MAINTAINED positional-index store
+    * ([[graft.streaming.PosIndexStream]]) — the SQL face of the
+    * streaming store, so a SQL-only user queries everything ever
+    * indexed without Scala. Same output contract as `phrase_search`:
+    * (phrase_id, doc_id, n_matches, first_pos). Eager: the search
+    * materializes under one watermark snapshot at analysis time
+    * (bounded — matching docs per phrase), which is also what makes it
+    * compaction-race-safe (the store TVF inherits the reader-retry
+    * contract, not the lazy one-cycle validity window). */
+  private[graft] def phraseSearchStorePlan(es: Seq[Expression]): LogicalPlan =
+    plan(graft.streaming.PosIndexStream.phraseSearch(
+      SparkSession.active, strArg(es.head), tableArg(es(1))))
+
+  /** `decontaminate_store('/path/to/store', 'corpus', min_len)`: q172's
+    * substring-decontamination surgery against a MAINTAINED registry
+    * ([[graft.streaming.DecontamStream]]) — every corpus token covered
+    * by a min_len window registered by ANY suite ever streamed is cut.
+    * min_len must equal the store's config (the digests are keyed by
+    * it). The registry side materializes under one watermark snapshot
+    * at analysis (benchmark-sized by design); the corpus side stays a
+    * lazy relation outer filters/projects optimize into. */
+  private[graft] def decontaminateStorePlan(es: Seq[Expression]): LogicalPlan =
+    plan(graft.streaming.DecontamStream.decontaminate(
+      SparkSession.active, strArg(es.head), tableArg(es(1)),
+      minLen = intArg(es(2))))
+
+  /** `bm25_topk_store('/path/to/store', 'queries', k)`: BM25 top-k over
+    * a MAINTAINED index store ([[graft.streaming.IndexStream]]); the
+    * queries view carries (query_id, term). Eager (materialized under
+    * the watermark snapshot — k rows per query). */
+  private[graft] def bm25TopKStorePlan(es: Seq[Expression]): LogicalPlan =
+    plan(graft.streaming.IndexStream.topK(
+      SparkSession.active, strArg(es.head), tableArg(es(1)),
+      k = intArg(es(2))))
+
   /** `bpe_encode_with('docs', 'merges')`: production ENCODE with an
     * already-trained merge table — the depth-independent rank-routing
     * kernel ([[TextAnalysis.bpeEncodeWithTable]]) — (doc_id, n_raw,

@@ -416,4 +416,64 @@ class DocSqlSpec extends AnyFunSuite {
     // a merged pair exists ⇒ at least one doc must compress
     assert(encSql.filter("n_encoded < n_raw").count() > 0)
   }
+
+  test("store-backed TVFs answer exactly as the maintained read paths") {
+    docs
+    val work = java.nio.file.Files.createTempDirectory("docsql-store").toString
+
+    // positional-index store: two folds + a compaction, then the TVF
+    // must equal PosIndexStream.phraseSearch over the same store
+    val pixSt = s"$work/pix"
+    val pixCfg = graft.streaming.PosIndexStreamConfig(
+      s"$pixSt/_in_unused", pixSt, s"$pixSt/_ck_unused", docs.schema)
+    graft.streaming.PosIndexStream.processBatch(
+      docs.filter("doc_id <= 2"), 0L, pixCfg)
+    graft.streaming.PosIndexStream.processBatch(
+      docs.filter("doc_id > 2"), 1L, pixCfg)
+    graft.streaming.PosIndexStream.compact(spark, pixSt)
+    locally {
+      import spark.implicits._
+      Seq((10L, "quick brown fox"), (11L, "spark and scala"))
+        .toDF("phrase_id", "phrase").createOrReplaceTempView("sphrases_v")
+    }
+    val psStore = spark.sql(
+      s"SELECT * FROM phrase_search_store('$pixSt', 'sphrases_v')")
+    assert(sorted(psStore) == sorted(graft.streaming.PosIndexStream
+      .phraseSearch(spark, pixSt, spark.table("sphrases_v"))))
+    // and ≡ the one-shot pass over the whole corpus (the store contract)
+    assert(sorted(psStore) ==
+      sorted(Retrieval.phraseSearch(docs, spark.table("sphrases_v"))))
+
+    // decontamination registry store: doc 3 registered as the only
+    // suite, then the TVF must equal DecontamStream.decontaminate ≡ the
+    // one-shot batch pass against the same suite
+    val dcSt = s"$work/dc"
+    val dcCfg = graft.streaming.DecontamStreamConfig(
+      s"$dcSt/_in_unused", dcSt, s"$dcSt/_ck_unused", docs.schema, minLen = 4)
+    graft.streaming.DecontamStream.processBatch(
+      docs.filter("doc_id = 3"), 0L, dcCfg)
+    val dcStore = spark.sql(
+      s"SELECT * FROM decontaminate_store('$dcSt', 'docs', 4)")
+    assert(sorted(dcStore) == sorted(graft.streaming.DecontamStream
+      .decontaminate(spark, dcSt, docs, minLen = 4)))
+    assert(sorted(dcStore) == sorted(Dedup.exactSubstrDecontaminate(
+      docs, docs.filter("doc_id = 3"), "doc_id", "text", minLen = 4)))
+
+    // BM25 index store: the TVF must equal IndexStream.topK
+    val idxSt = s"$work/idx"
+    val idxCfg = graft.streaming.IndexStreamConfig(
+      s"$idxSt/_in_unused", idxSt, s"$idxSt/_ck_unused", docs.schema)
+    graft.streaming.IndexStream.processBatch(docs.filter("doc_id <= 2"), 0L, idxCfg)
+    graft.streaming.IndexStream.processBatch(docs.filter("doc_id > 2"), 1L, idxCfg)
+    locally {
+      import spark.implicits._
+      Seq((900L, "fox"), (900L, "spark"), (901L, "scala"))
+        .toDF("query_id", "term").createOrReplaceTempView("squeries_v")
+    }
+    val bmStore = spark.sql(
+      s"SELECT * FROM bm25_topk_store('$idxSt', 'squeries_v', 3)")
+    assert(sorted(bmStore) == sorted(graft.streaming.IndexStream
+      .topK(spark, idxSt, spark.table("squeries_v"), k = 3)))
+    assert(bmStore.count() > 0)
+  }
 }
