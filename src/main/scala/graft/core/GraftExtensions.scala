@@ -143,6 +143,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.bpeMergesBatchedPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bpe_encode_with"), info("bpe_encode_with"),
       (es: Seq[Expression]) => graft.ext.DocSql.bpeEncodeWithPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("unigram_pieces"), info("unigram_pieces"),
+      (es: Seq[Expression]) => graft.ext.DocSql.unigramPiecesPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("unigram_viterbi"), info("unigram_viterbi"),
+      (es: Seq[Expression]) => graft.ext.DocSql.unigramViterbiPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("gopher_rules"), info("gopher_rules"),
+      (es: Seq[Expression]) => graft.ext.DocSql.gopherRulesPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("wordpiece_vocab"), info("wordpiece_vocab"),
+      (es: Seq[Expression]) => graft.ext.DocSql.wordPieceVocabPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("wordpiece_encode"), info("wordpiece_encode"),
+      (es: Seq[Expression]) => graft.ext.DocSql.wordPieceEncodePlan(es)))
     // store-backed TVFs: the SQL faces of the maintained streaming
     // stores — a SQL-only user queries what the streams keep current
     ext.injectTableFunction((FunctionIdentifier("phrase_search_store"), info("phrase_search_store"),

@@ -441,4 +441,47 @@ object DocSql {
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
     plan(TextAnalysis.bpeEncodeWithTable(tableArg(es.head), merges))
   }
+
+  /** `gopher_rules('docs')`: the Gopher-style per-document quality rule
+    * card — integer signals, per-rule booleans, conjunctive keep
+    * ([[TextAnalysis.gopherRules]] at its default thresholds). */
+  private[graft] def gopherRulesPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.gopherRules(tableArg(es.head)))
+
+  /** `unigram_pieces('docs', topSub)`: the unigram piece inventory
+    * (piece, integer cost) — [[Unigram.pieceFrame]]. Composes with
+    * `unigram_viterbi`. */
+  private[graft] def unigramPiecesPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Unigram.pieceFrame(tableArg(es.head), "text", topSub = intArg(es(1))))
+
+  /** `unigram_viterbi('docs', 'pieces')`: exact Viterbi segmentation
+    * statistics against a (piece, cost) inventory view — exactly what
+    * `unigram_pieces` emits, so train-to-segment composes in SQL. The
+    * inventory collects at analysis time (bounded by construction). */
+  private[graft] def unigramViterbiPlan(es: Seq[Expression]): LogicalPlan = {
+    val inv = tableArg(es(1)).select("piece", "cost").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toIndexedSeq
+    plan(Unigram.viterbiStats(tableArg(es.head), inv))
+  }
+
+  /** `wordpiece_vocab('docs', topWords, topAffixes)`: the corpus-derived
+    * WordPiece vocabulary frame (piece, cont) —
+    * [[WordPiece.vocabFrame]]. Composes with `wordpiece_encode`. */
+  private[graft] def wordPieceVocabPlan(es: Seq[Expression]): LogicalPlan =
+    plan(WordPiece.vocabFrame(tableArg(es.head), "text",
+      topWords = intArg(es(1)), topAffixes = intArg(es(2))))
+
+  /** `wordpiece_encode('docs', 'vocab')`: greedy longest-match WordPiece
+    * encode against a vocabulary view carrying (piece, cont) — exactly
+    * what `wordpiece_vocab` emits, so train-to-encode composes entirely
+    * in SQL. The vocabulary collects to the driver at analysis time —
+    * bounded by construction (chars + topWords + affixes). */
+  private[graft] def wordPieceEncodePlan(es: Seq[Expression]): LogicalPlan = {
+    val rows = tableArg(es(1)).select("piece", "cont").collect()
+    val (c, i) = rows.partition(_.getBoolean(1))
+    val vocab = WordPiece.Vocab(
+      i.map(_.getString(0)).sorted.toIndexedSeq,
+      c.map(_.getString(0)).sorted.toIndexedSeq)
+    plan(WordPiece.encode(tableArg(es.head), vocab))
+  }
 }

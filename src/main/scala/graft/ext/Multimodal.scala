@@ -163,6 +163,57 @@ object Multimodal {
     }.toDF("id", "fp")
   }
 
+  /** Difference-hash (dHash) perceptual fingerprint over REAL decoded
+    * bitmaps: decode ([[Codecs.decodeBmp]]), reduce to a 9×8 grid of
+    * integer luma block-sums, set bit (y·8+x) iff block (y,x)'s mean
+    * exceeds its RIGHT neighbor's (compared as exact integer
+    * cross-products — no division, no floats, bit-identical on any
+    * engine/JVM). The GRADIENT complement to [[imageAHash]]'s
+    * brightness threshold: a global exposure shift flips many aHash
+    * bits but no dHash bit, so image-dedup pipelines run both. Same
+    * scale shape: map-only decode+hash per record, 8 bytes out. */
+  def imageDHash(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val img = Codecs.decodeBmp(r.content)
+        val (w, h) = (img.width, img.height)
+        val sums = new Array[Long](72) // 9 wide × 8 tall
+        val counts = new Array[Long](72)
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val bx = x * 9 / w
+            val o = (y * w + x) * 3
+            val lum = 299L * (img.rgb(o) & 0xff) +
+              587L * (img.rgb(o + 1) & 0xff) + 114L * (img.rgb(o + 2) & 0xff)
+            sums(by * 9 + bx) += lum
+            counts(by * 9 + bx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var fp = 0L
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val a = by * 9 + bx; val b = a + 1
+            // mean(a) > mean(b) ⟺ sums(a)·counts(b) > sums(b)·counts(a)
+            if (counts(a) > 0 && counts(b) > 0 &&
+              sums(a) * counts(b) > sums(b) * counts(a))
+              fp |= (1L << (by * 8 + bx))
+            bx += 1
+          }
+          by += 1
+        }
+        (r.media_id, fp)
+      }
+    }.toDF("id", "fp")
+  }
+
   case class FrameSample(media_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
 
   /** ==== STUB ==== frame sampling: one output row per `everyMs` of

@@ -727,6 +727,75 @@ object TextAnalysis {
         col("dup_5gram_frac") > maxDupFivegramFrac)
   }
 
+  /** Gopher-style document-quality rule card (Rae et al. 2021 §A1.1's
+    * filter family, adapted to the whitespace-token corpus): per
+    * document the integer signals and one boolean per rule —
+    * word-count bounds, mean-word-length bounds, alphabetic-word
+    * ratio, minimum stopword occurrences, single-word dominance, and
+    * duplicate-bigram mass — plus the conjunctive `keep`. Real
+    * pipelines tune per-rule thresholds and audit which rule killed a
+    * document; emitting the full card (not just `keep`) is the point.
+    *
+    * Every threshold compares INTEGERS (`3·n ≤ Σchars`, never
+    * `Σchars/n ≥ 3.0`), so borderline documents cannot flip between
+    * engines — the q71 exact-arithmetic discipline. One map-only pass:
+    * the token array stages once, every signal folds over it in the
+    * same whole-stage-codegen span (the dominance fold is
+    * O(n log n) per document via sort + run-length scan, not a
+    * per-distinct-word rescan); no join, no window, no shuffle before
+    * the caller's ORDER BY. */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minWords: Long = 30, maxWords: Long = 50000,
+                  stops: Seq[String] = stopwords("en")): DataFrame = {
+    val staged = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(split(col(textCol), " "), t => t =!= "").as("__toks"))
+    val toks = col("__toks")
+    val n = size(toks).cast("long")
+    val sumChars = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val stopArr = array(stops.map(lit): _*)
+    val nAlpha = size(filter(toks, x => x.rlike("^[A-Za-z]+$"))).cast("long")
+    val nStop = size(filter(toks, x => array_contains(stopArr, x))).cast("long")
+    // longest run in the SORTED array == the most frequent word's count
+    val maxWordN = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val n2 = size(bigrams).cast("long")
+    val nd2 = size(array_distinct(bigrams)).cast("long")
+    staged.select(col(idCol),
+        n.as("n_words"), sumChars.as("sum_word_chars"),
+        nAlpha.as("n_alpha_words"), nStop.as("n_stopwords"),
+        maxWordN.as("max_word_count"),
+        n2.as("n_bigrams"), nd2.as("n_distinct_bigrams"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_word_len", // 3 ≤ mean ≤ 10, integer-exact
+        lit(3) * col("n_words") <= col("sum_word_chars") &&
+          col("sum_word_chars") <= lit(10) * col("n_words"))
+      .withColumn("r_alpha_ratio", // ≥ 80% alphabetic words
+        lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+      .withColumn("r_stopwords", col("n_stopwords") >= 2)
+      .withColumn("r_dominance", // most frequent word ≤ 20%
+        lit(5) * col("max_word_count") <= col("n_words"))
+      .withColumn("r_repetition", // duplicated bigram mass ≤ 50%
+        lit(2) * (col("n_bigrams") - col("n_distinct_bigrams")) <= col("n_bigrams"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_alpha_ratio") &&
+          col("r_stopwords") && col("r_dominance") && col("r_repetition"))
+  }
+
   /** Zipf-law fit over the corpus's top-`topV` term frequencies: OLS of
     * log(freq) on log(rank) — slope ≈ −1 is the natural-language
     * signature; a flat slope flags template/boilerplate corpora, a

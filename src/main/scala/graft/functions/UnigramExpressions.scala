@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** [[UnigramViterbiStats]]'s kernel: exact Viterbi segmentation of each
+  * word against a unigram piece inventory with INTEGER costs — the
+  * SentencePiece-unigram inference shape (Kudo 2018) under the
+  * integer-exact objective cost(piece) = K − weight(piece): minimizing
+  * total cost first minimizes the PIECE COUNT (every piece carries the
+  * dominant K) and then, among equal-length segmentations, maximizes
+  * the total occurrence weight — a deterministic objective with no
+  * floating-point log-probs, so the oracle's DP agrees bit-for-bit.
+  * The per-word optimum COST is unique even when several segmentations
+  * achieve it, which is why the emitted statistics (cost, piece count
+  * recovered exactly as (cost + K − 1) / K since 0 < Σweights < K) are
+  * engine-independent while the segmentation string itself would not be.
+  *
+  * Forward DP per word: best[p] = min over piece lengths l of
+  * best[p−l] + cost(word[p−l..p]) — O(numChars × maxPieceLen) hash
+  * probes, one long array per word. A position no piece reaches (never,
+  * with the character-covering inventories [[graft.ext.Unigram]]
+  * builds) consumes one character at cost K. Positions are CODE POINTS
+  * (`substringSQL`), matching SQL `substr` exactly. Map-only at any
+  * scale: the bounded inventory rides the closure as codegen reference
+  * objects.
+  */
+object UnigramKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Per document: (Σ word Viterbi costs, Σ word piece counts) over the
+    * non-empty words of `toks`. */
+  def viterbi(toks: ArrayData, costOf: java.util.HashMap[UTF8String, java.lang.Long],
+              maxLen: Int, k: Long): InternalRow = {
+    var total = 0L
+    var pieces = 0L
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val w = toks.getUTF8String(i)
+        val len = w.numChars()
+        if (len > 0) {
+          val best = new Array[Long](len + 1)
+          var p = 1
+          while (p <= len) {
+            // min over matching pieces; the 1-char cost-K fallback fires
+            // ONLY when nothing matches (the oracle's coalesce semantics)
+            var b = Long.MaxValue
+            var l = 1
+            val cap = math.min(maxLen, p)
+            while (l <= cap) {
+              val c = costOf.get(w.substringSQL(p - l + 1, l))
+              if (c != null) {
+                val cand = best(p - l) + c.longValue()
+                if (cand < b) b = cand
+              }
+              l += 1
+            }
+            best(p) = if (b == Long.MaxValue) best(p - 1) + k else b
+            p += 1
+          }
+          total += best(len)
+          pieces += (best(len) + k - 1) / k
+        }
+      }
+      i += 1
+    }
+    InternalRow(total, pieces)
+  }
+}
+
+/** Exact unigram-Viterbi statistics of a tokenized document:
+  * struct(viterbi_cost, n_pieces) summed over the words. The piece
+  * inventory (bounded) rides as codegen reference objects — no join,
+  * no shuffle, one map pass. */
+case class UnigramViterbiStats(child: Expression,
+                               pieces: Seq[String], costs: Seq[Long], k: Long)
+  extends UnaryExpression {
+  require(pieces.length == costs.length, "pieces/costs must align")
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val costOf: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](pieces.length * 2)
+    pieces.indices.foreach { i =>
+      m.put(UTF8String.fromString(pieces(i)), java.lang.Long.valueOf(costs(i)))
+    }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(p => p.codePointCount(0, p.length)).max.max(1)
+
+  override def prettyName: String = "unigram_viterbi_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("viterbi_cost", LongType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UnigramKernel.viterbi(v.asInstanceOf[ArrayData], costOf, maxLen, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapCls = "java.util.HashMap"
+    val mRef = ctx.addReferenceObj("ugCosts", costOf, mapCls)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.UnigramKernel.viterbi($v, " +
+        s"($mapCls) $mRef, $maxLen, ${k}L);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object UnigramFunctions {
+  def unigram_viterbi_stats(toks: Column, pieces: Seq[String],
+                            costs: Seq[Long], k: Long): Column =
+    Bridge.column(UnigramViterbiStats(Bridge.expression(toks), pieces, costs, k))
+}

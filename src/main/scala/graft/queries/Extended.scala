@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{CorpusDiff, Dedup, Multimodal, NgramLM, PCA, RangeJoin, Retrieval, RobustStats, Sharding, Similarity, TextAnalysis}
+import graft.ext.{CorpusDiff, Dedup, Multimodal, NgramLM, PCA, RangeJoin, Retrieval, RobustStats, Sharding, Similarity, TextAnalysis, Unigram, WordPiece}
 
 /** Extended operator queries: training-data-pipeline ops beyond the
   * reference's own surface (dedup family, ANN similarity, text analysis,
@@ -180,6 +180,12 @@ ORDER BY doc_id"""
         sliceRows.zipWithIndex.map { case ((t1, t2, c), i) => (w, i + 1, t1, t2, c) }
       }.toDF("w", "rn", "t1", "t2", "c")
     }),
+    "q188_vocab" -> ((s: SparkSession, d: String) =>
+      // the corpus-derived WordPiece vocabulary q188 encodes with — the
+      // dump boundary is the (deterministic, tie-broken-on-piece)
+      // frequency heuristic; the greedy ENCODE is re-derived in SQL, so
+      // the longest-match kernel is NOT trusted from the engine
+      WordPiece.vocabFrame(Tables.documents(s, d))),
     "q181_merges" -> ((s: SparkSession, d: String) => {
       // the trained merge table q181 encodes with — the dump boundary
       // is the (q166-gated) trainer; the ENCODE itself is re-derived in
@@ -189,6 +195,18 @@ ORDER BY doc_id"""
       q166Train(s, d).merges.map(m => (m._1, m._2, m._3))
         .toDF("round", "lhs", "rhs")
     }),
+    "q191_pieces" -> ((s: SparkSession, d: String) =>
+      // the unigram piece inventory (piece, integer cost) q191 segments
+      // with — the dump boundary is the substring-weight aggregation;
+      // the Viterbi DP is re-derived in SQL, so the kernel is NOT
+      // trusted from the engine
+      Unigram.pieceFrame(Tables.documents(s, d))),
+    "q190_dhashes" -> ((s: SparkSession, d: String) =>
+      // the per-image dHash fingerprints q190's pairs derive from — the
+      // dump boundary is the REAL BMP encode→decode→gradient-hash
+      // kernel; the oracle recomputes ALL-PAIRS Hamming truth from them
+      Multimodal.imageDHash(
+        Multimodal.synthesizeBmpCorpus(Tables.documents(s, d)))),
     "q161_ahashes" -> ((s: SparkSession, d: String) =>
       // the per-image aHash fingerprints q161's pairs derive from —
       // the dump boundary is the REAL BMP encode→decode→hash kernel;
@@ -4333,6 +4351,191 @@ ORDER BY doc_id"""
              |JOIN (SELECT doc_id, state FROM enc
              |      WHERE r = (SELECT MAX(round) FROM m)) f USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
+
+    ("q188_wordpiece_encode",
+      (s: SparkSession, d: String) => {
+        // greedy longest-match WordPiece encode (the BERT-tokenizer
+        // inference rule) against the corpus-derived vocabulary —
+        // topWords=16 < the corpus's 31 distinct words, so roughly half
+        // the vocabulary genuinely splits into affix/char pieces. The
+        // vocabulary rides the q188_vocab aux dump; the ENCODE is
+        // re-derived in SQL as a per-word greedy recursion, so the
+        // kernel's longest-match loop is NOT trusted from the engine —
+        // any match-order, continuation-table, or marker bug hash-fails.
+        WordPiece.encode(Tables.documents(s, d), q188Vocab(s, d))
+          .orderBy("doc_id")
+      },
+      // INDEPENDENT REPLAY: per (doc, word) a recursive CTE walks the
+      // word left to right; each step's LATERAL picks the LONGEST
+      // vocabulary piece prefixing the remaining suffix (continuation
+      // table when pos > 1), coalescing to a 1-char consume exactly as
+      // the kernel's fallback. Documents whose every token is empty
+      // still emit a row (n_words = 0, encoded = '') via the LEFT JOIN.
+      Some(s"""WITH RECURSIVE
+             |v AS MATERIALIZED (SELECT piece, cont
+             |  FROM read_parquet('$OracleAuxDir/q188_vocab/*.parquet')),
+             |words AS (SELECT doc_id, i AS widx, toks[i] AS word
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |        FROM documents WHERE text IS NOT NULL),
+             |       unnest(range(1, len(toks) + 1)) AS u(i)
+             |  WHERE toks[i] <> ''),
+             |step AS (
+             |  SELECT doc_id, widx, word, 1 AS pos, 0 AS n, '' AS acc
+             |  FROM words
+             |  UNION ALL
+             |  SELECT s.doc_id, s.widx, s.word, s.pos + m.l, s.n + 1,
+             |    s.acc || CASE WHEN s.n = 0 THEN '' ELSE ' ' END ||
+             |      CASE WHEN s.pos > 1 THEN '##' ELSE '' END ||
+             |      substr(s.word, s.pos, m.l)
+             |  FROM step s,
+             |    LATERAL (SELECT coalesce(MAX(len(v.piece)), 1) AS l
+             |             FROM v WHERE v.cont = (s.pos > 1)
+             |               AND v.piece = substr(s.word, s.pos, len(v.piece))) m
+             |  WHERE s.pos <= len(s.word)),
+             |enc AS (SELECT doc_id, widx, n AS n_pieces, acc
+             |        FROM step WHERE pos > len(word)),
+             |perdoc AS (SELECT doc_id, COUNT(*) AS n_words,
+             |    SUM(n_pieces) AS n_pieces,
+             |    string_agg(acc, ' ' ORDER BY widx) AS encoded
+             |  FROM enc GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+             |  CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+             |  coalesce(p.encoded, '') AS encoded
+             |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+             |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    ("q189_gopher_rules",
+      (s: SparkSession, d: String) =>
+        // the Gopher-style quality rule card: per document the integer
+        // signals, one boolean per rule, and the conjunctive keep —
+        // every threshold an INTEGER comparison (the q71 discipline), so
+        // borderline documents cannot flip between engines. One map-only
+        // pass; the oracle recomputes every signal via unnest+GROUP BY,
+        // so the engine's array folds (incl. the sorted run-length
+        // dominance scan) are fully re-derived.
+        TextAnalysis.gopherRules(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |w AS (SELECT doc_id, toks[i] AS w
+             |      FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+             |base AS (SELECT doc_id,
+             |    COUNT(*) AS n_words, SUM(len(w)) AS sum_word_chars,
+             |    SUM(CASE WHEN regexp_full_match(w, '[A-Za-z]+')
+             |        THEN 1 ELSE 0 END) AS n_alpha_words,
+             |    SUM(CASE WHEN w IN ('the','and','of','to','is','in','that','with')
+             |        THEN 1 ELSE 0 END) AS n_stopwords
+             |  FROM w GROUP BY doc_id),
+             |dom AS (SELECT doc_id, MAX(c) AS max_word_count
+             |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+             |  GROUP BY doc_id),
+             |bg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             |    COUNT(DISTINCT g) AS n_distinct_bigrams
+             |  FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+             |        FROM t, unnest(range(1, len(toks))) u(i))
+             |  GROUP BY doc_id),
+             |j AS (SELECT t.doc_id,
+             |    CAST(coalesce(base.n_words, 0) AS BIGINT) AS n_words,
+             |    CAST(coalesce(base.sum_word_chars, 0) AS BIGINT) AS sum_word_chars,
+             |    CAST(coalesce(base.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
+             |    CAST(coalesce(base.n_stopwords, 0) AS BIGINT) AS n_stopwords,
+             |    CAST(coalesce(dom.max_word_count, 0) AS BIGINT) AS max_word_count,
+             |    CAST(coalesce(bg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |    CAST(coalesce(bg.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams
+             |  FROM t LEFT JOIN base USING (doc_id)
+             |    LEFT JOIN dom USING (doc_id) LEFT JOIN bg USING (doc_id))
+             |SELECT doc_id, n_words, sum_word_chars, n_alpha_words,
+             |  n_stopwords, max_word_count, n_bigrams, n_distinct_bigrams,
+             |  (n_words >= 30 AND n_words <= 50000) AS r_word_count,
+             |  (3 * n_words <= sum_word_chars
+             |   AND sum_word_chars <= 10 * n_words) AS r_mean_word_len,
+             |  (5 * n_alpha_words >= 4 * n_words) AS r_alpha_ratio,
+             |  (n_stopwords >= 2) AS r_stopwords,
+             |  (5 * max_word_count <= n_words) AS r_dominance,
+             |  (2 * (n_bigrams - n_distinct_bigrams) <= n_bigrams) AS r_repetition,
+             |  ((n_words >= 30 AND n_words <= 50000)
+             |   AND (3 * n_words <= sum_word_chars
+             |        AND sum_word_chars <= 10 * n_words)
+             |   AND (5 * n_alpha_words >= 4 * n_words)
+             |   AND (n_stopwords >= 2)
+             |   AND (5 * max_word_count <= n_words)
+             |   AND (2 * (n_bigrams - n_distinct_bigrams) <= n_bigrams)) AS keep
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
+    ("q190_image_dhash_dedup",
+      (s: SparkSession, d: String) => {
+        // the GRADIENT half of the perceptual-dedup pair: the same real
+        // BMP corpus as q161, fingerprinted by dHash (9×8 block-mean
+        // right-neighbor comparisons — exposure-shift-invariant where
+        // aHash is not), pairs via the same Hamming pigeonhole. Image
+        // pipelines run BOTH and union the pair sets; gating the second
+        // family pins the 9-wide grid arithmetic and the bit layout.
+        val fps = Multimodal.imageDHash(
+          Multimodal.synthesizeBmpCorpus(Tables.documents(s, d)))
+        Dedup.hammingNearDupPairs(fps, maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy("id1", "id2")
+      },
+      // all-pairs Hamming ground truth over the dumped dHashes — a pair
+      // the 4-chunk pigeonhole missed (or a phantom) hash-fails
+      Some(s"""WITH fp AS (SELECT id, fp
+              |           FROM read_parquet('$OracleAuxDir/q190_dhashes/*.parquet'))
+              |SELECT a.id AS id1, b.id AS id2,
+              |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+              |FROM fp a JOIN fp b ON a.id < b.id
+              |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+              |ORDER BY id1, id2""".stripMargin)),
+
+    ("q191_unigram_viterbi",
+      (s: SparkSession, d: String) =>
+        // exact unigram-LM Viterbi segmentation statistics (Kudo 2018's
+        // inference shape) under the integer-exact objective
+        // cost = K − weight: per document the word count, total optimal
+        // cost, and the (unique) optimal piece count. The inventory
+        // rides the q191_pieces aux dump; the DP itself is re-derived in
+        // SQL as a per-word forward recursion whose step takes the MIN
+        // over matching pieces — the kernel's DP is NOT trusted from the
+        // engine; any transition, fallback, or cost bug hash-fails.
+        Unigram.viterbiStats(Tables.documents(s, d), q191Pieces(s, d))
+          .orderBy("doc_id"),
+      // INDEPENDENT REPLAY: forward DP per DISTINCT word (best[] carried
+      // as a BIGINT list through the recursion), then word costs join
+      // back to per-document sums. coalesce = the cost-K single-char
+      // fallback, exactly the kernel's no-match semantics.
+      Some(s"""WITH RECURSIVE
+             |p AS MATERIALIZED (SELECT piece, cost
+             |  FROM read_parquet('$OracleAuxDir/q191_pieces/*.parquet')),
+             |words AS (SELECT doc_id, toks[i] AS word
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |        FROM documents WHERE text IS NOT NULL),
+             |       unnest(range(1, len(toks) + 1)) AS u(i)),
+             |uw AS (SELECT DISTINCT word FROM words),
+             |dp AS (
+             |  SELECT word, 0 AS pos, CAST([0] AS BIGINT[]) AS best FROM uw
+             |  UNION ALL
+             |  SELECT d.word, d.pos + 1,
+             |    list_append(d.best, coalesce(
+             |      (SELECT MIN(d.best[d.pos + 2 - l.l] + p.cost)
+             |       FROM unnest([1, 2, 3, 4]) AS l(l)
+             |       JOIN p ON p.piece = substr(d.word, d.pos + 2 - l.l, l.l)
+             |       WHERE l.l <= d.pos + 1),
+             |      d.best[d.pos + 1] + 1000000000000))
+             |  FROM dp d WHERE d.pos < len(d.word)),
+             |wcost AS (SELECT word, best[len(word) + 1] AS cost
+             |          FROM dp WHERE pos = len(word)),
+             |perdoc AS (SELECT w.doc_id, COUNT(*) AS n_words,
+             |    SUM(c.cost) AS viterbi_cost,
+             |    SUM((c.cost + 1000000000000 - 1) // 1000000000000) AS n_pieces
+             |  FROM words w JOIN wcost c USING (word) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+             |  CAST(coalesce(pd.viterbi_cost, 0) AS BIGINT) AS viterbi_cost,
+             |  CAST(coalesce(pd.n_pieces, 0) AS BIGINT) AS n_pieces
+             |FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+             |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin)),
   )
 
   /** Shared by q172 (one-shot pass) and q185 (maintained registry):
@@ -4564,6 +4767,26 @@ ORDER BY doc_id"""
   /** Memoized batched-BPE training for q166: the query emits the merge
     * table and the aux dump emits the window spectra — one training run
     * per sf dir serves both (same discipline as [[q119Fit]]). */
+  /** Memoized WordPiece vocabulary for q188 — the query encodes with it
+    * and the aux dump re-emits the frame it was collected from; both are
+    * deterministic (ties broken on the piece string), so independent
+    * recomputations agree (the q30 discipline). */
+  private val q188Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, WordPiece.Vocab]()
+  private def q188Vocab(s: SparkSession, d: String): WordPiece.Vocab =
+    q188Cache.computeIfAbsent(d, dir =>
+      WordPiece.trainVocab(Tables.documents(s, dir)))
+
+  /** Memoized unigram piece inventory for q191 (the q188/q30
+    * discipline: derivation is deterministic, ties broken on the piece
+    * string, so the query's collected seq and the aux dump's recomputed
+    * frame agree). */
+  private val q191Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private def q191Pieces(s: SparkSession, d: String): Seq[(String, Long)] =
+    q191Cache.computeIfAbsent(d, dir =>
+      Unigram.trainPieces(Tables.documents(s, dir)))
+
   private val q166Cache =
     new java.util.concurrent.ConcurrentHashMap[String, TextAnalysis.BpeBatchResult]()
   private def q166Train(s: SparkSession, d: String): TextAnalysis.BpeBatchResult =

@@ -325,7 +325,28 @@ object ScaleBench {
     // (the orders replica axis; the customer side is copied as-is, so
     // the view's join-key buckets deepen ×10 — the relocation path's
     // worst case).
-    "q187_stream_loop_join")
+    "q187_stream_loop_join",
+    // q188: vocab training (one word-count aggregation, ∝ tokens; the
+    // replica corpus ×10s the word-key cardinality) + the greedy encode
+    // (map-only, hash probes per char against the bounded broadcast
+    // vocabulary — ∝ tokens, independent of vocabulary size). Cache
+    // note: q188Vocab memoizes per dir, so of a dir's repeated timed
+    // runs the FIRST bills the training; min-of-runs then times the
+    // encode alone, identically on both dirs.
+    "q188_wordpiece_encode",
+    // q189: the quality rule card — pure map-only array folds per
+    // document (the dominance scan is O(len log len) in-row), output
+    // one row per doc; time must track rows ×10 exactly.
+    "q189_gopher_rules",
+    // q190: q161's regime for the gradient hash — map-only BMP
+    // synth+decode+dHash per doc, then the 4-chunk pigeonhole pair
+    // join over 8-byte fingerprints (bucket population ∝ rows).
+    "q190_image_dhash_dedup",
+    // q191: inventory training (one substring-weight aggregation,
+    // O(tokens·maxLen) pre-combine rows) + the Viterbi DP (map-only,
+    // O(chars·maxLen) hash probes per doc). q188's cache-billing note
+    // applies verbatim (q191Pieces memoizes per dir).
+    "q191_unigram_viterbi")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

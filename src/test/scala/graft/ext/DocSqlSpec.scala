@@ -415,6 +415,40 @@ class DocSqlSpec extends AnyFunSuite {
       .select("doc_id", "n_raw", "n_encoded")))
     // a merged pair exists ⇒ at least one doc must compress
     assert(encSql.filter("n_encoded < n_raw").count() > 0)
+
+    // wordpiece_vocab / wordpiece_encode: TVF ≡ Scala API, and the two
+    // compose train-to-encode entirely in SQL
+    assert(sorted(spark.sql("SELECT * FROM wordpiece_vocab('docs', 4, 3)")) ==
+      sorted(WordPiece.vocabFrame(docs, topWords = 4, topAffixes = 3)))
+    spark.sql("SELECT piece, cont FROM wordpiece_vocab('docs', 4, 3)")
+      .createOrReplaceTempView("wp_vocab_v")
+    val wpSql = spark.sql(
+      "SELECT doc_id, n_words, n_pieces, encoded FROM wordpiece_encode('docs', 'wp_vocab_v')")
+    val wpRows = spark.table("wp_vocab_v").collect()
+    val (wpC, wpI) = wpRows.partition(_.getBoolean(1))
+    val wpVocab = WordPiece.Vocab(
+      wpI.map(_.getString(0)).sorted.toIndexedSeq,
+      wpC.map(_.getString(0)).sorted.toIndexedSeq)
+    assert(sorted(wpSql) == sorted(WordPiece.encode(docs, wpVocab)))
+    // only 4 whole words in the vocab ⇒ some doc must genuinely split
+    assert(wpSql.filter("n_pieces > n_words").count() > 0)
+
+    // gopher_rules: TVF ≡ Scala API
+    assert(sorted(spark.sql("SELECT * FROM gopher_rules('docs')")) ==
+      sorted(TextAnalysis.gopherRules(docs)))
+
+    // unigram_pieces / unigram_viterbi: TVF ≡ Scala API, composing in SQL
+    assert(sorted(spark.sql("SELECT * FROM unigram_pieces('docs', 6)")) ==
+      sorted(Unigram.pieceFrame(docs, topSub = 6)))
+    spark.sql("SELECT piece, cost FROM unigram_pieces('docs', 6)")
+      .createOrReplaceTempView("ug_pieces_v")
+    val ugSql = spark.sql(
+      "SELECT doc_id, n_words, viterbi_cost, n_pieces FROM unigram_viterbi('docs', 'ug_pieces_v')")
+    val ugInv = spark.table("ug_pieces_v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toIndexedSeq
+    assert(sorted(ugSql) == sorted(Unigram.viterbiStats(docs, ugInv)))
+    // some word must genuinely segment into >1 piece under topSub=6
+    assert(ugSql.filter("n_pieces > n_words").count() > 0)
   }
 
   test("store-backed TVFs answer exactly as the maintained read paths") {

@@ -296,4 +296,45 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Long, Double, Double, Double, Double, Boolean)].collect().toSeq
     assert(again == got)
   }
+
+  test("gopherRules: hand-computed signals, per-rule booleans, boundary exactness") {
+    val docs = Seq(
+      // 1: passes EVERY rule (minWords=2, maxWords=10): 10 words, mean
+      // len 3.6, all alpha, 'the' ×2 = 2 stopwords, dominance at the
+      // EXACT boundary (5·2 = 10), 9 distinct bigrams
+      (1L, "the quick brown fox jumps the lazy dog ok yes"),
+      // 2: word-count fail only path is exercised via minWords below
+      (2L, "aa aa aa aa bb"), // dominance fail: 5·4 > 5
+      (3L, "x1 y2 z3 w4 v5"), // alpha fail: 0 alpha words
+      (4L, "abcdefghijklmnop qrstuvwxyzabcdef"), // mean word len 16 > 10
+      (5L, "ab ab ab ab ab ab"), // repetition: 5 bigrams, 1 distinct → fail
+      (6L, "")) // empty text: zero words, bigrams; rules degenerate
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, minWords = 2, maxWords = 10,
+        stops = Seq("the"))
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(got.length == 6)
+    val r1 = byId(1L)
+    assert(r1.getAs[Long]("n_words") == 10 && r1.getAs[Long]("n_stopwords") == 2)
+    assert(r1.getAs[Long]("max_word_count") == 2) // dominance boundary: 5·2 = 10
+    assert(r1.getAs[Boolean]("keep"))
+    assert(byId(2L).getAs[Long]("max_word_count") == 4 &&
+      !byId(2L).getAs[Boolean]("r_dominance"))
+    assert(!byId(3L).getAs[Boolean]("r_alpha_ratio") &&
+      byId(3L).getAs[Long]("n_alpha_words") == 0)
+    assert(!byId(4L).getAs[Boolean]("r_mean_word_len") &&
+      byId(4L).getAs[Long]("sum_word_chars") == 32)
+    val r5 = byId(5L)
+    assert(r5.getAs[Long]("n_bigrams") == 5 && r5.getAs[Long]("n_distinct_bigrams") == 1)
+    assert(!r5.getAs[Boolean]("r_repetition"))
+    val r6 = byId(6L)
+    assert(r6.getAs[Long]("n_words") == 0 && r6.getAs[Long]("n_bigrams") == 0)
+    assert(!r6.getAs[Boolean]("r_word_count") && r6.getAs[Boolean]("r_repetition"))
+    // boundary exactness: mean word length EXACTLY 3 and EXACTLY 10 pass
+    val edge = Seq((1L, "abc def"), (2L, "abcdefghij klmnopqrst"))
+      .toDF("doc_id", "text")
+    val e = TextAnalysis.gopherRules(edge, minWords = 1).orderBy("doc_id").collect()
+    assert(e.forall(_.getAs[Boolean]("r_mean_word_len")))
+  }
 }

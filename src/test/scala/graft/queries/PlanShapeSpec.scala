@@ -704,6 +704,37 @@ class PlanShapeSpec extends SparkTestBase {
       s"encode must be map-only up to the final sort, found $exchanges exchanges\n$p")
   }
 
+  test("q188: wordpiece encode is ONE map pass — no join, no aggregate, no window") {
+    val p = plan("q188_wordpiece_encode")
+    assert(p.contains("word_piece_encode"),
+      "the greedy longest-match kernel must be the encode path")
+    assert(!p.contains("Join") && !p.contains("Window "),
+      "the vocabulary rides as codegen reference objects — encoding must not join or window")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, // the declared ORDER BY's range partitioning only
+      s"encode must be map-only up to the final sort, found $exchanges exchanges\n$p")
+  }
+
+  test("q189: the rule card is ONE map pass — no join, no aggregate, no window") {
+    val p = plan("q189_gopher_rules")
+    assert(!p.contains("Join") && !p.contains("Window ") && !p.contains("HashAggregate"),
+      "every signal folds over the staged token array in-row — no shuffle-bearing operator")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, // the declared ORDER BY's range partitioning only
+      s"the card must be map-only up to the final sort, found $exchanges exchanges\n$p")
+  }
+
+  test("q191: the Viterbi pass is ONE map pass — no join, no aggregate, no window") {
+    val p = plan("q191_unigram_viterbi")
+    assert(p.contains("unigram_viterbi_stats"),
+      "the exact DP kernel must be the segmentation path")
+    assert(!p.contains("Join") && !p.contains("Window "),
+      "the piece inventory rides as codegen reference objects — no join, no window")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, // the declared ORDER BY's range partitioning only
+      s"the DP must be map-only up to the final sort, found $exchanges exchanges\n$p")
+  }
+
   test("q185: the registry cut is a digest semi-join — no cartesian, no window") {
     val p = plan("q185_decontam_maintained")
     assert(p.contains("LeftSemi"),
