@@ -143,6 +143,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.bpeMergesBatchedPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bpe_encode_with"), info("bpe_encode_with"),
       (es: Seq[Expression]) => graft.ext.DocSql.bpeEncodeWithPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("tokenizer_bakeoff"), info("tokenizer_bakeoff"),
+      (es: Seq[Expression]) => graft.ext.DocSql.tokenizerBakeoffPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("fim_transform"), info("fim_transform"),
+      (es: Seq[Expression]) => graft.ext.DocSql.fimTransformPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("unigram_pieces"), info("unigram_pieces"),
       (es: Seq[Expression]) => graft.ext.DocSql.unigramPiecesPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("unigram_viterbi"), info("unigram_viterbi"),

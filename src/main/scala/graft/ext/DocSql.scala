@@ -448,6 +448,13 @@ object DocSql {
   private[graft] def gopherRulesPlan(es: Seq[Expression]): LogicalPlan =
     plan(TextAnalysis.gopherRules(tableArg(es.head)))
 
+  /** `fim_transform('docs', ratePermille, seed)`: the fill-in-the-middle
+    * reorder ([[Sharding.fimTransform]]) — deterministic-hash selection
+    * and split points, `<PRE>/<SUF>/<MID>` PSM rendering. */
+  private[graft] def fimTransformPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Sharding.fimTransform(tableArg(es.head),
+      ratePermille = intArg(es(1)), seed = numArg(es(2)).longValue()))
+
   /** `unigram_pieces('docs', topSub)`: the unigram piece inventory
     * (piece, integer cost) — [[Unigram.pieceFrame]]. Composes with
     * `unigram_viterbi`. */
@@ -462,6 +469,25 @@ object DocSql {
     val inv = tableArg(es(1)).select("piece", "cost").collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toIndexedSeq
     plan(Unigram.viterbiStats(tableArg(es.head), inv))
+  }
+
+  /** `tokenizer_bakeoff('docs', 'merges', 'wpvocab', 'ugpieces')`: the
+    * four-family token-count frame ([[Tokenizers.profile]]); the three
+    * table views carry exactly what `bpe_merges_batched`,
+    * `wordpiece_vocab` and `unigram_pieces` emit, so the whole bake-off
+    * composes in SQL. */
+  private[graft] def tokenizerBakeoffPlan(es: Seq[Expression]): LogicalPlan = {
+    val merges = tableArg(es(1)).select("round", "lhs", "rhs").collect()
+      .sortBy(_.getAs[Number]("round").longValue())
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val wpRows = tableArg(es(2)).select("piece", "cont").collect()
+    val (c, i) = wpRows.partition(_.getBoolean(1))
+    val wp = WordPiece.Vocab(
+      i.map(_.getString(0)).sorted.toIndexedSeq,
+      c.map(_.getString(0)).sorted.toIndexedSeq)
+    val ug = tableArg(es(3)).select("piece", "cost").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toIndexedSeq
+    plan(Tokenizers.profile(tableArg(es.head), merges, wp, ug))
   }
 
   /** `wordpiece_vocab('docs', topWords, topAffixes)`: the corpus-derived

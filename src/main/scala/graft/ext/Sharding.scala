@@ -633,4 +633,50 @@ object Sharding {
       .withColumnRenamed("bucket", "file_id")
       .drop("__zid")
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022: train the
+    * LM to infill by REORDERING a fraction of documents to
+    * prefix–suffix–middle with sentinel tokens — the data-side op is a
+    * pure, deterministic rearrangement). Per document:
+    *
+    *  - selection: `ratePermille` of documents with ≥ `minTokens`
+    *    tokens transform; the rest pass through verbatim. Selection and
+    *    split points derive from the engine-reproducible multiplicative
+    *    hash (the q77 keep-rule arithmetic — no RNG state, a pure
+    *    function of (id, seed) under any partitioning);
+    *  - two split points 1 ≤ i ≤ j ≤ n−1 cut prefix `[1..i]`, middle
+    *    `[i+1..j]` (possibly empty when i = j), suffix `[j+1..n]`;
+    *  - PSM rendering: `<PRE> prefix <SUF> suffix <MID> middle` — the
+    *    infill-training order (the model sees both context sides before
+    *    generating the middle).
+    *
+    * Output: (id, n_tokens, fim boolean, text_fim). Map-only: slices of
+    * the staged token array, no shuffle, no join; at 100 TB this is
+    * pure per-split work like every other shard-engineering pass. */
+  def fimTransform(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", minTokens: Int = 8,
+                   ratePermille: Int = 500, seed: Long = 17L): DataFrame = {
+    val staged = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(split(col(textCol), " "), t => t =!= "").as("__toks"))
+    val toks = col("__toks")
+    val n = size(toks).cast("long")
+    def mhash(salt: Long): Column =
+      pmod(((col(idCol) + lit(salt)) % 1000003L) * 2654435761L, lit(1000003L))
+    val selected = n >= minTokens &&
+      pmod(mhash(seed), lit(1000L)) < ratePermille
+    val a = pmod(mhash(seed + 1), n - 1) + 1L
+    val b = pmod(mhash(seed + 2), n - 1) + 1L
+    val i = least(a, b)
+    val j = greatest(a, b)
+    // array concatenation, ONE join: an empty middle slice contributes
+    // nothing (no dangling separator ambiguity between engines)
+    val psm = array_join(concat(
+      array(lit("<PRE>")), slice(toks, lit(1), i.cast("int")),
+      array(lit("<SUF>")), slice(toks, (j + 1).cast("int"), (n - j).cast("int")),
+      array(lit("<MID>")), slice(toks, (i + 1).cast("int"), (j - i).cast("int"))), " ")
+    staged.select(col(idCol), n.as("n_tokens"),
+      selected.as("fim"),
+      when(selected, psm).otherwise(array_join(toks, " ")).as("text_fim"))
+  }
 }

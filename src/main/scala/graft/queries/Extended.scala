@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{CorpusDiff, Dedup, Multimodal, NgramLM, PCA, RangeJoin, Retrieval, RobustStats, Sharding, Similarity, TextAnalysis, Unigram, WordPiece}
+import graft.ext.{CorpusDiff, Dedup, Multimodal, NgramLM, PCA, RangeJoin, Retrieval, RobustStats, Sharding, Similarity, TextAnalysis, Tokenizers, Unigram, WordPiece}
 
 /** Extended operator queries: training-data-pipeline ops beyond the
   * reference's own surface (dedup family, ANN similarity, text analysis,
@@ -4534,6 +4534,118 @@ ORDER BY doc_id"""
              |  CAST(coalesce(pd.viterbi_cost, 0) AS BIGINT) AS viterbi_cost,
              |  CAST(coalesce(pd.n_pieces, 0) AS BIGINT) AS n_pieces
              |FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+             |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    ("q192_fim_transform",
+      (s: SparkSession, d: String) =>
+        // the fill-in-the-middle data transformation (Bavarian et al.
+        // 2022): a deterministic-hash-selected half of the corpus
+        // reorders to <PRE> prefix <SUF> suffix <MID> middle; the rest
+        // pass through verbatim. Selection and both split points are
+        // pure functions of (doc_id, seed) — the q77 keep-rule
+        // arithmetic — so the oracle replays the WHOLE transform
+        // independently, sentinels, slices, and all.
+        Sharding.fimTransform(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |c AS (SELECT doc_id, toks, len(toks) AS n,
+             |    ((doc_id + 17) % 1000003) * 2654435761 % 1000003 AS h0,
+             |    ((doc_id + 18) % 1000003) * 2654435761 % 1000003 AS h1,
+             |    ((doc_id + 19) % 1000003) * 2654435761 % 1000003 AS h2
+             |  FROM t),
+             |s AS (SELECT doc_id, toks, n,
+             |    (n >= 8 AND h0 % 1000 < 500) AS fim,
+             |    CASE WHEN n >= 2
+             |      THEN least(h1 % (n - 1) + 1, h2 % (n - 1) + 1) END AS i,
+             |    CASE WHEN n >= 2
+             |      THEN greatest(h1 % (n - 1) + 1, h2 % (n - 1) + 1) END AS j
+             |  FROM c)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, fim,
+             |  CASE WHEN fim THEN array_to_string(
+             |      ['<PRE>'] || toks[1:i] || ['<SUF>'] || toks[j+1:n]
+             |        || ['<MID>'] || toks[i+1:j], ' ')
+             |    ELSE array_to_string(toks, ' ') END AS text_fim
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    ("q193_tokenizer_bakeoff",
+      (s: SparkSession, d: String) =>
+        // the four-family tokenizer bake-off: whitespace, the
+        // q166-trained 160-merge BPE table (indexed kernel), the q188
+        // WordPiece vocabulary (greedy kernel), and the q191 unigram
+        // inventory (Viterbi kernel) — ONE map-only projection, all
+        // three trained tables riding as codegen reference objects. The
+        // oracle replays ALL THREE non-trivial families independently
+        // (the q181 sequential fold, the q188 greedy recursion, the
+        // q191 DP) off their existing aux dumps, so this also gates that
+        // the kernels compose without interference in one codegen span.
+        Tokenizers.profile(Tables.documents(s, d),
+            q166Train(s, d).merges.map(m => (m._2, m._3)),
+            q188Vocab(s, d), q191Pieces(s, d))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+             |m AS MATERIALIZED (SELECT round, lhs, rhs
+             |  FROM read_parquet('$OracleAuxDir/q181_merges/*.parquet')),
+             |v AS MATERIALIZED (SELECT piece, cont
+             |  FROM read_parquet('$OracleAuxDir/q188_vocab/*.parquet')),
+             |p AS MATERIALIZED (SELECT piece, cost
+             |  FROM read_parquet('$OracleAuxDir/q191_pieces/*.parquet')),
+             |enc AS (
+             |  SELECT doc_id, 0 AS r, replace(text, ' ', chr(31)) AS state
+             |  FROM documents WHERE text IS NOT NULL
+             |  UNION ALL
+             |  SELECT e.doc_id, e.r + 1,
+             |    list_reduce(string_split(e.state, chr(31)),
+             |      (acc, x) -> CASE WHEN (acc = m.lhs
+             |                             OR ends_with(acc, chr(31) || m.lhs))
+             |                        AND x = m.rhs
+             |                  THEN acc || ' ' || x
+             |                  ELSE acc || chr(31) || x END)
+             |  FROM enc e JOIN m ON m.round = e.r + 1),
+             |bpe AS (SELECT doc_id,
+             |    CAST(len(string_split(state, chr(31))) AS BIGINT) AS n_bpe
+             |  FROM enc WHERE r = (SELECT MAX(round) FROM m)),
+             |wwords AS (SELECT doc_id, i AS widx, toks[i] AS word
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |        FROM documents WHERE text IS NOT NULL),
+             |       unnest(range(1, len(toks) + 1)) AS u(i)
+             |  WHERE toks[i] <> ''),
+             |step AS (
+             |  SELECT doc_id, widx, word, 1 AS pos, 0 AS n FROM wwords
+             |  UNION ALL
+             |  SELECT s.doc_id, s.widx, s.word, s.pos + mm.l, s.n + 1
+             |  FROM step s,
+             |    LATERAL (SELECT coalesce(MAX(len(v.piece)), 1) AS l
+             |             FROM v WHERE v.cont = (s.pos > 1)
+             |               AND v.piece = substr(s.word, s.pos, len(v.piece))) mm
+             |  WHERE s.pos <= len(s.word)),
+             |wp AS (SELECT doc_id, SUM(n) AS n_wp
+             |  FROM step WHERE pos > len(word) GROUP BY doc_id),
+             |uw AS (SELECT DISTINCT word FROM wwords),
+             |dp AS (
+             |  SELECT word, 0 AS pos, CAST([0] AS BIGINT[]) AS best FROM uw
+             |  UNION ALL
+             |  SELECT d.word, d.pos + 1,
+             |    list_append(d.best, coalesce(
+             |      (SELECT MIN(d.best[d.pos + 2 - l.l] + p.cost)
+             |       FROM unnest([1, 2, 3, 4]) AS l(l)
+             |       JOIN p ON p.piece = substr(d.word, d.pos + 2 - l.l, l.l)
+             |       WHERE l.l <= d.pos + 1),
+             |      d.best[d.pos + 1] + 1000000000000))
+             |  FROM dp d WHERE d.pos < len(d.word)),
+             |wcost AS (SELECT word, best[len(word) + 1] AS cost
+             |          FROM dp WHERE pos = len(word)),
+             |ug AS (SELECT w.doc_id,
+             |    SUM((c.cost + 1000000000000 - 1) // 1000000000000) AS n_ug
+             |  FROM wwords w JOIN wcost c USING (word) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws,
+             |  bpe.n_bpe,
+             |  CAST(coalesce(wp.n_wp, 0) AS BIGINT) AS n_wp,
+             |  CAST(coalesce(ug.n_ug, 0) AS BIGINT) AS n_ug
+             |FROM documents d JOIN bpe USING (doc_id)
+             |  LEFT JOIN wp USING (doc_id) LEFT JOIN ug USING (doc_id)
              |WHERE d.text IS NOT NULL
              |ORDER BY d.doc_id""".stripMargin)),
   )

@@ -346,7 +346,14 @@ object ScaleBench {
     // O(tokens·maxLen) pre-combine rows) + the Viterbi DP (map-only,
     // O(chars·maxLen) hash probes per doc). q188's cache-billing note
     // applies verbatim (q191Pieces memoizes per dir).
-    "q191_unigram_viterbi")
+    "q191_unigram_viterbi",
+    // q192: pure hash arithmetic + array slices per row, map-only;
+    // output bytes ∝ input bytes — the flattest possible scale row.
+    "q192_fim_transform",
+    // q193: the three trained kernels in one projection — per-doc cost
+    // is the SUM of the q181/q188/q191 kernels' costs, all ∝ tokens;
+    // table training bills to those rows' caches (q188's note).
+    "q193_tokenizer_bakeoff")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

@@ -12,6 +12,19 @@ trait SparkTestBase extends AnyFunSuite {
 }
 
 object SparkTestBase {
+  // Per-JVM scratch root for the maintained-store gate queries: two
+  // concurrently-running test JVMs on one checkout would otherwise race
+  // on <repo>/target/stream_gate (each JVM's ensureStore deletes and
+  // rebuilds the same dirs — a reader in the other JVM sees vanished
+  // files). Driver-contract mains (Verify/Bench) keep the user.dir
+  // default; only tests isolate.
+  locally {
+    if (!sys.props.contains("graft.work.dir")) {
+      sys.props("graft.work.dir") =
+        java.nio.file.Files.createTempDirectory("graft-test-work").toString
+    }
+  }
+
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")

@@ -449,6 +449,16 @@ class DocSqlSpec extends AnyFunSuite {
     assert(sorted(ugSql) == sorted(Unigram.viterbiStats(docs, ugInv)))
     // some word must genuinely segment into >1 piece under topSub=6
     assert(ugSql.filter("n_pieces > n_words").count() > 0)
+
+    // fim_transform: TVF ≡ Scala API
+    assert(sorted(spark.sql("SELECT * FROM fim_transform('docs', 500, 17)")) ==
+      sorted(Sharding.fimTransform(docs, ratePermille = 500, seed = 17L)))
+
+    // tokenizer_bakeoff: the full four-family frame composes from the
+    // three trainer TVFs, entirely in SQL
+    val bakeSql = spark.sql("SELECT doc_id, n_ws, n_bpe, n_wp, n_ug " +
+      "FROM tokenizer_bakeoff('docs', 'merges_v', 'wp_vocab_v', 'ug_pieces_v')")
+    assert(sorted(bakeSql) == sorted(Tokenizers.profile(docs, table, wpVocab, ugInv)))
   }
 
   test("store-backed TVFs answer exactly as the maintained read paths") {

@@ -479,4 +479,45 @@ class ShardingSpec extends SparkTestBase {
       idCol = "doc_id", seed = 1L).as[(String, Long, Long, Long)].collect()
     assert(got.map(_._2).toSet == Set(1L, 4L))
   }
+
+  test("fimTransform: lossless reorder, sentinel grammar, rate, determinism") {
+    import spark.implicits._
+    val docs = (0L until 200L).map { id =>
+      (id, (0 until (4 + (id % 20)).toInt).map(k => s"w${id}x$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Sharding.fimTransform(docs).orderBy("doc_id").collect()
+    val orig = docs.as[(Long, String)].collect().toMap
+    var nFim = 0
+    out.foreach { r =>
+      val (id, n, fim, t) = (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3))
+      assert(n == orig(id).split(' ').count(_.nonEmpty))
+      if (!fim) assert(t == orig(id), s"pass-through must be verbatim (doc $id)")
+      else {
+        nFim += 1
+        assert(n >= 8, "short docs must never transform")
+        // grammar: <PRE> p… <SUF> s… <MID> m…  — reassembling p+m+s
+        // must reproduce the original token sequence exactly
+        assert(t.startsWith("<PRE> "))
+        val Array(pre, rest) = t.drop("<PRE> ".length).split(" <SUF> ", 2)
+        val midIdx = rest.indexOf(" <MID>")
+        assert(midIdx >= 0)
+        val suf = rest.substring(0, midIdx)
+        val mid = rest.substring(midIdx + " <MID>".length).stripPrefix(" ")
+        val rebuilt = (pre.split(' ') ++ mid.split(' ').filter(_.nonEmpty) ++
+          suf.split(' ')).mkString(" ")
+        assert(rebuilt == orig(id), s"doc $id must be a pure reorder")
+        assert(pre.nonEmpty && suf.nonEmpty, "prefix and suffix are never empty")
+      }
+    }
+    // ~half of the ≥8-token docs transform (hash-selected, not exact)
+    val eligible = out.count(_.getLong(1) >= 8)
+    assert(nFim > eligible / 4 && nFim < eligible * 3 / 4,
+      s"rate 500‰ should land near half of $eligible, got $nFim")
+    // pure function of (id, seed): partitioning cannot change anything
+    val again = Sharding.fimTransform(docs.repartition(7)).orderBy("doc_id").collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+    // a different seed moves the split points on some transformed doc
+    val moved = Sharding.fimTransform(docs, seed = 99L).orderBy("doc_id").collect()
+    assert(moved.map(_.toSeq).toSeq != out.map(_.toSeq).toSeq)
+  }
 }

@@ -735,6 +735,27 @@ class PlanShapeSpec extends SparkTestBase {
       s"the DP must be map-only up to the final sort, found $exchanges exchanges\n$p")
   }
 
+  test("q192: the FIM reorder is ONE map pass — no join, no aggregate, no window") {
+    val p = plan("q192_fim_transform")
+    assert(!p.contains("Join") && !p.contains("Window ") && !p.contains("HashAggregate"),
+      "selection and split points are pure hash arithmetic — no shuffle-bearing operator")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, // the declared ORDER BY's range partitioning only
+      s"the reorder must be map-only up to the final sort, found $exchanges exchanges\n$p")
+  }
+
+  test("q193: all three trained kernels compose in ONE map pass") {
+    val p = plan("q193_tokenizer_bakeoff")
+    assert(p.contains("bpe_apply_merges_indexed") && p.contains("word_piece_encode") &&
+      p.contains("unigram_viterbi_stats"),
+      "the bake-off must run every trained family's kernel")
+    assert(!p.contains("Join") && !p.contains("Window "),
+      "three reference-object tables, zero joins")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"the bake-off must be map-only up to the final sort, found $exchanges exchanges\n$p")
+  }
+
   test("q185: the registry cut is a digest semi-join — no cartesian, no window") {
     val p = plan("q185_decontam_maintained")
     assert(p.contains("LeftSemi"),
