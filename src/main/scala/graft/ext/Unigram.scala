@@ -39,12 +39,16 @@ object Unigram {
     * `topSub` heaviest longer pieces join them (ties broken on the
     * piece string). Frame shape: (piece, cost) with cost = K − weight. */
   def pieceFrame(docs: DataFrame, textCol: String = "text",
-                 topSub: Int = 24, maxLen: Int = 4): DataFrame = {
-    val wc = docs.filter(col(textCol).isNotNull)
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .cache()
+                 topSub: Int = 24, maxLen: Int = 4): DataFrame =
+    pieceFrameFromCounts(WordPiece.wordCounts(docs, textCol), topSub, maxLen)
+
+  /** [[pieceFrame]] from an already-aggregated (word, n) frame — the
+    * seam the maintained store ([[graft.streaming.VocabStream]]) reads
+    * through: identical counts ⇒ identical inventory (ties break on
+    * the piece string). */
+  def pieceFrameFromCounts(counts: DataFrame,
+                           topSub: Int = 24, maxLen: Int = 4): DataFrame = {
+    val wc = counts.cache()
     val subs = (1 to maxLen).map { l =>
       wc.filter(length(col("word")) >= l)
         .select(explode(transform(
@@ -63,7 +67,12 @@ object Unigram {
     * construction), sorted for a deterministic closure. */
   def trainPieces(docs: DataFrame, textCol: String = "text",
                   topSub: Int = 24, maxLen: Int = 4): Seq[(String, Long)] =
-    pieceFrame(docs, textCol, topSub, maxLen).collect()
+    collectPieces(pieceFrame(docs, textCol, topSub, maxLen))
+
+  /** Collect a (piece, cost) frame into the broadcastable inventory —
+    * bounded: chars + topSub rows. */
+  def collectPieces(frame: DataFrame): Seq[(String, Long)] =
+    frame.collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toIndexedSeq
 
   /** Per document: word count, total Viterbi cost, and the (unique)

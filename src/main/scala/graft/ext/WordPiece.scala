@@ -31,8 +31,11 @@ object WordPiece {
   case class Vocab(init: Seq[String], cont: Seq[String])
 
   /** Per-word exact counts: one aggregation, the vocabulary's only
-    * shuffle. */
-  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    * shuffle. Public shape (word string, n long) — the same frame
+    * [[graft.streaming.VocabStream]] maintains incrementally, so the
+    * one-shot and maintained derivations share [[vocabFrameFromCounts]]
+    * verbatim. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -50,8 +53,17 @@ object WordPiece {
     *    `affixLens`, continuation. */
   def vocabFrame(docs: DataFrame, textCol: String = "text",
                  topWords: Int = 16, topAffixes: Int = 8,
-                 affixLens: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
-    val wc = wordCounts(docs, textCol).cache()
+                 affixLens: Seq[Int] = Seq(2, 3, 4)): DataFrame =
+    vocabFrameFromCounts(wordCounts(docs, textCol),
+      topWords, topAffixes, affixLens)
+
+  /** [[vocabFrame]] from an already-aggregated (word, n) frame — the
+    * seam the maintained store reads through: identical counts ⇒
+    * identical vocabulary (every ORDER BY ends in the piece). */
+  def vocabFrameFromCounts(counts: DataFrame,
+                           topWords: Int = 16, topAffixes: Int = 8,
+                           affixLens: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    val wc = counts.cache()
     val chars = wc.select(explode(split(col("word"), "")).as("piece"))
       .filter(col("piece") =!= "").distinct()
     val topw = wc.orderBy(col("n").desc, col("word")).limit(topWords)
@@ -76,9 +88,13 @@ object WordPiece {
     * [[Vocab]]. Sorted for a deterministic closure. */
   def trainVocab(docs: DataFrame, textCol: String = "text",
                  topWords: Int = 16, topAffixes: Int = 8,
-                 affixLens: Seq[Int] = Seq(2, 3, 4)): Vocab = {
-    val rows = vocabFrame(docs, textCol, topWords, topAffixes, affixLens)
-      .collect() // bounded: chars + topWords + 2×topAffixes×|affixLens| rows
+                 affixLens: Seq[Int] = Seq(2, 3, 4)): Vocab =
+    collectVocab(vocabFrame(docs, textCol, topWords, topAffixes, affixLens))
+
+  /** Collect a (piece, cont) frame into the broadcastable [[Vocab]] —
+    * bounded: chars + topWords + 2×topAffixes×|affixLens| rows. */
+  def collectVocab(frame: DataFrame): Vocab = {
+    val rows = frame.collect()
     val (c, i) = rows.partition(_.getBoolean(1))
     Vocab(i.map(_.getString(0)).sorted.toIndexedSeq,
       c.map(_.getString(0)).sorted.toIndexedSeq)

@@ -4371,39 +4371,7 @@ ORDER BY doc_id"""
       // table when pos > 1), coalescing to a 1-char consume exactly as
       // the kernel's fallback. Documents whose every token is empty
       // still emit a row (n_words = 0, encoded = '') via the LEFT JOIN.
-      Some(s"""WITH RECURSIVE
-             |v AS MATERIALIZED (SELECT piece, cont
-             |  FROM read_parquet('$OracleAuxDir/q188_vocab/*.parquet')),
-             |words AS (SELECT doc_id, i AS widx, toks[i] AS word
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-             |        FROM documents WHERE text IS NOT NULL),
-             |       unnest(range(1, len(toks) + 1)) AS u(i)
-             |  WHERE toks[i] <> ''),
-             |step AS (
-             |  SELECT doc_id, widx, word, 1 AS pos, 0 AS n, '' AS acc
-             |  FROM words
-             |  UNION ALL
-             |  SELECT s.doc_id, s.widx, s.word, s.pos + m.l, s.n + 1,
-             |    s.acc || CASE WHEN s.n = 0 THEN '' ELSE ' ' END ||
-             |      CASE WHEN s.pos > 1 THEN '##' ELSE '' END ||
-             |      substr(s.word, s.pos, m.l)
-             |  FROM step s,
-             |    LATERAL (SELECT coalesce(MAX(len(v.piece)), 1) AS l
-             |             FROM v WHERE v.cont = (s.pos > 1)
-             |               AND v.piece = substr(s.word, s.pos, len(v.piece))) m
-             |  WHERE s.pos <= len(s.word)),
-             |enc AS (SELECT doc_id, widx, n AS n_pieces, acc
-             |        FROM step WHERE pos > len(word)),
-             |perdoc AS (SELECT doc_id, COUNT(*) AS n_words,
-             |    SUM(n_pieces) AS n_pieces,
-             |    string_agg(acc, ' ' ORDER BY widx) AS encoded
-             |  FROM enc GROUP BY doc_id)
-             |SELECT d.doc_id, CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
-             |  CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
-             |  coalesce(p.encoded, '') AS encoded
-             |FROM documents d LEFT JOIN perdoc p USING (doc_id)
-             |WHERE d.text IS NOT NULL
-             |ORDER BY d.doc_id""".stripMargin)),
+      Some(wordPieceEncodeOracleSql)),
 
     ("q189_gopher_rules",
       (s: SparkSession, d: String) =>
@@ -4503,39 +4471,7 @@ ORDER BY doc_id"""
       // as a BIGINT list through the recursion), then word costs join
       // back to per-document sums. coalesce = the cost-K single-char
       // fallback, exactly the kernel's no-match semantics.
-      Some(s"""WITH RECURSIVE
-             |p AS MATERIALIZED (SELECT piece, cost
-             |  FROM read_parquet('$OracleAuxDir/q191_pieces/*.parquet')),
-             |words AS (SELECT doc_id, toks[i] AS word
-             |  FROM (SELECT doc_id,
-             |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
-             |        FROM documents WHERE text IS NOT NULL),
-             |       unnest(range(1, len(toks) + 1)) AS u(i)),
-             |uw AS (SELECT DISTINCT word FROM words),
-             |dp AS (
-             |  SELECT word, 0 AS pos, CAST([0] AS BIGINT[]) AS best FROM uw
-             |  UNION ALL
-             |  SELECT d.word, d.pos + 1,
-             |    list_append(d.best, coalesce(
-             |      (SELECT MIN(d.best[d.pos + 2 - l.l] + p.cost)
-             |       FROM unnest([1, 2, 3, 4]) AS l(l)
-             |       JOIN p ON p.piece = substr(d.word, d.pos + 2 - l.l, l.l)
-             |       WHERE l.l <= d.pos + 1),
-             |      d.best[d.pos + 1] + 1000000000000))
-             |  FROM dp d WHERE d.pos < len(d.word)),
-             |wcost AS (SELECT word, best[len(word) + 1] AS cost
-             |          FROM dp WHERE pos = len(word)),
-             |perdoc AS (SELECT w.doc_id, COUNT(*) AS n_words,
-             |    SUM(c.cost) AS viterbi_cost,
-             |    SUM((c.cost + 1000000000000 - 1) // 1000000000000) AS n_pieces
-             |  FROM words w JOIN wcost c USING (word) GROUP BY 1)
-             |SELECT d.doc_id,
-             |  CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
-             |  CAST(coalesce(pd.viterbi_cost, 0) AS BIGINT) AS viterbi_cost,
-             |  CAST(coalesce(pd.n_pieces, 0) AS BIGINT) AS n_pieces
-             |FROM documents d LEFT JOIN perdoc pd USING (doc_id)
-             |WHERE d.text IS NOT NULL
-             |ORDER BY d.doc_id""".stripMargin)),
+      Some(unigramViterbiOracleSql)),
 
     ("q192_fim_transform",
       (s: SparkSession, d: String) =>
@@ -4648,7 +4584,112 @@ ORDER BY doc_id"""
              |  LEFT JOIN wp USING (doc_id) LEFT JOIN ug USING (doc_id)
              |WHERE d.text IS NOT NULL
              |ORDER BY d.doc_id""".stripMargin)),
+
+    ("q194_wordpiece_maintained",
+      (s: SparkSession, d: String) => {
+        // the maintained vocabulary store under the gate: the corpus
+        // ingested as three residue folds with a REPLAYED batch, a
+        // mid-stream compaction, and a post-compaction replay at the
+        // watermark (skipped by the guard) — then the WordPiece
+        // vocabulary derived FROM THE STORE encodes the corpus and must
+        // answer q188's greedy-replay oracle VERBATIM: additive count
+        // folds are arrival-order-free, so the maintained counts equal
+        // the one-shot aggregation bit-for-bit, and identical counts
+        // force the identical vocabulary (ties break on the piece).
+        val st = q194StoreBuild(s, d)
+        val vocab = graft.streaming.VocabStream.wordPieceVocab(s, st)
+        WordPiece.encode(Tables.documents(s, d), vocab).orderBy("doc_id")
+      },
+      Some(wordPieceEncodeOracleSql)),
+
+    ("q195_unigram_maintained",
+      (s: SparkSession, d: String) => {
+        // the SAME maintained store serves the unigram inventory (the
+        // substring weights derive from word counts alone) — q191's
+        // Viterbi-DP oracle answered verbatim off the maintained path;
+        // one store, every frequency-derived tokenizer artifact.
+        val st = q194StoreBuild(s, d)
+        val pieces = graft.streaming.VocabStream.unigramPieces(s, st)
+        Unigram.viterbiStats(Tables.documents(s, d), pieces).orderBy("doc_id")
+      },
+      Some(unigramViterbiOracleSql)),
   )
+
+  /** Shared by q188 (one-shot encode) and q194 (maintained vocabulary
+    * store): the greedy longest-match replay over the q188_vocab dump —
+    * the maintained derivation must produce the IDENTICAL vocabulary,
+    * so the maintained encode answers this verbatim. */
+  private def wordPieceEncodeOracleSql: String =
+    s"""WITH RECURSIVE
+             |v AS MATERIALIZED (SELECT piece, cont
+             |  FROM read_parquet('$OracleAuxDir/q188_vocab/*.parquet')),
+             |words AS (SELECT doc_id, i AS widx, toks[i] AS word
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |        FROM documents WHERE text IS NOT NULL),
+             |       unnest(range(1, len(toks) + 1)) AS u(i)
+             |  WHERE toks[i] <> ''),
+             |step AS (
+             |  SELECT doc_id, widx, word, 1 AS pos, 0 AS n, '' AS acc
+             |  FROM words
+             |  UNION ALL
+             |  SELECT s.doc_id, s.widx, s.word, s.pos + m.l, s.n + 1,
+             |    s.acc || CASE WHEN s.n = 0 THEN '' ELSE ' ' END ||
+             |      CASE WHEN s.pos > 1 THEN '##' ELSE '' END ||
+             |      substr(s.word, s.pos, m.l)
+             |  FROM step s,
+             |    LATERAL (SELECT coalesce(MAX(len(v.piece)), 1) AS l
+             |             FROM v WHERE v.cont = (s.pos > 1)
+             |               AND v.piece = substr(s.word, s.pos, len(v.piece))) m
+             |  WHERE s.pos <= len(s.word)),
+             |enc AS (SELECT doc_id, widx, n AS n_pieces, acc
+             |        FROM step WHERE pos > len(word)),
+             |perdoc AS (SELECT doc_id, COUNT(*) AS n_words,
+             |    SUM(n_pieces) AS n_pieces,
+             |    string_agg(acc, ' ' ORDER BY widx) AS encoded
+             |  FROM enc GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+             |  CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+             |  coalesce(p.encoded, '') AS encoded
+             |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+             |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by q191 (one-shot Viterbi) and q195 (maintained vocabulary
+    * store): the forward-DP replay over the q191_pieces dump. */
+  private def unigramViterbiOracleSql: String =
+    s"""WITH RECURSIVE
+             |p AS MATERIALIZED (SELECT piece, cost
+             |  FROM read_parquet('$OracleAuxDir/q191_pieces/*.parquet')),
+             |words AS (SELECT doc_id, toks[i] AS word
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |        FROM documents WHERE text IS NOT NULL),
+             |       unnest(range(1, len(toks) + 1)) AS u(i)),
+             |uw AS (SELECT DISTINCT word FROM words),
+             |dp AS (
+             |  SELECT word, 0 AS pos, CAST([0] AS BIGINT[]) AS best FROM uw
+             |  UNION ALL
+             |  SELECT d.word, d.pos + 1,
+             |    list_append(d.best, coalesce(
+             |      (SELECT MIN(d.best[d.pos + 2 - l.l] + p.cost)
+             |       FROM unnest([1, 2, 3, 4]) AS l(l)
+             |       JOIN p ON p.piece = substr(d.word, d.pos + 2 - l.l, l.l)
+             |       WHERE l.l <= d.pos + 1),
+             |      d.best[d.pos + 1] + 1000000000000))
+             |  FROM dp d WHERE d.pos < len(d.word)),
+             |wcost AS (SELECT word, best[len(word) + 1] AS cost
+             |          FROM dp WHERE pos = len(word)),
+             |perdoc AS (SELECT w.doc_id, COUNT(*) AS n_words,
+             |    SUM(c.cost) AS viterbi_cost,
+             |    SUM((c.cost + 1000000000000 - 1) // 1000000000000) AS n_pieces
+             |  FROM words w JOIN wcost c USING (word) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+             |  CAST(coalesce(pd.viterbi_cost, 0) AS BIGINT) AS viterbi_cost,
+             |  CAST(coalesce(pd.n_pieces, 0) AS BIGINT) AS n_pieces
+             |FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+             |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin
 
   /** Shared by q172 (one-shot pass) and q185 (maintained registry):
     * the full-recompute decontamination oracle over the %97 benchmark
@@ -4850,7 +4891,9 @@ ORDER BY doc_id"""
     "q179_ann_maintained" -> ((s, d) => q179Store(s, d): Unit),
     "q180_doc_maintained" -> ((s, d) => q180StoreBuild(s, d): Unit),
     "q185_decontam_maintained" -> ((s, d) => q185StoreBuild(s, d): Unit),
-    "q186_phrase_maintained" -> ((s, d) => q186StoreBuild(s, d): Unit))
+    "q186_phrase_maintained" -> ((s, d) => q186StoreBuild(s, d): Unit),
+    "q194_wordpiece_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
+    "q195_unigram_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per
@@ -4898,6 +4941,31 @@ ORDER BY doc_id"""
   private def q191Pieces(s: SparkSession, d: String): Seq[(String, Long)] =
     q191Cache.computeIfAbsent(d, dir =>
       Unigram.trainPieces(Tables.documents(s, dir)))
+
+  /** q194/q195's maintained vocabulary store: three residue folds with
+    * a replayed batch (idempotent overwrite), a mid-stream compaction,
+    * and a post-compaction replay at the watermark (skipped by the
+    * guard). Memoized per sf dir; both queries read the one store. */
+  private def q194StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"vocab_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.VocabStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
+      graft.streaming.VocabStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.VocabStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      // replay before compaction: the batch=1 partition rewrites with
+      // identical content — counts cannot double
+      graft.streaming.VocabStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.VocabStream.compact(s, st, upToBatch = 1L)
+      // replay AT the watermark: the guard must skip it outright
+      graft.streaming.VocabStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.VocabStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+    }
 
   private val q166Cache =
     new java.util.concurrent.ConcurrentHashMap[String, TextAnalysis.BpeBatchResult]()

@@ -353,7 +353,13 @@ object ScaleBench {
     // q193: the three trained kernels in one projection — per-doc cost
     // is the SUM of the q181/q188/q191 kernels' costs, all ∝ tokens;
     // table training bills to those rows' caches (q188's note).
-    "q193_tokenizer_bakeoff")
+    "q193_tokenizer_bakeoff",
+    // q194/q195: the maintained vocabulary store — build = three
+    // per-batch count aggregations + a generational fold (∝ batch
+    // tokens; vocabulary-sized outputs), read = derive + encode/DP
+    // (map-only). q195 reuses q194's memoized store, so its row times
+    // the derive+DP read path alone.
+    "q194_wordpiece_maintained", "q195_unigram_maintained")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
