@@ -165,6 +165,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.decontaminateStorePlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bm25_topk_store"), info("bm25_topk_store"),
       (es: Seq[Expression]) => graft.ext.DocSql.bm25TopKStorePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("wordpiece_vocab_store"), info("wordpiece_vocab_store"),
+      (es: Seq[Expression]) => graft.ext.DocSql.wordPieceVocabStorePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("unigram_pieces_store"), info("unigram_pieces_store"),
+      (es: Seq[Expression]) => graft.ext.DocSql.unigramPiecesStorePlan(es)))
     // Optimizer rule: point-in-interval theta joins → granule-bucketized
     // equi-joins (graft.plans.RangeJoinRule) — plain SQL range joins get
     // the linear plan instead of BroadcastNestedLoopJoin.

@@ -490,6 +490,29 @@ object DocSql {
     plan(Tokenizers.profile(tableArg(es.head), merges, wp, ug))
   }
 
+  /** `wordpiece_vocab_store('/path/to/store', topWords, topAffixes)`:
+    * the WordPiece vocabulary derived from a MAINTAINED vocabulary
+    * store ([[graft.streaming.VocabStream]]) — (piece, cont), exactly
+    * what `wordpiece_vocab` emits over the ingested corpus, so a
+    * SQL-only user derives the current vocabulary without touching the
+    * corpus. Composes with `wordpiece_encode`. */
+  private[graft] def wordPieceVocabStorePlan(es: Seq[Expression]): LogicalPlan = {
+    val counts = graft.streaming.VocabStream.wordCounts(
+      SparkSession.active, strArg(es.head))
+    plan(WordPiece.vocabFrameFromCounts(counts,
+      topWords = intArg(es(1)), topAffixes = intArg(es(2))))
+  }
+
+  /** `unigram_pieces_store('/path/to/store', topSub)`: the unigram
+    * piece inventory derived from a maintained vocabulary store —
+    * (piece, cost), exactly what `unigram_pieces` emits over the
+    * ingested corpus. Composes with `unigram_viterbi`. */
+  private[graft] def unigramPiecesStorePlan(es: Seq[Expression]): LogicalPlan = {
+    val counts = graft.streaming.VocabStream.wordCounts(
+      SparkSession.active, strArg(es.head))
+    plan(graft.ext.Unigram.pieceFrameFromCounts(counts, topSub = intArg(es(1))))
+  }
+
   /** `wordpiece_vocab('docs', topWords, topAffixes)`: the corpus-derived
     * WordPiece vocabulary frame (piece, cont) —
     * [[WordPiece.vocabFrame]]. Composes with `wordpiece_encode`. */

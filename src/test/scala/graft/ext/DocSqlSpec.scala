@@ -519,5 +519,26 @@ class DocSqlSpec extends AnyFunSuite {
     assert(sorted(bmStore) == sorted(graft.streaming.IndexStream
       .topK(spark, idxSt, spark.table("squeries_v"), k = 3)))
     assert(bmStore.count() > 0)
+
+    // vocabulary store: two folds + a compaction, then the store-TVFs
+    // must equal the one-shot trainer TVFs over the same corpus — and
+    // compose straight into the encode/Viterbi TVFs
+    val vcSt = s"$work/vc"
+    val vcCfg = graft.streaming.VocabStreamConfig(
+      s"$vcSt/_in_unused", vcSt, s"$vcSt/_ck_unused", docs.schema)
+    graft.streaming.VocabStream.processBatch(docs.filter("doc_id <= 2"), 0L, vcCfg)
+    graft.streaming.VocabStream.processBatch(docs.filter("doc_id > 2"), 1L, vcCfg)
+    graft.streaming.VocabStream.compact(spark, vcSt)
+    assert(sorted(spark.sql(s"SELECT * FROM wordpiece_vocab_store('$vcSt', 4, 3)")) ==
+      sorted(spark.sql("SELECT * FROM wordpiece_vocab('docs', 4, 3)")))
+    assert(sorted(spark.sql(s"SELECT * FROM unigram_pieces_store('$vcSt', 6)")) ==
+      sorted(spark.sql("SELECT * FROM unigram_pieces('docs', 6)")))
+    spark.sql(s"SELECT piece, cont FROM wordpiece_vocab_store('$vcSt', 4, 3)")
+      .createOrReplaceTempView("wpv_store_v")
+    spark.sql("SELECT piece, cont FROM wordpiece_vocab('docs', 4, 3)")
+      .createOrReplaceTempView("wpv_oneshot_v")
+    assert(sorted(spark.sql(
+        "SELECT * FROM wordpiece_encode('docs', 'wpv_store_v')")) ==
+      sorted(spark.sql("SELECT * FROM wordpiece_encode('docs', 'wpv_oneshot_v')")))
   }
 }
