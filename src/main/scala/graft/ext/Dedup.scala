@@ -205,9 +205,11 @@ object Dedup {
     (fp, hammingVerifiedLazy(fp, maxHamming, maxBucketSize))
   }
 
-  /** The shared pigeonhole+verify tail over a persisted (id, fp) frame. */
-  private def hammingVerifiedLazy(fp: DataFrame, maxHamming: Int,
-                                  maxBucketSize: Int): DataFrame = {
+  /** The shared pigeonhole+verify tail over a persisted (id, fp) frame.
+    * private[graft] so PlanShapeSpec can pin the pair path one step
+    * before [[hammingNearDupPairs]]'s checkpoint collapses the plan. */
+  private[graft] def hammingVerifiedLazy(fp: DataFrame, maxHamming: Int,
+                                         maxBucketSize: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only up to distance 3")
     val chunked = graft.core.Skew.capGroupSize(
       fp.select(col("id"), col("fp"),

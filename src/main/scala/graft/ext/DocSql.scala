@@ -52,6 +52,22 @@ object DocSql {
 
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Analysis-time collect of a table ARGUMENT (merge table, vocabulary,
+    * piece inventory): these are vocabulary-bounded by construction in
+    * every composed TVF, but the view is user-supplied — cap the collect
+    * so a mistaken corpus-sized view fails with a typed analysis error
+    * instead of an OOM'd driver. Callers cast columns explicitly first,
+    * so an INT-typed cost or a non-boolean cont raises a readable
+    * AnalysisException rather than a raw ClassCastException. */
+  private def boundedCollect(df: DataFrame, what: String,
+                             max: Int = 1 << 20): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(max + 1).collect()
+    require(rows.length <= max,
+      s"$what view exceeds $max rows — table arguments must be " +
+        "vocabulary-bounded (did you pass the corpus view by mistake?)")
+    rows
+  }
+
   private[graft] def docQualityPlan(es: Seq[Expression]): LogicalPlan =
     plan(TextAnalysis.withQuality(tableArg(es.head)))
 
@@ -434,12 +450,38 @@ object DocSql {
     * `bpe_merges_batched` emit, so the two TVFs compose). The table
     * collects to the driver at analysis time — bounded by vocabulary
     * size by construction (the same frame the kernel broadcasts). */
-  private[graft] def bpeEncodeWithPlan(es: Seq[Expression]): LogicalPlan = {
-    val merges = tableArg(es(1))
-      .select("round", "lhs", "rhs").collect()
-      .sortBy(_.getAs[Number]("round").longValue())
-      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
-    plan(TextAnalysis.bpeEncodeWithTable(tableArg(es.head), merges))
+  private[graft] def bpeEncodeWithPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.bpeEncodeWithTable(tableArg(es.head),
+      mergesTableArg(es(1))))
+
+  /** A merge-table view (round, lhs, rhs) as the broadcastable training-
+    * order seq — explicit casts + the bounded-collect guard. */
+  private def mergesTableArg(e: Expression): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.col
+    boundedCollect(tableArg(e).select(col("round").cast("long"),
+        col("lhs").cast("string"), col("rhs").cast("string")), "merge-table")
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** A WordPiece vocabulary view (piece, cont) as [[WordPiece.Vocab]] —
+    * explicit casts + the bounded-collect guard. */
+  private def wpVocabTableArg(e: Expression): WordPiece.Vocab = {
+    import org.apache.spark.sql.functions.col
+    val rows = boundedCollect(tableArg(e).select(col("piece").cast("string"),
+      col("cont").cast("boolean")), "vocabulary")
+    val (c, i) = rows.partition(_.getBoolean(1))
+    WordPiece.Vocab(i.map(_.getString(0)).sorted.toIndexedSeq,
+      c.map(_.getString(0)).sorted.toIndexedSeq)
+  }
+
+  /** A unigram inventory view (piece, cost) as the sorted seq — explicit
+    * casts + the bounded-collect guard. */
+  private def ugPiecesTableArg(e: Expression): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    boundedCollect(tableArg(e).select(col("piece").cast("string"),
+        col("cost").cast("long")), "piece-inventory")
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toIndexedSeq
   }
 
   /** `gopher_rules('docs')`: the Gopher-style per-document quality rule
@@ -465,30 +507,17 @@ object DocSql {
     * statistics against a (piece, cost) inventory view — exactly what
     * `unigram_pieces` emits, so train-to-segment composes in SQL. The
     * inventory collects at analysis time (bounded by construction). */
-  private[graft] def unigramViterbiPlan(es: Seq[Expression]): LogicalPlan = {
-    val inv = tableArg(es(1)).select("piece", "cost").collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toIndexedSeq
-    plan(Unigram.viterbiStats(tableArg(es.head), inv))
-  }
+  private[graft] def unigramViterbiPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Unigram.viterbiStats(tableArg(es.head), ugPiecesTableArg(es(1))))
 
   /** `tokenizer_bakeoff('docs', 'merges', 'wpvocab', 'ugpieces')`: the
     * four-family token-count frame ([[Tokenizers.profile]]); the three
     * table views carry exactly what `bpe_merges_batched`,
     * `wordpiece_vocab` and `unigram_pieces` emit, so the whole bake-off
     * composes in SQL. */
-  private[graft] def tokenizerBakeoffPlan(es: Seq[Expression]): LogicalPlan = {
-    val merges = tableArg(es(1)).select("round", "lhs", "rhs").collect()
-      .sortBy(_.getAs[Number]("round").longValue())
-      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
-    val wpRows = tableArg(es(2)).select("piece", "cont").collect()
-    val (c, i) = wpRows.partition(_.getBoolean(1))
-    val wp = WordPiece.Vocab(
-      i.map(_.getString(0)).sorted.toIndexedSeq,
-      c.map(_.getString(0)).sorted.toIndexedSeq)
-    val ug = tableArg(es(3)).select("piece", "cost").collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toIndexedSeq
-    plan(Tokenizers.profile(tableArg(es.head), merges, wp, ug))
-  }
+  private[graft] def tokenizerBakeoffPlan(es: Seq[Expression]): LogicalPlan =
+    plan(Tokenizers.profile(tableArg(es.head), mergesTableArg(es(1)),
+      wpVocabTableArg(es(2)), ugPiecesTableArg(es(3))))
 
   /** `wordpiece_vocab_store('/path/to/store', topWords, topAffixes)`:
     * the WordPiece vocabulary derived from a MAINTAINED vocabulary
@@ -525,12 +554,6 @@ object DocSql {
     * what `wordpiece_vocab` emits, so train-to-encode composes entirely
     * in SQL. The vocabulary collects to the driver at analysis time —
     * bounded by construction (chars + topWords + affixes). */
-  private[graft] def wordPieceEncodePlan(es: Seq[Expression]): LogicalPlan = {
-    val rows = tableArg(es(1)).select("piece", "cont").collect()
-    val (c, i) = rows.partition(_.getBoolean(1))
-    val vocab = WordPiece.Vocab(
-      i.map(_.getString(0)).sorted.toIndexedSeq,
-      c.map(_.getString(0)).sorted.toIndexedSeq)
-    plan(WordPiece.encode(tableArg(es.head), vocab))
-  }
+  private[graft] def wordPieceEncodePlan(es: Seq[Expression]): LogicalPlan =
+    plan(WordPiece.encode(tableArg(es.head), wpVocabTableArg(es(1))))
 }

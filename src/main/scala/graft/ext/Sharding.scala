@@ -661,8 +661,18 @@ object Sharding {
         filter(split(col(textCol), " "), t => t =!= "").as("__toks"))
     val toks = col("__toks")
     val n = size(toks).cast("long")
+    // id ≥ 0 PRECONDITION, enforced loudly: the selection/split hashes
+    // use pmod (always non-negative) while an engine replaying them with
+    // truncated `%` diverges on negative ids — parity would silently
+    // break rather than fail. assert_true is NULL on success, so the
+    // coalesce(+0) rides the hash without changing it.
+    val idGuard = coalesce(
+      assert_true(col(idCol) >= 0,
+        lit(s"fimTransform requires non-negative $idCol (hash precondition)"))
+        .cast("long"), lit(0L))
     def mhash(salt: Long): Column =
-      pmod(((col(idCol) + lit(salt)) % 1000003L) * 2654435761L, lit(1000003L))
+      pmod(((col(idCol) + idGuard + lit(salt)) % 1000003L) * 2654435761L,
+        lit(1000003L))
     val selected = n >= minTokens &&
       pmod(mhash(seed), lit(1000L)) < ratePermille
     val a = pmod(mhash(seed + 1), n - 1) + 1L

@@ -23,7 +23,10 @@ object Tokenizers {
     val toks = split(col(textCol), " ")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        size(toks).cast("long").as("n_ws"),
+        // the ONE whitespace-count convention across the tokenizer
+        // surface: empty tokens (leading/trailing/consecutive spaces)
+        // don't count — same axis as q188's n_words / q191's n_words
+        size(filter(toks, t => t =!= "")).cast("long").as("n_ws"),
         size(graft.functions.VectorFunctions.bpe_apply_merges_indexed(
           toks, merges.map(_._1), merges.map(_._2))).cast("long").as("n_bpe"),
         size(graft.functions.WordPieceFunctions.word_piece_encode(

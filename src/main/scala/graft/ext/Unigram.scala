@@ -45,22 +45,45 @@ object Unigram {
   /** [[pieceFrame]] from an already-aggregated (word, n) frame — the
     * seam the maintained store ([[graft.streaming.VocabStream]]) reads
     * through: identical counts ⇒ identical inventory (ties break on
-    * the piece string). */
+    * the piece string).
+    *
+    * The result is BOUNDED by construction (chars + topSub rows), so it
+    * materializes to a driver-local relation here: the counts cache is
+    * scoped to this call (unpersisted before returning — repeated
+    * trainer/TVF/store derivations must not accumulate block-manager
+    * state), and every downstream read (aux dump, TVF, collect) reads
+    * the materialized rows instead of re-running the aggregation. */
   def pieceFrameFromCounts(counts: DataFrame,
                            topSub: Int = 24, maxLen: Int = 4): DataFrame = {
     val wc = counts.cache()
-    val subs = (1 to maxLen).map { l =>
-      wc.filter(length(col("word")) >= l)
-        .select(explode(transform(
-            sequence(lit(1), length(col("word")) - l + 1),
-            i => col("word").substr(i, lit(l)))).as("piece"),
-          col("n"))
-    }.reduce(_ unionByName _)
-      .groupBy("piece").agg(sum("n").as("s"))
-    val keep = subs.filter(length(col("piece")) === 1)
-      .unionByName(subs.filter(length(col("piece")) >= 2)
-        .orderBy(col("s").desc, col("piece")).limit(topSub))
-    keep.select(col("piece"), (lit(CostScale) - col("s")).cast("long").as("cost"))
+    try {
+      val subs = (1 to maxLen).map { l =>
+        wc.filter(length(col("word")) >= l)
+          .select(explode(transform(
+              sequence(lit(1), length(col("word")) - l + 1),
+              i => col("word").substr(i, lit(l)))).as("piece"),
+            col("n"))
+      }.reduce(_ unionByName _)
+        .groupBy("piece").agg(sum("n").as("s"))
+      val keep = subs.filter(length(col("piece")) === 1)
+        .unionByName(subs.filter(length(col("piece")) >= 2)
+          .orderBy(col("s").desc, col("piece")).limit(topSub))
+      val frame = keep.select(col("piece"),
+        (lit(CostScale) - col("s")).cast("long").as("cost"))
+      val rows = frame.collect()
+      // K-dominance guard: a weight ≥ K flips cost non-positive and the
+      // Viterbi objective silently INVERTS (prefers more pieces) — the
+      // engine and oracle share the inventory, so the gate could never
+      // catch it. Fail loudly instead; past ~10¹¹ tokens raise CostScale.
+      rows.foreach { r =>
+        require(r.getLong(1) >= 1,
+          s"unigram piece '${r.getString(0)}' weight ${CostScale - r.getLong(1)} " +
+            s"reaches CostScale=$CostScale — the integer objective would invert; " +
+            "raise CostScale for this corpus size")
+      }
+      counts.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), frame.schema)
+    } finally { wc.unpersist(false); () }
   }
 
   /** The inventory as driver-side aligned seqs (bounded by

@@ -59,29 +59,41 @@ object WordPiece {
 
   /** [[vocabFrame]] from an already-aggregated (word, n) frame — the
     * seam the maintained store reads through: identical counts ⇒
-    * identical vocabulary (every ORDER BY ends in the piece). */
+    * identical vocabulary (every ORDER BY ends in the piece).
+    *
+    * The result is BOUNDED by construction (chars + topWords +
+    * 2×topAffixes×|affixLens| rows), so it materializes to a
+    * driver-local relation here: the counts cache is scoped to this
+    * call (unpersisted before returning — repeated trainer/TVF/store
+    * derivations must not accumulate block-manager state), and every
+    * downstream read (aux dump, TVF, collect) reads the materialized
+    * rows instead of re-running the aggregation. */
   def vocabFrameFromCounts(counts: DataFrame,
                            topWords: Int = 16, topAffixes: Int = 8,
                            affixLens: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     val wc = counts.cache()
-    val chars = wc.select(explode(split(col("word"), "")).as("piece"))
-      .filter(col("piece") =!= "").distinct()
-    val topw = wc.orderBy(col("n").desc, col("word")).limit(topWords)
-      .select(col("word").as("piece"))
-    def affix(start: Boolean): DataFrame =
-      affixLens.map { l =>
-        val p = if (start) substring(col("word"), 1, l)
-                else substring(col("word"), -l, l)
-        wc.filter(length(col("word")) > l).select(p.as("piece"), col("n"))
-      }.reduce(_ unionByName _)
-        .groupBy("piece").agg(sum("n").as("s"))
-        .orderBy(col("s").desc, col("piece")).limit(topAffixes)
-        .select("piece")
-    val init = chars.unionByName(topw).unionByName(affix(start = true))
-      .distinct().withColumn("cont", lit(false))
-    val contd = chars.unionByName(affix(start = false))
-      .distinct().withColumn("cont", lit(true))
-    init.unionByName(contd)
+    try {
+      val chars = wc.select(explode(split(col("word"), "")).as("piece"))
+        .filter(col("piece") =!= "").distinct()
+      val topw = wc.orderBy(col("n").desc, col("word")).limit(topWords)
+        .select(col("word").as("piece"))
+      def affix(start: Boolean): DataFrame =
+        affixLens.map { l =>
+          val p = if (start) substring(col("word"), 1, l)
+                  else substring(col("word"), -l, l)
+          wc.filter(length(col("word")) > l).select(p.as("piece"), col("n"))
+        }.reduce(_ unionByName _)
+          .groupBy("piece").agg(sum("n").as("s"))
+          .orderBy(col("s").desc, col("piece")).limit(topAffixes)
+          .select("piece")
+      val init = chars.unionByName(topw).unionByName(affix(start = true))
+        .distinct().withColumn("cont", lit(false))
+      val contd = chars.unionByName(affix(start = false))
+        .distinct().withColumn("cont", lit(true))
+      val frame = init.unionByName(contd)
+      counts.sparkSession.createDataFrame(
+        java.util.Arrays.asList(frame.collect(): _*), frame.schema)
+    } finally { wc.unpersist(false); () }
   }
 
   /** Collect the (bounded) vocabulary frame into the broadcastable

@@ -84,6 +84,11 @@ case class UnigramViterbiStats(child: Expression,
                                pieces: Seq[String], costs: Seq[Long], k: Long)
   extends UnaryExpression {
   require(pieces.length == costs.length, "pieces/costs must align")
+  // the integer objective needs K to dominate every piece cost: a cost
+  // outside (0, K] means some weight reached K and minimum-cost would no
+  // longer minimize the piece count first (see Unigram.CostScale)
+  require(costs.forall(c => c >= 1 && c <= k),
+    s"unigram piece costs must lie in [1, $k] (cost = K − weight with weight < K)")
   import org.apache.spark.unsafe.types.UTF8String
 
   @transient private lazy val costOf: java.util.HashMap[UTF8String, java.lang.Long] = {

@@ -4576,7 +4576,8 @@ ORDER BY doc_id"""
              |    SUM((c.cost + 1000000000000 - 1) // 1000000000000) AS n_ug
              |  FROM wwords w JOIN wcost c USING (word) GROUP BY 1)
              |SELECT d.doc_id,
-             |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws,
+             |  CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+             |    AS BIGINT) AS n_ws,
              |  bpe.n_bpe,
              |  CAST(coalesce(wp.n_wp, 0) AS BIGINT) AS n_wp,
              |  CAST(coalesce(ug.n_ug, 0) AS BIGINT) AS n_ug

@@ -27,9 +27,16 @@ class TokenizersSpec extends SparkTestBase {
     val wpe = WordPiece.encode(docs, wp).orderBy("doc_id").collect()
     val uge = Unigram.viterbiStats(docs, ug).orderBy("doc_id").collect()
 
+    // the unified whitespace axis: empty tokens filtered, the same
+    // convention as q188's n_words / q191's n_words
+    val ws = docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n"))
+      .orderBy("doc_id").collect()
+
     prof.indices.foreach { k =>
       assert(prof(k).getLong(0) == bpe(k).getLong(0))
-      assert(prof(k).getAs[Long]("n_ws") == bpe(k).getAs[Long]("n_raw"))
+      assert(prof(k).getAs[Long]("n_ws") == ws(k).getAs[Long]("n"))
       assert(prof(k).getAs[Long]("n_bpe") == bpe(k).getAs[Long]("n_encoded"))
       assert(prof(k).getAs[Long]("n_wp") == wpe(k).getAs[Long]("n_pieces"))
       assert(prof(k).getAs[Long]("n_ug") == uge(k).getAs[Long]("n_pieces"))
@@ -37,5 +44,15 @@ class TokenizersSpec extends SparkTestBase {
     // the families genuinely disagree somewhere (or the bake-off is moot)
     assert(prof.exists(r => r.getAs[Long]("n_wp") != r.getAs[Long]("n_ug")) ||
       prof.exists(r => r.getAs[Long]("n_bpe") != r.getAs[Long]("n_ws")))
+  }
+
+  test("n_ws skips empty tokens from irregular whitespace (the unified axis)") {
+    val docs = Seq((1L, "a  b c "), (2L, " x")).toDF("doc_id", "text")
+    val wp = WordPiece.Vocab(Seq("a", "b", "c", "x"), Seq("a", "b", "c", "x"))
+    val ug = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("x", 1L))
+    val prof = Tokenizers.profile(docs, Seq(("a", "b")), wp, ug)
+      .orderBy("doc_id").collect()
+    assert(prof(0).getAs[Long]("n_ws") == 3L) // "a  b c " → a, b, c
+    assert(prof(1).getAs[Long]("n_ws") == 1L) // " x" → x
   }
 }

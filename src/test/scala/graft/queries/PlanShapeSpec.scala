@@ -756,6 +756,29 @@ class PlanShapeSpec extends SparkTestBase {
       s"the bake-off must be map-only up to the final sort, found $exchanges exchanges\n$p")
   }
 
+  test("q190 (pre-checkpoint): dHash pairs ride the capped pigeonhole equi-join") {
+    // the q161/q27 guard for the GRADIENT hash family: pairs must come
+    // from the 4×16-bit chunk equi-join over the one persisted
+    // fingerprint frame — never all-pairs, never a window over pairs
+    val fps = graft.ext.Multimodal.imageDHash(
+      graft.ext.Multimodal.synthesizeBmpCorpus(
+        graft.core.Tables.documents(spark, dir).limit(64)))
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("fp"))
+      .persist()
+    val p = try graft.ext.Dedup.hammingVerifiedLazy(fps, maxHamming = 3,
+        maxBucketSize = 10000)
+      .queryExecution.executedPlan.toString()
+    finally fps.unpersist(false)
+    assert(p.contains("Generate"), "the 4-chunk axis must explode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the chunk equi-join, never all-pairs")
+    assert(!p.contains("Window "),
+      "pair selection must not fall back to a window over all pairs")
+    assert(p.contains("InMemoryTableScan"),
+      "both join sides must read the one cached fingerprint table")
+  }
+
   test("q185: the registry cut is a digest semi-join — no cartesian, no window") {
     val p = plan("q185_decontam_maintained")
     assert(p.contains("LeftSemi"),
