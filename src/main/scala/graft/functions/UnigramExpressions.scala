@@ -74,6 +74,60 @@ object UnigramKernel {
     }
     InternalRow(total, pieces)
   }
+
+  /** The (unique) deterministic optimal SEGMENTATION of one word: the
+    * forward DP of [[viterbi]], then a backtrace that at each end
+    * position takes the LONGEST piece achieving the optimal cost — the
+    * piece at a fixed (end, length) is a fixed substring, so the
+    * tie-break makes the emitted segmentation a pure function of
+    * (word, inventory) that any engine replays (the EM trainer's
+    * E-step and its oracle both consume exactly this). A position no
+    * piece reaches consumes one character (the [[viterbi]] fallback;
+    * never taken over the character-covering inventories
+    * [[graft.ext.Unigram]] builds). */
+  def segment(w: UTF8String,
+              costOf: java.util.HashMap[UTF8String, java.lang.Long],
+              maxLen: Int, k: Long): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val len = w.numChars()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val best = new Array[Long](len + 1)
+    var p = 1
+    while (p <= len) {
+      var b = Long.MaxValue
+      var l = 1
+      val cap = math.min(maxLen, p)
+      while (l <= cap) {
+        val c = costOf.get(w.substringSQL(p - l + 1, l))
+        if (c != null) {
+          val cand = best(p - l) + c.longValue()
+          if (cand < b) b = cand
+        }
+        l += 1
+      }
+      best(p) = if (b == Long.MaxValue) best(p - 1) + k else b
+      p += 1
+    }
+    // backtrace, longest-achieving piece first — deterministic
+    val out = new scala.collection.mutable.ArrayBuffer[Any](len)
+    p = len
+    while (p > 0) {
+      var chosen = 0
+      var l = math.min(maxLen, p)
+      while (l >= 1 && chosen == 0) {
+        val piece = w.substringSQL(p - l + 1, l)
+        val c = costOf.get(piece)
+        if (c != null && best(p - l) + c.longValue() == best(p)) chosen = l
+        l -= 1
+      }
+      if (chosen == 0) { // fallback: single char at cost K
+        out += w.substringSQL(p, 1); p -= 1
+      } else {
+        out += w.substringSQL(p - chosen + 1, chosen); p -= chosen
+      }
+    }
+    new GenericArrayData(out.reverseIterator.toArray)
+  }
 }
 
 /** Exact unigram-Viterbi statistics of a tokenized document:
@@ -127,8 +181,59 @@ case class UnigramViterbiStats(child: Expression,
     copy(child = c)
 }
 
+/** The deterministic optimal segmentation of ONE word (array<string> of
+  * pieces): [[UnigramKernel.segment]] as a codegen expression — the EM
+  * trainer's E-step explodes this over the (word, n) count frame, so
+  * expected piece counts are one map-only kernel pass + one bounded
+  * aggregation however large the corpus behind the counts. */
+case class UnigramSegment(child: Expression,
+                          pieces: Seq[String], costs: Seq[Long], k: Long)
+  extends UnaryExpression {
+  require(pieces.length == costs.length, "pieces/costs must align")
+  require(costs.forall(c => c >= 1 && c <= k),
+    s"unigram piece costs must lie in [1, $k] (cost = K − weight with weight < K)")
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val costOf: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](pieces.length * 2)
+    pieces.indices.foreach { i =>
+      m.put(UTF8String.fromString(pieces(i)), java.lang.Long.valueOf(costs(i)))
+    }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(p => p.codePointCount(0, p.length)).max.max(1)
+
+  override def prettyName: String = "unigram_segment"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UnigramKernel.segment(v.asInstanceOf[UTF8String], costOf, maxLen, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapCls = "java.util.HashMap"
+    val mRef = ctx.addReferenceObj("ugCosts", costOf, mapCls)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.UnigramKernel.segment($v, " +
+        s"($mapCls) $mRef, $maxLen, ${k}L);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object UnigramFunctions {
   def unigram_viterbi_stats(toks: Column, pieces: Seq[String],
                             costs: Seq[Long], k: Long): Column =
     Bridge.column(UnigramViterbiStats(Bridge.expression(toks), pieces, costs, k))
+
+  def unigram_segment(word: Column, pieces: Seq[String],
+                      costs: Seq[Long], k: Long): Column =
+    Bridge.column(UnigramSegment(Bridge.expression(word), pieces, costs, k))
 }
