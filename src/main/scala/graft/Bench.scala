@@ -31,6 +31,19 @@ object Bench {
 
   private final case class FoldFork(rps: Double, records: Long, secs: Double)
 
+  /** Positive-integer env knob: malformed values ("3x") fall back to the
+    * default with a stderr note instead of crashing the whole bench run
+    * with an uncaught NumberFormatException (ADVICE r12). */
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name) match {
+      case None => default
+      case Some(raw) => scala.util.Try(raw.trim.toInt).toOption.filter(_ >= 1)
+        .getOrElse {
+          System.err.println(s"[bench] ignoring malformed $name='$raw', using $default")
+          default
+        }
+    }
+
   /** Run the ingest+fold stage in a FRESH subprocess JVM and parse its
     * single JSON line — the classpath and --add-opens set are inherited
     * from this (already-forked) JVM, so the child sees exactly the same
@@ -93,8 +106,7 @@ object Bench {
     // forks would flip a median that the stage's own design says should
     // absorb them. Five forks tolerate two gusts; env-overridable for the
     // dev loop.
-    val nForks = sys.env.get("SPARK_GRAFT_FOLD_FORKS")
-      .map(_.toInt).filter(_ >= 1).getOrElse(5)
+    val nForks = envInt("SPARK_GRAFT_FOLD_FORKS", 5)
     val forks = (1 to nForks).flatMap { i =>
       val r = forkFoldOnce(sfDir)
       r.foreach(f => System.err.println(f"[bench] fold fork $i: ${f.rps}%.0f rec/s"))
@@ -105,6 +117,34 @@ object Bench {
     val med = byRps(byRps.size / 2)
     val perFork = forks.map(f => f"${f.rps}%.0f").mkString("[", ",", "]")
     Some(f""","cdc_ingest_fold_rps":${med.rps}%.0f,"cdc_ingest_fold_records":${med.records},"cdc_ingest_fold_secs":${med.secs}%.2f,"cdc_ingest_fold_mode":"forked-fresh-jvm-median-of-${forks.size}","cdc_ingest_fold_fork_rps":$perFork,"cdc_ingest_fold_calibration_secs":$calib%.2f""")
+  }
+
+  /** Per-query cold-drift report vs a prior round's artifact. Reads the
+    * prior "queries" map (cold first-run figures since r13) from
+    * SPARK_GRAFT_PREV_BENCH or ./bench_prev.json; emits the queries whose
+    * cold ratio falls outside [0.75, 1.33] (the documented single-sample
+    * noise band), worst first, capped at 10. Empty string when no prior
+    * artifact exists or nothing drifts. */
+  private def coldDriftJson(cold: Map[String, Double]): String = try {
+    val path = sys.env.get("SPARK_GRAFT_PREV_BENCH")
+      .getOrElse("bench_prev.json")
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) return ""
+    val text = java.nio.file.Files.readString(p)
+    val qmap = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse(return "")
+    val prev = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(qmap)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val drifts = cold.toSeq.flatMap { case (k, now) =>
+      prev.get(k).filter(p0 => p0 > 0 && now > 0).map(p0 => (k, now / p0))
+    }.filter { case (_, r) => r < 0.75 || r > 1.33 }
+      .sortBy { case (_, r) => -math.abs(math.log(r)) }
+      .take(10)
+    if (drifts.isEmpty) ""","cold_drift":{}"""
+    else drifts.map { case (k, r) => f""""$k":$r%.2f""" }
+      .mkString(""","cold_drift":{""", ",", "}")
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] drift report failed: ${e.getMessage}"); ""
   }
 
   def main(args: Array[String]): Unit = {
@@ -137,14 +177,17 @@ object Bench {
     // Per-query MEDIAN-OF-N (r12; the ingest stage got the same fix in
     // r11): the single-sample query table drifted ±20% between same-tree
     // runs — more than any real plan regression it was supposed to catch.
-    // Each query slot now runs SPARK_GRAFT_BENCH_REPEAT times (default 3)
-    // and reports the median; the FIRST (cold) run is kept in a parallel
-    // map because a handful of queries memoize trainer/store state per
-    // sf dir (q166's batched BPE training, q188/q191's vocabularies, the
-    // ensureStore builds) — for those the median reads warm by design and
-    // the cold figure is the round-over-round-comparable one.
-    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
-      .map(_.toInt).filter(_ >= 1).getOrElse(3)
+    // Each query slot runs SPARK_GRAFT_BENCH_REPEAT times (default 3).
+    //
+    // Which figure is HEADLINE (r13, ADVICE r12): the COLD first run.
+    // "value"/"queries"/"queries_total" are cold — comparable to every
+    // pre-r12 single-sample round, and the honest figure for queries that
+    // memoize trainer/store state per sf dir (q166's batched BPE, the
+    // q188/q191 vocabularies, ensureStore builds), whose warm repeats
+    // measure a memoization cache hit rather than the query. The warm
+    // medians survive as the SUPPLEMENTARY stability signal under
+    // "queries_median"/"queries_median_total".
+    val repeat = envInt("SPARK_GRAFT_BENCH_REPEAT", 3)
     val storeBuildSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // (median, first-run) per query; (-1, -1) = failed
     def materialize(name: String): (Double, Double) = {
@@ -243,17 +286,16 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val results = names.map(n => n -> materialize(n))
-    // headline per-query figure = the MEDIAN of the repeats
-    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }
+    // headline per-query figure = the COLD first run (see the repeat note
+    // above); the warm median rides along as the stability signal
+    val qs = results.map { case (k, (_, f)) => f""""$k":$f%.3f""" }
       .mkString("{", ",", "}")
-    val queriesTotal = results.map(_._2._1).filter(_ >= 0).sum
-    // the cold (first-run) table: comparable to pre-r12 single-sample
-    // rounds, and the honest figure for the memoized-training queries
-    val cold = results.map { case (k, (_, f)) => f""""$k":$f%.3f""" }
+    val queriesTotal = results.map(_._2._2).filter(_ >= 0).sum
+    val med = results.map { case (k, (m, _)) => f""""$k":$m%.3f""" }
       .mkString("{", ",", "}")
-    val coldTotal = results.map(_._2._2).filter(_ >= 0).sum
+    val medTotal = results.map(_._2._1).filter(_ >= 0).sum
     val repJson = if (repeat > 1)
-      f""","bench_repeat":$repeat,"queries_cold":$cold,"queries_cold_total":$coldTotal%.2f"""
+      f""","bench_repeat":$repeat,"queries_median":$med,"queries_median_total":$medTotal%.2f"""
     else ""
     // value keeps the round-over-round-comparable grand total (builds
     // were inside the query slots through r9); the split keys break it
@@ -264,7 +306,16 @@ object Bench {
     val total = queriesTotal + storeBuildTotal
     val split = f""","queries_total":$queriesTotal%.2f,"store_build_total":$storeBuildTotal%.2f,"store_build_secs":$buildsJson"""
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$split$repJson$fold$approxProf,"sf":"$sfDir"}"""
+    // Cold-vs-prior-round drift report: if a prior round's bench artifact
+    // is available (bench_prev.json, committed per round, or
+    // SPARK_GRAFT_PREV_BENCH), flag per-query cold ratios outside
+    // [0.75, 1.33] so the next q114-class drift surfaces in the artifact
+    // itself instead of in the judge's diff (VERDICT r12 roadmap #8).
+    val drift = coldDriftJson(results.collect {
+      case (k, (_, f)) if f >= 0 => k -> f
+    }.toMap)
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$split$repJson$drift$fold$approxProf,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's logger (the driver saw "[info] {...}" and
     // parsed null in round 1) — also write the line to a well-known file
@@ -279,8 +330,8 @@ object Bench {
     // therefore a genuinely short summary — total, query count, the 5
     // slowest queries, the fold figures, and a pointer to the full
     // per-query artifact written above — guaranteed inside the window.
-    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(5)
-      .map { case (k, (m, _)) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$m%.3f" }
+    val slowest = results.filter(_._2._2 >= 0).sortBy(-_._2._2).take(5)
+      .map { case (k, (_, f)) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$f%.3f" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"queries_total":$queriesTotal%.2f,"store_build_total":$storeBuildTotal%.2f,"bench_repeat":$repeat,"slowest":$slowest,"queries_file":"$out"$fold$approxProf,"sf":"$sfDir"}""")
     spark.stop()

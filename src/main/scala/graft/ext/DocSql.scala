@@ -65,6 +65,15 @@ object DocSql {
     require(rows.length <= max,
       s"$what view exceeds $max rows — table arguments must be " +
         "vocabulary-bounded (did you pass the corpus view by mistake?)")
+    // typed getters downstream (getLong/getBoolean) would throw a raw
+    // NullPointerException on a NULL — which a cast produces silently from
+    // a malformed value (e.g. a non-numeric 'round' string). Keep the
+    // readable-error promise here instead.
+    rows.foreach { r =>
+      require(!r.anyNull,
+        s"$what view contains a NULL (possibly a failed cast of a " +
+          "malformed value) — every column must be non-null")
+    }
     rows
   }
 

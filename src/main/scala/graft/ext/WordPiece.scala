@@ -71,7 +71,12 @@ object WordPiece {
   def vocabFrameFromCounts(counts: DataFrame,
                            topWords: Int = 16, topAffixes: Int = 8,
                            affixLens: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
-    val wc = counts.cache()
+    // a caller that persisted `counts` for its own reuse keeps its cache:
+    // cache/unpersist act on the shared Dataset, so this call only
+    // manages the persistence it created itself (ADVICE r12)
+    val callerCached =
+      counts.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val wc = if (callerCached) counts else counts.cache()
     try {
       val chars = wc.select(explode(split(col("word"), "")).as("piece"))
         .filter(col("piece") =!= "").distinct()
@@ -93,7 +98,7 @@ object WordPiece {
       val frame = init.unionByName(contd)
       counts.sparkSession.createDataFrame(
         java.util.Arrays.asList(frame.collect(): _*), frame.schema)
-    } finally { wc.unpersist(false); () }
+    } finally { if (!callerCached) wc.unpersist(false); () }
   }
 
   /** Collect the (bounded) vocabulary frame into the broadcastable
