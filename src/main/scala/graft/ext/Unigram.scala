@@ -55,7 +55,12 @@ object Unigram {
     * the materialized rows instead of re-running the aggregation. */
   def pieceFrameFromCounts(counts: DataFrame,
                            topSub: Int = 24, maxLen: Int = 4): DataFrame = {
-    val wc = counts.cache()
+    // manage only the persistence this call created: a caller-persisted
+    // `counts` keeps its cache (cache/unpersist act on the shared
+    // Dataset — ADVICE r12)
+    val callerCached =
+      counts.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val wc = if (callerCached) counts else counts.cache()
     try {
       val subs = (1 to maxLen).map { l =>
         wc.filter(length(col("word")) >= l)
@@ -83,7 +88,7 @@ object Unigram {
       }
       counts.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), frame.schema)
-    } finally { wc.unpersist(false); () }
+    } finally { if (!callerCached) wc.unpersist(false); () }
   }
 
   /** The inventory as driver-side aligned seqs (bounded by
@@ -97,6 +102,111 @@ object Unigram {
   def collectPieces(frame: DataFrame): Seq[(String, Long)] =
     frame.collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toIndexedSeq
+
+  /** One EM training run: the seed inventory, the inventory after each
+    * iteration (post-prune), and the final inventory (== iterations
+    * .last, or the seed when `iters == 0`). Every inventory is sorted
+    * by piece — the deterministic closure shape [[collectPieces]]
+    * established. */
+  final case class EmResult(seed: Seq[(String, Long)],
+                            iterations: Seq[Seq[(String, Long)]]) {
+    def pieces: Seq[(String, Long)] = iterations.lastOption.getOrElse(seed)
+  }
+
+  /** Unigram-LM EM training (Kudo 2018's train loop, §3.2, as the
+    * deterministic hard-EM/Viterbi-EM variant with integer weights):
+    * seed a LARGE inventory (all characters + the `topSeed` heaviest
+    * substrings — [[pieceFrameFromCounts]] with `topSub = topSeed`),
+    * then iterate:
+    *
+    *  - E-step: segment every distinct word with the CURRENT costs via
+    *    the exact-Viterbi kernel ([[graft.functions.UnigramSegment]],
+    *    whose backtrace tie-break — longest piece achieving the optimal
+    *    cost — makes the segmentation a pure function of (word,
+    *    inventory)); a piece's expected count is its occurrence count
+    *    in the segmentations, weighted by word frequency. Where Kudo's
+    *    soft EM assigns fractional counts via forward-backward over
+    *    float log-probs, the hard-EM point estimate keeps every count
+    *    an exact integer — the property that lets a second engine
+    *    replay the whole loop bit-for-bit.
+    *  - M-step: cost(piece) = K − expected-count; PRUNE the inventory
+    *    to all single characters (coverage, never dropped — Kudo §3.2's
+    *    subword-coverage constraint) plus the `target` highest-usage
+    *    multi-character pieces (ties on the piece string; zero-usage
+    *    multis always drop). This is the deterministic counterpart of
+    *    the loss-ranked pruning schedule: usage IS each piece's
+    *    first-order contribution to the corpus objective here, because
+    *    removing a piece forces its occurrences to re-segment.
+    *
+    * Why EM beats the one-shot frequency heuristic ([[pieceFrame]]):
+    * substring WEIGHT counts every occurrence, including those inside
+    * contexts where the piece is never chosen (a competing piece covers
+    * the span more cheaply); USAGE counts only real wins, so a
+    * frequent-but-always-dominated substring is pruned in favor of a
+    * piece that actually shortens segmentations (UnigramEmSpec pins a
+    * corpus where the EM inventory strictly reduces total piece count).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count
+    * aggregation feeding `counts`); every EM iteration is one map-only
+    * kernel pass over the VOCABULARY-bounded counts frame + one
+    * aggregation on a key space bounded by the inventory, collected
+    * (≤ inventory rows) for the driver-side M-step. Iterations cost
+    * O(vocab), independent of corpus size. */
+  def emTrainFromCounts(counts: DataFrame, topSeed: Int = 48,
+                        target: Int = 24, maxLen: Int = 4,
+                        iters: Int = 2): EmResult = {
+    require(target >= 1 && topSeed >= target && iters >= 0,
+      "need topSeed >= target >= 1 and iters >= 0")
+    val seed = collectPieces(pieceFrameFromCounts(counts, topSeed, maxLen))
+    val inventories = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long)]]
+    var inv = seed
+    var i = 0
+    while (i < iters) {
+      val usage = emUsage(counts, inv)
+      // K-dominance guard, the pieceFrameFromCounts discipline: a usage
+      // count at or past K flips a cost non-positive and the objective
+      // silently inverts — fail loudly instead
+      usage.foreach { case (p, u) =>
+        require(u < CostScale,
+          s"unigram piece '$p' usage $u reaches CostScale=$CostScale — " +
+            "the integer objective would invert; raise CostScale")
+      }
+      val singles = inv.collect { case (p, _) if pieceLen(p) == 1 =>
+        (p, CostScale - usage.getOrElse(p, 0L))
+      }
+      val multis = usage.toSeq
+        .collect { case (p, u) if pieceLen(p) >= 2 && u > 0 => (p, u) }
+        .sortBy { case (p, u) => (-u, p) }
+        .take(target)
+        .map { case (p, u) => (p, CostScale - u) }
+      inv = (singles ++ multis).sortBy(_._1).toIndexedSeq
+      inventories += inv
+      i += 1
+    }
+    EmResult(seed, inventories.toSeq)
+  }
+
+  /** [[emTrainFromCounts]] from raw documents. */
+  def emTrain(docs: DataFrame, textCol: String = "text", topSeed: Int = 48,
+              target: Int = 24, maxLen: Int = 4, iters: Int = 2): EmResult =
+    emTrainFromCounts(WordPiece.wordCounts(docs, textCol),
+      topSeed, target, maxLen, iters)
+
+  /** The E-step accounting: per piece, its occurrence count in the
+    * deterministic Viterbi segmentations of the distinct words, weighted
+    * by word frequency. One map-only kernel pass over the bounded
+    * counts frame + one inventory-bounded aggregation. */
+  private def emUsage(counts: DataFrame,
+                      inv: Seq[(String, Long)]): Map[String, Long] =
+    counts
+      .select(explode(graft.functions.UnigramFunctions.unigram_segment(
+          col("word"), inv.map(_._1), inv.map(_._2), CostScale)).as("piece"),
+        col("n"))
+      .groupBy("piece").agg(sum("n").as("u"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def pieceLen(p: String): Int = p.codePointCount(0, p.length)
 
   /** Per document: word count, total Viterbi cost, and the (unique)
     * optimal piece count. One map-only projection. */

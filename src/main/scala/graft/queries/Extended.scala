@@ -201,6 +201,15 @@ ORDER BY doc_id"""
       // the Viterbi DP is re-derived in SQL, so the kernel is NOT
       // trusted from the engine
       Unigram.pieceFrame(Tables.documents(s, d))),
+    "q196_seed" -> ((s: SparkSession, d: String) => {
+      // the EM trainer's SEED inventory only — the dump boundary is the
+      // same substring-weight aggregation as q191 (at topSeed width);
+      // the EM loop itself (both iterations: DP, backtrace, usage,
+      // prune) and the final segmentation are re-derived in SQL, so the
+      // trainer is NOT trusted from the engine
+      import s.implicits._
+      q196Train(s, d).seed.toDF("piece", "cost")
+    }),
     "q190_dhashes" -> ((s: SparkSession, d: String) =>
       // the per-image dHash fingerprints q190's pairs derive from — the
       // dump boundary is the REAL BMP encode→decode→gradient-hash
@@ -4614,6 +4623,25 @@ ORDER BY doc_id"""
         Unigram.viterbiStats(Tables.documents(s, d), pieces).orderBy("doc_id")
       },
       Some(unigramViterbiOracleSql)),
+
+    ("q196_unigram_em",
+      (s: SparkSession, d: String) =>
+        // unigram-LM EM TRAINING (Kudo 2018 §3.2, deterministic hard-EM
+        // with integer weights): a 48-piece seed inventory prunes to 24
+        // through 2 EM iterations — E-step segments the vocabulary with
+        // the exact-Viterbi kernel (backtrace tie-break: longest piece
+        // achieving the optimal cost), M-step re-derives costs from
+        // frequency-weighted USAGE and keeps chars + the top-24 used
+        // multis. Query = per-doc Viterbi stats under the TRAINED
+        // inventory. Only the SEED rides the q196_seed aux dump: the
+        // oracle replays BOTH full EM iterations — forward DP,
+        // backtrace, usage accounting, pruning — and the final
+        // segmentation pass in SQL, so neither the trainer loop nor the
+        // kernel is trusted from the engine; any drift in a tie-break,
+        // the fallback, usage weighting, or the prune rule hash-fails.
+        Unigram.viterbiStats(Tables.documents(s, d), q196Train(s, d).pieces)
+          .orderBy("doc_id"),
+      Some(q196ReplaySql)),
   )
 
   /** Shared by q188 (one-shot encode) and q194 (maintained vocabulary
@@ -4691,6 +4719,91 @@ ORDER BY doc_id"""
              |FROM documents d LEFT JOIN perdoc pd USING (doc_id)
              |WHERE d.text IS NOT NULL
              |ORDER BY d.doc_id""".stripMargin
+
+  /** q196's EM-replay oracle: from the dumped SEED inventory alone,
+    * DuckDB re-runs BOTH hard-EM iterations — per-iteration forward DP
+    * over the distinct words, the longest-piece-achieving-optimum
+    * backtrace, frequency-weighted usage accounting, and the
+    * chars + top-`target`-used prune — then segments every document
+    * with the inventory IT derived and emits the q191-shaped per-doc
+    * stats. The engine computes the same answer through the
+    * UnigramSegment/UnigramViterbiStats kernels and the driver-side
+    * M-step, so any drift in a DP transition, the backtrace tie-break,
+    * the single-char fallback, usage weighting, or the prune order
+    * hash-fails. */
+  private def q196ReplaySql: String = {
+    val iters = 2; val target = 24; val K = "1000000000000"
+    // one forward-DP block over the distinct words against inventory
+    // `inv`: best[j] (1-based) = optimal cost of the first j-1 chars
+    def dpBlock(name: String, inv: String): String =
+      s"""$name AS (
+         |  SELECT word, 0 AS pos, CAST([0] AS BIGINT[]) AS best FROM uw
+         |  UNION ALL
+         |  SELECT d.word, d.pos + 1,
+         |    list_append(d.best, coalesce(
+         |      (SELECT MIN(d.best[d.pos + 2 - l.l] + pp.cost)
+         |       FROM unnest([1, 2, 3, 4]) AS l(l)
+         |       JOIN $inv pp ON pp.piece = substr(d.word, d.pos + 2 - l.l, l.l)
+         |       WHERE l.l <= d.pos + 1),
+         |      d.best[d.pos + 1] + $K))
+         |  FROM $name d WHERE d.pos < len(d.word))""".stripMargin
+    // one EM iteration: DP + backtrace (longest piece achieving the
+    // optimum; no match → the single-char cost-K fallback, emitted as
+    // that char) + usage + the M-step prune
+    def emBlock(i: Int): String = {
+      val prev = s"p${i - 1}"
+      s"""${dpBlock(s"dp$i", prev)},
+         |wb$i AS (SELECT word, best FROM dp$i WHERE pos = len(word)),
+         |bt$i AS (
+         |  SELECT word, len(word) AS p, CAST(NULL AS VARCHAR) AS piece FROM uw
+         |  UNION ALL
+         |  SELECT b.word, b.p - ch.l, substr(b.word, b.p - ch.l + 1, ch.l)
+         |  FROM bt$i b JOIN wb$i w USING (word),
+         |    LATERAL (SELECT coalesce(
+         |        (SELECT MAX(l.l) FROM unnest([1, 2, 3, 4]) AS l(l)
+         |         JOIN $prev pp ON pp.piece = substr(b.word, b.p - l.l + 1, l.l)
+         |         WHERE l.l <= b.p
+         |           AND w.best[b.p - l.l + 1] + pp.cost = w.best[b.p + 1]), 1) AS l) ch
+         |  WHERE b.p > 0),
+         |us$i AS (SELECT piece, SUM(wc.n) AS u
+         |  FROM bt$i JOIN wc USING (word) WHERE piece IS NOT NULL
+         |  GROUP BY piece),
+         |p$i AS (
+         |  SELECT pp.piece, $K - coalesce(u.u, 0) AS cost
+         |  FROM $prev pp LEFT JOIN us$i u USING (piece)
+         |  WHERE len(pp.piece) = 1
+         |  UNION ALL
+         |  SELECT piece, $K - u AS cost FROM (
+         |    SELECT u.piece, u.u FROM us$i u JOIN $prev pp USING (piece)
+         |    WHERE len(u.piece) >= 2 AND u.u > 0
+         |    ORDER BY u.u DESC, u.piece LIMIT $target))""".stripMargin
+    }
+    s"""WITH RECURSIVE
+       |p0 AS MATERIALIZED (SELECT piece, cost
+       |  FROM read_parquet('$OracleAuxDir/q196_seed/*.parquet')),
+       |words AS (SELECT doc_id, toks[i] AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents WHERE text IS NOT NULL),
+       |       unnest(range(1, len(toks) + 1)) AS u(i)),
+       |wc AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+       |uw AS (SELECT word FROM wc),
+       |${(1 to iters).map(emBlock).mkString(",\n")},
+       |${dpBlock("dpf", s"p$iters")},
+       |wcost AS (SELECT word, best[len(word) + 1] AS cost
+       |          FROM dpf WHERE pos = len(word)),
+       |perdoc AS (SELECT w.doc_id, COUNT(*) AS n_words,
+       |    SUM(c.cost) AS viterbi_cost,
+       |    SUM((c.cost + $K - 1) // $K) AS n_pieces
+       |  FROM words w JOIN wcost c USING (word) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(pd.viterbi_cost, 0) AS BIGINT) AS viterbi_cost,
+       |  CAST(coalesce(pd.n_pieces, 0) AS BIGINT) AS n_pieces
+       |FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+       |WHERE d.text IS NOT NULL
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Shared by q172 (one-shot pass) and q185 (maintained registry):
     * the full-recompute decontamination oracle over the %97 benchmark
@@ -4942,6 +5055,18 @@ ORDER BY doc_id"""
   private def q191Pieces(s: SparkSession, d: String): Seq[(String, Long)] =
     q191Cache.computeIfAbsent(d, dir =>
       Unigram.trainPieces(Tables.documents(s, dir)))
+
+  /** Memoized unigram EM training for q196 — the query segments with the
+    * final inventory and the aux dump emits the SEED the oracle replays
+    * the whole loop from (deterministic throughout: seed ties break on
+    * the piece, the E-step kernel's backtrace tie-break is pinned by
+    * UnigramEmSpec, M-step pruning orders by (usage desc, piece)). */
+  private val q196Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Unigram.EmResult]()
+  private def q196Train(s: SparkSession, d: String): Unigram.EmResult =
+    q196Cache.computeIfAbsent(d, dir =>
+      Unigram.emTrain(Tables.documents(s, dir),
+        topSeed = 48, target = 24, maxLen = 4, iters = 2))
 
   /** q194/q195's maintained vocabulary store: three residue folds with
     * a replayed batch (idempotent overwrite), a mid-stream compaction,
