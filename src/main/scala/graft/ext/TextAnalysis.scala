@@ -547,13 +547,7 @@ object TextAnalysis {
         windows += ((w, sliceRows))
         val cap = math.min(batchCap, rounds - merges.size)
         val base = merges.size
-        val dirty = scala.collection.mutable.Set.empty[String]
-        val adopted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        sliceRows.foreach { case (t1, t2, c) =>
-          if (adopted.size < cap && !dirty(t1) && !dirty(t2)) {
-            adopted += ((t1, t2, c)); dirty += t1; dirty += t2
-          }
-        }
+        val adopted = greedyAdopt(sliceRows, cap)
         // the top candidate always adopts (empty dirty set) → progress
         merges ++= adopted.zipWithIndex.map { case ((a, b, c), i) =>
           (base + i + 1, a, b, c)
@@ -570,6 +564,143 @@ object TextAnalysis {
       case t: Throwable => toks.unpersist(false); throw t
     }
     (BpeBatchResult(merges.toSeq, windows.toSeq, adoptedPerWindow.toSeq), toks)
+  }
+
+  /** The driver-local adoption greedy shared by every batched trainer
+    * window: walk the spectrum slice in its (count desc, lhs, rhs)
+    * order, adopt up to `cap` candidates, skip any that shares a token
+    * with a merge already adopted this window (its count is stale after
+    * that merge's rewrite). The q166/q197 oracles re-derive exactly
+    * this logic in SQL, so it must stay byte-for-byte deterministic. */
+  private def greedyAdopt(sliceRows: Seq[(String, String, Long)],
+                          cap: Int): Seq[(String, String, Long)] = {
+    val dirty = scala.collection.mutable.Set.empty[String]
+    val adopted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    sliceRows.foreach { case (t1, t2, c) =>
+      if (adopted.size < cap && !dirty(t1) && !dirty(t2)) {
+        adopted += ((t1, t2, c)); dirty += t1; dirty += t2
+      }
+    }
+    adopted.toSeq
+  }
+
+  /** Character-grain BPE training from an aggregated (word, n) count
+    * frame — the Sennrich et al. (ACL'16) / SentencePiece formulation:
+    * each DISTINCT word is a character sequence weighted by its corpus
+    * count, merges happen within words, and a pair's count is the SUM
+    * OF WORD COUNTS over its adjacent occurrences. This is the
+    * formulation a MAINTAINED tokenizer pipeline needs, because the
+    * word-count multiset is an ADDITIVE sufficient statistic: the
+    * streaming [[graft.streaming.VocabStream]] store folds it exactly,
+    * so identical counts force the identical merge table and the
+    * store-derived path answers the one-shot oracle verbatim (the
+    * q194/q195 discipline; q197 gates it). The corpus-grain trainer
+    * ([[bpeTrainBatched]]) CANNOT be maintained this way — cross-word
+    * pair adjacency is not additive under rewrites — which is exactly
+    * why the production-scale path trains from counts.
+    *
+    * Scale shape: the working frame is VOCABULARY-sized, not
+    * corpus-sized — at 100 TB the corpus is scanned once (by the
+    * store's additive folds); every trainer round is a pair count +
+    * rewrite over the distinct-word frame (millions of rows, not
+    * billions), re-checkpointed per window so the iterative plan never
+    * compounds. Adoption batching, the scan cap, the dirty-token skip
+    * and every tie-break are IDENTICAL to [[bpeTrainBatched]] (shared
+    * greedy), so the window spectra replay under the same oracle CTE.
+    *
+    * Returns (provenance, final rewritten (n, toks) frame — persisted;
+    * the caller must unpersist). Merged tokens are space-joined char
+    * groups ("a b"), the repo-wide BPE token convention. */
+  def bpeTrainFromCounts(counts: DataFrame, rounds: Int = 48,
+                         batchCap: Int = 16)
+      : (BpeBatchResult, DataFrame) = {
+    require(rounds >= 1 && batchCap >= 1)
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val scanCap = 8 * batchCap
+    var frame = counts
+      .select(col("n").cast("long").as("n"),
+        filter(split(col("word"), ""), t => t =!= "").as("toks"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val windows = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[(String, String, Long)])]
+    val adoptedPerWindow = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var w = 0
+    var exhausted = false
+    try while (merges.size < rounds && !exhausted) {
+      val pairs = arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("t1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("t2"))
+      val sliceRows = frame.filter(size(col("toks")) >= 2)
+        .select(explode(pairs).as("p"), col("n"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(sum("n").as("c"))
+        .orderBy(col("c").desc, col("t1"), col("t2"))
+        .limit(scanCap)
+        .as[(String, String, Long)].collect().toSeq
+      if (sliceRows.isEmpty) exhausted = true
+      else {
+        w += 1
+        windows += ((w, sliceRows))
+        val cap = math.min(batchCap, rounds - merges.size)
+        val base = merges.size
+        val adopted = greedyAdopt(sliceRows, cap)
+        merges ++= adopted.zipWithIndex.map { case ((a, b, c), i) =>
+          (base + i + 1, a, b, c)
+        }
+        adoptedPerWindow += adopted.size
+        val next = frame.withColumn("toks",
+            graft.functions.VectorFunctions.bpe_apply_merges(col("toks"),
+              adopted.map(_._1), adopted.map(_._2)))
+          .localCheckpoint(true)
+        frame.unpersist(false)
+        frame = next
+      }
+    } catch {
+      case t: Throwable => frame.unpersist(false); throw t
+    }
+    (BpeBatchResult(merges.toSeq, windows.toSeq, adoptedPerWindow.toSeq), frame)
+  }
+
+  /** [[bpeTrainFromCounts]]'s merge table alone — (round, lhs, rhs,
+    * pair_count), `pair_count` the frequency-weighted count the
+    * adoption ranked the pair by in its window-start vocabulary. */
+  def bpeMergesFromCounts(counts: DataFrame, rounds: Int = 48,
+                          batchCap: Int = 16): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val (res, frame) = bpeTrainFromCounts(counts, rounds, batchCap)
+    frame.unpersist(false)
+    res.merges.toDF("round", "lhs", "rhs", "pair_count").orderBy("round")
+  }
+
+  /** Character-grain ENCODE of every whitespace word through an
+    * already-trained [[bpeTrainFromCounts]] merge table — the
+    * production inference step next to the maintained trainer. ONE
+    * map-only pass, NO shuffle at all: per document the word array
+    * folds through the depth-independent rank-routing kernel
+    * ([[graft.functions.BpeApplyMergesIndexed]]) word by word inside a
+    * single codegen'd projection; the merge table broadcasts as a
+    * literal reference object. Output (doc_id, n_words, n_chars,
+    * n_pieces) — all integers, so the DuckDB sequential-fold replay
+    * (q198, the q181 discipline at char grain) hash-gates the kernel
+    * routing bit-for-bit. */
+  def bpeEncodeWords(docs: DataFrame, merges: Seq[(String, String)],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val lhs = merges.map(_._1)
+    val rhs = merges.map(_._2)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), x => x =!= "").as("__w"))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_words"),
+        aggregate(col("__w"), lit(0L),
+          (a, x) => a + length(x).cast("long")).as("n_chars"),
+        aggregate(col("__w"), lit(0L), (a, x) =>
+          a + size(graft.functions.VectorFunctions.bpe_apply_merges_indexed(
+            filter(split(x, ""), t => t =!= ""), lhs, rhs)).cast("long"))
+          .as("n_pieces"))
   }
 
   /** The BPE rewrite fold: merge non-overlapping left-to-right (a, b)
@@ -747,10 +878,11 @@ object TextAnalysis {
   def gopherRules(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   minWords: Long = 30, maxWords: Long = 50000,
-                  stops: Seq[String] = stopwords("en")): DataFrame = {
+                  stops: Seq[String] = stopwords("en"),
+                  carryCols: Seq[String] = Nil): DataFrame = {
     val staged = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        filter(split(col(textCol), " "), t => t =!= "").as("__toks"))
+      .select(col(idCol) +: carryCols.map(col) :+
+        filter(split(col(textCol), " "), t => t =!= "").as("__toks"): _*)
     val toks = col("__toks")
     val n = size(toks).cast("long")
     val sumChars = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
@@ -774,11 +906,11 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
     val n2 = size(bigrams).cast("long")
     val nd2 = size(array_distinct(bigrams)).cast("long")
-    staged.select(col(idCol),
+    staged.select(col(idCol) +: carryCols.map(col) ++: Seq(
         n.as("n_words"), sumChars.as("sum_word_chars"),
         nAlpha.as("n_alpha_words"), nStop.as("n_stopwords"),
         maxWordN.as("max_word_count"),
-        n2.as("n_bigrams"), nd2.as("n_distinct_bigrams"))
+        n2.as("n_bigrams"), nd2.as("n_distinct_bigrams")): _*)
       .withColumn("r_word_count",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("r_mean_word_len", // 3 ≤ mean ≤ 10, integer-exact

@@ -94,6 +94,20 @@ object VocabStream {
       graft.ext.Unigram.pieceFrameFromCounts(
         wordCounts(spark, storeDir), topSub, maxLen))
 
+  /** The character-grain BPE merge table derived from the maintained
+    * counts — bit-identical to [[graft.ext.TextAnalysis
+    * .bpeMergesFromCounts]] over the one-shot aggregation of the
+    * ingested corpus: the trainer is a pure function of the word-count
+    * multiset, which the store folds additively, so identical counts
+    * force the identical merge table (q197 gates it against the
+    * one-shot spectrum-replay oracle verbatim). Completes the
+    * maintained-tokenizer family: one store now serves WordPiece,
+    * unigram AND BPE artifacts without re-scanning the corpus. */
+  def bpeMerges(spark: SparkSession, storeDir: String,
+                rounds: Int = 48, batchCap: Int = 16): DataFrame =
+    graft.ext.TextAnalysis.bpeMergesFromCounts(
+      wordCounts(spark, storeDir), rounds, batchCap)
+
   def start(spark: SparkSession, cfg: VocabStreamConfig): StreamingQuery =
     spark.readStream
       .schema(cfg.schema)
