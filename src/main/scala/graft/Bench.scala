@@ -278,6 +278,28 @@ object Bench {
       System.err.println(s"[bench] approxProfile failed: ${e.getMessage}"); ""
     }
 
+    // Packing-efficiency evidence (VERDICT r12 roadmap #3): the padded-
+    // token delta of best-fit-decreasing vs the first-fit baseline on
+    // the documents table at this SF, same capacity/buckets as q199 —
+    // the number BFD exists to improve, measured per round.
+    val packing = try {
+      import org.apache.spark.sql.functions.col
+      val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      def waste(assign: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = graft.ext.Sharding.packingWaste(assign, capacity = 256L).head()
+        (r.getLong(0), r.getLong(1)) // (n_bins, padded_tokens)
+      }
+      val (ffBins, ffPad) = waste(
+        graft.ext.Sharding.ffPack(toks, "doc_id", "n_tokens", 256L, 128L))
+      val (bfdBins, bfdPad) = waste(
+        graft.ext.Sharding.bfdPack(toks, "doc_id", "n_tokens", 256L, 128L))
+      s""","packing":{"capacity":256,"bucket_size":128,"ff_bins":$ffBins,"ff_padded_tokens":$ffPad,"bfd_bins":$bfdBins,"bfd_padded_tokens":$bfdPad}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] packing delta failed: ${e.getMessage}"); ""
+    }
+
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q49,q62 times just those
     // queries; SPARK_GRAFT_SKIP_FOLD=1 skips the ingest+fold stage.
     // Unset (the driver path) = everything.
@@ -315,7 +337,7 @@ object Bench {
       case (k, (_, f)) if f >= 0 => k -> f
     }.toMap)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$split$repJson$drift$fold$approxProf,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$split$repJson$drift$fold$approxProf$packing,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's logger (the driver saw "[info] {...}" and
     // parsed null in round 1) — also write the line to a well-known file

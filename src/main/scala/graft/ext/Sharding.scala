@@ -129,6 +129,100 @@ object Sharding {
     }
   }
 
+  /** Best-fit-decreasing bin packing within id-range buckets — the
+    * padding-minimizing shard builder (docs never split; bins never
+    * overflow, so `capacity − load` is real padding). Within each
+    * bucket, docs sort by (tokens desc, id asc) and each goes to the
+    * FULLEST bin that still fits (ties → lowest bin index; no fit → a
+    * new bin, which also handles oversized docs: a doc longer than the
+    * capacity sits alone and never receives a neighbor). Contrast
+    * [[packShards]] (q55): that walks id order and lets shards
+    * overflow; BFD trades the id-contiguity for measurably less
+    * padding (Ding et al. 2024 use exactly this placement for
+    * training-sequence packing).
+    *
+    * Scale shape: global BFD is INHERENTLY SEQUENTIAL (every placement
+    * depends on all previous loads), so the scale unit is the id-range
+    * BUCKET — `floor(id / bucketSize)` — packed exactly and
+    * independently in parallel, one shuffle on the bucket key, per-task
+    * memory bounded by `bucketSize` docs BY CONSTRUCTION. The bucket
+    * boundary is the explicit approximation knob: padding approaches
+    * global-BFD's as buckets grow, parallelism as they shrink. Pure
+    * integer state and total orders throughout, so a sequential replay
+    * reproduces every placement bit-for-bit (the q199 oracle re-runs
+    * the whole fold in SQL).
+    *
+    * Output: (`idCol`, `tokenCol`, bucket, bin) — bin is 1-based within
+    * its bucket. */
+  def bfdPack(docs: DataFrame, idCol: String, tokenCol: String,
+              capacity: Long, bucketSize: Long): DataFrame =
+    binPackBuckets(docs, idCol, tokenCol, capacity, bucketSize,
+      bestFitDecreasing = true)
+
+  /** First-fit packing in id order over the same bucketed kernel — the
+    * baseline [[bfdPack]] is measured against (same bins-never-overflow
+    * semantic, same bucketing; placement = the FIRST bin that fits
+    * walking bin indices, arrival = plain id order). The bench artifact
+    * reports the padded-token delta between the two. */
+  def ffPack(docs: DataFrame, idCol: String, tokenCol: String,
+             capacity: Long, bucketSize: Long): DataFrame =
+    binPackBuckets(docs, idCol, tokenCol, capacity, bucketSize,
+      bestFitDecreasing = false)
+
+  private def binPackBuckets(docs: DataFrame, idCol: String, tokenCol: String,
+                             capacity: Long, bucketSize: Long,
+                             bestFitDecreasing: Boolean): DataFrame = {
+    require(capacity > 0, "bin capacity must be positive")
+    require(bucketSize > 0, "bucket size must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey { case (id, _) => Math.floorDiv(id, bucketSize) }
+      .flatMapGroups { (bucket: Long, it: Iterator[(Long, Long)]) =>
+        // bounded by bucketSize docs by construction (id-range bucket)
+        val items = it.toArray
+        val ordered =
+          if (bestFitDecreasing) items.sortBy { case (id, t) => (-t, id) }
+          else items.sortBy(_._1)
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ordered.iterator.map { case (id, t) =>
+          var pick = -1
+          var i = 0
+          if (bestFitDecreasing) {
+            // fullest fitting bin; strict > keeps the LOWEST index on ties
+            while (i < loads.length) {
+              if (loads(i) + t <= capacity &&
+                  (pick < 0 || loads(i) > loads(pick))) pick = i
+              i += 1
+            }
+          } else {
+            while (pick < 0 && i < loads.length) {
+              if (loads(i) + t <= capacity) pick = i
+              i += 1
+            }
+          }
+          if (pick < 0) { loads += t; pick = loads.length - 1 }
+          else loads(pick) += t
+          (id, t, bucket, (pick + 1).toLong)
+        }
+      }
+      .toDF(idCol, tokenCol, "bucket", "bin")
+  }
+
+  /** Padding accounting for a [[bfdPack]]/[[ffPack]] assignment: bins
+    * opened, padded tokens (capacity − load, floored at 0 for the
+    * oversized-doc bins), and the token total — the three numbers a
+    * packing strategy is judged by. One aggregation, one row. */
+  def packingWaste(assign: DataFrame, capacity: Long,
+                   tokenCol: String = "n_tokens"): DataFrame =
+    assign.groupBy("bucket", "bin")
+      .agg(sum(tokenCol).as("load"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(greatest(lit(0L), lit(capacity) - col("load"))).as("padded_tokens"),
+        sum(col("load")).as("token_total"))
+
   /** Deterministic global training-order shuffle: a seeded
     * pseudo-random permutation of the corpus — each row's epoch position
     * is its rank under (knuth-hash(id, seed), id) — cut into fixed-size
