@@ -113,7 +113,20 @@ object CuratePipeline {
     *    ([[graft.functions.BpeApplyMergesIndexed]] — one map-only
     *    expression, no extra pass), so every downstream consumer
     *    (token budget, sequence packing, shard stats) counts what the
-    *    training job will actually see. */
+    *    training job will actually see.
+    *
+    * Round-13 optional stage:
+    *  - `fimRatePermille`: the fill-in-the-middle reorder
+    *    ([[Sharding.fimTransform]], q192) as the LAST stage, after
+    *    packing — shard membership and budgets are decided on the
+    *    original text, then the selected fraction of documents rewrites
+    *    to `<PRE> prefix <SUF> suffix <MID> middle` in place (the
+    *    Bavarian et al. 2022 recipe: infill training data is a
+    *    REORDERING, so applying it post-pack changes no shard shape;
+    *    the 3 sentinel tokens per transformed doc are the only budget
+    *    delta and are deliberately NOT re-counted). Selection and split
+    *    points are pure functions of (doc_id, fimSeed), so reruns stay
+    *    byte-identical — the pipeline's defining property. */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
@@ -132,7 +145,9 @@ object CuratePipeline {
           leakageSplitThreshold: Option[Double] = None,
           normalizeSampleWeights: Boolean = false,
           substrDecontaminateMinLen: Option[Int] = None,
-          bpeMerges: Option[Seq[(String, String)]] = None): DataFrame = {
+          bpeMerges: Option[Seq[(String, String)]] = None,
+          fimRatePermille: Option[Int] = None,
+          fimSeed: Long = 17L): DataFrame = {
     require(temperatureTarget.isEmpty || weightedSampleK.isEmpty,
       "temperatureTarget and weightedSampleK both replace the per-source cap — pick one")
     require(substrDecontaminateMinLen.isEmpty || benchmarks.nonEmpty,
@@ -277,7 +292,22 @@ object CuratePipeline {
         case None =>
           Sharding.packShards(part, "doc_id", "n_tokens", tokenBudget)
       }
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _) match {
+      case packed => fimRatePermille match {
+        case Some(rate) =>
+          // post-pack FIM: one transform per DISTINCT doc (the seqLen
+          // layout emits one row per doc-span — the reorder must not
+          // depend on how many sequences a doc straddles), joined back
+          // on doc_id; `fim` flags the rewritten docs for the trainer
+          val fimmed = Sharding.fimTransform(
+              packed.select(col("doc_id"), col("text")).dropDuplicates("doc_id"),
+              "doc_id", "text", ratePermille = rate, seed = fimSeed)
+            .select(col("doc_id"), col("fim"), col("text_fim"))
+          packed.drop("text").join(fimmed, Seq("doc_id"))
+            .withColumnRenamed("text_fim", "text")
+        case None => packed
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -415,4 +415,42 @@ class CuratePipelineSpec extends SparkTestBase {
     assert(bpeShards <= wsShards,
       s"encoded accounting must not need MORE shards: $bpeShards > $wsShards")
   }
+
+  test("round-13 stage: post-pack FIM rewrites in place, rerun-reproducibly") {
+    val docs = Tables.documents(spark, sf)
+    def run() = CuratePipeline.run(spark, docs,
+      minQuality = 0.3, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 20,
+      fimRatePermille = Some(500), fimSeed = 17L)
+    val out = run().select("doc_id", "split", "shard", "n_tokens", "fim", "text")
+      .as[(Long, String, Long, Long, Boolean, String)].collect().toSeq
+    val base = CuratePipeline.run(spark, docs,
+      minQuality = 0.3, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 20)
+      .select("doc_id", "split", "shard", "n_tokens", "text")
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+
+    // FIM is POST-pack: shard membership, splits and budgets identical
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).sorted ==
+      base.map(r => (r._1, r._2, r._3, r._4)).sorted,
+      "FIM must not move a doc between shards or change its budget weight")
+
+    // the transform itself matches the standalone q192 operator, doc
+    // by doc: pass-throughs verbatim, selected docs PSM-reordered
+    val want = Sharding.fimTransform(
+        docs.select("doc_id", "text"), ratePermille = 500, seed = 17L)
+      .select("doc_id", "fim", "text_fim")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.forall { case (id, _, _, _, fim, text) =>
+      want(id) == ((fim, text)) }, "post-pack FIM must equal standalone q192")
+    assert(out.exists(_._5) && out.exists(!_._5),
+      "fixture must exercise both arms")
+    assert(out.filter(_._5).forall(_._6.startsWith("<PRE> ")))
+
+    // deterministic rerun
+    assert(run().select("doc_id", "split", "shard", "n_tokens", "fim", "text")
+      .as[(Long, String, Long, Long, Boolean, String)].collect().toSeq
+      .sorted == out.sorted)
+  }
 }
