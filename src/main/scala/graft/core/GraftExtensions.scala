@@ -169,6 +169,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.wordPieceVocabStorePlan(es)))
     ext.injectTableFunction((FunctionIdentifier("unigram_pieces_store"), info("unigram_pieces_store"),
       (es: Seq[Expression]) => graft.ext.DocSql.unigramPiecesStorePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("bpe_merges_store"), info("bpe_merges_store"),
+      (es: Seq[Expression]) => graft.ext.DocSql.bpeMergesStorePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("bpe_encode_words"), info("bpe_encode_words"),
+      (es: Seq[Expression]) => graft.ext.DocSql.bpeEncodeWordsPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("bfd_pack"), info("bfd_pack"),
+      (es: Seq[Expression]) => graft.ext.DocSql.bfdPackPlan(es)))
     // Optimizer rule: point-in-interval theta joins → granule-bucketized
     // equi-joins (graft.plans.RangeJoinRule) — plain SQL range joins get
     // the linear plan instead of BroadcastNestedLoopJoin.

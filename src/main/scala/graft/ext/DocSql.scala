@@ -181,6 +181,18 @@ object DocSql {
       numArg(es(1)).longValue()))
   }
 
+  /** `bfd_pack('docs', capacity, bucket_size)`: best-fit-decreasing
+    * bin packing within id-range buckets over whitespace token counts
+    * ([[Sharding.bfdPack]]) — (doc_id, n_tokens, bucket, bin). */
+  private[graft] def bfdPackPlan(es: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions.col
+    val toks = tableArg(es.head).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    plan(Sharding.bfdPack(toks, "doc_id", "n_tokens",
+      capacity = numArg(es(1)).longValue(),
+      bucketSize = numArg(es(2)).longValue()))
+  }
+
   /** `decontaminate('corpus', 'bench', n, containment)`: benchmark
     * n-gram containment flags — (doc_id, bench_id, containment). */
   private[graft] def decontaminatePlan(es: Seq[Expression]): LogicalPlan =
@@ -550,6 +562,29 @@ object DocSql {
       SparkSession.active, strArg(es.head))
     plan(graft.ext.Unigram.pieceFrameFromCounts(counts, topSub = intArg(es(1))))
   }
+
+  /** `bpe_merges_store('/path/to/store', rounds, batch_cap)`: the
+    * character-grain BPE merge table derived from a MAINTAINED
+    * vocabulary store ([[graft.streaming.VocabStream.bpeMerges]]) —
+    * (round, lhs, rhs, pair_count), so a SQL-only user re-derives the
+    * current tokenizer as the corpus grows without touching it.
+    * Composes with `bpe_encode_words`. Eager: the trainer loop (over
+    * the vocabulary-sized count frame) runs at analysis time — the
+    * bpe_merges caveat. */
+  private[graft] def bpeMergesStorePlan(es: Seq[Expression]): LogicalPlan =
+    plan(graft.streaming.VocabStream.bpeMerges(
+      SparkSession.active, strArg(es.head),
+      rounds = intArg(es(1)), batchCap = intArg(es(2))))
+
+  /** `bpe_encode_words('docs', 'merges')`: character-grain ENCODE of
+    * every whitespace word through an already-trained counts-grain
+    * merge table ([[TextAnalysis.bpeEncodeWords]] — map-only, the
+    * depth-independent indexed kernel). The merges view carries
+    * (round, lhs, rhs) in training order — exactly what
+    * `bpe_merges_store` emits, so store-to-encode composes in SQL. */
+  private[graft] def bpeEncodeWordsPlan(es: Seq[Expression]): LogicalPlan =
+    plan(TextAnalysis.bpeEncodeWords(tableArg(es.head),
+      mergesTableArg(es(1))))
 
   /** `wordpiece_vocab('docs', topWords, topAffixes)`: the corpus-derived
     * WordPiece vocabulary frame (piece, cont) —

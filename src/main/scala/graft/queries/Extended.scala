@@ -210,6 +210,29 @@ ORDER BY doc_id"""
       import s.implicits._
       q196Train(s, d).seed.toDF("piece", "cost")
     }),
+    "q197_windows" -> ((s: SparkSession, d: String) => {
+      // per-window weighted char-pair spectra of the ONE-SHOT
+      // counts-grain BPE training (q166's discipline at the char
+      // grain): the dump boundary is the Spark weighted pair counting;
+      // the adoption greedy is re-derived in SQL. The q197 QUERY trains
+      // from the maintained store instead — identical counts force
+      // identical spectra, so a store fold bug hash-fails here.
+      import s.implicits._
+      q197Train(s, d).windows.flatMap { case (w, sliceRows) =>
+        sliceRows.zipWithIndex.map { case ((t1, t2, c), i) => (w, i + 1, t1, t2, c) }
+      }.toDF("w", "rn", "t1", "t2", "c")
+    }),
+    "q197_merges" -> ((s: SparkSession, d: String) => {
+      // the ONE-SHOT counts-grain merge table q198's oracle replays the
+      // char-grain encode from — the dump boundary is the (q197-gated)
+      // trainer; the ENCODE is re-derived in SQL as the sequential
+      // fold, so the indexed kernel is NOT trusted from the engine, and
+      // the store-derived table the query actually encodes with must
+      // match this one-shot table for the hash to agree.
+      import s.implicits._
+      q197Train(s, d).merges.map(m => (m._1, m._2, m._3))
+        .toDF("round", "lhs", "rhs")
+    }),
     "q190_dhashes" -> ((s: SparkSession, d: String) =>
       // the per-image dHash fingerprints q190's pairs derive from — the
       // dump boundary is the REAL BMP encode→decode→gradient-hash
@@ -4642,6 +4665,79 @@ ORDER BY doc_id"""
         Unigram.viterbiStats(Tables.documents(s, d), q196Train(s, d).pieces)
           .orderBy("doc_id"),
       Some(q196ReplaySql)),
+
+    ("q197_bpe_maintained",
+      (s: SparkSession, d: String) => {
+        // the MAINTAINED BPE path under the gate: character-grain
+        // training (Sennrich ACL'16 — each distinct word a char
+        // sequence weighted by its count) over the SAME maintained
+        // vocabulary store as q194/q195, because the word-count
+        // multiset is the trainer's additive sufficient statistic —
+        // the store folds it exactly, so the store-derived merge table
+        // must equal the one-shot table bit-for-bit. The oracle replays
+        // the adoption greedy over the ONE-SHOT window spectra
+        // (q197_windows aux): a store fold bug, a weighting bug, or any
+        // greedy drift hash-fails. (The corpus-grain q166 trainer is
+        // NOT maintainable this way — cross-word adjacency is not
+        // additive under rewrites — which is why the production-scale
+        // maintained path trains from counts.)
+        import s.implicits._
+        q197StoreMerges(s, d).toDF("round", "lhs", "rhs", "pair_count")
+          .orderBy("round")
+      },
+      Some(bpeAdoptionReplaySql("q197_windows", rounds = 48, cap = 16))),
+
+    ("q198_bpe_encode_maintained",
+      (s: SparkSession, d: String) => {
+        // char-grain ENCODE through the STORE-derived merge table — the
+        // maintained trainer's production inference step: one map-only
+        // pass, no shuffle, each word folded through the depth-
+        // independent indexed kernel. The oracle replays the encode
+        // SEQUENTIALLY (the q181 fold at char grain) from the ONE-SHOT
+        // merge table (q197_merges aux), so both the kernel routing AND
+        // the store-vs-one-shot table equality are under the hash.
+        val table = q197StoreMerges(s, d).map(m => (m._2, m._3))
+        TextAnalysis.bpeEncodeWords(Tables.documents(s, d), table)
+          .orderBy("doc_id")
+      },
+      Some(q198ReplaySql)),
+
+    ("q199_bfd_pack",
+      (s: SparkSession, d: String) => {
+        // best-fit-decreasing packing within id-range buckets — the
+        // padding-minimizing complement to q55's id-order greedy (docs
+        // never split; bins never overflow, so padding is exact).
+        // Global BFD is inherently sequential, so the scale unit is
+        // the bucket: exact BFD per bucket, buckets independent and
+        // parallel, per-task memory bounded by bucketSize docs. The
+        // oracle re-runs EVERY placement sequentially in SQL — the
+        // (tokens desc, id) arrival order, the fullest-fitting-bin
+        // rule, the lowest-index tie-break, and the new-bin/oversized
+        // fallback all hash-gate.
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        Sharding.bfdPack(toks, "doc_id", "n_tokens",
+            capacity = 256L, bucketSize = 128L)
+          .orderBy("doc_id")
+      },
+      Some(q199ReplaySql)),
+
+    ("q200_gopher_drift_maintained",
+      (s: SparkSession, d: String) => {
+        // the maintained PER-SOURCE Gopher rule card under the gate —
+        // the drift monitor DriftStream's global scalar PSI cannot
+        // express (VERDICT r12 #6: checked, NOT subsumed — PSI has no
+        // source axis and no per-rule attribution): corpus ingested as
+        // three folds with a replayed batch, a mid-stream compaction,
+        // and a replay at the watermark, then the per-(source, rule)
+        // document/failure counts must equal DuckDB's full
+        // recomputation from raw text — additive counts are
+        // arrival-order-free, the q194/q197 discipline.
+        val st = q200StoreBuild(s, d)
+        graft.streaming.GopherStream.ruleCard(s, st)
+          .orderBy("source", "rule")
+      },
+      Some(q200OracleSql)),
   )
 
   /** Shared by q188 (one-shot encode) and q194 (maintained vocabulary
@@ -5007,7 +5103,10 @@ ORDER BY doc_id"""
     "q185_decontam_maintained" -> ((s, d) => q185StoreBuild(s, d): Unit),
     "q186_phrase_maintained" -> ((s, d) => q186StoreBuild(s, d): Unit),
     "q194_wordpiece_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
-    "q195_unigram_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit))
+    "q195_unigram_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
+    "q197_bpe_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
+    "q198_bpe_encode_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
+    "q200_gopher_drift_maintained" -> ((s, d) => q200StoreBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per
@@ -5093,6 +5192,89 @@ ORDER BY doc_id"""
         docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
     }
 
+  /** q200's maintained rule-card store: the q194 build shape (three
+    * residue folds, a replayed batch, a mid-stream compaction, a replay
+    * at the watermark) over [[graft.streaming.GopherStream]]. */
+  private def q200StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"gopher_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.GopherStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
+      graft.streaming.GopherStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.GopherStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.GopherStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.GopherStream.compact(s, st, upToBatch = 1L)
+      graft.streaming.GopherStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.GopherStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+    }
+
+  /** q200's oracle: DuckDB recomputes the WHOLE rule card from raw
+    * text — the q189 signal derivation (unnest + GROUP BY, the sorted-
+    * run dominance re-derived as a plain word-count max) with `source`
+    * carried through, unpivoted to (source, rule) and aggregated. The
+    * engine's answer comes through the maintained store's folds, so the
+    * additive-fold machinery AND every rule threshold sit under one
+    * hash. */
+  private def q200OracleSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (SELECT doc_id, toks[i] AS w
+      |      FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+      |base AS (SELECT doc_id,
+      |    COUNT(*) AS n_words, SUM(len(w)) AS sum_word_chars,
+      |    SUM(CASE WHEN regexp_full_match(w, '[A-Za-z]+')
+      |        THEN 1 ELSE 0 END) AS n_alpha_words,
+      |    SUM(CASE WHEN w IN ('the','and','of','to','is','in','that','with')
+      |        THEN 1 ELSE 0 END) AS n_stopwords
+      |  FROM w GROUP BY doc_id),
+      |dom AS (SELECT doc_id, MAX(c) AS max_word_count
+      |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |bg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    COUNT(DISTINCT g) AS n_distinct_bigrams
+      |  FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+      |        FROM t, unnest(range(1, len(toks))) u(i))
+      |  GROUP BY doc_id),
+      |j AS (SELECT t.doc_id, t.source,
+      |    CAST(coalesce(base.n_words, 0) AS BIGINT) AS n_words,
+      |    CAST(coalesce(base.sum_word_chars, 0) AS BIGINT) AS sum_word_chars,
+      |    CAST(coalesce(base.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
+      |    CAST(coalesce(base.n_stopwords, 0) AS BIGINT) AS n_stopwords,
+      |    CAST(coalesce(dom.max_word_count, 0) AS BIGINT) AS max_word_count,
+      |    CAST(coalesce(bg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(coalesce(bg.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams
+      |  FROM t LEFT JOIN base USING (doc_id)
+      |    LEFT JOIN dom USING (doc_id) LEFT JOIN bg USING (doc_id)),
+      |r AS (SELECT source,
+      |    (n_words >= 30 AND n_words <= 50000) AS r_word_count,
+      |    (3 * n_words <= sum_word_chars
+      |     AND sum_word_chars <= 10 * n_words) AS r_mean_word_len,
+      |    (5 * n_alpha_words >= 4 * n_words) AS r_alpha_ratio,
+      |    (n_stopwords >= 2) AS r_stopwords,
+      |    (5 * max_word_count <= n_words) AS r_dominance,
+      |    (2 * (n_bigrams - n_distinct_bigrams) <= n_bigrams) AS r_repetition
+      |  FROM j),
+      |u AS (
+      |  SELECT source, 'keep' AS rule,
+      |    (r_word_count AND r_mean_word_len AND r_alpha_ratio
+      |     AND r_stopwords AND r_dominance AND r_repetition) AS pass FROM r
+      |  UNION ALL SELECT source, 'r_alpha_ratio', r_alpha_ratio FROM r
+      |  UNION ALL SELECT source, 'r_dominance', r_dominance FROM r
+      |  UNION ALL SELECT source, 'r_mean_word_len', r_mean_word_len FROM r
+      |  UNION ALL SELECT source, 'r_repetition', r_repetition FROM r
+      |  UNION ALL SELECT source, 'r_stopwords', r_stopwords FROM r
+      |  UNION ALL SELECT source, 'r_word_count', r_word_count FROM r)
+      |SELECT source, rule, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+      |FROM u GROUP BY source, rule
+      |ORDER BY source, rule""".stripMargin
+
   private val q166Cache =
     new java.util.concurrent.ConcurrentHashMap[String, TextAnalysis.BpeBatchResult]()
   private def q166Train(s: SparkSession, d: String): TextAnalysis.BpeBatchResult =
@@ -5103,8 +5285,136 @@ ORDER BY doc_id"""
       res
     })
 
-  private def q166ReplaySql: String = {
-    val rounds = 160; val cap = 32
+  /** Memoized ONE-SHOT counts-grain BPE training for q197/q198's aux
+    * dumps: trains from the one-shot word-count aggregation over the
+    * raw corpus — the INDEPENDENT side of the maintained-vs-one-shot
+    * verbatim gate (the queries train from the store instead). */
+  private val q197OneShotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TextAnalysis.BpeBatchResult]()
+  private def q197Train(s: SparkSession, d: String): TextAnalysis.BpeBatchResult =
+    q197OneShotCache.computeIfAbsent(d, dir => {
+      val (res, frame) = TextAnalysis.bpeTrainFromCounts(
+        WordPiece.wordCounts(Tables.documents(s, dir)),
+        rounds = 48, batchCap = 16)
+      frame.unpersist(false)
+      res
+    })
+
+  /** Memoized STORE-derived merge table for q197/q198 — trained from
+    * the maintained [[graft.streaming.VocabStream]] counts over the
+    * q194 store (folds + replays + compaction); ≤48 rows, driver-held.
+    * Deterministic throughout, so an independent rebuild (a re-run
+    * Verify JVM) reproduces it exactly. */
+  private val q197StoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+  private def q197StoreMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    q197StoreCache.computeIfAbsent(d, dir => {
+      import s.implicits._
+      val st = q194StoreBuild(s, dir)
+      graft.streaming.VocabStream.bpeMerges(s, st)
+        .as[(Int, String, String, Long)].collect().toSeq
+    })
+
+  /** q198's encode-replay oracle: from the dumped one-shot merge table
+    * alone, DuckDB re-applies every merge round SEQUENTIALLY per
+    * DISTINCT word — the q181 list_reduce fold at the character grain
+    * (chars chr(31)-joined; a fired merge joins with a SPACE, and a
+    * spaced lhs from a later round still matches via the
+    * ends_with(chr(31)||lhs) arm) — then aggregates per document. The
+    * engine encodes with the STORE-derived table through the indexed
+    * kernel, so kernel routing, the fold rule, AND store-table equality
+    * are all under one hash. */
+  private def q198ReplaySql: String =
+    s"""WITH RECURSIVE
+       |m AS MATERIALIZED (SELECT round, lhs, rhs
+       |  FROM read_parquet('$OracleAuxDir/q197_merges/*.parquet')),
+       |uw AS (SELECT DISTINCT word FROM (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |  FROM documents WHERE text IS NOT NULL)),
+       |enc AS (
+       |  SELECT word, 0 AS r,
+       |    array_to_string(list_transform(range(1, len(word) + 1),
+       |      i -> substr(word, CAST(i AS INT), 1)), chr(31)) AS state
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT e.word, e.r + 1,
+       |    list_reduce(string_split(e.state, chr(31)),
+       |      (acc, x) -> CASE WHEN (acc = m.lhs
+       |                             OR ends_with(acc, chr(31) || m.lhs))
+       |                        AND x = m.rhs
+       |                  THEN acc || ' ' || x
+       |                  ELSE acc || chr(31) || x END)
+       |  FROM enc e JOIN m ON m.round = e.r + 1),
+       |f AS (SELECT word, len(string_split(state, chr(31))) AS np
+       |      FROM enc WHERE r = (SELECT MAX(round) FROM m)),
+       |words AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |perdoc AS (SELECT w.doc_id, COUNT(*) AS n_words,
+       |    SUM(len(w.word)) AS n_chars, SUM(f.np) AS n_pieces
+       |  FROM words w JOIN f USING (word) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |WHERE d.text IS NOT NULL
+       |ORDER BY d.doc_id""".stripMargin
+
+  private def q166ReplaySql: String =
+    bpeAdoptionReplaySql("q166_windows", rounds = 160, cap = 32)
+
+  /** q199's placement-replay oracle: DuckDB re-runs the whole BFD fold
+    * from raw text — per id-range bucket, docs in (tokens desc, id)
+    * order step a recursive CTE whose state is the bucket's bin-load
+    * list; each step picks the fullest fitting bin via
+    * list_max(list_filter(...)) (list_position takes the FIRST maximal
+    * bin = the lowest-index tie-break), or appends a new bin when
+    * nothing fits (which is also the oversized-doc rule). Any drift in
+    * the order, the fit rule, the tie-break, or the capacity
+    * hash-fails. Buckets advance independently inside the ONE
+    * recursion (a bucket with fewer docs simply stops matching). */
+  private def q199ReplaySql: String = {
+    val cap = 256L; val bucket = 128L
+    s"""WITH RECURSIVE
+       |toks AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS t,
+       |    doc_id // $bucket AS bucket
+       |  FROM documents),
+       |d AS (SELECT doc_id, t, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY t DESC, doc_id) AS rk
+       |  FROM toks),
+       |r AS (
+       |  SELECT bucket, CAST(0 AS BIGINT) AS s, CAST([] AS BIGINT[]) AS loads,
+       |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS t,
+       |         CAST(0 AS BIGINT) AS bin
+       |  FROM (SELECT DISTINCT bucket FROM d)
+       |  UNION ALL
+       |  SELECT r.bucket, r.s + 1,
+       |    CASE WHEN best.l IS NULL THEN list_append(r.loads, d.t)
+       |         ELSE r.loads[1:best.p - 1] || [best.l + d.t]
+       |              || r.loads[best.p + 1:len(r.loads)] END,
+       |    d.doc_id, d.t,
+       |    CAST(CASE WHEN best.l IS NULL THEN len(r.loads) + 1
+       |              ELSE best.p END AS BIGINT)
+       |  FROM r
+       |  JOIN d ON d.bucket = r.bucket AND d.rk = r.s + 1,
+       |  LATERAL (SELECT
+       |      list_max(list_filter(r.loads, x -> x + d.t <= $cap)) AS l,
+       |      list_position(r.loads,
+       |        list_max(list_filter(r.loads, x -> x + d.t <= $cap))) AS p) best)
+       |SELECT doc_id, t AS n_tokens, bucket, bin
+       |FROM r WHERE doc_id IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The batched-BPE adoption replay shared by q166 (corpus grain) and
+    * q197 (counts grain): DuckDB walks the dumped per-window spectrum
+    * slices and re-runs the driver-local greedy from scratch as a
+    * recursive CTE — candidates in (count desc, lhs, rhs) order, skip
+    * if either token is dirty this window, stop at the batch cap /
+    * total rounds. Any drift in the greedy hash-fails. */
+  private def bpeAdoptionReplaySql(aux: String, rounds: Int, cap: Int): String = {
     // state carried per step: d0 = dirty set at this candidate (reset on
     // window change), n0 = adoptions so far this window
     val d0 = "(CASE WHEN c.w <> r.w THEN CAST([] AS VARCHAR[]) ELSE r.dirty END)"
@@ -5113,7 +5423,7 @@ ORDER BY doc_id"""
       s" AND $n0 < $cap AND r.tot < $rounds)"
     s"""WITH RECURSIVE c AS (
        |  SELECT w, t1, t2, c AS cnt, row_number() OVER (ORDER BY w, rn) AS s
-       |  FROM read_parquet('$OracleAuxDir/q166_windows/*.parquet')),
+       |  FROM read_parquet('$OracleAuxDir/$aux/*.parquet')),
        |r AS (
        |  SELECT CAST(0 AS BIGINT) AS s, CAST(-1 AS BIGINT) AS w,
        |         CAST([] AS VARCHAR[]) AS dirty, 0 AS nw, 0 AS tot,

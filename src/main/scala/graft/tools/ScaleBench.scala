@@ -359,7 +359,21 @@ object ScaleBench {
     // tokens; vocabulary-sized outputs), read = derive + encode/DP
     // (map-only). q195 reuses q194's memoized store, so its row times
     // the derive+DP read path alone.
-    "q194_wordpiece_maintained", "q195_unigram_maintained")
+    "q194_wordpiece_maintained", "q195_unigram_maintained",
+    // round-13 additions. q196: EM training — per iteration one
+    // segment+usage aggregation over the DISTINCT-WORD frame (corpus
+    // scan only for the word counts; the E-step is vocabulary-sized),
+    // then the per-doc segmentation pass ∝ tokens. q197/q198: the
+    // maintained BPE path — store build ∝ batch tokens, training over
+    // the vocabulary-sized count frame (per-row cost should be FLAT in
+    // corpus rows: the trainer's frame is the vocabulary, which the
+    // _rN-suffixed replicas grow ×FACTOR — the honest worst case);
+    // encode is one map-only projection ∝ tokens. q199: BFD — one
+    // bucket shuffle + per-bucket O(n log n) packing, buckets ∝ rows.
+    // q200: per-(source, rule) additive folds ∝ batch rows, read ∝
+    // sources × 7.
+    "q196_unigram_em", "q197_bpe_maintained", "q198_bpe_encode_maintained",
+    "q199_bfd_pack", "q200_gopher_drift_maintained")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

@@ -160,6 +160,9 @@ class DocSqlSpec extends AnyFunSuite {
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     assert(sorted(spark.sql("SELECT * FROM pack_sequences('docs', 8)")) ==
       sorted(Sharding.packSequences(toks, "doc_id", "n_tokens", seqLen = 8L)))
+    assert(sorted(spark.sql("SELECT * FROM bfd_pack('docs', 16, 100)")) ==
+      sorted(Sharding.bfdPack(toks, "doc_id", "n_tokens",
+        capacity = 16L, bucketSize = 100L)))
 
     val bench = docs.select(col("doc_id"),
       org.apache.spark.sql.functions.expr(
@@ -540,5 +543,21 @@ class DocSqlSpec extends AnyFunSuite {
     assert(sorted(spark.sql(
         "SELECT * FROM wordpiece_encode('docs', 'wpv_store_v')")) ==
       sorted(spark.sql("SELECT * FROM wordpiece_encode('docs', 'wpv_oneshot_v')")))
+
+    // counts-grain BPE store TVF: must equal the Scala derivation over
+    // the same store, and compose straight into bpe_encode_words
+    val bmTable = spark.sql(s"SELECT * FROM bpe_merges_store('$vcSt', 8, 4)")
+    assert(sorted(bmTable) == sorted(
+      graft.streaming.VocabStream.bpeMerges(spark, vcSt, rounds = 8, batchCap = 4)))
+    assert(bmTable.count() > 0)
+    spark.sql(s"SELECT round, lhs, rhs FROM bpe_merges_store('$vcSt', 8, 4)")
+      .createOrReplaceTempView("bpem_store_v")
+    val encWords = spark.sql(
+      "SELECT * FROM bpe_encode_words('docs', 'bpem_store_v')")
+    val table = graft.streaming.VocabStream
+      .bpeMerges(spark, vcSt, rounds = 8, batchCap = 4)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(sorted(encWords) ==
+      sorted(TextAnalysis.bpeEncodeWords(docs, table)))
   }
 }
