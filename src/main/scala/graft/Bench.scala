@@ -131,9 +131,11 @@ object Bench {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isReadable(p)) return ""
     val text = java.nio.file.Files.readString(p)
-    val qmap = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text)
+    // tolerate pretty-printed JSON ("queries" : { "k" : 1.0, ... }) —
+    // a prior artifact re-serialized by another tool must still parse
+    val qmap = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(text)
       .map(_.group(1)).getOrElse(return "")
-    val prev = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(qmap)
+    val prev = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(qmap)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val drifts = cold.toSeq.flatMap { case (k, now) =>
       prev.get(k).filter(p0 => p0 > 0 && now > 0).map(p0 => (k, now / p0))
