@@ -115,7 +115,16 @@ object CuratePipeline {
     *    (token budget, sequence packing, shard stats) counts what the
     *    training job will actually see.
     *
-    * Round-13 optional stage:
+    * Round-13 optional stages:
+    *  - `bfdCapacity` (mutually exclusive with `seqLen`): the final
+    *    layout becomes best-fit-decreasing bins ([[Sharding.bfdPack]],
+    *    q199) instead of the id-order greedy — shards NEVER overflow
+    *    the capacity (the greedy's shards overflow by up to one doc),
+    *    and padding is measurably lower than first-fit placement; the
+    *    trade is shard id-contiguity, which the greedy keeps and BFD
+    *    gives up. `shard` encodes (bucket, bin) as
+    *    bucket × bfdBucketSize + bin − 1 — unique by construction
+    *    since a bucket of B docs opens at most B bins.
     *  - `fimRatePermille`: the fill-in-the-middle reorder
     *    ([[Sharding.fimTransform]], q192) as the LAST stage, after
     *    packing — shard membership and budgets are decided on the
@@ -147,9 +156,13 @@ object CuratePipeline {
           substrDecontaminateMinLen: Option[Int] = None,
           bpeMerges: Option[Seq[(String, String)]] = None,
           fimRatePermille: Option[Int] = None,
-          fimSeed: Long = 17L): DataFrame = {
+          fimSeed: Long = 17L,
+          bfdCapacity: Option[Long] = None,
+          bfdBucketSize: Long = 4096L): DataFrame = {
     require(temperatureTarget.isEmpty || weightedSampleK.isEmpty,
       "temperatureTarget and weightedSampleK both replace the per-source cap — pick one")
+    require(bfdCapacity.isEmpty || seqLen.isEmpty,
+      "bfdCapacity and seqLen both replace the shard layout — pick one")
     require(substrDecontaminateMinLen.isEmpty || benchmarks.nonEmpty,
       "substrDecontaminateMinLen needs a benchmarks frame to cut against")
     val labeled = nbLangTrain match {
@@ -289,8 +302,20 @@ object CuratePipeline {
                 .drop("shard").withColumnRenamed("__shuffled", "shard")
             case None => packed
           }
-        case None =>
-          Sharding.packShards(part, "doc_id", "n_tokens", tokenBudget)
+        case None => bfdCapacity match {
+          case Some(cap) =>
+            // BFD layout: assignment joins back on doc_id; shard
+            // encodes (bucket, bin) uniquely (bins per bucket ≤ docs
+            // per bucket ≤ bfdBucketSize)
+            val assign = Sharding.bfdPack(
+                part.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+                cap, bfdBucketSize)
+              .select(col("doc_id"),
+                (col("bucket") * bfdBucketSize + col("bin") - 1).as("shard"))
+            part.join(assign, Seq("doc_id"))
+          case None =>
+            Sharding.packShards(part, "doc_id", "n_tokens", tokenBudget)
+        }
       }
     }.reduce(_ unionByName _) match {
       case packed => fimRatePermille match {

@@ -756,6 +756,54 @@ class PlanShapeSpec extends SparkTestBase {
       s"the bake-off must be map-only up to the final sort, found $exchanges exchanges\n$p")
   }
 
+  test("q198: store-table char-grain encode is ONE map pass — no join, no aggregate, no window") {
+    val p = plan("q198_bpe_encode_maintained")
+    assert(p.contains("bpe_apply_merges_indexed"),
+      "the depth-independent kernel must encode every word")
+    assert(!p.contains("Join") && !p.contains("Window ") && !p.contains("HashAggregate"),
+      "the store-derived table rides as a codegen reference object — per-doc " +
+        "sums fold over the word array in-row, no shuffle-bearing operator")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, // the declared ORDER BY's range partitioning only
+      s"encode must be map-only up to the final sort, found $exchanges exchanges\n$p")
+  }
+
+  test("q199: BFD packs inside one bucket exchange — no window, no join, no cartesian") {
+    val p = plan("q199_bfd_pack")
+    assert(!p.contains("Window ") && !p.contains("Join") && !p.contains("Cartesian"),
+      "per-bucket packing is typed flatMapGroups — placement must never window or join")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // bucket hash partitioning + the declared ORDER BY
+      s"BFD must shuffle once on the bucket key (plus the final sort), " +
+        s"found $exchanges exchanges\n$p")
+  }
+
+  test("q200 (per-batch fold): the rule-card partial aggregates map-side after one scan") {
+    // the store's trigger-side plan: gopherRules (map-only, guarded at
+    // q189) → stack unpivot (map-only Expand/Generate) → ONE count
+    // aggregation with map-side combine — the whole fold is one
+    // exchange on (source, rule)
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, dir)
+    val card = graft.ext.TextAnalysis.gopherRules(docs, carryCols = Seq("source"))
+      .select(col("source"),
+        expr("""stack(7, 'keep', keep,
+                'r_alpha_ratio', r_alpha_ratio, 'r_dominance', r_dominance,
+                'r_mean_word_len', r_mean_word_len,
+                'r_repetition', r_repetition, 'r_stopwords', r_stopwords,
+                'r_word_count', r_word_count) AS (rule, pass)"""))
+      .groupBy("source", "rule")
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("pass"), 1L).otherwise(0L)).as("n_fail"))
+    val p = card.queryExecution.executedPlan.toString()
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the fold must combine map-side")
+    assert(!p.contains("Join") && !p.contains("Window "))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"one (source, rule) exchange only, found $exchanges\n$p")
+  }
+
   test("q190 (pre-checkpoint): dHash pairs ride the capped pigeonhole equi-join") {
     // the q161/q27 guard for the GRADIENT hash family: pairs must come
     // from the 4×16-bit chunk equi-join over the one persisted

@@ -453,4 +453,39 @@ class CuratePipelineSpec extends SparkTestBase {
       .as[(Long, String, Long, Long, Boolean, String)].collect().toSeq
       .sorted == out.sorted)
   }
+
+  test("round-13 stage: BFD shard layout never overflows the capacity") {
+    val docs = Tables.documents(spark, sf)
+    def run() = CuratePipeline.run(spark, docs,
+      minQuality = 0.3, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 2000, perSourceCap = 20,
+      bfdCapacity = Some(200L), bfdBucketSize = 4096L)
+    val rows = run().select("doc_id", "split", "shard", "n_tokens")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // bins NEVER overflow: a multi-doc shard's total stays within the
+    // capacity (only a single oversized doc may exceed it, alone)
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((sp, sh), rs) =>
+      val tot = rs.map(_._4).sum
+      assert(rs.size == 1 || tot <= 200L,
+        s"$sp shard $sh overflows: $tot tokens over ${rs.size} docs")
+    }
+    // the layout uses strictly fewer-or-equal bins than first-fit over
+    // the same per-split doc sets (the padding win the stage exists for)
+    val bySplit = rows.groupBy(_._2)
+    bySplit.foreach { case (sp, rs) =>
+      val ids = rs.map(_._1).toSet
+      val ff = Sharding.ffPack(
+          docs.filter(col("doc_id").isin(ids.toSeq: _*))
+            .select(col("doc_id"),
+              graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", 200L, 4096L)
+        .select("bucket", "bin").distinct().count()
+      val bfdBins = rs.map(_._3).distinct.size
+      assert(bfdBins <= ff, s"$sp: BFD used $bfdBins bins, FF $ff")
+    }
+    // deterministic rerun
+    assert(run().select("doc_id", "split", "shard", "n_tokens")
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted == rows.sorted)
+  }
 }
