@@ -111,6 +111,91 @@ object NgramLM {
     }
   }
 
+  /** Average bigram log-likelihood per document under an INTERPOLATED
+    * KNESER-NEY bigram LM (Kneser & Ney 1995; the Chen & Goodman 1999
+    * interpolated form) trained on `train` — the smoothing KenLM (and
+    * therefore the CCNet reference pipeline) actually uses, upgrading
+    * [[bigramLogLik]]'s Laplace baseline:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *              + (D · N1+(w1,·)/c(w1·)) · P_cont(w2)
+    *   P_cont(w2) = N1+(·,w2) / N1+(··)
+    *   D = n1 / (n1 + 2·n2)        (count-of-counts estimate)
+    *
+    * where N1+(w1,·)/N1+(·,w2) are distinct right/left continuations,
+    * N1+(··) the distinct-bigram total, and n1/n2 the number of bigram
+    * types seen exactly once/twice. The continuation distribution is
+    * the whole point: a word that appears often but only after ONE
+    * history ("Francisco") gets a LOW back-off weight — Laplace cannot
+    * express this. Every model quantity is an integer count or a ratio
+    * of integers, so an independent engine replays the model exactly;
+    * D computes in-plan from the broadcast count-of-counts row.
+    *
+    * Back-off/OOV rule (pinned by spec): a bigram whose history is
+    * unseen backs off entirely to P_cont(w2); a bigram whose w2 was
+    * never seen as a continuation is OOV — excluded from the average
+    * and counted in `n_oov` (deterministic, engine-replayable; no
+    * arbitrary unseen-mass constant). Self-scoring (train = docs, the
+    * filter convention) never hits either arm.
+    *
+    * Scale shape: identical to [[bigramLogLik]] — the corpus explodes
+    * once (persisted, shared when train eq docs), model frames are
+    * bigram-vocab-sized with map-side partial aggregation, the
+    * count-of-counts row broadcasts, scoring is count-frame equi-joins
+    * back onto the per-doc gram frame. No UDF, no window, no driver
+    * model object.
+    *
+    * Output: (doc_id, n_bigrams, n_oov, avg_lp) — avg_lp over the
+    * SCORED bigrams, rounded to `scale` decimals (the q106 libm-drift
+    * argument), 0.0 when everything was OOV. */
+  def knLogLik(docs: DataFrame, train: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text",
+               scale: Int = 4): DataFrame = {
+    val grams = docBigrams(docs, idCol, textCol).persist()
+    val trainGrams =
+      if (train eq docs) grams else docBigrams(train, idCol, textCol).persist()
+    try {
+      val c12 = trainGrams.groupBy("w1", "w2").agg(sum("n").as("c12"))
+        .persist() // three model frames derive from it; explode once
+      try {
+        val hist = c12.groupBy("w1")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("nf"))
+        val cont = c12.groupBy("w2").agg(count(lit(1)).as("nb"))
+        val tot = c12.agg(count(lit(1)).as("b"),
+          sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c12") === 2, 1L).otherwise(0L)).as("n2"))
+        val d = when(col("n1") + lit(2) * col("n2") === 0, lit(0.5))
+          .otherwise(col("n1").cast("double") /
+            (col("n1") + lit(2) * col("n2")))
+        val pcont = col("nb").cast("double") / col("b")
+        val pSeenHist =
+          greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) /
+            col("c1") +
+          (d * col("nf") / col("c1")) * pcont
+        val p = when(col("nb").isNotNull && col("c1").isNotNull, pSeenHist)
+          .when(col("nb").isNotNull && col("c1").isNull, pcont)
+        grams
+          .join(c12, Seq("w1", "w2"), "left")
+          .join(hist, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("lp", col("n") * log(p))
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_bigrams"),
+            coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+              .as("n_oov"),
+            coalesce(
+              round(sum("lp") /
+                sum(when(col("lp").isNotNull, col("n"))), scale),
+              lit(0.0)).as("avg_lp"))
+          .localCheckpoint(true)
+      } finally { c12.unpersist(false); () }
+    } finally {
+      grams.unpersist(false)
+      if (!(train eq docs)) trainGrams.unpersist(false): Unit
+    }
+  }
+
   /** CCNet-style perplexity filter: score every document with
     * [[bigramLogLik]] against the corpus-trained LM and flag the ones
     * at or above the `keepQuantile` exact percentile of avg_lp (higher

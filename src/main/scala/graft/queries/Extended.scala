@@ -4738,6 +4738,51 @@ ORDER BY doc_id"""
           .orderBy("source", "rule")
       },
       Some(q200OracleSql)),
+
+    ("q201_kn_loglik",
+      (s: SparkSession, d: String) =>
+        // interpolated Kneser-Ney bigram scoring (the KenLM smoothing,
+        // upgrading q106's Laplace baseline): discount D from the
+        // bigram count-of-counts, back-off weight from distinct right
+        // continuations, continuation probability from distinct left
+        // continuations — every model quantity an integer count or a
+        // ratio of integers, so the oracle re-derives the WHOLE model
+        // (c12/history/continuation frames, n1/n2 → D, the interpolated
+        // probability, the per-doc average) from raw text. Self-scored
+        // (train = corpus), the q106 convention.
+        NgramLM.knLogLik(Tables.documents(s, d),
+            Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |       FROM t WHERE len(toks) >= 2),
+             |g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM g0),
+             |dg AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM dg GROUP BY 1, 2),
+             |hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             |           CAST(COUNT(*) AS BIGINT) AS nf FROM c12 GROUP BY 1),
+             |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM c12 GROUP BY 1),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+             |          CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |          CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             |        FROM c12),
+             |lp AS (SELECT dg.doc_id, dg.n,
+             |         dg.n * ln(
+             |           GREATEST(COALESCE(c12.c12, 0) -
+             |             (CASE WHEN tot.n1 + 2 * tot.n2 = 0 THEN 0.5
+             |                   ELSE CAST(tot.n1 AS DOUBLE) / (tot.n1 + 2 * tot.n2) END),
+             |             0.0) / hist.c1
+             |           + ((CASE WHEN tot.n1 + 2 * tot.n2 = 0 THEN 0.5
+             |                    ELSE CAST(tot.n1 AS DOUBLE) / (tot.n1 + 2 * tot.n2) END)
+             |              * hist.nf / hist.c1)
+             |             * (CAST(cont.nb AS DOUBLE) / tot.b)) AS lp
+             |       FROM dg LEFT JOIN c12 USING (w1, w2)
+             |         LEFT JOIN hist USING (w1) LEFT JOIN cont USING (w2)
+             |         CROSS JOIN tot)
+             |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             |  CAST(0 AS BIGINT) AS n_oov,
+             |  round(SUM(lp) / SUM(n), 4) AS avg_lp
+             |FROM lp GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
   )
 
   /** Shared by q188 (one-shot encode) and q194 (maintained vocabulary

@@ -373,7 +373,11 @@ object ScaleBench {
     // q200: per-(source, rule) additive folds ∝ batch rows, read ∝
     // sources × 7.
     "q196_unigram_em", "q197_bpe_maintained", "q198_bpe_encode_maintained",
-    "q199_bfd_pack", "q200_gopher_drift_maintained")
+    "q199_bfd_pack", "q200_gopher_drift_maintained",
+    // q201: Kneser-Ney scoring — same shape as q106 (bigram-vocab model
+    // frames with map-side partials, count-frame equi-joins back), one
+    // extra broadcast row (count-of-counts → D)
+    "q201_kn_loglik")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

@@ -84,4 +84,75 @@ class NgramLMSpec extends SparkTestBase {
       "failed bigramLogLik leaked its persisted gram frame")
     spark.catalog.clearCache()
   }
+
+  // ---- interpolated Kneser-Ney ----
+  // train corpus "a b a b a c": c12 = {(a,b)=2, (b,a)=2, (a,c)=1};
+  // hist: a(c1=3, nf=2), b(c1=2, nf=1); cont: a=1, b=1, c=1; B=3;
+  // n1=1 (ac), n2=2 (ab, ba) → D = 1/(1+4) = 0.2.
+  //   P(b|a) = (2−.2)/3 + (.2·2/3)(1/3) = 0.644444…
+  //   P(a|b) = (2−.2)/2 + (.2·1/2)(1/3) = 0.933333…
+  //   P(c|a) = (1−.2)/3 + (.2·2/3)(1/3) = 0.311111…
+  private val knTrain = Seq((100L, "a b a b a c")).toDF("doc_id", "text")
+
+  test("knLogLik: hand-computed interpolated-KN probabilities") {
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "a c"), (4L, "a b a c"))
+      .toDF("doc_id", "text")
+    val got = NgramLM.knLogLik(docs, knTrain)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val pAB = 0.6 + (0.2 * 2.0 / 3.0) * (1.0 / 3.0)
+    val pBA = 0.9 + (0.2 * 1.0 / 2.0) * (1.0 / 3.0)
+    val pAC = 0.8 / 3.0 + (0.2 * 2.0 / 3.0) * (1.0 / 3.0)
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 1L, 0L, r4(math.log(pAB))),
+      (2L, 1L, 0L, r4(math.log(pBA))),
+      (3L, 1L, 0L, r4(math.log(pAC))),
+      (4L, 3L, 0L,
+        r4((math.log(pAB) + math.log(pBA) + math.log(pAC)) / 3.0))),
+      s"hand-KN mismatch: $got")
+  }
+
+  test("knLogLik: the continuation distribution sums to one per seen history") {
+    // sum over the continuation vocabulary {a,b,c} of P(w|a):
+    // max-discounted mass (3−2D)/3 plus λ(a)·ΣP_cont = 2D/3 → exactly 1
+    val probes = Seq((1L, "a a"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val lps = NgramLM.knLogLik(probes, knTrain, scale = 9)
+      .as[(Long, Long, Long, Double)].collect().map(_._4)
+    val total = lps.map(math.exp).sum
+    assert(math.abs(total - 1.0) < 1e-6,
+      s"KN must normalize over the seen continuation vocab, got $total")
+  }
+
+  test("knLogLik: unseen history backs off to P_cont; unseen w2 is counted OOV") {
+    val docs = Seq(
+      (1L, "z a"), // history z unseen → P = P_cont(a) = 1/3
+      (2L, "a z"), // w2 z never a continuation → OOV, excluded
+      (3L, "z z z")).toDF("doc_id", "text") // all OOV → avg_lp 0.0
+    val got = NgramLM.knLogLik(docs, knTrain)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 1L, 0L, r4(math.log(1.0 / 3.0))),
+      (2L, 1L, 1L, 0.0),
+      (3L, 2L, 2L, 0.0)), s"back-off/OOV arms mismatch: $got")
+  }
+
+  test("knLogLik: Kneser-Ney demotes the often-seen-but-one-history continuation") {
+    // "francisco" occurs MORE often than "cat" but always after "san";
+    // as a continuation of the open history "the", KN must prefer
+    // "cat" (two distinct left contexts) over "francisco" (one) even
+    // though Laplace — which only sees raw counts — prefers "francisco".
+    val train = Seq(
+      (200L, "san francisco beats san francisco beats san francisco"),
+      (201L, "the cat sat and a cat ran")).toDF("doc_id", "text")
+    val probes = Seq((1L, "ran francisco"), (2L, "ran cat"))
+      .toDF("doc_id", "text") // "ran" is an unseen history → pure P_cont
+    val kn = NgramLM.knLogLik(probes, train)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(kn(1)._4 > kn(0)._4,
+      s"P_cont(cat) must beat P_cont(francisco): $kn")
+  }
 }
