@@ -154,9 +154,37 @@ object NgramLM {
     val grams = docBigrams(docs, idCol, textCol).persist()
     val trainGrams =
       if (train eq docs) grams else docBigrams(train, idCol, textCol).persist()
-    try {
-      val c12 = trainGrams.groupBy("w1", "w2").agg(sum("n").as("c12"))
-        .persist() // three model frames derive from it; explode once
+    try knScore(grams,
+      trainGrams.groupBy("w1", "w2").agg(sum("n").as("c12")), scale)
+    finally {
+      grams.unpersist(false)
+      if (!(train eq docs)) trainGrams.unpersist(false): Unit
+    }
+  }
+
+  /** [[knLogLik]] from an ALREADY-AGGREGATED (w1, w2, n) bigram-count
+    * frame — the seam a maintained store reads through (the
+    * `vocabFrameFromCounts` discipline): the ENTIRE Kneser-Ney model —
+    * raw counts, history totals, BOTH continuation-count tables, the
+    * count-of-counts discount — is a pure function of the bigram-count
+    * multiset, which is ADDITIVE, so identical maintained counts force
+    * bit-identical scores and the maintained path answers the one-shot
+    * oracle verbatim (q202 gates it against q201's). */
+  def knLogLikFromCounts(docs: DataFrame, counts: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         scale: Int = 4): DataFrame = {
+    val grams = docBigrams(docs, idCol, textCol).persist()
+    try knScore(grams,
+      counts.groupBy("w1", "w2").agg(sum("n").as("c12")), scale)
+    finally { grams.unpersist(false); () }
+  }
+
+  /** The shared KN scoring stage over a per-doc gram frame and the
+    * aggregated model counts (both callers manage `grams` persistence). */
+  private def knScore(grams: DataFrame, c12Raw: DataFrame,
+                      scale: Int): DataFrame = {
+    val c12 = c12Raw
+        .persist() // three model frames derive from it; aggregate once
       try {
         val hist = c12.groupBy("w1")
           .agg(sum("c12").as("c1"), count(lit(1)).as("nf"))
@@ -190,10 +218,6 @@ object NgramLM {
               lit(0.0)).as("avg_lp"))
           .localCheckpoint(true)
       } finally { c12.unpersist(false); () }
-    } finally {
-      grams.unpersist(false)
-      if (!(train eq docs)) trainGrams.unpersist(false): Unit
-    }
   }
 
   /** CCNet-style perplexity filter: score every document with

@@ -4752,38 +4752,82 @@ ORDER BY doc_id"""
         // (train = corpus), the q106 convention.
         NgramLM.knLogLik(Tables.documents(s, d),
             Tables.documents(s, d)).orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-             |       FROM t WHERE len(toks) >= 2),
-             |g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM g0),
-             |dg AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
-             |c12 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM dg GROUP BY 1, 2),
-             |hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
-             |           CAST(COUNT(*) AS BIGINT) AS nf FROM c12 GROUP BY 1),
-             |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM c12 GROUP BY 1),
-             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
-             |          CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-             |          CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
-             |        FROM c12),
-             |lp AS (SELECT dg.doc_id, dg.n,
-             |         dg.n * ln(
-             |           GREATEST(COALESCE(c12.c12, 0) -
-             |             (CASE WHEN tot.n1 + 2 * tot.n2 = 0 THEN 0.5
-             |                   ELSE CAST(tot.n1 AS DOUBLE) / (tot.n1 + 2 * tot.n2) END),
-             |             0.0) / hist.c1
-             |           + ((CASE WHEN tot.n1 + 2 * tot.n2 = 0 THEN 0.5
-             |                    ELSE CAST(tot.n1 AS DOUBLE) / (tot.n1 + 2 * tot.n2) END)
-             |              * hist.nf / hist.c1)
-             |             * (CAST(cont.nb AS DOUBLE) / tot.b)) AS lp
-             |       FROM dg LEFT JOIN c12 USING (w1, w2)
-             |         LEFT JOIN hist USING (w1) LEFT JOIN cont USING (w2)
-             |         CROSS JOIN tot)
-             |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
-             |  CAST(0 AS BIGINT) AS n_oov,
-             |  round(SUM(lp) / SUM(n), 4) AS avg_lp
-             |FROM lp GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin)),
+      Some(knOracleSql)),
+
+    ("q202_kn_maintained",
+      (s: SparkSession, d: String) => {
+        // the MAINTAINED Kneser-Ney model under the gate: bigram counts
+        // folded incrementally by BigramStream (three residue folds
+        // with a replayed batch, a mid-stream compaction, a replay at
+        // the watermark), then the corpus scored against the
+        // store-derived model must answer q201's full-recomputation
+        // oracle VERBATIM — the bigram-count multiset is the KN model's
+        // additive sufficient statistic (continuation counts are NOT
+        // additive, which is why the store keeps counts and derives the
+        // distincts at read time).
+        val st = q202StoreBuild(s, d)
+        graft.streaming.BigramStream.knLogLik(s, st, Tables.documents(s, d))
+          .orderBy("doc_id")
+      },
+      Some(knOracleSql)),
   )
+
+  /** Shared by q201 (one-shot KN) and q202 (maintained bigram store):
+    * DuckDB re-derives the ENTIRE interpolated-KN model from raw text —
+    * bigram counts, history totals, both continuation tables, the
+    * count-of-counts discount — and replays the per-doc scoring. */
+  private def knOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |       FROM t WHERE len(toks) >= 2),
+      |g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM g0),
+      |dg AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM dg GROUP BY 1, 2),
+      |hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |           CAST(COUNT(*) AS BIGINT) AS nf FROM c12 GROUP BY 1),
+      |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM c12 GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+      |          CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |          CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |        FROM c12),
+      |lp AS (SELECT dg.doc_id, dg.n,
+      |         dg.n * ln(
+      |           GREATEST(COALESCE(c12.c12, 0) -
+      |             (CASE WHEN tot.n1 + 2 * tot.n2 = 0 THEN 0.5
+      |                   ELSE CAST(tot.n1 AS DOUBLE) / (tot.n1 + 2 * tot.n2) END),
+      |             0.0) / hist.c1
+      |           + ((CASE WHEN tot.n1 + 2 * tot.n2 = 0 THEN 0.5
+      |                    ELSE CAST(tot.n1 AS DOUBLE) / (tot.n1 + 2 * tot.n2) END)
+      |              * hist.nf / hist.c1)
+      |             * (CAST(cont.nb AS DOUBLE) / tot.b)) AS lp
+      |       FROM dg LEFT JOIN c12 USING (w1, w2)
+      |         LEFT JOIN hist USING (w1) LEFT JOIN cont USING (w2)
+      |         CROSS JOIN tot)
+      |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |  CAST(0 AS BIGINT) AS n_oov,
+      |  round(SUM(lp) / SUM(n), 4) AS avg_lp
+      |FROM lp GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** q202's maintained bigram store: the q194 build shape over
+    * [[graft.streaming.BigramStream]]. */
+  private def q202StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"bigram_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.BigramStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
+      graft.streaming.BigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.BigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.BigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.BigramStream.compact(s, st, upToBatch = 1L)
+      graft.streaming.BigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.BigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+    }
 
   /** Shared by q188 (one-shot encode) and q194 (maintained vocabulary
     * store): the greedy longest-match replay over the q188_vocab dump —
@@ -5151,7 +5195,8 @@ ORDER BY doc_id"""
     "q195_unigram_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
     "q197_bpe_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
     "q198_bpe_encode_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
-    "q200_gopher_drift_maintained" -> ((s, d) => q200StoreBuild(s, d): Unit))
+    "q200_gopher_drift_maintained" -> ((s, d) => q200StoreBuild(s, d): Unit),
+    "q202_kn_maintained" -> ((s, d) => q202StoreBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

@@ -376,8 +376,10 @@ object ScaleBench {
     "q199_bfd_pack", "q200_gopher_drift_maintained",
     // q201: Kneser-Ney scoring — same shape as q106 (bigram-vocab model
     // frames with map-side partials, count-frame equi-joins back), one
-    // extra broadcast row (count-of-counts → D)
-    "q201_kn_loglik")
+    // extra broadcast row (count-of-counts → D). q202: the maintained
+    // twin — store build ∝ batch bigram vocab, read = the q201 scoring
+    // over the summed count frame.
+    "q201_kn_loglik", "q202_kn_maintained")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */
