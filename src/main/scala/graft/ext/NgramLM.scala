@@ -220,6 +220,124 @@ object NgramLM {
       } finally { c12.unpersist(false); () }
   }
 
+  /** Per-document (w1, w2, w3, n) adjacent-trigram counts — the
+    * three-token sibling of [[docBigrams]] (same bound-column
+    * discipline; <3-token docs contribute nothing). */
+  def docTrigrams(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - 3),
+          i => struct(element_at(toks, i + 1).as("w1"),
+                      element_at(toks, i + 2).as("w2"),
+                      element_at(toks, i + 3).as("w3")))).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("n"))
+  }
+
+  /** Average trigram log-likelihood under a TRIGRAM interpolated
+    * Kneser-Ney LM — the recursion [[knLogLik]] is the base case of,
+    * with the detail naive implementations get wrong: the MIDDLE order
+    * is estimated from CONTINUATION counts, not raw bigram counts
+    * (Chen & Goodman 1999 §3; ĉ(w2,w3) = N1+(·,w2,w3) = the number of
+    * distinct histories that precede the bigram — "how novel is this
+    * bigram as a continuation", not "how often did it occur"):
+    *
+    *   P(w3|w1w2)  = max(c(w1w2w3) − D3, 0)/c(w1w2·)
+    *                 + (D3 · N1+(w1w2,·)/c(w1w2·)) · P̂(w3|w2)
+    *   P̂(w3|w2)   = max(ĉ(w2,w3) − D2, 0)/ĉ(w2,·)
+    *                 + (D2 · N1+(w2,·)/ĉ(w2,·)) · P_cont(w3)
+    *   P_cont(w3)  = N1+(·,w3) / N1+(··)
+    *
+    * with every N1+ and ĉ read off the distinct-trigram type table
+    * (one source for the whole model — the oracle re-derives every
+    * frame from it), D3/D2 from the trigram / continuation-bigram
+    * count-of-counts. Every level telescopes to Σ P = 1 over the
+    * continuation vocabulary (spec-pinned at both orders).
+    *
+    * Back-off/OOV rule (the [[knLogLik]] discipline, one level
+    * deeper): unseen (w1,w2) history falls through to P̂(w3|w2);
+    * unseen w2 mid-history falls through to P_cont(w3); a w3 never
+    * seen as a continuation is OOV — excluded and counted.
+    * Self-scoring never hits any fall-through arm.
+    *
+    * Scale shape: model frames are trigram-type-table aggregations
+    * (map-side combinable, at most trigram-vocabulary-sized), scoring
+    * is count-frame equi-joins onto the per-doc trigram frame, the
+    * two count-of-counts rows broadcast. */
+  def kn3LogLik(docs: DataFrame, train: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text",
+                scale: Int = 4): DataFrame = {
+    val grams = docTrigrams(docs, idCol, textCol).persist()
+    val trainGrams =
+      if (train eq docs) grams else docTrigrams(train, idCol, textCol).persist()
+    try {
+      val c123 = trainGrams.groupBy("w1", "w2", "w3")
+        .agg(sum("n").as("c123")).persist()
+      try {
+        val hist12 = c123.groupBy("w1", "w2")
+          .agg(sum("c123").as("c12dot"), count(lit(1)).as("nf12"))
+        // the continuation-bigram table: ĉ(w2,w3) = distinct w1 count —
+        // one row per distinct (w1,w2,w3), so COUNT(*) per (w2,w3)
+        val chat = c123.groupBy("w2", "w3").agg(count(lit(1)).as("chat"))
+          .persist()
+        try {
+          val histHat = chat.groupBy("w2")
+            .agg(sum("chat").as("chatdot"), count(lit(1)).as("nfhat"))
+          val cont = chat.groupBy("w3").agg(count(lit(1)).as("nb"))
+          val tot3 = c123.agg(
+            sum(when(col("c123") === 1, 1L).otherwise(0L)).as("t_n1"),
+            sum(when(col("c123") === 2, 1L).otherwise(0L)).as("t_n2"))
+          val totHat = chat.agg(count(lit(1)).as("b"),
+            sum(when(col("chat") === 1, 1L).otherwise(0L)).as("h_n1"),
+            sum(when(col("chat") === 2, 1L).otherwise(0L)).as("h_n2"))
+          val d3 = when(col("t_n1") + lit(2) * col("t_n2") === 0, lit(0.5))
+            .otherwise(col("t_n1").cast("double") /
+              (col("t_n1") + lit(2) * col("t_n2")))
+          val d2 = when(col("h_n1") + lit(2) * col("h_n2") === 0, lit(0.5))
+            .otherwise(col("h_n1").cast("double") /
+              (col("h_n1") + lit(2) * col("h_n2")))
+          val pcont = col("nb").cast("double") / col("b")
+          val pMid =
+            greatest(coalesce(col("chat"), lit(0L)).cast("double") - d2,
+                lit(0.0)) / col("chatdot") +
+              (d2 * col("nfhat") / col("chatdot")) * pcont
+          val pLow = when(col("nb").isNotNull && col("chatdot").isNotNull, pMid)
+            .when(col("nb").isNotNull && col("chatdot").isNull, pcont)
+          val pHi =
+            greatest(coalesce(col("c123"), lit(0L)).cast("double") - d3,
+                lit(0.0)) / col("c12dot") +
+              (d3 * col("nf12") / col("c12dot")) * pLow
+          val p = when(col("c12dot").isNotNull && pLow.isNotNull, pHi)
+            .otherwise(pLow) // unseen (w1,w2): full fall-through; OOV stays null
+          grams
+            .join(c123, Seq("w1", "w2", "w3"), "left")
+            .join(hist12, Seq("w1", "w2"), "left")
+            .join(chat, Seq("w2", "w3"), "left")
+            .join(histHat, Seq("w2"), "left")
+            .join(cont, Seq("w3"), "left")
+            .crossJoin(broadcast(tot3))
+            .crossJoin(broadcast(totHat))
+            .withColumn("lp", col("n") * log(p))
+            .groupBy("doc_id")
+            .agg(sum("n").as("n_trigrams"),
+              coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+                .as("n_oov"),
+              coalesce(
+                round(sum("lp") /
+                  sum(when(col("lp").isNotNull, col("n"))), scale),
+                lit(0.0)).as("avg_lp"))
+            .localCheckpoint(true)
+        } finally { chat.unpersist(false); () }
+      } finally { c123.unpersist(false); () }
+    } finally {
+      grams.unpersist(false)
+      if (!(train eq docs)) trainGrams.unpersist(false): Unit
+    }
+  }
+
   /** CCNet-style perplexity filter: score every document with
     * [[bigramLogLik]] against the corpus-trained LM and flag the ones
     * at or above the `keepQuantile` exact percentile of avg_lp (higher

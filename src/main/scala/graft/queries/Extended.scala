@@ -4770,7 +4770,71 @@ ORDER BY doc_id"""
           .orderBy("doc_id")
       },
       Some(knOracleSql)),
+
+    ("q203_kn3_loglik",
+      (s: SparkSession, d: String) =>
+        // TRIGRAM interpolated Kneser-Ney (Chen & Goodman 1999 §3) —
+        // the recursion q201 is the base case of, with the middle
+        // order estimated from CONTINUATION counts ĉ(w2,w3) =
+        // N1+(·,w2,w3) (how many distinct histories precede the
+        // bigram), NOT raw bigram counts — the distinction that makes
+        // KN KN. Every model frame derives from the one distinct-
+        // trigram type table; the oracle re-derives the WHOLE
+        // two-level model (both discounts from count-of-counts, both
+        // back-off weights, the continuation distribution) from raw
+        // text. Self-scored, the q106/q201 convention.
+        NgramLM.kn3LogLik(Tables.documents(s, d),
+            Tables.documents(s, d)).orderBy("doc_id"),
+      Some(kn3OracleSql)),
   )
+
+  /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
+    * inline as CASE expressions (the q201 pattern, one per level). */
+  private def kn3OracleSql: String = {
+    val d3 = """(CASE WHEN t3.tn1 + 2 * t3.tn2 = 0 THEN 0.5
+               |      ELSE CAST(t3.tn1 AS DOUBLE) / (t3.tn1 + 2 * t3.tn2) END)""".stripMargin
+    val d2 = """(CASE WHEN th.hn1 + 2 * th.hn2 = 0 THEN 0.5
+               |      ELSE CAST(th.hn1 AS DOUBLE) / (th.hn1 + 2 * th.hn2) END)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+       |       FROM t WHERE len(toks) >= 3),
+       |g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |      FROM g0),
+       |dg AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS n FROM g GROUP BY 1, 2, 3, 4),
+       |c123 AS (SELECT w1, w2, w3, CAST(SUM(n) AS BIGINT) AS c123
+       |         FROM dg GROUP BY 1, 2, 3),
+       |h12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12dot,
+       |          CAST(COUNT(*) AS BIGINT) AS nf12 FROM c123 GROUP BY 1, 2),
+       |chat AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS chat
+       |         FROM c123 GROUP BY 1, 2),
+       |hh AS (SELECT w2, CAST(SUM(chat) AS BIGINT) AS chatdot,
+       |         CAST(COUNT(*) AS BIGINT) AS nfhat FROM chat GROUP BY 1),
+       |cont AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS nb FROM chat GROUP BY 1),
+       |t3 AS (SELECT CAST(SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn1,
+       |         CAST(SUM(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tn2
+       |       FROM c123),
+       |th AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+       |         CAST(SUM(CASE WHEN chat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hn1,
+       |         CAST(SUM(CASE WHEN chat = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hn2
+       |       FROM chat),
+       |lp AS (SELECT dg.doc_id, dg.n,
+       |         dg.n * ln(
+       |           GREATEST(COALESCE(c123.c123, 0) - $d3, 0.0) / h12.c12dot
+       |           + ($d3 * h12.nf12 / h12.c12dot) *
+       |             (GREATEST(COALESCE(chat.chat, 0) - $d2, 0.0) / hh.chatdot
+       |              + ($d2 * hh.nfhat / hh.chatdot)
+       |                * (CAST(cont.nb AS DOUBLE) / th.b))) AS lp
+       |       FROM dg LEFT JOIN c123 USING (w1, w2, w3)
+       |         LEFT JOIN h12 USING (w1, w2)
+       |         LEFT JOIN chat USING (w2, w3)
+       |         LEFT JOIN hh USING (w2) LEFT JOIN cont USING (w3)
+       |         CROSS JOIN t3 CROSS JOIN th)
+       |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+       |  CAST(0 AS BIGINT) AS n_oov,
+       |  round(SUM(lp) / SUM(n), 4) AS avg_lp
+       |FROM lp GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared by q201 (one-shot KN) and q202 (maintained bigram store):
     * DuckDB re-derives the ENTIRE interpolated-KN model from raw text —

@@ -379,7 +379,10 @@ object ScaleBench {
     // extra broadcast row (count-of-counts → D). q202: the maintained
     // twin — store build ∝ batch bigram vocab, read = the q201 scoring
     // over the summed count frame.
-    "q201_kn_loglik", "q202_kn_maintained")
+    // q203: trigram KN — trigram-type-table aggregations, the widest
+    // count frames in the LM family (the pair axis ∝ corpus tokens at
+    // trigram width; ×10 replicas make the type space content-disjoint)
+    "q201_kn_loglik", "q202_kn_maintained", "q203_kn3_loglik")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

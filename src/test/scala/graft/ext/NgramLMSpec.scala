@@ -140,6 +140,78 @@ class NgramLMSpec extends SparkTestBase {
       (3L, 2L, 2L, 0.0)), s"back-off/OOV arms mismatch: $got")
   }
 
+  // ---- trigram interpolated Kneser-Ney ----
+  // train "a b c a b d a b c": c123 = {abc=2, bca=1, cab=1, abd=1,
+  // bda=1, dab=1} → n1=5, n2=1, D3 = 5/7. Continuation-bigram table
+  // ĉ = {(a,b)=2 [c,d precede? no — distinct w1 BEFORE (a,b): {c,d}],
+  // (b,c)=1, (c,a)=1, (b,d)=1, (d,a)=1} → n̂1=4, n̂2=1, D2 = 2/3,
+  // B = 5. hist12(a,b): c12dot=3, nf12=2. ĉ(b,·)=2, N1+(b,·)=2.
+  //   P̂(c|b) = (1−2/3)/2 + (2/3·2/2)(1/5) = 1/6 + 2/15 = 0.3
+  //   P(c|a,b) = (2−5/7)/3 + (5/7·2/3)·0.3 = 3/7 + 1/7 = 0.571428…
+  //   P(d|a,b) = (1−5/7)/3 + (10/21)·0.3  = 2/21 + 1/7 = 0.238095…
+  private val kn3Train = Seq((300L, "a b c a b d a b c")).toDF("doc_id", "text")
+
+  test("kn3LogLik: hand-computed two-level interpolated-KN probabilities") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = NgramLM.kn3LogLik(docs, kn3Train)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d3 = 5.0 / 7.0; val d2 = 2.0 / 3.0
+    val pLowC = (1.0 - d2) / 2.0 + (d2 * 2.0 / 2.0) * (1.0 / 5.0)
+    val pC = (2.0 - d3) / 3.0 + (d3 * 2.0 / 3.0) * pLowC
+    val pD = (1.0 - d3) / 3.0 + (d3 * 2.0 / 3.0) * pLowC
+    assert(got == Seq(
+      (1L, 1L, 0L, r4(math.log(pC))),
+      (2L, 1L, 0L, r4(math.log(pD)))), s"hand-KN3 mismatch: $got")
+  }
+
+  test("kn3LogLik: both levels normalize to one over the continuation vocab") {
+    val probes = Seq((1L, "a b a"), (2L, "a b b"), (3L, "a b c"),
+      (4L, "a b d")).toDF("doc_id", "text")
+    val lps = NgramLM.kn3LogLik(probes, kn3Train, scale = 9)
+      .as[(Long, Long, Long, Double)].collect().map(_._4)
+    val total = lps.map(math.exp).sum
+    assert(math.abs(total - 1.0) < 1e-6,
+      s"trigram KN must normalize over the seen continuation vocab, got $total")
+    // mid level alone (unseen (z,b) history falls through to P̂(·|b))
+    val mid = Seq((1L, "z b a"), (2L, "z b b"), (3L, "z b c"),
+      (4L, "z b d")).toDF("doc_id", "text")
+    val midTotal = NgramLM.kn3LogLik(mid, kn3Train, scale = 9)
+      .as[(Long, Long, Long, Double)].collect().map(r => math.exp(r._4)).sum
+    assert(math.abs(midTotal - 1.0) < 1e-6,
+      s"the continuation-count middle order must normalize, got $midTotal")
+  }
+
+  test("kn3LogLik: fall-through arms and OOV accounting") {
+    val docs = Seq(
+      (1L, "z b c"), // (z,b) unseen → P̂(c|b) = 0.3
+      (2L, "a z c"), // mid-history z unseen → P_cont(c) = 1/5
+      (3L, "a b z")).toDF("doc_id", "text") // w3 unseen → OOV
+    val got = NgramLM.kn3LogLik(docs, kn3Train)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 1L, 0L, r4(math.log(0.3))),
+      (2L, 1L, 0L, r4(math.log(0.2))),
+      (3L, 1L, 1L, 0.0)), s"fall-through arms mismatch: $got")
+  }
+
+  test("kn3LogLik: the middle order uses continuation counts, not raw bigram counts") {
+    // (s,f) occurs 3× but always after x; (s,g) occurs 2× after two
+    // distinct histories. Probing with an unseen (q,s) history isolates
+    // the middle order: continuation counting must prefer g, while raw
+    // bigram counting would prefer f.
+    val train = Seq((400L, "x s f x s f x s f y s g z s g"))
+      .toDF("doc_id", "text")
+    val probes = Seq((1L, "q s f"), (2L, "q s g")).toDF("doc_id", "text")
+    val got = NgramLM.kn3LogLik(probes, train)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got(1)._4 > got(0)._4,
+      s"ĉ(s,g)=2 must beat ĉ(s,f)=1 despite c(s,f)=3 > c(s,g)=2: ${got.toSeq}")
+  }
+
   test("knLogLik: Kneser-Ney demotes the often-seen-but-one-history continuation") {
     // "francisco" occurs MORE often than "cat" but always after "san";
     // as a continuation of the open history "the", KN must prefer
