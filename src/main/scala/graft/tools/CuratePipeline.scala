@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, NaiveBayes, Sharding, TextAnalysis}
+import graft.ext.{Dedup, NaiveBayes, NgramLM, Sharding, TextAnalysis}
 
 /** End-to-end training-corpus curation CLI — the pipeline a data team
   * runs over raw documents, composed from the verified operators:
@@ -116,6 +116,16 @@ object CuratePipeline {
     *    training job will actually see.
     *
     * Round-13 optional stages:
+    *  - `perplexityKeepQuantile`: the CCNet LM gate ([[NgramLM
+    *    .perplexityFilter]], q106) right after the curateCorpus stage
+    *    (heuristic gates + near-dedup, the CCNet order) — documents
+    *    below the given quantile of
+    *    corpus-self-trained bigram log-likelihood drop. The heuristic
+    *    gates catch structural junk (length, symbols, stopwords); the
+    *    LM gate catches FLUENT-LOOKING junk those signals pass (keyword
+    *    stuffing, word salad with plausible lengths). Trained on the
+    *    gate survivors, so the model scores the distribution it
+    *    filters.
     *  - `bfdCapacity` (mutually exclusive with `seqLen`): the final
     *    layout becomes best-fit-decreasing bins ([[Sharding.bfdPack]],
     *    q199) instead of the id-order greedy — shards NEVER overflow
@@ -158,7 +168,8 @@ object CuratePipeline {
           fimRatePermille: Option[Int] = None,
           fimSeed: Long = 17L,
           bfdCapacity: Option[Long] = None,
-          bfdBucketSize: Long = 4096L): DataFrame = {
+          bfdBucketSize: Long = 4096L,
+          perplexityKeepQuantile: Option[Double] = None): DataFrame = {
     require(temperatureTarget.isEmpty || weightedSampleK.isEmpty,
       "temperatureTarget and weightedSampleK both replace the per-source cap — pick one")
     require(bfdCapacity.isEmpty || seqLen.isEmpty,
@@ -174,10 +185,20 @@ object CuratePipeline {
       case None => docs
     }
     val gated = TextAnalysis.curateCorpus(labeled, minQuality, langs)
+    val lmGated = perplexityKeepQuantile match {
+      case Some(q) =>
+        // the CCNet LM gate: self-trained on the heuristic-gate
+        // survivors, one exact percentile over the O(docs) scored frame
+        gated.join(
+          NgramLM.perplexityFilter(gated, keepQuantile = q)
+            .filter(col("kept")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None => gated
+    }
     val curated =
-      if (!dropRepetitive) gated
-      else gated.join(
-        TextAnalysis.repetitionProfile(gated)
+      if (!dropRepetitive) lmGated
+      else lmGated.join(
+        TextAnalysis.repetitionProfile(lmGated)
           .filter(col("repetitive")).select("doc_id"),
         Seq("doc_id"), "left_anti")
     val spanned = spanDedupWidth match {

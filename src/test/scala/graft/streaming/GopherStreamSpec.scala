@@ -61,6 +61,8 @@ class GopherStreamSpec extends SparkTestBase {
     GopherStream.processBatch(third(2), 2L, cfg)
     assert(cardOf(st) == want,
       "maintained card must equal the one-shot aggregation")
+    assert(cardOf(st).map(_._2).distinct.sorted == GopherStream.Rules,
+      "the store's rule vocabulary is the published Rules list")
 
     // rebuild with a different split and order — arrival-order-free
     val st2 = tmpDir("gops-b")

@@ -454,6 +454,32 @@ class CuratePipelineSpec extends SparkTestBase {
       .sorted == out.sorted)
   }
 
+  test("round-13 stage: the CCNet LM gate drops exactly the below-quantile tail") {
+    val docs = Tables.documents(spark, sf)
+    val langs = Seq("en", "de", "es", "fr", "und")
+    // the reference set: the pipeline's own heuristic-gate stage, then
+    // the q106 operator at the same quantile — the docs the LM gate is
+    // allowed to pass through
+    val heur = graft.ext.TextAnalysis.curateCorpus(docs, 0.3, langs)
+    val kept = graft.ext.NgramLM.perplexityFilter(heur, 0.2)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val heurIds = heur.select("doc_id").as[Long].collect().toSet
+    assert(kept.size < heurIds.size,
+      "the fixture must actually cut an LM tail")
+    def run(q: Option[Double]) = CuratePipeline.run(spark, docs,
+      minQuality = 0.3, langs = langs, tokenBudget = 2000,
+      perSourceCap = 1000000, perplexityKeepQuantile = q)
+      .select("doc_id").as[Long].collect().toSet
+    val gated = run(Some(0.2))
+    // every shard survivor passed the LM filter; the gate bites
+    assert(gated.subsetOf(kept),
+      "a doc that failed the LM gate must never reach the shards")
+    assert(run(None).exists(id => !kept.contains(id)),
+      "without the gate, some below-quantile doc must reach the shards")
+    // deterministic rerun
+    assert(run(Some(0.2)) == gated)
+  }
+
   test("round-13 stage: BFD shard layout never overflows the capacity") {
     val docs = Tables.documents(spark, sf)
     def run() = CuratePipeline.run(spark, docs,
