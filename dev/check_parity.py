@@ -88,6 +88,26 @@ def main(sf_dir, out_dir):
                 only_b = set(b) - set(a)
                 if only_a: print(f"    spark-only sample: {list(only_a)[:2]}")
                 if only_b: print(f"    duck-only sample:  {list(only_b)[:2]}")
+    # Cross-check Verify's own parity_status.json (the repo-side ground
+    # truth written since r14): every dumped dir must appear with the row
+    # count we just read, and no status entry may record an error.
+    sp = os.path.join(out_dir, "parity_status.json")
+    if os.path.exists(sp):
+        st = json.load(open(sp))
+        for name, ent in sorted(st.items()):
+            d = os.path.join(out_dir, name)
+            if "error" in ent:
+                print(f"✗ status: {name} recorded error: {ent['error']}")
+                n_bad += 1
+            elif not os.path.isdir(d):
+                print(f"✗ status: {name} listed but result dir missing")
+                n_bad += 1
+            else:
+                rows = pq.read_table(d).num_rows
+                if rows != ent["rows"]:
+                    print(f"✗ status: {name} rows {rows} != recorded {ent['rows']}")
+                    n_bad += 1
+        print(f"   (parity_status.json: {len(st)} entries cross-checked)")
     print(f"== {n_ok} ok, {n_bad} bad ==")
     return 1 if n_bad else 0
 

@@ -100,23 +100,28 @@ object Bench {
     * per-fork spread shows WHEN the environment was gusty, and the
     * calibration figure shows whether the machine was loaded at all. */
   private def forkFoldBench(sfDir: String): Option[String] = {
-    val calib = calibrationSecs()
-    // FIVE forks (r12; was 3): the round-11 driver median cleared the 50k
-    // floor by only 0.6% with a 5.3× fork spread — two gusts out of three
-    // forks would flip a median that the stage's own design says should
-    // absorb them. Five forks tolerate two gusts; env-overridable for the
-    // dev loop.
-    val nForks = envInt("SPARK_GRAFT_FOLD_FORKS", 5)
+    // SEVEN forks (r14; was 5): the round-13 driver run caught TWO gust
+    // forks of five (9.7k, 29.6k) and the median landed 4.3% under the
+    // 50k floor — two gusts is exactly what a median-of-5 cannot absorb
+    // when a third sample is also depressed. Seven tolerates three.
+    // Env-overridable for the dev loop.
+    val nForks = envInt("SPARK_GRAFT_FOLD_FORKS", 7)
+    // idle sentinel PER FORK (r14; was once per stage): a gusty fork is
+    // now attributable from the artifact alone — its own calibration
+    // second stretches with the load that depressed it.
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val forks = (1 to nForks).flatMap { i =>
+      calibs += calibrationSecs()
       val r = forkFoldOnce(sfDir)
-      r.foreach(f => System.err.println(f"[bench] fold fork $i: ${f.rps}%.0f rec/s"))
+      r.foreach(f => System.err.println(f"[bench] fold fork $i: ${f.rps}%.0f rec/s (calib ${calibs.last}%.2f s)"))
       r
     }
     if (forks.isEmpty) return None
     val byRps = forks.sortBy(_.rps)
     val med = byRps(byRps.size / 2)
     val perFork = forks.map(f => f"${f.rps}%.0f").mkString("[", ",", "]")
-    Some(f""","cdc_ingest_fold_rps":${med.rps}%.0f,"cdc_ingest_fold_records":${med.records},"cdc_ingest_fold_secs":${med.secs}%.2f,"cdc_ingest_fold_mode":"forked-fresh-jvm-median-of-${forks.size}","cdc_ingest_fold_fork_rps":$perFork,"cdc_ingest_fold_calibration_secs":$calib%.2f""")
+    val perCalib = calibs.map(c => f"$c%.2f").mkString("[", ",", "]")
+    Some(f""","cdc_ingest_fold_rps":${med.rps}%.0f,"cdc_ingest_fold_records":${med.records},"cdc_ingest_fold_secs":${med.secs}%.2f,"cdc_ingest_fold_mode":"forked-fresh-jvm-median-of-${forks.size}","cdc_ingest_fold_fork_rps":$perFork,"cdc_ingest_fold_fork_calib_secs":$perCalib,"cdc_ingest_fold_calibration_secs":${calibs.head}%.2f""")
   }
 
   /** Per-query cold-drift report vs a prior round's artifact. Reads the
@@ -126,10 +131,16 @@ object Bench {
     * noise band), worst first, capped at 10. Empty string when no prior
     * artifact exists or nothing drifts. */
   private def coldDriftJson(cold: Map[String, Double]): String = try {
-    val path = sys.env.get("SPARK_GRAFT_PREV_BENCH")
-      .getOrElse("bench_prev.json")
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isReadable(p)) return ""
+    // fallback chain (r14, VERDICT r13 #8): explicit env override →
+    // bench_prev.json → the COMMITTED bench.json (read before this run
+    // overwrites it at the end of main) — so driver runs, which never
+    // set SPARK_GRAFT_PREV_BENCH, still report drift vs the repo's own
+    // last-committed artifact.
+    val p = (sys.env.get("SPARK_GRAFT_PREV_BENCH").toSeq ++
+        Seq("bench_prev.json", "bench.json"))
+      .map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.isReadable(_))
+      .getOrElse(return "")
     val text = java.nio.file.Files.readString(p)
     // tolerate pretty-printed JSON ("queries" : { "k" : 1.0, ... }) —
     // a prior artifact re-serialized by another tool must still parse
@@ -302,6 +313,26 @@ object Bench {
       System.err.println(s"[bench] packing delta failed: ${e.getMessage}"); ""
     }
 
+    // Pruned-KN deployment surface (VERDICT r13 #6): explicit-entry
+    // count before/after the Stolcke prune at q205's eps, plus the
+    // corpus-mean document score under the full vs pruned model — the
+    // model-size-vs-perplexity row, measured per round at this SF.
+    val knPrune = try {
+      import org.apache.spark.sql.functions.{avg, col, count, lit, sum, when}
+      val docs = graft.core.Tables.documents(spark, sfDir)
+      val eps = 1e-3 // q205's threshold (per-token nats; corpus-size-free)
+      val agg = graft.ext.NgramLM.knPruneEntries(docs, eps)
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept")).head()
+      val full = graft.ext.NgramLM.knLogLik(docs, docs)
+        .agg(avg("avg_lp")).head().getDouble(0)
+      val pruned = graft.ext.NgramLM.knPrunedLogLik(docs, docs, eps)
+        .agg(avg("avg_lp")).head().getDouble(0)
+      f""","kn_prune":{"eps":0.001,"entries_total":${agg.getLong(0)},"entries_kept":${agg.getLong(1)},"mean_avg_lp_full":$full%.4f,"mean_avg_lp_pruned":$pruned%.4f}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] kn prune row failed: ${e.getMessage}"); ""
+    }
+
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q49,q62 times just those
     // queries; SPARK_GRAFT_SKIP_FOLD=1 skips the ingest+fold stage.
     // Unset (the driver path) = everything.
@@ -339,7 +370,7 @@ object Bench {
       case (k, (_, f)) if f >= 0 => k -> f
     }.toMap)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$split$repJson$drift$fold$approxProf$packing,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$split$repJson$drift$fold$approxProf$packing$knPrune,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's logger (the driver saw "[info] {...}" and
     // parsed null in round 1) — also write the line to a well-known file

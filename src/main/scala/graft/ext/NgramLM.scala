@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count-based n-gram language-model scoring over a corpus — the two
@@ -52,6 +52,23 @@ object NgramLM {
                       element_at(toks, i + 2).as("w2")))).as("g"))
       .select(col("doc_id"), col("g.w1"), col("g.w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+  }
+
+  /** Corpus-level (w1, w2, n) bigram counts with NO per-document axis —
+    * the maintained-store partial ([[graft.streaming.BigramStream]]).
+    * The count multiset is invariant to how documents are keyed, so
+    * this skips the per-doc grouping entirely: one explode, ONE shuffle
+    * on (w1, w2), and no dependence on any id column (ADVICE r13 — the
+    * store must ingest a corpus however, or whether, it is keyed). */
+  def corpusBigrams(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    docs.select(split(col(textCol), " ").as("__toks"))
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+                    element_at(toks, i + 2).as("w2")))).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
   }
 
   /** Average bigram log-likelihood per document under a
@@ -122,6 +139,17 @@ object NgramLM {
     *   P_cont(w2) = N1+(·,w2) / N1+(··)
     *   D = n1 / (n1 + 2·n2)        (count-of-counts estimate)
     *
+    * Degenerate-discount guard (ADVICE r13): the count-of-counts
+    * estimate gives D = 0 whenever n1 = 0 with n2 > 0 (no singleton
+    * bigram types), and a zero discount leaves NO reserved mass — an
+    * unseen bigram with a seen history would score P = 0 and silently
+    * fall into the OOV tally, contradicting the documented rule that
+    * only an unseen-continuation w2 is OOV. So D floors at 0.5 whenever
+    * n1 = 0 (subsuming the empty count-of-counts case), in the engine
+    * AND every oracle replay. Only reachable in cross-scoring on a
+    * corpus with no singleton bigrams; self-scoring never produces an
+    * unseen gram.
+    *
     * where N1+(w1,·)/N1+(·,w2) are distinct right/left continuations,
     * N1+(··) the distinct-bigram total, and n1/n2 the number of bigram
     * types seen exactly once/twice. The continuation distribution is
@@ -179,6 +207,25 @@ object NgramLM {
     finally { grams.unpersist(false); () }
   }
 
+  /** The three aggregate frames of the bigram-KN model, all derived
+    * from the ONE persisted (w1, w2, c12) type table: per-history
+    * totals (c1, distinct right continuations nf), per-word distinct
+    * left continuations (nb), and the global count-of-counts row
+    * (type total b, singleton/doubleton type counts n1/n2). */
+  private def knModelFrames(c12: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    c12.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("nf")),
+    c12.groupBy("w2").agg(count(lit(1)).as("nb")),
+    c12.agg(count(lit(1)).as("b"),
+      sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c12") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(col("c12")).as("ntok")))
+
+  /** The count-of-counts discount with the n1 = 0 floor — see the
+    * degenerate-discount guard in [[knLogLik]]'s scaladoc. */
+  private def knD: Column =
+    when(col("n1") === 0, lit(0.5))
+      .otherwise(col("n1").cast("double") / (col("n1") + lit(2) * col("n2")))
+
   /** The shared KN scoring stage over a per-doc gram frame and the
     * aggregated model counts (both callers manage `grams` persistence). */
   private def knScore(grams: DataFrame, c12Raw: DataFrame,
@@ -186,15 +233,8 @@ object NgramLM {
     val c12 = c12Raw
         .persist() // three model frames derive from it; aggregate once
       try {
-        val hist = c12.groupBy("w1")
-          .agg(sum("c12").as("c1"), count(lit(1)).as("nf"))
-        val cont = c12.groupBy("w2").agg(count(lit(1)).as("nb"))
-        val tot = c12.agg(count(lit(1)).as("b"),
-          sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("c12") === 2, 1L).otherwise(0L)).as("n2"))
-        val d = when(col("n1") + lit(2) * col("n2") === 0, lit(0.5))
-          .otherwise(col("n1").cast("double") /
-            (col("n1") + lit(2) * col("n2")))
+        val (hist, cont, tot) = knModelFrames(c12)
+        val d = knD
         val pcont = col("nb").cast("double") / col("b")
         val pSeenHist =
           greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) /
@@ -220,6 +260,154 @@ object NgramLM {
       } finally { c12.unpersist(false); () }
   }
 
+  /** The explicit-entry loss table of an entropy-pruned KN model
+    * (Stolcke 1998's pruning criterion in its weighted-log-likelihood
+    * form — the deployment step SRILM's `-prune` and KenLM's `filter`
+    * perform before shipping a model): one row per bigram TYPE of the
+    * [[knLogLik]] model over `train`, with
+    *
+    *   loss(w1,w2) = (c12 / N) · (ln pSeen − ln(bow(w1) · P_cont(w2)))
+    *
+    * — the PER-TOKEN log-likelihood the corpus loses when the explicit
+    * entry is dropped and its occurrences score through the back-off
+    * arm instead (N = total training bigram tokens; normalizing makes
+    * `eps` a corpus-size-free threshold, the SRILM `-prune` convention
+    * — the same eps keeps the same meaning as the corpus grows 100×).
+    * Always ≥ 0: pSeen = discounted mass + bow·P_cont ≥ bow·P_cont.
+    * `kept` = round(loss, 9) ≥ eps; the rounding pins the threshold
+    * comparison against cross-engine libm 1-ulp drift (the q106
+    * argument — loss is a single composed term with absolute drift
+    * ~1e-16, nine decimals absorb it).
+    *
+    * Output: (w1, w2, c12, nb, loss, kept) — the model-size-vs-eps
+    * surface the bench artifact reads. */
+  def knPruneEntries(train: DataFrame, eps: Double,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val grams = docBigrams(train, idCol, textCol)
+    knPruneEntriesFromCounts(
+      grams.groupBy("w1", "w2").agg(sum("n").as("c12")), eps)
+  }
+
+  /** [[knPruneEntries]] from the aggregated (w1, w2, c12) type table. */
+  private def knPruneEntriesFromCounts(c12Raw: DataFrame,
+                                       eps: Double): DataFrame = {
+    val c12 = c12Raw
+    val (hist, cont, tot) = knModelFrames(c12)
+    val d = knD
+    val pcont = col("nb").cast("double") / col("b")
+    val bow = d * col("nf") / col("c1")
+    val pSeen = (col("c12").cast("double") - d) / col("c1") + bow * pcont
+    c12.join(hist, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("loss", round((col("c12").cast("double") / col("ntok")) *
+        (log(pSeen) - log(bow * pcont)), 9))
+      .select(col("w1"), col("w2"), col("c12"), col("nb"), col("loss"),
+        (col("loss") >= eps).as("kept"))
+  }
+
+  /** Per-document scoring under the ENTROPY-PRUNED interpolated-KN
+    * bigram model — [[knLogLik]]'s deployment-shaped complement
+    * (Stolcke 1998; the KenLM/SRILM model-filtering step): the full
+    * model trains as usual, every explicit bigram entry whose removal
+    * costs < `eps` weighted log-likelihood ([[knPruneEntries]]) is
+    * DROPPED, and each history's back-off weight renormalizes over the
+    * surviving entries so the pruned model still sums to exactly 1:
+    *
+    *   γ(w1) = (1 − Σ_kept pSeen(w1,·)) / (1 − Σ_kept P_cont(·))
+    *
+    * — the standard back-off renormalization. With nothing pruned
+    * γ(w1) = bow(w1) and scores equal [[knLogLik]] verbatim; with
+    * nothing kept γ(w1) = 1 and the history scores pure P_cont
+    * (spec-pinned). Both γ sums reduce to INTEGER per-history
+    * aggregates over the kept set — Σ pSeen = (Σc12 − k·D)/c1 +
+    * bow·(Σnb)/b and Σ P_cont = (Σnb)/b with k, Σc12, Σnb integers —
+    * so no floating-point accumulation order can drift between the
+    * engine and an oracle replay; γ is one deterministic expression
+    * per history.
+    *
+    * Scoring rule: kept entry → pSeen; pruned or unseen w2 under a
+    * seen history → γ(w1)·P_cont(w2); unseen history → P_cont(w2);
+    * w2 never a continuation → OOV (the [[knLogLik]] rule). Unlike
+    * the unpruned model, SELF-scoring exercises the back-off arm —
+    * every pruned entry's occurrences route through γ — which is what
+    * puts the renormalization under the q205 hash gate.
+    *
+    * Scale shape: [[knLogLik]]'s exactly — one corpus explode, model
+    * frames bigram-vocabulary-sized, the kept set is a filter on the
+    * type table, γ one more vocabulary-sized aggregate, scoring stays
+    * count-frame equi-joins. The pruned model frame itself (kept
+    * entries + per-history γ rows) is the BOUNDED artifact a serving
+    * system ships.
+    *
+    * Output: (doc_id, n_bigrams, n_oov, avg_lp), the [[knLogLik]]
+    * shape. */
+  def knPrunedLogLik(docs: DataFrame, train: DataFrame, eps: Double,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     scale: Int = 4): DataFrame = {
+    val grams = docBigrams(docs, idCol, textCol).persist()
+    val trainGrams =
+      if (train eq docs) grams else docBigrams(train, idCol, textCol).persist()
+    try {
+      val c12 = trainGrams.groupBy("w1", "w2").agg(sum("n").as("c12")).persist()
+      try {
+        val (hist, cont, tot) = knModelFrames(c12)
+        val d = knD
+        val pcont = col("nb").cast("double") / col("b")
+        val kept = knPruneEntriesFromCounts(c12, eps)
+          .filter(col("kept"))
+          .select(col("w1"), col("w2"), lit(true).as("__kept"),
+            col("c12").as("__kc12"), col("nb").as("__knb"))
+          .persist() // the γ aggregate AND the scoring join read it
+        try {
+          // per-history integer aggregates over the kept set: k entries,
+          // Σ c12, Σ nb — γ derives from these in one expression
+          val gam = kept.groupBy("w1").agg(count(lit(1)).as("k"),
+            sum("__kc12").as("s12"), sum("__knb").as("snb"))
+          val pSeen = (col("c12").cast("double") - d) / col("c1") +
+            (d * col("nf") / col("c1")) * pcont
+          val num = lit(1.0) -
+            (col("s12").cast("double") - col("k") * d) / col("c1") -
+            (d * col("nf") / col("c1")) *
+              (col("snb").cast("double") / col("b"))
+          val den = lit(1.0) - col("snb").cast("double") / col("b")
+          // den = 0 ⟺ the kept set covers the ENTIRE continuation
+          // vocabulary for this history — then no in-vocab w2 can reach
+          // the back-off arm, so γ is unreachable; pin 1.0 (num is 0 by
+          // the same telescope) rather than emit NaN
+          val gamma = when(col("k").isNull, lit(1.0))
+            .when(den <= 0.0, lit(1.0))
+            .otherwise(num / den)
+          grams
+            .join(c12, Seq("w1", "w2"), "left")
+            .join(kept.select("w1", "w2", "__kept"), Seq("w1", "w2"), "left")
+            .join(hist, Seq("w1"), "left")
+            .join(cont, Seq("w2"), "left")
+            .join(gam, Seq("w1"), "left")
+            .crossJoin(broadcast(tot))
+            .withColumn("p",
+              when(col("__kept").isNotNull, pSeen)
+                .when(col("c1").isNotNull && col("nb").isNotNull,
+                  gamma * pcont)
+                .when(col("c1").isNull && col("nb").isNotNull, pcont))
+            .withColumn("lp", col("n") * log(col("p")))
+            .groupBy("doc_id")
+            .agg(sum("n").as("n_bigrams"),
+              coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+                .as("n_oov"),
+              coalesce(
+                round(sum("lp") /
+                  sum(when(col("lp").isNotNull, col("n"))), scale),
+                lit(0.0)).as("avg_lp"))
+            .localCheckpoint(true)
+        } finally { kept.unpersist(false); () }
+      } finally { c12.unpersist(false); () }
+    } finally {
+      grams.unpersist(false)
+      if (!(train eq docs)) trainGrams.unpersist(false): Unit
+    }
+  }
+
   /** Per-document (w1, w2, w3, n) adjacent-trigram counts — the
     * three-token sibling of [[docBigrams]] (same bound-column
     * discipline; <3-token docs contribute nothing). */
@@ -235,6 +423,21 @@ object NgramLM {
                       element_at(toks, i + 3).as("w3")))).as("g"))
       .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
       .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("n"))
+  }
+
+  /** Corpus-level (w1, w2, w3, n) trigram counts with no document axis
+    * — the [[corpusBigrams]] shape one token wider, the partial
+    * [[graft.streaming.TrigramStream]] folds. */
+  def corpusTrigrams(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    docs.select(split(col(textCol), " ").as("__toks"))
+      .filter(size(toks) >= 3)
+      .select(explode(transform(sequence(lit(0), size(toks) - 3),
+        i => struct(element_at(toks, i + 1).as("w1"),
+                    element_at(toks, i + 2).as("w2"),
+                    element_at(toks, i + 3).as("w3")))).as("g"))
+      .select(col("g.w1"), col("g.w2"), col("g.w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n"))
   }
 
   /** Average trigram log-likelihood under a TRIGRAM interpolated
@@ -273,10 +476,38 @@ object NgramLM {
     val grams = docTrigrams(docs, idCol, textCol).persist()
     val trainGrams =
       if (train eq docs) grams else docTrigrams(train, idCol, textCol).persist()
+    try kn3Score(grams,
+      trainGrams.groupBy("w1", "w2", "w3").agg(sum("n").as("c123")), scale)
+    finally {
+      grams.unpersist(false)
+      if (!(train eq docs)) trainGrams.unpersist(false): Unit
+    }
+  }
+
+  /** [[kn3LogLik]] from an ALREADY-AGGREGATED (w1, w2, w3, n)
+    * trigram-count frame — [[knLogLikFromCounts]] one order higher, the
+    * seam the maintained store ([[graft.streaming.TrigramStream]])
+    * reads through: every frame of the two-level model — the trigram
+    * type table, both history totals, the continuation-bigram table,
+    * both count-of-counts discounts — is a pure function of the
+    * trigram-count multiset, which is ADDITIVE, so identical maintained
+    * counts force bit-identical scores and the maintained path answers
+    * the one-shot oracle verbatim (q204 gates it against q203's). */
+  def kn3LogLikFromCounts(docs: DataFrame, counts: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          scale: Int = 4): DataFrame = {
+    val grams = docTrigrams(docs, idCol, textCol).persist()
+    try kn3Score(grams,
+      counts.groupBy("w1", "w2", "w3").agg(sum("n").as("c123")), scale)
+    finally { grams.unpersist(false); () }
+  }
+
+  /** The shared trigram-KN scoring stage over a per-doc trigram frame
+    * and the aggregated model counts (callers manage `grams`). */
+  private def kn3Score(grams: DataFrame, c123Raw: DataFrame,
+                       scale: Int): DataFrame = {
+    val c123 = c123Raw.persist()
     try {
-      val c123 = trainGrams.groupBy("w1", "w2", "w3")
-        .agg(sum("n").as("c123")).persist()
-      try {
         val hist12 = c123.groupBy("w1", "w2")
           .agg(sum("c123").as("c12dot"), count(lit(1)).as("nf12"))
         // the continuation-bigram table: ĉ(w2,w3) = distinct w1 count —
@@ -293,10 +524,12 @@ object NgramLM {
           val totHat = chat.agg(count(lit(1)).as("b"),
             sum(when(col("chat") === 1, 1L).otherwise(0L)).as("h_n1"),
             sum(when(col("chat") === 2, 1L).otherwise(0L)).as("h_n2"))
-          val d3 = when(col("t_n1") + lit(2) * col("t_n2") === 0, lit(0.5))
+          // n1 = 0 ⇒ D floors at 0.5 at BOTH levels (the [[knLogLik]]
+          // degenerate-discount guard)
+          val d3 = when(col("t_n1") === 0, lit(0.5))
             .otherwise(col("t_n1").cast("double") /
               (col("t_n1") + lit(2) * col("t_n2")))
-          val d2 = when(col("h_n1") + lit(2) * col("h_n2") === 0, lit(0.5))
+          val d2 = when(col("h_n1") === 0, lit(0.5))
             .otherwise(col("h_n1").cast("double") /
               (col("h_n1") + lit(2) * col("h_n2")))
           val pcont = col("nb").cast("double") / col("b")
@@ -331,11 +564,7 @@ object NgramLM {
                 lit(0.0)).as("avg_lp"))
             .localCheckpoint(true)
         } finally { chat.unpersist(false); () }
-      } finally { c123.unpersist(false); () }
-    } finally {
-      grams.unpersist(false)
-      if (!(train eq docs)) trainGrams.unpersist(false): Unit
-    }
+    } finally { c123.unpersist(false); () }
   }
 
   /** CCNet-style perplexity filter: score every document with

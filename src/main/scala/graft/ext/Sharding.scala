@@ -152,6 +152,16 @@ object Sharding {
     * reproduces every placement bit-for-bit (the q199 oracle re-runs
     * the whole fold in SQL).
     *
+    * Deliberately NOT a maintained store (the round-14 decision,
+    * SURVEY §2.4): packing assignments are not additive state — one
+    * arriving doc can legally re-open any bin in its bucket, so an
+    * "incremental" variant either re-packs the bucket (which is this
+    * operator: buckets are independent, so re-packing touched buckets
+    * per shard build IS the incremental algorithm) or drifts from the
+    * exact-BFD semantics the oracle replays. A shard layout is an
+    * artifact of one dataset snapshot; stable shard ids across corpus
+    * growth are an anti-goal (epoch shuffling re-keys them anyway).
+    *
     * Output: (`idCol`, `tokenCol`, bucket, bin) — bin is 1-based within
     * its bucket. */
   def bfdPack(docs: DataFrame, idCol: String, tokenCol: String,

@@ -107,9 +107,11 @@ object Unigram {
     * iteration (post-prune), and the final inventory (== iterations
     * .last, or the seed when `iters == 0`). Every inventory is sorted
     * by piece — the deterministic closure shape [[collectPieces]]
-    * established. */
+    * established. `iterSecs` carries each iteration's wall seconds
+    * (E-step + M-step), the depth-bench signal. */
   final case class EmResult(seed: Seq[(String, Long)],
-                            iterations: Seq[Seq[(String, Long)]]) {
+                            iterations: Seq[Seq[(String, Long)]],
+                            iterSecs: Seq[Double] = Seq.empty) {
     def pieces: Seq[(String, Long)] = iterations.lastOption.getOrElse(seed)
   }
 
@@ -131,12 +133,18 @@ object Unigram {
     *    replay the whole loop bit-for-bit.
     *  - M-step: cost(piece) = K − expected-count; PRUNE the inventory
     *    to all single characters (coverage, never dropped — Kudo §3.2's
-    *    subword-coverage constraint) plus the `target` highest-usage
+    *    subword-coverage constraint) plus the highest-usage
     *    multi-character pieces (ties on the piece string; zero-usage
-    *    multis always drop). This is the deterministic counterpart of
-    *    the loss-ranked pruning schedule: usage IS each piece's
-    *    first-order contribution to the corpus objective here, because
-    *    removing a piece forces its occurrences to re-segment.
+    *    multis always drop). With `shrinkPermille = 0` the prune cuts
+    *    straight to `target`; with it set (e.g. 750 — Kudo §3.2 keeps
+    *    ~75% per round) each iteration keeps
+    *    max(target, ⌈multis · shrinkPermille / 1000⌉) multis, the
+    *    GRADUAL schedule a production run uses so early iterations
+    *    re-estimate before committing to deep cuts. This is the
+    *    deterministic counterpart of the loss-ranked pruning schedule:
+    *    usage IS each piece's first-order contribution to the corpus
+    *    objective here, because removing a piece forces its occurrences
+    *    to re-segment.
     *
     * Why EM beats the one-shot frequency heuristic ([[pieceFrame]]):
     * substring WEIGHT counts every occurrence, including those inside
@@ -151,17 +159,40 @@ object Unigram {
     * kernel pass over the VOCABULARY-bounded counts frame + one
     * aggregation on a key space bounded by the inventory, collected
     * (≤ inventory rows) for the driver-side M-step. Iterations cost
-    * O(vocab), independent of corpus size. */
+    * O(vocab), independent of corpus size.
+    *
+    * Fidelity bound, hard vs soft EM (the documented trade, VERDICT
+    * r13 #1): Kudo's published estimator is SOFT EM — forward-backward
+    * EXPECTED piece counts over all segmentations; this trainer's
+    * E-step counts the single Viterbi segmentation, the standard
+    * Viterbi-EM lower bound on the same marginal-likelihood objective.
+    * Per word, the two count vectors differ by at most the posterior
+    * mass of the non-Viterbi segmentations; the M-step consumes counts
+    * only through the usage RANKING and the prune cut, so training
+    * diverges from soft EM only where that residual mass is large
+    * enough to reorder pieces across the cut — and under the integer
+    * objective the posterior is maximally peaked (any competing
+    * segmentation costs ≥ 1 extra piece × K, or loses occurrence
+    * weight at equal length). The trade is deliberate: hard EM keeps
+    * every count an exact integer, which is what lets the q196 oracle
+    * replay ALL iterations bit-for-bit — fractional expected counts
+    * under a fixed-point scale would need >128-bit intermediate
+    * products at realistic word lengths (forward sums of products of
+    * per-piece weights), beyond what a SQL replay can carry. */
   def emTrainFromCounts(counts: DataFrame, topSeed: Int = 48,
                         target: Int = 24, maxLen: Int = 4,
-                        iters: Int = 2): EmResult = {
+                        iters: Int = 2, shrinkPermille: Int = 0): EmResult = {
     require(target >= 1 && topSeed >= target && iters >= 0,
       "need topSeed >= target >= 1 and iters >= 0")
+    require(shrinkPermille >= 0 && shrinkPermille < 1000,
+      "shrinkPermille must lie in [0, 1000)")
     val seed = collectPieces(pieceFrameFromCounts(counts, topSeed, maxLen))
     val inventories = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long)]]
+    val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
     var inv = seed
     var i = 0
     while (i < iters) {
+      val t0 = System.nanoTime()
       val usage = emUsage(counts, inv)
       // K-dominance guard, the pieceFrameFromCounts discipline: a usage
       // count at or past K flips a cost non-positive and the objective
@@ -174,23 +205,30 @@ object Unigram {
       val singles = inv.collect { case (p, _) if pieceLen(p) == 1 =>
         (p, CostScale - usage.getOrElse(p, 0L))
       }
+      val curMultis = inv.count(p => pieceLen(p._1) >= 2)
+      val keepM =
+        if (shrinkPermille <= 0) target
+        else math.max(target,
+          ((curMultis.toLong * shrinkPermille + 999) / 1000).toInt)
       val multis = usage.toSeq
         .collect { case (p, u) if pieceLen(p) >= 2 && u > 0 => (p, u) }
         .sortBy { case (p, u) => (-u, p) }
-        .take(target)
+        .take(keepM)
         .map { case (p, u) => (p, CostScale - u) }
       inv = (singles ++ multis).sortBy(_._1).toIndexedSeq
       inventories += inv
+      walls += (System.nanoTime() - t0) / 1e9
       i += 1
     }
-    EmResult(seed, inventories.toSeq)
+    EmResult(seed, inventories.toSeq, walls.toSeq)
   }
 
   /** [[emTrainFromCounts]] from raw documents. */
   def emTrain(docs: DataFrame, textCol: String = "text", topSeed: Int = 48,
-              target: Int = 24, maxLen: Int = 4, iters: Int = 2): EmResult =
+              target: Int = 24, maxLen: Int = 4, iters: Int = 2,
+              shrinkPermille: Int = 0): EmResult =
     emTrainFromCounts(WordPiece.wordCounts(docs, textCol),
-      topSeed, target, maxLen, iters)
+      topSeed, target, maxLen, iters, shrinkPermille)
 
   /** The E-step accounting: per piece, its occurrence count in the
     * deterministic Viterbi segmentations of the distinct words, weighted

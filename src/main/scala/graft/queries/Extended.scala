@@ -4786,14 +4786,52 @@ ORDER BY doc_id"""
         NgramLM.kn3LogLik(Tables.documents(s, d),
             Tables.documents(s, d)).orderBy("doc_id"),
       Some(kn3OracleSql)),
+
+    ("q204_kn3_maintained",
+      (s: SparkSession, d: String) => {
+        // the MAINTAINED trigram-KN model under the gate (VERDICT r13
+        // roadmap #2): trigram counts folded incrementally by
+        // TrigramStream — three residue folds with a replayed batch, a
+        // mid-stream compaction, a replay at the watermark — then the
+        // corpus scored against the store-derived model must answer
+        // q203's full-recomputation oracle VERBATIM: the trigram-count
+        // multiset is the two-level model's additive sufficient
+        // statistic (NO type-level quantity — ĉ, any N1+, n1/n2 — is
+        // additive, so the store keeps counts and derives the type
+        // table at read time, where it is trigram-vocabulary-sized).
+        val st = q204StoreBuild(s, d)
+        graft.streaming.TrigramStream.kn3LogLik(s, st, Tables.documents(s, d))
+          .orderBy("doc_id")
+      },
+      Some(kn3OracleSql)),
+
+    ("q205_kn_pruned",
+      (s: SparkSession, d: String) =>
+        // ENTROPY-PRUNED interpolated KN (Stolcke 1998; the
+        // SRILM -prune / KenLM-filter deployment step, VERDICT r13
+        // roadmap #6): explicit bigram entries whose removal costs
+        // < eps weighted log-likelihood drop from the model, and each
+        // history's back-off weight RENORMALIZES over the survivors
+        // (Σ P = 1 exactly, spec-pinned). Self-scoring routes every
+        // pruned entry through the renormalized back-off arm, so the
+        // oracle's independent replay of the loss table, the kept
+        // set, and the γ renormalization all sit under the hash; γ
+        // derives from integer per-history aggregates (k, Σc12, Σnb),
+        // so no floating-point accumulation order can drift between
+        // engines.
+        NgramLM.knPrunedLogLik(Tables.documents(s, d),
+            Tables.documents(s, d), eps = Q205Eps).orderBy("doc_id"),
+      Some(knPrunedOracleSql)),
   )
 
   /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
-    * inline as CASE expressions (the q201 pattern, one per level). */
+    * inline as CASE expressions (the q201 pattern, one per level), with
+    * the n1 = 0 discount floor ([[graft.ext.NgramLM.knLogLik]]'s
+    * degenerate-discount guard, ADVICE r13). */
   private def kn3OracleSql: String = {
-    val d3 = """(CASE WHEN t3.tn1 + 2 * t3.tn2 = 0 THEN 0.5
+    val d3 = """(CASE WHEN t3.tn1 = 0 THEN 0.5
                |      ELSE CAST(t3.tn1 AS DOUBLE) / (t3.tn1 + 2 * t3.tn2) END)""".stripMargin
-    val d2 = """(CASE WHEN th.hn1 + 2 * th.hn2 = 0 THEN 0.5
+    val d2 = """(CASE WHEN th.hn1 = 0 THEN 0.5
                |      ELSE CAST(th.hn1 AS DOUBLE) / (th.hn1 + 2 * th.hn2) END)""".stripMargin
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
@@ -4857,10 +4895,10 @@ ORDER BY doc_id"""
       |lp AS (SELECT dg.doc_id, dg.n,
       |         dg.n * ln(
       |           GREATEST(COALESCE(c12.c12, 0) -
-      |             (CASE WHEN tot.n1 + 2 * tot.n2 = 0 THEN 0.5
+      |             (CASE WHEN tot.n1 = 0 THEN 0.5
       |                   ELSE CAST(tot.n1 AS DOUBLE) / (tot.n1 + 2 * tot.n2) END),
       |             0.0) / hist.c1
-      |           + ((CASE WHEN tot.n1 + 2 * tot.n2 = 0 THEN 0.5
+      |           + ((CASE WHEN tot.n1 = 0 THEN 0.5
       |                    ELSE CAST(tot.n1 AS DOUBLE) / (tot.n1 + 2 * tot.n2) END)
       |              * hist.nf / hist.c1)
       |             * (CAST(cont.nb AS DOUBLE) / tot.b)) AS lp
@@ -4872,6 +4910,106 @@ ORDER BY doc_id"""
       |  round(SUM(lp) / SUM(n), 4) AS avg_lp
       |FROM lp GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** q204's maintained trigram store: the q202 build shape over
+    * [[graft.streaming.TrigramStream]] — residue folds with a replayed
+    * batch, a mid-stream compaction, and a replay at the watermark. */
+  private def q204StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"trigram_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.TrigramStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
+      graft.streaming.TrigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.TrigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.TrigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.TrigramStream.compact(s, st, upToBatch = 1L)
+      graft.streaming.TrigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.TrigramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+    }
+
+  /** q205's pruning threshold: PER-TOKEN log-likelihood nats an
+    * explicit entry must be worth to survive ([[graft.ext.NgramLM
+    * .knPruneEntries]] — normalized by training tokens, the SRILM
+    * `-prune` convention, so the threshold is corpus-size-free).
+    * 1e-3 prunes a real tail of the documents corpus at both gate
+    * SFs (16 of 916 types at sf0.01, 31 of 931 at sf0.1), so the
+    * renormalized back-off arm is genuinely under the hash.
+    * MUST stay `final` (a compile-time constant): the queries Seq —
+    * and therefore `Some(knPrunedOracleSql)` — is built during object
+    * init, which can run BEFORE a plain val here initializes; a
+    * non-constant read at that point yields 0.0 and the oracle
+    * silently stops pruning while the engine (whose lambda reads the
+    * val lazily) still does. */
+  private final val Q205Eps = 1e-3
+
+  /** q205's oracle: DuckDB re-derives the full KN model from raw
+    * text, replays the Stolcke loss table and the kept set,
+    * recomputes every history's renormalized back-off weight γ from
+    * the same integer aggregates (k, Σc12, Σnb), and scores.
+    * Self-scored ⇒ the OOV arm is unreachable (n_oov pinned 0). */
+  private def knPrunedOracleSql: String = {
+    val dc = """(CASE WHEN tot.n1 = 0 THEN 0.5
+               |      ELSE CAST(tot.n1 AS DOUBLE) / (tot.n1 + 2 * tot.n2) END)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |       FROM t WHERE len(toks) >= 2),
+       |g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM g0),
+       |dg AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+       |c12 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM dg GROUP BY 1, 2),
+       |hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |           CAST(COUNT(*) AS BIGINT) AS nf FROM c12 GROUP BY 1),
+       |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM c12 GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+       |          CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |          CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |          CAST(SUM(c12) AS BIGINT) AS ntok
+       |        FROM c12),
+       |kept AS (SELECT c12.w1, c12.w2, c12.c12, cont.nb
+       |         FROM c12 JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+       |         WHERE round((CAST(c12.c12 AS DOUBLE) / tot.ntok) * (
+       |             ln((c12.c12 - $dc) / hist.c1
+       |                + ($dc * hist.nf / hist.c1)
+       |                  * (CAST(cont.nb AS DOUBLE) / tot.b))
+       |             - ln(($dc * hist.nf / hist.c1)
+       |                  * (CAST(cont.nb AS DOUBLE) / tot.b))), 9) >= $Q205Eps),
+       |gam AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS k,
+       |          CAST(SUM(c12) AS BIGINT) AS s12,
+       |          CAST(SUM(nb) AS BIGINT) AS snb
+       |        FROM kept GROUP BY 1),
+       |kf AS (SELECT w1, w2, TRUE AS iskept FROM kept),
+       |lp AS (SELECT dg.doc_id, dg.n,
+       |         dg.n * ln(CASE
+       |           WHEN kf.iskept THEN
+       |             (c12.c12 - $dc) / hist.c1
+       |             + ($dc * hist.nf / hist.c1)
+       |               * (CAST(cont.nb AS DOUBLE) / tot.b)
+       |           WHEN hist.c1 IS NOT NULL AND cont.nb IS NOT NULL THEN
+       |             (CASE WHEN gam.k IS NULL THEN 1.0
+       |                   WHEN 1.0 - CAST(gam.snb AS DOUBLE) / tot.b <= 0.0 THEN 1.0
+       |                   ELSE (1.0 - (CAST(gam.s12 AS DOUBLE) - gam.k * $dc) / hist.c1
+       |                         - ($dc * hist.nf / hist.c1)
+       |                           * (CAST(gam.snb AS DOUBLE) / tot.b))
+       |                        / (1.0 - CAST(gam.snb AS DOUBLE) / tot.b) END)
+       |             * (CAST(cont.nb AS DOUBLE) / tot.b)
+       |           WHEN hist.c1 IS NULL AND cont.nb IS NOT NULL THEN
+       |             CAST(cont.nb AS DOUBLE) / tot.b
+       |           ELSE NULL END) AS lp
+       |       FROM dg LEFT JOIN c12 USING (w1, w2)
+       |         LEFT JOIN kf USING (w1, w2)
+       |         LEFT JOIN hist USING (w1) LEFT JOIN cont USING (w2)
+       |         LEFT JOIN gam USING (w1)
+       |         CROSS JOIN tot)
+       |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       |  CAST(0 AS BIGINT) AS n_oov,
+       |  round(SUM(lp) / SUM(n), 4) AS avg_lp
+       |FROM lp GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** q202's maintained bigram store: the q194 build shape over
     * [[graft.streaming.BigramStream]]. */
@@ -5260,7 +5398,8 @@ ORDER BY doc_id"""
     "q197_bpe_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
     "q198_bpe_encode_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
     "q200_gopher_drift_maintained" -> ((s, d) => q200StoreBuild(s, d): Unit),
-    "q202_kn_maintained" -> ((s, d) => q202StoreBuild(s, d): Unit))
+    "q202_kn_maintained" -> ((s, d) => q202StoreBuild(s, d): Unit),
+    "q204_kn3_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

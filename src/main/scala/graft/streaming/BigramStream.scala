@@ -86,13 +86,15 @@ object BigramStream {
 
   /** One micro-batch of corpus documents. Public so tests, batch
     * backfills, and the declared-query gate can drive exact batch
-    * boundaries. */
+    * boundaries. The partial is [[graft.ext.NgramLM.corpusBigrams]] —
+    * counts only, no per-document grouping — so the store ingests a
+    * corpus regardless of how (or whether) its documents are keyed,
+    * and the batch costs ONE shuffle instead of two (ADVICE r13). */
   def processBatch(batch: DataFrame, batchId: Long,
                    cfg: BigramStreamConfig): Unit = {
     val spark = batch.sparkSession
     if (batchId <= GenerationStore.readWatermark(spark, cfg.storeDir)) return
-    val counts = graft.ext.NgramLM.docBigrams(batch, textCol = cfg.textCol)
-      .groupBy("w1", "w2").agg(sum("n").as("n"))
+    val counts = graft.ext.NgramLM.corpusBigrams(batch, textCol = cfg.textCol)
       .persist()
     try {
       if (!counts.isEmpty)

@@ -344,13 +344,21 @@ object CuratePipeline {
           // post-pack FIM: one transform per DISTINCT doc (the seqLen
           // layout emits one row per doc-span — the reorder must not
           // depend on how many sequences a doc straddles), joined back
-          // on doc_id; `fim` flags the rewritten docs for the trainer
+          // on doc_id; `fim` flags the rewritten docs for the trainer.
+          // Only the SELECTED fraction joins (ADVICE r13: replacing
+          // every doc with text_fim silently whitespace-normalized the
+          // pass-throughs), and the join is LEFT so packed rows stay
+          // authoritative: an unselected — or null-text — doc keeps its
+          // text byte-identical and is never dropped.
           val fimmed = Sharding.fimTransform(
               packed.select(col("doc_id"), col("text")).dropDuplicates("doc_id"),
               "doc_id", "text", ratePermille = rate, seed = fimSeed)
-            .select(col("doc_id"), col("fim"), col("text_fim"))
-          packed.drop("text").join(fimmed, Seq("doc_id"))
-            .withColumnRenamed("text_fim", "text")
+            .filter(col("fim"))
+            .select(col("doc_id"), col("text_fim"))
+          packed.join(fimmed, Seq("doc_id"), "left")
+            .withColumn("fim", col("text_fim").isNotNull)
+            .withColumn("text", coalesce(col("text_fim"), col("text")))
+            .drop("text_fim")
         case None => packed
       }
     }

@@ -382,7 +382,14 @@ object ScaleBench {
     // q203: trigram KN — trigram-type-table aggregations, the widest
     // count frames in the LM family (the pair axis ∝ corpus tokens at
     // trigram width; ×10 replicas make the type space content-disjoint)
-    "q201_kn_loglik", "q202_kn_maintained", "q203_kn3_loglik")
+    "q201_kn_loglik", "q202_kn_maintained", "q203_kn3_loglik",
+    // round-14 additions. q204: the maintained trigram store — build ∝
+    // batch trigram vocab (one shuffle per fold, doc-axis-free
+    // partials), read = q203's scoring over the summed count frame.
+    // q205: pruned KN — q201's frames + one filter over the type table
+    // + one more vocab-sized aggregate (γ); the loss table itself is
+    // the type table, so the prune adds no wider frame.
+    "q204_kn3_maintained", "q205_kn_pruned")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

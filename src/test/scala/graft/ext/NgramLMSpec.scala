@@ -212,6 +212,113 @@ class NgramLMSpec extends SparkTestBase {
       s"ĉ(s,g)=2 must beat ĉ(s,f)=1 despite c(s,f)=3 > c(s,g)=2: ${got.toSeq}")
   }
 
+  test("corpusBigrams: equals the per-doc frame aggregated (the store partial)") {
+    val docs = Seq((1L, "a b a b"), (2L, "b a x"), (3L, null.asInstanceOf[String]),
+      (4L, "x")).toDF("doc_id", "text")
+    val direct = NgramLM.corpusBigrams(docs)
+      .as[(String, String, Long)].collect().toSet
+    val viaDocs = NgramLM.docBigrams(docs).groupBy("w1", "w2")
+      .agg(sum("n").as("n")).as[(String, String, Long)].collect().toSet
+    assert(direct == viaDocs && direct.nonEmpty,
+      "the doc-axis-free partial must count exactly the per-doc path's total")
+  }
+
+  test("knLogLik: D floors at 0.5 when no singleton bigrams exist (n1 = 0)") {
+    // train has every bigram type >= 2: (a,b)=3, (b,a)=2 -> n1=0. The raw
+    // count-of-counts estimate would give D=0 and an unseen bigram with a
+    // seen history would score P = 0 -> silently OOV (ADVICE r13); the
+    // floor keeps it on the documented back-off path.
+    val train = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val docs = Seq((9L, "b b")).toDF("doc_id", "text") // unseen gram, seen history
+    val r = NgramLM.knLogLik(docs, train).head()
+    // D=0.5; p = 0 + (D*nf(b)/c1(b)) * pcont(b) = (0.5*1/2) * (1/2) = 0.125
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_oov") == 0L,
+      "a seen-history gram must never fall into the OOV tally")
+    assert(r.getAs[Double]("avg_lp") == r4(math.log(0.125)))
+  }
+
+  // ---- entropy-pruned KN (Stolcke 1998 / the SRILM -prune step) ----
+
+  test("knPrunedLogLik: eps = 0 keeps every entry and equals knLogLik verbatim") {
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "a c"), (4L, "a b a c"))
+      .toDF("doc_id", "text")
+    val full = NgramLM.knLogLik(docs, knTrain)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val pruned = NgramLM.knPrunedLogLik(docs, knTrain, eps = 0.0)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pruned == full,
+      "with nothing pruned, γ must reduce to the original back-off weight")
+  }
+
+  test("knPrunedLogLik: pruning bites, scores move, and every history still sums to 1") {
+    // a corpus with a spread of losses: pick eps at the median so the
+    // kept set is a strict, non-empty subset — the renormalized γ arm
+    // is then genuinely exercised by self-scoring
+    val train = Seq(
+      (1L, "the cat sat on the mat and the cat ran to the mat"),
+      (2L, "a dog sat on a mat and a dog ran to a rug"),
+      (3L, "the dog and the cat sat")).toDF("doc_id", "text")
+    val ent = NgramLM.knPruneEntries(train, eps = 0.0)
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+    val losses = ent.map(_._5).sorted
+    val eps = losses(losses.length / 2)
+    val entAt = NgramLM.knPruneEntries(train, eps)
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+    assert(entAt.exists(_._6) && entAt.exists(!_._6),
+      "the median threshold must split the entries")
+    // scores move vs the unpruned model for at least one doc
+    val full = NgramLM.knLogLik(train, train)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val pruned = NgramLM.knPrunedLogLik(train, train, eps)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pruned != full, "pruning must actually move some score")
+    assert(pruned.forall(_._3 == 0L), "self-scoring must never go OOV")
+    // normalization: for EVERY seen history, summing the pruned model's
+    // probability over the whole continuation vocabulary gives exactly 1
+    // — the γ renormalization telescope (kept pSeen mass + γ·remaining
+    // P_cont mass). Probe with one 2-token doc per (history, word) pair.
+    val vocab = ent.map(_._2).distinct.sorted
+    val hists = ent.map(_._1).distinct.sorted
+    val probes = (for {
+      (h, hi) <- hists.zipWithIndex
+      (w, wi) <- vocab.zipWithIndex
+    } yield ((hi * 1000 + wi).toLong, s"$h $w", hi)).toSeq
+      .toDF("doc_id", "text", "hist")
+    val lps = NgramLM.knPrunedLogLik(probes.select("doc_id", "text"),
+        train, eps, scale = 9)
+      .join(probes.select(col("doc_id"), col("hist")), Seq("doc_id"))
+      .select("hist", "avg_lp").as[(Int, Double)].collect()
+    val byHist = lps.groupBy(_._1).view.mapValues(_.map(r => math.exp(r._2)).sum)
+    byHist.foreach { case (h, total) =>
+      assert(math.abs(total - 1.0) < 1e-6,
+        s"pruned model must renormalize per history, ${hists(h)} -> $total")
+    }
+  }
+
+  test("knPrunedLogLik: eps above every loss prunes all entries -> pure P_cont (γ = 1)") {
+    val train = Seq((1L, "a b"), (2L, "b a"), (3L, "a c"), (4L, "a b a c"))
+      .toDF("doc_id", "text")
+    val probes = Seq((1L, "a b"), (2L, "b a"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = NgramLM.knPrunedLogLik(probes, train, eps = 1e9)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // every explicit entry gone: seen histories carry γ = 1 and each
+    // gram scores its bare continuation probability
+    val cont = NgramLM.corpusBigrams(train)
+      .as[(String, String, Long)].collect()
+    val b = cont.size.toDouble
+    def pcont(w: String) = cont.count(_._2 == w) / b
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 1L, 0L, r4(math.log(pcont("b")))),
+      (2L, 1L, 0L, r4(math.log(pcont("a")))),
+      (3L, 1L, 0L, r4(math.log(pcont("c"))))),
+      s"fully pruned model must score pure P_cont: $got")
+  }
+
   test("knLogLik: Kneser-Ney demotes the often-seen-but-one-history continuation") {
     // "francisco" occurs MORE often than "cat" but always after "san";
     // as a continuation of the open history "the", KN must prefer

@@ -110,7 +110,9 @@ class UnigramEmSpec extends SparkTestBase {
     val counts = WordPiece.wordCounts(docs)
     val a = Unigram.emTrainFromCounts(counts, 3, 2, 2, iters = 2)
     val b = Unigram.emTrainFromCounts(counts, 3, 2, 2, iters = 2)
-    assert(a === b, "independent runs must agree bit-for-bit")
+    // compare the semantic fields (iterSecs is wall clock, never equal)
+    assert((a.seed, a.iterations) === ((b.seed, b.iterations)),
+      "independent runs must agree bit-for-bit")
     // usage under the pruned inventory is unchanged on this corpus →
     // iteration 2 reproduces iteration 1 exactly (a fixed point)
     assert(a.iterations(0) === a.iterations(1))
@@ -122,13 +124,43 @@ class UnigramEmSpec extends SparkTestBase {
     assert(a.pieces.toMap.apply("a") === K)
   }
 
+  test("gradual prune schedule: shrinkPermille keeps ceil(m·s/1000) multis " +
+      "per round down to target; 0 reproduces the straight-to-target cut") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(80)
+    val counts = WordPiece.wordCounts(docs).cache()
+    try {
+      // ceil-0.75 walk from 12 multis: 12→9→7→6→5→4→3 — seven rounds
+      val sched = Unigram.emTrainFromCounts(counts, topSeed = 16, target = 3,
+        maxLen = 4, iters = 7, shrinkPermille = 750)
+      // multis per iteration: bounded above by the ceil schedule (usage
+      // can drop pieces FASTER — zero-usage multis always go), bounded
+      // below by target, non-increasing, and at target by the end
+      val multis = sched.iterations.map(_.count(_._1.length >= 2))
+      val seedMultis = sched.seed.count(_._1.length >= 2)
+      (seedMultis +: multis).sliding(2).foreach { case Seq(prev, cur) =>
+        val cap = math.max(3, (prev * 750 + 999) / 1000)
+        assert(cur <= cap && cur >= math.min(3, cur),
+          s"schedule violated: $prev -> $cur (cap $cap)")
+      case _ => ()
+      }
+      assert(multis.zip(multis.tail).forall { case (a, b) => b <= a })
+      assert(multis.last == 3, s"schedule must reach target: $multis")
+      // default (0) is the straight cut: iteration 1 already at target
+      val straight = Unigram.emTrainFromCounts(counts, topSeed = 16,
+        target = 3, maxLen = 4, iters = 1)
+      assert(straight.iterations.head.count(_._1.length >= 2) <= 3)
+    } finally { counts.unpersist(false); () }
+  }
+
   test("EM over a corpus slice: deterministic, chars covered, and the " +
       "final stats invariant under input partitioning") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull).limit(80)
     val em = Unigram.emTrain(docs, topSeed = 12, target = 6, iters = 2)
-    assert(em === Unigram.emTrain(docs.repartition(5),
-      topSeed = 12, target = 6, iters = 2),
+    val em2 = Unigram.emTrain(docs.repartition(5),
+      topSeed = 12, target = 6, iters = 2)
+    assert((em.seed, em.iterations) === ((em2.seed, em2.iterations)),
       "training must be partitioning-invariant")
     assert(em.pieces.count(_._1.length >= 2) <= 6)
     val a = Unigram.viterbiStats(docs, em.pieces).orderBy("doc_id").collect()

@@ -508,13 +508,16 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  // q201/q202/q203 (KN scoring): the scored frame eagerly checkpoints
-  // inside knScore/kn3LogLik (the q106 discipline), which collapses the
-  // executed plan to a LogicalRDD scan — a post-hoc guard here would be
-  // vacuous. Their shape facts are covered upstream: docBigrams'
-  // map-side partials (asserted above), the totals rows carry explicit
-  // broadcast() hints (BroadcastNestedLoopJoin by construction), and
-  // docTrigrams mirrors docBigrams' bound-column transform.
+  // q201/q202/q203 — and the round-14 q204/q205 — (KN scoring): the
+  // scored frame eagerly checkpoints inside knScore/kn3Score/
+  // knPrunedLogLik (the q106 discipline), which collapses the executed
+  // plan to a LogicalRDD scan — a post-hoc guard here would be vacuous.
+  // Their shape facts are covered upstream: docBigrams' map-side
+  // partials (asserted above), the totals rows carry explicit
+  // broadcast() hints (BroadcastNestedLoopJoin by construction),
+  // docTrigrams mirrors docBigrams' bound-column transform, and q205's
+  // γ frame is one more vocabulary-sized hash aggregate over the kept
+  // filter of the type table (no new join shape).
 
   test("q134: all gram sizes ride one union — a single (doc,n,gram) exchange pair") {
     val p = plan("q134_repetition")

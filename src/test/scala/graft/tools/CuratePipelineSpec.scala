@@ -435,15 +435,19 @@ class CuratePipelineSpec extends SparkTestBase {
       base.map(r => (r._1, r._2, r._3, r._4)).sorted,
       "FIM must not move a doc between shards or change its budget weight")
 
-    // the transform itself matches the standalone q192 operator, doc
-    // by doc: pass-throughs verbatim, selected docs PSM-reordered
+    // selected docs match the standalone q192 operator; pass-throughs
+    // keep their packed text BYTE-identical to the no-FIM run (ADVICE
+    // r13: enabling FIM must not whitespace-normalize unselected docs)
     val want = Sharding.fimTransform(
         docs.select("doc_id", "text"), ratePermille = 500, seed = 17L)
       .select("doc_id", "fim", "text_fim")
       .as[(Long, Boolean, String)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
+    val baseText = base.map(r => r._1 -> r._5).toMap
     assert(out.forall { case (id, _, _, _, fim, text) =>
-      want(id) == ((fim, text)) }, "post-pack FIM must equal standalone q192")
+      fim == want(id)._1 &&
+        (if (fim) text == want(id)._2 else text == baseText(id)) },
+      "selected docs PSM-reordered, pass-throughs byte-identical")
     assert(out.exists(_._5) && out.exists(!_._5),
       "fixture must exercise both arms")
     assert(out.filter(_._5).forall(_._6.startsWith("<PRE> ")))
