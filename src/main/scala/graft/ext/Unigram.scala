@@ -230,6 +230,121 @@ object Unigram {
     emTrainFromCounts(WordPiece.wordCounts(docs, textCol),
       topSeed, target, maxLen, iters, shrinkPermille)
 
+  /** One SOFT-EM training run: probability inventories (piece, θ) per
+    * iteration, plus the corpus log-likelihood measured under each
+    * iteration's INPUT inventory (`logLik(i)` = LL under the inventory
+    * the i-th E-step consumed — consecutive no-prune entries witness
+    * the EM ascent property). */
+  final case class SoftEmResult(seed: Seq[(String, Double)],
+                                iterations: Seq[Seq[(String, Double)]],
+                                logLik: Seq[Double]) {
+    def pieces: Seq[(String, Double)] = iterations.lastOption.getOrElse(seed)
+  }
+
+  /** SOFT EM — Kudo 2018 §3.2 as PUBLISHED: the E-step computes
+    * EXPECTED piece counts by forward–backward over every word's full
+    * segmentation lattice under the current piece probabilities
+    * ([[graft.functions.UnigramExpectedCounts]]), where [[emTrainFromCounts]]'
+    * hard E-step counts only the Viterbi path. The M-step re-estimates
+    * θ(piece) ∝ expected count and prunes exactly like the hard path
+    * (all single chars kept for coverage; multis ranked by expected
+    * count, ties on the piece string; the same `shrinkPermille`
+    * schedule). Seed θ ∝ substring occurrence weight.
+    *
+    * Division of labor with the hard path (deliberate, documented in
+    * [[emTrainFromCounts]]'s fidelity bound): the SOFT estimator is
+    * the published one, but its expected counts are fractional — the
+    * corpus-level sum is fp-accumulation-order sensitive, so this
+    * path is ENGINE-SIDE, pinned by property specs (hand-computable
+    * lattice posteriors, the EM likelihood-ascent guarantee under a
+    * fixed inventory, hard-EM agreement where the posterior is
+    * peaked), while the integer hard path carries the bit-exact
+    * DuckDB gate (q196). Per-word kernel output is deterministic
+    * (fixed lattice iteration order); only the cross-word aggregation
+    * order floats.
+    *
+    * Scale shape: identical to the hard path — the corpus is touched
+    * once (the word-count aggregation feeding `counts`); each
+    * iteration is one map-only kernel pass over the vocabulary-bounded
+    * counts frame + one inventory-bounded aggregation + one scalar LL
+    * aggregate. Iterations cost O(vocab), corpus-size-free. */
+  def emTrainSoft(counts: DataFrame, topSeed: Int = 48,
+                  target: Int = 24, maxLen: Int = 4,
+                  iters: Int = 2, shrinkPermille: Int = 0): SoftEmResult = {
+    require(target >= 1 && topSeed >= target && iters >= 0,
+      "need topSeed >= target >= 1 and iters >= 0")
+    require(shrinkPermille >= 0 && shrinkPermille < 1000,
+      "shrinkPermille must lie in [0, 1000)")
+    def normalize(w: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val tot = w.iterator.map(_._2).sum
+      w.map { case (p, v) => (p, v / tot) }.sortBy(_._1).toIndexedSeq
+    }
+    val seed = normalize(
+      collectPieces(pieceFrameFromCounts(counts, topSeed, maxLen))
+        .map { case (p, cost) => (p, (CostScale - cost).toDouble) })
+    val inventories = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    val lls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var inv = seed
+    var i = 0
+    while (i < iters) {
+      val (expected, ll) = softEStep(counts, inv)
+      lls += ll
+      val singles = inv.collect { case (p, _) if pieceLen(p) == 1 =>
+        (p, expected.getOrElse(p, 0.0))
+      }
+      val curMultis = inv.count(p => pieceLen(p._1) >= 2)
+      val keepM =
+        if (shrinkPermille <= 0) target
+        else math.max(target,
+          ((curMultis.toLong * shrinkPermille + 999) / 1000).toInt)
+      val multis = expected.toSeq
+        .collect { case (p, e) if pieceLen(p) >= 2 && e > 0.0 => (p, e) }
+        .sortBy { case (p, e) => (-e, p) }
+        .take(keepM)
+      // a coverage char can carry expected count 0 under a dominating
+      // longer piece ONLY at the fp underflow floor; keep θ positive
+      // (the kernel requires it) with a mass far below one occurrence
+      val floor = 1e-300
+      inv = normalize((singles.map { case (p, e) =>
+        (p, math.max(e, floor))
+      } ++ multis))
+      inventories += inv
+      i += 1
+    }
+    SoftEmResult(seed, inventories.toSeq, lls.toSeq)
+  }
+
+  /** [[emTrainSoft]] from raw documents. */
+  def emTrainSoftDocs(docs: DataFrame, textCol: String = "text",
+                      topSeed: Int = 48, target: Int = 24, maxLen: Int = 4,
+                      iters: Int = 2, shrinkPermille: Int = 0): SoftEmResult =
+    emTrainSoft(WordPiece.wordCounts(docs, textCol),
+      topSeed, target, maxLen, iters, shrinkPermille)
+
+  /** Corpus log-likelihood of `counts` under a probability inventory —
+    * Σ_w n_w · ln α_w(L). One map-only pass + a scalar aggregate. */
+  def softLogLik(counts: DataFrame, inv: Seq[(String, Double)]): Double =
+    counts.select((col("n").cast("double") *
+        graft.functions.UnigramFunctions.unigram_lattice_ll(
+          col("word"), inv.map(_._1), inv.map(_._2))).as("ll"))
+      .agg(sum(col("ll"))).head().getDouble(0)
+
+  /** The soft E-step: expected piece counts (weighted by word
+    * frequency) and the corpus LL under the input inventory. One
+    * kernel pass + one inventory-bounded aggregation. */
+  private def softEStep(counts: DataFrame,
+                        inv: Seq[(String, Double)]): (Map[String, Double], Double) = {
+    val expected = counts
+      .select(explode(graft.functions.UnigramFunctions.unigram_expected_counts(
+          col("word"), inv.map(_._1), inv.map(_._2))).as("pc"),
+        col("n"))
+      .groupBy(col("pc.piece").as("piece"))
+      .agg(sum(col("pc.c") * col("n")).as("e"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (expected, softLogLik(counts, inv))
+  }
+
   /** The E-step accounting: per piece, its occurrence count in the
     * deterministic Viterbi segmentations of the distinct words, weighted
     * by word frequency. One map-only kernel pass over the bounded

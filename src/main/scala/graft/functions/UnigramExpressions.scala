@@ -128,6 +128,118 @@ object UnigramKernel {
     }
     new GenericArrayData(out.reverseIterator.toArray)
   }
+
+  /** SOFT-EM E-step accounting for one word (Kudo 2018 §3.2 as
+    * published): forward–backward over the word's segmentation lattice
+    * under piece PROBABILITIES, emitting each piece's expected count —
+    * the posterior-weighted occurrence total over ALL segmentations,
+    * where [[segment]] counts only the Viterbi one.
+    *
+    *   α(0) = 1;  α(j) = Σ_l α(j−l)·θ(word[j−l..j])
+    *   β(L) = 1;  β(i) = Σ_l θ(word[i..i+l])·β(i+l)
+    *   E[piece at (i, j)] = α(i)·θ(piece)·β(j) / α(L)
+    *
+    * Deterministic per word: fixed position/length iteration order, so
+    * the emitted doubles are a pure function of (word, inventory) —
+    * only the corpus-level SUM of expected counts is fp-order
+    * sensitive, which is why the soft path is engine-side (spec-gated)
+    * rather than DuckDB-hash-gated. Output structs sort by piece. An
+    * uncoverable word (α(L) = 0 — impossible over the char-covering,
+    * positive-θ inventories the trainer builds) emits nothing. */
+  def expectedCounts(w: UTF8String,
+                     probOf: java.util.HashMap[UTF8String, java.lang.Double],
+                     maxLen: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val len = w.numChars()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val alpha = new Array[Double](len + 1)
+    alpha(0) = 1.0
+    var p = 1
+    while (p <= len) {
+      var s = 0.0
+      var l = 1
+      val cap = math.min(maxLen, p)
+      while (l <= cap) {
+        val t = probOf.get(w.substringSQL(p - l + 1, l))
+        if (t != null) s += alpha(p - l) * t.doubleValue()
+        l += 1
+      }
+      alpha(p) = s
+      p += 1
+    }
+    val z = alpha(len)
+    if (z <= 0.0) return new GenericArrayData(Array.empty[Any])
+    val beta = new Array[Double](len + 1)
+    beta(len) = 1.0
+    p = len - 1
+    while (p >= 0) {
+      var s = 0.0
+      var l = 1
+      val cap = math.min(maxLen, len - p)
+      while (l <= cap) {
+        val t = probOf.get(w.substringSQL(p + 1, l))
+        if (t != null) s += t.doubleValue() * beta(p + l)
+        l += 1
+      }
+      beta(p) = s
+      p -= 1
+    }
+    val acc = new java.util.TreeMap[UTF8String, java.lang.Double]()
+    p = 0
+    while (p < len) {
+      var l = 1
+      val cap = math.min(maxLen, len - p)
+      while (l <= cap) {
+        val piece = w.substringSQL(p + 1, l)
+        val t = probOf.get(piece)
+        if (t != null) {
+          val e = alpha(p) * t.doubleValue() * beta(p + l) / z
+          if (e > 0.0) {
+            val prev = acc.get(piece)
+            acc.put(piece,
+              java.lang.Double.valueOf(if (prev == null) e else prev.doubleValue() + e))
+          }
+        }
+        l += 1
+      }
+      p += 1
+    }
+    val out = new Array[Any](acc.size())
+    var i = 0
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val ent = it.next()
+      out(i) = InternalRow(ent.getKey, ent.getValue.doubleValue())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ln α(L) for one word — the word's marginal log-likelihood under
+    * the piece distribution (the soft-EM ascent witness). Returns NaN
+    * for an uncoverable word (never over trainer inventories). */
+  def latticeLogZ(w: UTF8String,
+                  probOf: java.util.HashMap[UTF8String, java.lang.Double],
+                  maxLen: Int): Double = {
+    val len = w.numChars()
+    if (len == 0) return 0.0
+    val alpha = new Array[Double](len + 1)
+    alpha(0) = 1.0
+    var p = 1
+    while (p <= len) {
+      var s = 0.0
+      var l = 1
+      val cap = math.min(maxLen, p)
+      while (l <= cap) {
+        val t = probOf.get(w.substringSQL(p - l + 1, l))
+        if (t != null) s += alpha(p - l) * t.doubleValue()
+        l += 1
+      }
+      alpha(p) = s
+      p += 1
+    }
+    math.log(alpha(len))
+  }
 }
 
 /** Exact unigram-Viterbi statistics of a tokenized document:
@@ -228,6 +340,102 @@ case class UnigramSegment(child: Expression,
     copy(child = c)
 }
 
+/** Soft-EM E-step kernel as an expression: per word, the expected
+  * count of every inventory piece over ALL segmentations (forward–
+  * backward, [[UnigramKernel.expectedCounts]]) —
+  * array<struct<piece, c: double>> sorted by piece. The probability
+  * table rides as a codegen reference object, the [[UnigramSegment]]
+  * discipline. */
+case class UnigramExpectedCounts(child: Expression,
+                                 pieces: Seq[String], probs: Seq[Double])
+  extends UnaryExpression {
+  require(pieces.length == probs.length, "pieces/probs must align")
+  require(probs.forall(p => p > 0.0 && p.isFinite),
+    "soft-EM piece probabilities must be positive and finite " +
+      "(a zero would silently delete every lattice path through the piece)")
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val probOf: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](pieces.length * 2)
+    pieces.indices.foreach { i =>
+      m.put(UTF8String.fromString(pieces(i)), java.lang.Double.valueOf(probs(i)))
+    }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(p => p.codePointCount(0, p.length)).max.max(1)
+
+  override def prettyName: String = "unigram_expected_counts"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("piece", StringType, nullable = false),
+    StructField("c", DoubleType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UnigramKernel.expectedCounts(v.asInstanceOf[UTF8String], probOf, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapCls = "java.util.HashMap"
+    val mRef = ctx.addReferenceObj("ugProbs", probOf, mapCls)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.UnigramKernel.expectedCounts($v, " +
+        s"($mapCls) $mRef, $maxLen);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-word marginal log-likelihood ln α(L) under the piece
+  * distribution ([[UnigramKernel.latticeLogZ]]) — the soft-EM ascent
+  * witness. */
+case class UnigramLatticeLL(child: Expression,
+                            pieces: Seq[String], probs: Seq[Double])
+  extends UnaryExpression {
+  require(pieces.length == probs.length, "pieces/probs must align")
+  require(probs.forall(p => p > 0.0 && p.isFinite),
+    "soft-EM piece probabilities must be positive and finite")
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val probOf: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](pieces.length * 2)
+    pieces.indices.foreach { i =>
+      m.put(UTF8String.fromString(pieces(i)), java.lang.Double.valueOf(probs(i)))
+    }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(p => p.codePointCount(0, p.length)).max.max(1)
+
+  override def prettyName: String = "unigram_lattice_ll"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UnigramKernel.latticeLogZ(v.asInstanceOf[UTF8String], probOf, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapCls = "java.util.HashMap"
+    val mRef = ctx.addReferenceObj("ugProbs", probOf, mapCls)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.UnigramKernel.latticeLogZ($v, " +
+        s"($mapCls) $mRef, $maxLen);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object UnigramFunctions {
   def unigram_viterbi_stats(toks: Column, pieces: Seq[String],
                             costs: Seq[Long], k: Long): Column =
@@ -236,4 +444,12 @@ object UnigramFunctions {
   def unigram_segment(word: Column, pieces: Seq[String],
                       costs: Seq[Long], k: Long): Column =
     Bridge.column(UnigramSegment(Bridge.expression(word), pieces, costs, k))
+
+  def unigram_expected_counts(word: Column, pieces: Seq[String],
+                              probs: Seq[Double]): Column =
+    Bridge.column(UnigramExpectedCounts(Bridge.expression(word), pieces, probs))
+
+  def unigram_lattice_ll(word: Column, pieces: Seq[String],
+                         probs: Seq[Double]): Column =
+    Bridge.column(UnigramLatticeLL(Bridge.expression(word), pieces, probs))
 }

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The soft (published-Kudo) unigram-EM path ([[Unigram.emTrainSoft]]
+  * and the forward–backward kernel behind it): hand-computable lattice
+  * posteriors, the EM likelihood-ascent guarantee under a fixed
+  * inventory, agreement with the gated hard-EM path where the
+  * posterior is peaked, and the determinism boundary (per-word kernel
+  * output exact; only the corpus sum floats). */
+class UnigramSoftEmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def expCounts(word: String,
+                        inv: Seq[(String, Double)]): Map[String, Double] =
+    Seq(word).toDF("w")
+      .select(explode(graft.functions.UnigramFunctions.unigram_expected_counts(
+        col("w"), inv.map(_._1), inv.map(_._2))).as("pc"))
+      .select("pc.piece", "pc.c").as[(String, Double)].collect().toMap
+
+  test("hand lattice: 'ab' under {a, b, ab} gives the closed-form posteriors") {
+    // two segmentations: [ab] with mass θab, [a,b] with mass θa·θb;
+    // Z = θab + θa·θb. E[ab] = θab/Z, E[a] = E[b] = θa·θb/Z.
+    val (ta, tb, tab) = (0.2, 0.3, 0.5)
+    val z = tab + ta * tb
+    val got = expCounts("ab", Seq(("a", ta), ("ab", tab), ("b", tb)))
+    assert(math.abs(got("ab") - tab / z) < 1e-12)
+    assert(math.abs(got("a") - ta * tb / z) < 1e-12)
+    assert(math.abs(got("b") - ta * tb / z) < 1e-12)
+    // posterior occupancy telescopes: expected pieces ≥ 1, ≤ chars
+    val tot = got.values.sum
+    assert(tot >= 1.0 - 1e-12 && tot <= 2.0 + 1e-12)
+  }
+
+  test("per-word kernel output is deterministic across plans and partitionings") {
+    val inv = Seq(("a", 0.15), ("ab", 0.3), ("abc", 0.25), ("b", 0.1),
+      ("bc", 0.12), ("c", 0.08))
+    val a = expCounts("abcabc", inv)
+    val b = expCounts("abcabc", inv)
+    assert(a === b, "same word, same inventory ⇒ bit-identical doubles")
+  }
+
+  test("EM ascent: corpus log-likelihood is non-decreasing under a fixed inventory") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(80)
+    val counts = WordPiece.wordCounts(docs).cache()
+    try {
+      // target = topSeed ⇒ the cut can never drop a multi (soft EM
+      // gives every piece positive expected count) ⇒ no prune between
+      // iterations ⇒ the textbook EM guarantee applies to consecutive
+      // LL readings (each measured under the iteration's INPUT θ)
+      val res = Unigram.emTrainSoft(counts, topSeed = 12, target = 12,
+        maxLen = 4, iters = 4)
+      assert(res.logLik.size == 4)
+      res.logLik.sliding(2).foreach { case Seq(l0, l1) =>
+        assert(l1 >= l0 - 1e-9, s"EM must not decrease LL: ${res.logLik}")
+      case _ => ()
+      }
+      // and the final model genuinely improved on the seed
+      assert(res.logLik.last > res.logLik.head,
+        s"fixture must actually move the likelihood: ${res.logLik}")
+      // θ stays a distribution with every char covered
+      val fin = res.pieces
+      assert(math.abs(fin.map(_._2).sum - 1.0) < 1e-9)
+      assert(fin.forall(_._2 > 0.0))
+      val chars = counts.select(explode(split(col("word"), "")).as("c"))
+        .filter(col("c") =!= "").distinct().as[String].collect().toSet
+      assert(chars.subsetOf(fin.map(_._1).toSet))
+    } finally { counts.unpersist(false); () }
+  }
+
+  test("peaked posterior: soft EM keeps the same multis as the gated hard path " +
+      "on the dominated-substring corpus") {
+    // the UnigramEmSpec corpus where hard EM prunes the frequent-but-
+    // always-dominated 'ca': the posterior is peaked (piece-count
+    // differences dominate), so the published soft estimator must
+    // select the same surviving multis
+    val docs = ((1 to 10).map(i => (i.toLong, "cab")) ++
+      (11 to 18).map(i => (i.toLong, "ca")) ++
+      (19 to 27).map(i => (i.toLong, "xy")) ++
+      (28 to 30).map(i => (i.toLong, "b"))).toDF("doc_id", "text")
+    val counts = WordPiece.wordCounts(docs)
+    val hard = Unigram.emTrainFromCounts(counts, 3, 2, 2, iters = 2)
+    val soft = Unigram.emTrainSoft(counts, 3, 2, 2, iters = 2)
+    def multis(ps: Seq[(String, _)]) =
+      ps.map(_._1).filter(_.length >= 2).toSet
+    assert(multis(soft.pieces) === multis(hard.pieces),
+      s"soft=${soft.pieces} hard=${hard.pieces}")
+  }
+}
