@@ -175,6 +175,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.bpeEncodeWordsPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bfd_pack"), info("bfd_pack"),
       (es: Seq[Expression]) => graft.ext.DocSql.bfdPackPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("kn_score"), info("kn_score"),
+      (es: Seq[Expression]) => graft.ext.DocSql.knScorePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("kn3_score"), info("kn3_score"),
+      (es: Seq[Expression]) => graft.ext.DocSql.kn3ScorePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("kn_pruned_score"), info("kn_pruned_score"),
+      (es: Seq[Expression]) => graft.ext.DocSql.knPrunedScorePlan(es)))
     // Optimizer rule: point-in-interval theta joins → granule-bucketized
     // equi-joins (graft.plans.RangeJoinRule) — plain SQL range joins get
     // the linear plan instead of BroadcastNestedLoopJoin.

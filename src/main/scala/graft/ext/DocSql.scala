@@ -600,4 +600,29 @@ object DocSql {
     * bounded by construction (chars + topWords + affixes). */
   private[graft] def wordPieceEncodePlan(es: Seq[Expression]): LogicalPlan =
     plan(WordPiece.encode(tableArg(es.head), wpVocabTableArg(es(1))))
+
+  /** `kn_score('docs')`: per-document average log-likelihood under the
+    * SELF-trained interpolated Kneser-Ney bigram LM (q201's operator,
+    * [[NgramLM.knLogLik]]) — (doc_id, n_bigrams, n_oov, avg_lp). */
+  private[graft] def knScorePlan(es: Seq[Expression]): LogicalPlan = {
+    val docs = tableArg(es.head)
+    plan(NgramLM.knLogLik(docs, docs))
+  }
+
+  /** `kn3_score('docs')`: the trigram interpolated-KN sibling (q203's
+    * operator, [[NgramLM.kn3LogLik]]) — continuation-count middle
+    * order, self-trained. */
+  private[graft] def kn3ScorePlan(es: Seq[Expression]): LogicalPlan = {
+    val docs = tableArg(es.head)
+    plan(NgramLM.kn3LogLik(docs, docs))
+  }
+
+  /** `kn_pruned_score('docs', eps)`: scoring under the entropy-PRUNED
+    * KN model (q205's operator, [[NgramLM.knPrunedLogLik]]) — explicit
+    * entries worth < `eps` per-token log-likelihood drop, back-off
+    * weights renormalize over the survivors. */
+  private[graft] def knPrunedScorePlan(es: Seq[Expression]): LogicalPlan = {
+    val docs = tableArg(es.head)
+    plan(NgramLM.knPrunedLogLik(docs, docs, eps = dblArg(es(1))))
+  }
 }

@@ -464,6 +464,24 @@ class DocSqlSpec extends AnyFunSuite {
     assert(sorted(bakeSql) == sorted(Tokenizers.profile(docs, table, wpVocab, ugInv)))
   }
 
+  test("KN scoring TVFs answer exactly as the Scala operators (round 14)") {
+    docs
+    // kn_score / kn3_score: the self-trained q201/q203 operators
+    assert(sorted(spark.sql("SELECT * FROM kn_score('docs')")) ==
+      sorted(NgramLM.knLogLik(docs, docs)))
+    assert(sorted(spark.sql("SELECT * FROM kn3_score('docs')")) ==
+      sorted(NgramLM.kn3LogLik(docs, docs)))
+    // kn_pruned_score at eps 0: the pruned model with nothing pruned
+    // must equal the unpruned scores (the γ = bow reduction), and a
+    // prune-everything eps must move at least one score
+    val p0 = spark.sql("SELECT * FROM kn_pruned_score('docs', 0.0)")
+    assert(sorted(p0) == sorted(NgramLM.knLogLik(docs, docs)))
+    val pBig = spark.sql("SELECT * FROM kn_pruned_score('docs', 1000000.0)")
+    assert(sorted(pBig) == sorted(NgramLM.knPrunedLogLik(docs, docs, 1e6)))
+    assert(sorted(pBig) != sorted(p0),
+      "the prune-everything model must score differently")
+  }
+
   test("store-backed TVFs answer exactly as the maintained read paths") {
     docs
     val work = java.nio.file.Files.createTempDirectory("docsql-store").toString
