@@ -328,7 +328,16 @@ object Bench {
         .agg(avg("avg_lp")).head().getDouble(0)
       val pruned = graft.ext.NgramLM.knPrunedLogLik(docs, docs, eps)
         .agg(avg("avg_lp")).head().getDouble(0)
-      f""","kn_prune":{"eps":0.001,"entries_total":${agg.getLong(0)},"entries_kept":${agg.getLong(1)},"mean_avg_lp_full":$full%.4f,"mean_avg_lp_pruned":$pruned%.4f}"""
+      // the trigram order (q207's eps) on the same corpus
+      val eps3 = 1e-4
+      val agg3 = graft.ext.NgramLM.kn3PruneEntries(docs, eps3)
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept")).head()
+      val full3 = graft.ext.NgramLM.kn3LogLik(docs, docs)
+        .agg(avg("avg_lp")).head().getDouble(0)
+      val pruned3 = graft.ext.NgramLM.kn3PrunedLogLik(docs, docs, eps3)
+        .agg(avg("avg_lp")).head().getDouble(0)
+      f""","kn_prune":{"eps":0.001,"entries_total":${agg.getLong(0)},"entries_kept":${agg.getLong(1)},"mean_avg_lp_full":$full%.4f,"mean_avg_lp_pruned":$pruned%.4f,"kn3_eps":0.0001,"kn3_entries_total":${agg3.getLong(0)},"kn3_entries_kept":${agg3.getLong(1)},"kn3_mean_avg_lp_full":$full3%.4f,"kn3_mean_avg_lp_pruned":$pruned3%.4f}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] kn prune row failed: ${e.getMessage}"); ""
     }

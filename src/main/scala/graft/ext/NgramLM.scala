@@ -348,8 +348,34 @@ object NgramLM {
     val grams = docBigrams(docs, idCol, textCol).persist()
     val trainGrams =
       if (train eq docs) grams else docBigrams(train, idCol, textCol).persist()
-    try {
-      val c12 = trainGrams.groupBy("w1", "w2").agg(sum("n").as("c12")).persist()
+    try knPrunedScore(grams,
+      trainGrams.groupBy("w1", "w2").agg(sum("n").as("c12")), eps, scale)
+    finally {
+      grams.unpersist(false)
+      if (!(train eq docs)) trainGrams.unpersist(false): Unit
+    }
+  }
+
+  /** [[knPrunedLogLik]] from an ALREADY-AGGREGATED (w1, w2, n)
+    * bigram-count frame — the maintained-store seam: the pruned model
+    * (loss table, kept set, renormalized γ) is a pure function of the
+    * additive count multiset exactly like the full model, so the
+    * store-derived pruned scores answer the one-shot pruned oracle
+    * verbatim (q206 gates it against q205's). */
+  def knPrunedLogLikFromCounts(docs: DataFrame, counts: DataFrame,
+                               eps: Double, idCol: String = "doc_id",
+                               textCol: String = "text",
+                               scale: Int = 4): DataFrame = {
+    val grams = docBigrams(docs, idCol, textCol).persist()
+    try knPrunedScore(grams,
+      counts.groupBy("w1", "w2").agg(sum("n").as("c12")), eps, scale)
+    finally { grams.unpersist(false); () }
+  }
+
+  /** The shared pruned-KN scoring stage (callers manage `grams`). */
+  private def knPrunedScore(grams: DataFrame, c12Raw: DataFrame,
+                            eps: Double, scale: Int): DataFrame = {
+      val c12 = c12Raw.persist()
       try {
         val (hist, cont, tot) = knModelFrames(c12)
         val d = knD
@@ -402,10 +428,208 @@ object NgramLM {
             .localCheckpoint(true)
         } finally { kept.unpersist(false); () }
       } finally { c12.unpersist(false); () }
-    } finally {
+  }
+
+  /** Per-document scoring under the entropy-pruned TRIGRAM
+    * interpolated-KN model — [[knPrunedLogLik]]'s criterion at
+    * [[kn3LogLik]]'s order (Stolcke 1998 at the highest level of the
+    * recursion): explicit TRIGRAM entries whose removal costs < `eps`
+    * per-token log-likelihood,
+    *
+    *   loss = (c123/N) · (ln pHi − ln(bow3(w1,w2) · P̂(w3|w2))),
+    *
+    * drop, and each (w1, w2) history's back-off weight renormalizes
+    * over the survivors:
+    *
+    *   γ3(w1,w2) = (1 − Σ_kept pHi) / (1 − Σ_kept P̂(·|w2))
+    *
+    * The telescope that made q205's γ integer-derivable survives one
+    * order up BECAUSE the history fixes w2: every kept continuation's
+    * mid-level probability shares the (chatdot, nfhat) denominators,
+    * so Σ_kept P̂ = ((Σĉ − k·D2) + D2·nfhat·(Σnb/b))/ĉ(w2,·) — the
+    * per-history sums are again integer aggregates (k, Σc123, Σĉ,
+    * Σnb) and no floating-point accumulation order exists anywhere.
+    * Scoring: kept entry → pHi; pruned or unseen w3 under a seen
+    * (w1,w2) → γ3·P̂(w3|w2) (with P̂'s own fall-throughs intact);
+    * unseen (w1,w2) → P̂(w3|w2) directly (the unpruned fall-through —
+    * a history with no explicit entries carries no γ, the q205
+    * convention); w3 never a continuation → OOV. Self-scoring
+    * exercises the γ3 arm on every pruned trigram.
+    *
+    * Output: (doc_id, n_trigrams, n_oov, avg_lp). */
+  def kn3PrunedLogLik(docs: DataFrame, train: DataFrame, eps: Double,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      scale: Int = 4): DataFrame = {
+    val grams = docTrigrams(docs, idCol, textCol).persist()
+    val trainGrams =
+      if (train eq docs) grams else docTrigrams(train, idCol, textCol).persist()
+    try kn3PrunedScore(grams,
+      trainGrams.groupBy("w1", "w2", "w3").agg(sum("n").as("c123")), eps, scale)
+    finally {
       grams.unpersist(false)
       if (!(train eq docs)) trainGrams.unpersist(false): Unit
     }
+  }
+
+  /** [[kn3PrunedLogLik]] from an aggregated (w1, w2, w3, n) frame —
+    * the maintained-store seam (q208 gates the store-derived pruned
+    * trigram model against q207's one-shot oracle verbatim). */
+  def kn3PrunedLogLikFromCounts(docs: DataFrame, counts: DataFrame,
+                                eps: Double, idCol: String = "doc_id",
+                                textCol: String = "text",
+                                scale: Int = 4): DataFrame = {
+    val grams = docTrigrams(docs, idCol, textCol).persist()
+    try kn3PrunedScore(grams,
+      counts.groupBy("w1", "w2", "w3").agg(sum("n").as("c123")), eps, scale)
+    finally { grams.unpersist(false); () }
+  }
+
+  /** The per-token loss of one explicit trigram entry (evaluated over
+    * a frame carrying c123/c12dot/nf12/chat/chatdot/nfhat/nb/b/n3tok)
+    * — ONE definition shared by the scoring prune and the public
+    * entries table so the two can never drift. */
+  private def kn3Loss(d3: Column, d2: Column): Column = {
+    val pcont = col("nb").cast("double") / col("b")
+    val pLowSeen = (col("chat").cast("double") - d2) / col("chatdot") +
+      (d2 * col("nfhat") / col("chatdot")) * pcont
+    val bow3 = d3 * col("nf12") / col("c12dot")
+    val pHiSeen = (col("c123").cast("double") - d3) / col("c12dot") +
+      bow3 * pLowSeen
+    round((col("c123").cast("double") / col("n3tok")) *
+      (log(pHiSeen) - log(bow3 * pLowSeen)), 9)
+  }
+
+  /** The explicit-entry loss table of the pruned TRIGRAM model —
+    * [[knPruneEntries]] one order up: (w1, w2, w3, c123, loss, kept)
+    * per trigram type of the [[kn3LogLik]] model over `train`. */
+  def kn3PruneEntries(train: DataFrame, eps: Double,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val c123 = docTrigrams(train, idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg(sum("n").as("c123")).persist()
+    try {
+      val hist12 = c123.groupBy("w1", "w2")
+        .agg(sum("c123").as("c12dot"), count(lit(1)).as("nf12"))
+      val chat = c123.groupBy("w2", "w3").agg(count(lit(1)).as("chat"))
+      val histHat = chat.groupBy("w2")
+        .agg(sum("chat").as("chatdot"), count(lit(1)).as("nfhat"))
+      val cont = chat.groupBy("w3").agg(count(lit(1)).as("nb"))
+      val tot3 = c123.agg(
+        sum(when(col("c123") === 1, 1L).otherwise(0L)).as("t_n1"),
+        sum(when(col("c123") === 2, 1L).otherwise(0L)).as("t_n2"),
+        sum(col("c123")).as("n3tok"))
+      val totHat = chat.agg(count(lit(1)).as("b"),
+        sum(when(col("chat") === 1, 1L).otherwise(0L)).as("h_n1"),
+        sum(when(col("chat") === 2, 1L).otherwise(0L)).as("h_n2"))
+      val d3 = when(col("t_n1") === 0, lit(0.5))
+        .otherwise(col("t_n1").cast("double") /
+          (col("t_n1") + lit(2) * col("t_n2")))
+      val d2 = when(col("h_n1") === 0, lit(0.5))
+        .otherwise(col("h_n1").cast("double") /
+          (col("h_n1") + lit(2) * col("h_n2")))
+      c123.join(hist12, Seq("w1", "w2")).join(chat, Seq("w2", "w3"))
+        .join(histHat, Seq("w2")).join(cont, Seq("w3"))
+        .crossJoin(broadcast(tot3)).crossJoin(broadcast(totHat))
+        .withColumn("loss", kn3Loss(d3, d2))
+        .select(col("w1"), col("w2"), col("w3"), col("c123"), col("loss"),
+          (col("loss") >= eps).as("kept"))
+        .localCheckpoint(true)
+    } finally { c123.unpersist(false); () }
+  }
+
+  /** The shared pruned trigram-KN scoring stage. */
+  private def kn3PrunedScore(grams: DataFrame, c123Raw: DataFrame,
+                             eps: Double, scale: Int): DataFrame = {
+    val c123 = c123Raw.persist()
+    try {
+      val hist12 = c123.groupBy("w1", "w2")
+        .agg(sum("c123").as("c12dot"), count(lit(1)).as("nf12"))
+      val chat = c123.groupBy("w2", "w3").agg(count(lit(1)).as("chat"))
+        .persist()
+      try {
+        val histHat = chat.groupBy("w2")
+          .agg(sum("chat").as("chatdot"), count(lit(1)).as("nfhat"))
+        val cont = chat.groupBy("w3").agg(count(lit(1)).as("nb"))
+        val tot3 = c123.agg(
+          sum(when(col("c123") === 1, 1L).otherwise(0L)).as("t_n1"),
+          sum(when(col("c123") === 2, 1L).otherwise(0L)).as("t_n2"),
+          sum(col("c123")).as("n3tok"))
+        val totHat = chat.agg(count(lit(1)).as("b"),
+          sum(when(col("chat") === 1, 1L).otherwise(0L)).as("h_n1"),
+          sum(when(col("chat") === 2, 1L).otherwise(0L)).as("h_n2"))
+        val d3 = when(col("t_n1") === 0, lit(0.5))
+          .otherwise(col("t_n1").cast("double") /
+            (col("t_n1") + lit(2) * col("t_n2")))
+        val d2 = when(col("h_n1") === 0, lit(0.5))
+          .otherwise(col("h_n1").cast("double") /
+            (col("h_n1") + lit(2) * col("h_n2")))
+        val pcont = col("nb").cast("double") / col("b")
+        // the loss table over explicit entries (every joined quantity
+        // non-null there): the ONE shared kn3Loss definition
+        val kept = c123.join(hist12, Seq("w1", "w2"))
+          .join(chat, Seq("w2", "w3"))
+          .join(histHat, Seq("w2")).join(cont, Seq("w3"))
+          .crossJoin(broadcast(tot3)).crossJoin(broadcast(totHat))
+          .withColumn("loss", kn3Loss(d3, d2))
+          .filter(col("loss") >= eps)
+          .select(col("w1"), col("w2"), col("w3"), lit(true).as("__kept"),
+            col("c123").as("__kc"), col("chat").as("__kchat"),
+            col("nb").as("__knb"))
+          .persist()
+        try {
+          val gam = kept.groupBy("w1", "w2").agg(count(lit(1)).as("k"),
+            sum("__kc").as("s123"), sum("__kchat").as("schat"),
+            sum("__knb").as("snb"))
+          // scoring arms — the kn3Score expressions plus γ3
+          val pMid =
+            greatest(coalesce(col("chat"), lit(0L)).cast("double") - d2,
+                lit(0.0)) / col("chatdot") +
+              (d2 * col("nfhat") / col("chatdot")) * pcont
+          val pLow = when(col("nb").isNotNull && col("chatdot").isNotNull, pMid)
+            .when(col("nb").isNotNull && col("chatdot").isNull, pcont)
+          val sumPLowKept =
+            (col("schat").cast("double") - col("k") * d2) / col("chatdot") +
+              (d2 * col("nfhat") / col("chatdot")) *
+                (col("snb").cast("double") / col("b"))
+          val sumPHiKept =
+            (col("s123").cast("double") - col("k") * d3) / col("c12dot") +
+              (d3 * col("nf12") / col("c12dot")) * sumPLowKept
+          val den3 = lit(1.0) - sumPLowKept
+          val gamma3 = when(col("k").isNull, lit(1.0))
+            .when(den3 <= 0.0, lit(1.0))
+            .otherwise((lit(1.0) - sumPHiKept) / den3)
+          val pHiKept =
+            (col("c123").cast("double") - d3) / col("c12dot") +
+              (d3 * col("nf12") / col("c12dot")) * pLow
+          grams
+            .join(c123, Seq("w1", "w2", "w3"), "left")
+            .join(kept.select("w1", "w2", "w3", "__kept"),
+              Seq("w1", "w2", "w3"), "left")
+            .join(hist12, Seq("w1", "w2"), "left")
+            .join(chat, Seq("w2", "w3"), "left")
+            .join(histHat, Seq("w2"), "left")
+            .join(cont, Seq("w3"), "left")
+            .join(gam, Seq("w1", "w2"), "left")
+            .crossJoin(broadcast(tot3))
+            .crossJoin(broadcast(totHat))
+            .withColumn("p",
+              when(col("__kept").isNotNull, pHiKept)
+                .when(col("c12dot").isNotNull && pLow.isNotNull,
+                  gamma3 * pLow)
+                .otherwise(pLow))
+            .withColumn("lp", col("n") * log(col("p")))
+            .groupBy("doc_id")
+            .agg(sum("n").as("n_trigrams"),
+              coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+                .as("n_oov"),
+              coalesce(
+                round(sum("lp") /
+                  sum(when(col("lp").isNotNull, col("n"))), scale),
+                lit(0.0)).as("avg_lp"))
+            .localCheckpoint(true)
+        } finally { kept.unpersist(false); () }
+      } finally { chat.unpersist(false); () }
+    } finally { c123.unpersist(false); () }
   }
 
   /** Per-document (w1, w2, w3, n) adjacent-trigram counts — the

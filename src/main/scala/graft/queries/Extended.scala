@@ -4822,6 +4822,48 @@ ORDER BY doc_id"""
         NgramLM.knPrunedLogLik(Tables.documents(s, d),
             Tables.documents(s, d), eps = Q205Eps).orderBy("doc_id"),
       Some(knPrunedOracleSql)),
+
+    ("q206_kn_pruned_maintained",
+      (s: SparkSession, d: String) => {
+        // the PRUNED model from the MAINTAINED store — the deployment
+        // composition: BigramStream's folded counts feed the Stolcke
+        // prune + γ renormalization, and because the pruned model is a
+        // pure function of the additive count multiset exactly like the
+        // full model, the maintained pruned scores answer q205's
+        // one-shot oracle VERBATIM (same store as q202; the store is
+        // built once and serves full and pruned reads alike).
+        val st = q202StoreBuild(s, d)
+        graft.streaming.BigramStream.knPrunedLogLik(s, st,
+          Tables.documents(s, d), eps = Q205Eps).orderBy("doc_id")
+      },
+      Some(knPrunedOracleSql)),
+
+    ("q207_kn3_pruned",
+      (s: SparkSession, d: String) =>
+        // entropy-pruned TRIGRAM KN — q205's criterion at q203's order.
+        // The γ telescope stays integer-derivable one order up because
+        // the (w1,w2) history FIXES w2: every kept continuation's
+        // mid-level probability shares the (ĉ(w2,·), N1+(w2,·))
+        // denominators, so Σ_kept P̂ reduces to per-history integer
+        // aggregates (k, Σc123, Σĉ, Σnb) and the oracle replays the
+        // loss table, the kept set, and γ3 with no fp-order anywhere.
+        // Self-scored; eps = 1e-4 per-token nats prunes a real split
+        // of the trigram table at both gate SFs (9,408 of 16,245
+        // types at sf0.01; 10,576 of 27,213 at sf0.1).
+        NgramLM.kn3PrunedLogLik(Tables.documents(s, d),
+            Tables.documents(s, d), eps = Q207Eps).orderBy("doc_id"),
+      Some(kn3PrunedOracleSql)),
+
+    ("q208_kn3_pruned_maintained",
+      (s: SparkSession, d: String) => {
+        // q206's composition one order up: TrigramStream's folded
+        // counts feed the trigram prune + γ3 renormalization and must
+        // answer q207's one-shot oracle verbatim (same store as q204).
+        val st = q204StoreBuild(s, d)
+        graft.streaming.TrigramStream.kn3PrunedLogLik(s, st,
+          Tables.documents(s, d), eps = Q207Eps).orderBy("doc_id")
+      },
+      Some(kn3PrunedOracleSql)),
   )
 
   /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
@@ -5005,6 +5047,102 @@ ORDER BY doc_id"""
        |         LEFT JOIN gam USING (w1)
        |         CROSS JOIN tot)
        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       |  CAST(0 AS BIGINT) AS n_oov,
+       |  round(SUM(lp) / SUM(n), 4) AS avg_lp
+       |FROM lp GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q207/q208's pruning threshold (per-token nats at the TRIGRAM
+    * order — smaller than [[Q205Eps]] because trigram types are far
+    * more numerous and individually rarer, so per-type losses sit
+    * ~an order of magnitude lower). `final`: the [[Q205Eps]]
+    * initialization-order constraint applies verbatim. */
+  private final val Q207Eps = 1e-4
+
+  /** q207/q208's oracle: the full two-level interpolated-KN replay
+    * (the kn3 oracle) EXTENDED with the Stolcke prune — DuckDB
+    * re-derives the loss table over explicit trigram entries, the
+    * kept set at eps, every (w1, w2) history's renormalized γ3 from
+    * the same integer aggregates (k, Σc123, Σĉ, Σnb), and scores.
+    * Self-scored ⇒ the OOV arm is unreachable (n_oov pinned 0). */
+  private def kn3PrunedOracleSql: String = {
+    val d3 = """(CASE WHEN t3.tn1 = 0 THEN 0.5
+               |      ELSE CAST(t3.tn1 AS DOUBLE) / (t3.tn1 + 2 * t3.tn2) END)""".stripMargin
+    val d2 = """(CASE WHEN th.hn1 = 0 THEN 0.5
+               |      ELSE CAST(th.hn1 AS DOUBLE) / (th.hn1 + 2 * th.hn2) END)""".stripMargin
+    val pLowSeen =
+      s"""((chat.chat - $d2) / hh.chatdot
+         |    + ($d2 * hh.nfhat / hh.chatdot) * (CAST(cont.nb AS DOUBLE) / th.b))""".stripMargin
+    val pLow =
+      s"""(CASE WHEN cont.nb IS NOT NULL AND hh.chatdot IS NOT NULL THEN
+         |       GREATEST(COALESCE(chat.chat, 0) - $d2, 0.0) / hh.chatdot
+         |       + ($d2 * hh.nfhat / hh.chatdot) * (CAST(cont.nb AS DOUBLE) / th.b)
+         |     WHEN cont.nb IS NOT NULL THEN CAST(cont.nb AS DOUBLE) / th.b
+         |     ELSE NULL END)""".stripMargin
+    val sumPLow =
+      s"""((CAST(gam.schat AS DOUBLE) - gam.k * $d2) / hh.chatdot
+         |    + ($d2 * hh.nfhat / hh.chatdot) * (CAST(gam.snb AS DOUBLE) / th.b))""".stripMargin
+    val sumPHi =
+      s"""((CAST(gam.s123 AS DOUBLE) - gam.k * $d3) / h12.c12dot
+         |    + ($d3 * h12.nf12 / h12.c12dot) * $sumPLow)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+       |       FROM t WHERE len(toks) >= 3),
+       |g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |      FROM g0),
+       |dg AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS n FROM g GROUP BY 1, 2, 3, 4),
+       |c123 AS (SELECT w1, w2, w3, CAST(SUM(n) AS BIGINT) AS c123
+       |         FROM dg GROUP BY 1, 2, 3),
+       |h12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12dot,
+       |          CAST(COUNT(*) AS BIGINT) AS nf12 FROM c123 GROUP BY 1, 2),
+       |chat AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS chat
+       |         FROM c123 GROUP BY 1, 2),
+       |hh AS (SELECT w2, CAST(SUM(chat) AS BIGINT) AS chatdot,
+       |         CAST(COUNT(*) AS BIGINT) AS nfhat FROM chat GROUP BY 1),
+       |cont AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS nb FROM chat GROUP BY 1),
+       |t3 AS (SELECT CAST(SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn1,
+       |         CAST(SUM(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tn2,
+       |         CAST(SUM(c123) AS BIGINT) AS n3
+       |       FROM c123),
+       |th AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+       |         CAST(SUM(CASE WHEN chat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hn1,
+       |         CAST(SUM(CASE WHEN chat = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hn2
+       |       FROM chat),
+       |kept AS (SELECT c123.w1, c123.w2, c123.w3, c123.c123, chat.chat, cont.nb
+       |         FROM c123 JOIN h12 USING (w1, w2) JOIN chat USING (w2, w3)
+       |           JOIN hh USING (w2) JOIN cont USING (w3)
+       |           CROSS JOIN t3 CROSS JOIN th
+       |         WHERE round((CAST(c123.c123 AS DOUBLE) / t3.n3) * (
+       |             ln((c123.c123 - $d3) / h12.c12dot
+       |                + ($d3 * h12.nf12 / h12.c12dot) * $pLowSeen)
+       |             - ln(($d3 * h12.nf12 / h12.c12dot) * $pLowSeen)), 9)
+       |           >= $Q207Eps),
+       |gam AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k,
+       |          CAST(SUM(c123) AS BIGINT) AS s123,
+       |          CAST(SUM(chat) AS BIGINT) AS schat,
+       |          CAST(SUM(nb) AS BIGINT) AS snb
+       |        FROM kept GROUP BY 1, 2),
+       |kf AS (SELECT w1, w2, w3, TRUE AS iskept FROM kept),
+       |lp AS (SELECT dg.doc_id, dg.n,
+       |         dg.n * ln(CASE
+       |           WHEN kf.iskept THEN
+       |             (c123.c123 - $d3) / h12.c12dot
+       |             + ($d3 * h12.nf12 / h12.c12dot) * $pLow
+       |           WHEN h12.c12dot IS NOT NULL AND $pLow IS NOT NULL THEN
+       |             (CASE WHEN gam.k IS NULL THEN 1.0
+       |                   WHEN 1.0 - $sumPLow <= 0.0 THEN 1.0
+       |                   ELSE (1.0 - $sumPHi) / (1.0 - $sumPLow) END)
+       |             * $pLow
+       |           ELSE $pLow END) AS lp
+       |       FROM dg LEFT JOIN c123 USING (w1, w2, w3)
+       |         LEFT JOIN kf USING (w1, w2, w3)
+       |         LEFT JOIN h12 USING (w1, w2)
+       |         LEFT JOIN chat USING (w2, w3)
+       |         LEFT JOIN hh USING (w2) LEFT JOIN cont USING (w3)
+       |         LEFT JOIN gam USING (w1, w2)
+       |         CROSS JOIN t3 CROSS JOIN th)
+       |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
        |  CAST(0 AS BIGINT) AS n_oov,
        |  round(SUM(lp) / SUM(n), 4) AS avg_lp
        |FROM lp GROUP BY doc_id
@@ -5399,7 +5537,9 @@ ORDER BY doc_id"""
     "q198_bpe_encode_maintained" -> ((s, d) => q194StoreBuild(s, d): Unit),
     "q200_gopher_drift_maintained" -> ((s, d) => q200StoreBuild(s, d): Unit),
     "q202_kn_maintained" -> ((s, d) => q202StoreBuild(s, d): Unit),
-    "q204_kn3_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit))
+    "q204_kn3_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit),
+    "q206_kn_pruned_maintained" -> ((s, d) => q202StoreBuild(s, d): Unit),
+    "q208_kn3_pruned_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

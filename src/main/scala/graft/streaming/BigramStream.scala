@@ -73,6 +73,18 @@ object BigramStream {
     graft.ext.NgramLM.knLogLikFromCounts(docs,
       bigramCounts(spark, storeDir), idCol, textCol, scale)
 
+  /** ENTROPY-PRUNED Kneser-Ney scores against the maintained model —
+    * the deployment model derived from the store: the pruned model
+    * (loss table, kept set, renormalized γ) is a pure function of the
+    * additive count multiset exactly like the full model, so the
+    * maintained pruned scores answer the one-shot pruned oracle
+    * verbatim (q206 gates it against q205's). */
+  def knPrunedLogLik(spark: SparkSession, storeDir: String, docs: DataFrame,
+                     eps: Double, idCol: String = "doc_id",
+                     textCol: String = "text", scale: Int = 4): DataFrame =
+    graft.ext.NgramLM.knPrunedLogLikFromCounts(docs,
+      bigramCounts(spark, storeDir), eps, idCol, textCol, scale)
+
   def start(spark: SparkSession, cfg: BigramStreamConfig): StreamingQuery =
     spark.readStream
       .schema(cfg.schema)

@@ -76,6 +76,15 @@ object TrigramStream {
     graft.ext.NgramLM.kn3LogLikFromCounts(docs,
       trigramCounts(spark, storeDir), idCol, textCol, scale)
 
+  /** Entropy-pruned trigram-KN scores against the maintained model —
+    * [[BigramStream.knPrunedLogLik]]'s argument one order up (q208
+    * gates it against q207's one-shot oracle verbatim). */
+  def kn3PrunedLogLik(spark: SparkSession, storeDir: String, docs: DataFrame,
+                      eps: Double, idCol: String = "doc_id",
+                      textCol: String = "text", scale: Int = 4): DataFrame =
+    graft.ext.NgramLM.kn3PrunedLogLikFromCounts(docs,
+      trigramCounts(spark, storeDir), eps, idCol, textCol, scale)
+
   def start(spark: SparkSession, cfg: TrigramStreamConfig): StreamingQuery =
     spark.readStream
       .schema(cfg.schema)

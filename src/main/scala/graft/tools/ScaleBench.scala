@@ -388,8 +388,12 @@ object ScaleBench {
     // partials), read = q203's scoring over the summed count frame.
     // q205: pruned KN — q201's frames + one filter over the type table
     // + one more vocab-sized aggregate (γ); the loss table itself is
-    // the type table, so the prune adds no wider frame.
-    "q204_kn3_maintained", "q205_kn_pruned")
+    // the type table, so the prune adds no wider frame. q206/q208: the
+    // maintained pruned compositions (store read + the prune, both
+    // vocab-sized). q207: the trigram prune — q203's frames + the
+    // per-(w1,w2) integer γ3 aggregate.
+    "q204_kn3_maintained", "q205_kn_pruned", "q206_kn_pruned_maintained",
+    "q207_kn3_pruned", "q208_kn3_pruned_maintained")
 
   /** Deterministic hash sample of ~`target` probe vectors at ANY corpus
     * size — the fixed query batch the ANN scale rows run against. */

@@ -319,6 +319,74 @@ class NgramLMSpec extends SparkTestBase {
       s"fully pruned model must score pure P_cont: $got")
   }
 
+  test("kn3PrunedLogLik: eps = 0 keeps every entry and equals kn3LogLik verbatim") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c a b d"))
+      .toDF("doc_id", "text")
+    val full = NgramLM.kn3LogLik(docs, kn3Train)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val pruned = NgramLM.kn3PrunedLogLik(docs, kn3Train, eps = 0.0)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pruned == full,
+      "with nothing pruned, γ3 must reduce to the original back-off weight")
+  }
+
+  test("kn3PrunedLogLik: eps above every loss collapses to the mid-level model") {
+    // every explicit trigram entry gone, every history's kept set empty
+    // ⇒ γ3 = 1 and each gram scores P̂(w3|w2) — the continuation-count
+    // middle order alone; from the kn3Train hand model P̂(c|b) = 0.3
+    val probes = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = NgramLM.kn3PrunedLogLik(probes, kn3Train, eps = 1e9).head()
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("n_oov") == 0L)
+    assert(got.getAs[Double]("avg_lp") == r4(math.log(0.3)))
+  }
+
+  test("kn3PrunedLogLik: pruning bites and every (w1,w2) history still sums to 1") {
+    val train = Seq(
+      (1L, "the cat sat on the mat and the cat ran to the mat"),
+      (2L, "a dog sat on a mat and a dog ran to a rug"),
+      (3L, "the dog and the cat sat on a rug")).toDF("doc_id", "text")
+    // pick eps at the median engine-computed trigram loss so the kept
+    // set is a strict, non-empty subset (the q205-spec discipline, one
+    // order up — kn3PruneEntries shares the loss definition with the
+    // scorer by construction)
+    val c123 = NgramLM.corpusTrigrams(train)
+      .as[(String, String, String, Long)].collect()
+    val losses = NgramLM.kn3PruneEntries(train, eps = 0.0)
+      .select("loss").as[Double].collect().sorted
+    val eps = losses(losses.length / 2)
+    val entAt = NgramLM.kn3PruneEntries(train, eps)
+      .select("kept").as[Boolean].collect()
+    assert(entAt.exists(identity) && entAt.exists(!_),
+      "the median threshold must split the entries")
+    val pruned = NgramLM.kn3PrunedLogLik(train, train, eps)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pruned != NgramLM.kn3LogLik(train, train)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq,
+      "pruning must actually move some score")
+    assert(pruned.forall(_._3 == 0L), "self-scoring must never go OOV")
+    // normalization: for every seen (w1, w2) history, the pruned model
+    // sums to exactly 1 over the full continuation vocabulary
+    val hists = c123.map(r => (r._1, r._2)).distinct.sorted
+    val vocab = c123.map(_._3).distinct.sorted
+    val probes = (for {
+      ((h1, h2), hi) <- hists.zipWithIndex
+      (w, wi) <- vocab.zipWithIndex
+    } yield ((hi * 1000 + wi).toLong, s"$h1 $h2 $w", hi)).toSeq
+      .toDF("doc_id", "text", "hist")
+    val lps = NgramLM.kn3PrunedLogLik(probes.select("doc_id", "text"),
+        train, eps, scale = 9)
+      .join(probes.select(col("doc_id"), col("hist")), Seq("doc_id"))
+      .select("hist", "avg_lp").as[(Int, Double)].collect()
+    lps.groupBy(_._1).foreach { case (h, rows) =>
+      val total = rows.map(r => math.exp(r._2)).sum
+      assert(math.abs(total - 1.0) < 1e-6,
+        s"pruned trigram model must renormalize per history, " +
+          s"${hists(h)} -> $total")
+    }
+  }
+
   test("knLogLik: Kneser-Ney demotes the often-seen-but-one-history continuation") {
     // "francisco" occurs MORE often than "cat" but always after "san";
     // as a continuation of the open history "the", KN must prefer

@@ -81,4 +81,23 @@ class BigramStreamSpec extends SparkTestBase {
     assert(scoresHalf != scoresFull,
       "the fixture must actually move the model between folds")
   }
+
+  test("maintained PRUNED model scores bit-identically to one-shot pruning") {
+    // the deployment composition (q206): the pruned model is a pure
+    // function of the additive count multiset, so store-derived pruning
+    // equals pruning the one-shot aggregation — same kept set, same γ
+    val st = tmpDir("bgs-prune")
+    val cfg = cfgFor(st)
+    BigramStream.processBatch(corpus.filter(col("doc_id") % 2 === 0), 0L, cfg)
+    BigramStream.processBatch(corpus.filter(col("doc_id") % 2 === 1), 1L, cfg)
+    val eps = 1e-3
+    val got = BigramStream.knPrunedLogLik(spark, st, corpus, eps)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val want = NgramLM.knPrunedLogLik(corpus, corpus, eps)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+    // and the prune actually bites on this fixture (γ arm exercised)
+    assert(want != NgramLM.knLogLik(corpus, corpus).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq)
+  }
 }

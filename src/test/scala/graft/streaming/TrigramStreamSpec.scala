@@ -88,4 +88,23 @@ class TrigramStreamSpec extends SparkTestBase {
     assert(scoresHalf != scoresFull,
       "the fixture must actually move the model between folds")
   }
+
+  test("maintained PRUNED trigram model scores bit-identically to one-shot pruning") {
+    // q208's composition: store-derived counts feed the trigram Stolcke
+    // prune + γ3 renormalization; additive counts ⇒ identical kept set
+    // and γ3 ⇒ identical scores
+    val st = tmpDir("tgs-prune")
+    val cfg = cfgFor(st)
+    TrigramStream.processBatch(corpus.filter(col("doc_id") % 2 === 0), 0L, cfg)
+    TrigramStream.processBatch(corpus.filter(col("doc_id") % 2 === 1), 1L, cfg)
+    val eps = 1e-4
+    val got = TrigramStream.kn3PrunedLogLik(spark, st, corpus, eps)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val want = NgramLM.kn3PrunedLogLik(corpus, corpus, eps)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+    assert(want != NgramLM.kn3LogLik(corpus, corpus).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq,
+      "the fixture prune must actually bite")
+  }
 }
