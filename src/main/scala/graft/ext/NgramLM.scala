@@ -484,6 +484,96 @@ object NgramLM {
     finally { grams.unpersist(false); () }
   }
 
+  /** The entropy-pruned KN bigram model as three BOUNDED frames — the
+    * serving artifact a deployment ships instead of re-deriving the
+    * model per query ([[graft.ext.KnModel]] writes/loads them):
+    *
+    *  - entries (w1, w2, p): the kept explicit probabilities;
+    *  - backoff (w1, gamma): the renormalized back-off weight of EVERY
+    *    seen history (γ = 1 where nothing was kept — the [[knPrunedLogLik]]
+    *    arms exactly);
+    *  - cont (w2, pcont): the continuation distribution.
+    *
+    * Every stored double is computed by the SAME column expressions
+    * the in-memory scorer evaluates over the same integer frames, so
+    * scoring from the loaded artifact ([[knScoreFromModel]]) equals
+    * [[knPrunedLogLik]] bit-for-bit — parquet round-trips IEEE doubles
+    * exactly (q209 pins the whole loop under q205's oracle). All three
+    * frames are at most bigram-vocabulary-sized. */
+  def knPrunedModelFrames(counts: DataFrame,
+                          eps: Double): (DataFrame, DataFrame, DataFrame) = {
+    val c12 = counts.groupBy("w1", "w2").agg(sum("n").as("c12")).persist()
+    try {
+      val (hist, cont, tot) = knModelFrames(c12)
+      val d = knD
+      val pcont = col("nb").cast("double") / col("b")
+      val kept = knPruneEntriesFromCounts(c12, eps).filter(col("kept"))
+        .select("w1", "w2", "c12", "nb").persist()
+      try {
+        val pSeen = (col("c12").cast("double") - d) / col("c1") +
+          (d * col("nf") / col("c1")) * pcont
+        val entries = kept.join(hist, Seq("w1"))
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), pSeen.as("p"))
+        val gam = kept.groupBy("w1").agg(count(lit(1)).as("k"),
+          sum("c12").as("s12"), sum("nb").as("snb"))
+        val num = lit(1.0) -
+          (col("s12").cast("double") - col("k") * d) / col("c1") -
+          (d * col("nf") / col("c1")) *
+            (col("snb").cast("double") / col("b"))
+        val den = lit(1.0) - col("snb").cast("double") / col("b")
+        val gamma = when(col("k").isNull, lit(1.0))
+          .when(den <= 0.0, lit(1.0))
+          .otherwise(num / den)
+        val backoff = hist.join(gam, Seq("w1"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), gamma.as("gamma"))
+        val contP = cont.crossJoin(broadcast(tot))
+          .select(col("w2"), pcont.as("pcont"))
+        // bounded frames: materialize before the caches underneath go
+        (entries.localCheckpoint(true), backoff.localCheckpoint(true),
+          contP.localCheckpoint(true))
+      } finally { kept.unpersist(false); () }
+    } finally { c12.unpersist(false); () }
+  }
+
+  /** Score documents against a LOADED pruned-model artifact — no raw
+    * counts, no model derivation, three equi-joins against the bounded
+    * frames (the serving path; bit-identical to [[knPrunedLogLik]]
+    * because the stored doubles ARE the in-memory scorer's values):
+    * kept entry → p; pruned-or-unseen w2 under a seen history →
+    * γ(w1)·pcont; unseen history → pcont; w2 never a continuation →
+    * OOV. */
+  def knScoreFromModel(docs: DataFrame, entries: DataFrame,
+                       backoff: DataFrame, contP: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       scale: Int = 4): DataFrame = {
+    val grams = docBigrams(docs, idCol, textCol).persist()
+    try {
+      grams
+        .join(entries.select(col("w1"), col("w2"), col("p").as("__pe")),
+          Seq("w1", "w2"), "left")
+        .join(backoff, Seq("w1"), "left")
+        .join(contP, Seq("w2"), "left")
+        .withColumn("__p",
+          when(col("__pe").isNotNull, col("__pe"))
+            .when(col("gamma").isNotNull && col("pcont").isNotNull,
+              col("gamma") * col("pcont"))
+            .when(col("gamma").isNull && col("pcont").isNotNull,
+              col("pcont")))
+        .withColumn("lp", col("n") * log(col("__p")))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_bigrams"),
+          coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+            .as("n_oov"),
+          coalesce(
+            round(sum("lp") /
+              sum(when(col("lp").isNotNull, col("n"))), scale),
+            lit(0.0)).as("avg_lp"))
+        .localCheckpoint(true)
+    } finally { grams.unpersist(false); () }
+  }
+
   /** The per-token loss of one explicit trigram entry (evaluated over
     * a frame carrying c123/c12dot/nf12/chat/chatdot/nfhat/nb/b/n3tok)
     * — ONE definition shared by the scoring prune and the public

@@ -4864,6 +4864,22 @@ ORDER BY doc_id"""
           Tables.documents(s, d), eps = Q207Eps).orderBy("doc_id")
       },
       Some(kn3PrunedOracleSql)),
+
+    ("q209_kn_model_export",
+      (s: SparkSession, d: String) => {
+        // the SERVING seam under the gate: the pruned model EXPORTS as
+        // three bounded parquet tables (entries/backoff/cont —
+        // KnModel), loads back, and scores with NO raw counts and no
+        // model re-derivation — three equi-joins against the artifact.
+        // The stored doubles are the in-memory scorer's values and
+        // parquet round-trips IEEE bits, so the loop must answer
+        // q205's full-recomputation oracle VERBATIM: export, file
+        // round-trip, and load-side arms all hash-gate.
+        val st = q209ModelBuild(s, d)
+        graft.ext.KnModel.score(s, st, Tables.documents(s, d))
+          .orderBy("doc_id")
+      },
+      Some(knPrunedOracleSql)),
   )
 
   /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
@@ -5148,6 +5164,13 @@ ORDER BY doc_id"""
        |FROM lp GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q209's model artifact: export the pruned model (at q205's eps)
+    * once per sf dir — the query scores from the LOADED artifact. */
+  private def q209ModelBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"knmodel_${Integer.toHexString(d.hashCode)}") { st =>
+      graft.ext.KnModel.export(Tables.documents(s, d), Q205Eps, st)
+    }
 
   /** q202's maintained bigram store: the q194 build shape over
     * [[graft.streaming.BigramStream]]. */
@@ -5539,7 +5562,8 @@ ORDER BY doc_id"""
     "q202_kn_maintained" -> ((s, d) => q202StoreBuild(s, d): Unit),
     "q204_kn3_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit),
     "q206_kn_pruned_maintained" -> ((s, d) => q202StoreBuild(s, d): Unit),
-    "q208_kn3_pruned_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit))
+    "q208_kn3_pruned_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit),
+    "q209_kn_model_export" -> ((s, d) => q209ModelBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per
