@@ -29,6 +29,41 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-size SYNCED write + read-back in the same tmp filesystem the
+    * fold forks write their parquet partials and checkpoints to — the
+    * I/O sentinel (r15; VERDICT r14 #4): the fold stage is I/O-bound
+    * (parquet partials + checkpoint fsyncs), and the round-14 driver run
+    * proved the CPU sentinel blind to it — forks gusted 9k–74k rec/s
+    * while every CPU calibration stayed flat. 64 MiB written through
+    * force(true), then read back, timed together; a disk-gusted fork now
+    * stretches ITS OWN io sentinel in the artifact. */
+  private def ioCalibrationSecs(): Double = {
+    val tmp = java.nio.file.Files.createTempFile("graft-iocal", ".bin")
+    try {
+      val buf = new Array[Byte](1 << 20)
+      new java.util.Random(0x5DEECE66DL).nextBytes(buf)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      var i = 0
+      while (i < 64) { // 64 × 1 MiB
+        val bb = java.nio.ByteBuffer.wrap(buf)
+        while (bb.hasRemaining) ch.write(bb): Unit
+        i += 1
+      }
+      ch.force(true) // the checkpoint-fsync shape the fold pays per trigger
+      ch.close()
+      val in = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.READ)
+      val rb = java.nio.ByteBuffer.allocate(1 << 20)
+      var read = 0
+      while (read >= 0) { rb.clear(); read = in.read(rb) }
+      in.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally { java.nio.file.Files.deleteIfExists(tmp): Unit }
+  }
+
   private final case class FoldFork(rps: Double, records: Long, secs: Double)
 
   /** Positive-integer env knob: malformed values ("3x") fall back to the
@@ -110,10 +145,14 @@ object Bench {
     // now attributable from the artifact alone — its own calibration
     // second stretches with the load that depressed it.
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // CPU + I/O sentinel PAIR per fork (r15; the r14 driver run proved
+    // the CPU loop alone cannot see a disk gust — see ioCalibrationSecs)
+    val ioCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val forks = (1 to nForks).flatMap { i =>
       calibs += calibrationSecs()
+      ioCalibs += ioCalibrationSecs()
       val r = forkFoldOnce(sfDir)
-      r.foreach(f => System.err.println(f"[bench] fold fork $i: ${f.rps}%.0f rec/s (calib ${calibs.last}%.2f s)"))
+      r.foreach(f => System.err.println(f"[bench] fold fork $i: ${f.rps}%.0f rec/s (calib ${calibs.last}%.2f s, io ${ioCalibs.last}%.2f s)"))
       r
     }
     if (forks.isEmpty) return None
@@ -121,7 +160,8 @@ object Bench {
     val med = byRps(byRps.size / 2)
     val perFork = forks.map(f => f"${f.rps}%.0f").mkString("[", ",", "]")
     val perCalib = calibs.map(c => f"$c%.2f").mkString("[", ",", "]")
-    Some(f""","cdc_ingest_fold_rps":${med.rps}%.0f,"cdc_ingest_fold_records":${med.records},"cdc_ingest_fold_secs":${med.secs}%.2f,"cdc_ingest_fold_mode":"forked-fresh-jvm-median-of-${forks.size}","cdc_ingest_fold_fork_rps":$perFork,"cdc_ingest_fold_fork_calib_secs":$perCalib,"cdc_ingest_fold_calibration_secs":${calibs.head}%.2f""")
+    val perIo = ioCalibs.map(c => f"$c%.2f").mkString("[", ",", "]")
+    Some(f""","cdc_ingest_fold_rps":${med.rps}%.0f,"cdc_ingest_fold_records":${med.records},"cdc_ingest_fold_secs":${med.secs}%.2f,"cdc_ingest_fold_mode":"forked-fresh-jvm-median-of-${forks.size}","cdc_ingest_fold_fork_rps":$perFork,"cdc_ingest_fold_fork_calib_secs":$perCalib,"cdc_ingest_fold_fork_io_secs":$perIo,"cdc_ingest_fold_calibration_secs":${calibs.head}%.2f""")
   }
 
   /** Per-query cold-drift report vs a prior round's artifact. Reads the
@@ -136,26 +176,35 @@ object Bench {
     // overwrites it at the end of main) — so driver runs, which never
     // set SPARK_GRAFT_PREV_BENCH, still report drift vs the repo's own
     // last-committed artifact.
-    val p = (sys.env.get("SPARK_GRAFT_PREV_BENCH").toSeq ++
+    //
+    // No non-local `return` inside the Option chains (ADVICE r14: a
+    // `return` in a by-name closure throws NonLocalReturnControl, which
+    // the catch below intercepted and logged as a spurious failure) —
+    // the no-artifact / no-map paths flow out as plain values.
+    val pOpt = (sys.env.get("SPARK_GRAFT_PREV_BENCH").toSeq ++
         Seq("bench_prev.json", "bench.json"))
       .map(java.nio.file.Paths.get(_))
       .find(java.nio.file.Files.isReadable(_))
-      .getOrElse(return "")
-    val text = java.nio.file.Files.readString(p)
     // tolerate pretty-printed JSON ("queries" : { "k" : 1.0, ... }) —
     // a prior artifact re-serialized by another tool must still parse
-    val qmap = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(text)
-      .map(_.group(1)).getOrElse(return "")
-    val prev = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(qmap)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val drifts = cold.toSeq.flatMap { case (k, now) =>
-      prev.get(k).filter(p0 => p0 > 0 && now > 0).map(p0 => (k, now / p0))
-    }.filter { case (_, r) => r < 0.75 || r > 1.33 }
-      .sortBy { case (_, r) => -math.abs(math.log(r)) }
-      .take(10)
-    if (drifts.isEmpty) ""","cold_drift":{}"""
-    else drifts.map { case (k, r) => f""""$k":$r%.2f""" }
-      .mkString(""","cold_drift":{""", ",", "}")
+    val qmapOpt = pOpt.flatMap { p =>
+      val text = java.nio.file.Files.readString(p)
+      """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(text).map(_.group(1))
+    }
+    qmapOpt match {
+      case None => ""
+      case Some(qmap) =>
+        val prev = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(qmap)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val drifts = cold.toSeq.flatMap { case (k, now) =>
+          prev.get(k).filter(p0 => p0 > 0 && now > 0).map(p0 => (k, now / p0))
+        }.filter { case (_, r) => r < 0.75 || r > 1.33 }
+          .sortBy { case (_, r) => -math.abs(math.log(r)) }
+          .take(10)
+        if (drifts.isEmpty) ""","cold_drift":{}"""
+        else drifts.map { case (k, r) => f""""$k":$r%.2f""" }
+          .mkString(""","cold_drift":{""", ",", "}")
+    }
   } catch { case e: Throwable =>
     System.err.println(s"[bench] drift report failed: ${e.getMessage}"); ""
   }

@@ -39,14 +39,30 @@ object Verify {
     // dumped, so a driver-side artifact failure is diagnosable from the
     // tree alone). rows counts the WRITTEN parquet back (metadata-only
     // read), so the artifact reflects what a comparator will see, not
-    // what the query promised.
-    val status = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Boolean)]
+    // what the query promised. rows = -2 means the dump itself is GOOD
+    // but the read-back count crashed (ADVICE r14: a post-write failure
+    // must not clobber a written result with an error marker).
+    val status =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Boolean)]
+    // per-query dump wall (VERDICT r14 #1: two consecutive driver
+    // correctness artifacts arrived empty while the tree dumped
+    // everything — the per-query wall makes a driver-side timeout
+    // provable from the tree's own artifacts). Written even if a later
+    // stage of this main crashes.
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // soft wall budget (seconds): when cumulative dump wall crosses it,
+    // Verify LOGS loudly — never skips — so a driver whose comparator
+    // has a wall limit leaves a matching trace in the repo artifact.
+    val budget = sys.env.get("SPARK_GRAFT_VERIFY_BUDGET")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+    var budgetFlagged = false
+    val verifyT0 = System.nanoTime()
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
-      try {
+      val t0 = System.nanoTime()
+      val wrote = try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        status(name) = (spark.read.parquet(s"$outDir/$name").count(),
-          SparkEntry.oracleSql.contains(name))
+        true
       } catch { case e: Throwable =>
         // A crashed query must NEVER be indistinguishable from an unrun
         // one: dump a one-row result whose `_graft_error` column can't
@@ -59,6 +75,28 @@ object Verify {
           Seq(String.valueOf(e.getMessage)).toDF("_graft_error")
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
+        false
+      }
+      if (wrote) {
+        // read-back in its own guard: the parquet on disk is the real
+        // result — a count() crash here records rows = -2 in the status
+        // artifact and leaves the dump untouched (ADVICE r14)
+        try status(name) = (spark.read.parquet(s"$outDir/$name").count(),
+          SparkEntry.oracleSql.contains(name))
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[verify] $name post-write count failed: ${e.getMessage}")
+          status(name) = (-2L, SparkEntry.oracleSql.contains(name))
+        }
+      }
+      timings(name) = (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - verifyT0) / 1e9
+      budget.foreach { b =>
+        if (elapsed > b && !budgetFlagged) {
+          budgetFlagged = true
+          System.err.println(f"[verify] BUDGET EXCEEDED after $name: " +
+            f"$elapsed%.1f s > $b%.1f s budget (continuing — logged only)")
+        }
       }
     }
     // Candidate-set dumps for the re-rank oracles (q30/q33): written to
@@ -103,6 +141,21 @@ object Verify {
         s"${SparkEntry.oracleSql.contains(k)}, ${q("error")}: ${q(v)}}"
     }).mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/parity_status.json"), statusJson)
+    // Per-query dump wall + total (VERDICT r14 #1): if the driver's
+    // comparator stage times out above ~200 queries, the repo-side wall
+    // profile proves where the time went — and that Verify itself
+    // finished. total_secs covers the dump loop only (not the aux/json
+    // epilogue, which is sub-second).
+    val totalSecs = timings.values.sum
+    val timingsJson = s"""{${q("total_secs")}: ${f"$totalSecs%.2f"}, """ +
+      s"""${q("budget_secs")}: ${budget.map(b => f"$b%.1f").getOrElse("null")}, """ +
+      timings.map { case (k, v) => s"${q(k)}: ${f"$v%.2f"}" }
+        .mkString(s"${q("queries")}: {", ",", "}}")
+    Files.writeString(Paths.get(s"$outDir/verify_timings.json"), timingsJson)
+    System.err.println(f"[verify] dump loop total: $totalSecs%.1f s " +
+      f"over ${timings.size} queries (slowest: " +
+      timings.toSeq.sortBy(-_._2).take(5)
+        .map { case (k, v) => f"$k=$v%.1f" }.mkString(", ") + ")")
     if (failed.nonEmpty) {
       System.err.println(s"[verify] ${failed.size} queries FAILED: " +
         failed.keys.mkString(", "))

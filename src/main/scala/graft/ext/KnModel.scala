@@ -72,4 +72,96 @@ object KnModel {
     val (e, b, c) = frames(spark, dir)
     (e.count(), b.count(), c.count())
   }
+
+  // ---- the TRIGRAM artifact (q210): the q209 loop at q207's order ----
+  // Five bounded tables — the columnar equivalent of a pruned 3-gram
+  // ARPA file (trigram section: p only; bigram sections: the middle
+  // model + per-history back-off weights; unigram section: P_cont):
+  //
+  //   dir/_kn3_entries   (w1, w2, w3, p)  kept explicit probabilities
+  //   dir/_kn3_backoff12 (w1, w2, gamma)  renormalized γ3 per history
+  //   dir/_kn3_mid       (w2, w3, p)      middle model P̂(w3|w2)
+  //   dir/_kn3_backoff2  (w2, bow)        middle back-off weight
+  //   dir/_kn3_cont      (w3, pcont)      continuation distribution
+  //
+  // The q209 fidelity contract carries verbatim: stored doubles ARE the
+  // in-memory scorer's values ([[NgramLM.kn3PrunedModelFrames]]), so
+  // [[score3]] equals [[NgramLM.kn3PrunedLogLik]] EXACTLY — q210 drives
+  // export → load → score against q207's raw-text DuckDB oracle.
+
+  val Entries3Table = "_kn3_entries"
+  val Backoff12Table = "_kn3_backoff12"
+  val Mid3Table = "_kn3_mid"
+  val Backoff2Table = "_kn3_backoff2"
+  val Cont3Table = "_kn3_cont"
+
+  /** Derive the pruned TRIGRAM model from `train` and write the
+    * artifact — the deployment-grade model a production quality filter
+    * actually ships (CCNet filters on a KenLM model, not add-one
+    * smoothing). */
+  def export3(train: DataFrame, eps: Double, dir: String,
+              textCol: String = "text"): Unit =
+    export3FromCounts(NgramLM.corpusTrigrams(train, textCol), eps, dir)
+
+  /** [[export3]] from an aggregated (w1, w2, w3, n) count frame — the
+    * maintained-store composition ([[graft.streaming.TrigramStream
+    * .trigramCounts]] feeds it directly). */
+  def export3FromCounts(counts: DataFrame, eps: Double,
+                        dir: String): Unit = {
+    val (entries, backoff12, mid, backoff2, contP) =
+      NgramLM.kn3PrunedModelFrames(counts, eps)
+    entries.write.mode("overwrite").parquet(s"$dir/$Entries3Table")
+    backoff12.write.mode("overwrite").parquet(s"$dir/$Backoff12Table")
+    mid.write.mode("overwrite").parquet(s"$dir/$Mid3Table")
+    backoff2.write.mode("overwrite").parquet(s"$dir/$Backoff2Table")
+    contP.write.mode("overwrite").parquet(s"$dir/$Cont3Table")
+  }
+
+  /** Load the five trigram model frames from an exported artifact. */
+  def frames3(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dir/$Entries3Table"),
+    spark.read.parquet(s"$dir/$Backoff12Table"),
+    spark.read.parquet(s"$dir/$Mid3Table"),
+    spark.read.parquet(s"$dir/$Backoff2Table"),
+    spark.read.parquet(s"$dir/$Cont3Table"))
+
+  /** Score documents against the loaded trigram artifact —
+    * bit-identical to [[NgramLM.kn3PrunedLogLik]] over the corpus the
+    * model was exported from (the q209 fidelity contract at order 3). */
+  def score3(spark: SparkSession, dir: String, docs: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             scale: Int = 4): DataFrame = {
+    val (entries, backoff12, mid, backoff2, contP) = frames3(spark, dir)
+    NgramLM.kn3ScoreFromModel(docs, entries, backoff12, mid, backoff2,
+      contP, idCol, textCol, scale)
+  }
+
+  /** Trigram-artifact row counts (entries, histories, mid entries,
+    * mid histories, continuation words). */
+  def sizes3(spark: SparkSession, dir: String)
+      : (Long, Long, Long, Long, Long) = {
+    val (e, b12, m, b2, c) = frames3(spark, dir)
+    (e.count(), b12.count(), m.count(), b2.count(), c.count())
+  }
+
+  /** The n-gram order of a model artifact dir (3 if the trigram entries
+    * table exists, else 2) — lets a caller holding only a model path
+    * (e.g. [[graft.tools.CuratePipeline]]'s `knModelDir`) score through
+    * the right seam without a format flag. */
+  def order(dir: String): Int =
+    if (new java.io.File(s"$dir/$Entries3Table").exists()) 3 else 2
+
+  /** Score through whichever order the artifact carries ([[order]]);
+    * output schema is normalized to (doc_id, n_grams, n_oov, avg_lp) so
+    * callers are order-agnostic. */
+  def scoreAny(spark: SparkSession, dir: String, docs: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text",
+               scale: Int = 4): DataFrame =
+    if (order(dir) == 3)
+      score3(spark, dir, docs, idCol, textCol, scale)
+        .withColumnRenamed("n_trigrams", "n_grams")
+    else
+      score(spark, dir, docs, idCol, textCol, scale)
+        .withColumnRenamed("n_bigrams", "n_grams")
 }

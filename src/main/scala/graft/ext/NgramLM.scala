@@ -574,6 +574,164 @@ object NgramLM {
     } finally { grams.unpersist(false); () }
   }
 
+  /** The entropy-pruned TRIGRAM KN model as five BOUNDED frames — the
+    * serving artifact at q207's order ([[graft.ext.KnModel]] writes and
+    * loads them; the columnar equivalent of a pruned 3-gram ARPA file's
+    * sections):
+    *
+    *  - entries  (w1, w2, w3, p): kept explicit trigram probabilities;
+    *  - backoff12 (w1, w2, gamma): the renormalized back-off weight γ3
+    *    of EVERY seen trigram history (γ3 = 1 where nothing was kept —
+    *    the [[kn3PrunedLogLik]] arms exactly);
+    *  - mid      (w2, w3, p): the continuation-count middle model
+    *    P̂(w3|w2) for every seen continuation bigram;
+    *  - backoff2 (w2, bow): the middle model's back-off weight
+    *    D2·N1+(w2,·)/ĉ(w2,·) per seen mid-level history;
+    *  - cont     (w3, pcont): the continuation distribution.
+    *
+    * Fidelity contract (the q209 discipline one order up): every stored
+    * double is computed by the SAME column expressions the in-memory
+    * scorer evaluates over the same integer count frames, and the
+    * middle model's unseen-(w2,w3) arm reduces bit-exactly to
+    * bow·pcont (greatest(0−D2, 0) = +0.0 and +0.0 + x = x in IEEE), so
+    * scoring from the loaded artifact ([[kn3ScoreFromModel]]) equals
+    * [[kn3PrunedLogLik]] bit-for-bit — q210 drives export → load →
+    * score against q207's DuckDB oracle. All five frames are at most
+    * trigram-vocabulary-sized; at 100 TB they broadcast and scoring is
+    * map-only per executor. */
+  def kn3PrunedModelFrames(counts: DataFrame, eps: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val c123 = counts.groupBy("w1", "w2", "w3").agg(sum("n").as("c123"))
+      .persist()
+    try {
+      val hist12 = c123.groupBy("w1", "w2")
+        .agg(sum("c123").as("c12dot"), count(lit(1)).as("nf12"))
+      val chat = c123.groupBy("w2", "w3").agg(count(lit(1)).as("chat"))
+        .persist()
+      try {
+        val histHat = chat.groupBy("w2")
+          .agg(sum("chat").as("chatdot"), count(lit(1)).as("nfhat"))
+        val cont = chat.groupBy("w3").agg(count(lit(1)).as("nb"))
+        val tot3 = c123.agg(
+          sum(when(col("c123") === 1, 1L).otherwise(0L)).as("t_n1"),
+          sum(when(col("c123") === 2, 1L).otherwise(0L)).as("t_n2"),
+          sum(col("c123")).as("n3tok"))
+        val totHat = chat.agg(count(lit(1)).as("b"),
+          sum(when(col("chat") === 1, 1L).otherwise(0L)).as("h_n1"),
+          sum(when(col("chat") === 2, 1L).otherwise(0L)).as("h_n2"))
+        val d3 = when(col("t_n1") === 0, lit(0.5))
+          .otherwise(col("t_n1").cast("double") /
+            (col("t_n1") + lit(2) * col("t_n2")))
+        val d2 = when(col("h_n1") === 0, lit(0.5))
+          .otherwise(col("h_n1").cast("double") /
+            (col("h_n1") + lit(2) * col("h_n2")))
+        val pcont = col("nb").cast("double") / col("b")
+        // the kept set via the ONE shared kn3Loss definition; keeps the
+        // full joined row (all model columns) for the frames below
+        val kept = c123.join(hist12, Seq("w1", "w2"))
+          .join(chat, Seq("w2", "w3"))
+          .join(histHat, Seq("w2")).join(cont, Seq("w3"))
+          .crossJoin(broadcast(tot3)).crossJoin(broadcast(totHat))
+          .withColumn("loss", kn3Loss(d3, d2))
+          .filter(col("loss") >= eps)
+          .persist()
+        try {
+          // pMid over kept rows — chat non-null there, but keep the
+          // scorer's exact expression shape (greatest/coalesce included)
+          val pMid =
+            greatest(coalesce(col("chat"), lit(0L)).cast("double") - d2,
+                lit(0.0)) / col("chatdot") +
+              (d2 * col("nfhat") / col("chatdot")) * pcont
+          val pHiKept =
+            (col("c123").cast("double") - d3) / col("c12dot") +
+              (d3 * col("nf12") / col("c12dot")) * pMid
+          val entries = kept
+            .select(col("w1"), col("w2"), col("w3"), pHiKept.as("p"))
+          // per-history integer aggregates over the kept set (the
+          // kn3PrunedScore γ3 telescope verbatim)
+          val gam = kept.groupBy("w1", "w2").agg(count(lit(1)).as("k"),
+            sum("c123").as("s123"), sum("chat").as("schat"),
+            sum("nb").as("snb"))
+          val sumPLowKept =
+            (col("schat").cast("double") - col("k") * d2) / col("chatdot") +
+              (d2 * col("nfhat") / col("chatdot")) *
+                (col("snb").cast("double") / col("b"))
+          val sumPHiKept =
+            (col("s123").cast("double") - col("k") * d3) / col("c12dot") +
+              (d3 * col("nf12") / col("c12dot")) * sumPLowKept
+          val den3 = lit(1.0) - sumPLowKept
+          val gamma3 = when(col("k").isNull, lit(1.0))
+            .when(den3 <= 0.0, lit(1.0))
+            .otherwise((lit(1.0) - sumPHiKept) / den3)
+          // every seen (w1,w2) history appears in hist12; histHat always
+          // has its w2 (a trigram (w1,w2,w3) puts (w2,w3) into chat)
+          val backoff12 = hist12.join(gam, Seq("w1", "w2"), "left")
+            .join(histHat, Seq("w2"))
+            .crossJoin(broadcast(tot3)).crossJoin(broadcast(totHat))
+            .select(col("w1"), col("w2"), gamma3.as("gamma"))
+          val mid = chat.join(histHat, Seq("w2")).join(cont, Seq("w3"))
+            .crossJoin(broadcast(totHat))
+            .select(col("w2"), col("w3"), pMid.as("p"))
+          val backoff2 = histHat.crossJoin(broadcast(totHat))
+            .select(col("w2"),
+              (d2 * col("nfhat") / col("chatdot")).as("bow"))
+          val contP = cont.crossJoin(broadcast(totHat))
+            .select(col("w3"), pcont.as("pcont"))
+          // bounded frames: materialize before the caches underneath go
+          (entries.localCheckpoint(true), backoff12.localCheckpoint(true),
+            mid.localCheckpoint(true), backoff2.localCheckpoint(true),
+            contP.localCheckpoint(true))
+        } finally { kept.unpersist(false); () }
+      } finally { chat.unpersist(false); () }
+    } finally { c123.unpersist(false); () }
+  }
+
+  /** Score documents against a LOADED pruned TRIGRAM model artifact —
+    * no raw counts, no model derivation, five equi-joins against the
+    * bounded frames (bit-identical to [[kn3PrunedLogLik]]; see the
+    * fidelity contract at [[kn3PrunedModelFrames]]). Arms: kept entry →
+    * p; otherwise pLow = mid p if (w2,w3) stored, else bow·pcont if w2
+    * stored, else pcont if w3 stored, else OOV; a seen (w1,w2) history
+    * (γ stored) scores γ·pLow, an unseen one scores pLow directly. */
+  def kn3ScoreFromModel(docs: DataFrame, entries: DataFrame,
+                        backoff12: DataFrame, mid: DataFrame,
+                        backoff2: DataFrame, contP: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        scale: Int = 4): DataFrame = {
+    val grams = docTrigrams(docs, idCol, textCol).persist()
+    try {
+      val plow = when(col("__pm").isNotNull, col("__pm"))
+        .when(col("bow").isNotNull && col("pcont").isNotNull,
+          col("bow") * col("pcont"))
+        .when(col("bow").isNull && col("pcont").isNotNull, col("pcont"))
+      grams
+        .join(entries.select(col("w1"), col("w2"), col("w3"),
+          col("p").as("__pe")), Seq("w1", "w2", "w3"), "left")
+        .join(backoff12.select(col("w1"), col("w2"), col("gamma")),
+          Seq("w1", "w2"), "left")
+        .join(mid.select(col("w2"), col("w3"), col("p").as("__pm")),
+          Seq("w2", "w3"), "left")
+        .join(backoff2, Seq("w2"), "left")
+        .join(contP, Seq("w3"), "left")
+        .withColumn("__plow", plow)
+        .withColumn("__p",
+          when(col("__pe").isNotNull, col("__pe"))
+            .when(col("gamma").isNotNull && col("__plow").isNotNull,
+              col("gamma") * col("__plow"))
+            .otherwise(col("__plow")))
+        .withColumn("lp", col("n") * log(col("__p")))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_trigrams"),
+          coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+            .as("n_oov"),
+          coalesce(
+            round(sum("lp") /
+              sum(when(col("lp").isNotNull, col("n"))), scale),
+            lit(0.0)).as("avg_lp"))
+        .localCheckpoint(true)
+    } finally { grams.unpersist(false); () }
+  }
+
   /** The per-token loss of one explicit trigram entry (evaluated over
     * a frame carrying c123/c12dot/nf12/chat/chatdot/nfhat/nb/b/n3tok)
     * — ONE definition shared by the scoring prune and the public
@@ -879,6 +1037,191 @@ object NgramLM {
             .localCheckpoint(true)
         } finally { chat.unpersist(false); () }
     } finally { c123.unpersist(false); () }
+  }
+
+  /** Per-document (w1..w4, n) adjacent-4-gram counts — [[docTrigrams]]
+    * one token wider (<4-token docs contribute nothing). */
+  def docQuadgrams(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .filter(size(toks) >= 4)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - 4),
+          i => struct(element_at(toks, i + 1).as("w1"),
+                      element_at(toks, i + 2).as("w2"),
+                      element_at(toks, i + 3).as("w3"),
+                      element_at(toks, i + 4).as("w4")))).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"), col("g.w4"))
+      .groupBy("doc_id", "w1", "w2", "w3", "w4").agg(count(lit(1)).as("n"))
+  }
+
+  /** Corpus-level (w1..w4, n) 4-gram counts with no document axis —
+    * the additive sufficient statistic of the three-level model (the
+    * [[corpusTrigrams]] shape one token wider; a maintained store at
+    * this order would fold it exactly as [[graft.streaming
+    * .TrigramStream]] folds trigrams — the pattern carries verbatim). */
+  def corpusQuadgrams(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    docs.select(split(col(textCol), " ").as("__toks"))
+      .filter(size(toks) >= 4)
+      .select(explode(transform(sequence(lit(0), size(toks) - 4),
+        i => struct(element_at(toks, i + 1).as("w1"),
+                    element_at(toks, i + 2).as("w2"),
+                    element_at(toks, i + 3).as("w3"),
+                    element_at(toks, i + 4).as("w4")))).as("g"))
+      .select(col("g.w1"), col("g.w2"), col("g.w3"), col("g.w4"))
+      .groupBy("w1", "w2", "w3", "w4").agg(count(lit(1)).as("n"))
+  }
+
+  /** Average 4-gram log-likelihood under a 4-GRAM interpolated
+    * Kneser-Ney LM — the [[kn3LogLik]] recursion instantiated one
+    * order higher (Chen & Goodman 1999 §3; production KenLM defaults
+    * to order 5, and this is the step that proves the engine's
+    * recursion generalizes — each added order contributes one more
+    * continuation-count table and one more discount, nothing else):
+    *
+    *   P(w4|w1w2w3) = max(c(w1..w4) − D4, 0)/c(w1w2w3·)
+    *                  + (D4 · N1+(w1w2w3,·)/c(w1w2w3·)) · P̂3(w4|w2w3)
+    *   P̂3(w4|w2w3) = max(ĉ3(w2w3w4) − D3, 0)/ĉ3(w2w3·)
+    *                  + (D3 · N1+(w2w3,·)/ĉ3(w2w3·)) · P̂2(w4|w3)
+    *   P̂2(w4|w3)   = max(ĉ2(w3w4) − D2, 0)/ĉ2(w3·)
+    *                  + (D2 · N1+(w3,·)/ĉ2(w3·)) · P_cont(w4)
+    *   P_cont(w4)   = N1+(·,w4) / N1+(··)
+    *
+    * with ĉ3(w2w3w4) = N1+(·,w2w3w4) read off the distinct-4-gram type
+    * table, ĉ2(w3w4) = N1+(·,·w3w4) read off the ĉ3 TYPE table (the
+    * continuation-of-continuations count — marginalizing the ĉ3 table,
+    * not the raw counts, is what keeps each level a type count), and
+    * D4/D3/D2 from the three tables' count-of-counts (each flooring at
+    * 0.5 when its n1 = 0, the [[knLogLik]] guard). Every level
+    * telescopes to Σ P = 1 over the continuation vocabulary
+    * (spec-pinned).
+    *
+    * Back-off/OOV rule (the [[kn3LogLik]] discipline, one level
+    * deeper): unseen (w1,w2,w3) falls through to P̂3; unseen (w2,w3)
+    * mid-history falls through to P̂2; unseen w3 falls through to
+    * P_cont; a w4 never seen as a continuation is OOV — excluded and
+    * counted. Self-scoring never hits any fall-through arm.
+    *
+    * Scale shape: [[kn3LogLik]]'s — every model frame is an
+    * aggregation of the 4-gram type table (map-side combinable, at
+    * most 4-gram-vocabulary-sized), scoring is count-frame equi-joins
+    * onto the per-doc 4-gram frame, the three count-of-counts rows
+    * broadcast. Output: (doc_id, n_quadgrams, n_oov, avg_lp). */
+  def kn4LogLik(docs: DataFrame, train: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text",
+                scale: Int = 4): DataFrame = {
+    val grams = docQuadgrams(docs, idCol, textCol).persist()
+    val trainGrams =
+      if (train eq docs) grams else docQuadgrams(train, idCol, textCol).persist()
+    try kn4Score(grams, trainGrams.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum("n").as("c1234")), scale)
+    finally {
+      grams.unpersist(false)
+      if (!(train eq docs)) trainGrams.unpersist(false): Unit
+    }
+  }
+
+  /** [[kn4LogLik]] from an ALREADY-AGGREGATED (w1..w4, n) count frame —
+    * the from-counts seam at order 4 (VERDICT r14 #6): the whole
+    * three-level model is a pure function of the 4-gram count multiset
+    * (every ĉ, every N1+, every count-of-counts derives from the type
+    * table), which is ADDITIVE, so a maintained store at this order
+    * reads through here exactly as [[kn3LogLikFromCounts]]'s does. */
+  def kn4LogLikFromCounts(docs: DataFrame, counts: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          scale: Int = 4): DataFrame = {
+    val grams = docQuadgrams(docs, idCol, textCol).persist()
+    try kn4Score(grams, counts.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum("n").as("c1234")), scale)
+    finally { grams.unpersist(false); () }
+  }
+
+  /** The shared 4-gram-KN scoring stage (callers manage `grams`). */
+  private def kn4Score(grams: DataFrame, c1234Raw: DataFrame,
+                       scale: Int): DataFrame = {
+    val c1234 = c1234Raw.persist()
+    try {
+      val h123 = c1234.groupBy("w1", "w2", "w3")
+        .agg(sum("c1234").as("c123dot"), count(lit(1)).as("nf123"))
+      // level-3 continuation table: ĉ3(w2,w3,w4) = distinct-w1 count =
+      // COUNT(*) per (w2,w3,w4) over the 4-gram TYPE table
+      val c3 = c1234.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("c3"))
+        .persist()
+      try {
+        val h23 = c3.groupBy("w2", "w3")
+          .agg(sum("c3").as("c3dot"), count(lit(1)).as("nf23"))
+        // level-2: ĉ2(w3,w4) = distinct-w2 count over the ĉ3 TYPE table
+        val c2 = c3.groupBy("w3", "w4").agg(count(lit(1)).as("c2"))
+          .persist()
+        try {
+          val h3 = c2.groupBy("w3")
+            .agg(sum("c2").as("c2dot"), count(lit(1)).as("nf3"))
+          val cont = c2.groupBy("w4").agg(count(lit(1)).as("nb"))
+          val tot4 = c1234.agg(
+            sum(when(col("c1234") === 1, 1L).otherwise(0L)).as("q_n1"),
+            sum(when(col("c1234") === 2, 1L).otherwise(0L)).as("q_n2"))
+          val totC3 = c3.agg(
+            sum(when(col("c3") === 1, 1L).otherwise(0L)).as("r_n1"),
+            sum(when(col("c3") === 2, 1L).otherwise(0L)).as("r_n2"))
+          val totC2 = c2.agg(count(lit(1)).as("b"),
+            sum(when(col("c2") === 1, 1L).otherwise(0L)).as("s_n1"),
+            sum(when(col("c2") === 2, 1L).otherwise(0L)).as("s_n2"))
+          // n1 = 0 ⇒ D floors at 0.5 at ALL THREE levels (the
+          // [[knLogLik]] degenerate-discount guard)
+          val d4 = when(col("q_n1") === 0, lit(0.5))
+            .otherwise(col("q_n1").cast("double") /
+              (col("q_n1") + lit(2) * col("q_n2")))
+          val d3 = when(col("r_n1") === 0, lit(0.5))
+            .otherwise(col("r_n1").cast("double") /
+              (col("r_n1") + lit(2) * col("r_n2")))
+          val d2 = when(col("s_n1") === 0, lit(0.5))
+            .otherwise(col("s_n1").cast("double") /
+              (col("s_n1") + lit(2) * col("s_n2")))
+          val pcont = col("nb").cast("double") / col("b")
+          val pL2 =
+            greatest(coalesce(col("c2"), lit(0L)).cast("double") - d2,
+                lit(0.0)) / col("c2dot") +
+              (d2 * col("nf3") / col("c2dot")) * pcont
+          val pLow2 = when(col("nb").isNotNull && col("c2dot").isNotNull, pL2)
+            .when(col("nb").isNotNull && col("c2dot").isNull, pcont)
+          val pL3 =
+            greatest(coalesce(col("c3"), lit(0L)).cast("double") - d3,
+                lit(0.0)) / col("c3dot") +
+              (d3 * col("nf23") / col("c3dot")) * pLow2
+          val pLow3 = when(col("c3dot").isNotNull && pLow2.isNotNull, pL3)
+            .otherwise(pLow2)
+          val pHi =
+            greatest(coalesce(col("c1234"), lit(0L)).cast("double") - d4,
+                lit(0.0)) / col("c123dot") +
+              (d4 * col("nf123") / col("c123dot")) * pLow3
+          val p = when(col("c123dot").isNotNull && pLow3.isNotNull, pHi)
+            .otherwise(pLow3) // unseen (w1,w2,w3): full fall-through; OOV stays null
+          grams
+            .join(c1234, Seq("w1", "w2", "w3", "w4"), "left")
+            .join(h123, Seq("w1", "w2", "w3"), "left")
+            .join(c3, Seq("w2", "w3", "w4"), "left")
+            .join(h23, Seq("w2", "w3"), "left")
+            .join(c2, Seq("w3", "w4"), "left")
+            .join(h3, Seq("w3"), "left")
+            .join(cont, Seq("w4"), "left")
+            .crossJoin(broadcast(tot4))
+            .crossJoin(broadcast(totC3))
+            .crossJoin(broadcast(totC2))
+            .withColumn("lp", col("n") * log(p))
+            .groupBy("doc_id")
+            .agg(sum("n").as("n_quadgrams"),
+              coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+                .as("n_oov"),
+              coalesce(
+                round(sum("lp") /
+                  sum(when(col("lp").isNotNull, col("n"))), scale),
+                lit(0.0)).as("avg_lp"))
+            .localCheckpoint(true)
+        } finally { c2.unpersist(false); () }
+      } finally { c3.unpersist(false); () }
+    } finally { c1234.unpersist(false); () }
   }
 
   /** CCNet-style perplexity filter: score every document with

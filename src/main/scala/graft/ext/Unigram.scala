@@ -327,7 +327,9 @@ object Unigram {
     counts.select((col("n").cast("double") *
         graft.functions.UnigramFunctions.unigram_lattice_ll(
           col("word"), inv.map(_._1), inv.map(_._2))).as("ll"))
-      .agg(sum(col("ll"))).head().getDouble(0)
+      // coalesce: sum over an EMPTY counts frame is NULL — an empty
+      // corpus degrades to LL 0.0 instead of an NPE (ADVICE r14)
+      .agg(coalesce(sum(col("ll")), lit(0.0))).head().getDouble(0)
 
   /** The soft E-step: expected piece counts (weighted by word
     * frequency) and the corpus LL under the input inventory. One

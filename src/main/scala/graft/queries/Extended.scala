@@ -4880,6 +4880,41 @@ ORDER BY doc_id"""
           .orderBy("doc_id")
       },
       Some(knPrunedOracleSql)),
+
+    ("q210_kn3_model_export",
+      (s: SparkSession, d: String) => {
+        // the SERVING seam at the TRIGRAM order (VERDICT r14 roadmap
+        // #2 — the model a production quality filter actually ships):
+        // q207's pruned trigram model exports as FIVE bounded parquet
+        // tables (entries/backoff12/mid/backoff2/cont, the columnar
+        // pruned-ARPA shape), loads back, and scores with NO raw
+        // counts and no model re-derivation — five equi-joins against
+        // the artifact. The stored doubles are the in-memory scorer's
+        // values, the middle model's unseen arm reduces bit-exactly to
+        // bow·pcont, and parquet round-trips IEEE bits, so the full
+        // export → load → score loop answers q207's raw-text
+        // full-recomputation oracle VERBATIM.
+        val st = q210ModelBuild(s, d)
+        graft.ext.KnModel.score3(s, st, Tables.documents(s, d))
+          .orderBy("doc_id")
+      },
+      Some(kn3PrunedOracleSql)),
+
+    ("q211_kn4_loglik",
+      (s: SparkSession, d: String) =>
+        // 4-GRAM interpolated Kneser-Ney (VERDICT r14 #6: the order
+        // ceiling, resolved by EXTENDING — production KenLM defaults
+        // to order 5, and this instantiation proves the engine's
+        // recursion generalizes: one more continuation-count table
+        // (ĉ2 read off the ĉ3 TYPE table, the
+        // continuation-of-continuations), one more count-of-counts
+        // discount, nothing else changes). The oracle re-derives the
+        // THREE-level model — all three discounts, both intermediate
+        // continuation tables, the continuation distribution — from
+        // raw text. Self-scored, the q201/q203 convention.
+        NgramLM.kn4LogLik(Tables.documents(s, d),
+            Tables.documents(s, d)).orderBy("doc_id"),
+      Some(kn4OracleSql)),
   )
 
   /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
@@ -4926,6 +4961,72 @@ ORDER BY doc_id"""
        |         LEFT JOIN hh USING (w2) LEFT JOIN cont USING (w3)
        |         CROSS JOIN t3 CROSS JOIN th)
        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+       |  CAST(0 AS BIGINT) AS n_oov,
+       |  round(SUM(lp) / SUM(n), 4) AS avg_lp
+       |FROM lp GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q211's oracle: the full THREE-level interpolated-KN replay —
+    * [[kn3OracleSql]] one order deeper. ĉ2 marginalizes the ĉ3 TYPE
+    * table (not the raw counts), D4/D3/D2 inline as CASE expressions
+    * with the n1 = 0 floor; self-scored ⇒ every join hits, so the
+    * direct nested formula needs no fall-through arms and n_oov pins
+    * to 0 (the kn3 oracle convention). */
+  private def kn4OracleSql: String = {
+    val d4 = """(CASE WHEN t4.qn1 = 0 THEN 0.5
+               |      ELSE CAST(t4.qn1 AS DOUBLE) / (t4.qn1 + 2 * t4.qn2) END)""".stripMargin
+    val d3 = """(CASE WHEN tr.rn1 = 0 THEN 0.5
+               |      ELSE CAST(tr.rn1 AS DOUBLE) / (tr.rn1 + 2 * tr.rn2) END)""".stripMargin
+    val d2 = """(CASE WHEN ts.sn1 = 0 THEN 0.5
+               |      ELSE CAST(ts.sn1 AS DOUBLE) / (ts.sn1 + 2 * ts.sn2) END)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+       |       FROM t WHERE len(toks) >= 4),
+       |g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+       |        toks[i + 2] AS w3, toks[i + 3] AS w4 FROM g0),
+       |dg AS (SELECT doc_id, w1, w2, w3, w4, COUNT(*) AS n
+       |       FROM g GROUP BY 1, 2, 3, 4, 5),
+       |c1234 AS (SELECT w1, w2, w3, w4, CAST(SUM(n) AS BIGINT) AS c1234
+       |          FROM dg GROUP BY 1, 2, 3, 4),
+       |h123 AS (SELECT w1, w2, w3, CAST(SUM(c1234) AS BIGINT) AS c123dot,
+       |           CAST(COUNT(*) AS BIGINT) AS nf123 FROM c1234 GROUP BY 1, 2, 3),
+       |c3 AS (SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS c3
+       |       FROM c1234 GROUP BY 1, 2, 3),
+       |h23 AS (SELECT w2, w3, CAST(SUM(c3) AS BIGINT) AS c3dot,
+       |          CAST(COUNT(*) AS BIGINT) AS nf23 FROM c3 GROUP BY 1, 2),
+       |c2 AS (SELECT w3, w4, CAST(COUNT(*) AS BIGINT) AS c2
+       |       FROM c3 GROUP BY 1, 2),
+       |h3 AS (SELECT w3, CAST(SUM(c2) AS BIGINT) AS c2dot,
+       |         CAST(COUNT(*) AS BIGINT) AS nf3 FROM c2 GROUP BY 1),
+       |cont AS (SELECT w4, CAST(COUNT(*) AS BIGINT) AS nb FROM c2 GROUP BY 1),
+       |t4 AS (SELECT CAST(SUM(CASE WHEN c1234 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS qn1,
+       |         CAST(SUM(CASE WHEN c1234 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS qn2
+       |       FROM c1234),
+       |tr AS (SELECT CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rn1,
+       |         CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rn2
+       |       FROM c3),
+       |ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+       |         CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sn1,
+       |         CAST(SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS sn2
+       |       FROM c2),
+       |lp AS (SELECT dg.doc_id, dg.n,
+       |         dg.n * ln(
+       |           GREATEST(COALESCE(c1234.c1234, 0) - $d4, 0.0) / h123.c123dot
+       |           + ($d4 * h123.nf123 / h123.c123dot) *
+       |             (GREATEST(COALESCE(c3.c3, 0) - $d3, 0.0) / h23.c3dot
+       |              + ($d3 * h23.nf23 / h23.c3dot) *
+       |                (GREATEST(COALESCE(c2.c2, 0) - $d2, 0.0) / h3.c2dot
+       |                 + ($d2 * h3.nf3 / h3.c2dot)
+       |                   * (CAST(cont.nb AS DOUBLE) / ts.b)))) AS lp
+       |       FROM dg LEFT JOIN c1234 USING (w1, w2, w3, w4)
+       |         LEFT JOIN h123 USING (w1, w2, w3)
+       |         LEFT JOIN c3 USING (w2, w3, w4)
+       |         LEFT JOIN h23 USING (w2, w3)
+       |         LEFT JOIN c2 USING (w3, w4)
+       |         LEFT JOIN h3 USING (w3) LEFT JOIN cont USING (w4)
+       |         CROSS JOIN t4 CROSS JOIN tr CROSS JOIN ts)
+       |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_quadgrams,
        |  CAST(0 AS BIGINT) AS n_oov,
        |  round(SUM(lp) / SUM(n), 4) AS avg_lp
        |FROM lp GROUP BY doc_id
@@ -5170,6 +5271,13 @@ ORDER BY doc_id"""
   private def q209ModelBuild(s: SparkSession, d: String): String =
     graft.core.WorkDirs.ensureStore(s"knmodel_${Integer.toHexString(d.hashCode)}") { st =>
       graft.ext.KnModel.export(Tables.documents(s, d), Q205Eps, st)
+    }
+
+  /** q210's model artifact: export the pruned TRIGRAM model (at q207's
+    * eps) once per sf dir — the query scores from the LOADED artifact. */
+  private def q210ModelBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"kn3model_${Integer.toHexString(d.hashCode)}") { st =>
+      graft.ext.KnModel.export3(Tables.documents(s, d), Q207Eps, st)
     }
 
   /** q202's maintained bigram store: the q194 build shape over
@@ -5563,7 +5671,8 @@ ORDER BY doc_id"""
     "q204_kn3_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit),
     "q206_kn_pruned_maintained" -> ((s, d) => q202StoreBuild(s, d): Unit),
     "q208_kn3_pruned_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit),
-    "q209_kn_model_export" -> ((s, d) => q209ModelBuild(s, d): Unit))
+    "q209_kn_model_export" -> ((s, d) => q209ModelBuild(s, d): Unit),
+    "q210_kn3_model_export" -> ((s, d) => q210ModelBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

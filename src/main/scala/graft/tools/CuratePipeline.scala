@@ -145,7 +145,17 @@ object CuratePipeline {
     *    the 3 sentinel tokens per transformed doc are the only budget
     *    delta and are deliberately NOT re-counted). Selection and split
     *    points are pure functions of (doc_id, fimSeed), so reruns stay
-    *    byte-identical — the pipeline's defining property. */
+    *    byte-identical — the pipeline's defining property.
+    *
+    * Round-15 optional stage:
+    *  - `knModelDir` (+ `knKeepQuantile`, mutually exclusive with
+    *    `perplexityKeepQuantile`): the CCNet LM gate scored through a
+    *    PRETRAINED pruned-KN serving artifact ([[graft.ext.KnModel]],
+    *    the q209/q210 export) instead of the self-trained Laplace
+    *    bigram — the composition CCNet actually runs (a KenLM model
+    *    trained on a reference corpus filters the crawl). The
+    *    artifact's n-gram order is auto-detected from the dir; docs
+    *    below the `knKeepQuantile` exact percentile of avg_lp drop. */
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double, langs: Seq[String],
           tokenBudget: Long, perSourceCap: Int,
@@ -169,9 +179,13 @@ object CuratePipeline {
           fimSeed: Long = 17L,
           bfdCapacity: Option[Long] = None,
           bfdBucketSize: Long = 4096L,
-          perplexityKeepQuantile: Option[Double] = None): DataFrame = {
+          perplexityKeepQuantile: Option[Double] = None,
+          knModelDir: Option[String] = None,
+          knKeepQuantile: Double = 0.5): DataFrame = {
     require(temperatureTarget.isEmpty || weightedSampleK.isEmpty,
       "temperatureTarget and weightedSampleK both replace the per-source cap — pick one")
+    require(perplexityKeepQuantile.isEmpty || knModelDir.isEmpty,
+      "perplexityKeepQuantile and knModelDir both fill the CCNet LM-gate slot — pick one")
     require(bfdCapacity.isEmpty || seqLen.isEmpty,
       "bfdCapacity and seqLen both replace the shard layout — pick one")
     require(substrDecontaminateMinLen.isEmpty || benchmarks.nonEmpty,
@@ -185,15 +199,32 @@ object CuratePipeline {
       case None => docs
     }
     val gated = TextAnalysis.curateCorpus(labeled, minQuality, langs)
-    val lmGated = perplexityKeepQuantile match {
-      case Some(q) =>
+    val lmGated = (perplexityKeepQuantile, knModelDir) match {
+      case (Some(q), _) =>
         // the CCNet LM gate: self-trained on the heuristic-gate
         // survivors, one exact percentile over the O(docs) scored frame
         gated.join(
           NgramLM.perplexityFilter(gated, keepQuantile = q)
             .filter(col("kept")).select("doc_id"),
           Seq("doc_id"), "left_semi")
-      case None => gated
+      case (None, Some(dir)) =>
+        // the CCNet gate proper (r15, VERDICT r14 #3): score through a
+        // PRETRAINED pruned-KN serving artifact ([[graft.ext.KnModel]],
+        // the q209/q210 export — CCNet filters on a KenLM model trained
+        // on a reference corpus, not on add-one smoothing over the very
+        // docs being filtered). The artifact's order (bigram/trigram)
+        // is auto-detected; scoring is bounded-frame equi-joins, the
+        // threshold one exact percentile over the O(docs) scored frame.
+        // Docs the model cannot score (< order tokens: no grams) drop,
+        // the perplexityKeepQuantile convention.
+        val scored = graft.ext.KnModel.scoreAny(spark, dir, gated)
+        val thr = scored.agg(
+          expr(s"percentile(avg_lp, $knKeepQuantile)").as("thr"))
+        gated.join(
+          scored.crossJoin(broadcast(thr))
+            .filter(col("avg_lp") >= col("thr")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case _ => gated
     }
     val curated =
       if (!dropRepetitive) lmGated

@@ -126,9 +126,12 @@ object UnigramDepthBench {
     val softHardOverlap =
       if (emMultis == 0) 1.0
       else softMulti.intersect(emMulti).size.toDouble / emMultis
+    // headOption/lastOption: iters=0 leaves logLik empty and the
+    // unconditional head threw even though the JSON line guards (ADVICE r14)
     System.err.println(f"[unigram-depth] soft EM: $softSecs%.2f s, " +
       f"hard-multi overlap $softHardOverlap%.3f, " +
-      f"LL ${soft.logLik.head}%.1f -> ${soft.logLik.last}%.1f")
+      f"LL ${soft.logLik.headOption.getOrElse(0.0)}%.1f -> " +
+      f"${soft.logLik.lastOption.getOrElse(0.0)}%.1f")
     counts.unpersist(false): Unit
 
     val iterJson = res.iterSecs.indices.map(i =>

@@ -69,4 +69,75 @@ class KnModelSpec extends SparkTestBase {
       (2L, 1L, 0L, r4(math.log(pcont("a")))),
       (3L, 1L, 1L, 0.0)), s"arm mismatch: $got")
   }
+
+  // ---- the TRIGRAM artifact (q210): the q209 contract at order 3 ----
+
+  test("trigram export → load → score is bit-identical to the in-memory pruned scorer") {
+    val dir = tmpDir("knm3-a")
+    val eps = 1e-4
+    KnModel.export3(corpus, eps, dir)
+    assert(scores(KnModel.score3(spark, dir, corpus)) ==
+      scores(NgramLM.kn3PrunedLogLik(corpus, corpus, eps)),
+      "the trigram artifact loop must not move a single bit")
+    // bounded sizes: entries = the kept set; one backoff12 row per seen
+    // (w1,w2); mid/backoff2/cont are the continuation-bigram table and
+    // its two margins
+    val (e, b12, m, b2, c) = KnModel.sizes3(spark, dir)
+    val ent = NgramLM.kn3PruneEntries(corpus, eps)
+      .select("kept").as[Boolean].collect()
+    assert(e == ent.count(identity).toLong)
+    assert(ent.exists(!_), "the fixture prune must bite at order 3")
+    assert(ent.exists(identity), "the fixture prune must keep something")
+    val c123 = NgramLM.corpusTrigrams(corpus)
+      .as[(String, String, String, Long)].collect()
+    assert(b12 == c123.map(t => (t._1, t._2)).distinct.length.toLong)
+    assert(m == c123.map(t => (t._2, t._3)).distinct.length.toLong)
+    assert(b2 == c123.map(_._2).distinct.length.toLong)
+    assert(c == c123.map(_._3).distinct.length.toLong)
+  }
+
+  test("trigram eps = 0 artifact reproduces the UNpruned kn3 scores") {
+    val dir = tmpDir("knm3-0")
+    KnModel.export3(corpus, 0.0, dir)
+    assert(scores(KnModel.score3(spark, dir, corpus)) ==
+      scores(NgramLM.kn3LogLik(corpus, corpus)),
+      "γ3 must reduce to the original back-off weight when nothing prunes")
+  }
+
+  test("trigram load-side arms replay the in-memory scorer on cross-scored probes") {
+    // every serving arm, pinned bit-for-bit against the in-memory
+    // scorer on docs ≠ train: kept entry, pruned entry under a seen
+    // history (γ3·pMid), unseen (w1,w2) with seen (w2,w3) (pMid
+    // directly), seen w2 with unseen (w2,w3) (bow·pcont), unseen w2
+    // (pcont), and an OOV w3
+    val train = Seq((1L, "a b c"), (2L, "b c a"), (3L, "a b d"),
+      (4L, "c a b c d"), (5L, "d a b")).toDF("doc_id", "text")
+    for (eps <- Seq(1e-9, 1e-2, 1e9)) {
+      val dir = tmpDir(s"knm3-arms-$eps")
+      KnModel.export3(train, eps, dir)
+      val probes = Seq(
+        (1L, "a b c"),  // explicit entry (kept at small eps, pruned at 1e9)
+        (2L, "z b c"),  // unseen (z,b) history, seen (b,c) continuation
+        (3L, "a c d"),  // seen history (c,a)? — (a,c) unseen → pLow path
+        (4L, "b c z"),  // z never a continuation → OOV
+        (5L, "z z a")   // unseen mid-history w2 = z → pcont(a)
+      ).toDF("doc_id", "text")
+      val got = scores(KnModel.score3(spark, dir, probes))
+      val want = scores(NgramLM.kn3PrunedLogLik(probes, train, eps))
+      assert(got == want, s"arm mismatch at eps=$eps: $got vs $want")
+      assert(got.exists(_._3 > 0), "an OOV probe must exercise the null arm")
+    }
+  }
+
+  test("scoreAny detects the artifact order and normalizes the schema") {
+    val d2 = tmpDir("knm-any2"); val d3 = tmpDir("knm-any3")
+    KnModel.export(corpus, 1e-3, d2)
+    KnModel.export3(corpus, 1e-4, d3)
+    assert(KnModel.order(d2) == 2 && KnModel.order(d3) == 3)
+    val s2 = KnModel.scoreAny(spark, d2, corpus)
+    val s3 = KnModel.scoreAny(spark, d3, corpus)
+    assert(s2.columns.toSeq == Seq("doc_id", "n_grams", "n_oov", "avg_lp"))
+    assert(s3.columns.toSeq == Seq("doc_id", "n_grams", "n_oov", "avg_lp"))
+    assert(scores(s3) == scores(NgramLM.kn3PrunedLogLik(corpus, corpus, 1e-4)))
+  }
 }

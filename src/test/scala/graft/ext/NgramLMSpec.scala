@@ -212,6 +212,66 @@ class NgramLMSpec extends SparkTestBase {
       s"ĉ(s,g)=2 must beat ĉ(s,f)=1 despite c(s,f)=3 > c(s,g)=2: ${got.toSeq}")
   }
 
+  // ---- order 4 (q211): the recursion one level deeper ----
+
+  private lazy val kn4Train = Seq(
+    (100L, "a b c d"), (101L, "a b c e"), (102L, "b b c d"),
+    (103L, "c a b c d e")).toDF("doc_id", "text")
+
+  test("kn4LogLik: every level normalizes to one over the continuation vocab") {
+    // continuation vocab of the fixture = {c, d, e} (words with nb > 0)
+    def total(prefix: String): Double = {
+      val probes = Seq("c", "d", "e").zipWithIndex
+        .map { case (w, i) => (i.toLong, s"$prefix $w") }
+        .toDF("doc_id", "text")
+      NgramLM.kn4LogLik(probes, kn4Train, scale = 9)
+        .as[(Long, Long, Long, Double)].collect().map(r => math.exp(r._4)).sum
+    }
+    // seen top-level history; unseen (w1,w2,w3) → P̂3; unseen (w2,w3)
+    // → P̂2; unseen w3 → P_cont — each level must sum to exactly 1
+    for ((prefix, level) <- Seq("a b c" -> "top", "z b c" -> "hat3",
+        "z z c" -> "hat2", "z z z" -> "cont")) {
+      val t = total(prefix)
+      assert(math.abs(t - 1.0) < 1e-6,
+        s"level $level must normalize over the continuation vocab, got $t")
+    }
+  }
+
+  test("kn4LogLik: fall-through ordering and OOV accounting") {
+    val docs = Seq(
+      (1L, "a b c z"),   // z never a continuation → OOV
+      (2L, "z b c d"),   // unseen top history → P̂3(d|b,c)
+      (3L, "z z c d")    // unseen (w2,w3) too → P̂2(d|c)
+    ).toDF("doc_id", "text")
+    val got = NgramLM.kn4LogLik(docs, kn4Train)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.head == ((1L, 1L, 1L, 0.0)), s"OOV row mismatch: $got")
+    // the hat3 level has MORE signal for d after (b,c) (ĉ3(b,c,d) = 2
+    // of ĉ3(b,c,·) = 3) than the hat2 level after bare c (ĉ2(c,d) = 1
+    // of ĉ2(c,·) = 2) — deeper context must win here
+    assert(got(1)._4 > got(2)._4, s"fall-through ordering mismatch: $got")
+    assert(got(1)._3 == 0 && got(2)._3 == 0)
+  }
+
+  test("kn4LogLik: the from-counts seam answers the raw-docs path verbatim") {
+    val probes = Seq((1L, "a b c d"), (2L, "c a b c d e"), (3L, "z b c d"))
+      .toDF("doc_id", "text")
+    val direct = NgramLM.kn4LogLik(probes, kn4Train)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val fromCounts = NgramLM.kn4LogLikFromCounts(probes,
+        NgramLM.corpusQuadgrams(kn4Train))
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(direct == fromCounts,
+      "the additive count multiset must force bit-identical order-4 scores")
+    // and the corpus partial equals the per-doc frame aggregated
+    val a = NgramLM.corpusQuadgrams(kn4Train)
+      .as[(String, String, String, String, Long)].collect().toSet
+    val b = NgramLM.docQuadgrams(kn4Train)
+      .groupBy("w1", "w2", "w3", "w4").agg(sum("n").as("n"))
+      .as[(String, String, String, String, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("corpusBigrams: equals the per-doc frame aggregated (the store partial)") {
     val docs = Seq((1L, "a b a b"), (2L, "b a x"), (3L, null.asInstanceOf[String]),
       (4L, "x")).toDF("doc_id", "text")

@@ -140,7 +140,10 @@ class UnigramEmSpec extends SparkTestBase {
       val seedMultis = sched.seed.count(_._1.length >= 2)
       (seedMultis +: multis).sliding(2).foreach { case Seq(prev, cur) =>
         val cap = math.max(3, (prev * 750 + 999) / 1000)
-        assert(cur <= cap && cur >= math.min(3, cur),
+        // lower bound: the schedule never undershoots the target while
+        // the previous round was still above it (ADVICE r14: the old
+        // `cur >= min(3, cur)` was a tautology)
+        assert(cur <= cap && cur >= math.min(3, prev),
           s"schedule violated: $prev -> $cur (cap $cap)")
       case _ => ()
       }

@@ -484,6 +484,43 @@ class CuratePipelineSpec extends SparkTestBase {
     assert(run(Some(0.2)) == gated)
   }
 
+  test("round-15 stage: the KN gate scores through the serving artifact") {
+    val docs = Tables.documents(spark, sf)
+    val langs = Seq("en", "de", "es", "fr", "und")
+    // a PRETRAINED artifact (here trained on the full corpus — the
+    // stand-in for the reference-corpus model CCNet actually ships),
+    // exported once and handed to the pipeline as a path
+    val dir = tmpDir("curate-knm")
+    graft.ext.KnModel.export3(docs, 1e-4, dir)
+    // the reference set: the pipeline's own heuristic-gate stage, then
+    // STANDALONE scoring through the same artifact at the same quantile
+    // — the docs the KN gate is allowed to pass through
+    val heur = graft.ext.TextAnalysis.curateCorpus(docs, 0.3, langs)
+    val scored = graft.ext.KnModel.scoreAny(spark, dir, heur)
+    val thr = scored.agg(expr("percentile(avg_lp, 0.2)"))
+      .head().getDouble(0)
+    val kept = scored.filter(col("avg_lp") >= thr)
+      .select("doc_id").as[Long].collect().toSet
+    val heurIds = heur.select("doc_id").as[Long].collect().toSet
+    assert(kept.size < heurIds.size,
+      "the fixture must actually cut an LM tail")
+    def run(knd: Option[String]) = CuratePipeline.run(spark, docs,
+      minQuality = 0.3, langs = langs, tokenBudget = 2000,
+      perSourceCap = 1000000, knModelDir = knd, knKeepQuantile = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val gated = run(Some(dir))
+    assert(gated.subsetOf(kept),
+      "a doc that failed the KN gate must never reach the shards")
+    assert(run(None).exists(id => !kept.contains(id)),
+      "without the gate, some below-quantile doc must reach the shards")
+    // deterministic rerun; the two LM-gate slots are mutually exclusive
+    assert(run(Some(dir)) == gated)
+    intercept[IllegalArgumentException] {
+      CuratePipeline.run(spark, docs, 0.3, langs, 2000, 10,
+        perplexityKeepQuantile = Some(0.2), knModelDir = Some(dir))
+    }
+  }
+
   test("round-13 stage: BFD shard layout never overflows the capacity") {
     val docs = Tables.documents(spark, sf)
     def run() = CuratePipeline.run(spark, docs,
