@@ -331,6 +331,38 @@ object Unigram {
       // corpus degrades to LL 0.0 instead of an NPE (ADVICE r14)
       .agg(coalesce(sum(col("ll")), lit(0.0))).head().getDouble(0)
 
+  /** The soft E-step under the DuckDB hash gate (q212; VERDICT r14
+    * #7): corpus-level expected piece counts in FIXED POINT. `inv` is
+    * (piece, integer weight); θ_p = weight_p / Σ weights (one double
+    * division of integers — engine-replayable); each lattice
+    * occurrence's posterior rounds to ⌊e·scale + 0.5⌋ BEFORE any
+    * accumulation ([[graft.functions.UnigramKernel
+    * .expectedCountsFixed]]), so the per-word, per-piece, and corpus
+    * sums are all INTEGER — the one fp-order-sensitive step of the
+    * published estimator (the cross-word sum, see [[emTrainSoft]]'s
+    * engine-side rationale) becomes order-free, and an oracle that
+    * replays the same +/×/÷ recursion reproduces the longs exactly.
+    *
+    * Output: (piece, e_fixed) — e_fixed = Σ_w n_w · Σ_occ
+    * ⌊α(i)θβ(j)/α(L)·scale + 0.5⌋, a BIGINT. Dividing by `scale`
+    * recovers the M-step numerators to 1/scale absolute precision
+    * (the documented hard-vs-soft fidelity bound is far coarser).
+    * One map-only kernel pass + one inventory-bounded aggregation —
+    * [[softEStep]]'s plan shape exactly. */
+  def softExpectedCountsFixed(counts: DataFrame, inv: Seq[(String, Long)],
+                              scale: Long = 1000000000L): DataFrame = {
+    require(inv.nonEmpty, "fixed-point E-step needs a non-empty inventory")
+    val total = inv.map(_._2).sum
+    val probs = inv.map(_._2.toDouble / total)
+    counts
+      .select(explode(graft.functions.UnigramFunctions
+          .unigram_expected_counts_fixed(
+            col("word"), inv.map(_._1), probs, scale)).as("pc"),
+        col("n"))
+      .groupBy(col("pc.piece").as("piece"))
+      .agg(sum(col("pc.c") * col("n")).as("e_fixed"))
+  }
+
   /** The soft E-step: expected piece counts (weighted by word
     * frequency) and the corpus LL under the input inventory. One
     * kernel pass + one inventory-bounded aggregation. */

@@ -215,6 +215,91 @@ object UnigramKernel {
     new GenericArrayData(out)
   }
 
+  /** [[expectedCounts]] with PER-OCCURRENCE fixed-point rounding —
+    * the DuckDB-gateable soft E-step (q212; VERDICT r14 #7): each
+    * lattice occurrence's posterior e = α(i)·θ·β(j)/α(L) rounds to
+    * ⌊e·scale + 0.5⌋ BEFORE any accumulation, so every sum from here
+    * up — within the word, across words, across the corpus — is
+    * INTEGER and free of floating-point accumulation order. The
+    * doubles themselves are deterministic per (word, inventory): the
+    * recursions run in fixed position/length order using only +/×/÷
+    * (no libm anywhere), so an independent engine replaying the same
+    * operation order reproduces the same IEEE doubles and therefore
+    * the same longs. floor(x + 0.5) is deliberately the SHARED
+    * rounding contract (not Math.round vs SQL round half-away
+    * semantics): both engines evaluate the identical IEEE expression.
+    * Occurrences rounding to 0 contribute nothing on either side.
+    * Output structs sort by piece; zero-total pieces are omitted. */
+  def expectedCountsFixed(w: UTF8String,
+                          probOf: java.util.HashMap[UTF8String, java.lang.Double],
+                          maxLen: Int, scale: Long): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val len = w.numChars()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val alpha = new Array[Double](len + 1)
+    alpha(0) = 1.0
+    var p = 1
+    while (p <= len) {
+      var s = 0.0
+      var l = 1
+      val cap = math.min(maxLen, p)
+      while (l <= cap) {
+        val t = probOf.get(w.substringSQL(p - l + 1, l))
+        if (t != null) s += alpha(p - l) * t.doubleValue()
+        l += 1
+      }
+      alpha(p) = s
+      p += 1
+    }
+    val z = alpha(len)
+    if (z <= 0.0) return new GenericArrayData(Array.empty[Any])
+    val beta = new Array[Double](len + 1)
+    beta(len) = 1.0
+    p = len - 1
+    while (p >= 0) {
+      var s = 0.0
+      var l = 1
+      val cap = math.min(maxLen, len - p)
+      while (l <= cap) {
+        val t = probOf.get(w.substringSQL(p + 1, l))
+        if (t != null) s += t.doubleValue() * beta(p + l)
+        l += 1
+      }
+      beta(p) = s
+      p -= 1
+    }
+    val acc = new java.util.TreeMap[UTF8String, java.lang.Long]()
+    p = 0
+    while (p < len) {
+      var l = 1
+      val cap = math.min(maxLen, len - p)
+      while (l <= cap) {
+        val piece = w.substringSQL(p + 1, l)
+        val t = probOf.get(piece)
+        if (t != null) {
+          val e = alpha(p) * t.doubleValue() * beta(p + l) / z
+          val f = math.floor(e * scale + 0.5).toLong
+          if (f > 0L) {
+            val prev = acc.get(piece)
+            acc.put(piece, java.lang.Long.valueOf(
+              if (prev == null) f else prev.longValue() + f))
+          }
+        }
+        l += 1
+      }
+      p += 1
+    }
+    val out = new Array[Any](acc.size())
+    var i = 0
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val ent = it.next()
+      out(i) = InternalRow(ent.getKey, ent.getValue.longValue())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ln α(L) for one word — the word's marginal log-likelihood under
     * the piece distribution (the soft-EM ascent witness). Returns NaN
     * for an uncoverable word (never over trainer inventories). */
@@ -391,6 +476,60 @@ case class UnigramExpectedCounts(child: Expression,
     copy(child = c)
 }
 
+/** Per-word FIXED-POINT expected piece counts
+  * ([[UnigramKernel.expectedCountsFixed]]) — the soft E-step under the
+  * DuckDB hash gate (q212): array<struct<piece, c: long>> where c is
+  * the word's summed ⌊posterior·scale + 0.5⌋ over the piece's lattice
+  * occurrences. Integer from the first accumulation on, so corpus
+  * sums are fp-order-free. */
+case class UnigramExpectedCountsFixed(child: Expression,
+                                      pieces: Seq[String],
+                                      probs: Seq[Double], scale: Long)
+  extends UnaryExpression {
+  require(pieces.length == probs.length, "pieces/probs must align")
+  require(probs.forall(p => p > 0.0 && p.isFinite),
+    "soft-EM piece probabilities must be positive and finite " +
+      "(a zero would silently delete every lattice path through the piece)")
+  require(scale > 0L, "fixed-point scale must be positive")
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val probOf: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](pieces.length * 2)
+    pieces.indices.foreach { i =>
+      m.put(UTF8String.fromString(pieces(i)), java.lang.Double.valueOf(probs(i)))
+    }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(p => p.codePointCount(0, p.length)).max.max(1)
+
+  override def prettyName: String = "unigram_expected_counts_fixed"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("piece", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UnigramKernel.expectedCountsFixed(v.asInstanceOf[UTF8String], probOf,
+      maxLen, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapCls = "java.util.HashMap"
+    val mRef = ctx.addReferenceObj("ugProbs", probOf, mapCls)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.UnigramKernel.expectedCountsFixed($v, " +
+        s"($mapCls) $mRef, $maxLen, ${scale}L);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Per-word marginal log-likelihood ln α(L) under the piece
   * distribution ([[UnigramKernel.latticeLogZ]]) — the soft-EM ascent
   * witness. */
@@ -448,6 +587,11 @@ object UnigramFunctions {
   def unigram_expected_counts(word: Column, pieces: Seq[String],
                               probs: Seq[Double]): Column =
     Bridge.column(UnigramExpectedCounts(Bridge.expression(word), pieces, probs))
+
+  def unigram_expected_counts_fixed(word: Column, pieces: Seq[String],
+                                    probs: Seq[Double], scale: Long): Column =
+    Bridge.column(UnigramExpectedCountsFixed(Bridge.expression(word),
+      pieces, probs, scale))
 
   def unigram_lattice_ll(word: Column, pieces: Seq[String],
                          probs: Seq[Double]): Column =

@@ -4915,6 +4915,27 @@ ORDER BY doc_id"""
         NgramLM.kn4LogLik(Tables.documents(s, d),
             Tables.documents(s, d)).orderBy("doc_id"),
       Some(kn4OracleSql)),
+
+    ("q212_soft_em_estep_fixed",
+      (s: SparkSession, d: String) => {
+        // the published soft-EM E-step (Kudo 2018 — forward–backward
+        // expected piece counts) under the DuckDB hash gate (VERDICT
+        // r14 #7): each lattice occurrence's posterior α(i)·θ·β(j)/α(L)
+        // rounds to ⌊e·10⁹ + 0.5⌋ BEFORE any accumulation, so every
+        // sum — within a word, across words, across the corpus — is
+        // INTEGER and fp-order-free; the lattice doubles themselves
+        // use only +/×/÷ in fixed position/length order (no libm), so
+        // the oracle's recursive-CTE replay reproduces them bit-for-bit
+        // and the longs hash-match. θ derives from the q191 integer
+        // piece weights (one double division of integers); the
+        // inventory rides the existing q191_pieces aux dump.
+        val inv = q191Pieces(s, d)
+          .map { case (p, cost) => (p, graft.ext.Unigram.CostScale - cost) }
+        graft.ext.Unigram.softExpectedCountsFixed(
+            WordPiece.wordCounts(Tables.documents(s, d)), inv)
+          .orderBy("piece")
+      },
+      Some(softEStepOracleSql)),
   )
 
   /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
@@ -5032,6 +5053,81 @@ ORDER BY doc_id"""
        |FROM lp GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q212's oracle: DuckDB replays the forward–backward lattice per
+    * distinct word from the q191_pieces dump alone — α carried as a
+    * growing DOUBLE[] through a forward recursion, β through a
+    * backward one (list_prepend keeps β(pos) at index 1, so β(pos+l)
+    * is the PREVIOUS row's b[l]) — then rounds each occurrence posterior
+    * to fixed point and integer-sums. Bit-exactness argument: both
+    * engines evaluate the identical IEEE expression tree in the
+    * identical order — the α step is t1 + t2 + t3 + t4 with missing
+    * pieces contributing +0.0 (an IEEE identity on the non-negative
+    * lattice values), each term α(p−l)·θ with α first; the β step
+    * θ·β(p+l) with θ first; the posterior ((α·θ)·β)/z; the rounding
+    * floor(e·10⁹ + 0.5) — and every sum after the floor is BIGINT. */
+  private def softEStepOracleSql: String =
+    s"""WITH RECURSIVE
+       |pw AS MATERIALIZED (SELECT piece, 1000000000000 - cost AS w
+       |  FROM read_parquet('$OracleAuxDir/q191_pieces/*.parquet')),
+       |p AS MATERIALIZED (SELECT piece,
+       |    CAST(w AS DOUBLE) / (SELECT CAST(SUM(w) AS DOUBLE) FROM pw) AS th
+       |  FROM pw),
+       |words AS (SELECT toks[i] AS word
+       |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents WHERE text IS NOT NULL),
+       |       unnest(range(1, len(toks) + 1)) AS u(i)),
+       |uw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY 1),
+       |fa AS (
+       |  SELECT word, 0 AS pos, CAST([1.0] AS DOUBLE[]) AS a FROM uw
+       |  UNION ALL
+       |  SELECT d.word, d.pos + 1,
+       |    list_append(d.a,
+       |      coalesce((SELECT d.a[d.pos + 1] * pp.th FROM p pp
+       |        WHERE pp.piece = substr(d.word, d.pos + 1, 1)), 0.0)
+       |      + coalesce((SELECT d.a[d.pos] * pp.th FROM p pp
+       |        WHERE d.pos >= 1 AND pp.piece = substr(d.word, d.pos, 2)), 0.0)
+       |      + coalesce((SELECT d.a[d.pos - 1] * pp.th FROM p pp
+       |        WHERE d.pos >= 2 AND pp.piece = substr(d.word, d.pos - 1, 3)), 0.0)
+       |      + coalesce((SELECT d.a[d.pos - 2] * pp.th FROM p pp
+       |        WHERE d.pos >= 3 AND pp.piece = substr(d.word, d.pos - 2, 4)), 0.0))
+       |  FROM fa d WHERE d.pos < len(d.word)),
+       |fb AS (
+       |  SELECT word, len(word) AS pos, CAST([1.0] AS DOUBLE[]) AS b FROM uw
+       |  UNION ALL
+       |  SELECT d.word, d.pos - 1,
+       |    list_prepend(
+       |      coalesce((SELECT pp.th * d.b[1] FROM p pp
+       |        WHERE pp.piece = substr(d.word, d.pos, 1)), 0.0)
+       |      + coalesce((SELECT pp.th * d.b[2] FROM p pp
+       |        WHERE len(d.word) - d.pos >= 1
+       |          AND pp.piece = substr(d.word, d.pos, 2)), 0.0)
+       |      + coalesce((SELECT pp.th * d.b[3] FROM p pp
+       |        WHERE len(d.word) - d.pos >= 2
+       |          AND pp.piece = substr(d.word, d.pos, 3)), 0.0)
+       |      + coalesce((SELECT pp.th * d.b[4] FROM p pp
+       |        WHERE len(d.word) - d.pos >= 3
+       |          AND pp.piece = substr(d.word, d.pos, 4)), 0.0),
+       |      d.b)
+       |  FROM fb d WHERE d.pos > 0),
+       |wa AS (SELECT word, a FROM fa WHERE pos = len(word)),
+       |wb AS (SELECT word, b FROM fb WHERE pos = 0),
+       |occ AS (SELECT pp.piece,
+       |    CAST(floor(wa.a[i.i + 1] * pp.th * wb.b[i.i + l.l + 1]
+       |               / wa.a[len(u.word) + 1] * 1000000000.0 + 0.5)
+       |      AS BIGINT) AS cf,
+       |    u.n
+       |  FROM uw u, wa, wb,
+       |    unnest(range(0, len(u.word))) AS i(i),
+       |    unnest([1, 2, 3, 4]) AS l(l), p pp
+       |  WHERE wa.word = u.word AND wb.word = u.word
+       |    AND l.l <= len(u.word) - i.i
+       |    AND pp.piece = substr(u.word, i.i + 1, l.l)
+       |    AND wa.a[len(u.word) + 1] > 0)
+       |SELECT piece, CAST(SUM(cf * n) AS BIGINT) AS e_fixed
+       |FROM occ GROUP BY piece
+       |HAVING SUM(cf * n) > 0
+       |ORDER BY piece""".stripMargin
 
   /** Shared by q201 (one-shot KN) and q202 (maintained bigram store):
     * DuckDB re-derives the ENTIRE interpolated-KN model from raw text —

@@ -89,4 +89,53 @@ class UnigramSoftEmSpec extends SparkTestBase {
     assert(multis(soft.pieces) === multis(hard.pieces),
       s"soft=${soft.pieces} hard=${hard.pieces}")
   }
+
+  // ---- the fixed-point E-step (q212): the soft path under the hash ----
+
+  private def fixedCounts(word: String, inv: Seq[(String, Double)],
+                          scale: Long): Map[String, Long] =
+    Seq(word).toDF("w")
+      .select(explode(graft.functions.UnigramFunctions
+        .unigram_expected_counts_fixed(
+          col("w"), inv.map(_._1), inv.map(_._2), scale)).as("pc"))
+      .select("pc.piece", "pc.c").as[(String, Long)].collect().toMap
+
+  test("fixed-point E-step: hand lattice rounds the closed-form posteriors") {
+    val (ta, tb, tab) = (0.2, 0.3, 0.5)
+    val z = tab + ta * tb
+    val s = 1000000000L
+    val got = fixedCounts("ab", Seq(("a", ta), ("ab", tab), ("b", tb)), s)
+    def fx(e: Double) = math.floor(e * s + 0.5).toLong
+    assert(got("ab") == fx(tab / z))
+    assert(got("a") == fx(ta * tb / z))
+    assert(got("b") == fx(ta * tb / z))
+  }
+
+  test("fixed-point E-step: within 1/scale-per-occurrence of the double kernel") {
+    val inv = Seq(("a", 0.15), ("ab", 0.3), ("abc", 0.25), ("b", 0.1),
+      ("bc", 0.12), ("c", 0.08))
+    val s = 1000000000L
+    val word = "abcabcabc"
+    val dbl = expCounts(word, inv)
+    val fix = fixedCounts(word, inv, s)
+    assert(dbl.keySet == fix.keySet)
+    // each piece has ≤ len occurrences, each rounded within 0.5/scale
+    dbl.foreach { case (p, e) =>
+      assert(math.abs(fix(p) - e * s) <= 0.5 * word.length,
+        s"piece $p: fixed ${fix(p)} vs double ${e * s}")
+    }
+  }
+
+  test("fixed-point corpus sums are partitioning-invariant (integer, order-free)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(60)
+    val inv = Unigram.trainPieces(docs)
+      .map { case (p, cost) => (p, Unigram.CostScale - cost) }
+    def run(parts: Int) =
+      Unigram.softExpectedCountsFixed(
+          WordPiece.wordCounts(docs).repartition(parts), inv)
+        .orderBy("piece").as[(String, Long)].collect().toSeq
+    assert(run(1) == run(7),
+      "integer accumulation must not depend on partitioning or order")
+  }
 }
