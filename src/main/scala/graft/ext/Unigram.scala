@@ -363,6 +363,29 @@ object Unigram {
       .agg(sum(col("pc.c") * col("n")).as("e_fixed"))
   }
 
+  /** One FULL soft-EM iteration in fixed point (q214 — the q212
+    * E-step plus the integer M-step): pass 1 produces BIGINT expected
+    * counts; the M-step renormalizes them — θ'_p = e_p / Σe, one
+    * double division of integers per piece, exactly as replayable as
+    * the seed weights — and pass 2 runs the lattice under θ'. No
+    * floating-point accumulation order exists anywhere in the loop
+    * body: every sum is integer, every double is a deterministic
+    * per-word expression. Pieces whose pass-1 count rounds to zero
+    * everywhere drop from the iteration inventory (both sides —
+    * engine omission and oracle HAVING — agree). Σe stays well under
+    * 2⁵³ (≈ tokens·scale·pieces-per-word) through sf-scale corpora;
+    * the doubles conversion is exact there.
+    *
+    * Output: pass-2 (piece, e_fixed). The pass-1 collect is
+    * inventory-bounded (the established discipline). */
+  def softEmIterationFixed(counts: DataFrame, inv: Seq[(String, Long)],
+                           scale: Long = 1000000000L): DataFrame = {
+    val e1 = softExpectedCountsFixed(counts, inv, scale)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toIndexedSeq
+    softExpectedCountsFixed(counts, e1, scale)
+  }
+
   /** The soft E-step: expected piece counts (weighted by word
     * frequency) and the corpus LL under the input inventory. One
     * kernel pass + one inventory-bounded aggregation. */

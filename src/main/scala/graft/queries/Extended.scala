@@ -4936,6 +4936,43 @@ ORDER BY doc_id"""
           .orderBy("piece")
       },
       Some(softEStepOracleSql)),
+
+    ("q213_kn3_model_export_maintained",
+      (s: SparkSession, d: String) => {
+        // the FULL deployment composition, every seam under one hash:
+        // the maintained trigram store (q204's folds/replay/compaction)
+        // feeds the Stolcke prune and the serving export
+        // (KnModel.export3FromCounts over TrigramStream.trigramCounts),
+        // the artifact round-trips through parquet, loads, and scores
+        // with no raw counts — store → prune → export → load → score
+        // answering q207's one-shot raw-text oracle VERBATIM (the
+        // count multiset is additive, the pruned model is a pure
+        // function of it, and the q210 fidelity contract covers the
+        // file round-trip).
+        val st = q213ModelBuild(s, d)
+        graft.ext.KnModel.score3(s, st, Tables.documents(s, d))
+          .orderBy("doc_id")
+      },
+      Some(kn3PrunedOracleSql)),
+
+    ("q214_soft_em_iteration_fixed",
+      (s: SparkSession, d: String) => {
+        // a FULL soft-EM iteration under the hash (q212 + the M-step):
+        // E-step 1 produces integer fixed-point expected counts; the
+        // M-step renormalizes them as one integer-ratio division per
+        // piece (θ'_p = e_p / Σe — both BIGINT, so the new θ is as
+        // engine-replayable as the q191 seed weights); E-step 2 runs
+        // the lattice under θ'. The oracle replays BOTH lattice passes
+        // and the integer M-step from the q191_pieces dump alone —
+        // the published estimator's loop body, end to end, with no
+        // floating-point accumulation order anywhere.
+        val inv = q191Pieces(s, d)
+          .map { case (p, cost) => (p, graft.ext.Unigram.CostScale - cost) }
+        graft.ext.Unigram.softEmIterationFixed(
+            WordPiece.wordCounts(Tables.documents(s, d)), inv)
+          .orderBy("piece")
+      },
+      Some(softEmIterationOracleSql)),
   )
 
   /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
@@ -5066,66 +5103,121 @@ ORDER BY doc_id"""
     * lattice values), each term α(p−l)·θ with α first; the β step
     * θ·β(p+l) with θ first; the posterior ((α·θ)·β)/z; the rounding
     * floor(e·10⁹ + 0.5) — and every sum after the floor is BIGINT. */
-  private def softEStepOracleSql: String =
-    s"""WITH RECURSIVE
-       |pw AS MATERIALIZED (SELECT piece, 1000000000000 - cost AS w
+  /** One forward–backward lattice pass as a CTE block against
+    * inventory CTE `inv` (piece, th): the α/β recursions per distinct
+    * word plus the per-occurrence fixed-point posteriors — shared by
+    * the q212 (single-pass) and q214 (two passes with the integer
+    * M-step between) oracles. CTE names suffixed with `sfx` so two
+    * passes coexist in one WITH RECURSIVE.
+    *
+    * Formulation notes, all forced by a DuckDB 1.0.0 executor bug
+    * found while gating q214 (a recursive CTE whose step reads another
+    * CTE that itself aggregates a recursion comes back CORRUPT when
+    * re-consumed downstream — lists zero out or null out, while the
+    * same values project correctly when queried directly):
+    *  - θ lookups in the recursive steps are LEFT JOINs, not
+    *    correlated scalar subqueries (the subquery form re-executes
+    *    the upstream chain per row and breaks; the join form is also
+    *    what a sane engine plans). Position guards ride inside CASE,
+    *    so an out-of-range substr can never contribute even if it
+    *    accidentally matches a piece.
+    *  - β builds FORWARD from the word's end via list_append
+    *    (b[m] = β(len−m+1)); the natural list_prepend version is the
+    *    one that zeroed out downstream.
+    *  - the α(L) > 0 coverage guard is a CASE inside cf, not a WHERE
+    *    (comparisons on recursion-carried list elements misfilter in
+    *    the bug's presence); an uncoverable word contributes cf = 0
+    *    everywhere, matching the engine's skip, and HAVING drops
+    *    zero-total pieces on both sides.
+    * Bit-exactness is untouched: the IEEE expression order is the
+    * kernel's (α-step t1+t2+t3+t4 with +0.0 identities, α·θ then
+    * θ·β, ((α·θ)·β)/z, floor(e·10⁹ + 0.5)). */
+  private def softLatticeBlock(sfx: String, inv: String): String =
+    s"""fa$sfx AS (
+       |  SELECT word, 0 AS pos, CAST([1.0] AS DOUBLE[]) AS a FROM uw
+       |  UNION ALL
+       |  SELECT d.word, d.pos + 1,
+       |    list_append(d.a,
+       |      coalesce(d.a[d.pos + 1] * t1.th, 0.0)
+       |      + coalesce(CASE WHEN d.pos >= 1 THEN d.a[d.pos] * t2.th END, 0.0)
+       |      + coalesce(CASE WHEN d.pos >= 2 THEN d.a[d.pos - 1] * t3.th END, 0.0)
+       |      + coalesce(CASE WHEN d.pos >= 3 THEN d.a[d.pos - 2] * t4.th END, 0.0))
+       |  FROM fa$sfx d
+       |  LEFT JOIN $inv t1 ON t1.piece = substr(d.word, d.pos + 1, 1)
+       |  LEFT JOIN $inv t2 ON t2.piece = substr(d.word, d.pos, 2)
+       |  LEFT JOIN $inv t3 ON t3.piece = substr(d.word, d.pos - 1, 3)
+       |  LEFT JOIN $inv t4 ON t4.piece = substr(d.word, d.pos - 2, 4)
+       |  WHERE d.pos < len(d.word)),
+       |fb$sfx AS (
+       |  SELECT word, 0 AS k, CAST([1.0] AS DOUBLE[]) AS b FROM uw
+       |  UNION ALL
+       |  SELECT d.word, d.k + 1,
+       |    list_append(d.b,
+       |      coalesce(t1.th * d.b[d.k + 1], 0.0)
+       |      + coalesce(CASE WHEN d.k >= 1 THEN t2.th * d.b[d.k] END, 0.0)
+       |      + coalesce(CASE WHEN d.k >= 2 THEN t3.th * d.b[d.k - 1] END, 0.0)
+       |      + coalesce(CASE WHEN d.k >= 3 THEN t4.th * d.b[d.k - 2] END, 0.0))
+       |  FROM fb$sfx d
+       |  LEFT JOIN $inv t1 ON t1.piece = substr(d.word, len(d.word) - d.k, 1)
+       |  LEFT JOIN $inv t2 ON t2.piece = substr(d.word, len(d.word) - d.k, 2)
+       |  LEFT JOIN $inv t3 ON t3.piece = substr(d.word, len(d.word) - d.k, 3)
+       |  LEFT JOIN $inv t4 ON t4.piece = substr(d.word, len(d.word) - d.k, 4)
+       |  WHERE d.k < len(d.word)),
+       |wa$sfx AS (SELECT word, a FROM fa$sfx WHERE pos = len(word)),
+       |wb$sfx AS (SELECT word, b FROM fb$sfx WHERE k = len(word)),
+       |occ$sfx AS (SELECT pp.piece,
+       |    CAST(CASE WHEN wa.a[len(u.word) + 1] > 0
+       |      THEN floor(wa.a[i.i + 1] * pp.th
+       |                 * wb.b[len(u.word) - (i.i + l.l) + 1]
+       |                 / wa.a[len(u.word) + 1] * 1000000000.0 + 0.5)
+       |      ELSE 0.0 END AS BIGINT) AS cf,
+       |    u.n
+       |  FROM uw u, wa$sfx wa, wb$sfx wb,
+       |    unnest(range(0, len(u.word))) AS i(i),
+       |    unnest([1, 2, 3, 4]) AS l(l), $inv pp
+       |  WHERE wa.word = u.word AND wb.word = u.word
+       |    AND l.l <= len(u.word) - i.i
+       |    AND pp.piece = substr(u.word, i.i + 1, l.l))""".stripMargin
+
+  /** The shared preamble: seed θ from the q191 integer weights, plus
+    * the distinct-word frame both lattice passes scan. */
+  private def softOraclePreamble: String =
+    s"""pw AS MATERIALIZED (SELECT piece, 1000000000000 - cost AS w
        |  FROM read_parquet('$OracleAuxDir/q191_pieces/*.parquet')),
-       |p AS MATERIALIZED (SELECT piece,
+       |p0 AS MATERIALIZED (SELECT piece,
        |    CAST(w AS DOUBLE) / (SELECT CAST(SUM(w) AS DOUBLE) FROM pw) AS th
        |  FROM pw),
        |words AS (SELECT toks[i] AS word
        |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |        FROM documents WHERE text IS NOT NULL),
        |       unnest(range(1, len(toks) + 1)) AS u(i)),
-       |uw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY 1),
-       |fa AS (
-       |  SELECT word, 0 AS pos, CAST([1.0] AS DOUBLE[]) AS a FROM uw
-       |  UNION ALL
-       |  SELECT d.word, d.pos + 1,
-       |    list_append(d.a,
-       |      coalesce((SELECT d.a[d.pos + 1] * pp.th FROM p pp
-       |        WHERE pp.piece = substr(d.word, d.pos + 1, 1)), 0.0)
-       |      + coalesce((SELECT d.a[d.pos] * pp.th FROM p pp
-       |        WHERE d.pos >= 1 AND pp.piece = substr(d.word, d.pos, 2)), 0.0)
-       |      + coalesce((SELECT d.a[d.pos - 1] * pp.th FROM p pp
-       |        WHERE d.pos >= 2 AND pp.piece = substr(d.word, d.pos - 1, 3)), 0.0)
-       |      + coalesce((SELECT d.a[d.pos - 2] * pp.th FROM p pp
-       |        WHERE d.pos >= 3 AND pp.piece = substr(d.word, d.pos - 2, 4)), 0.0))
-       |  FROM fa d WHERE d.pos < len(d.word)),
-       |fb AS (
-       |  SELECT word, len(word) AS pos, CAST([1.0] AS DOUBLE[]) AS b FROM uw
-       |  UNION ALL
-       |  SELECT d.word, d.pos - 1,
-       |    list_prepend(
-       |      coalesce((SELECT pp.th * d.b[1] FROM p pp
-       |        WHERE pp.piece = substr(d.word, d.pos, 1)), 0.0)
-       |      + coalesce((SELECT pp.th * d.b[2] FROM p pp
-       |        WHERE len(d.word) - d.pos >= 1
-       |          AND pp.piece = substr(d.word, d.pos, 2)), 0.0)
-       |      + coalesce((SELECT pp.th * d.b[3] FROM p pp
-       |        WHERE len(d.word) - d.pos >= 2
-       |          AND pp.piece = substr(d.word, d.pos, 3)), 0.0)
-       |      + coalesce((SELECT pp.th * d.b[4] FROM p pp
-       |        WHERE len(d.word) - d.pos >= 3
-       |          AND pp.piece = substr(d.word, d.pos, 4)), 0.0),
-       |      d.b)
-       |  FROM fb d WHERE d.pos > 0),
-       |wa AS (SELECT word, a FROM fa WHERE pos = len(word)),
-       |wb AS (SELECT word, b FROM fb WHERE pos = 0),
-       |occ AS (SELECT pp.piece,
-       |    CAST(floor(wa.a[i.i + 1] * pp.th * wb.b[i.i + l.l + 1]
-       |               / wa.a[len(u.word) + 1] * 1000000000.0 + 0.5)
-       |      AS BIGINT) AS cf,
-       |    u.n
-       |  FROM uw u, wa, wb,
-       |    unnest(range(0, len(u.word))) AS i(i),
-       |    unnest([1, 2, 3, 4]) AS l(l), p pp
-       |  WHERE wa.word = u.word AND wb.word = u.word
-       |    AND l.l <= len(u.word) - i.i
-       |    AND pp.piece = substr(u.word, i.i + 1, l.l)
-       |    AND wa.a[len(u.word) + 1] > 0)
+       |uw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY 1)""".stripMargin
+
+  private def softEStepOracleSql: String =
+    s"""WITH RECURSIVE
+       |$softOraclePreamble,
+       |${softLatticeBlock("0", "p0")}
        |SELECT piece, CAST(SUM(cf * n) AS BIGINT) AS e_fixed
-       |FROM occ GROUP BY piece
+       |FROM occ0 GROUP BY piece
+       |HAVING SUM(cf * n) > 0
+       |ORDER BY piece""".stripMargin
+
+  /** q214's oracle: both lattice passes plus the integer M-step —
+    * θ'_p = e_p / Σe over the pass-1 BIGINT expected counts (one
+    * double division of integers per piece, the p0 discipline), then
+    * pass 2 under θ'. */
+  private def softEmIterationOracleSql: String =
+    s"""WITH RECURSIVE
+       |$softOraclePreamble,
+       |${softLatticeBlock("0", "p0")},
+       |e1 AS MATERIALIZED (SELECT piece, CAST(SUM(cf * n) AS BIGINT) AS e
+       |  FROM occ0 GROUP BY piece HAVING SUM(cf * n) > 0),
+       |p1 AS MATERIALIZED (SELECT piece,
+       |    CAST(e AS DOUBLE) / (SELECT CAST(SUM(e) AS DOUBLE) FROM e1) AS th
+       |  FROM e1),
+       |${softLatticeBlock("1", "p1")}
+       |SELECT piece, CAST(SUM(cf * n) AS BIGINT) AS e_fixed
+       |FROM occ1 GROUP BY piece
        |HAVING SUM(cf * n) > 0
        |ORDER BY piece""".stripMargin
 
@@ -5375,6 +5467,17 @@ ORDER BY doc_id"""
     graft.core.WorkDirs.ensureStore(s"kn3model_${Integer.toHexString(d.hashCode)}") { st =>
       graft.ext.KnModel.export3(Tables.documents(s, d), Q207Eps, st)
     }
+
+  /** q213's model artifact: the MAINTAINED trigram store (q204's
+    * folds) feeds the pruned export — store counts → prune → serving
+    * tables, once per sf dir. */
+  private def q213ModelBuild(s: SparkSession, d: String): String = {
+    val store = q204StoreBuild(s, d)
+    graft.core.WorkDirs.ensureStore(s"kn3modelm_${Integer.toHexString(d.hashCode)}") { st =>
+      graft.ext.KnModel.export3FromCounts(
+        graft.streaming.TrigramStream.trigramCounts(s, store), Q207Eps, st)
+    }
+  }
 
   /** q202's maintained bigram store: the q194 build shape over
     * [[graft.streaming.BigramStream]]. */
@@ -5768,7 +5871,8 @@ ORDER BY doc_id"""
     "q206_kn_pruned_maintained" -> ((s, d) => q202StoreBuild(s, d): Unit),
     "q208_kn3_pruned_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit),
     "q209_kn_model_export" -> ((s, d) => q209ModelBuild(s, d): Unit),
-    "q210_kn3_model_export" -> ((s, d) => q210ModelBuild(s, d): Unit))
+    "q210_kn3_model_export" -> ((s, d) => q210ModelBuild(s, d): Unit),
+    "q213_kn3_model_export_maintained" -> ((s, d) => q213ModelBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

@@ -126,6 +126,29 @@ class UnigramSoftEmSpec extends SparkTestBase {
     }
   }
 
+  test("full fixed-point EM iteration: hand-computed two-pass lattice") {
+    // one word 'ab', seed weights (a:2, ab:5, b:3) → θ0 = (.2, .5, .3);
+    // pass 1 posteriors are the closed forms, the M-step renormalizes
+    // the ROUNDED integers, pass 2 re-runs the lattice under θ'
+    val counts = Seq(("ab", 1L)).toDF("word", "n")
+    val s = 1000000000L
+    def fx(e: Double) = math.floor(e * s + 0.5).toLong
+    val (ta, tb, tab) = (2.0 / 10, 3.0 / 10, 5.0 / 10)
+    val z0 = tab + ta * tb
+    val e1 = Map("a" -> fx(ta * tb / z0), "b" -> fx(ta * tb / z0),
+      "ab" -> fx(tab / z0))
+    val tot1 = e1.values.sum
+    val (ta1, tb1, tab1) = (e1("a").toDouble / tot1,
+      e1("b").toDouble / tot1, e1("ab").toDouble / tot1)
+    val z1 = tab1 + ta1 * tb1
+    val want = Map("a" -> fx(ta1 * tb1 / z1), "b" -> fx(ta1 * tb1 / z1),
+      "ab" -> fx(tab1 / z1))
+    val got = Unigram.softEmIterationFixed(counts,
+        Seq(("a", 2L), ("ab", 5L), ("b", 3L)), s)
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("fixed-point corpus sums are partitioning-invariant (integer, order-free)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull).limit(60)
