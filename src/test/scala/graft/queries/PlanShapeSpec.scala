@@ -518,6 +518,29 @@ class PlanShapeSpec extends SparkTestBase {
   // docTrigrams mirrors docBigrams' bound-column transform, and q205's
   // γ frame is one more vocabulary-sized hash aggregate over the kept
   // filter of the type table (no new join shape).
+  //
+  // The round-15 KN members inherit the same boundary: q210/q213 score
+  // through kn3ScoreFromModel (checkpointed; the serving joins are five
+  // equi-joins of localCheckpoint'd bounded frames — broadcastable by
+  // size, pinned by KnModelSpec's bounded-size assertions), q211's
+  // kn4Score is kn3Score's shape one level up (docQuadgrams mirrors the
+  // bound-column transform; three broadcast count-of-counts rows), and
+  // q214's second pass is q212's plan under a different θ (guarded
+  // below on the live plan — the kernel path never checkpoints).
+
+  test("q212: the soft E-step is one kernel pass + one bounded aggregate") {
+    val p = plan("q212_soft_em_estep_fixed")
+    assert(!p.contains("CartesianProduct"),
+      "q212: no join belongs in the E-step at all")
+    assert(!p.contains("Join"),
+      "q212: the inventory rides as a codegen reference map, never a join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // wordCounts (word) + the piece aggregate — anything more means the
+    // kernel pass stopped being map-only
+    assert(exchanges <= 2, s"q212: expected <= 2 hash exchanges, got $exchanges\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "q212: expected counts must combine map-side before the piece shuffle")
+  }
 
   test("q134: all gram sizes ride one union — a single (doc,n,gram) exchange pair") {
     val p = plan("q134_repetition")
