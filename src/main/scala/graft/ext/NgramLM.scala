@@ -1138,6 +1138,240 @@ object NgramLM {
     finally { grams.unpersist(false); () }
   }
 
+  /** The per-token loss of one explicit 4-gram entry (evaluated over a
+    * frame carrying c1234/c123dot/nf123/c3/c3dot/nf23/c2/c2dot/nf3/nb/
+    * b/n4tok) — ONE definition shared by the scoring prune and the
+    * public entries table, the [[kn3Loss]] discipline one order up. */
+  private def kn4Loss(d4: Column, d3: Column, d2: Column): Column = {
+    val pcont = col("nb").cast("double") / col("b")
+    val pL2Seen = (col("c2").cast("double") - d2) / col("c2dot") +
+      (d2 * col("nf3") / col("c2dot")) * pcont
+    val pL3Seen = (col("c3").cast("double") - d3) / col("c3dot") +
+      (d3 * col("nf23") / col("c3dot")) * pL2Seen
+    val bow4 = d4 * col("nf123") / col("c123dot")
+    val pHiSeen = (col("c1234").cast("double") - d4) / col("c123dot") +
+      bow4 * pL3Seen
+    round((col("c1234").cast("double") / col("n4tok")) *
+      (log(pHiSeen) - log(bow4 * pL3Seen)), 9)
+  }
+
+  /** The explicit-entry loss table of the pruned 4-GRAM model —
+    * [[kn3PruneEntries]] one order up: (w1..w4, c1234, loss, kept) per
+    * 4-gram type of the [[kn4LogLik]] model over `train`. */
+  def kn4PruneEntries(train: DataFrame, eps: Double,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val c1234 = docQuadgrams(train, idCol, textCol)
+      .groupBy("w1", "w2", "w3", "w4").agg(sum("n").as("c1234")).persist()
+    try {
+      val h123 = c1234.groupBy("w1", "w2", "w3")
+        .agg(sum("c1234").as("c123dot"), count(lit(1)).as("nf123"))
+      val c3 = c1234.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("c3"))
+      val h23 = c3.groupBy("w2", "w3")
+        .agg(sum("c3").as("c3dot"), count(lit(1)).as("nf23"))
+      val c2 = c3.groupBy("w3", "w4").agg(count(lit(1)).as("c2"))
+      val h3 = c2.groupBy("w3")
+        .agg(sum("c2").as("c2dot"), count(lit(1)).as("nf3"))
+      val cont = c2.groupBy("w4").agg(count(lit(1)).as("nb"))
+      val tot4 = c1234.agg(
+        sum(when(col("c1234") === 1, 1L).otherwise(0L)).as("q_n1"),
+        sum(when(col("c1234") === 2, 1L).otherwise(0L)).as("q_n2"),
+        sum(col("c1234")).as("n4tok"))
+      val totC3 = c3.agg(
+        sum(when(col("c3") === 1, 1L).otherwise(0L)).as("r_n1"),
+        sum(when(col("c3") === 2, 1L).otherwise(0L)).as("r_n2"))
+      val totC2 = c2.agg(count(lit(1)).as("b"),
+        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("s_n1"),
+        sum(when(col("c2") === 2, 1L).otherwise(0L)).as("s_n2"))
+      val d4 = when(col("q_n1") === 0, lit(0.5))
+        .otherwise(col("q_n1").cast("double") /
+          (col("q_n1") + lit(2) * col("q_n2")))
+      val d3 = when(col("r_n1") === 0, lit(0.5))
+        .otherwise(col("r_n1").cast("double") /
+          (col("r_n1") + lit(2) * col("r_n2")))
+      val d2 = when(col("s_n1") === 0, lit(0.5))
+        .otherwise(col("s_n1").cast("double") /
+          (col("s_n1") + lit(2) * col("s_n2")))
+      c1234.join(h123, Seq("w1", "w2", "w3")).join(c3, Seq("w2", "w3", "w4"))
+        .join(h23, Seq("w2", "w3")).join(c2, Seq("w3", "w4"))
+        .join(h3, Seq("w3")).join(cont, Seq("w4"))
+        .crossJoin(broadcast(tot4)).crossJoin(broadcast(totC3))
+        .crossJoin(broadcast(totC2))
+        .withColumn("loss", kn4Loss(d4, d3, d2))
+        .select(col("w1"), col("w2"), col("w3"), col("w4"), col("c1234"),
+          col("loss"), (col("loss") >= eps).as("kept"))
+        .localCheckpoint(true)
+    } finally { c1234.unpersist(false); () }
+  }
+
+  /** Per-document scoring under the entropy-pruned 4-GRAM
+    * interpolated-KN model — [[kn3PrunedLogLik]]'s criterion one order
+    * up (Stolcke 1998 at the top of the three-level recursion). The γ
+    * telescope stays integer-derivable because the (w1,w2,w3) history
+    * fixes BOTH lower histories (w2,w3) and w3: every kept
+    * continuation's P̂3 shares the (ĉ3(w2w3·), N1+(w2w3,·))
+    * denominators and its P̂2 the (ĉ2(w3·), N1+(w3,·)) ones, so
+    *
+    *   Σ_kept P̂2 = (Σĉ2 − k·D2)/ĉ2(w3·) + (D2·N1+(w3,·)/ĉ2(w3·))·(Σnb/b)
+    *   Σ_kept P̂3 = (Σĉ3 − k·D3)/ĉ3(w2w3·)
+    *                + (D3·N1+(w2w3,·)/ĉ3(w2w3·))·Σ_kept P̂2
+    *
+    * — per-history integer aggregates (k, Σc1234, Σĉ3, Σĉ2, Σnb) all
+    * the way down; no floating-point accumulation order exists
+    * anywhere. Scoring: kept entry → pHi; pruned or unseen w4 under a
+    * seen (w1,w2,w3) → γ4·P̂3 (with P̂3's own fall-throughs intact);
+    * unseen (w1,w2,w3) → P̂3 directly; deeper fall-throughs and OOV as
+    * [[kn4LogLik]]. Self-scoring exercises the γ4 arm on every pruned
+    * entry. Output: (doc_id, n_quadgrams, n_oov, avg_lp). */
+  def kn4PrunedLogLik(docs: DataFrame, train: DataFrame, eps: Double,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      scale: Int = 4): DataFrame = {
+    val grams = docQuadgrams(docs, idCol, textCol).persist()
+    val trainGrams =
+      if (train eq docs) grams else docQuadgrams(train, idCol, textCol).persist()
+    try kn4PrunedScore(grams, trainGrams.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum("n").as("c1234")), eps, scale)
+    finally {
+      grams.unpersist(false)
+      if (!(train eq docs)) trainGrams.unpersist(false): Unit
+    }
+  }
+
+  /** [[kn4PrunedLogLik]] from an aggregated (w1..w4, n) frame — the
+    * maintained-store seam (q217 gates the store-derived pruned 4-gram
+    * model against q216's one-shot oracle verbatim). */
+  def kn4PrunedLogLikFromCounts(docs: DataFrame, counts: DataFrame,
+                                eps: Double, idCol: String = "doc_id",
+                                textCol: String = "text",
+                                scale: Int = 4): DataFrame = {
+    val grams = docQuadgrams(docs, idCol, textCol).persist()
+    try kn4PrunedScore(grams, counts.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum("n").as("c1234")), eps, scale)
+    finally { grams.unpersist(false); () }
+  }
+
+  /** The shared pruned 4-gram-KN scoring stage. */
+  private def kn4PrunedScore(grams: DataFrame, c1234Raw: DataFrame,
+                             eps: Double, scale: Int): DataFrame = {
+    val c1234 = c1234Raw.persist()
+    try {
+      val h123 = c1234.groupBy("w1", "w2", "w3")
+        .agg(sum("c1234").as("c123dot"), count(lit(1)).as("nf123"))
+      val c3 = c1234.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("c3"))
+        .persist()
+      try {
+        val h23 = c3.groupBy("w2", "w3")
+          .agg(sum("c3").as("c3dot"), count(lit(1)).as("nf23"))
+        val c2 = c3.groupBy("w3", "w4").agg(count(lit(1)).as("c2"))
+          .persist()
+        try {
+          val h3 = c2.groupBy("w3")
+            .agg(sum("c2").as("c2dot"), count(lit(1)).as("nf3"))
+          val cont = c2.groupBy("w4").agg(count(lit(1)).as("nb"))
+          val tot4 = c1234.agg(
+            sum(when(col("c1234") === 1, 1L).otherwise(0L)).as("q_n1"),
+            sum(when(col("c1234") === 2, 1L).otherwise(0L)).as("q_n2"),
+            sum(col("c1234")).as("n4tok"))
+          val totC3 = c3.agg(
+            sum(when(col("c3") === 1, 1L).otherwise(0L)).as("r_n1"),
+            sum(when(col("c3") === 2, 1L).otherwise(0L)).as("r_n2"))
+          val totC2 = c2.agg(count(lit(1)).as("b"),
+            sum(when(col("c2") === 1, 1L).otherwise(0L)).as("s_n1"),
+            sum(when(col("c2") === 2, 1L).otherwise(0L)).as("s_n2"))
+          val d4 = when(col("q_n1") === 0, lit(0.5))
+            .otherwise(col("q_n1").cast("double") /
+              (col("q_n1") + lit(2) * col("q_n2")))
+          val d3 = when(col("r_n1") === 0, lit(0.5))
+            .otherwise(col("r_n1").cast("double") /
+              (col("r_n1") + lit(2) * col("r_n2")))
+          val d2 = when(col("s_n1") === 0, lit(0.5))
+            .otherwise(col("s_n1").cast("double") /
+              (col("s_n1") + lit(2) * col("s_n2")))
+          val pcont = col("nb").cast("double") / col("b")
+          // the kept set via the ONE shared kn4Loss definition
+          val kept = c1234.join(h123, Seq("w1", "w2", "w3"))
+            .join(c3, Seq("w2", "w3", "w4"))
+            .join(h23, Seq("w2", "w3")).join(c2, Seq("w3", "w4"))
+            .join(h3, Seq("w3")).join(cont, Seq("w4"))
+            .crossJoin(broadcast(tot4)).crossJoin(broadcast(totC3))
+            .crossJoin(broadcast(totC2))
+            .withColumn("loss", kn4Loss(d4, d3, d2))
+            .filter(col("loss") >= eps)
+            .select(col("w1"), col("w2"), col("w3"), col("w4"),
+              lit(true).as("__kept"), col("c1234").as("__kc"),
+              col("c3").as("__kc3"), col("c2").as("__kc2"),
+              col("nb").as("__knb"))
+            .persist()
+          try {
+            val gam = kept.groupBy("w1", "w2", "w3")
+              .agg(count(lit(1)).as("k"), sum("__kc").as("s1234"),
+                sum("__kc3").as("s3"), sum("__kc2").as("s2"),
+                sum("__knb").as("snb"))
+            // scoring arms — the kn4Score expressions plus γ4
+            val pL2 =
+              greatest(coalesce(col("c2"), lit(0L)).cast("double") - d2,
+                  lit(0.0)) / col("c2dot") +
+                (d2 * col("nf3") / col("c2dot")) * pcont
+            val pLow2 = when(col("nb").isNotNull && col("c2dot").isNotNull, pL2)
+              .when(col("nb").isNotNull && col("c2dot").isNull, pcont)
+            val pL3 =
+              greatest(coalesce(col("c3"), lit(0L)).cast("double") - d3,
+                  lit(0.0)) / col("c3dot") +
+                (d3 * col("nf23") / col("c3dot")) * pLow2
+            val pLow3 = when(col("c3dot").isNotNull && pLow2.isNotNull, pL3)
+              .otherwise(pLow2)
+            val sumPL2Kept =
+              (col("s2").cast("double") - col("k") * d2) / col("c2dot") +
+                (d2 * col("nf3") / col("c2dot")) *
+                  (col("snb").cast("double") / col("b"))
+            val sumPL3Kept =
+              (col("s3").cast("double") - col("k") * d3) / col("c3dot") +
+                (d3 * col("nf23") / col("c3dot")) * sumPL2Kept
+            val sumPHiKept =
+              (col("s1234").cast("double") - col("k") * d4) / col("c123dot") +
+                (d4 * col("nf123") / col("c123dot")) * sumPL3Kept
+            val den4 = lit(1.0) - sumPL3Kept
+            val gamma4 = when(col("k").isNull, lit(1.0))
+              .when(den4 <= 0.0, lit(1.0))
+              .otherwise((lit(1.0) - sumPHiKept) / den4)
+            val pHiKept =
+              (col("c1234").cast("double") - d4) / col("c123dot") +
+                (d4 * col("nf123") / col("c123dot")) * pLow3
+            grams
+              .join(c1234, Seq("w1", "w2", "w3", "w4"), "left")
+              .join(kept.select("w1", "w2", "w3", "w4", "__kept"),
+                Seq("w1", "w2", "w3", "w4"), "left")
+              .join(h123, Seq("w1", "w2", "w3"), "left")
+              .join(c3, Seq("w2", "w3", "w4"), "left")
+              .join(h23, Seq("w2", "w3"), "left")
+              .join(c2, Seq("w3", "w4"), "left")
+              .join(h3, Seq("w3"), "left")
+              .join(cont, Seq("w4"), "left")
+              .join(gam, Seq("w1", "w2", "w3"), "left")
+              .crossJoin(broadcast(tot4))
+              .crossJoin(broadcast(totC3))
+              .crossJoin(broadcast(totC2))
+              .withColumn("p",
+                when(col("__kept").isNotNull, pHiKept)
+                  .when(col("c123dot").isNotNull && pLow3.isNotNull,
+                    gamma4 * pLow3)
+                  .otherwise(pLow3))
+              .withColumn("lp", col("n") * log(col("p")))
+              .groupBy("doc_id")
+              .agg(sum("n").as("n_quadgrams"),
+                coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+                  .as("n_oov"),
+                coalesce(
+                  round(sum("lp") /
+                    sum(when(col("lp").isNotNull, col("n"))), scale),
+                  lit(0.0)).as("avg_lp"))
+              .localCheckpoint(true)
+          } finally { kept.unpersist(false); () }
+        } finally { c2.unpersist(false); () }
+      } finally { c3.unpersist(false); () }
+    } finally { c1234.unpersist(false); () }
+  }
+
   /** The shared 4-gram-KN scoring stage (callers manage `grams`). */
   private def kn4Score(grams: DataFrame, c1234Raw: DataFrame,
                        scale: Int): DataFrame = {

@@ -4973,6 +4973,50 @@ ORDER BY doc_id"""
           .orderBy("piece")
       },
       Some(softEmIterationOracleSql)),
+
+    ("q215_kn4_maintained",
+      (s: SparkSession, d: String) => {
+        // the MAINTAINED 4-gram-KN model under the gate — the q204
+        // composition one order up: 4-gram counts folded incrementally
+        // by QuadgramStream (residue folds with a replayed batch, a
+        // mid-stream compaction, a replay at the watermark), then the
+        // corpus scored against the store-derived model answers q211's
+        // full-recomputation oracle VERBATIM (the 4-gram count multiset
+        // is the three-level model's additive sufficient statistic; no
+        // type-level quantity — ĉ3, ĉ2, any N1+, any n1/n2 — is
+        // additive, so the store keeps counts and derives the type
+        // tables at read time).
+        val st = q215StoreBuild(s, d)
+        graft.streaming.QuadgramStream.kn4LogLik(s, st, Tables.documents(s, d))
+          .orderBy("doc_id")
+      },
+      Some(kn4OracleSql)),
+
+    ("q216_kn4_pruned",
+      (s: SparkSession, d: String) =>
+        // entropy-pruned 4-GRAM KN — q207's criterion at q211's order,
+        // completing the pruning family at every instantiated order.
+        // The γ telescope stays integer-derivable because the
+        // (w1,w2,w3) history fixes BOTH lower histories: Σ_kept P̂3
+        // and Σ_kept P̂2 reduce to per-history integer aggregates
+        // (k, Σc1234, Σĉ3, Σĉ2, Σnb), so the oracle replays the loss
+        // table, the kept set, and γ4 with no fp-order anywhere.
+        // Self-scored; eps = 3e-5 per-token nats prunes a real split
+        // of the 4-gram table at both gate SFs.
+        NgramLM.kn4PrunedLogLik(Tables.documents(s, d),
+            Tables.documents(s, d), eps = Q216Eps).orderBy("doc_id"),
+      Some(kn4PrunedOracleSql)),
+
+    ("q217_kn4_pruned_maintained",
+      (s: SparkSession, d: String) => {
+        // q208's composition one order up: QuadgramStream's folded
+        // counts feed the 4-gram prune + γ4 renormalization and must
+        // answer q216's one-shot oracle verbatim (same store as q215).
+        val st = q215StoreBuild(s, d)
+        graft.streaming.QuadgramStream.kn4PrunedLogLik(s, st,
+          Tables.documents(s, d), eps = Q216Eps).orderBy("doc_id")
+      },
+      Some(kn4PrunedOracleSql)),
   )
 
   /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
@@ -5220,6 +5264,150 @@ ORDER BY doc_id"""
        |FROM occ1 GROUP BY piece
        |HAVING SUM(cf * n) > 0
        |ORDER BY piece""".stripMargin
+
+  /** q216/q217's pruning threshold (per-token nats at the 4-GRAM
+    * order — below [[Q207Eps]] because 4-gram types are rarer still
+    * and per-type losses sit lower). `final`: the [[Q205Eps]]
+    * initialization-order constraint applies verbatim. */
+  private final val Q216Eps = 3e-5
+
+  /** q215's maintained 4-gram store: the q204 build shape over
+    * [[graft.streaming.QuadgramStream]] — residue folds with a
+    * replayed batch, a mid-stream compaction, a replay at the
+    * watermark. */
+  private def q215StoreBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"quadgram_${Integer.toHexString(d.hashCode)}") { st =>
+      val docs = Tables.documents(s, d)
+      val cfg = graft.streaming.QuadgramStreamConfig(
+        s"$st/_in_unused", st, s"$st/_ck_unused", docs.schema)
+      graft.streaming.QuadgramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.QuadgramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.QuadgramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, cfg)
+      graft.streaming.QuadgramStream.compact(s, st, upToBatch = 1L)
+      graft.streaming.QuadgramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
+      graft.streaming.QuadgramStream.processBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+    }
+
+  /** q216/q217's oracle: the full three-level interpolated-KN replay
+    * (the kn4 oracle) EXTENDED with the Stolcke prune — DuckDB
+    * re-derives the loss table over explicit 4-gram entries, the kept
+    * set at eps, every (w1,w2,w3) history's renormalized γ4 from the
+    * same integer aggregates (k, Σc1234, Σĉ3, Σĉ2, Σnb), and scores.
+    * Self-scored ⇒ the OOV arm is unreachable (n_oov pinned 0). */
+  private def kn4PrunedOracleSql: String = {
+    val d4 = """(CASE WHEN t4.qn1 = 0 THEN 0.5
+               |      ELSE CAST(t4.qn1 AS DOUBLE) / (t4.qn1 + 2 * t4.qn2) END)""".stripMargin
+    val d3 = """(CASE WHEN tr.rn1 = 0 THEN 0.5
+               |      ELSE CAST(tr.rn1 AS DOUBLE) / (tr.rn1 + 2 * tr.rn2) END)""".stripMargin
+    val d2 = """(CASE WHEN ts.sn1 = 0 THEN 0.5
+               |      ELSE CAST(ts.sn1 AS DOUBLE) / (ts.sn1 + 2 * ts.sn2) END)""".stripMargin
+    val pL2Seen =
+      s"""((c2.c2 - $d2) / h3.c2dot
+         |    + ($d2 * h3.nf3 / h3.c2dot) * (CAST(cont.nb AS DOUBLE) / ts.b))""".stripMargin
+    val pL3Seen =
+      s"""((c3.c3 - $d3) / h23.c3dot
+         |    + ($d3 * h23.nf23 / h23.c3dot) * $pL2Seen)""".stripMargin
+    val pL2 =
+      s"""(CASE WHEN cont.nb IS NOT NULL AND h3.c2dot IS NOT NULL THEN
+         |       GREATEST(COALESCE(c2.c2, 0) - $d2, 0.0) / h3.c2dot
+         |       + ($d2 * h3.nf3 / h3.c2dot) * (CAST(cont.nb AS DOUBLE) / ts.b)
+         |     WHEN cont.nb IS NOT NULL THEN CAST(cont.nb AS DOUBLE) / ts.b
+         |     ELSE NULL END)""".stripMargin
+    val pL3 =
+      s"""(CASE WHEN h23.c3dot IS NOT NULL AND $pL2 IS NOT NULL THEN
+         |       GREATEST(COALESCE(c3.c3, 0) - $d3, 0.0) / h23.c3dot
+         |       + ($d3 * h23.nf23 / h23.c3dot) * $pL2
+         |     ELSE $pL2 END)""".stripMargin
+    val sumPL2 =
+      s"""((CAST(gam.s2 AS DOUBLE) - gam.k * $d2) / h3.c2dot
+         |    + ($d2 * h3.nf3 / h3.c2dot) * (CAST(gam.snb AS DOUBLE) / ts.b))""".stripMargin
+    val sumPL3 =
+      s"""((CAST(gam.s3 AS DOUBLE) - gam.k * $d3) / h23.c3dot
+         |    + ($d3 * h23.nf23 / h23.c3dot) * $sumPL2)""".stripMargin
+    val sumPHi =
+      s"""((CAST(gam.s1234 AS DOUBLE) - gam.k * $d4) / h123.c123dot
+         |    + ($d4 * h123.nf123 / h123.c123dot) * $sumPL3)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+       |       FROM t WHERE len(toks) >= 4),
+       |g AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+       |        toks[i + 2] AS w3, toks[i + 3] AS w4 FROM g0),
+       |dg AS (SELECT doc_id, w1, w2, w3, w4, COUNT(*) AS n
+       |       FROM g GROUP BY 1, 2, 3, 4, 5),
+       |c1234 AS (SELECT w1, w2, w3, w4, CAST(SUM(n) AS BIGINT) AS c1234
+       |          FROM dg GROUP BY 1, 2, 3, 4),
+       |h123 AS (SELECT w1, w2, w3, CAST(SUM(c1234) AS BIGINT) AS c123dot,
+       |           CAST(COUNT(*) AS BIGINT) AS nf123 FROM c1234 GROUP BY 1, 2, 3),
+       |c3 AS (SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS c3
+       |       FROM c1234 GROUP BY 1, 2, 3),
+       |h23 AS (SELECT w2, w3, CAST(SUM(c3) AS BIGINT) AS c3dot,
+       |          CAST(COUNT(*) AS BIGINT) AS nf23 FROM c3 GROUP BY 1, 2),
+       |c2 AS (SELECT w3, w4, CAST(COUNT(*) AS BIGINT) AS c2
+       |       FROM c3 GROUP BY 1, 2),
+       |h3 AS (SELECT w3, CAST(SUM(c2) AS BIGINT) AS c2dot,
+       |         CAST(COUNT(*) AS BIGINT) AS nf3 FROM c2 GROUP BY 1),
+       |cont AS (SELECT w4, CAST(COUNT(*) AS BIGINT) AS nb FROM c2 GROUP BY 1),
+       |t4 AS (SELECT CAST(SUM(CASE WHEN c1234 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS qn1,
+       |         CAST(SUM(CASE WHEN c1234 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS qn2,
+       |         CAST(SUM(c1234) AS BIGINT) AS n4
+       |       FROM c1234),
+       |tr AS (SELECT CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rn1,
+       |         CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rn2
+       |       FROM c3),
+       |ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+       |         CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sn1,
+       |         CAST(SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS sn2
+       |       FROM c2),
+       |kept AS (SELECT c1234.w1, c1234.w2, c1234.w3, c1234.w4,
+       |           c1234.c1234, c3.c3, c2.c2, cont.nb
+       |         FROM c1234 JOIN h123 USING (w1, w2, w3)
+       |           JOIN c3 USING (w2, w3, w4) JOIN h23 USING (w2, w3)
+       |           JOIN c2 USING (w3, w4) JOIN h3 USING (w3)
+       |           JOIN cont USING (w4)
+       |           CROSS JOIN t4 CROSS JOIN tr CROSS JOIN ts
+       |         WHERE round((CAST(c1234.c1234 AS DOUBLE) / t4.n4) * (
+       |             ln((c1234.c1234 - $d4) / h123.c123dot
+       |                + ($d4 * h123.nf123 / h123.c123dot) * $pL3Seen)
+       |             - ln(($d4 * h123.nf123 / h123.c123dot) * $pL3Seen)), 9)
+       |           >= $Q216Eps),
+       |gam AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS k,
+       |          CAST(SUM(c1234) AS BIGINT) AS s1234,
+       |          CAST(SUM(c3) AS BIGINT) AS s3,
+       |          CAST(SUM(c2) AS BIGINT) AS s2,
+       |          CAST(SUM(nb) AS BIGINT) AS snb
+       |        FROM kept GROUP BY 1, 2, 3),
+       |kf AS (SELECT w1, w2, w3, w4, TRUE AS iskept FROM kept),
+       |lp AS (SELECT dg.doc_id, dg.n,
+       |         dg.n * ln(CASE
+       |           WHEN kf.iskept THEN
+       |             (c1234.c1234 - $d4) / h123.c123dot
+       |             + ($d4 * h123.nf123 / h123.c123dot) * $pL3
+       |           WHEN h123.c123dot IS NOT NULL AND $pL3 IS NOT NULL THEN
+       |             (CASE WHEN gam.k IS NULL THEN 1.0
+       |                   WHEN 1.0 - $sumPL3 <= 0.0 THEN 1.0
+       |                   ELSE (1.0 - $sumPHi) / (1.0 - $sumPL3) END)
+       |             * $pL3
+       |           ELSE $pL3 END) AS lp
+       |       FROM dg LEFT JOIN c1234 USING (w1, w2, w3, w4)
+       |         LEFT JOIN kf USING (w1, w2, w3, w4)
+       |         LEFT JOIN h123 USING (w1, w2, w3)
+       |         LEFT JOIN c3 USING (w2, w3, w4)
+       |         LEFT JOIN h23 USING (w2, w3)
+       |         LEFT JOIN c2 USING (w3, w4)
+       |         LEFT JOIN h3 USING (w3) LEFT JOIN cont USING (w4)
+       |         LEFT JOIN gam USING (w1, w2, w3)
+       |         CROSS JOIN t4 CROSS JOIN tr CROSS JOIN ts)
+       |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_quadgrams,
+       |  CAST(0 AS BIGINT) AS n_oov,
+       |  round(SUM(lp) / SUM(n), 4) AS avg_lp
+       |FROM lp GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared by q201 (one-shot KN) and q202 (maintained bigram store):
     * DuckDB re-derives the ENTIRE interpolated-KN model from raw text —
@@ -5872,7 +6060,9 @@ ORDER BY doc_id"""
     "q208_kn3_pruned_maintained" -> ((s, d) => q204StoreBuild(s, d): Unit),
     "q209_kn_model_export" -> ((s, d) => q209ModelBuild(s, d): Unit),
     "q210_kn3_model_export" -> ((s, d) => q210ModelBuild(s, d): Unit),
-    "q213_kn3_model_export_maintained" -> ((s, d) => q213ModelBuild(s, d): Unit))
+    "q213_kn3_model_export_maintained" -> ((s, d) => q213ModelBuild(s, d): Unit),
+    "q215_kn4_maintained" -> ((s, d) => q215StoreBuild(s, d): Unit),
+    "q217_kn4_pruned_maintained" -> ((s, d) => q215StoreBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

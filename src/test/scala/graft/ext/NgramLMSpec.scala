@@ -272,6 +272,46 @@ class NgramLMSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("kn4PrunedLogLik: eps = 0 keeps every entry and equals kn4LogLik verbatim") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val pruned = NgramLM.kn4PrunedLogLik(docs, docs, eps = 0.0)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val full = NgramLM.kn4LogLik(docs, docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pruned == full,
+      "γ4 must reduce to the original back-off weight when nothing prunes")
+  }
+
+  test("kn4PrunedLogLik: pruning bites and every (w1,w2,w3) history still sums to 1") {
+    // prune at the fixture's own median loss (the tiny corpus's
+    // per-token losses are large, so a production eps keeps all 5
+    // types), then check the pruned distribution still normalizes over
+    // the continuation vocabulary for a seen history — the γ4
+    // renormalization identity
+    val losses = NgramLM.kn4PruneEntries(kn4Train, 0.0)
+      .select("loss").as[Double].collect().sorted
+    val eps = losses(losses.length / 2)
+    val ent = NgramLM.kn4PruneEntries(kn4Train, eps)
+      .select("kept").as[Boolean].collect()
+    assert(ent.exists(!_) && ent.exists(identity),
+      s"fixture must split at eps=$eps: ${ent.count(identity)}/${ent.length}")
+    val probes = Seq("c", "d", "e").zipWithIndex
+      .map { case (w, i) => (i.toLong, s"a b c $w") }
+      .toDF("doc_id", "text")
+    val lps = NgramLM.kn4PrunedLogLik(probes, kn4Train, eps, scale = 9)
+      .as[(Long, Long, Long, Double)].collect().map(r => math.exp(r._4))
+    val total = lps.sum
+    assert(math.abs(total - 1.0) < 1e-6,
+      s"pruned 4-gram KN must still normalize per history, got $total")
+    // and the pruned scores differ from the full model's (the γ4 arm fires)
+    val full = NgramLM.kn4LogLik(probes, kn4Train, scale = 9)
+      .as[(Long, Long, Long, Double)].collect().map(_._4).toSeq
+    val pr = NgramLM.kn4PrunedLogLik(probes, kn4Train, eps, scale = 9)
+      .as[(Long, Long, Long, Double)].collect().map(_._4).toSeq
+    assert(full != pr, "the prune must move at least one probe score")
+  }
+
   test("corpusBigrams: equals the per-doc frame aggregated (the store partial)") {
     val docs = Seq((1L, "a b a b"), (2L, "b a x"), (3L, null.asInstanceOf[String]),
       (4L, "x")).toDF("doc_id", "text")
