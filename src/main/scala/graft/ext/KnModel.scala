@@ -145,23 +145,95 @@ object KnModel {
     (e.count(), b12.count(), m.count(), b2.count(), c.count())
   }
 
-  /** The n-gram order of a model artifact dir (3 if the trigram entries
-    * table exists, else 2) — lets a caller holding only a model path
-    * (e.g. [[graft.tools.CuratePipeline]]'s `knModelDir`) score through
-    * the right seam without a format flag. */
+  // ---- the 4-GRAM artifact (q218): the q210 loop at q216's order ----
+  // Seven bounded tables — the columnar pruned 4-gram ARPA shape: the
+  // explicit 4-gram section (p only), the two intermediate
+  // continuation models with their per-history back-off weights, and
+  // the unigram continuation distribution.
+
+  val Entries4Table = "_kn4_entries"
+  val Backoff123Table = "_kn4_backoff123"
+  val Mid43Table = "_kn4_mid3"
+  val Backoff23Table = "_kn4_backoff23"
+  val Mid42Table = "_kn4_mid2"
+  val Backoff4_2Table = "_kn4_backoff2"
+  val Cont4Table = "_kn4_cont"
+
+  /** Derive the pruned 4-GRAM model from `train` and write the
+    * artifact. */
+  def export4(train: DataFrame, eps: Double, dir: String,
+              textCol: String = "text"): Unit =
+    export4FromCounts(NgramLM.corpusQuadgrams(train, textCol), eps, dir)
+
+  /** [[export4]] from an aggregated (w1..w4, n) count frame — the
+    * maintained-store composition ([[graft.streaming.QuadgramStream
+    * .quadgramCounts]] feeds it directly). */
+  def export4FromCounts(counts: DataFrame, eps: Double,
+                        dir: String): Unit = {
+    val (e, b123, m3, b23, m2, b2, c) =
+      NgramLM.kn4PrunedModelFrames(counts, eps)
+    e.write.mode("overwrite").parquet(s"$dir/$Entries4Table")
+    b123.write.mode("overwrite").parquet(s"$dir/$Backoff123Table")
+    m3.write.mode("overwrite").parquet(s"$dir/$Mid43Table")
+    b23.write.mode("overwrite").parquet(s"$dir/$Backoff23Table")
+    m2.write.mode("overwrite").parquet(s"$dir/$Mid42Table")
+    b2.write.mode("overwrite").parquet(s"$dir/$Backoff4_2Table")
+    c.write.mode("overwrite").parquet(s"$dir/$Cont4Table")
+  }
+
+  /** Load the seven 4-gram model frames from an exported artifact. */
+  def frames4(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dir/$Entries4Table"),
+    spark.read.parquet(s"$dir/$Backoff123Table"),
+    spark.read.parquet(s"$dir/$Mid43Table"),
+    spark.read.parquet(s"$dir/$Backoff23Table"),
+    spark.read.parquet(s"$dir/$Mid42Table"),
+    spark.read.parquet(s"$dir/$Backoff4_2Table"),
+    spark.read.parquet(s"$dir/$Cont4Table"))
+
+  /** Score documents against the loaded 4-gram artifact —
+    * bit-identical to [[NgramLM.kn4PrunedLogLik]] over the corpus the
+    * model was exported from (the q210 fidelity contract at order 4). */
+  def score4(spark: SparkSession, dir: String, docs: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             scale: Int = 4): DataFrame = {
+    val (e, b123, m3, b23, m2, b2, c) = frames4(spark, dir)
+    NgramLM.kn4ScoreFromModel(docs, e, b123, m3, b23, m2, b2, c,
+      idCol, textCol, scale)
+  }
+
+  /** 4-gram-artifact row counts (entries, trigram histories, mid3
+    * entries, bigram histories, mid2 entries, unigram histories,
+    * continuation words). */
+  def sizes4(spark: SparkSession, dir: String)
+      : (Long, Long, Long, Long, Long, Long, Long) = {
+    val (e, b123, m3, b23, m2, b2, c) = frames4(spark, dir)
+    (e.count(), b123.count(), m3.count(), b23.count(), m2.count(),
+      b2.count(), c.count())
+  }
+
+  /** The n-gram order of a model artifact dir (4/3/2 by which entries
+    * table exists) — lets a caller holding only a model path (e.g.
+    * [[graft.tools.CuratePipeline]]'s `knModelDir`) score through the
+    * right seam without a format flag. */
   def order(dir: String): Int =
-    if (new java.io.File(s"$dir/$Entries3Table").exists()) 3 else 2
+    if (new java.io.File(s"$dir/$Entries4Table").exists()) 4
+    else if (new java.io.File(s"$dir/$Entries3Table").exists()) 3
+    else 2
 
   /** Score through whichever order the artifact carries ([[order]]);
     * output schema is normalized to (doc_id, n_grams, n_oov, avg_lp) so
     * callers are order-agnostic. */
   def scoreAny(spark: SparkSession, dir: String, docs: DataFrame,
                idCol: String = "doc_id", textCol: String = "text",
-               scale: Int = 4): DataFrame =
-    if (order(dir) == 3)
-      score3(spark, dir, docs, idCol, textCol, scale)
-        .withColumnRenamed("n_trigrams", "n_grams")
-    else
-      score(spark, dir, docs, idCol, textCol, scale)
-        .withColumnRenamed("n_bigrams", "n_grams")
+               scale: Int = 4): DataFrame = order(dir) match {
+    case 4 => score4(spark, dir, docs, idCol, textCol, scale)
+      .withColumnRenamed("n_quadgrams", "n_grams")
+    case 3 => score3(spark, dir, docs, idCol, textCol, scale)
+      .withColumnRenamed("n_trigrams", "n_grams")
+    case _ => score(spark, dir, docs, idCol, textCol, scale)
+      .withColumnRenamed("n_bigrams", "n_grams")
+  }
 }

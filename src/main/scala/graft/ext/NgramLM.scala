@@ -1372,6 +1372,200 @@ object NgramLM {
     } finally { c1234.unpersist(false); () }
   }
 
+  /** The entropy-pruned 4-GRAM KN model as seven BOUNDED frames — the
+    * serving artifact at q216's order ([[graft.ext.KnModel]] writes and
+    * loads them; the columnar equivalent of a pruned 4-gram ARPA
+    * file's sections):
+    *
+    *  - entries    (w1..w4, p): kept explicit probabilities;
+    *  - backoff123 (w1,w2,w3, gamma): renormalized γ4 per seen trigram
+    *    history (1.0 where nothing was kept);
+    *  - mid3       (w2,w3,w4, p): the level-3 continuation model
+    *    P̂3(w4|w2w3) per seen ĉ3 row;
+    *  - backoff23  (w2,w3, bow): its back-off weight D3·N1+(w2w3,·)/ĉ3(w2w3·);
+    *  - mid2       (w3,w4, p): the level-2 model P̂2(w4|w3) per seen ĉ2 row;
+    *  - backoff2   (w3, bow): its back-off weight D2·N1+(w3,·)/ĉ2(w3·);
+    *  - cont       (w4, pcont): the continuation distribution.
+    *
+    * The q210 fidelity contract carries: every stored double is the
+    * in-memory scorer's value, every unseen arm reduces bit-exactly to
+    * bow·lower (+0.0 + x = x), so [[kn4ScoreFromModel]] equals
+    * [[kn4PrunedLogLik]] EXACTLY — q218 drives export → load → score
+    * against q216's raw-text oracle. All frames are at most
+    * 4-gram-vocabulary-sized. */
+  def kn4PrunedModelFrames(counts: DataFrame, eps: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         DataFrame, DataFrame) = {
+    val c1234 = counts.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum("n").as("c1234")).persist()
+    try {
+      val h123 = c1234.groupBy("w1", "w2", "w3")
+        .agg(sum("c1234").as("c123dot"), count(lit(1)).as("nf123"))
+      val c3 = c1234.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("c3"))
+        .persist()
+      try {
+        val h23 = c3.groupBy("w2", "w3")
+          .agg(sum("c3").as("c3dot"), count(lit(1)).as("nf23"))
+        val c2 = c3.groupBy("w3", "w4").agg(count(lit(1)).as("c2"))
+          .persist()
+        try {
+          val h3 = c2.groupBy("w3")
+            .agg(sum("c2").as("c2dot"), count(lit(1)).as("nf3"))
+          val cont = c2.groupBy("w4").agg(count(lit(1)).as("nb"))
+          val tot4 = c1234.agg(
+            sum(when(col("c1234") === 1, 1L).otherwise(0L)).as("q_n1"),
+            sum(when(col("c1234") === 2, 1L).otherwise(0L)).as("q_n2"),
+            sum(col("c1234")).as("n4tok"))
+          val totC3 = c3.agg(
+            sum(when(col("c3") === 1, 1L).otherwise(0L)).as("r_n1"),
+            sum(when(col("c3") === 2, 1L).otherwise(0L)).as("r_n2"))
+          val totC2 = c2.agg(count(lit(1)).as("b"),
+            sum(when(col("c2") === 1, 1L).otherwise(0L)).as("s_n1"),
+            sum(when(col("c2") === 2, 1L).otherwise(0L)).as("s_n2"))
+          val d4 = when(col("q_n1") === 0, lit(0.5))
+            .otherwise(col("q_n1").cast("double") /
+              (col("q_n1") + lit(2) * col("q_n2")))
+          val d3 = when(col("r_n1") === 0, lit(0.5))
+            .otherwise(col("r_n1").cast("double") /
+              (col("r_n1") + lit(2) * col("r_n2")))
+          val d2 = when(col("s_n1") === 0, lit(0.5))
+            .otherwise(col("s_n1").cast("double") /
+              (col("s_n1") + lit(2) * col("s_n2")))
+          val pcont = col("nb").cast("double") / col("b")
+          // the scorer's exact expression shapes (greatest/coalesce
+          // kept even where the joined rows make them identities)
+          val pL2 =
+            greatest(coalesce(col("c2"), lit(0L)).cast("double") - d2,
+                lit(0.0)) / col("c2dot") +
+              (d2 * col("nf3") / col("c2dot")) * pcont
+          val pL3 =
+            greatest(coalesce(col("c3"), lit(0L)).cast("double") - d3,
+                lit(0.0)) / col("c3dot") +
+              (d3 * col("nf23") / col("c3dot")) * pL2
+          val kept = c1234.join(h123, Seq("w1", "w2", "w3"))
+            .join(c3, Seq("w2", "w3", "w4"))
+            .join(h23, Seq("w2", "w3")).join(c2, Seq("w3", "w4"))
+            .join(h3, Seq("w3")).join(cont, Seq("w4"))
+            .crossJoin(broadcast(tot4)).crossJoin(broadcast(totC3))
+            .crossJoin(broadcast(totC2))
+            .withColumn("loss", kn4Loss(d4, d3, d2))
+            .filter(col("loss") >= eps)
+            .persist()
+          try {
+            val pHiKept =
+              (col("c1234").cast("double") - d4) / col("c123dot") +
+                (d4 * col("nf123") / col("c123dot")) * pL3
+            val entries = kept.select(col("w1"), col("w2"), col("w3"),
+              col("w4"), pHiKept.as("p"))
+            val gam = kept.groupBy("w1", "w2", "w3")
+              .agg(count(lit(1)).as("k"), sum("c1234").as("s1234"),
+                sum("c3").as("s3"), sum("c2").as("s2"),
+                sum("nb").as("snb"))
+            val sumPL2Kept =
+              (col("s2").cast("double") - col("k") * d2) / col("c2dot") +
+                (d2 * col("nf3") / col("c2dot")) *
+                  (col("snb").cast("double") / col("b"))
+            val sumPL3Kept =
+              (col("s3").cast("double") - col("k") * d3) / col("c3dot") +
+                (d3 * col("nf23") / col("c3dot")) * sumPL2Kept
+            val sumPHiKept =
+              (col("s1234").cast("double") - col("k") * d4) / col("c123dot") +
+                (d4 * col("nf123") / col("c123dot")) * sumPL3Kept
+            val den4 = lit(1.0) - sumPL3Kept
+            val gamma4 = when(col("k").isNull, lit(1.0))
+              .when(den4 <= 0.0, lit(1.0))
+              .otherwise((lit(1.0) - sumPHiKept) / den4)
+            // γ's sums reference the lower histories' denominators —
+            // every (w1,w2,w3) history reaches h23/h3 (its own (w2,w3)
+            // and w3 are seen by construction)
+            val backoff123 = h123
+              .join(gam, Seq("w1", "w2", "w3"), "left")
+              .join(h23, Seq("w2", "w3")).join(h3, Seq("w3"))
+              .crossJoin(broadcast(tot4)).crossJoin(broadcast(totC3))
+              .crossJoin(broadcast(totC2))
+              .select(col("w1"), col("w2"), col("w3"), gamma4.as("gamma"))
+            val mid3 = c3.join(h23, Seq("w2", "w3")).join(c2, Seq("w3", "w4"))
+              .join(h3, Seq("w3")).join(cont, Seq("w4"))
+              .crossJoin(broadcast(totC3)).crossJoin(broadcast(totC2))
+              .select(col("w2"), col("w3"), col("w4"), pL3.as("p"))
+            val backoff23 = h23.crossJoin(broadcast(totC3))
+              .select(col("w2"), col("w3"),
+                (d3 * col("nf23") / col("c3dot")).as("bow"))
+            val mid2 = c2.join(h3, Seq("w3")).join(cont, Seq("w4"))
+              .crossJoin(broadcast(totC2))
+              .select(col("w3"), col("w4"), pL2.as("p"))
+            val backoff2 = h3.crossJoin(broadcast(totC2))
+              .select(col("w3"),
+                (d2 * col("nf3") / col("c2dot")).as("bow"))
+            val contP = cont.crossJoin(broadcast(totC2))
+              .select(col("w4"), pcont.as("pcont"))
+            (entries.localCheckpoint(true), backoff123.localCheckpoint(true),
+              mid3.localCheckpoint(true), backoff23.localCheckpoint(true),
+              mid2.localCheckpoint(true), backoff2.localCheckpoint(true),
+              contP.localCheckpoint(true))
+          } finally { kept.unpersist(false); () }
+        } finally { c2.unpersist(false); () }
+      } finally { c3.unpersist(false); () }
+    } finally { c1234.unpersist(false); () }
+  }
+
+  /** Score documents against a LOADED pruned 4-GRAM model artifact —
+    * seven equi-joins against the bounded frames, bit-identical to
+    * [[kn4PrunedLogLik]] (the [[kn4PrunedModelFrames]] fidelity
+    * contract). Arms: kept entry → p; γ stored for the (w1,w2,w3)
+    * history → γ·pLow3, else pLow3; pLow3 = stored mid3 p if (w2,w3,w4)
+    * stored, else bow23·pLow2 if (w2,w3) stored, else pLow2; pLow2 =
+    * stored mid2 p if (w3,w4) stored, else bow2·pcont if w3 stored,
+    * else pcont if w4 stored, else OOV. */
+  def kn4ScoreFromModel(docs: DataFrame, entries: DataFrame,
+                        backoff123: DataFrame, mid3: DataFrame,
+                        backoff23: DataFrame, mid2: DataFrame,
+                        backoff2: DataFrame, contP: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        scale: Int = 4): DataFrame = {
+    val grams = docQuadgrams(docs, idCol, textCol).persist()
+    try {
+      val plow2 = when(col("__m2").isNotNull, col("__m2"))
+        .when(col("__b2").isNotNull && col("pcont").isNotNull,
+          col("__b2") * col("pcont"))
+        .when(col("__b2").isNull && col("pcont").isNotNull, col("pcont"))
+      val plow3 = when(col("__m3").isNotNull, col("__m3"))
+        .when(col("__b23").isNotNull && plow2.isNotNull,
+          col("__b23") * plow2)
+        .otherwise(plow2)
+      grams
+        .join(entries.select(col("w1"), col("w2"), col("w3"), col("w4"),
+          col("p").as("__pe")), Seq("w1", "w2", "w3", "w4"), "left")
+        .join(backoff123.select(col("w1"), col("w2"), col("w3"),
+          col("gamma")), Seq("w1", "w2", "w3"), "left")
+        .join(mid3.select(col("w2"), col("w3"), col("w4"),
+          col("p").as("__m3")), Seq("w2", "w3", "w4"), "left")
+        .join(backoff23.select(col("w2"), col("w3"),
+          col("bow").as("__b23")), Seq("w2", "w3"), "left")
+        .join(mid2.select(col("w3"), col("w4"), col("p").as("__m2")),
+          Seq("w3", "w4"), "left")
+        .join(backoff2.select(col("w3"), col("bow").as("__b2")),
+          Seq("w3"), "left")
+        .join(contP, Seq("w4"), "left")
+        .withColumn("__plow3", plow3)
+        .withColumn("__p",
+          when(col("__pe").isNotNull, col("__pe"))
+            .when(col("gamma").isNotNull && col("__plow3").isNotNull,
+              col("gamma") * col("__plow3"))
+            .otherwise(col("__plow3")))
+        .withColumn("lp", col("n") * log(col("__p")))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_quadgrams"),
+          coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+            .as("n_oov"),
+          coalesce(
+            round(sum("lp") /
+              sum(when(col("lp").isNotNull, col("n"))), scale),
+            lit(0.0)).as("avg_lp"))
+        .localCheckpoint(true)
+    } finally { grams.unpersist(false); () }
+  }
+
   /** The shared 4-gram-KN scoring stage (callers manage `grams`). */
   private def kn4Score(grams: DataFrame, c1234Raw: DataFrame,
                        scale: Int): DataFrame = {

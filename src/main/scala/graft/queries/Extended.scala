@@ -5017,6 +5017,24 @@ ORDER BY doc_id"""
           Tables.documents(s, d), eps = Q216Eps).orderBy("doc_id")
       },
       Some(kn4PrunedOracleSql)),
+
+    ("q218_kn4_model_export",
+      (s: SparkSession, d: String) => {
+        // the serving seam at the 4-GRAM order — export/serving now
+        // exists at EVERY pruned order (q209/q210/q218): q216's model
+        // ships as SEVEN bounded parquet tables (the columnar pruned
+        // 4-gram ARPA shape — explicit entries, two intermediate
+        // continuation models with per-history back-off weights, the
+        // continuation distribution), loads back, and scores with NO
+        // raw counts — seven equi-joins. Stored doubles are the
+        // in-memory scorer's values, every unseen arm reduces
+        // bit-exactly to bow·lower, parquet round-trips IEEE bits, so
+        // the loop answers q216's full-recomputation oracle VERBATIM.
+        val st = q218ModelBuild(s, d)
+        graft.ext.KnModel.score4(s, st, Tables.documents(s, d))
+          .orderBy("doc_id")
+      },
+      Some(kn4PrunedOracleSql)),
   )
 
   /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
@@ -5291,6 +5309,13 @@ ORDER BY doc_id"""
         docs.filter(col("doc_id") % 3 === 0), 0L, cfg)
       graft.streaming.QuadgramStream.processBatch(
         docs.filter(col("doc_id") % 3 === 2), 2L, cfg)
+    }
+
+  /** q218's model artifact: export the pruned 4-GRAM model (at q216's
+    * eps) once per sf dir — the query scores from the LOADED artifact. */
+  private def q218ModelBuild(s: SparkSession, d: String): String =
+    graft.core.WorkDirs.ensureStore(s"kn4model_${Integer.toHexString(d.hashCode)}") { st =>
+      graft.ext.KnModel.export4(Tables.documents(s, d), Q216Eps, st)
     }
 
   /** q216/q217's oracle: the full three-level interpolated-KN replay
@@ -6062,7 +6087,8 @@ ORDER BY doc_id"""
     "q210_kn3_model_export" -> ((s, d) => q210ModelBuild(s, d): Unit),
     "q213_kn3_model_export_maintained" -> ((s, d) => q213ModelBuild(s, d): Unit),
     "q215_kn4_maintained" -> ((s, d) => q215StoreBuild(s, d): Unit),
-    "q217_kn4_pruned_maintained" -> ((s, d) => q215StoreBuild(s, d): Unit))
+    "q217_kn4_pruned_maintained" -> ((s, d) => q215StoreBuild(s, d): Unit),
+    "q218_kn4_model_export" -> ((s, d) => q218ModelBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

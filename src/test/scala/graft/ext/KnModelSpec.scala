@@ -131,13 +131,73 @@ class KnModelSpec extends SparkTestBase {
 
   test("scoreAny detects the artifact order and normalizes the schema") {
     val d2 = tmpDir("knm-any2"); val d3 = tmpDir("knm-any3")
+    val d4 = tmpDir("knm-any4")
     KnModel.export(corpus, 1e-3, d2)
     KnModel.export3(corpus, 1e-4, d3)
-    assert(KnModel.order(d2) == 2 && KnModel.order(d3) == 3)
-    val s2 = KnModel.scoreAny(spark, d2, corpus)
-    val s3 = KnModel.scoreAny(spark, d3, corpus)
-    assert(s2.columns.toSeq == Seq("doc_id", "n_grams", "n_oov", "avg_lp"))
-    assert(s3.columns.toSeq == Seq("doc_id", "n_grams", "n_oov", "avg_lp"))
-    assert(scores(s3) == scores(NgramLM.kn3PrunedLogLik(corpus, corpus, 1e-4)))
+    KnModel.export4(corpus, 3e-5, d4)
+    assert(KnModel.order(d2) == 2 && KnModel.order(d3) == 3 &&
+      KnModel.order(d4) == 4)
+    for (d <- Seq(d2, d3, d4))
+      assert(KnModel.scoreAny(spark, d, corpus).columns.toSeq ==
+        Seq("doc_id", "n_grams", "n_oov", "avg_lp"))
+    assert(scores(KnModel.scoreAny(spark, d3, corpus)) ==
+      scores(NgramLM.kn3PrunedLogLik(corpus, corpus, 1e-4)))
+  }
+
+  // ---- the 4-GRAM artifact (q218): the q210 contract at order 4 ----
+
+  test("4-gram export → load → score is bit-identical to the in-memory pruned scorer") {
+    val dir = tmpDir("knm4-a")
+    // prune at the corpus's median loss so BOTH arms are real on the
+    // small fixture (a production eps keeps nearly everything here)
+    val losses = NgramLM.kn4PruneEntries(corpus, 0.0)
+      .select("loss").as[Double].collect().sorted
+    val eps = losses(losses.length / 2)
+    KnModel.export4(corpus, eps, dir)
+    assert(scores(KnModel.score4(spark, dir, corpus)) ==
+      scores(NgramLM.kn4PrunedLogLik(corpus, corpus, eps)),
+      "the 4-gram artifact loop must not move a single bit")
+    val (e, b123, m3, b23, m2, b2, c) = KnModel.sizes4(spark, dir)
+    val ent = NgramLM.kn4PruneEntries(corpus, eps)
+      .select("kept").as[Boolean].collect()
+    assert(e == ent.count(identity).toLong)
+    assert(ent.exists(!_) && ent.exists(identity),
+      "the fixture prune must split")
+    val c1234 = NgramLM.corpusQuadgrams(corpus)
+      .as[(String, String, String, String, Long)].collect()
+    assert(b123 == c1234.map(t => (t._1, t._2, t._3)).distinct.length.toLong)
+    assert(m3 == c1234.map(t => (t._2, t._3, t._4)).distinct.length.toLong)
+    assert(b23 == c1234.map(t => (t._2, t._3)).distinct.length.toLong)
+    assert(m2 == c1234.map(t => (t._3, t._4)).distinct.length.toLong)
+    assert(b2 == c1234.map(_._3).distinct.length.toLong)
+    assert(c == c1234.map(_._4).distinct.length.toLong)
+  }
+
+  test("4-gram eps = 0 artifact reproduces the UNpruned kn4 scores") {
+    val dir = tmpDir("knm4-0")
+    KnModel.export4(corpus, 0.0, dir)
+    assert(scores(KnModel.score4(spark, dir, corpus)) ==
+      scores(NgramLM.kn4LogLik(corpus, corpus)),
+      "γ4 must reduce to the original back-off weight when nothing prunes")
+  }
+
+  test("4-gram load-side arms replay the in-memory scorer on cross-scored probes") {
+    val train = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "b b c d"),
+      (4L, "c a b c d e")).toDF("doc_id", "text")
+    for (eps <- Seq(1e-9, 1e9)) {
+      val dir = tmpDir(s"knm4-arms-$eps")
+      KnModel.export4(train, eps, dir)
+      val probes = Seq(
+        (1L, "a b c d"),  // explicit entry (kept at tiny eps, pruned at 1e9)
+        (2L, "z b c d"),  // unseen top history, seen (b,c,d) mid3
+        (3L, "z z c d"),  // unseen (w2,w3) too — mid2 path
+        (4L, "z z z d"),  // unseen w3 — pcont path
+        (5L, "a b c z")   // z never a continuation → OOV
+      ).toDF("doc_id", "text")
+      val got = scores(KnModel.score4(spark, dir, probes))
+      val want = scores(NgramLM.kn4PrunedLogLik(probes, train, eps))
+      assert(got == want, s"arm mismatch at eps=$eps: $got vs $want")
+      assert(got.exists(_._3 > 0), "an OOV probe must exercise the null arm")
+    }
   }
 }
