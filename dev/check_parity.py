@@ -8,7 +8,7 @@ loads each <outDir>/<name> parquet result, runs the matching oracle SQL from
 
 Usage: python3 dev/check_parity.py <sfDir> <outDir>
 """
-import json, os, sys, decimal, datetime
+import json, os, sys, time, decimal, datetime
 
 import duckdb
 import pyarrow.parquet as pq
@@ -44,6 +44,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # per-oracle DuckDB wall (r16; VERDICT r15 missing #1): the driver's
+    # comparator stage went dark when the contract crossed ~200 queries
+    # — verify_timings.json already proves the Spark dump side; this
+    # artifact proves the ORACLE side, so a driver-side comparator
+    # timeout is directly testable against the repo's own profile.
+    oracle_walls = {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -54,7 +60,9 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             print(f"  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
             continue
+        o_t0 = time.time()
         duck_t = con.execute(oracle[name]).arrow()
+        oracle_walls[name] = round(time.time() - o_t0, 3)
         duck_cols = duck_t.column_names
         duck_rows = [tuple(r[c] for c in duck_cols) for r in duck_t.to_pylist()]
         a = canon_table(spark_cols, spark_rows)
@@ -113,6 +121,14 @@ def main(sf_dir, out_dir):
                     print(f"✗ status: {name} rows {rows} != recorded {ent['rows']}")
                     n_bad += 1
         print(f"   (parity_status.json: {len(st)} entries cross-checked)")
+    if oracle_walls:
+        with open(os.path.join(out_dir, "oracle_timings.json"), "w") as f:
+            json.dump(oracle_walls, f, indent=0, sort_keys=True)
+        top = sorted(oracle_walls.items(), key=lambda kv: -kv[1])[:5]
+        print(f"   (oracle walls: total {sum(oracle_walls.values()):.1f} s"
+              f" over {len(oracle_walls)} queries; slowest "
+              + ", ".join(f"{k}={v:.1f}s" for k, v in top)
+              + " -> oracle_timings.json)")
     print(f"== {n_ok} ok, {n_bad} bad ==")
     return 1 if n_bad else 0
 

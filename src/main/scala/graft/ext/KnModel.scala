@@ -217,11 +217,29 @@ object KnModel {
   /** The n-gram order of a model artifact dir (4/3/2 by which entries
     * table exists) — lets a caller holding only a model path (e.g.
     * [[graft.tools.CuratePipeline]]'s `knModelDir`) score through the
-    * right seam without a format flag. */
-  def order(dir: String): Int =
-    if (new java.io.File(s"$dir/$Entries4Table").exists()) 4
-    else if (new java.io.File(s"$dir/$Entries3Table").exists()) 3
-    else 2
+    * right seam without a format flag.
+    *
+    * Existence resolves through the Hadoop FileSystem for the path —
+    * the same API every other artifact access uses (ADVICE r15: a
+    * `java.io.File` probe is local-paths-only, so an artifact on
+    * hdfs:///object storage silently fell through to order 2 and then
+    * failed with a confusing parquet read error). A dir carrying NO
+    * entries table is a bad model path, not a bigram model: throw a
+    * typed error naming the dir instead of guessing. */
+  def order(dir: String): Int = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    def exists(table: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, table)
+      p.getFileSystem(conf).exists(p)
+    }
+    if (exists(Entries4Table)) 4
+    else if (exists(Entries3Table)) 3
+    else if (exists(EntriesTable)) 2
+    else throw new IllegalArgumentException(
+      s"no KN model artifact at '$dir': none of $Entries4Table/" +
+        s"$Entries3Table/$EntriesTable exists — expected a dir written " +
+        "by KnModel.export/export3/export4")
+  }
 
   /** Score through whichever order the artifact carries ([[order]]);
     * output schema is normalized to (doc_id, n_grams, n_oov, avg_lp) so

@@ -383,7 +383,59 @@ object Unigram {
     val e1 = softExpectedCountsFixed(counts, inv, scale)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1).toIndexedSeq
-    softExpectedCountsFixed(counts, e1, scale)
+    // empty corpus / all posteriors rounded to zero: pass 1 produced
+    // no surviving pieces, so there is no θ' to renormalize — return
+    // the empty pass-1 frame instead of letting pass 2 trip
+    // softExpectedCountsFixed's non-empty-inventory require with an
+    // opaque IllegalArgumentException (ADVICE r15; the sibling soft-EM
+    // paths degrade gracefully on empty corpora the same way).
+    if (e1.isEmpty) emptyEFixedFrame(counts)
+    else softExpectedCountsFixed(counts, e1, scale)
+  }
+
+  /** The (piece STRING, e_fixed BIGINT) empty frame the fixed-point
+    * paths degrade to on an empty corpus. */
+  private def emptyEFixedFrame(counts: DataFrame): DataFrame =
+    counts.sparkSession.createDataFrame(
+      counts.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("piece",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("e_fixed",
+          org.apache.spark.sql.types.LongType))))
+
+  /** One PRUNED trainer round in fixed point (q220 — the full
+    * published training loop body: E-step, integer M-step, the Kudo
+    * §3.2 prune, then the next E-step under the pruned θ'): pass 1
+    * produces BIGINT expected counts under the seed θ; the prune keeps
+    * every single-codepoint piece (coverage is sacred — [[emTrain]]'s
+    * discipline) plus the top ⌈`keepMultiFrac`·|multis|⌉ multi-piece
+    * entries by (e_fixed DESC, piece ASC) — an INTEGER-ordered
+    * selection, so the kept set is engine-replayable with no
+    * fp-order anywhere; θ' renormalizes the survivors' integer counts
+    * (one double division of integers per piece, the
+    * [[softEmIterationFixed]] discipline — dropped mass reflows
+    * implicitly through the smaller denominator); pass 2 runs the
+    * lattice under θ'. Output: pass-2 (piece, e_fixed).
+    *
+    * Fidelity note: ties inside e_fixed break on the piece string —
+    * total, deterministic, and identical to the oracle's
+    * ROW_NUMBER() OVER (ORDER BY e DESC, piece). The pass-1 collect
+    * is inventory-bounded (the established discipline). */
+  def softEmPrunedIterationFixed(counts: DataFrame, inv: Seq[(String, Long)],
+                                 keepMultiFrac: Double = 0.75,
+                                 scale: Long = 1000000000L): DataFrame = {
+    require(keepMultiFrac >= 0.0 && keepMultiFrac <= 1.0,
+      s"keepMultiFrac must be a fraction, got $keepMultiFrac")
+    val e1 = softExpectedCountsFixed(counts, inv, scale)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    if (e1.isEmpty) return emptyEFixedFrame(counts)
+    val (singles, multis) = e1.partition { case (p, _) => pieceLen(p) == 1 }
+    val kept = multis.sortBy { case (p, e) => (-e, p) }
+      .take(math.ceil(keepMultiFrac * multis.size).toInt)
+    val inv2 = (singles ++ kept).sortBy(_._1)
+    if (inv2.isEmpty) emptyEFixedFrame(counts)
+    else softExpectedCountsFixed(counts, inv2, scale)
   }
 
   /** The soft E-step: expected piece counts (weighted by word

@@ -30,12 +30,22 @@ object Extended {
   val OracleAuxDir = s"${graft.core.WorkDirs.root}/target/oracle_aux"
 
   /** The exact-Jaccard recursive-closure CTE prefix shared by the
-    * cluster-grade oracles (q85/q121/q151/q152; q40 keeps its own tail
-    * variant): string 3-gram shingles, all-pairs Jaccard >= 0.5,
-    * symmetric edges, recursive reachability, component-min labels.
-    * ONE source of truth — a change to the closure semantics lands
-    * here, not in four copies. Ends mid-CTE-list (after `lbl,`);
-    * callers append their own CTEs / final SELECT. */
+    * cluster-grade oracles (q85/q121/q151/q152/q164/q165; q40/q51/q62/
+    * q89 inline the same pair stage): string 3-gram shingles, exact
+    * Jaccard >= 0.5 pairs, symmetric edges, recursive reachability,
+    * component-min labels. ONE source of truth — a change to the
+    * closure semantics lands here, not in four copies. Ends
+    * mid-CTE-list (after `lbl,`); callers append their own CTEs /
+    * final SELECT.
+    *
+    * Pair stage is the INVERTED-INDEX form since r16 (shingle →
+    * doc postings join, |A∩B| counted per pair, |A∪B| = n1+n2−|A∩B|
+    * over the distinct-shingle counts): value-identical to the old
+    * all-pairs `list_intersect` scan — the division's integer
+    * arguments are the same, pairs sharing no shingle cannot reach
+    * any positive threshold — but DuckDB runs it ~10× faster, part
+    * of the r16 comparator-wall cut (oracle_timings.json; the
+    * driver's correctness stage had been dark three rounds). */
   /** The unrolled BPE trainer chain shared by q155/q163 — ONE generator
     * instead of two drifting copies: per round, pair counts (pr) and
     * the lexicographic-tie argmax (b); the rewrite (e/m/run/sel ->
@@ -110,11 +120,17 @@ ORDER BY doc_id"""
       |  ELSE list_transform(range(1, len(toks) - 1),
       |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
       |  END) AS sh FROM tok),
+      |shx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |shn AS (SELECT doc_id, len(sh) AS n FROM sh),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    COUNT(*) AS i
+      |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
       |pairs AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |  SELECT id1, id2 FROM inter
+      |  JOIN shn c1 ON c1.doc_id = id1
+      |  JOIN shn c2 ON c2.doc_id = id2
+      |  WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5),
       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
       |reach AS (
       |  SELECT a, b FROM edges
@@ -773,13 +789,18 @@ ORDER BY doc_id"""
              |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
              |  ELSE list_transform(range(1, len(toks) - 1),
              |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-             |  END) AS sh FROM tok)
-             |SELECT a.doc_id AS id1, b.doc_id AS id2,
-             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+             |  END) AS sh FROM tok),
+             |shx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |shn AS (SELECT doc_id, len(sh) AS n FROM sh),
+             |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+             |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id1, id2,
+             |  CAST(i AS DOUBLE) / (c1.n + c2.n - i) AS jaccard
+             |FROM inter
+             |JOIN shn c1 ON c1.doc_id = id1
+             |JOIN shn c2 ON c2.doc_id = id2
+             |WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5
              |ORDER BY id1, id2""".stripMargin)),
 
     ("q27_dedup_simhash",
@@ -996,11 +1017,16 @@ ORDER BY doc_id"""
              |  ELSE list_transform(range(1, len(toks) - 1),
              |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
              |  END) AS sh FROM tok),
+             |shx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |shn AS (SELECT doc_id, len(sh) AS n FROM sh),
+             |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+             |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
              |pairs AS (
-             |  SELECT a.doc_id AS id1, b.doc_id AS id2
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |  SELECT id1, id2 FROM inter
+             |  JOIN shn c1 ON c1.doc_id = id1
+             |  JOIN shn c2 ON c2.doc_id = id2
+             |  WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5),
              |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
              |reach AS (
              |  SELECT a, b FROM edges
@@ -1105,11 +1131,16 @@ ORDER BY doc_id"""
              |  ELSE list_transform(range(1, len(toks) - 1),
              |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
              |  END) AS sh FROM tok),
+             |shx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |shn AS (SELECT doc_id, len(sh) AS n FROM sh),
+             |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+             |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
              |pairs AS (
-             |  SELECT a.doc_id AS id1, b.doc_id AS id2
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |  SELECT id1, id2 FROM inter
+             |  JOIN shn c1 ON c1.doc_id = id1
+             |  JOIN shn c2 ON c2.doc_id = id2
+             |  WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5),
              |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
              |reach AS (
              |  SELECT a, b FROM edges
@@ -1503,11 +1534,16 @@ ORDER BY doc_id"""
              |  ELSE list_transform(range(1, len(toks) - 1),
              |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
              |  END) AS sh FROM tok),
+             |shx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |shn AS (SELECT doc_id, len(sh) AS n FROM sh),
+             |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+             |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
              |pairs AS (
-             |  SELECT a.doc_id AS id1, b.doc_id AS id2
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |  SELECT id1, id2 FROM inter
+             |  JOIN shn c1 ON c1.doc_id = id1
+             |  JOIN shn c2 ON c2.doc_id = id2
+             |  WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5),
              |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
              |reach AS (
              |  SELECT a, b FROM edges
@@ -1822,11 +1858,16 @@ ORDER BY doc_id"""
              |  ELSE list_transform(range(1, len(toks) - 1),
              |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
              |  END) AS sh FROM tok),
+             |shx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |shn AS (SELECT doc_id, len(sh) AS n FROM sh),
+             |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+             |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
              |pairs AS (
-             |  SELECT a.doc_id AS id1, b.doc_id AS id2
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |  SELECT id1, id2 FROM inter
+             |  JOIN shn c1 ON c1.doc_id = id1
+             |  JOIN shn c2 ON c2.doc_id = id2
+             |  WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5),
              |sp AS (SELECT doc_id,
              |  CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 90 THEN 'train'
              |       WHEN ((doc_id % 1000003) * 2654435761) % 100 < 95 THEN 'val'
@@ -3054,10 +3095,16 @@ ORDER BY doc_id"""
              |  ELSE list_transform(range(1, len(toks) - 1),
              |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
              |  END) AS sh FROM tok),
-             |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-             |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |    len(list_distinct(list_concat(a.sh, b.sh))) AS j
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+             |shx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |shn AS (SELECT doc_id, len(sh) AS n FROM sh),
+             |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+             |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT id1, id2,
+             |    CAST(i AS DOUBLE) / (c1.n + c2.n - i) AS j
+             |  FROM inter
+             |  JOIN shn c1 ON c1.doc_id = id1
+             |  JOIN shn c2 ON c2.doc_id = id2),
              |ex AS (SELECT id1, id2,
              |    least(CAST(floor(j * 10) AS BIGINT), 9) AS j_decile
              |  FROM pairs WHERE j >= 0.5),
@@ -5035,6 +5082,51 @@ ORDER BY doc_id"""
           .orderBy("doc_id")
       },
       Some(kn4PrunedOracleSql)),
+
+    ("q219_kn_model_score_sql",
+      (s: SparkSession, d: String) => {
+        // the SQL face of serving-artifact scoring (VERDICT r15
+        // missing #3: a SQL-only user could reach the self-trained
+        // kn_score/kn3_score/kn_pruned_score TVFs but NOT an exported
+        // model dir — the deployment path CuratePipeline's CCNet gate
+        // uses). `kn_model_score('docs', dir)` auto-detects the
+        // artifact's order (KnModel.scoreAny) and normalizes the
+        // schema to (doc_id, n_grams, n_oov, avg_lp); here it scores
+        // q210's pruned-trigram export, so the TVF expansion must
+        // answer q207's full raw-text recomputation oracle (modulo
+        // the order-agnostic n_grams alias) — the whole
+        // export → load → SQL-score loop under one hash.
+        val st = q210ModelBuild(s, d)
+        Tables.documents(s, d).createOrReplaceTempView("q219_docs")
+        s.sql(s"SELECT * FROM kn_model_score('q219_docs', '$st')")
+          .orderBy("doc_id")
+      },
+      // q207/q210's oracle verbatim, with the scoreAny-normalized
+      // gram-count alias (n_trigrams → n_grams)
+      Some(kn3PrunedOracleSql.replace("AS n_trigrams", "AS n_grams"))),
+
+    ("q220_soft_em_pruned_iteration",
+      (s: SparkSession, d: String) => {
+        // the full published trainer ROUND under the hash (PLANS r15
+        // candidate #1: q214 is one loop body; the trainer interleaves
+        // the Kudo §3.2 prune between iterations): E-step 1 under the
+        // q191 seed θ, the integer M-step, then the PRUNE — keep every
+        // single-codepoint piece plus the top ⌈0.75·|multis|⌉ by
+        // (e_fixed DESC, piece ASC), a purely INTEGER-ordered
+        // selection — θ' renormalizes the survivors, E-step 2 runs
+        // under θ'. Nothing fp-order-sensitive exists anywhere: both
+        // lattice passes round per-occurrence to ⌊e·10⁹+0.5⌋ before
+        // any accumulation, the kept set is an integer sort, and the
+        // oracle replays passes, M-step, and prune from the
+        // q191_pieces dump alone.
+        val inv = q191Pieces(s, d)
+          .map { case (p, cost) => (p, graft.ext.Unigram.CostScale - cost) }
+        graft.ext.Unigram.softEmPrunedIterationFixed(
+            WordPiece.wordCounts(Tables.documents(s, d)), inv,
+            keepMultiFrac = 0.75)
+          .orderBy("piece")
+      },
+      Some(softEmPrunedIterationOracleSql)),
   )
 
   /** q203's oracle: the full two-level interpolated-KN replay. D3/D2
@@ -5277,6 +5369,36 @@ ORDER BY doc_id"""
        |p1 AS MATERIALIZED (SELECT piece,
        |    CAST(e AS DOUBLE) / (SELECT CAST(SUM(e) AS DOUBLE) FROM e1) AS th
        |  FROM e1),
+       |${softLatticeBlock("1", "p1")}
+       |SELECT piece, CAST(SUM(cf * n) AS BIGINT) AS e_fixed
+       |FROM occ1 GROUP BY piece
+       |HAVING SUM(cf * n) > 0
+       |ORDER BY piece""".stripMargin
+
+  /** q220's oracle: the q214 two-pass replay with the Kudo prune
+    * between the iterations — singles always kept, multis ranked by
+    * (e DESC, piece ASC) and cut at ⌈0.75·|multis|⌉ (both engines
+    * compute ceil over the same IEEE product of an integer count), θ'
+    * renormalized over the survivors' BIGINT counts. The MATERIALIZED
+    * chain follows the softLatticeBlock scaladoc's DuckDB-1.0.0
+    * discipline: every frame a recursion consumes is materialized. */
+  private def softEmPrunedIterationOracleSql: String =
+    s"""WITH RECURSIVE
+       |$softOraclePreamble,
+       |${softLatticeBlock("0", "p0")},
+       |e1 AS MATERIALIZED (SELECT piece, CAST(SUM(cf * n) AS BIGINT) AS e
+       |  FROM occ0 GROUP BY piece HAVING SUM(cf * n) > 0),
+       |km AS MATERIALIZED (SELECT piece, e,
+       |    ROW_NUMBER() OVER (ORDER BY e DESC, piece) AS rn
+       |  FROM e1 WHERE len(piece) > 1),
+       |inv1 AS MATERIALIZED (
+       |  SELECT piece, e FROM e1 WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, e FROM km
+       |  WHERE rn <= CAST(ceil(0.75 * (SELECT COUNT(*) FROM km)) AS BIGINT)),
+       |p1 AS MATERIALIZED (SELECT piece,
+       |    CAST(e AS DOUBLE) / (SELECT CAST(SUM(e) AS DOUBLE) FROM inv1) AS th
+       |  FROM inv1),
        |${softLatticeBlock("1", "p1")}
        |SELECT piece, CAST(SUM(cf * n) AS BIGINT) AS e_fixed
        |FROM occ1 GROUP BY piece
@@ -5802,41 +5924,67 @@ ORDER BY doc_id"""
   private def q196ReplaySql: String = {
     val iters = 2; val target = 24; val K = "1000000000000"
     // one forward-DP block over the distinct words against inventory
-    // `inv`: best[j] (1-based) = optimal cost of the first j-1 chars
+    // `inv`: best[j] (1-based) = optimal cost of the first j-1 chars.
+    //
+    // LEFT-JOIN form (r16): the original correlated-scalar-subquery
+    // form (`SELECT MIN(...) FROM unnest JOIN inv`) re-executed the
+    // subquery chain PER RECURSION ROW in DuckDB — this one oracle
+    // cost 491 s of the 727 s sf0.01 comparator total
+    // (oracle_timings.json), the prime timeout suspect for the
+    // drivers' three dark correctness rounds, which began exactly
+    // when q196 entered the contract. One LEFT JOIN per piece length
+    // + LEAST is the softLatticeBlock discipline (also the
+    // DuckDB-1.0.0-safe form); all arithmetic stays BIGINT, so the
+    // replayed DP is bit-identical.
     def dpBlock(name: String, inv: String): String =
       s"""$name AS (
          |  SELECT word, 0 AS pos, CAST([0] AS BIGINT[]) AS best FROM uw
          |  UNION ALL
          |  SELECT d.word, d.pos + 1,
-         |    list_append(d.best, coalesce(
-         |      (SELECT MIN(d.best[d.pos + 2 - l.l] + pp.cost)
-         |       FROM unnest([1, 2, 3, 4]) AS l(l)
-         |       JOIN $inv pp ON pp.piece = substr(d.word, d.pos + 2 - l.l, l.l)
-         |       WHERE l.l <= d.pos + 1),
+         |    list_append(d.best, coalesce(LEAST(
+         |        d.best[d.pos + 1] + t1.cost,
+         |        CASE WHEN d.pos >= 1 THEN d.best[d.pos] + t2.cost END,
+         |        CASE WHEN d.pos >= 2 THEN d.best[d.pos - 1] + t3.cost END,
+         |        CASE WHEN d.pos >= 3 THEN d.best[d.pos - 2] + t4.cost END),
          |      d.best[d.pos + 1] + $K))
-         |  FROM $name d WHERE d.pos < len(d.word))""".stripMargin
+         |  FROM $name d
+         |  LEFT JOIN $inv t1 ON t1.piece = substr(d.word, d.pos + 1, 1)
+         |  LEFT JOIN $inv t2 ON t2.piece = substr(d.word, d.pos, 2)
+         |  LEFT JOIN $inv t3 ON t3.piece = substr(d.word, d.pos - 1, 3)
+         |  LEFT JOIN $inv t4 ON t4.piece = substr(d.word, d.pos - 2, 4)
+         |  WHERE d.pos < len(d.word))""".stripMargin
     // one EM iteration: DP + backtrace (longest piece achieving the
     // optimum; no match → the single-char cost-K fallback, emitted as
-    // that char) + usage + the M-step prune
+    // that char) + usage + the M-step prune. Backtrace picks MAX l
+    // with best[p−l+1] + cost = best[p+1]: the CASE probes l=4 first
+    // (a NULL cost or failed guard falls through), ELSE the
+    // single-char fallback — the LATERAL MAX subquery's semantics in
+    // the join+CASE form.
     def emBlock(i: Int): String = {
       val prev = s"p${i - 1}"
       s"""${dpBlock(s"dp$i", prev)},
-         |wb$i AS (SELECT word, best FROM dp$i WHERE pos = len(word)),
+         |wb$i AS MATERIALIZED (SELECT word, best FROM dp$i WHERE pos = len(word)),
          |bt$i AS (
-         |  SELECT word, len(word) AS p, CAST(NULL AS VARCHAR) AS piece FROM uw
+         |  SELECT word, len(word) AS p, CAST(NULL AS VARCHAR) AS piece,
+         |    0 AS ch FROM uw
          |  UNION ALL
-         |  SELECT b.word, b.p - ch.l, substr(b.word, b.p - ch.l + 1, ch.l)
-         |  FROM bt$i b JOIN wb$i w USING (word),
-         |    LATERAL (SELECT coalesce(
-         |        (SELECT MAX(l.l) FROM unnest([1, 2, 3, 4]) AS l(l)
-         |         JOIN $prev pp ON pp.piece = substr(b.word, b.p - l.l + 1, l.l)
-         |         WHERE l.l <= b.p
-         |           AND w.best[b.p - l.l + 1] + pp.cost = w.best[b.p + 1]), 1) AS l) ch
-         |  WHERE b.p > 0),
-         |us$i AS (SELECT piece, SUM(wc.n) AS u
+         |  SELECT word, p - ch, substr(word, p - ch + 1, ch), ch FROM (
+         |    SELECT b.word, b.p, CASE
+         |        WHEN b.p >= 4 AND w.best[b.p - 3] + q4.cost = w.best[b.p + 1] THEN 4
+         |        WHEN b.p >= 3 AND w.best[b.p - 2] + q3.cost = w.best[b.p + 1] THEN 3
+         |        WHEN b.p >= 2 AND w.best[b.p - 1] + q2.cost = w.best[b.p + 1] THEN 2
+         |        WHEN b.p >= 1 AND w.best[b.p] + q1.cost = w.best[b.p + 1] THEN 1
+         |        ELSE 1 END AS ch
+         |    FROM bt$i b JOIN wb$i w USING (word)
+         |    LEFT JOIN $prev q1 ON q1.piece = substr(b.word, b.p, 1)
+         |    LEFT JOIN $prev q2 ON q2.piece = substr(b.word, b.p - 1, 2)
+         |    LEFT JOIN $prev q3 ON q3.piece = substr(b.word, b.p - 2, 3)
+         |    LEFT JOIN $prev q4 ON q4.piece = substr(b.word, b.p - 3, 4)
+         |    WHERE b.p > 0)),
+         |us$i AS MATERIALIZED (SELECT piece, SUM(wc.n) AS u
          |  FROM bt$i JOIN wc USING (word) WHERE piece IS NOT NULL
          |  GROUP BY piece),
-         |p$i AS (
+         |p$i AS MATERIALIZED (
          |  SELECT pp.piece, $K - coalesce(u.u, 0) AS cost
          |  FROM $prev pp LEFT JOIN us$i u USING (piece)
          |  WHERE len(pp.piece) = 1
@@ -5854,8 +6002,8 @@ ORDER BY doc_id"""
        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |        FROM documents WHERE text IS NOT NULL),
        |       unnest(range(1, len(toks) + 1)) AS u(i)),
-       |wc AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
-       |uw AS (SELECT word FROM wc),
+       |wc AS MATERIALIZED (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+       |uw AS MATERIALIZED (SELECT word FROM wc),
        |${(1 to iters).map(emBlock).mkString(",\n")},
        |${dpBlock("dpf", s"p$iters")},
        |wcost AS (SELECT word, best[len(word) + 1] AS cost
@@ -6088,7 +6236,8 @@ ORDER BY doc_id"""
     "q213_kn3_model_export_maintained" -> ((s, d) => q213ModelBuild(s, d): Unit),
     "q215_kn4_maintained" -> ((s, d) => q215StoreBuild(s, d): Unit),
     "q217_kn4_pruned_maintained" -> ((s, d) => q215StoreBuild(s, d): Unit),
-    "q218_kn4_model_export" -> ((s, d) => q218ModelBuild(s, d): Unit))
+    "q218_kn4_model_export" -> ((s, d) => q218ModelBuild(s, d): Unit),
+    "q219_kn_model_score_sql" -> ((s, d) => q210ModelBuild(s, d): Unit))
 
   /** Memoized maintained-ANN store build for q179: the query ranks over
     * the store and the aux dump emits its candidate set — one build per

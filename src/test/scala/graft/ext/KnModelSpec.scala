@@ -144,6 +144,21 @@ class KnModelSpec extends SparkTestBase {
       scores(NgramLM.kn3PrunedLogLik(corpus, corpus, 1e-4)))
   }
 
+  test("order() raises a typed error on a dir carrying no entries table (r16)") {
+    // ADVICE r15: the old java.io.File probe silently defaulted a bad
+    // (or non-local) path to order 2 and then failed with a confusing
+    // parquet error downstream; existence now resolves through the
+    // Hadoop FileSystem and a model-less dir names itself in the error
+    val e = intercept[IllegalArgumentException] {
+      KnModel.order(tmpDir("knm-empty"))
+    }
+    assert(e.getMessage.contains("no KN model artifact"))
+    // a scheme-qualified local URI resolves through the same FS API
+    val d3 = tmpDir("knm-uri")
+    KnModel.export3(corpus, 1e-4, d3)
+    assert(KnModel.order("file://" + d3) == 3)
+  }
+
   // ---- the 4-GRAM artifact (q218): the q210 contract at order 4 ----
 
   test("4-gram export → load → score is bit-identical to the in-memory pruned scorer") {

@@ -149,6 +149,52 @@ class UnigramSoftEmSpec extends SparkTestBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("fixed-point iteration degrades gracefully on an empty corpus (r16)") {
+    // ADVICE r15: an empty corpus (or posteriors all rounding to zero)
+    // left pass 1 with no surviving pieces, and pass 2 then tripped
+    // softExpectedCountsFixed's non-empty-inventory require with an
+    // opaque IllegalArgumentException — the sibling soft-EM paths
+    // degrade to empty/zero results instead. Now: the empty pass-1
+    // frame comes back, schema intact.
+    val empty = Seq.empty[(String, Long)].toDF("word", "n")
+    val out = Unigram.softEmIterationFixed(empty,
+      Seq(("a", 2L), ("ab", 5L), ("b", 3L)))
+    assert(out.columns.toSeq == Seq("piece", "e_fixed"))
+    assert(out.schema("e_fixed").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.count() == 0L)
+  }
+
+  test("pruned trainer round: Kudo cut keeps singles + top multis, then pass 2 (r16)") {
+    // corpus: 'ab' ×3, 'cd' ×1 — piece 'ab' accumulates more expected
+    // count than 'cd', so at keepMultiFrac = 0.5 the prune keeps 'ab'
+    // and drops 'cd'; every single survives unconditionally
+    val counts = Seq(("ab", 3L), ("cd", 1L)).toDF("word", "n")
+    val inv = Seq(("a", 2L), ("ab", 5L), ("b", 3L), ("c", 2L),
+      ("cd", 5L), ("d", 3L))
+    val e1 = Unigram.softExpectedCountsFixed(counts, inv)
+      .as[(String, Long)].collect().toMap
+    assert(e1("ab") > e1("cd"), "fixture: 'ab' must outweigh 'cd'")
+    // expected pass-2: the hand-derived pruned inventory through the
+    // plain fixed-point E-step (renormalization lives inside it)
+    val inv2 = (e1.filter(_._1.length == 1) + ("ab" -> e1("ab")))
+      .toSeq.sortBy(_._1)
+    val want = Unigram.softExpectedCountsFixed(counts, inv2)
+      .as[(String, Long)].collect().toMap
+    val got = Unigram.softEmPrunedIterationFixed(counts, inv,
+      keepMultiFrac = 0.5).as[(String, Long)].collect().toMap
+    assert(got == want, s"got $got want $want")
+    assert(!got.contains("cd"), "the pruned multi must vanish from pass 2")
+    // keepMultiFrac = 1.0 prunes nothing: equals the plain iteration
+    assert(Unigram.softEmPrunedIterationFixed(counts, inv, 1.0)
+        .as[(String, Long)].collect().toMap ==
+      Unigram.softEmIterationFixed(counts, inv)
+        .as[(String, Long)].collect().toMap)
+    // empty corpus degrades like the sibling paths
+    assert(Unigram.softEmPrunedIterationFixed(
+      Seq.empty[(String, Long)].toDF("word", "n"), inv).count() == 0L)
+  }
+
   test("fixed-point corpus sums are partitioning-invariant (integer, order-free)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull).limit(60)

@@ -521,6 +521,56 @@ class CuratePipelineSpec extends SparkTestBase {
     }
   }
 
+  test("round-16: fully-OOV docs drop at the KN gate instead of always passing") {
+    // ADVICE r15: the scorers coalesce a fully-OOV doc's avg_lp to 0.0
+    // — the MAXIMUM, since real log-probs are negative — so under a
+    // pretrained reference model (where OOV can occur, unlike the
+    // self-trained gate) the least-covered docs always passed AND
+    // pulled the percentile threshold upward, inverting the filter.
+    // Fixture: a model trained on an in-vocab corpus, then a doc set
+    // mixing scoreable docs with docs made ENTIRELY of unseen tokens.
+    val trainTxt = "the quick brown fox jumps over the lazy dog again and again"
+    val train = (1L to 8L).map(i => (i, trainTxt)).toDF("doc_id", "text")
+    val dir = tmpDir("curate-knm-oov")
+    graft.ext.KnModel.export3(train, 1e-4, dir)
+    val mk = (id: Long, text: String) =>
+      (id, text, "en", "src", text.length.toLong)
+    // distinct texts throughout — curateCorpus near-dedups at 0.5, so
+    // duplicate fixtures would collapse before the KN gate
+    val docs = Seq(
+      mk(1L, "dog fox the brown lazy over jumps quick the again and"), // shuffled: worse avg_lp
+      mk(2L, trainTxt), // fluent under the model
+      mk(100L, "zzq wwk vvx uui ttb rrn ppl mmd kkf hhg zzq wwk"), // fully OOV
+      mk(101L, "qqa qqb qqc qqd qqe qqf qqg qqh qqi qqj qqa qqb")  // fully OOV
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // fixture sanity: the OOV docs must SURVIVE the heuristic gate, so
+    // the KN gate is genuinely what drops them below
+    val heurIds = graft.ext.TextAnalysis
+      .curateCorpus(docs, 0.0, Seq("en", "de", "es", "fr", "und"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(Seq(100L, 101L).forall(heurIds.contains),
+      s"fixture: OOV docs must reach the KN gate, heuristics kept $heurIds")
+    def run(q: Double) = CuratePipeline.run(spark, docs,
+      minQuality = 0.0, langs = Seq("en", "de", "es", "fr", "und"),
+      tokenBudget = 100000, perSourceCap = 1000000,
+      knModelDir = Some(dir), knKeepQuantile = q)
+      .select("doc_id").as[Long].collect().toSet
+    val gated = run(0.5)
+    assert(!gated.contains(100L) && !gated.contains(101L),
+      s"fully-OOV docs must drop at the KN gate, got $gated")
+    // the threshold came from the SCOREABLE docs alone: the fluent doc
+    // sits above the {fluent, shuffled} midpoint and survives — under
+    // the inverted (pre-fix) gate the two OOV docs' coalesced 0.0
+    // scores pull the median ABOVE every real log-prob and doc 2 drops
+    assert(gated.contains(2L),
+      s"the fluent in-vocab doc must survive the median gate, got $gated")
+    // even a keep-everything quantile never readmits unscorable docs
+    val all = run(0.0)
+    assert(!all.contains(100L) && !all.contains(101L))
+    assert(Seq(1L, 2L).forall(all.contains),
+      s"quantile 0 must keep every scoreable doc, got $all")
+  }
+
   test("round-13 stage: BFD shard layout never overflows the capacity") {
     val docs = Tables.documents(spark, sf)
     def run() = CuratePipeline.run(spark, docs,
