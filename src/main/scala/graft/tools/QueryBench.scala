@@ -20,6 +20,8 @@ object QueryBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
+      // same surface as Bench/Verify — TVF-faced queries (q219) resolve
+      .withExtensions(new graft.core.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -35,5 +35,14 @@ object SparkTestBase {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
     .config("spark.ui.enabled", "false")
+    // the engine's full surface (native fns, TVFs, optimizer rules) —
+    // the same extensions every driver-contract session (Bench, Verify,
+    // GraftSession) loads. Required since q219 entered the contract: its
+    // SQL face resolves the kn_model_score TVF, so the shared test
+    // session must carry the registry; without this the "every declared
+    // query runs" gate depended on SUITE ORDERING (green only when an
+    // extensions-loaded spec session happened to become the default
+    // session first).
+    .withExtensions(new graft.core.GraftExtensions)
     .getOrCreate()
 }
