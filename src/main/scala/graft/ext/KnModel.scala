@@ -41,12 +41,16 @@ object KnModel {
   /** [[export]] from an aggregated (w1, w2, n) count frame — the
     * maintained-store composition ([[graft.streaming.BigramStream
     * .bigramCounts]] feeds it directly). */
-  def exportFromCounts(counts: DataFrame, eps: Double, dir: String): Unit = {
-    val (entries, backoff, contP) = NgramLM.knPrunedModelFrames(counts, eps)
-    entries.write.mode("overwrite").parquet(s"$dir/$EntriesTable")
-    backoff.write.mode("overwrite").parquet(s"$dir/$BackoffTable")
-    contP.write.mode("overwrite").parquet(s"$dir/$ContTable")
-  }
+  def exportFromCounts(counts: DataFrame, eps: Double, dir: String): Unit =
+    // the parquet write IS the materialization: frames are written
+    // inside the derivation's cache scope, skipping the per-frame eager
+    // checkpoint the tuple API pays (r16; stored doubles unchanged —
+    // same expressions, same values)
+    NgramLM.withKnPrunedModelFrames(counts, eps) { (entries, backoff, contP) =>
+      entries.write.mode("overwrite").parquet(s"$dir/$EntriesTable")
+      backoff.write.mode("overwrite").parquet(s"$dir/$BackoffTable")
+      contP.write.mode("overwrite").parquet(s"$dir/$ContTable")
+    }
 
   /** Load the three model frames from an exported artifact. */
   def frames(spark: SparkSession,
@@ -107,15 +111,16 @@ object KnModel {
     * maintained-store composition ([[graft.streaming.TrigramStream
     * .trigramCounts]] feeds it directly). */
   def export3FromCounts(counts: DataFrame, eps: Double,
-                        dir: String): Unit = {
-    val (entries, backoff12, mid, backoff2, contP) =
-      NgramLM.kn3PrunedModelFrames(counts, eps)
-    entries.write.mode("overwrite").parquet(s"$dir/$Entries3Table")
-    backoff12.write.mode("overwrite").parquet(s"$dir/$Backoff12Table")
-    mid.write.mode("overwrite").parquet(s"$dir/$Mid3Table")
-    backoff2.write.mode("overwrite").parquet(s"$dir/$Backoff2Table")
-    contP.write.mode("overwrite").parquet(s"$dir/$Cont3Table")
-  }
+                        dir: String): Unit =
+    // write-inside-the-scope, as [[exportFromCounts]] (r16)
+    NgramLM.withKn3PrunedModelFrames(counts, eps) {
+      (entries, backoff12, mid, backoff2, contP) =>
+        entries.write.mode("overwrite").parquet(s"$dir/$Entries3Table")
+        backoff12.write.mode("overwrite").parquet(s"$dir/$Backoff12Table")
+        mid.write.mode("overwrite").parquet(s"$dir/$Mid3Table")
+        backoff2.write.mode("overwrite").parquet(s"$dir/$Backoff2Table")
+        contP.write.mode("overwrite").parquet(s"$dir/$Cont3Table")
+    }
 
   /** Load the five trigram model frames from an exported artifact. */
   def frames3(spark: SparkSession, dir: String)
@@ -169,17 +174,18 @@ object KnModel {
     * maintained-store composition ([[graft.streaming.QuadgramStream
     * .quadgramCounts]] feeds it directly). */
   def export4FromCounts(counts: DataFrame, eps: Double,
-                        dir: String): Unit = {
-    val (e, b123, m3, b23, m2, b2, c) =
-      NgramLM.kn4PrunedModelFrames(counts, eps)
-    e.write.mode("overwrite").parquet(s"$dir/$Entries4Table")
-    b123.write.mode("overwrite").parquet(s"$dir/$Backoff123Table")
-    m3.write.mode("overwrite").parquet(s"$dir/$Mid43Table")
-    b23.write.mode("overwrite").parquet(s"$dir/$Backoff23Table")
-    m2.write.mode("overwrite").parquet(s"$dir/$Mid42Table")
-    b2.write.mode("overwrite").parquet(s"$dir/$Backoff4_2Table")
-    c.write.mode("overwrite").parquet(s"$dir/$Cont4Table")
-  }
+                        dir: String): Unit =
+    // write-inside-the-scope, as [[exportFromCounts]] (r16)
+    NgramLM.withKn4PrunedModelFrames(counts, eps) {
+      (e, b123, m3, b23, m2, b2, c) =>
+        e.write.mode("overwrite").parquet(s"$dir/$Entries4Table")
+        b123.write.mode("overwrite").parquet(s"$dir/$Backoff123Table")
+        m3.write.mode("overwrite").parquet(s"$dir/$Mid43Table")
+        b23.write.mode("overwrite").parquet(s"$dir/$Backoff23Table")
+        m2.write.mode("overwrite").parquet(s"$dir/$Mid42Table")
+        b2.write.mode("overwrite").parquet(s"$dir/$Backoff4_2Table")
+        c.write.mode("overwrite").parquet(s"$dir/$Cont4Table")
+    }
 
   /** Load the seven 4-gram model frames from an exported artifact. */
   def frames4(spark: SparkSession, dir: String)

@@ -380,53 +380,61 @@ object NgramLM {
         val (hist, cont, tot) = knModelFrames(c12)
         val d = knD
         val pcont = col("nb").cast("double") / col("b")
-        val kept = knPruneEntriesFromCounts(c12, eps)
+        // per-history integer aggregates over the kept set: k entries,
+        // Σ c12, Σ nb — γ derives from these in one expression. The kept
+        // frame is LAZY (r16): its only consumer is this model-sized
+        // aggregate — the scoring join no longer reads it (the kept
+        // decision re-evaluates INLINE per scored gram below), so the
+        // old kept persist and the grams⋈kept join both drop out.
+        val gam = knPruneEntriesFromCounts(c12, eps)
           .filter(col("kept"))
-          .select(col("w1"), col("w2"), lit(true).as("__kept"),
-            col("c12").as("__kc12"), col("nb").as("__knb"))
-          .persist() // the γ aggregate AND the scoring join read it
-        try {
-          // per-history integer aggregates over the kept set: k entries,
-          // Σ c12, Σ nb — γ derives from these in one expression
-          val gam = kept.groupBy("w1").agg(count(lit(1)).as("k"),
-            sum("__kc12").as("s12"), sum("__knb").as("snb"))
-          val pSeen = (col("c12").cast("double") - d) / col("c1") +
-            (d * col("nf") / col("c1")) * pcont
-          val num = lit(1.0) -
-            (col("s12").cast("double") - col("k") * d) / col("c1") -
-            (d * col("nf") / col("c1")) *
-              (col("snb").cast("double") / col("b"))
-          val den = lit(1.0) - col("snb").cast("double") / col("b")
-          // den = 0 ⟺ the kept set covers the ENTIRE continuation
-          // vocabulary for this history — then no in-vocab w2 can reach
-          // the back-off arm, so γ is unreachable; pin 1.0 (num is 0 by
-          // the same telescope) rather than emit NaN
-          val gamma = when(col("k").isNull, lit(1.0))
-            .when(den <= 0.0, lit(1.0))
-            .otherwise(num / den)
-          grams
-            .join(c12, Seq("w1", "w2"), "left")
-            .join(kept.select("w1", "w2", "__kept"), Seq("w1", "w2"), "left")
-            .join(hist, Seq("w1"), "left")
-            .join(cont, Seq("w2"), "left")
-            .join(gam, Seq("w1"), "left")
-            .crossJoin(broadcast(tot))
-            .withColumn("p",
-              when(col("__kept").isNotNull, pSeen)
-                .when(col("c1").isNotNull && col("nb").isNotNull,
-                  gamma * pcont)
-                .when(col("c1").isNull && col("nb").isNotNull, pcont))
-            .withColumn("lp", col("n") * log(col("p")))
-            .groupBy("doc_id")
-            .agg(sum("n").as("n_bigrams"),
-              coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
-                .as("n_oov"),
-              coalesce(
-                round(sum("lp") /
-                  sum(when(col("lp").isNotNull, col("n"))), scale),
-                lit(0.0)).as("avg_lp"))
-            .localCheckpoint(true)
-        } finally { kept.unpersist(false); () }
+          .groupBy("w1").agg(count(lit(1)).as("k"),
+            sum("c12").as("s12"), sum("nb").as("snb"))
+        // γ rides on the history frame (same key), so the scoring chain
+        // pays ONE (w1) join instead of two (r16; guide §2.4 — two
+        // lookups keyed the same way share one join)
+        val histg = hist.join(gam, Seq("w1"), "left")
+        val bow = d * col("nf") / col("c1")
+        val pSeen = (col("c12").cast("double") - d) / col("c1") + bow * pcont
+        // the kept decision, inline: the SAME composed expression
+        // [[knPruneEntriesFromCounts]] evaluates over the same integer
+        // columns (joined here instead of there) ⇒ bit-identical loss,
+        // identical decision. A gram unseen in training nulls c12, the
+        // comparison, and the arm — exactly the old missed-join arm.
+        val loss = round((col("c12").cast("double") / col("ntok")) *
+          (log(pSeen) - log(bow * pcont)), 9)
+        val num = lit(1.0) -
+          (col("s12").cast("double") - col("k") * d) / col("c1") -
+          (d * col("nf") / col("c1")) *
+            (col("snb").cast("double") / col("b"))
+        val den = lit(1.0) - col("snb").cast("double") / col("b")
+        // den = 0 ⟺ the kept set covers the ENTIRE continuation
+        // vocabulary for this history — then no in-vocab w2 can reach
+        // the back-off arm, so γ is unreachable; pin 1.0 (num is 0 by
+        // the same telescope) rather than emit NaN
+        val gamma = when(col("k").isNull, lit(1.0))
+          .when(den <= 0.0, lit(1.0))
+          .otherwise(num / den)
+        grams
+          .join(c12, Seq("w1", "w2"), "left")
+          .join(histg, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("p",
+            when(loss >= eps, pSeen)
+              .when(col("c1").isNotNull && col("nb").isNotNull,
+                gamma * pcont)
+              .when(col("c1").isNull && col("nb").isNotNull, pcont))
+          .withColumn("lp", col("n") * log(col("p")))
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_bigrams"),
+            coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+              .as("n_oov"),
+            coalesce(
+              round(sum("lp") /
+                sum(when(col("lp").isNotNull, col("n"))), scale),
+              lit(0.0)).as("avg_lp"))
+          .localCheckpoint(true)
       } finally { c12.unpersist(false); () }
   }
 
@@ -501,7 +509,20 @@ object NgramLM {
     * exactly (q209 pins the whole loop under q205's oracle). All three
     * frames are at most bigram-vocabulary-sized. */
   def knPrunedModelFrames(counts: DataFrame,
-                          eps: Double): (DataFrame, DataFrame, DataFrame) = {
+                          eps: Double): (DataFrame, DataFrame, DataFrame) =
+    withKnPrunedModelFrames(counts, eps)((e, b, c) =>
+      // bounded frames: materialize before the caches underneath go
+      (e.localCheckpoint(true), b.localCheckpoint(true),
+        c.localCheckpoint(true)))
+
+  /** Derive the three pruned-model frames LAZILY and hand them to `use`
+    * while the internal caches are still alive — the export path writes
+    * them straight to parquet (the write IS the materialization),
+    * skipping the per-frame eager checkpoint the tuple-returning API
+    * pays to outlive the unpersist (r16; same doubles either way — the
+    * expressions are identical, only the materialization point moves). */
+  private[graft] def withKnPrunedModelFrames[T](counts: DataFrame, eps: Double)(
+      use: (DataFrame, DataFrame, DataFrame) => T): T = {
     val c12 = counts.groupBy("w1", "w2").agg(sum("n").as("c12")).persist()
     try {
       val (hist, cont, tot) = knModelFrames(c12)
@@ -530,9 +551,7 @@ object NgramLM {
           .select(col("w1"), gamma.as("gamma"))
         val contP = cont.crossJoin(broadcast(tot))
           .select(col("w2"), pcont.as("pcont"))
-        // bounded frames: materialize before the caches underneath go
-        (entries.localCheckpoint(true), backoff.localCheckpoint(true),
-          contP.localCheckpoint(true))
+        use(entries, backoff, contP)
       } finally { kept.unpersist(false); () }
     } finally { c12.unpersist(false); () }
   }
@@ -600,7 +619,18 @@ object NgramLM {
     * trigram-vocabulary-sized; at 100 TB they broadcast and scoring is
     * map-only per executor. */
   def kn3PrunedModelFrames(counts: DataFrame, eps: Double)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    withKn3PrunedModelFrames(counts, eps)((e, b12, m, b2, c) =>
+      // bounded frames: materialize before the caches underneath go
+      (e.localCheckpoint(true), b12.localCheckpoint(true),
+        m.localCheckpoint(true), b2.localCheckpoint(true),
+        c.localCheckpoint(true)))
+
+  /** [[withKnPrunedModelFrames]] at order 3: lazy frames handed to `use`
+    * inside the cache scope — the export path's no-double-materialization
+    * seam (r16). */
+  private[graft] def withKn3PrunedModelFrames[T](counts: DataFrame, eps: Double)(
+      use: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => T): T = {
     val c123 = counts.groupBy("w1", "w2", "w3").agg(sum("n").as("c123"))
       .persist()
     try {
@@ -677,10 +707,7 @@ object NgramLM {
               (d2 * col("nfhat") / col("chatdot")).as("bow"))
           val contP = cont.crossJoin(broadcast(totHat))
             .select(col("w3"), pcont.as("pcont"))
-          // bounded frames: materialize before the caches underneath go
-          (entries.localCheckpoint(true), backoff12.localCheckpoint(true),
-            mid.localCheckpoint(true), backoff2.localCheckpoint(true),
-            contP.localCheckpoint(true))
+          use(entries, backoff12, mid, backoff2, contP)
         } finally { kept.unpersist(false); () }
       } finally { chat.unpersist(false); () }
     } finally { c123.unpersist(false); () }
@@ -813,69 +840,71 @@ object NgramLM {
             (col("h_n1") + lit(2) * col("h_n2")))
         val pcont = col("nb").cast("double") / col("b")
         // the loss table over explicit entries (every joined quantity
-        // non-null there): the ONE shared kn3Loss definition
+        // non-null there): the ONE shared kn3Loss definition. LAZY since
+        // r16 — its only consumer is the model-sized γ3 aggregate below;
+        // the scoring join re-evaluates the kept decision INLINE, so the
+        // old kept persist and the grams⋈kept join both drop out.
         val kept = c123.join(hist12, Seq("w1", "w2"))
           .join(chat, Seq("w2", "w3"))
           .join(histHat, Seq("w2")).join(cont, Seq("w3"))
           .crossJoin(broadcast(tot3)).crossJoin(broadcast(totHat))
           .withColumn("loss", kn3Loss(d3, d2))
           .filter(col("loss") >= eps)
-          .select(col("w1"), col("w2"), col("w3"), lit(true).as("__kept"),
-            col("c123").as("__kc"), col("chat").as("__kchat"),
-            col("nb").as("__knb"))
-          .persist()
-        try {
-          val gam = kept.groupBy("w1", "w2").agg(count(lit(1)).as("k"),
-            sum("__kc").as("s123"), sum("__kchat").as("schat"),
-            sum("__knb").as("snb"))
-          // scoring arms — the kn3Score expressions plus γ3
-          val pMid =
-            greatest(coalesce(col("chat"), lit(0L)).cast("double") - d2,
-                lit(0.0)) / col("chatdot") +
-              (d2 * col("nfhat") / col("chatdot")) * pcont
-          val pLow = when(col("nb").isNotNull && col("chatdot").isNotNull, pMid)
-            .when(col("nb").isNotNull && col("chatdot").isNull, pcont)
-          val sumPLowKept =
-            (col("schat").cast("double") - col("k") * d2) / col("chatdot") +
-              (d2 * col("nfhat") / col("chatdot")) *
-                (col("snb").cast("double") / col("b"))
-          val sumPHiKept =
-            (col("s123").cast("double") - col("k") * d3) / col("c12dot") +
-              (d3 * col("nf12") / col("c12dot")) * sumPLowKept
-          val den3 = lit(1.0) - sumPLowKept
-          val gamma3 = when(col("k").isNull, lit(1.0))
-            .when(den3 <= 0.0, lit(1.0))
-            .otherwise((lit(1.0) - sumPHiKept) / den3)
-          val pHiKept =
-            (col("c123").cast("double") - d3) / col("c12dot") +
-              (d3 * col("nf12") / col("c12dot")) * pLow
-          grams
-            .join(c123, Seq("w1", "w2", "w3"), "left")
-            .join(kept.select("w1", "w2", "w3", "__kept"),
-              Seq("w1", "w2", "w3"), "left")
-            .join(hist12, Seq("w1", "w2"), "left")
-            .join(chat, Seq("w2", "w3"), "left")
-            .join(histHat, Seq("w2"), "left")
-            .join(cont, Seq("w3"), "left")
-            .join(gam, Seq("w1", "w2"), "left")
-            .crossJoin(broadcast(tot3))
-            .crossJoin(broadcast(totHat))
-            .withColumn("p",
-              when(col("__kept").isNotNull, pHiKept)
-                .when(col("c12dot").isNotNull && pLow.isNotNull,
-                  gamma3 * pLow)
-                .otherwise(pLow))
-            .withColumn("lp", col("n") * log(col("p")))
-            .groupBy("doc_id")
-            .agg(sum("n").as("n_trigrams"),
-              coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
-                .as("n_oov"),
-              coalesce(
-                round(sum("lp") /
-                  sum(when(col("lp").isNotNull, col("n"))), scale),
-                lit(0.0)).as("avg_lp"))
-            .localCheckpoint(true)
-        } finally { kept.unpersist(false); () }
+        val gam = kept.groupBy("w1", "w2").agg(count(lit(1)).as("k"),
+          sum("c123").as("s123"), sum("chat").as("schat"),
+          sum("nb").as("snb"))
+        // γ3 rides on the trigram-history frame (same key): one (w1,w2)
+        // join in the scoring chain instead of two (guide §2.4)
+        val hist12g = hist12.join(gam, Seq("w1", "w2"), "left")
+        // scoring arms — the kn3Score expressions plus γ3
+        val pMid =
+          greatest(coalesce(col("chat"), lit(0L)).cast("double") - d2,
+              lit(0.0)) / col("chatdot") +
+            (d2 * col("nfhat") / col("chatdot")) * pcont
+        val pLow = when(col("nb").isNotNull && col("chatdot").isNotNull, pMid)
+          .when(col("nb").isNotNull && col("chatdot").isNull, pcont)
+        val sumPLowKept =
+          (col("schat").cast("double") - col("k") * d2) / col("chatdot") +
+            (d2 * col("nfhat") / col("chatdot")) *
+              (col("snb").cast("double") / col("b"))
+        val sumPHiKept =
+          (col("s123").cast("double") - col("k") * d3) / col("c12dot") +
+            (d3 * col("nf12") / col("c12dot")) * sumPLowKept
+        val den3 = lit(1.0) - sumPLowKept
+        val gamma3 = when(col("k").isNull, lit(1.0))
+          .when(den3 <= 0.0, lit(1.0))
+          .otherwise((lit(1.0) - sumPHiKept) / den3)
+        val pHiKept =
+          (col("c123").cast("double") - d3) / col("c12dot") +
+            (d3 * col("nf12") / col("c12dot")) * pLow
+        // the kept decision, inline: the SAME kn3Loss expression over
+        // the same joined integer columns ⇒ bit-identical loss, same
+        // decision; a gram with no explicit c123 entry nulls the
+        // comparison and skips the arm — the old missed-join behavior
+        val keptInline = kn3Loss(d3, d2) >= eps
+        grams
+          .join(c123, Seq("w1", "w2", "w3"), "left")
+          .join(hist12g, Seq("w1", "w2"), "left")
+          .join(chat, Seq("w2", "w3"), "left")
+          .join(histHat, Seq("w2"), "left")
+          .join(cont, Seq("w3"), "left")
+          .crossJoin(broadcast(tot3))
+          .crossJoin(broadcast(totHat))
+          .withColumn("p",
+            when(keptInline, pHiKept)
+              .when(col("c12dot").isNotNull && pLow.isNotNull,
+                gamma3 * pLow)
+              .otherwise(pLow))
+          .withColumn("lp", col("n") * log(col("p")))
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_trigrams"),
+            coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+              .as("n_oov"),
+            coalesce(
+              round(sum("lp") /
+                sum(when(col("lp").isNotNull, col("n"))), scale),
+              lit(0.0)).as("avg_lp"))
+          .localCheckpoint(true)
       } finally { chat.unpersist(false); () }
     } finally { c123.unpersist(false); () }
   }
@@ -1288,7 +1317,11 @@ object NgramLM {
             .otherwise(col("s_n1").cast("double") /
               (col("s_n1") + lit(2) * col("s_n2")))
           val pcont = col("nb").cast("double") / col("b")
-          // the kept set via the ONE shared kn4Loss definition
+          // the kept set via the ONE shared kn4Loss definition. LAZY
+          // since r16 — its only consumer is the model-sized γ4
+          // aggregate below; the scoring join re-evaluates the kept
+          // decision INLINE, so the old kept persist and the grams⋈kept
+          // join both drop out.
           val kept = c1234.join(h123, Seq("w1", "w2", "w3"))
             .join(c3, Seq("w2", "w3", "w4"))
             .join(h23, Seq("w2", "w3")).join(c2, Seq("w3", "w4"))
@@ -1297,76 +1330,74 @@ object NgramLM {
             .crossJoin(broadcast(totC2))
             .withColumn("loss", kn4Loss(d4, d3, d2))
             .filter(col("loss") >= eps)
-            .select(col("w1"), col("w2"), col("w3"), col("w4"),
-              lit(true).as("__kept"), col("c1234").as("__kc"),
-              col("c3").as("__kc3"), col("c2").as("__kc2"),
-              col("nb").as("__knb"))
-            .persist()
-          try {
-            val gam = kept.groupBy("w1", "w2", "w3")
-              .agg(count(lit(1)).as("k"), sum("__kc").as("s1234"),
-                sum("__kc3").as("s3"), sum("__kc2").as("s2"),
-                sum("__knb").as("snb"))
-            // scoring arms — the kn4Score expressions plus γ4
-            val pL2 =
-              greatest(coalesce(col("c2"), lit(0L)).cast("double") - d2,
-                  lit(0.0)) / col("c2dot") +
-                (d2 * col("nf3") / col("c2dot")) * pcont
-            val pLow2 = when(col("nb").isNotNull && col("c2dot").isNotNull, pL2)
-              .when(col("nb").isNotNull && col("c2dot").isNull, pcont)
-            val pL3 =
-              greatest(coalesce(col("c3"), lit(0L)).cast("double") - d3,
-                  lit(0.0)) / col("c3dot") +
-                (d3 * col("nf23") / col("c3dot")) * pLow2
-            val pLow3 = when(col("c3dot").isNotNull && pLow2.isNotNull, pL3)
-              .otherwise(pLow2)
-            val sumPL2Kept =
-              (col("s2").cast("double") - col("k") * d2) / col("c2dot") +
-                (d2 * col("nf3") / col("c2dot")) *
-                  (col("snb").cast("double") / col("b"))
-            val sumPL3Kept =
-              (col("s3").cast("double") - col("k") * d3) / col("c3dot") +
-                (d3 * col("nf23") / col("c3dot")) * sumPL2Kept
-            val sumPHiKept =
-              (col("s1234").cast("double") - col("k") * d4) / col("c123dot") +
-                (d4 * col("nf123") / col("c123dot")) * sumPL3Kept
-            val den4 = lit(1.0) - sumPL3Kept
-            val gamma4 = when(col("k").isNull, lit(1.0))
-              .when(den4 <= 0.0, lit(1.0))
-              .otherwise((lit(1.0) - sumPHiKept) / den4)
-            val pHiKept =
-              (col("c1234").cast("double") - d4) / col("c123dot") +
-                (d4 * col("nf123") / col("c123dot")) * pLow3
-            grams
-              .join(c1234, Seq("w1", "w2", "w3", "w4"), "left")
-              .join(kept.select("w1", "w2", "w3", "w4", "__kept"),
-                Seq("w1", "w2", "w3", "w4"), "left")
-              .join(h123, Seq("w1", "w2", "w3"), "left")
-              .join(c3, Seq("w2", "w3", "w4"), "left")
-              .join(h23, Seq("w2", "w3"), "left")
-              .join(c2, Seq("w3", "w4"), "left")
-              .join(h3, Seq("w3"), "left")
-              .join(cont, Seq("w4"), "left")
-              .join(gam, Seq("w1", "w2", "w3"), "left")
-              .crossJoin(broadcast(tot4))
-              .crossJoin(broadcast(totC3))
-              .crossJoin(broadcast(totC2))
-              .withColumn("p",
-                when(col("__kept").isNotNull, pHiKept)
-                  .when(col("c123dot").isNotNull && pLow3.isNotNull,
-                    gamma4 * pLow3)
-                  .otherwise(pLow3))
-              .withColumn("lp", col("n") * log(col("p")))
-              .groupBy("doc_id")
-              .agg(sum("n").as("n_quadgrams"),
-                coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
-                  .as("n_oov"),
-                coalesce(
-                  round(sum("lp") /
-                    sum(when(col("lp").isNotNull, col("n"))), scale),
-                  lit(0.0)).as("avg_lp"))
-              .localCheckpoint(true)
-          } finally { kept.unpersist(false); () }
+          val gam = kept.groupBy("w1", "w2", "w3")
+            .agg(count(lit(1)).as("k"), sum("c1234").as("s1234"),
+              sum("c3").as("s3"), sum("c2").as("s2"),
+              sum("nb").as("snb"))
+          // γ4 rides on the (w1,w2,w3) history frame (same key): one
+          // history join in the scoring chain instead of two (guide §2.4)
+          val h123g = h123.join(gam, Seq("w1", "w2", "w3"), "left")
+          // scoring arms — the kn4Score expressions plus γ4
+          val pL2 =
+            greatest(coalesce(col("c2"), lit(0L)).cast("double") - d2,
+                lit(0.0)) / col("c2dot") +
+              (d2 * col("nf3") / col("c2dot")) * pcont
+          val pLow2 = when(col("nb").isNotNull && col("c2dot").isNotNull, pL2)
+            .when(col("nb").isNotNull && col("c2dot").isNull, pcont)
+          val pL3 =
+            greatest(coalesce(col("c3"), lit(0L)).cast("double") - d3,
+                lit(0.0)) / col("c3dot") +
+              (d3 * col("nf23") / col("c3dot")) * pLow2
+          val pLow3 = when(col("c3dot").isNotNull && pLow2.isNotNull, pL3)
+            .otherwise(pLow2)
+          val sumPL2Kept =
+            (col("s2").cast("double") - col("k") * d2) / col("c2dot") +
+              (d2 * col("nf3") / col("c2dot")) *
+                (col("snb").cast("double") / col("b"))
+          val sumPL3Kept =
+            (col("s3").cast("double") - col("k") * d3) / col("c3dot") +
+              (d3 * col("nf23") / col("c3dot")) * sumPL2Kept
+          val sumPHiKept =
+            (col("s1234").cast("double") - col("k") * d4) / col("c123dot") +
+              (d4 * col("nf123") / col("c123dot")) * sumPL3Kept
+          val den4 = lit(1.0) - sumPL3Kept
+          val gamma4 = when(col("k").isNull, lit(1.0))
+            .when(den4 <= 0.0, lit(1.0))
+            .otherwise((lit(1.0) - sumPHiKept) / den4)
+          val pHiKept =
+            (col("c1234").cast("double") - d4) / col("c123dot") +
+              (d4 * col("nf123") / col("c123dot")) * pLow3
+          // the kept decision, inline: the SAME kn4Loss expression over
+          // the same joined integer columns ⇒ bit-identical loss, same
+          // decision; a gram with no explicit c1234 entry nulls the
+          // comparison and skips the arm — the old missed-join behavior
+          val keptInline = kn4Loss(d4, d3, d2) >= eps
+          grams
+            .join(c1234, Seq("w1", "w2", "w3", "w4"), "left")
+            .join(h123g, Seq("w1", "w2", "w3"), "left")
+            .join(c3, Seq("w2", "w3", "w4"), "left")
+            .join(h23, Seq("w2", "w3"), "left")
+            .join(c2, Seq("w3", "w4"), "left")
+            .join(h3, Seq("w3"), "left")
+            .join(cont, Seq("w4"), "left")
+            .crossJoin(broadcast(tot4))
+            .crossJoin(broadcast(totC3))
+            .crossJoin(broadcast(totC2))
+            .withColumn("p",
+              when(keptInline, pHiKept)
+                .when(col("c123dot").isNotNull && pLow3.isNotNull,
+                  gamma4 * pLow3)
+                .otherwise(pLow3))
+            .withColumn("lp", col("n") * log(col("p")))
+            .groupBy("doc_id")
+            .agg(sum("n").as("n_quadgrams"),
+              coalesce(sum(when(col("lp").isNull, col("n"))), lit(0L))
+                .as("n_oov"),
+              coalesce(
+                round(sum("lp") /
+                  sum(when(col("lp").isNotNull, col("n"))), scale),
+                lit(0.0)).as("avg_lp"))
+            .localCheckpoint(true)
         } finally { c2.unpersist(false); () }
       } finally { c3.unpersist(false); () }
     } finally { c1234.unpersist(false); () }
@@ -1395,7 +1426,19 @@ object NgramLM {
     * 4-gram-vocabulary-sized. */
   def kn4PrunedModelFrames(counts: DataFrame, eps: Double)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
-         DataFrame, DataFrame) = {
+         DataFrame, DataFrame) =
+    withKn4PrunedModelFrames(counts, eps)((e, b123, m3, b23, m2, b2, c) =>
+      (e.localCheckpoint(true), b123.localCheckpoint(true),
+        m3.localCheckpoint(true), b23.localCheckpoint(true),
+        m2.localCheckpoint(true), b2.localCheckpoint(true),
+        c.localCheckpoint(true)))
+
+  /** [[withKnPrunedModelFrames]] at order 4: lazy frames handed to `use`
+    * inside the cache scope — the export path's no-double-materialization
+    * seam (r16). */
+  private[graft] def withKn4PrunedModelFrames[T](counts: DataFrame, eps: Double)(
+      use: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+            DataFrame, DataFrame) => T): T = {
     val c1234 = counts.groupBy("w1", "w2", "w3", "w4")
       .agg(sum("n").as("c1234")).persist()
     try {
@@ -1499,10 +1542,7 @@ object NgramLM {
                 (d2 * col("nf3") / col("c2dot")).as("bow"))
             val contP = cont.crossJoin(broadcast(totC2))
               .select(col("w4"), pcont.as("pcont"))
-            (entries.localCheckpoint(true), backoff123.localCheckpoint(true),
-              mid3.localCheckpoint(true), backoff23.localCheckpoint(true),
-              mid2.localCheckpoint(true), backoff2.localCheckpoint(true),
-              contP.localCheckpoint(true))
+            use(entries, backoff123, mid3, backoff23, mid2, backoff2, contP)
           } finally { kept.unpersist(false); () }
         } finally { c2.unpersist(false); () }
       } finally { c3.unpersist(false); () }

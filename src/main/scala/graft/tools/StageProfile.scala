@@ -16,7 +16,7 @@ object StageProfile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    var b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -24,7 +24,11 @@ object StageProfile {
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.core.GraftExtensions)
-      .getOrCreate()
+    // A/B experiments: SPARK_GRAFT_CONF="k=v;k=v" overrides any of the above
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b = b.config(k.trim, v.trim)
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
