@@ -661,7 +661,7 @@ object NgramLM {
         val kept = c123.join(hist12, Seq("w1", "w2"))
           .join(chat, Seq("w2", "w3"))
           .join(histHat, Seq("w2")).join(cont, Seq("w3"))
-          .crossJoin(broadcast(tot3)).crossJoin(broadcast(totHat))
+          .crossJoin(broadcast(tot3.crossJoin(totHat)))
           .withColumn("loss", kn3Loss(d3, d2))
           .filter(col("loss") >= eps)
           .persist()
@@ -697,7 +697,7 @@ object NgramLM {
           // has its w2 (a trigram (w1,w2,w3) puts (w2,w3) into chat)
           val backoff12 = hist12.join(gam, Seq("w1", "w2"), "left")
             .join(histHat, Seq("w2"))
-            .crossJoin(broadcast(tot3)).crossJoin(broadcast(totHat))
+            .crossJoin(broadcast(tot3.crossJoin(totHat)))
             .select(col("w1"), col("w2"), gamma3.as("gamma"))
           val mid = chat.join(histHat, Seq("w2")).join(cont, Seq("w3"))
             .crossJoin(broadcast(totHat))
@@ -804,7 +804,7 @@ object NgramLM {
           (col("h_n1") + lit(2) * col("h_n2")))
       c123.join(hist12, Seq("w1", "w2")).join(chat, Seq("w2", "w3"))
         .join(histHat, Seq("w2")).join(cont, Seq("w3"))
-        .crossJoin(broadcast(tot3)).crossJoin(broadcast(totHat))
+        .crossJoin(broadcast(tot3.crossJoin(totHat)))
         .withColumn("loss", kn3Loss(d3, d2))
         .select(col("w1"), col("w2"), col("w3"), col("c123"), col("loss"),
           (col("loss") >= eps).as("kept"))
@@ -847,7 +847,7 @@ object NgramLM {
         val kept = c123.join(hist12, Seq("w1", "w2"))
           .join(chat, Seq("w2", "w3"))
           .join(histHat, Seq("w2")).join(cont, Seq("w3"))
-          .crossJoin(broadcast(tot3)).crossJoin(broadcast(totHat))
+          .crossJoin(broadcast(tot3.crossJoin(totHat)))
           .withColumn("loss", kn3Loss(d3, d2))
           .filter(col("loss") >= eps)
         val gam = kept.groupBy("w1", "w2").agg(count(lit(1)).as("k"),
@@ -888,8 +888,7 @@ object NgramLM {
           .join(chat, Seq("w2", "w3"), "left")
           .join(histHat, Seq("w2"), "left")
           .join(cont, Seq("w3"), "left")
-          .crossJoin(broadcast(tot3))
-          .crossJoin(broadcast(totHat))
+          .crossJoin(broadcast(tot3.crossJoin(totHat)))
           .withColumn("p",
             when(keptInline, pHiKept)
               .when(col("c12dot").isNotNull && pLow.isNotNull,
@@ -1052,8 +1051,7 @@ object NgramLM {
             .join(chat, Seq("w2", "w3"), "left")
             .join(histHat, Seq("w2"), "left")
             .join(cont, Seq("w3"), "left")
-            .crossJoin(broadcast(tot3))
-            .crossJoin(broadcast(totHat))
+            .crossJoin(broadcast(tot3.crossJoin(totHat)))
             .withColumn("lp", col("n") * log(p))
             .groupBy("doc_id")
             .agg(sum("n").as("n_trigrams"),
@@ -1224,8 +1222,7 @@ object NgramLM {
       c1234.join(h123, Seq("w1", "w2", "w3")).join(c3, Seq("w2", "w3", "w4"))
         .join(h23, Seq("w2", "w3")).join(c2, Seq("w3", "w4"))
         .join(h3, Seq("w3")).join(cont, Seq("w4"))
-        .crossJoin(broadcast(tot4)).crossJoin(broadcast(totC3))
-        .crossJoin(broadcast(totC2))
+        .crossJoin(broadcast(tot4.crossJoin(totC3).crossJoin(totC2)))
         .withColumn("loss", kn4Loss(d4, d3, d2))
         .select(col("w1"), col("w2"), col("w3"), col("w4"), col("c1234"),
           col("loss"), (col("loss") >= eps).as("kept"))
@@ -1326,8 +1323,7 @@ object NgramLM {
             .join(c3, Seq("w2", "w3", "w4"))
             .join(h23, Seq("w2", "w3")).join(c2, Seq("w3", "w4"))
             .join(h3, Seq("w3")).join(cont, Seq("w4"))
-            .crossJoin(broadcast(tot4)).crossJoin(broadcast(totC3))
-            .crossJoin(broadcast(totC2))
+            .crossJoin(broadcast(tot4.crossJoin(totC3).crossJoin(totC2)))
             .withColumn("loss", kn4Loss(d4, d3, d2))
             .filter(col("loss") >= eps)
           val gam = kept.groupBy("w1", "w2", "w3")
@@ -1380,9 +1376,7 @@ object NgramLM {
             .join(c2, Seq("w3", "w4"), "left")
             .join(h3, Seq("w3"), "left")
             .join(cont, Seq("w4"), "left")
-            .crossJoin(broadcast(tot4))
-            .crossJoin(broadcast(totC3))
-            .crossJoin(broadcast(totC2))
+            .crossJoin(broadcast(tot4.crossJoin(totC3).crossJoin(totC2)))
             .withColumn("p",
               when(keptInline, pHiKept)
                 .when(col("c123dot").isNotNull && pLow3.isNotNull,
@@ -1489,8 +1483,7 @@ object NgramLM {
             .join(c3, Seq("w2", "w3", "w4"))
             .join(h23, Seq("w2", "w3")).join(c2, Seq("w3", "w4"))
             .join(h3, Seq("w3")).join(cont, Seq("w4"))
-            .crossJoin(broadcast(tot4)).crossJoin(broadcast(totC3))
-            .crossJoin(broadcast(totC2))
+            .crossJoin(broadcast(tot4.crossJoin(totC3).crossJoin(totC2)))
             .withColumn("loss", kn4Loss(d4, d3, d2))
             .filter(col("loss") >= eps)
             .persist()
@@ -1524,8 +1517,7 @@ object NgramLM {
             val backoff123 = h123
               .join(gam, Seq("w1", "w2", "w3"), "left")
               .join(h23, Seq("w2", "w3")).join(h3, Seq("w3"))
-              .crossJoin(broadcast(tot4)).crossJoin(broadcast(totC3))
-              .crossJoin(broadcast(totC2))
+              .crossJoin(broadcast(tot4.crossJoin(totC3).crossJoin(totC2)))
               .select(col("w1"), col("w2"), col("w3"), gamma4.as("gamma"))
             val mid3 = c3.join(h23, Seq("w2", "w3")).join(c2, Seq("w3", "w4"))
               .join(h3, Seq("w3")).join(cont, Seq("w4"))
@@ -1674,9 +1666,7 @@ object NgramLM {
             .join(c2, Seq("w3", "w4"), "left")
             .join(h3, Seq("w3"), "left")
             .join(cont, Seq("w4"), "left")
-            .crossJoin(broadcast(tot4))
-            .crossJoin(broadcast(totC3))
-            .crossJoin(broadcast(totC2))
+            .crossJoin(broadcast(tot4.crossJoin(totC3).crossJoin(totC2)))
             .withColumn("lp", col("n") * log(p))
             .groupBy("doc_id")
             .agg(sum("n").as("n_quadgrams"),
