@@ -33,6 +33,36 @@ object KnModel {
   val BackoffTable = "_kn_backoff"
   val ContTable = "_kn_cont"
 
+  /** Run the artifact-frame writes CONCURRENTLY from a small thread
+    * pool (guide §2.6: Spark happily runs several jobs at once; actions
+    * are only sequential because the driver calls them sequentially).
+    * The frames are independent writes to distinct directories that
+    * share the derivation's CACHED parents, so concurrent jobs reuse —
+    * never recompute — the cached partitions (block-level locks make a
+    * racing first materialization compute-once, wait-and-read for the
+    * rest), and each write's plan, partitioning, and row values are
+    * exactly what the sequential loop produced: concurrency moves
+    * scheduling, never bytes. Sequentially, each frame's stage ladder
+    * left most of the 32-way pool idle (vocabulary-sized stages);
+    * overlapped, the ladders back-fill each other. The first failure
+    * rethrows (unwrapped) after all writes settle, so the caller's
+    * cache scope tears down exactly as in the sequential form. */
+  private def writeAll(writes: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+    try {
+      val futs = writes.map(w => pool.submit(
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = w() }))
+      var firstFailure: Throwable = null
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally { pool.shutdown(); () }
+  }
+
   /** Derive the pruned model from `train` and write the artifact. */
   def export(train: DataFrame, eps: Double, dir: String,
              textCol: String = "text"): Unit =
@@ -47,9 +77,10 @@ object KnModel {
     // checkpoint the tuple API pays (r16; stored doubles unchanged —
     // same expressions, same values)
     NgramLM.withKnPrunedModelFrames(counts, eps) { (entries, backoff, contP) =>
-      entries.write.mode("overwrite").parquet(s"$dir/$EntriesTable")
-      backoff.write.mode("overwrite").parquet(s"$dir/$BackoffTable")
-      contP.write.mode("overwrite").parquet(s"$dir/$ContTable")
+      writeAll( // concurrent independent writes (guide §2.6; see writeAll)
+        () => entries.write.mode("overwrite").parquet(s"$dir/$EntriesTable"),
+        () => backoff.write.mode("overwrite").parquet(s"$dir/$BackoffTable"),
+        () => contP.write.mode("overwrite").parquet(s"$dir/$ContTable"))
     }
 
   /** Load the three model frames from an exported artifact. */
@@ -115,11 +146,12 @@ object KnModel {
     // write-inside-the-scope, as [[exportFromCounts]] (r16)
     NgramLM.withKn3PrunedModelFrames(counts, eps) {
       (entries, backoff12, mid, backoff2, contP) =>
-        entries.write.mode("overwrite").parquet(s"$dir/$Entries3Table")
-        backoff12.write.mode("overwrite").parquet(s"$dir/$Backoff12Table")
-        mid.write.mode("overwrite").parquet(s"$dir/$Mid3Table")
-        backoff2.write.mode("overwrite").parquet(s"$dir/$Backoff2Table")
-        contP.write.mode("overwrite").parquet(s"$dir/$Cont3Table")
+        writeAll( // concurrent independent writes (guide §2.6; see writeAll)
+          () => entries.write.mode("overwrite").parquet(s"$dir/$Entries3Table"),
+          () => backoff12.write.mode("overwrite").parquet(s"$dir/$Backoff12Table"),
+          () => mid.write.mode("overwrite").parquet(s"$dir/$Mid3Table"),
+          () => backoff2.write.mode("overwrite").parquet(s"$dir/$Backoff2Table"),
+          () => contP.write.mode("overwrite").parquet(s"$dir/$Cont3Table"))
     }
 
   /** Load the five trigram model frames from an exported artifact. */
@@ -178,13 +210,14 @@ object KnModel {
     // write-inside-the-scope, as [[exportFromCounts]] (r16)
     NgramLM.withKn4PrunedModelFrames(counts, eps) {
       (e, b123, m3, b23, m2, b2, c) =>
-        e.write.mode("overwrite").parquet(s"$dir/$Entries4Table")
-        b123.write.mode("overwrite").parquet(s"$dir/$Backoff123Table")
-        m3.write.mode("overwrite").parquet(s"$dir/$Mid43Table")
-        b23.write.mode("overwrite").parquet(s"$dir/$Backoff23Table")
-        m2.write.mode("overwrite").parquet(s"$dir/$Mid42Table")
-        b2.write.mode("overwrite").parquet(s"$dir/$Backoff4_2Table")
-        c.write.mode("overwrite").parquet(s"$dir/$Cont4Table")
+        writeAll( // concurrent independent writes (guide §2.6; see writeAll)
+          () => e.write.mode("overwrite").parquet(s"$dir/$Entries4Table"),
+          () => b123.write.mode("overwrite").parquet(s"$dir/$Backoff123Table"),
+          () => m3.write.mode("overwrite").parquet(s"$dir/$Mid43Table"),
+          () => b23.write.mode("overwrite").parquet(s"$dir/$Backoff23Table"),
+          () => m2.write.mode("overwrite").parquet(s"$dir/$Mid42Table"),
+          () => b2.write.mode("overwrite").parquet(s"$dir/$Backoff4_2Table"),
+          () => c.write.mode("overwrite").parquet(s"$dir/$Cont4Table"))
     }
 
   /** Load the seven 4-gram model frames from an exported artifact. */
