@@ -92,8 +92,15 @@ object JoinMaintainer {
           (Some((post, keys)), touched)
       }
 
-    val (foldedA, touchedA) = foldSide(a)
-    val (foldedB, touchedB) = foldSide(b)
+    // the two sides fold CONCURRENTLY (guide §2.6): different tables,
+    // disjoint snapshot-store dirs, results communicated only by return
+    // value — each side's chain of small vocabulary/bucket-sized jobs
+    // back-fills the cores the other leaves idle. A self-join view
+    // (both sides the same table) folds the same store twice, so it
+    // stays sequential.
+    val ((foldedA, touchedA), (foldedB, touchedB)) =
+      if (a.table == b.table) (foldSide(a), foldSide(b))
+      else graft.core.Par.both(foldSide(a), foldSide(b))
     val touched = (touchedA ++ touchedB).distinct.sorted
     if (touched.isEmpty) return
 
@@ -116,8 +123,15 @@ object JoinMaintainer {
       }
       swapBuckets(spark, fs, dir, kept, touched)
     }
-    rebuildSide("a", a, foldedA)
-    rebuildSide("b", b, foldedB)
+    // side dirs are disjoint ("a"/"b" under the view dir) and both read
+    // the already-computed `touched` array: same §2.6 overlap as the
+    // folds (same-table views stay sequential for the same reason)
+    if (a.table == b.table) {
+      rebuildSide("a", a, foldedA)
+      rebuildSide("b", b, foldedB)
+    } else
+      graft.core.Par.both(
+        rebuildSide("a", a, foldedA), rebuildSide("b", b, foldedB)): Unit
 
     // re-join the touched bucket pairs — bucket-local by construction
     val av = readBuckets(spark, sideDir(warehouseDir, view, "a"), touched)

@@ -260,7 +260,8 @@ object CdcStream {
           partitionByDate = cfg.partitionByDate)
         val joinTables = cfg.joinViews
           .flatMap(v => Seq(v.tableA, v.tableB)).toSet
-        cfg.snapshotKeys.filterNot(kv => joinTables(kv._1))
+        def snapshotFolds(): Unit =
+          cfg.snapshotKeys.filterNot(kv => joinTables(kv._1))
           .foreach { case (table, pk) =>
           registry.get(table).foreach { spec =>
             // fold from the COLUMNAR rows appendBatch just wrote (the
@@ -297,7 +298,7 @@ object CdcStream {
             }
           }
         }
-        cfg.scd2Keys.foreach { case (table, pk) =>
+        def scd2Folds(): Unit = cfg.scd2Keys.foreach { case (table, pk) =>
           registry.get(table).foreach { spec =>
             val sess = df.sparkSession
             val batchDir = s"${cfg.warehouseDir}/${spec.physicalName}/batch=$batchId"
@@ -309,6 +310,13 @@ object CdcStream {
                 pk, buckets = cfg.snapshotBuckets)
           }
         }
+        // the snapshot/agg folds and the SCD2 folds are independent
+        // maintainers over DISJOINT store dirs that both read only the
+        // batch dirs appendBatch just wrote — overlap them (guide §2.6;
+        // graft.core.Par). Every fold still happens-before this
+        // micro-batch commits, so the checkpoint-retry contract is
+        // unchanged.
+        graft.core.Par.both(snapshotFolds(), scd2Folds()): Unit
         cfg.joinViews.foreach { v =>
           val sess = df.sparkSession
           def sideOf(table: String): graft.cdc.JoinMaintainer.Side = {
